@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * At 100 TB these reads become partitioned-table scans; everything
+  * downstream only relies on the logical schema, so swapping the
+  * physical layout (partitioned parquet/Delta, bucketed tables) is a
+  * loader-only change.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is physical INT64 TIMESTAMP(NANOS) which Spark's µs
+      // TimestampType cannot represent; read it as a nanosecond epoch
+      // Long and derive timestamps explicitly (see events()).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events` with `ts_ns` (raw nanosecond epoch Long) and `ts`
+    * (µs-truncated TimestampType). Oracle-side equivalents:
+    * `epoch_ns(ts)` and `make_timestamp(epoch_ns(ts)//1000)`.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `events` deduplicated to one row per (event_type, ts): the driver
+    * generator may emit timestamp collisions, and every time-series
+    * operator downstream (rollup, lag, SMA) needs a keyed series with a
+    * unique time axis — mirrors the reference's PK-enforced uniqueness
+    * on (exchange, base_id, quote_id, time)
+    * (reference scripts/database/init/create.sql:54-55).
+    * Deterministic: value of the max-event_id row wins (latest-write-wins,
+    * like the reference WS updater fetchers/ws/bitfinex.py:202-217).
+    */
+  def eventSeries(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), col("ts"))
+      .agg(
+        max_by(col("value"), col("event_id")).as("value"),
+        max_by(col("user_id"), col("event_id")).as("user_id"))
+}
