@@ -23,6 +23,7 @@ object SparkEntry {
   private val catalogs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (TimeSeriesQueries.queries, TimeSeriesQueries.oracleSql),
+      (RelationalQueries.queries, RelationalQueries.oracleSql),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,8 +1,10 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.ops.TimeSeries
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Analytics, TimeSeries}
+import graft.catalog.Oracle._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-checked queries exercising the time-series operator layer on
@@ -11,9 +13,11 @@ import org.apache.spark.sql.functions._
   * Conventions shared by every catalog object:
   *  - output column names match the oracle SQL exactly (driver sorts
   *    columns by name before hashing);
-  *  - doubles are rounded to 4 dp on BOTH sides (reference rounds all
-  *    served values to 4 dp HALF_EVEN, common/helpers/numbers.py:7-23;
-  *    here it also absorbs FP summation-order differences);
+  *  - aggregates over the exact-2-dp `value` column go through
+  *    [[Oracle.cents]] so sums/averages are integer-exact in both
+  *    engines; genuinely irrational outputs go through [[Oracle.r4]];
+  *  - timestamps are only emitted as bucket timestamps (µs-exact) or
+  *    as `tus` (epoch-µs Longs) — never the raw ns column;
   *  - every result carries a deterministic total ORDER BY.
   */
 object TimeSeriesQueries {
@@ -32,18 +36,15 @@ object TimeSeriesQueries {
   private def series(s: SparkSession, dir: String): DataFrame =
     Tables.eventSeries(s, dir).withColumn("tus", unix_micros(col("ts")))
 
+  // ---------------------------------------------------------------- A1
   private def rollupQuery(widthSec: Long)(s: SparkSession, dir: String): DataFrame =
     TimeSeries.candleRollup(
         Tables.eventSeries(s, dir), col("ts"), Seq(col("event_type")),
-        col("value"), widthSec)
+        col("value"), widthSec, volume = Some(cents(col("value"))))
       .select(
         col("event_type"), col("bucket"),
-        round(col("open"), 4).as("open"),
-        round(col("high"), 4).as("high"),
-        round(col("low"), 4).as("low"),
-        round(col("close"), 4).as("close"),
-        round(col("volume"), 4).as("volume"),
-        col("n"))
+        col("open"), col("high"), col("low"), col("close"),
+        (col("volume") / 100.0d).as("volume"), col("n"))
       .orderBy("event_type", "bucket")
 
   private def rollupSql(widthSec: Long): String = {
@@ -51,22 +52,256 @@ object TimeSeriesQueries {
     s"""$seriesCte
        |SELECT event_type,
        |       make_timestamp((tus // $w) * $w) AS bucket,
-       |       round(min_by(value, tus), 4) AS open,
-       |       round(max(value), 4) AS high,
-       |       round(min(value), 4) AS low,
-       |       round(max_by(value, tus), 4) AS close,
-       |       round(sum(value), 4) AS volume,
+       |       min_by(value, tus) AS open,
+       |       max(value) AS high,
+       |       min(value) AS low,
+       |       max_by(value, tus) AS close,
+       |       SUM(${centsSql("value")}) / 100.0 AS volume,
        |       count(*) AS n
        |FROM series GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------- S1/T1/T3
+  /** Composite filter + ORDER DESC LIMIT + re-sort ascending — the
+    * reference's main chart read path (readers.py:183-208, :240-243).
+    */
+  private def scanRecent(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .filter(col("event_type") === "click" &&
+        col("tus") >= 1704844800000000L && col("tus") < 1705708800000000L)
+      .select(col("tus"), col("value"))
+      .orderBy(col("tus").desc)
+      .limit(500)
+      .orderBy(col("tus").asc)
+
+  private val scanRecentSql: String =
+    s"""$seriesCte
+       |SELECT tus, value FROM (
+       |  SELECT tus, value FROM series
+       |  WHERE event_type = 'click'
+       |    AND tus >= 1704844800000000 AND tus < 1705708800000000
+       |  ORDER BY tus DESC LIMIT 500)
+       |ORDER BY tus""".stripMargin
+
+  // ---------------------------------------------------- J4/A7/F2/F7
+  /** Time-spine gap fill with window-average fill values — the
+    * reference's `empty_ts` chart subplan (readers.py:210-244):
+    * 5-minute slots of one day, missing candles filled with the
+    * average close over the returned window (A7 — deliberately NOT
+    * interpolation, SURVEY §7.4 risk 7).
+    */
+  private def gapfill5m(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val dayStartUs = 1704412800000000L // 2024-01-05T00:00Z
+    val data = series(s, dir)
+      .filter(col("event_type") === "signup" &&
+        col("tus") >= dayStartUs && col("tus") < dayStartUs + 86400000000L)
+      .groupBy((expr("tus div 300000000") * 300000000L).as("slot_us"))
+      .agg(max_by(col("value"), col("tus")).as("close"),
+           sum(cents(col("value"))).as("vol_cents"))
+    val stats = data.agg(sum(cents(col("close"))).as("sc"),
+                         count(lit(1)).as("cnt"))
+    val spine = spark.range(288)
+      .select((lit(dayStartUs) + col("id") * 300000000L).as("slot_us"))
+    spine.join(data, Seq("slot_us"), "left").crossJoin(stats)
+      .select(
+        col("slot_us"),
+        coalesce(col("close"), col("sc") / (lit(100.0d) * col("cnt"))).as("close"),
+        coalesce(col("vol_cents") / 100.0d, lit(0.0d)).as("volume"),
+        col("close").isNull.as("filled"))
+      .orderBy(col("slot_us"))
+  }
+
+  private val gapfill5mSql: String =
+    s"""$seriesCte, data AS (
+       |  SELECT (tus // 300000000) * 300000000 AS slot_us,
+       |         max_by(value, tus) AS close,
+       |         SUM(${centsSql("value")}) AS vol_cents
+       |  FROM series
+       |  WHERE event_type = 'signup'
+       |    AND tus >= 1704412800000000 AND tus < 1704499200000000
+       |  GROUP BY 1
+       |), stats AS (
+       |  SELECT SUM(${centsSql("close")}) AS sc, count(*) AS cnt FROM data
+       |), spine AS (
+       |  SELECT 1704412800000000 + i * 300000000 AS slot_us FROM range(288) t(i)
+       |)
+       |SELECT spine.slot_us,
+       |       coalesce(data.close, stats.sc / (100.0 * stats.cnt)) AS close,
+       |       coalesce(data.vol_cents / 100.0, 0.0) AS volume,
+       |       data.close IS NULL AS filled
+       |FROM spine LEFT JOIN data ON spine.slot_us = data.slot_us CROSS JOIN stats
+       |ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- W1
+  /** LEAD-based gap detection (reference select_queries.sql:28-49). */
+  private def leadGap(s: SparkSession, dir: String): DataFrame =
+    Analytics.gapReport(series(s, dir), Seq(col("event_type")), col("ts"), 600L)
+      .select(col("event_type"),
+        unix_micros(col("gap_start")).as("gap_start_us"),
+        unix_micros(col("gap_end")).as("gap_end_us"))
+      .orderBy(col("event_type"), col("gap_start_us"))
+
+  private val leadGapSql: String =
+    s"""$seriesCte, lead_t AS (
+       |  SELECT event_type, tus,
+       |         lead(tus) OVER (PARTITION BY event_type ORDER BY tus) AS next_tus
+       |  FROM series
+       |)
+       |SELECT event_type, tus AS gap_start_us, next_tus AS gap_end_us
+       |FROM lead_t
+       |WHERE next_tus IS NOT NULL AND next_tus - tus > 600000000
+       |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------- W3
+  /** LAG + log-return on daily closes (reference create.sql:245-261). */
+  private def lagLogReturn(s: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.candleRollup(
+      Tables.eventSeries(s, dir), col("ts"), Seq(col("event_type")),
+      col("value"), 86400L)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    daily
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= 0d)
+      .select(col("event_type"), col("bucket"),
+        r4(log(col("close") / col("prev"))).as("log_return"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  private val lagLogReturnSql: String =
+    s"""$seriesCte, daily AS (
+       |  SELECT event_type,
+       |         make_timestamp((tus // 86400000000) * 86400000000) AS bucket,
+       |         max_by(value, tus) AS close
+       |  FROM series GROUP BY 1, 2
+       |), lagd AS (
+       |  SELECT event_type, bucket, close,
+       |         lag(close) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+       |  FROM daily
+       |)
+       |SELECT event_type, bucket, ${r4Sql("ln(close / prev)")} AS log_return
+       |FROM lagd WHERE prev IS NOT NULL AND prev <> 0
+       |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------- W5
+  /** 10-row trailing SMA (reference aggregations.sql:24-39,
+    * chart.js:298-312) with exact cents arithmetic.
+    */
+  private def sma10(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("tus"))
+      .rowsBetween(-9, 0)
+    series(s, dir)
+      .withColumn("c", cents(col("value")))
+      .select(col("event_type"), col("tus"),
+        (sum(col("c")).over(w) / (lit(100.0d) * count(col("c")).over(w))).as("sma"))
+      .orderBy(col("event_type"), col("tus"))
+  }
+
+  private val sma10Sql: String =
+    s"""$seriesCte
+       |SELECT event_type, tus,
+       |       SUM(${centsSql("value")}) OVER w
+       |         / (100.0 * count(${centsSql("value")}) OVER w) AS sma
+       |FROM series
+       |WINDOW w AS (PARTITION BY event_type ORDER BY tus
+       |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+       |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------- A3
+  /** Geometric-mean daily return (reference create.sql:225-278). */
+  private def geoMean(s: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.candleRollup(
+      Tables.eventSeries(s, dir), col("ts"), Seq(col("event_type")),
+      col("value"), 86400L)
+    Analytics.geoMeanDailyReturn(
+        daily.select(col("event_type"), col("bucket"), col("close")),
+        Seq(col("event_type")), col("bucket"), col("close"),
+        lit("2024-01-30 00:00:00").cast("timestamp"))
+      .select(col("event_type"), r4(col("daily_return_pct")).as("daily_return_pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private val geoMeanSql: String =
+    s"""$seriesCte, daily AS (
+       |  SELECT event_type,
+       |         make_timestamp((tus // 86400000000) * 86400000000) AS bucket,
+       |         max_by(value, tus) AS close
+       |  FROM series GROUP BY 1, 2
+       |), nextb AS (
+       |  SELECT event_type, bucket, close,
+       |         lead(bucket) OVER (PARTITION BY event_type ORDER BY bucket) AS nb
+       |  FROM daily WHERE close <> 0
+       |), fill AS (
+       |  SELECT event_type, close,
+       |         unnest(generate_series(bucket,
+       |           coalesce(nb - INTERVAL 1 DAY, TIMESTAMP '2024-01-30'),
+       |           INTERVAL 1 DAY)) AS day
+       |  FROM nextb
+       |), lagd AS (
+       |  SELECT event_type, day, close,
+       |         lag(close) OVER (PARTITION BY event_type ORDER BY day) AS prev
+       |  FROM fill
+       |)
+       |SELECT event_type,
+       |       ${r4Sql("(pow(exp(SUM(ln(close / prev))), 1.0 / count(*)) - 1) * 100")}
+       |         AS daily_return_pct
+       |FROM lagd WHERE prev IS NOT NULL AND prev <> 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- A5
+  /** Weekly return, latest week per key, TimescaleDB week origin
+    * 2000-01-03 (reference create.sql:318-337; F1 origin caveat).
+    */
+  private val weekOrigin = 946857600L // 2000-01-03T00:00Z (Monday)
+
+  private def weeklyReturn(s: SparkSession, dir: String): DataFrame = {
+    val weekly = TimeSeries.candleRollup(
+      Tables.eventSeries(s, dir), col("ts"), Seq(col("event_type")),
+      col("value"), 604800L, weekOrigin)
+    Analytics.latestPerKey(weekly, Seq(col("event_type")), Seq(col("bucket").desc))
+      .select(col("bucket").as("time"), col("event_type"),
+        r4((col("close") - col("open")) / col("open") * 100d).as("weekly_return_pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private val weeklyReturnSql: String = {
+    val w = 604800000000L
+    val o = weekOrigin * 1000000L
+    s"""$seriesCte, weekly AS (
+       |  SELECT event_type,
+       |         make_timestamp(((tus - $o) // $w) * $w + $o) AS bucket,
+       |         min_by(value, tus) AS open,
+       |         max_by(value, tus) AS close
+       |  FROM series GROUP BY 1, 2
+       |)
+       |SELECT bucket AS time, event_type,
+       |       ${r4Sql("(close - open) / open * 100")} AS weekly_return_pct
+       |FROM weekly
+       |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY bucket DESC) = 1
+       |ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_candle_1h" -> rollupQuery(3600L),
-    "ts_candle_1d" -> rollupQuery(86400L),
+    "ts_candle_1h"     -> rollupQuery(3600L),
+    "ts_candle_1d"     -> rollupQuery(86400L),
+    "ts_scan_recent"   -> scanRecent,
+    "ts_gapfill_5m"    -> gapfill5m,
+    "ts_lead_gap"      -> leadGap,
+    "ts_lag_logreturn" -> lagLogReturn,
+    "ts_sma10"         -> sma10,
+    "ts_geomean"       -> geoMean,
+    "ts_weekly_return" -> weeklyReturn,
   )
 
   def oracleSql: Map[String, String] = Map(
-    "ts_candle_1h" -> rollupSql(3600L),
-    "ts_candle_1d" -> rollupSql(86400L),
+    "ts_candle_1h"     -> rollupSql(3600L),
+    "ts_candle_1d"     -> rollupSql(86400L),
+    "ts_scan_recent"   -> scanRecentSql,
+    "ts_gapfill_5m"    -> gapfill5mSql,
+    "ts_lead_gap"      -> leadGapSql,
+    "ts_lag_logreturn" -> lagLogReturnSql,
+    "ts_sma10"         -> sma10Sql,
+    "ts_geomean"       -> geoMeanSql,
+    "ts_weekly_return" -> weeklyReturnSql,
   )
 }

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's analytics-view operators re-expressed Spark-first
+  * (SURVEY §2.3-§2.6; reference scripts/database/init/create.sql:225-337).
+  *
+  * Scale notes are per-operator; the common theme: key-partitioned
+  * window functions shuffle once on the key and stay fully parallel,
+  * while the two global rankings (topNWithOther, rank in weeklyReturn
+  * output) run on *already aggregated* inputs that are tiny by
+  * construction (#groups, not #rows), so the single-partition window
+  * is safe even at 100 TB input.
+  */
+object Analytics {
+
+  /** Latest row per key — the reference's LATERAL top-1 / DISTINCT ON
+    * pattern (SURVEY J3/W7; reference schemas/select_queries.sql:9-24,
+    * scripts/database/cron/daily.sql:2-18).
+    * One shuffle on `keys`; `order` must be a total order within a key.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Gap detection via LEAD (SURVEY W1; reference
+    * schemas/select_queries.sql:28-49): rows where the next timestamp
+    * for the key is more than `thresholdSec` away.
+    * Emits (keys..., gap_start=timeCol, gap_end=next time).
+    */
+  def gapReport(df: DataFrame, keys: Seq[Column], timeCol: Column,
+                thresholdSec: Long): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(timeCol)
+    df.withColumn("__next", lead(timeCol, 1).over(w))
+      .filter(col("__next").isNotNull &&
+        (unix_micros(col("__next")) - unix_micros(timeCol)) > thresholdSec * 1000000L)
+      .select((keys :+ timeCol.as("gap_start") :+ col("__next").as("gap_end")): _*)
+  }
+
+  /** Variable-length forward fill of a daily series (SURVEY W2;
+    * reference create.sql:229-244): for each row, generate every day
+    * from its bucket up to (next bucket − 1 day), carrying values
+    * forward. `upTo` bounds the last row's fill (reference uses
+    * CURRENT_DATE; parameterized here for determinism — SURVEY §7.4).
+    * Requires unique (keys..., bucketCol).
+    */
+  def forwardFillDaily(df: DataFrame, keys: Seq[Column], bucketCol: Column,
+                       carried: Seq[(String, Column)], upTo: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(bucketCol)
+    // Two phases: Spark disallows window functions inside a generator
+    // argument, so materialize the fill end first, then explode.
+    val withEnd = df.withColumn("__fill_end",
+      coalesce(lead(bucketCol, 1).over(w) - expr("interval 1 day"), upTo))
+    val cols = keys ++ carried.map { case (n, c) => c.as(n) } :+
+      explode(sequence(bucketCol, col("__fill_end"), expr("interval 1 day"))).as("day")
+    withEnd.select(cols: _*)
+  }
+
+  /** Geometric-mean daily return (SURVEY A3; reference
+    * create.sql:225-278): forward-filled daily closes → LAG →
+    * ln(close/prev) → (exp(sum)^.../n − 1)·100.
+    * Input: unique (keys..., bucket) daily candles with `close`.
+    * All shuffles are on `keys`; no global barrier.
+    */
+  def geoMeanDailyReturn(daily: DataFrame, keys: Seq[Column], bucket: Column,
+                         close: Column, upTo: Column): DataFrame = {
+    val filled = forwardFillDaily(
+      daily.filter(close =!= 0d), keys, bucket, Seq("close" -> close), upTo)
+    val keyNames = filled.columns.dropRight(2) // keys as selected
+    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(col("day"))
+    filled
+      .withColumn("__prev", lag(col("close"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= 0d)
+      .withColumn("__lnf", log(col("close") / col("__prev")))
+      .groupBy(keyNames.map(col): _*)
+      .agg(((pow(exp(sum(col("__lnf"))), lit(1.0) / count(col("__lnf"))) - 1d) * 100d)
+        .as("daily_return_pct"))
+  }
+
+  /** Top-N groups by total with an 'Other' bucket (SURVEY A4; reference
+    * create.sql:280-316). `totals` must already be aggregated
+    * (group, total); ranking ties broken by group name.
+    * The unpartitioned row_number window runs on #groups rows only.
+    */
+  def topNWithOther(totals: DataFrame, grp: Column, total: Column, n: Int): DataFrame = {
+    val w = Window.orderBy(total.desc, grp.asc)
+    totals
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("bqgrp", when(col("__rk") > n, lit("Other")).otherwise(grp))
+      .groupBy(col("bqgrp"))
+      .agg(sum(total).as("total_volume"))
+  }
+
+  /** Trailing-rows moving average (SURVEY W5/W6; reference
+    * schemas/aggregations.sql:24-39, web/src/chart.js:298-312).
+    */
+  def smaRows(df: DataFrame, keys: Seq[Column], order: Column, value: Column,
+              nRows: Int): Column =
+    avg(value).over(
+      Window.partitionBy(keys: _*).orderBy(order).rowsBetween(-(nRows - 1), 0))
+}

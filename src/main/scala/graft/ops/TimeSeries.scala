@@ -45,13 +45,14 @@ object TimeSeries {
       keys: Seq[Column],
       value: Column,
       widthSec: Long,
-      originEpochSec: Long = 0L): DataFrame =
+      originEpochSec: Long = 0L,
+      volume: Option[Column] = None): DataFrame =
     df.groupBy((keys :+ timeBucket(timeCol, widthSec, originEpochSec).as("bucket")): _*)
       .agg(
         min_by(value, timeCol).as("open"),
         max(value).as("high"),
         min(value).as("low"),
         max_by(value, timeCol).as("close"),
-        sum(value).as("volume"),
+        sum(volume.getOrElse(value)).as("volume"),
         count(lit(1)).as("n"))
 }
