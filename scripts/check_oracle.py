@@ -60,6 +60,12 @@ def main():
             print(f"[FAIL-rows] {name}: got {len(got)} want {len(want)}")
             n_fail += 1
             continue
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+                  if str(got[c].dtype) != str(want[c].dtype)]
+        if dt_bad:
+            print(f"[FAIL-dtyp] {name}: {dt_bad}")
+            n_fail += 1
+            continue
         ok = True
         for c in got.columns:
             g, w = got[c], want[c]

@@ -24,6 +24,7 @@ object SparkEntry {
     Seq(
       (TimeSeriesQueries.queries, TimeSeriesQueries.oracleSql),
       (RelationalQueries.queries, RelationalQueries.oracleSql),
+      (LlmQueries.queries, LlmQueries.oracleSql),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,347 @@
+package graft.catalog
+
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.catalog.Oracle._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline queries (dedup, similarity search,
+  * text analysis, multimodal plumbing) over `documents`/`embeddings`,
+  * each with a DuckDB oracle. Output conventions as in
+  * TimeSeriesQueries.
+  *
+  * Where a pipeline needs guaranteed positives (exact/near duplicates)
+  * the query constructs deterministic perturbed copies of a slice of
+  * `documents` (id + 100000, text truncated) inside both the Spark
+  * plan and the oracle, so the detector's hits are verifiable.
+  */
+object LlmQueries {
+
+  /** DuckDB twin of [[TextOps.normalize]]. */
+  private def normSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private def wordsSql(e: String): String =
+    s"list_filter(string_split(trim($e), ' '), x -> x <> '')"
+
+  // ----------------------------------------------------- exact dedup
+  private def exactDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    Dedup.exactDupMapping(
+        docs.unionByName(dups), col("doc_id"), TextOps.fingerprint(col("text")))
+      .orderBy(col("id"))
+  }
+
+  private val exactDedupSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+       |), keyed AS (
+       |  SELECT doc_id AS id, md5(${normSql("text")}) AS digest FROM base
+       |), canon AS (SELECT digest, min(id) AS canon_id FROM keyed GROUP BY 1)
+       |SELECT id, canon_id FROM keyed JOIN canon USING (digest)
+       |WHERE id <> canon_id ORDER BY id""".stripMargin
+
+  // ----------------------------------------------- MinHash + LSH
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    val pert = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        slice(col("w"), lit(1), greatest(size(col("w")) - 3, lit(0))).as("w"))
+    val base = docs.unionByName(pert)
+      .withColumn("sh", TextOps.wordNgrams(col("w"), 3))
+    Dedup.minHashNearDups(base, col("doc_id"), col("sh"), 8, 2, 0.5d)
+      .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val minhashLshSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS w FROM documents
+       |), base AS (
+       |  SELECT doc_id, w FROM docs
+       |  UNION ALL
+       |  SELECT doc_id + 100000, w[1:greatest(len(w)-3, 0)] FROM docs WHERE doc_id % 5 = 0
+       |), sh AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END)) AS s
+       |  FROM base
+       |), sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+       |mh AS (
+       |  SELECT id, seed, min(md5(seed::VARCHAR || '|' || s)) AS m
+       |  FROM sh CROSS JOIN (SELECT seed FROM range(8) t(seed)) GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT id, seed // 2 AS band, string_agg(m, '' ORDER BY seed) AS bk
+       |  FROM mh GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+       |), inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS ninter
+       |  FROM cand c
+       |  JOIN sh x ON x.id = c.id_a
+       |  JOIN sh y ON y.id = c.id_b AND y.s = x.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.id_a, i.id_b,
+       |       ${r4Sql("i.ninter * 1.0 / (sa.n + sb.n - i.ninter)")} AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.id = i.id_a
+       |JOIN sizes sb ON sb.id = i.id_b
+       |WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- SimHash
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    val bag = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("wrd"))
+    Dedup.simHash(bag, col("doc_id"), col("wrd"), 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val simhashSql: String =
+    s"""WITH wb AS (
+       |  SELECT doc_id, unnest(${wordsSql("text")}) AS wrd FROM documents
+       |), votes AS (
+       |  SELECT doc_id, j,
+       |         SUM(((instr('0123456789abcdef', substr(md5(wrd), j+1, 1)) - 1) % 2) * 2 - 1) AS v
+       |  FROM wb CROSS JOIN (SELECT j FROM range(16) t(j)) GROUP BY 1, 2
+       |)
+       |SELECT doc_id,
+       |       CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------- char n-gram Jaccard pairs
+  /** All-pairs exact char-5-gram Jaccard within (lang, source) blocks —
+    * blocked nearest-duplicate scan; blocks bound the pair count.
+    */
+  private def charJaccard(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(TextOps.charNgrams(col("text"), 5)).as("gs"))
+    val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("gs").as("ga"))
+    val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("gs").as("gb"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("ninter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("j", col("ninter") * lit(1.0d) /
+        (size(col("ga")) + size(col("gb")) - col("ninter")))
+      .filter(col("j") >= 0.5d)
+      .select(col("id_a"), col("id_b"), r4(col("j")).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val charJaccardSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, lang, source,
+       |         list_distinct(list_transform(range(1, length(text)-3), i -> substr(text, i, 5))) AS gs
+       |  FROM documents WHERE length(text) >= 5
+       |), p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         len(list_intersect(a.gs, b.gs)) * 1.0
+       |           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, ${r4Sql("j")} AS jaccard
+       |FROM p WHERE j >= 0.5 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------- brute-force ANN
+  private def cosineTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        col("vec_id") === 0L, 10)
+      .select(col("id"), r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
+
+  private val cosineTopKSql: String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |d AS (
+       |  SELECT vec_id AS id,
+       |         list_dot_product(embedding::DOUBLE[], qv)
+       |           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |              * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |), topk AS (SELECT id, sim FROM d ORDER BY sim DESC, id LIMIT 10)
+       |SELECT id, ${r4Sql("sim")} AS sim FROM topk
+       |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
+
+  // ------------------------------------------------------- IVF ANN
+  private def ivfTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(
+        Tables.embeddings(s, d), col("vec_id"), col("label"), col("embedding"),
+        col("vec_id") === 0L, 5)
+      .select(col("id"), col("picked_cell").cast("int").as("picked_cell"),
+        r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
+
+  private val ivfTopKSql: String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |pts AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+       |comp AS (
+       |  SELECT label, i, avg(v[i]) AS c
+       |  FROM pts CROSS JOIN (SELECT i FROM range(1, 65) t(i)) GROUP BY 1, 2
+       |), cents AS (SELECT label, list(c ORDER BY i) AS centroid FROM comp GROUP BY 1),
+       |best AS (
+       |  SELECT label FROM cents, q
+       |  ORDER BY list_dot_product(centroid, qv)
+       |             / (sqrt(list_dot_product(centroid, centroid))
+       |                * sqrt(list_dot_product(qv, qv))) DESC, label
+       |  LIMIT 1
+       |), sel AS (
+       |  SELECT p.vec_id AS id, p.label AS picked_cell,
+       |         list_dot_product(p.v, qv)
+       |           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM pts p JOIN best USING (label), q
+       |), topk AS (SELECT * FROM sel ORDER BY sim DESC, id LIMIT 5)
+       |SELECT id, picked_cell, ${r4Sql("sim")} AS sim FROM topk
+       |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
+
+  // ------------------------------------------------- language ID
+  private def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.langId(TextOps.words(col("text"))).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  private val langIdSql: String = {
+    val hits = TextOps.langStopwords.map { case (l, sw) =>
+      val set = sw.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(w, x -> x IN ($set))) AS n_$l"
+    }.mkString(",\n       |         ")
+    val langs = TextOps.langStopwords.map(_._1)
+    val mx = s"greatest(${langs.map("n_" + _).mkString(", ")})"
+    val caseArms = langs.init
+      .map(l => s"WHEN n_$l = $mx THEN '$l'").mkString(" ")
+    s"""WITH w AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS w FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |         $hits
+       |  FROM w
+       |)
+       |SELECT doc_id,
+       |       CASE WHEN $mx = 0 THEN 'und' $caseArms ELSE '${langs.last}' END AS pred_lang
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------- quality scoring
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val stop = TextOps.langStopwords.head._2
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(w).cast("long").as("n_words"),
+        TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+        r4(TextOps.stopwordRatio(w, stop)).as("stop_ratio"),
+        r4(
+          when(size(w) > 0,
+            lit(1.0d) / (lit(1.0d) + TextOps.stopwordHits(w, stop).cast("double") / size(w).cast("double")))
+            .otherwise(lit(0.0d))).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualitySql: String = {
+    val set = TextOps.langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, text, ${wordsSql("text")} AS w FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars_calc,
+       |         len(w) AS n_words,
+       |         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       |         len(list_filter(w, x -> x IN ($set))) AS hits
+       |  FROM w
+       |)
+       |SELECT doc_id, n_chars_calc, n_words, n_punct,
+       |       ${r4Sql("CASE WHEN n_words > 0 THEN hits * 1.0 / n_words ELSE 0.0 END")} AS stop_ratio,
+       |       ${r4Sql("CASE WHEN n_words > 0 THEN 1.0 / (1.0 + hits * 1.0 / n_words) ELSE 0.0 END")} AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ token counting
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("ws_tokens"),
+        TextOps.alnumTokenCount(col("text")).cast("long").as("alnum_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  private val tokensSql: String =
+    s"""SELECT doc_id,
+       |       len(${wordsSql("text")}) AS ws_tokens,
+       |       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS alnum_tokens,
+       |       length(text) AS n_chars_calc
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- fingerprint
+  private def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql: String =
+    s"""SELECT doc_id, md5(${normSql("text")}) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------- multimodal stub
+  /** Binary-column pipeline: text bytes stand in for media blobs; the
+    * deterministic StubDecoder runs in mapPartitions (the real-codec
+    * slot). Oracle recomputes the stub's arithmetic in SQL.
+    */
+  private def multimodal(s: SparkSession, d: String): DataFrame = {
+    val withBin = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    Multimodal.extractFeatures(withBin, "blob", Seq("doc_id"))
+      .select(col("doc_id"), col("n_bytes"), col("digest"),
+        col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val multimodalSql: String =
+    s"""SELECT doc_id,
+       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |       md5(text) AS digest,
+       |       CAST((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+       |            + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS INTEGER) AS width,
+       |       CAST((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+       |            + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS INTEGER) AS height
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_exact_dedup"  -> exactDedup,
+    "llm_minhash_lsh"  -> minhashLsh,
+    "llm_simhash"      -> simhash,
+    "llm_char_jaccard" -> charJaccard,
+    "llm_cosine_topk"  -> cosineTopK,
+    "llm_ivf_topk"     -> ivfTopK,
+    "llm_langid"       -> langId,
+    "llm_quality"      -> quality,
+    "llm_tokens"       -> tokens,
+    "llm_fingerprint"  -> fingerprintQ,
+    "llm_multimodal"   -> multimodal,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "llm_exact_dedup"  -> exactDedupSql,
+    "llm_minhash_lsh"  -> minhashLshSql,
+    "llm_simhash"      -> simhashSql,
+    "llm_char_jaccard" -> charJaccardSql,
+    "llm_cosine_topk"  -> cosineTopKSql,
+    "llm_ivf_topk"     -> ivfTopKSql,
+    "llm_langid"       -> langIdSql,
+    "llm_quality"      -> qualitySql,
+    "llm_tokens"       -> tokensSql,
+    "llm_fingerprint"  -> fingerprintSql,
+    "llm_multimodal"   -> multimodalSql,
+  )
+}

@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash. Designed for the 100 TB case:
+  *
+  *  - exact dedup is one hash-groupBy (shuffle on the digest);
+  *  - MinHash/LSH shuffles (doc → shingle → signature → band bucket)
+  *    are all key-partitioned with map-side combines; candidate
+  *    verification joins only within LSH buckets, never all-pairs;
+  *  - hashes are md5-derived (deterministic everywhere) rather than
+  *    JVM hashCode, so results are reproducible across engines and
+  *    runs — which also makes them oracle-checkable.
+  */
+object Dedup {
+
+  /** Exact-duplicate mapping: for each id whose digest has a smaller
+    * canonical id, emit (id, canon_id). Input cols: (idCol, digest =
+    * e.g. TextOps.fingerprint(text)).
+    */
+  def exactDupMapping(df: DataFrame, id: Column, digest: Column): DataFrame = {
+    val keyed = df.select(id.as("id"), digest.as("digest"))
+    val canon = keyed.groupBy(col("digest")).agg(min(col("id")).as("canon_id"))
+    keyed.join(canon, "digest")
+      .filter(col("id") =!= col("canon_id"))
+      .select(col("id"), col("canon_id"))
+  }
+
+  /** Per-(id, seed) MinHash values over exploded distinct shingles:
+    * minhash_s(doc) = min over shingles of md5("s|" + shingle).
+    * Lexicographic min over md5 hex = a deterministic uniform hash
+    * family, portable across engines.
+    */
+  def minHash(exploded: DataFrame, id: Column, shingle: Column, k: Int): DataFrame =
+    exploded
+      .select(id.as("id"), shingle.as("s"))
+      .crossJoin(spark_range_df(exploded, k))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s")))).as("m"))
+
+  private def spark_range_df(df: DataFrame, k: Int): DataFrame =
+    df.sparkSession.range(k).select(col("id").as("seed"))
+
+  /** LSH band keys from minhash rows: `bandsOf` consecutive seeds are
+    * concatenated (in seed order) into one bucket key per (id, band).
+    */
+  def lshBands(mh: DataFrame, bandsOf: Int): DataFrame =
+    mh.groupBy(col("id"), (col("seed") / bandsOf).cast("long").as("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("m")))),
+          x => x.getField("m")), "").as("bk"))
+
+  /** Candidate pairs: ids sharing any LSH band bucket (id_a < id_b). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("bk"), col("id").as("id_a"))
+    val b = bands.select(col("band"), col("bk"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs given the exploded distinct
+    * shingle table (id, s). Joins run per-bucket, not all-pairs.
+    */
+  def jaccard(candidates: DataFrame, exploded: DataFrame): DataFrame = {
+    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(exploded.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(exploded.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("ninter") * lit(1.0d) /
+          (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: docs(id, shingles array) →
+    * pairs with exact Jaccard ≥ threshold.
+    */
+  def minHashNearDups(docs: DataFrame, id: Column, shinglesCol: Column,
+                      k: Int, bandsOf: Int, threshold: Double): DataFrame = {
+    val exploded = docs
+      .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
+    val mh = minHash(exploded, col("id"), col("s"), k)
+    val cand = lshCandidates(lshBands(mh, bandsOf))
+    jaccard(cand, exploded).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprint (`bits` ≤ 16) from a word bag: bit j of each
+    * word's md5 hex nibble j votes ±1; fingerprint bit = majority.
+    * Pure integer arithmetic → engine-exact.
+    */
+  def simHash(wordBag: DataFrame, id: Column, word: Column, bits: Int): DataFrame = {
+    val votes = wordBag
+      .select(id.as("id"), md5(word).as("h"))
+      .select(col("id"), explode(sequence(lit(0), lit(bits - 1))).as("j"),
+        col("h"))
+      .withColumn("bit",
+        conv(col("h").substr(col("j") + 1, lit(1)), 16, 10).cast("int") % 2)
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("bit") * 2 - 1).as("v"))
+    votes
+      .groupBy(col("id"))
+      .agg(sum(when(col("v") > 0, expr("cast(pow(2.0, j) as bigint)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+}

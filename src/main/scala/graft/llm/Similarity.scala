@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (one
+  * scan, a map-side partial top-k via the sort-limit pattern — Spark
+  * turns orderBy+limit into TakeOrderedAndProject, no full sort). The
+  * IVF variant prunes the scan to one partition (centroid cell),
+  * which is the path that survives 100 TB: cells are just partition
+  * keys, so a cell lookup is partition pruning, and only the probed
+  * cell is read.
+  *
+  * All dot products fold left-to-right over doubles (float inputs are
+  * exactly representable) — deterministic per row.
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two float-array columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k against the single query row selected by
+    * `queryPred` (e.g. vec_id === 0). The query vector is broadcast
+    * via crossJoin of a 1-row frame; the scan stays fully parallel.
+    */
+  def bruteForceTopK(df: DataFrame, id: Column, vec: Column,
+                     queryPred: Column, k: Int): DataFrame = {
+    val q = df.filter(queryPred).select(vec.as("qv")).limit(1)
+    df.filter(!queryPred)
+      .crossJoin(broadcast(q))
+      .select(id.as("id"), cosine(vec, col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Per-cell mean centroids from (cell, vec) — elementwise average
+    * via posexplode + re-assemble (sorted by position).
+    */
+  def centroids(df: DataFrame, cell: Column, vec: Column): DataFrame =
+    df.select(cell.as("cell"), posexplode(vec).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+
+  /** IVF-style ANN: pick the nearest centroid cell to the query by
+    * cosine, then brute-force top-k within that cell only.
+    */
+  def ivfTopK(df: DataFrame, id: Column, cell: Column, vec: Column,
+              queryPred: Column, k: Int): DataFrame = {
+    val q = df.filter(queryPred).select(vec.as("qv")).limit(1)
+    val cents = centroids(df.filter(!queryPred), cell, vec)
+    val best = cents.crossJoin(broadcast(q))
+      .select(col("cell"), cosine(col("centroid"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("cell").asc)
+      .limit(1)
+      .select(col("cell"))
+    df.filter(!queryPred)
+      .join(broadcast(best), cell === best("cell"))
+      .crossJoin(broadcast(q))
+      .select(id.as("id"), cell.as("picked_cell"), cosine(vec, col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+}

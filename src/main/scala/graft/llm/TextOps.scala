@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, normalization, fingerprinting,
+  * language-ID and quality heuristics. All pure Column expressions
+  * (codegen-friendly, no UDFs) so they stay inside WholeStageCodegen
+  * and scale linearly with no shuffle of their own.
+  */
+object TextOps {
+
+  /** Whitespace word tokens, empty strings dropped. */
+  def words(text: Column): Column =
+    filter(split(trim(text), " "), w => length(w) > 0)
+
+  /** Word n-gram shingles (space-joined), empty when < n words. */
+  def wordNgrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character n-gram shingles, empty when text shorter than n. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Lowercase, strip non-alphanumerics, collapse runs of spaces —
+    * canonical form for near-exact dedup.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Deterministic document fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Count of `[A-Za-z0-9]+` token matches (BPE-ish pre-tokenizer). */
+  def alnumTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))
+
+  /** Stopword hit count (exact integer, oracle-friendly). */
+  def stopwordHits(ws: Column, stopwords: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stopwords: _*)))
+
+  /** Fraction of words that appear in `stopwords`. */
+  def stopwordRatio(ws: Column, stopwords: Seq[String]): Column =
+    when(size(ws) > 0,
+      stopwordHits(ws, stopwords).cast("double") / size(ws).cast("double"))
+      .otherwise(lit(0.0d))
+
+  /** Tiny per-language stopword lists for the n-gram-heuristic
+    * language ID. Order = deterministic tie-break priority.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和"),
+  )
+
+  /** Heuristic language ID: arg-max of stopword hit counts with
+    * list-order tie-break; "und" (undetermined) when no hits at all.
+    */
+  def langId(ws: Column): Column = {
+    val scored = langStopwords.map { case (l, sw) => (l, stopwordHits(ws, sw)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Quality-score components (all exact int counts or int ratios). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+}

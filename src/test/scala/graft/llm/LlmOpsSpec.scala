@@ -1,0 +1,89 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different content about spark engines"),
+  ).toDF("doc_id", "text")
+
+  test("exactDupMapping maps duplicate to canonical id") {
+    val m = Dedup.exactDupMapping(docs, col("doc_id"), TextOps.fingerprint(col("text")))
+      .collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 1L)))
+  }
+
+  test("minHashNearDups finds exact and near dups, not unrelated docs") {
+    val withSh = docs.withColumn("sh",
+      TextOps.wordNgrams(TextOps.words(col("text")), 3))
+    val pairs = Dedup.minHashNearDups(withSh, col("doc_id"), col("sh"), 8, 2, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simHash: identical texts agree; near dups within small hamming distance") {
+    val bag = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val fp = Dedup.simHash(bag, col("doc_id"), col("w"), 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val hamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(hamming <= 6, s"near-dup hamming was $hamming")
+  }
+
+  test("cosine: self-similarity is 1.0, orthogonal is 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
+    ).toDF("id", "v")
+    val sims = df.crossJoin(df.filter($"id" === 1L).select($"v".as("q")))
+      .select($"id", Similarity.cosine($"v", $"q").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sims(1L) - 1.0) < 1e-12)
+    assert(math.abs(sims(2L)) < 1e-12)
+    assert(math.abs(sims(3L) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine and excludes the query row") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.1f, 0.9f)), (3L, Array(1.0f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, $"vec_id", $"embedding", $"vec_id" === 0L, 2)
+      .collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(3L, 1L))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val r = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"),
+                (3L, "xyzzy qwerty"))
+      .toDF("id", "t")
+      .select(col("id"), TextOps.langId(TextOps.words(col("t"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "en"); assert(r(2L) == "de"); assert(r(3L) == "und")
+  }
+
+  test("multimodal stub decoder: features deterministic, error isolated") {
+    val df = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("blob"))
+    val f = Multimodal.extractFeatures(df, "blob", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Long]("n_bytes") == 5L)
+    assert(f(1L).getAs[String]("digest") ==
+      "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(f(1L).getAs[Boolean]("ok"))
+
+    val failing = new Multimodal.MediaDecoder {
+      override def decode(bytes: Array[Byte]): Multimodal.MediaFeatures =
+        throw new IllegalStateException("codec unavailable")
+    }
+    val g = Multimodal.extractFeatures(df, "blob", Seq("doc_id"), failing).collect()
+    assert(g.forall(!_.getAs[Boolean]("ok")))
+    assert(g.forall(_.getAs[String]("error").contains("codec unavailable")))
+  }
+}
