@@ -25,6 +25,7 @@ object SparkEntry {
       (TimeSeriesQueries.queries, TimeSeriesQueries.oracleSql),
       (RelationalQueries.queries, RelationalQueries.oracleSql),
       (LlmQueries.queries, LlmQueries.oracleSql),
+      (OhlcvQueries.queries, OhlcvQueries.oracleSql),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

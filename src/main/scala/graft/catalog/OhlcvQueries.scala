@@ -1,0 +1,76 @@
+package graft.catalog
+
+import graft.core.OhlcvFixture
+import graft.ops.CandleOps
+import graft.catalog.Oracle._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries over the OHLCV domain layer itself. The
+  * deterministic fixture ([[OhlcvFixture]]) is pure range arithmetic,
+  * so the DuckDB oracle regenerates the identical table in SQL and
+  * both engines roll it up independently — an end-to-end check of
+  * CandleOps against the reference candle semantics without needing
+  * OHLCV data in the testdata directory.
+  */
+object OhlcvQueries {
+  private val N_PAIRS = 4
+  private val ROWS = 1500
+
+  /** DuckDB twin of [[OhlcvFixture.ohlcvs]]. */
+  private val fixtureCte: String =
+    s"""WITH ids AS (
+       |  SELECT i % $ROWS AS minute, i // $ROWS AS pair
+       |  FROM range(${N_PAIRS.toLong * ROWS}) t(i)
+       |), expanded AS (
+       |  SELECT minute, pair, unnest(range(pair % 3 + 1)) AS exi
+       |  FROM ids WHERE minute % 97 <> 0
+       |), fx AS (
+       |  SELECT make_timestamp((1629244800 + minute * 60) * 1000000) AS time,
+       |         ['bitfinex', 'binance', 'bittrex'][exi + 1] AS exchange,
+       |         'BASE' || pair::VARCHAR AS base_id,
+       |         'Q' || (pair % 2)::VARCHAR AS quote_id,
+       |         100.0 + s / 100.0 AS open,
+       |         101.0 + s / 100.0 AS high,
+       |         99.0 + s / 100.0 AS low,
+       |         CASE WHEN minute % 499 = 0 THEN 0.0 ELSE 100.5 + s / 100.0 END AS close,
+       |         s / 100.0 + 0.01 AS volume
+       |  FROM (SELECT *, (minute * 7919 + pair * 104729 + exi * 1299709) % 10000 AS s
+       |        FROM expanded)
+       |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ohlcv_rollup_1h" -> ((s, _) =>
+      CandleOps.rollup(OhlcvFixture.ohlcvs(s, N_PAIRS, ROWS), 3600L)
+        .select(col("exchange"), col("base_id"), col("quote_id"), col("bucket"),
+          col("open"), col("high"), col("low"), col("close"),
+          (round(col("volume") * 100d) / 100d).as("volume"))
+        .orderBy(col("exchange"), col("base_id"), col("quote_id"), col("bucket"))),
+    "ohlcv_rollup_7d_origin" -> ((s, _) =>
+      CandleOps.rollup(OhlcvFixture.ohlcvs(s, N_PAIRS, ROWS), 604800L)
+        .select(col("exchange"), col("base_id"), col("quote_id"), col("bucket"),
+          col("open"), col("close"))
+        .orderBy(col("exchange"), col("base_id"), col("quote_id"), col("bucket"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ohlcv_rollup_1h" ->
+      s"""$fixtureCte
+         |SELECT exchange, base_id, quote_id,
+         |       make_timestamp((epoch(time)::BIGINT // 3600) * 3600 * 1000000) AS bucket,
+         |       min_by(open, time) AS open,
+         |       max(high) AS high,
+         |       min(low) AS low,
+         |       max_by(close, time) AS close,
+         |       round(SUM(${centsSql("volume")}) * 1.0) / 100.0 AS volume
+         |FROM fx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "ohlcv_rollup_7d_origin" ->
+      s"""$fixtureCte
+         |SELECT exchange, base_id, quote_id,
+         |       make_timestamp(((epoch(time)::BIGINT - 946857600) // 604800) * 604800 * 1000000
+         |                      + 946857600000000::BIGINT) AS bucket,
+         |       min_by(open, time) AS open,
+         |       max_by(close, time) AS close
+         |FROM fx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+  )
+}

@@ -1,0 +1,85 @@
+package graft.maintenance
+
+import graft.core.Schemas
+import graft.ops.{CandleOps, OhlcvAnalytics}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized-view maintenance — the engine piece TimescaleDB gave
+  * the reference for free (continuous aggregates + refresh policies,
+  * create.sql:105-223, :345-383) and Spark does not have. SURVEY §4
+  * marks this as the core custom engineering.
+  *
+  * Storage-agnostic: jobs take/return DataFrames; [[writePartitioned]]
+  * shows the 100 TB layout (partition by bucket date → incremental
+  * refresh rewrites only the touched date partitions via dynamic
+  * partition overwrite, never the whole table).
+  */
+object AggregateMaintenance {
+
+  /** Full populate (reference scripts/database/once/populate_agg.sql):
+    * all 8 rollups from the base table.
+    */
+  def fullPopulate(base: DataFrame): Map[String, DataFrame] =
+    Schemas.rollupIntervals.map { iv =>
+      iv -> CandleOps.rollup(base, Schemas.intervalSeconds(iv))
+    }.toMap
+
+  /** Incremental refresh of one rollup (reference policy: every width
+    * w, recompute window [now−3w, now−w] — create.sql:345-383).
+    * Buckets inside the window are replaced with freshly-computed
+    * ones; rows outside pass through untouched.
+    */
+  def incrementalRefresh(existing: DataFrame, base: DataFrame,
+                         widthSec: Long, asOf: Column): DataFrame = {
+    val lo = bucketOf(asOf - expr(s"interval ${3 * widthSec} seconds"), widthSec)
+    val fresh = CandleOps.rollup(
+      base.filter(col("time") >= lo), widthSec)
+    existing.filter(col("bucket") < lo).unionByName(fresh)
+  }
+
+  private def bucketOf(t: Column, widthSec: Long): Column =
+    graft.ops.TimeSeries.timeBucket(t.cast("timestamp"), widthSec,
+      CandleOps.originFor(widthSec))
+
+  /** Daily job (reference scripts/database/cron/daily.sql): refresh
+    * is_trading + rebuild the three analytics views.
+    */
+  def dailyJob(symExch: DataFrame, base: DataFrame,
+               rollups: Map[String, DataFrame], asOf: Column): DailyResult = {
+    val daily = rollups.getOrElse("1D", CandleOps.rollup(base, 86400L))
+    val weekly = rollups.getOrElse("7D", CandleOps.rollup(base, 604800L))
+    DailyResult(
+      symbolExchange = OhlcvAnalytics.isTradingRefresh(symExch, base, asOf),
+      geoDailyReturn = OhlcvAnalytics.geoDailyReturn(daily, asOf),
+      top20QuotedVol = OhlcvAnalytics.top20QuotedVol(weekly, asOf),
+      weeklyReturn = OhlcvAnalytics.weeklyReturn(weekly, asOf))
+  }
+
+  case class DailyResult(
+      symbolExchange: DataFrame, geoDailyReturn: DataFrame,
+      top20QuotedVol: DataFrame, weeklyReturn: DataFrame)
+
+  /** Prune job (reference schemas/delete_queries.sql): keep only the
+    * common-basequote working set.
+    */
+  def prune(base: DataFrame, symExch: DataFrame): DataFrame =
+    OhlcvAnalytics.pruneToCommon(base, OhlcvAnalytics.commonBaseQuote(symExch))
+
+  /** The 100 TB write path: date-partitioned parquet with dynamic
+    * partition overwrite, so refresh jobs touch only changed dates.
+    * Sort within partitions by key+time for parquet min/max skipping
+    * of the composite-key point lookups (replaces the reference's
+    * B-tree indexes, create.sql:76-83).
+    */
+  def writePartitioned(df: DataFrame, path: String, timeCol: String = "bucket"): Unit =
+    df.withColumn("p_date", to_date(col(timeCol)))
+      .repartition(col("p_date"))
+      .sortWithinPartitions(
+        (Seq("p_date") ++ CandleOps.keyCols :+ timeCol).map(col): _*)
+      .write
+      .partitionBy("p_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.ops.CandleOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's Redis-based WS candle pipeline re-expressed as
+  * Structured Streaming (SURVEY §2.9). The three exchange WS fetchers
+  * all reduce to one canonical stream row
+  * (ts_ms, exchange, base_id, quote_id, open, high, low, close, volume)
+  * — fetchers/helpers/ws.py:6-17 — which is this module's input; the
+  * Redis hop (`ws_sub_*` hashes + updater flush loop,
+  * fetchers/ws/updater.py) is replaced by the streaming state store +
+  * watermark-driven emission, and crash recovery (ST6) by
+  * checkpointing to an idempotent sink.
+  *
+  * Scale: both aggregations are keyed by (exchange, base_id, quote_id
+  * [, bucket]) — state partitions by key hash across executors; no
+  * global state, no driver bottleneck.
+  */
+object CandleStream {
+  private val keys = Seq("exchange", "base_id", "quote_id")
+
+  private def withTs(stream: DataFrame): DataFrame =
+    stream.withColumn("ts", timestamp_millis(col("ts_ms")))
+
+  /** ST1+ST7: latest-value serving view — per key, the most recent
+    * 1-minute candle, newest message wins; an older out-of-order
+    * message never replaces a newer one (the `new_ts >= current_ts`
+    * guard, fetchers/ws/bitfinex.py:202-217). Run in update output
+    * mode (memory sink for queries, or foreachBatch to a KV store).
+    */
+  def latestServeView(stream: DataFrame): DataFrame =
+    stream
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(
+        struct(col("ts_ms"), col("open"), col("high"), col("low"),
+          col("close"), col("volume")), col("ts_ms")).as("c"))
+      .select(
+        col("exchange"), col("base_id"), col("quote_id"),
+        col("c.ts_ms").as("ts_ms"), col("c.open").as("open"),
+        col("c.high").as("high"), col("c.low").as("low"),
+        col("c.close").as("close"), col("c.volume").as("volume"))
+
+  /** ST2+ST3: closed-candle emission — repeated updates of the same
+    * 1-minute bucket collapse to the latest message per bucket; a
+    * bucket is emitted (append mode) once the watermark passes its
+    * end, i.e. when newer data has arrived or the `delay` force-flush
+    * bound expires (the updater's flush-all-but-latest loop +
+    * DATA_HELD_MLS_THRESHOLD=1h, fetchers/ws/updater.py:29-30,177-184).
+    */
+  def closedCandles(stream: DataFrame, delay: String = "1 hour"): DataFrame =
+    withTs(stream)
+      .withWatermark("ts", delay)
+      .groupBy((keys.map(col) :+ window(col("ts"), "1 minute")): _*)
+      .agg(max_by(
+        struct(col("open"), col("high"), col("low"), col("close"),
+          col("volume")), col("ts_ms")).as("c"))
+      .select(
+        col("window.start").as("time"),
+        col("exchange"), col("base_id"), col("quote_id"),
+        col("c.open").as("open"), col("c.high").as("high"),
+        col("c.low").as("low"), col("c.close").as("close"),
+        col("c.volume").as("volume"))
+
+  /** ST4: flush batch → base table with first-write-wins (ON CONFLICT
+    * DO NOTHING, fetchers/config/queries.py:4). Use inside
+    * foreachBatch against the stored table.
+    */
+  def flushIgnoreDuplicates(existing: DataFrame, batch: DataFrame): DataFrame =
+    CandleOps.insertIgnore(existing, CandleOps.dedup(batch))
+
+  /** ST5: periodic REST repair — re-fetched rows upsert with
+    * DO UPDATE (celery_app/celery_tasks.py:73-84).
+    */
+  def reconcile(existing: DataFrame, refetched: DataFrame): DataFrame =
+    CandleOps.upsert(existing, CandleOps.dedup(refetched))
+}
+
+/** Canonical WS stream row (FIXTURES.md §3) as a case class for typed
+  * streaming sources.
+  */
+case class WsCandle(ts_ms: Long, exchange: String, base_id: String, quote_id: String,
+               open: Double, high: Double, low: Double, close: Double, volume: Double)
