@@ -127,13 +127,26 @@ object LlmQueries {
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.charNgrams(col("text"), 5)).as("gs"))
+    // Per-pair intersection with an exact size prune. Measured against
+    // two alternatives at sf0.1: an exploded inverted-index pair count
+    // materializes ~10M pair-instance rows (10-16 s), and letting the
+    // optimizer broadcast the array side builds a multi-million-entry
+    // hash relation single-threaded (20-50 s); the block-keyed
+    // shuffle-hash pair join with per-pair array_intersect wins (~4 s).
+    // The shuffle_hash hint pins the non-broadcast strategy. Size
+    // prune is exact: J >= 0.5 requires max(|A|,|B|) <= 2*min.
+    // At 100 TB the blocks (lang, source) are the parallelism unit;
+    // blocks too large for one task get sub-blocked by LSH first
+    // (see minhashLsh) — this operator is the in-block verifier.
     val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("gs").as("ga"))
     val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("gs").as("gb"))
-    a.join(b, Seq("lang", "source"))
+    a.join(b.hint("shuffle_hash"), Seq("lang", "source"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("na", size(col("ga"))).withColumn("nb", size(col("gb")))
+      .filter(greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
       .withColumn("ninter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("j", col("ninter") * lit(1.0d) /
-        (size(col("ga")) + size(col("gb")) - col("ninter")))
+        (col("na") + col("nb") - col("ninter")))
       .filter(col("j") >= 0.5d)
       .select(col("id_a"), col("id_b"), r4(col("j")).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -205,11 +218,34 @@ object LlmQueries {
        |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
 
   // ------------------------------------------------- language ID
-  private def langId(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        TextOps.langId(TextOps.words(col("text"))).as("pred_lang"))
+  /** Exploded single-pass form of [[TextOps.langId]]: one word explode,
+    * one aggregation with 5 conditional sums — the tokenizer runs once
+    * per doc instead of once per language (CollapseProject would
+    * re-inline a withColumn).
+    */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val hits = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("wrd"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("wrd").isin(TextOps.langStopwords.head._2: _*), 1L)
+          .otherwise(0L)).as(s"n_${TextOps.langStopwords.head._1}"),
+        TextOps.langStopwords.tail.map { case (l, sw) =>
+          sum(when(col("wrd").isin(sw: _*), 1L).otherwise(0L)).as(s"n_$l")
+        }: _*)
+    val joined = docs.join(hits, Seq("doc_id"), "left")
+    val scored = TextOps.langStopwords.map { case (l, _) =>
+      (l, coalesce(col(s"n_$l"), lit(0L)))
+    }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s2)) =>
+        (when(s2 > bs, lit(l)).otherwise(bl), when(s2 > bs, s2).otherwise(bs))
+    }
+    joined.select(col("doc_id"),
+        when(best._2 > 0, best._1).otherwise(lit("und")).as("pred_lang"))
       .orderBy(col("doc_id"))
+  }
 
   private val langIdSql: String = {
     val hits = TextOps.langStopwords.map { case (l, sw) =>

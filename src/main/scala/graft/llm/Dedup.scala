@@ -21,9 +21,11 @@ object Dedup {
     * e.g. TextOps.fingerprint(text)).
     */
   def exactDupMapping(df: DataFrame, id: Column, digest: Column): DataFrame = {
-    val keyed = df.select(id.as("id"), digest.as("digest"))
-    val canon = keyed.groupBy(col("digest")).agg(min(col("id")).as("canon_id"))
-    keyed.join(canon, "digest")
+    // Window-min instead of groupBy+self-join: one digest computation
+    // and one shuffle on digest, no second scan of the input.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    df.select(id.as("id"), digest.as("digest"))
+      .withColumn("canon_id", min(col("id")).over(w))
       .filter(col("id") =!= col("canon_id"))
       .select(col("id"), col("canon_id"))
   }
