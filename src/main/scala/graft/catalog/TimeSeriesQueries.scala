@@ -281,8 +281,32 @@ object TimeSeriesQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Same candle rollup through the SQL entry point (`spark.sql`) —
+    * the engine's second user-facing API surface. Shares the oracle
+    * with ts_candle_1h.
+    */
+  private def sqlCandle1h(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events")
+    s.sql(
+      """WITH series AS (
+        |  SELECT event_type, ts_ns div 1000 AS tus,
+        |         max_by(value, event_id) AS value
+        |  FROM graft_events GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |       timestamp_micros((tus div 3600000000) * 3600000000) AS bucket,
+        |       min_by(value, tus) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       max_by(value, tus) AS close,
+        |       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE) AS volume,
+        |       count(*) AS n
+        |FROM series GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_candle_1h"     -> rollupQuery(3600L),
+    "ts_sql_candle_1h" -> sqlCandle1h,
     "ts_candle_1d"     -> rollupQuery(86400L),
     "ts_scan_recent"   -> scanRecent,
     "ts_gapfill_5m"    -> gapfill5m,
@@ -295,6 +319,7 @@ object TimeSeriesQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ts_candle_1h"     -> rollupSql(3600L),
+    "ts_sql_candle_1h" -> rollupSql(3600L),
     "ts_candle_1d"     -> rollupSql(86400L),
     "ts_scan_recent"   -> scanRecentSql,
     "ts_gapfill_5m"    -> gapfill5mSql,

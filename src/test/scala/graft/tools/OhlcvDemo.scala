@@ -49,6 +49,33 @@ object OhlcvDemo {
     println("[demo] WS serve view (latest per key):")
     spark.table("demo_serve").orderBy($"ts_ms".desc).show(3, truncate = false)
     q.stop()
+
+    // backfill: fake exchange, one bad symbol -> error sink
+    val fetcher = new graft.ingest.Backfill.Fetcher {
+      override def fetch(t: graft.ingest.Backfill.Task) = {
+        if (t.baseId == "BAD") throw new RuntimeException("HTTP 503")
+        (t.startMs until t.endMs by 60000L).map(ts => (ts, 1.0, 2.0, 0.5, 1.5, 0.25))
+      }
+    }
+    val tasks = graft.ingest.Backfill.dayTasks(spark,
+      Seq(("bitfinex", "BTC", "USD"), ("bitfinex", "BAD", "X")), 0L, 86400000L)
+    val (table, errs) = graft.ingest.Backfill.backfillInto(
+      base.limit(0), tasks, fetcher)
+    println(s"[demo] backfill: candles=${table.count()} errors=${errs.count()}")
+    errs.select("exchange", "symbol", "exception_message").show(2, truncate = false)
+
+    // exact stateful closed-candle stream
+    val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.WsCandle]
+    val q2 = graft.streaming.ExactCandleState.closedCandles(in2.toDS(), holdMs = 0L)
+      .writeStream.format("memory").queryName("demo_exact").outputMode("append").start()
+    in2.addData(
+      graft.streaming.WsCandle(1629294300000L, "bitfinex", "BTC", "USD", 100, 101, 99, 100.5, 1.0),
+      graft.streaming.WsCandle(1629294330000L, "bitfinex", "BTC", "USD", 100, 103, 99, 102.5, 2.0),
+      graft.streaming.WsCandle(1629294360000L, "bitfinex", "BTC", "USD", 102, 104, 101, 103.0, 1.0))
+    q2.processAllAvailable()
+    println("[demo] exact closed candles (bucket 13:45 flushed, 13:46 still open):")
+    spark.table("demo_exact").show(3, truncate = false)
+    q2.stop()
     spark.stop()
   }
 }
