@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.TimeBucket
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions exposing graft's native expressions to SQL users
+  * (`--conf spark.sql.extensions=graft.GraftExtensions`):
+  *
+  *   SELECT time_bucket(ts, 3600000000, 0) ...
+  *
+  * The idiomatic injection point for engine extensions — no fork, no
+  * UDF registration at call sites.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.timeBucketDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val timeBucketDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("time_bucket"),
+    new ExpressionInfo(classOf[TimeBucket].getName, "time_bucket"),
+    (children: Seq[Expression]) => {
+      if (children.size != 3) throw new IllegalArgumentException(
+        s"time_bucket(ts, widthUs, originUs) takes 3 arguments, got ${children.size}")
+      TimeBucket(children(0),
+      org.apache.spark.sql.catalyst.expressions.Cast(children(1), org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(children(2), org.apache.spark.sql.types.LongType))
+    })
+
+  /** Register on an existing session (tests / notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      timeBucketDescriptor._1, timeBucketDescriptor._2, timeBucketDescriptor._3)
+}

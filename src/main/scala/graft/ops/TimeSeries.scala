@@ -22,13 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
   /** TimescaleDB `time_bucket(width, ts, origin)`
-    * (reference scripts/database/init/create.sql:107,122,137).
+    * (reference scripts/database/init/create.sql:107,122,137), backed
+    * by the native codegen expression [[graft.functions.TimeBucket]]
+    * (floor division — correct for pre-origin timestamps too).
     */
-  def timeBucket(ts: Column, widthSec: Long, originEpochSec: Long = 0L): Column = {
-    val w = widthSec * 1000000L
-    val o = originEpochSec * 1000000L
-    timestamp_micros(((unix_micros(ts) - o).cast("long") / w).cast("long") * w + o)
-  }
+  def timeBucket(ts: Column, widthSec: Long, originEpochSec: Long = 0L): Column =
+    graft.functions.TimeBucket.timeBucket(ts, widthSec, originEpochSec)
 
   /** OHLCV candle rollup — the reference workload's core operator
     * (SURVEY A1; reference schemas/aggregations.sql:11-22, the 8
