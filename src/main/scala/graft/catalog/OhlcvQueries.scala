@@ -39,7 +39,47 @@ object OhlcvQueries {
        |        FROM expanded)
        |)""".stripMargin
 
+  /** The flagship chart read path (SURVEY §3.1) end-to-end through
+    * OhlcvReader: interval dispatch to the 1h rollup, key filter, end
+    * clamp to asOf-1min, DESC limit then ascending re-sort, epoch-ms
+    * output, 4-dp bround (identity on this data — values are exact
+    * 2-dp, so the oracle stays bit-exact; the gap-fill variant with
+    * its window averages is covered by OhlcvSpec instead).
+    */
+  private def reader1h(s: SparkSession, d: String): DataFrame = {
+    import graft.api.OhlcvReader
+    val base = OhlcvFixture.ohlcvs(s, N_PAIRS, ROWS)
+    val rollups = Map("1h" -> CandleOps.rollup(base, 3600L))
+    OhlcvReader.read(base, rollups, OhlcvReader.Params(
+      "bitfinex", "BASE2", "Q0", "1h", limit = 20,
+      asOf = java.sql.Timestamp.valueOf("2021-08-19 02:00:00")))
+      .select(col("time"), col("open"), col("high"), col("low"), col("close"),
+        (round(col("volume") * 100d) / 100d).as("volume"))
+  }
+
+  private val reader1hSql: String =
+    s"""$fixtureCte, rollup AS (
+       |  SELECT exchange, base_id, quote_id,
+       |         make_timestamp((epoch(time)::BIGINT // 3600) * 3600 * 1000000) AS bucket,
+       |         min_by(open, time) AS open,
+       |         max(high) AS high,
+       |         min(low) AS low,
+       |         max_by(close, time) AS close,
+       |         round(SUM(${centsSql("volume")}) * 1.0) / 100.0 AS volume
+       |  FROM fx GROUP BY 1, 2, 3, 4
+       |), limited AS (
+       |  SELECT * FROM rollup
+       |  WHERE exchange = 'bitfinex' AND base_id = 'BASE2' AND quote_id = 'Q0'
+       |    AND bucket <= TIMESTAMP '2021-08-19 01:59:00'
+       |  ORDER BY bucket DESC LIMIT 20
+       |)
+       |SELECT epoch_ms(bucket) AS time,
+       |       round(open, 4) AS open, round(high, 4) AS high,
+       |       round(low, 4) AS low, round(close, 4) AS close, volume
+       |FROM limited ORDER BY time""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ohlcv_reader_1h" -> reader1h,
     "ohlcv_rollup_1h" -> ((s, _) =>
       CandleOps.rollup(OhlcvFixture.ohlcvs(s, N_PAIRS, ROWS), 3600L)
         .select(col("exchange"), col("base_id"), col("quote_id"), col("bucket"),
@@ -54,6 +94,7 @@ object OhlcvQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ohlcv_reader_1h" -> reader1hSql,
     "ohlcv_rollup_1h" ->
       s"""$fixtureCte
          |SELECT exchange, base_id, quote_id,
