@@ -353,7 +353,22 @@ object LlmQueries {
        |            + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS INTEGER) AS height
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** IVF over deterministic k-means cells — the data-driven ANN scale
+    * path (label-based IVF measured 1/5 recall on this data; k-means
+    * cells actually contain the neighbors). Iterative Lloyd's is not
+    * reasonably SQL-expressible, so this is a rows-only driver check;
+    * correctness (recall vs brute force, determinism) is asserted in
+    * LlmOpsSpec.
+    */
+  private def kmeansIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfKMeansTopK(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        col("vec_id") === 0L, 10, cells = 8, iters = 5)
+      .select(col("id"), col("picked_cell"), r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_exact_dedup"  -> exactDedup,
     "llm_minhash_lsh"  -> minhashLsh,
     "llm_simhash"      -> simhash,

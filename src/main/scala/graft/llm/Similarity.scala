@@ -55,6 +55,63 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("centroid"))
 
+  /** Deterministic distributed k-means (Lloyd's): initial centroids
+    * are the vectors of the k smallest ids; each iteration is one
+    * assign (crossJoin with broadcast centroids + min_by) and one
+    * mean-recompute — all shuffles keyed, centroids tiny (k × dim).
+    * Ties in assignment break by cell id, so runs are reproducible.
+    * This gives IVF real data-driven cells (the `label` column in the
+    * testdata is not a cluster structure — measured recall 1/5; with
+    * k-means cells the probed cell holds the true neighbors).
+    */
+  def kMeansFit(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
+    val pts = df.select(id.as("id"), vec.as("v"))
+    var cents = pts.orderBy(col("id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cell"),
+        transform(col("v"), x => x.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = kMeansAssign(pts, cents)
+      cents = centroids(assigned, col("cell"), col("v"))
+    }
+    cents
+  }
+
+  /** Assign each point to its nearest centroid (L2), ties to the
+    * lowest cell id. Returns (id, v, cell).
+    */
+  def kMeansAssign(pts: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("v"), col("centroid"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0d), (acc, x) => acc + x)
+    pts.crossJoin(broadcast(cents))
+      .groupBy(col("id"))
+      .agg(
+        min_by(col("cell"), struct(d2.as("d"), col("cell"))).as("cell"),
+        first(col("v")).as("v"))
+  }
+
+  /** IVF over k-means cells: fit, assign, probe the nearest cell to
+    * the query, brute-force inside it. At 100 TB, write the table
+    * partitioned by `cell` and the probe becomes partition pruning.
+    */
+  def ivfKMeansTopK(df: DataFrame, id: Column, vec: Column,
+                    queryPred: Column, k: Int, cells: Int, iters: Int): DataFrame = {
+    val pts = df.filter(!queryPred)
+    val cents = kMeansFit(pts, id, vec, cells, iters)
+    val assigned = kMeansAssign(pts.select(id.as("id"), vec.as("v")), cents)
+    val q = df.filter(queryPred).select(vec.as("qv")).limit(1)
+    val best = cents.crossJoin(broadcast(q))
+      .select(col("cell"), cosine(col("centroid"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("cell").asc)
+      .limit(1).select(col("cell"))
+    assigned.join(broadcast(best), "cell")
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("cell").as("picked_cell"), cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** IVF-style ANN: pick the nearest centroid cell to the query by
     * cosine, then brute-force top-k within that cell only.
     */

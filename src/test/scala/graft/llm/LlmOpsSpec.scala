@@ -86,4 +86,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(g.forall(!_.getAs[Boolean]("ok")))
     assert(g.forall(_.getAs[String]("error").contains("codec unavailable")))
   }
+
+  test("kMeans IVF: deterministic, and probed cell holds the true nearest neighbor") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") === 0L, 1).collect().head.getLong(0)
+    val r1 = Similarity.ivfKMeansTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") === 0L, 10, cells = 8, iters = 5).collect()
+    val r2 = Similarity.ivfKMeansTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") === 0L, 10, cells = 8, iters = 5).collect()
+    assert(r1.map(_.getLong(0)).toSeq == r2.map(_.getLong(0)).toSeq, "not deterministic")
+    assert(r1.map(_.getLong(0)).contains(bf),
+      s"true nearest $bf not in probed cell top-10: ${r1.map(_.getLong(0)).mkString(",")}")
+    assert(r1.map(_.getInt(1)).distinct.length == 1) // single probed cell
+  }
 }
