@@ -34,8 +34,11 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    dumped = {d for d in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, d))}
+    # A query that errored inside graft.Verify writes no dump dir —
+    # that must be a failure here, not an invisible skip.
+    names = sorted(dumped | set(oracle))
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         got = norm(pd.concat([pd.read_parquet(f) for f in files])) if files else None

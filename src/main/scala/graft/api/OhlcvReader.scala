@@ -33,19 +33,28 @@ object OhlcvReader {
     *                 declared-but-crashing 3h/14D — SURVEY §7.4 risk 6)
     */
   def read(base: DataFrame, rollups: Map[String, DataFrame], p: Params): DataFrame = {
-    val widthSec = Schemas.intervalSeconds.getOrElse(p.interval,
+    val isCalendar = Schemas.calendarIntervals.contains(p.interval)
+    if (!isCalendar && !Schemas.intervalSeconds.contains(p.interval))
       throw new IllegalArgumentException(
-        s"interval ${p.interval} not in ${Schemas.intervalSeconds.keys.mkString(",")}"))
+        s"interval ${p.interval} not in " +
+          (Schemas.intervalSeconds.keys ++ Schemas.calendarIntervals.keys).mkString(","))
 
     // end defaults to now−1min truncated to the minute (readers.py:169-176)
     val endTs: Column = p.endMs
       .map(ms => timestamp_millis(lit(ms)))
       .getOrElse(date_trunc("minute", lit(p.asOf) - expr("interval 1 minute")))
+    require(p.limit > 0,
+      s"limit must be positive, got ${p.limit} (the -1=unlimited convention " +
+        "belongs to the analytics readers — AnalyticsReader)")
     val limit = math.min(p.limit, maxLimit)
 
     val source: DataFrame =
       if (p.interval == "1m") base.withColumnRenamed("time", "bucket")
-      else rollups.getOrElse(p.interval, CandleOps.rollup(base, widthSec))
+      else if (isCalendar)
+        rollups.getOrElse(p.interval,
+          CandleOps.rollupCalendar(base, Schemas.calendarIntervals(p.interval)))
+      else rollups.getOrElse(p.interval,
+        CandleOps.rollup(base, Schemas.intervalSeconds(p.interval)))
 
     val filtered = source
       .filter(col("exchange") === p.exchange &&
@@ -60,7 +69,11 @@ object OhlcvReader {
 
     val result =
       if (!p.emptyTs) filtered.orderBy(col("bucket")) // re-sort asc (T3)
-      else gapFill(filtered, widthSec)
+      else {
+        require(!isCalendar,
+          s"empty_ts gap-fill is not defined for calendar interval ${p.interval}")
+        gapFill(filtered, Schemas.intervalSeconds(p.interval))
+      }
 
     // ms/s epoch + 4-dp HALF_EVEN at the boundary (parsers.py:9-40)
     val t = if (p.mls) unix_millis(col("bucket"))

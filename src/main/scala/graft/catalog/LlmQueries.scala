@@ -124,7 +124,11 @@ object LlmQueries {
     * blocked nearest-duplicate scan; blocks bound the pair count.
     */
   private def charJaccard(s: SparkSession, d: String): DataFrame = {
+    // length filter mirrors the oracle's WHERE; without it two sub-5
+    // -char docs in one block would yield 0/0 = NaN, which Spark's
+    // NaN-ordering lets through `>= 0.5` while DuckDB emits nothing.
     val g = Tables.documents(s, d)
+      .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.charNgrams(col("text"), 5)).as("gs"))
     // Per-pair intersection with an exact size prune. Measured against
@@ -238,19 +242,18 @@ object LlmQueries {
     val scored = TextOps.langStopwords.map { case (l, _) =>
       (l, coalesce(col(s"n_$l"), lit(0L)))
     }
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (l, s2)) =>
-        (when(s2 > bs, lit(l)).otherwise(bl), when(s2 > bs, s2).otherwise(bs))
-    }
     joined.select(col("doc_id"),
-        when(best._2 > 0, best._1).otherwise(lit("und")).as("pred_lang"))
+        TextOps.argMaxLabel(scored).as("pred_lang"))
       .orderBy(col("doc_id"))
   }
 
   private val langIdSql: String = {
+    // coalesce(...,0): a NULL text must score 0 -> 'und', matching the
+    // Spark side's left-join-miss coalescing (NULL would otherwise
+    // fall through every CASE arm to the last language).
     val hits = TextOps.langStopwords.map { case (l, sw) =>
       val set = sw.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(w, x -> x IN ($set))) AS n_$l"
+      s"coalesce(len(list_filter(w, x -> x IN ($set))), 0) AS n_$l"
     }.mkString(",\n       |         ")
     val langs = TextOps.langStopwords.map(_._1)
     val mx = s"greatest(${langs.map("n_" + _).mkString(", ")})"

@@ -89,6 +89,11 @@ object Schemas {
     "1h" -> 3600L, "3h" -> 10800L, "6h" -> 21600L, "12h" -> 43200L,
     "1D" -> 86400L, "7D" -> 604800L, "14D" -> 1209600L)
 
+  /** Calendar-width intervals (variable bucket length — served via
+    * `CandleOps.rollupCalendar`, not fixed-width `time_bucket`).
+    */
+  val calendarIntervals: Map[String, String] = Map("1M" -> "month")
+
   /** Rollup widths maintained as materialized tables (the 8 CAggs,
     * create.sql:105-223).
     */

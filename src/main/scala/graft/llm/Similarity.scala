@@ -65,15 +65,27 @@ object Similarity {
     * k-means cells the probed cell holds the true neighbors).
     */
   def kMeansFit(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val pts = df.select(id.as("id"), vec.as("v"))
-    var cents = pts.orderBy(col("id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cell"),
-        transform(col("v"), x => x.cast("double")).as("centroid"))
+    // Centroids are tiny (k x dim): materialize them to the driver
+    // every iteration and rebuild a literal DataFrame. Without this,
+    // iteration i's plan nests all prior iterations' crossJoins and
+    // every downstream action re-runs the whole Lloyd chain.
+    def toLocal(cents: DataFrame): Seq[(Int, Seq[Double])] =
+      cents.collect().map(r =>
+        (r.getAs[Number]("cell").intValue(), r.getSeq[Double](1))).toSeq
+    def toDF(local: Seq[(Int, Seq[Double])]): DataFrame =
+      local.toDF("cell", "centroid")
+    var local = toLocal(
+      pts.orderBy(col("id")).limit(k)
+        .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cell"),
+          transform(col("v"), x => x.cast("double")).as("centroid")))
     for (_ <- 1 to iters) {
-      val assigned = kMeansAssign(pts, cents)
-      cents = centroids(assigned, col("cell"), col("v"))
+      val assigned = kMeansAssign(pts, toDF(local))
+      local = toLocal(centroids(assigned, col("cell"), col("v")))
     }
-    cents
+    toDF(local)
   }
 
   /** Assign each point to its nearest centroid (L2), ties to the

@@ -63,17 +63,24 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "和"),
   )
 
-  /** Heuristic language ID: arg-max of stopword hit counts with
-    * list-order tie-break; "und" (undetermined) when no hits at all.
+  /** Arg-max with first-in-list tie-break over (label, score) columns;
+    * "und" when the best score is not positive. Shared by the per-row
+    * and exploded-aggregation language-ID forms so their tie-break
+    * rules cannot drift apart.
     */
-  def langId(ws: Column): Column = {
-    val scored = langStopwords.map { case (l, sw) => (l, stopwordHits(ws, sw)) }
+  def argMaxLabel(scored: Seq[(String, Column)]): Column = {
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (l, s)) =>
         (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
+
+  /** Heuristic language ID: arg-max of stopword hit counts with
+    * list-order tie-break; "und" (undetermined) when no hits at all.
+    */
+  def langId(ws: Column): Column =
+    argMaxLabel(langStopwords.map { case (l, sw) => (l, stopwordHits(ws, sw)) })
 
   /** Quality-score components (all exact int counts or int ratios). */
   def punctCount(text: Column): Column =

@@ -45,6 +45,24 @@ object CandleOps {
   def rollupFrom(finer: DataFrame, widthSec: Long): DataFrame =
     rollup(finer, widthSec, timeCol = "bucket")
 
+  /** Calendar-unit rollup (variable-width buckets: "month", "year") —
+    * covers the reference's declared-but-crashing 1M interval
+    * (SURVEY §7.4 risk 6) with real calendar months, which fixed-width
+    * `time_bucket` cannot express.
+    */
+  def rollupCalendar(df: DataFrame, unit: String, timeCol: String = "time"): DataFrame = {
+    val t = col(timeCol)
+    df.groupBy(
+        col("exchange"), col("base_id"), col("quote_id"),
+        date_trunc(unit, t).as("bucket"))
+      .agg(
+        min_by(col("open"), t).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), t).as("close"),
+        sum(col("volume")).as("volume"))
+  }
+
   /** Upsert semantics over plain tables (reference ON CONFLICT
     * policies, fetchers/config/queries.py:4-15):
     * first-write-wins (DO NOTHING).

@@ -122,4 +122,36 @@ class OhlcvSpec extends SparkSpec {
     assert(upserted.filter(col("time") === "2021-08-18 00:00:00")
       .first().getAs[Double]("open") == 9.0) // update wins
   }
+
+  test("OhlcvReader: 1M calendar interval and limit guards") {
+    val p = OhlcvReader.Params("bitfinex", "BASE2", "Q0", "1M",
+      asOf = java.sql.Timestamp.valueOf("2021-09-01 00:00:00"))
+    val rows = OhlcvReader.read(fx, Map.empty, p).collect()
+    assert(rows.nonEmpty)
+    // all buckets are first-of-month midnight
+    assert(rows.forall { r =>
+      val t = java.time.Instant.ofEpochMilli(r.getLong(0))
+        .atZone(java.time.ZoneOffset.UTC)
+      t.getDayOfMonth == 1 && t.getHour == 0
+    })
+    intercept[IllegalArgumentException] {
+      OhlcvReader.read(fx, Map.empty, p.copy(limit = -1)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      OhlcvReader.read(fx, Map.empty, p.copy(emptyTs = true)).collect()
+    }
+  }
+
+  test("AnalyticsReader: cutoffs and limit=-1 means unlimited (T2)") {
+    import graft.api.AnalyticsReader
+    import graft.SparkSpec.spark.implicits._
+    val view = Seq(("a", 5.0), ("b", 50.0), ("c", -1.0), ("d", 20000.0))
+      .toDF("k", "weekly_return_pct")
+    val dflt = AnalyticsReader.readWr(view).collect()
+    assert(dflt.map(_.getString(0)).toSeq == Seq("b", "a")) // cutoffs 0..10000
+    val all = AnalyticsReader.readWr(view, None, None, limit = -1).collect()
+    assert(all.length == 4)
+    val one = AnalyticsReader.readWr(view, None, None, limit = 1).collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("d"))
+  }
 }
