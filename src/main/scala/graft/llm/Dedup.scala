@@ -30,29 +30,31 @@ object Dedup {
       .select(col("id"), col("canon_id"))
   }
 
-  /** Per-(id, seed) MinHash values over exploded distinct shingles:
-    * minhash_s(doc) = min over shingles of md5("s|" + shingle).
-    * Lexicographic min over md5 hex = a deterministic uniform hash
-    * family, portable across engines.
+  /** MinHash signature per id over exploded distinct shingles:
+    * minhash_s(doc) = min over shingles of md5("s|" + shingle),
+    * computed as k parallel min-aggregates in ONE pass (no seed
+    * crossJoin — a k-way row blowup through a shuffle). Lexicographic
+    * min over md5 hex = a deterministic uniform hash family, portable
+    * across engines. Output: (id, m0..m{k-1}).
     */
-  def minHash(exploded: DataFrame, id: Column, shingle: Column, k: Int): DataFrame =
-    exploded
-      .select(id.as("id"), shingle.as("s"))
-      .crossJoin(spark_range_df(exploded, k))
-      .groupBy(col("id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s")))).as("m"))
+  def minHashSignature(exploded: DataFrame, id: Column, shingle: Column, k: Int): DataFrame = {
+    val aggs = (0 until k).map { s =>
+      min(md5(concat(lit(s.toString), lit("|"), shingle))).as(s"m$s")
+    }
+    exploded.groupBy(id.as("id")).agg(aggs.head, aggs.tail: _*)
+  }
 
-  private def spark_range_df(df: DataFrame, k: Int): DataFrame =
-    df.sparkSession.range(k).select(col("id").as("seed"))
-
-  /** LSH band keys from minhash rows: `bandsOf` consecutive seeds are
-    * concatenated (in seed order) into one bucket key per (id, band).
+  /** LSH band keys from a signature row: `bandsOf` consecutive hashes
+    * concatenate (in seed order) into one bucket key per (id, band).
     */
-  def lshBands(mh: DataFrame, bandsOf: Int): DataFrame =
-    mh.groupBy(col("id"), (col("seed") / bandsOf).cast("long").as("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("m")))),
-          x => x.getField("m")), "").as("bk"))
+  def lshBands(sig: DataFrame, k: Int, bandsOf: Int): DataFrame = {
+    val bands = (0 until k / bandsOf).map { b =>
+      val key = concat((b * bandsOf until (b + 1) * bandsOf).map(s => col(s"m$s")): _*)
+      struct(lit(b.toLong).as("band"), key.as("bk"))
+    }
+    sig.select(col("id"), explode(array(bands: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+  }
 
   /** Candidate pairs: ids sharing any LSH band bucket (id_a < id_b). */
   def lshCandidates(bands: DataFrame): DataFrame = {
@@ -86,8 +88,8 @@ object Dedup {
                       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
     val exploded = docs
       .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
-    val mh = minHash(exploded, col("id"), col("s"), k)
-    val cand = lshCandidates(lshBands(mh, bandsOf))
+    val sig = minHashSignature(exploded, col("id"), col("s"), k)
+    val cand = lshCandidates(lshBands(sig, k, bandsOf))
     jaccard(cand, exploded).filter(col("jaccard") >= threshold)
   }
 

@@ -75,6 +75,49 @@ object CandleStream {
     */
   def reconcile(existing: DataFrame, refetched: DataFrame): DataFrame =
     CandleOps.upsert(existing, CandleOps.dedup(refetched))
+
+  /** The full live pipeline (reference updater loop, ws/updater.py):
+    * WS stream → closed candles → first-write-wins append into the
+    * date-partitioned base table, every `triggerSecs` (reference
+    * UPDATE_FREQUENCY_SECS=10). Exactly-once = checkpoint + the
+    * idempotent ST4 sink policy (re-delivered batches dedupe against
+    * the table). Returns the running query; stop() to shut down.
+    *
+    * Scale: each micro-batch touches only the date partitions its
+    * buckets fall in (dynamic partition overwrite on union'd content
+    * would rewrite; append + read-side dedup is cheaper — here we
+    * keep the table physically deduped via the anti-join, which at
+    * 10s cadence reads only the recent partitions thanks to pruning).
+    */
+  def runPipeline(stream: DataFrame, tablePath: String, checkpoint: String,
+                  triggerSecs: Int = 10, watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    closedCandles(stream, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // empty micro-batches (watermark-advance ticks) must not write:
+        // an empty parquet append creates a schemaless directory that
+        // breaks the next batch's read-back.
+        if (!batch.isEmpty) {
+        val incoming = CandleOps.dedup(batch.toDF())
+        val fresh =
+          if (new java.io.File(tablePath).exists()) {
+            val existing = spark.read.parquet(tablePath)
+              .select((CandleOps.keyCols :+ "time").map(org.apache.spark.sql.functions.col): _*)
+            incoming.join(existing, CandleOps.keyCols :+ "time", "left_anti")
+          } else incoming
+        fresh
+          .withColumn("p_date", org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("time")))
+          .write.partitionBy("p_date").mode("append").parquet(tablePath)
+        }
+        ()
+      }
+      .start()
+  }
 }
 
 /** Canonical WS stream row (FIXTURES.md §3) as a case class for typed

@@ -69,4 +69,35 @@ class CandleStreamSpec extends SparkSpec {
     assert(reconciled.filter($"time" === timestamp_millis(lit(t0)))
       .first().getAs[Double]("close") == 555.0)
   }
+
+  test("runPipeline: stream -> partitioned table with first-write-wins, survives restart") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toFile.getAbsolutePath
+    val table = s"$dir/ohlcvs"
+    val ckpt = s"$dir/ckpt"
+
+    val in = MemoryStream[WsCandle]
+    val q = CandleStream.runPipeline(in.toDF(), table, ckpt, triggerSecs = 1, watermark = "2 minutes")
+    try {
+      in.addData(ws(0, 100.0, 1.0), ws(30000, 102.0, 2.0), ws(240000, 110.0, 5.0))
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(table)
+      assert(t1.count() == 1) // 13:45 closed; 13:49 still open
+      assert(t1.first().getAs[Double]("close") == 102.0)
+    } finally q.stop()
+
+    // restart from checkpoint: re-send an overlapping candle + a new bucket
+    val in2 = MemoryStream[WsCandle]
+    val q2 = CandleStream.runPipeline(in2.toDF(), table, ckpt + "2", triggerSecs = 1, watermark = "2 minutes")
+    try {
+      in2.addData(ws(5000, 999.0, 9.0), ws(300000, 120.0, 7.0)) // dup bucket + newer
+      q2.processAllAvailable()
+      val t2 = spark.read.parquet(table)
+      // re-sent 13:45 closes again but the anti-join drops it (first
+      // write wins); 13:50 stays open -> table unchanged
+      assert(t2.count() == 1)
+      assert(t2.filter(col("time") === timestamp_millis(lit(t0)))
+        .first().getAs[Double]("close") == 102.0, "first write must win across restarts")
+    } finally q2.stop()
+  }
 }
