@@ -370,8 +370,48 @@ object LlmQueries {
       .select(col("id"), col("picked_cell"), r4(col("sim")).as("sim"))
       .orderBy(r4(col("sim")).desc, col("id"))
 
+  /** Embedding-cosine near-duplicate pairs: all-pairs cosine over
+    * double-cast vectors, threshold 0.9. Positives are constructed
+    * power-of-2-scaled copies (cosine exactly 1.0 in IEEE arithmetic,
+    * so the oracle compare is exact). Natural max cosine in this data
+    * is ~0.51, so the detector's hits are exactly the constructed set.
+    */
+  private def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pert = base.filter(col("id") % 10 === 0)
+      .select((col("id") + 100000L).as("id"),
+        transform(col("v"), x => x * 2.0d).as("v"))
+    val all = base.unionByName(pert)
+    val a = all.select(col("id").as("id_a"), col("v").as("va"))
+    val b = all.select(col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("c"))
+      .filter(col("c") >= 0.9d)
+      .select(col("id_a"), col("id_b"), r4(col("c")).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val embedNearDupSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+       |  FROM embeddings WHERE vec_id % 10 = 0
+       |), p AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         list_dot_product(a.v, b.v)
+       |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+       |  FROM base a JOIN base b ON a.id < b.id
+       |)
+       |SELECT id_a, id_b, ${r4Sql("c")} AS cos_sim
+       |FROM p WHERE c >= 0.9 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
+    "llm_embed_neardup" -> embedNearDup,
     "llm_exact_dedup"  -> exactDedup,
     "llm_minhash_lsh"  -> minhashLsh,
     "llm_simhash"      -> simhash,
@@ -386,6 +426,7 @@ object LlmQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "llm_embed_neardup" -> embedNearDupSql,
     "llm_exact_dedup"  -> exactDedupSql,
     "llm_minhash_lsh"  -> minhashLshSql,
     "llm_simhash"      -> simhashSql,

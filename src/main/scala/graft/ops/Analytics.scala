@@ -103,4 +103,21 @@ object Analytics {
               nRows: Int): Column =
     avg(value).over(
       Window.partitionBy(keys: _*).orderBy(order).rowsBetween(-(nRows - 1), 0))
+
+  /** Salted two-stage sum for skewed keys (hot symbols at 100 TB):
+    * stage 1 aggregates on (keys, salt) spreading a hot key over
+    * `saltBuckets` reducers; stage 2 merges the partials on the true
+    * key. Use when AQE skew handling isn't enough (e.g. a single key
+    * holding >1 executor's worth of rows). Sums of exact-integer
+    * inputs are order-independent; for doubles the result may differ
+    * in the last ulp from a direct sum, like any re-partitioning.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[Column], value: Column,
+                saltBuckets: Int, resultName: String = "sum"): DataFrame = {
+    val salt = pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+    df.groupBy((keys :+ salt.as("__salt")): _*)
+      .agg(sum(value).as("__partial"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__partial")).as(resultName))
+  }
 }

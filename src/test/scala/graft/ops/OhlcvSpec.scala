@@ -154,4 +154,17 @@ class OhlcvSpec extends SparkSpec {
     val one = AnalyticsReader.readWr(view, None, None, limit = 1).collect()
     assert(one.map(_.getString(0)).toSeq == Seq("d"))
   }
+
+  test("saltedSum matches direct aggregation on a skewed key") {
+    import graft.SparkSpec.spark.implicits._
+    // 10k rows of one hot key + a few cold keys, exact integer values
+    val skewed = spark.range(10000).select(lit("HOT").as("k"), lit(3L).as("v"))
+      .unionByName(spark.range(10).select(concat(lit("c"), col("id")).as("k"), col("id").as("v")))
+    val direct = skewed.groupBy($"k").agg(sum($"v").as("sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.ops.Analytics.saltedSum(skewed, Seq($"k"), $"v", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+    assert(salted("HOT") == 30000L)
+  }
 }
