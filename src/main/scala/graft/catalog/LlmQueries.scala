@@ -384,12 +384,7 @@ object LlmQueries {
       .select((col("id") + 100000L).as("id"),
         transform(col("v"), x => x * 2.0d).as("v"))
     val all = base.unionByName(pert)
-    val a = all.select(col("id").as("id_a"), col("v").as("va"))
-    val b = all.select(col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb")).as("c"))
-      .filter(col("c") >= 0.9d)
+    Similarity.nearDupPairs(all, col("id"), col("v"), 0.9d)
       .select(col("id_a"), col("id_b"), r4(col("c")).as("cos_sim"))
       .orderBy(col("id_a"), col("id_b"))
   }

