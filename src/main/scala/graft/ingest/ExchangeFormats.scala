@@ -1,0 +1,101 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parsers for the three exchange-native WS payload shapes
+  * (FIXTURES.md §3) into the canonical stream row
+  * (ts_ms, exchange, base_id, quote_id, open, high, low, close,
+  * volume). All pure expressions with try_-safe casts: one malformed
+  * message nulls out instead of killing the stream.
+  *
+  * Symbol→(base, quote) resolution needs the per-exchange dim table
+  * (symbol_exchange); parsers take it as a broadcastable DataFrame
+  * with (symbol, base_id, quote_id) — the reference resolves symbols
+  * the same way via its dim table.
+  */
+object ExchangeFormats {
+
+  /** Bitfinex: `[chanId, [ts_ms, open, CLOSE, HIGH, low, volume]]` —
+    * note index 2 = close, 3 = high (reference
+    * fetchers/ws/bitfinex.py:145-156). `chanSymbols` maps chanId →
+    * symbol (per-connection subscription state in the reference).
+    */
+  def parseBitfinex(raw: DataFrame, jsonCol: String,
+                    chanSymbols: DataFrame, symExch: DataFrame): DataFrame = {
+    val inner = expr(s"from_json(get_json_object($jsonCol, '$$[1]'), 'array<double>')")
+    val parsed = raw
+      .withColumn("chan_id", expr(s"try_cast(get_json_object($jsonCol, '$$[0]') AS int)"))
+      .withColumn("c", inner)
+      .select(col("chan_id"),
+        expr("try_cast(try_element_at(c, 1) AS bigint)").as("ts_ms"),
+        expr("try_element_at(c, 2)").as("open"),
+        expr("try_element_at(c, 3)").as("close"),
+        expr("try_element_at(c, 4)").as("high"),
+        expr("try_element_at(c, 5)").as("low"),
+        expr("try_element_at(c, 6)").as("volume"))
+    parsed
+      .join(broadcast(chanSymbols), Seq("chan_id"), "left")
+      .join(broadcast(symExch.filter(col("exchange") === "bitfinex")), Seq("symbol"), "left")
+      .select(col("ts_ms"), lit("bitfinex").as("exchange"),
+        col("base_id"), col("quote_id"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+  }
+
+  private val binanceSchema = StructType(Seq(
+    StructField("s", StringType),
+    StructField("k", StructType(Seq(
+      StructField("t", LongType), StructField("o", StringType),
+      StructField("h", StringType), StructField("l", StringType),
+      StructField("c", StringType), StructField("v", StringType))))))
+
+  /** Binance: `{"s":"ETHBTC","k":{"t":..,"o":..,"h":..,"l":..,"c":..,"v":..}}`
+    * (reference fetchers/ws/binance.py:105-112; numeric fields are
+    * JSON strings on the Binance wire).
+    */
+  def parseBinance(raw: DataFrame, jsonCol: String, symExch: DataFrame): DataFrame = {
+    val j = from_json(col(jsonCol), binanceSchema)
+    raw.select(
+        j.getField("s").as("symbol"),
+        j.getField("k").getField("t").as("ts_ms"),
+        expr("''").as("__dummy"),
+        j.getField("k").getField("o").cast("double").as("open"),
+        j.getField("k").getField("h").cast("double").as("high"),
+        j.getField("k").getField("l").cast("double").as("low"),
+        j.getField("k").getField("c").cast("double").as("close"),
+        j.getField("k").getField("v").cast("double").as("volume"))
+      .drop("__dummy")
+      .join(broadcast(symExch.filter(col("exchange") === "binance")), Seq("symbol"), "left")
+      .select(col("ts_ms"), lit("binance").as("exchange"),
+        col("base_id"), col("quote_id"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+  }
+
+  private val bittrexSchema = StructType(Seq(
+    StructField("marketSymbol", StringType),
+    StructField("delta", StructType(Seq(
+      StructField("startsAt", StringType), StructField("open", DoubleType),
+      StructField("high", DoubleType), StructField("low", DoubleType),
+      StructField("close", DoubleType), StructField("volume", DoubleType))))))
+
+  /** Bittrex: `{"marketSymbol":"ETH-BTC","delta":{"startsAt":"<ISO>",...}}`
+    * (reference fetchers/ws/bittrex.py:236-246); ISO timestamp → ms,
+    * symbol is "BASE-QUOTE".
+    */
+  def parseBittrex(raw: DataFrame, jsonCol: String): DataFrame = {
+    val j = from_json(col(jsonCol), bittrexSchema)
+    val sym = split(j.getField("marketSymbol"), "-")
+    raw.select(
+      unix_millis(expr(
+        s"try_cast(get_json_object($jsonCol, '$$.delta.startsAt') AS timestamp)")).as("ts_ms"),
+      lit("bittrex").as("exchange"),
+      element_at(sym, 1).as("base_id"),
+      element_at(sym, 2).as("quote_id"),
+      j.getField("delta").getField("open").as("open"),
+      j.getField("delta").getField("high").as("high"),
+      j.getField("delta").getField("low").as("low"),
+      j.getField("delta").getField("close").as("close"),
+      j.getField("delta").getField("volume").as("volume"))
+  }
+}
