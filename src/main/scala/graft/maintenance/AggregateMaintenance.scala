@@ -42,6 +42,24 @@ object AggregateMaintenance {
     graft.ops.TimeSeries.timeBucket(t.cast("timestamp"), widthSec,
       CandleOps.originFor(widthSec))
 
+  /** Refresh exactly the rollup buckets a micro-batch touched: the
+    * streaming-side analog of the CAgg refresh policy, for use inside
+    * foreachBatch after appending `batch` to the base table. Buckets
+    * not touched by the batch pass through unchanged, so the cost per
+    * trigger is O(batch), not O(table).
+    */
+  def refreshBuckets(existing: DataFrame, base: DataFrame, batch: DataFrame,
+                     widthSec: Long): DataFrame = {
+    val touched = batch
+      .select(bucketOf(col("time"), widthSec).as("bucket")).distinct()
+    val fresh = CandleOps.rollup(
+      base.join(broadcast(touched),
+        bucketOf(col("time"), widthSec) === touched("bucket"), "left_semi"),
+      widthSec)
+    existing.join(broadcast(touched), Seq("bucket"), "left_anti")
+      .unionByName(fresh)
+  }
+
   /** Daily job (reference scripts/database/cron/daily.sql): refresh
     * is_trading + rebuild the three analytics views.
     */

@@ -167,4 +167,15 @@ class OhlcvSpec extends SparkSpec {
     assert(salted == direct)
     assert(salted("HOT") == 30000L)
   }
+
+  test("refreshBuckets recomputes only touched buckets and matches full rollup") {
+    val width = 3600L
+    val cutoff = lit("2021-08-18 20:00:00").cast("timestamp")
+    val oldBase = fx.filter(col("time") < cutoff)
+    val batch = fx.filter(col("time") >= cutoff)
+    val staleRollup = CandleOps.rollup(oldBase, width)
+    val refreshed = graft.maintenance.AggregateMaintenance
+      .refreshBuckets(staleRollup, fx, batch, width)
+    assert(key(refreshed) == key(CandleOps.rollup(fx, width)))
+  }
 }
