@@ -380,8 +380,10 @@ object LlmQueries {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id").as("id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+    // offset far above any plausible vec_id cardinality at bench SFs
+    // (sf100 ~ 2M rows) so constructed ids can never collide with base
     val pert = base.filter(col("id") % 10 === 0)
-      .select((col("id") + 100000L).as("id"),
+      .select((col("id") + 10000000L).as("id"),
         transform(col("v"), x => x * 2.0d).as("v"))
     val all = base.unionByName(pert)
     Similarity.nearDupPairs(all, col("id"), col("v"), 0.9d)
@@ -393,7 +395,7 @@ object LlmQueries {
     s"""WITH base AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
        |  UNION ALL
-       |  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+       |  SELECT vec_id + 10000000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
        |  FROM embeddings WHERE vec_id % 10 = 0
        |), p AS (
        |  SELECT a.id AS id_a, b.id AS id_b,

@@ -23,7 +23,8 @@ object ExchangeFormats {
     * symbol (per-connection subscription state in the reference).
     */
   def parseBitfinex(raw: DataFrame, jsonCol: String,
-                    chanSymbols: DataFrame, symExch: DataFrame): DataFrame = {
+                    chanSymbols: DataFrame, symExch: DataFrame,
+                    keepMalformed: Boolean = false): DataFrame = {
     val inner = expr(s"from_json(get_json_object($jsonCol, '$$[1]'), 'array<double>')")
     val parsed = raw
       .withColumn("chan_id", expr(s"try_cast(get_json_object($jsonCol, '$$[0]') AS int)"))
@@ -41,7 +42,17 @@ object ExchangeFormats {
       .select(col("ts_ms"), lit("bitfinex").as("exchange"),
         col("base_id"), col("quote_id"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .transform(dropNonCandles(keepMalformed))
   }
+
+  /** Non-candle frames (heartbeats like `[chanId,"hb"]`, subscription
+    * acks, malformed JSON) parse to null ts_ms; by default they are
+    * dropped so they cannot pollute streaming state or land in a
+    * __HIVE_DEFAULT_PARTITION__. `keepMalformed=true` keeps them for
+    * routing to an error sink.
+    */
+  private def dropNonCandles(keep: Boolean)(df: DataFrame): DataFrame =
+    if (keep) df else df.filter(col("ts_ms").isNotNull)
 
   private val binanceSchema = StructType(Seq(
     StructField("s", StringType),
@@ -54,22 +65,22 @@ object ExchangeFormats {
     * (reference fetchers/ws/binance.py:105-112; numeric fields are
     * JSON strings on the Binance wire).
     */
-  def parseBinance(raw: DataFrame, jsonCol: String, symExch: DataFrame): DataFrame = {
+  def parseBinance(raw: DataFrame, jsonCol: String, symExch: DataFrame,
+                   keepMalformed: Boolean = false): DataFrame = {
     val j = from_json(col(jsonCol), binanceSchema)
     raw.select(
         j.getField("s").as("symbol"),
         j.getField("k").getField("t").as("ts_ms"),
-        expr("''").as("__dummy"),
         j.getField("k").getField("o").cast("double").as("open"),
         j.getField("k").getField("h").cast("double").as("high"),
         j.getField("k").getField("l").cast("double").as("low"),
         j.getField("k").getField("c").cast("double").as("close"),
         j.getField("k").getField("v").cast("double").as("volume"))
-      .drop("__dummy")
       .join(broadcast(symExch.filter(col("exchange") === "binance")), Seq("symbol"), "left")
       .select(col("ts_ms"), lit("binance").as("exchange"),
         col("base_id"), col("quote_id"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .transform(dropNonCandles(keepMalformed))
   }
 
   private val bittrexSchema = StructType(Seq(
@@ -83,12 +94,15 @@ object ExchangeFormats {
     * (reference fetchers/ws/bittrex.py:236-246); ISO timestamp → ms,
     * symbol is "BASE-QUOTE".
     */
-  def parseBittrex(raw: DataFrame, jsonCol: String): DataFrame = {
-    val j = from_json(col(jsonCol), bittrexSchema)
+  def parseBittrex(raw: DataFrame, jsonCol: String,
+                   keepMalformed: Boolean = false): DataFrame = {
+    val raw2 = raw.withColumn("__bx", from_json(col(jsonCol), bittrexSchema))
+    val j = col("__bx")
     val sym = split(j.getField("marketSymbol"), "-")
-    raw.select(
-      unix_millis(expr(
-        s"try_cast(get_json_object($jsonCol, '$$.delta.startsAt') AS timestamp)")).as("ts_ms"),
+    raw2.select(
+      // startsAt comes from the single from_json pass; try_-style
+      // safety via try_cast keeps malformed timestamps as nulls
+      unix_millis(expr("try_cast(__bx.delta.startsAt AS timestamp)")).as("ts_ms"),
       lit("bittrex").as("exchange"),
       element_at(sym, 1).as("base_id"),
       element_at(sym, 2).as("quote_id"),
@@ -97,5 +111,6 @@ object ExchangeFormats {
       j.getField("delta").getField("low").as("low"),
       j.getField("delta").getField("close").as("close"),
       j.getField("delta").getField("volume").as("volume"))
+      .transform(dropNonCandles(keepMalformed))
   }
 }

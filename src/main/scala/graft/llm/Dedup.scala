@@ -48,6 +48,8 @@ object Dedup {
     * concatenate (in seed order) into one bucket key per (id, band).
     */
   def lshBands(sig: DataFrame, k: Int, bandsOf: Int): DataFrame = {
+    require(k % bandsOf == 0,
+      s"k=$k must be a multiple of bandsOf=$bandsOf (trailing hashes would be silently dropped)")
     val bands = (0 until k / bandsOf).map { b =>
       val key = concat((b * bandsOf until (b + 1) * bandsOf).map(s => col(s"m$s")): _*)
       struct(lit(b.toLong).as("band"), key.as("bk"))

@@ -80,8 +80,11 @@ object Similarity {
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     }
     val bc = spark.sparkContext.broadcast(rows)
-    prepared
-      .as[(Long, Array[Double], Double)]
+    // the streamed side is re-parallelized from the already-collected
+    // rows, so the input plan (scan + cast + norm) executes exactly
+    // once; the broadcast holds primitive arrays, not boxed Rows
+    spark.createDataset(rows.toSeq)
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val right = bc.value
         it.flatMap { case (ida, va, na) =>

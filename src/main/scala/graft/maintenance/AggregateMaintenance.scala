@@ -52,8 +52,16 @@ object AggregateMaintenance {
                      widthSec: Long): DataFrame = {
     val touched = batch
       .select(bucketOf(col("time"), widthSec).as("bucket")).distinct()
+    // time-range prune BEFORE the semi join: with a date-partitioned
+    // base the range predicate becomes partition pruning, so the scan
+    // is O(touched window), not O(table)
+    val bounds = touched.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi")).first()
+    val pruned =
+      if (bounds.isNullAt(0)) base.limit(0)
+      else base.filter(col("time") >= bounds.getTimestamp(0) &&
+        col("time") < lit(bounds.getTimestamp(1)) + expr(s"interval $widthSec seconds"))
     val fresh = CandleOps.rollup(
-      base.join(broadcast(touched),
+      pruned.join(broadcast(touched),
         bucketOf(col("time"), widthSec) === touched("bucket"), "left_semi"),
       widthSec)
     existing.join(broadcast(touched), Seq("bucket"), "left_anti")

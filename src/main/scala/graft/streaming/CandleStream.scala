@@ -83,11 +83,12 @@ object CandleStream {
     * idempotent ST4 sink policy (re-delivered batches dedupe against
     * the table). Returns the running query; stop() to shut down.
     *
-    * Scale: each micro-batch touches only the date partitions its
-    * buckets fall in (dynamic partition overwrite on union'd content
-    * would rewrite; append + read-side dedup is cheaper — here we
-    * keep the table physically deduped via the anti-join, which at
-    * 10s cadence reads only the recent partitions thanks to pruning).
+    * Scale: each micro-batch appends only to the date partitions its
+    * buckets fall in, and the first-write-wins anti-join reads back
+    * only partitions >= the batch's min date (explicit p_date filter
+    * -> partition pruning), so per-trigger cost tracks the batch, not
+    * the table's age. Long-lived tables still need periodic small-file
+    * compaction (standard for 10s appends).
     */
   def runPipeline(stream: DataFrame, tablePath: String, checkpoint: String,
                   triggerSecs: Int = 10, watermark: String = "1 hour")
@@ -98,21 +99,34 @@ object CandleStream {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$triggerSecs seconds"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions.{col, lit, to_date}
         // empty micro-batches (watermark-advance ticks) must not write:
         // an empty parquet append creates a schemaless directory that
         // breaks the next batch's read-back.
         if (!batch.isEmpty) {
-        val incoming = CandleOps.dedup(batch.toDF())
-        val fresh =
-          if (new java.io.File(tablePath).exists()) {
-            val existing = spark.read.parquet(tablePath)
-              .select((CandleOps.keyCols :+ "time").map(org.apache.spark.sql.functions.col): _*)
-            incoming.join(existing, CandleOps.keyCols :+ "time", "left_anti")
-          } else incoming
-        fresh
-          .withColumn("p_date", org.apache.spark.sql.functions.to_date(
-            org.apache.spark.sql.functions.col("time")))
-          .write.partitionBy("p_date").mode("append").parquet(tablePath)
+          val incoming = CandleOps.dedup(batch.toDF()).cache()
+          // filesystem-agnostic existence check (java.io.File would
+          // always say false on HDFS/S3 and silently disable dedup)
+          val path = new org.apache.hadoop.fs.Path(tablePath)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tableExists = fs.exists(path) &&
+            fs.listStatus(path).exists(_.getPath.getName.startsWith("p_date="))
+          val fresh =
+            if (tableExists) {
+              // prune the dedup read to the dates this batch touches —
+              // a 10s trigger must not scan months of partitions
+              val minDate = incoming
+                .agg(org.apache.spark.sql.functions.min(to_date(col("time"))))
+                .first().getDate(0)
+              val existing = spark.read.parquet(tablePath)
+                .filter(col("p_date") >= lit(minDate))
+                .select((CandleOps.keyCols :+ "time").map(col): _*)
+              incoming.join(existing, CandleOps.keyCols :+ "time", "left_anti")
+            } else incoming
+          fresh
+            .withColumn("p_date", to_date(col("time")))
+            .write.partitionBy("p_date").mode("append").parquet(tablePath)
+          incoming.unpersist()
         }
         ()
       }

@@ -42,10 +42,12 @@ class ExchangeFormatsSpec extends SparkSpec {
     assert(r.getAs[Double]("close") == 0.0615)
   }
 
-  test("malformed frames null out instead of failing") {
-    val raw = Seq("""not json at all""").toDF("j")
+  test("non-candle frames (heartbeats, garbage) are dropped by default, kept on request") {
+    val raw = Seq("""not json at all""", """[17, "hb"]""").toDF("j")
     val chans = Seq((17, "ETHUSD")).toDF("chan_id", "symbol")
-    assert(ExchangeFormats.parseBitfinex(raw, "j", chans, symExch).first().isNullAt(0))
-    assert(ExchangeFormats.parseBittrex(raw, "j").first().isNullAt(0))
+    assert(ExchangeFormats.parseBitfinex(raw, "j", chans, symExch).count() == 0)
+    assert(ExchangeFormats.parseBittrex(raw, "j").count() == 0)
+    val kept = ExchangeFormats.parseBitfinex(raw, "j", chans, symExch, keepMalformed = true)
+    assert(kept.count() == 2 && kept.filter(col("ts_ms").isNull).count() == 2)
   }
 }

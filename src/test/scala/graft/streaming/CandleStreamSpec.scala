@@ -70,7 +70,7 @@ class CandleStreamSpec extends SparkSpec {
       .first().getAs[Double]("close") == 555.0)
   }
 
-  test("runPipeline: stream -> partitioned table with first-write-wins, survives restart") {
+  test("runPipeline: stream -> partitioned table; idempotent across query instances") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("pipe").toFile.getAbsolutePath
     val table = s"$dir/ohlcvs"
@@ -86,7 +86,9 @@ class CandleStreamSpec extends SparkSpec {
       assert(t1.first().getAs[Double]("close") == 102.0)
     } finally q.stop()
 
-    // restart from checkpoint: re-send an overlapping candle + a new bucket
+    // a second query instance (fresh checkpoint/state) re-delivering an
+    // overlapping bucket: the table-level anti-join must keep the sink
+    // idempotent regardless of streaming state
     val in2 = MemoryStream[WsCandle]
     val q2 = CandleStream.runPipeline(in2.toDF(), table, ckpt + "2", triggerSecs = 1, watermark = "2 minutes")
     try {
