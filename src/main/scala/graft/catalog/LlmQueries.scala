@@ -358,10 +358,15 @@ object LlmQueries {
 
   /** IVF over deterministic k-means cells — the data-driven ANN scale
     * path (label-based IVF measured 1/5 recall on this data; k-means
-    * cells actually contain the neighbors). Iterative Lloyd's is not
-    * reasonably SQL-expressible, so this is a rows-only driver check;
-    * correctness (recall vs brute force, determinism) is asserted in
-    * LlmOpsSpec.
+    * cells actually contain the neighbors). The oracle unrolls the
+    * same 5 Lloyd iterations in SQL (init = vectors of the k smallest
+    * ids, assignment ties to the lowest cell, mean recompute), then
+    * probes the best cell by centroid cosine and takes the in-cell
+    * top-10 — byte-identical semantics to [[Similarity.ivfKMeansTopK]],
+    * so the previously rows-only check is now a full hash compare.
+    * Floating-point note: both engines fold distances over doubles;
+    * assignments only diverge on distance near-ties (< 1e-12), absent
+    * in this fixture, and the emitted sims are r4-rounded.
     */
   private def kmeansIvf(s: SparkSession, d: String): DataFrame =
     Similarity.ivfKMeansTopK(
@@ -370,11 +375,69 @@ object LlmQueries {
       .select(col("id"), col("picked_cell"), r4(col("sim")).as("sim"))
       .orderBy(r4(col("sim")).desc, col("id"))
 
-  /** Embedding-cosine near-duplicate pairs: all-pairs cosine over
-    * double-cast vectors, threshold 0.9. Positives are constructed
-    * power-of-2-scaled copies (cosine exactly 1.0 in IEEE arithmetic,
-    * so the oracle compare is exact). Natural max cosine in this data
-    * is ~0.51, so the detector's hits are exactly the constructed set.
+  /** 5 unrolled Lloyd iterations + probe, mirroring
+    * [[Similarity.kMeansFit]]/[[Similarity.ivfKMeansTopK]] exactly.
+    */
+  private val kmeansIvfSql: String = {
+    val k = 8; val iters = 5; val dimPlus1 = 65
+    def centsCte(i: Int, from: String): String =
+      s"""comp$i AS (
+         |  SELECT cell, i, avg(v[i]) AS c
+         |  FROM $from CROSS JOIN (SELECT i FROM range(1, $dimPlus1) t(i))
+         |  GROUP BY 1, 2
+         |), cents$i AS (SELECT cell, list(c ORDER BY i) AS centroid FROM comp$i GROUP BY 1)"""
+        .stripMargin
+    def assignCte(i: Int, cents: String): String =
+      s"""assign$i AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT p.id, p.v, c.cell,
+         |           row_number() OVER (PARTITION BY p.id
+         |             ORDER BY list_distance(p.v, c.centroid), c.cell) AS rn
+         |    FROM pts p CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      assignCte(i, s"cents${i - 1}") + ",\n" + centsCte(i, s"assign$i")
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0
+       |), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |cents0 AS (
+       |  SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell, v AS centroid
+       |  FROM pts QUALIFY row_number() OVER (ORDER BY id) <= $k
+       |),
+       |$iterCtes,
+       |final_assign AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT p.id, p.v, c.cell,
+       |           row_number() OVER (PARTITION BY p.id
+       |             ORDER BY list_distance(p.v, c.centroid), c.cell) AS rn
+       |    FROM pts p CROSS JOIN cents$iters c)
+       |  WHERE rn = 1
+       |), best AS (
+       |  SELECT cell FROM cents$iters, q
+       |  ORDER BY list_dot_product(centroid, qv)
+       |             / (sqrt(list_dot_product(centroid, centroid))
+       |                * sqrt(list_dot_product(qv, qv))) DESC, cell
+       |  LIMIT 1
+       |), sel AS (
+       |  SELECT a.id, a.cell AS picked_cell,
+       |         list_dot_product(a.v, qv)
+       |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM final_assign a JOIN best USING (cell), q
+       |), topk AS (SELECT * FROM sel ORDER BY sim DESC, id LIMIT 10)
+       |SELECT id, CAST(picked_cell AS INTEGER) AS picked_cell, ${r4Sql("sim")} AS sim
+       |FROM topk ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicate pairs via distributed SRP-LSH
+    * (signature → band buckets → in-bucket exact cosine verify),
+    * threshold 0.9. Positives are constructed power-of-2-scaled copies
+    * (cosine exactly 1.0 in IEEE arithmetic, and an identical LSH bit
+    * signature — recall 1 by construction — so the oracle compare is
+    * exact). Natural max cosine in this data is ~0.51, so the
+    * detector's hits are exactly the constructed set. The oracle SQL
+    * stays all-pairs (ground truth); the Spark plan is bucket-local
+    * with no driver collect.
     */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
@@ -423,6 +486,7 @@ object LlmQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "llm_kmeans_ivf"   -> kmeansIvfSql,
     "llm_embed_neardup" -> embedNearDupSql,
     "llm_exact_dedup"  -> exactDedupSql,
     "llm_minhash_lsh"  -> minhashLshSql,

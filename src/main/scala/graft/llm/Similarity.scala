@@ -55,51 +55,65 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("centroid"))
 
-  /** All-pairs cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    * threshold) via a broadcast right-hand matrix and a tight
-    * mapPartitions dot-product loop. The declarative form (non-equi
-    * join + higher-order-function dot) runs interpreted per pair and
-    * measured ~25x slower at sf0.1; dense linear algebra is the one
-    * place mapPartitions is the right tool (SURVEY §2.10 preference
-    * order, option d). Accumulation is ascending-index, matching both
-    * the fold-based [[dot]] and DuckDB's list_dot_product, so results
-    * stay engine-exact.
-    *
-    * Scale: the broadcast side must fit an executor (~1 GB ≈ 2M
-    * 64-dim doubles). Beyond that, block the pair space (outer loop
-    * over broadcast-sized chunks of one side) — the streamed side
-    * stays fully distributed either way.
+  /** Deterministic ±1 random-hyperplane signs for SRP-LSH: entry
+    * (p, j) is the parity of md5("p|j")'s first byte — well-mixed,
+    * seed-free, identical across runs and engines. nbits×dim is tiny
+    * (driver-side constant folding, never a runtime cost).
     */
-  def nearDupPairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  private[llm] def srpSigns(nbits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nbits, dim) { (p, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0d else -1.0d
+    }
+
+  /** SRP-LSH bit signature (sign of the dot with each ±1 hyperplane)
+    * as `nbits` "0"/"1" string columns m0..m{nbits-1} — the same shape
+    * [[graft.llm.Dedup.lshBands]] consumes, so embedding LSH reuses
+    * the MinHash band/bucket machinery unchanged. A positively scaled
+    * copy of a vector (cosine exactly 1) has an identical signature,
+    * so exact duplicates are *always* candidates, in every band.
+    */
+  def srpSignature(prepared: DataFrame, nbits: Int, dim: Int): DataFrame = {
+    val signs = srpSigns(nbits, dim)
+    val bits = (0 until nbits).map { p =>
+      when(dot(col("v"), typedlit(signs(p).toSeq)) >= 0d, lit("1"))
+        .otherwise(lit("0")).as(s"m$p")
+    }
+    prepared.select((col("id") +: bits): _*)
+  }
+
+  /** Cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold),
+    * fully distributed: random-hyperplane LSH bucketing (signature →
+    * bands → per-bucket candidate join via [[Dedup.lshCandidates]])
+    * followed by an exact cosine verify of the candidates only. No
+    * driver collect anywhere; every stage shuffles on a key (band
+    * bucket / id), so the pair space is bucket-local, never all-pairs.
+    *
+    * Recall: pairs at cosine 1.0 (scaled copies) share all bands —
+    * recall 1. For threshold-grazing pairs recall is the standard SRP
+    * tradeoff 1−(1−(1−θ/π)^bandsOf)^(nbits/bandsOf); raise nbits or
+    * lower bandsOf for more recall at more candidate cost. Verification
+    * is exact, so precision is always 1.
+    *
+    * Determinism: the verify dot folds ascending-index over doubles
+    * ([[dot]]), matching DuckDB's list_dot_product bit-for-bit.
+    *
+    * @param dim embedding dimensionality (hyperplane width)
+    */
+  def nearDupPairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
+                   dim: Int = 64, nbits: Int = 32, bandsOf: Int = 8): DataFrame = {
     val prepared = df.select(id.cast("long").as("id"),
         transform(vec, x => x.cast("double")).as("v"))
       .withColumn("n", l2Norm(col("v")))
-    val rows = prepared.collect().map { r =>
-      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-    }
-    val bc = spark.sparkContext.broadcast(rows)
-    // the streamed side is re-parallelized from the already-collected
-    // rows, so the input plan (scan + cast + norm) executes exactly
-    // once; the broadcast holds primitive arrays, not boxed Rows
-    spark.createDataset(rows.toSeq)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val right = bc.value
-        it.flatMap { case (ida, va, na) =>
-          right.iterator
-            .filter(_._1 > ida)
-            .map { case (idb, vb, nb) =>
-              var s = 0.0d
-              var i = 0
-              while (i < va.length) { s += va(i) * vb(i); i += 1 }
-              (ida, idb, s / (na * nb))
-            }
-            .filter(_._3 >= threshold)
-        }
-      }
-      .toDF("id_a", "id_b", "c")
+    val cand = Dedup.lshCandidates(
+      Dedup.lshBands(srpSignature(prepared, nbits, dim), nbits, bandsOf))
+    val a = prepared.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = prepared.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
+      .filter(col("c") >= threshold)
   }
 
   /** Deterministic distributed k-means (Lloyd's): initial centroids

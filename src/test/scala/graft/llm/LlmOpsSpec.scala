@@ -87,6 +87,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(g.forall(_.getAs[String]("error").contains("codec unavailable")))
   }
 
+  test("nearDupPairs: LSH recall 1 on scaled copies, exact precision, no collected input in plan") {
+    import graft.core.Tables
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pert = base.filter(col("id") % 10 === 0)
+      .select((col("id") + 10000000L).as("id"),
+        transform(col("v"), x => x * 2.0d).as("v"))
+    val pairs = Similarity.nearDupPairs(
+      base.unionByName(pert), col("id"), col("v"), 0.9d)
+    // the old implementation round-tripped the table through the driver
+    // (collect + createDataset => LocalRelation); the LSH plan must
+    // keep the original scan as its source
+    assert(!pairs.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "plan contains a LocalRelation — input was collected to the driver")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.filter(col("id") % 10 === 0).select(col("id"))
+      .collect().map(_.getLong(0)).map(i => (i, i + 10000000L)).toSet
+    assert(expected.subsetOf(got),
+      s"LSH missed cosine-1.0 pairs: ${(expected -- got).take(5)}")
+    // precision is exact by construction (candidates verified with true
+    // cosine); natural max cosine in this data is ~0.51, so nothing else
+    assert(got == expected, s"unexpected extra pairs: ${(got -- expected).take(5)}")
+  }
+
   test("kMeans IVF: deterministic, and probed cell holds the true nearest neighbor") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sfDir)
