@@ -72,7 +72,7 @@ object OhlcvReader {
       else {
         require(!isCalendar,
           s"empty_ts gap-fill is not defined for calendar interval ${p.interval}")
-        gapFill(filtered, Schemas.intervalSeconds(p.interval))
+        gapFill(filtered, Schemas.intervalSeconds(p.interval), endTs, limit)
       }
 
     // ms/s epoch + 4-dp HALF_EVEN at the boundary (parsers.py:9-40)
@@ -84,19 +84,26 @@ object OhlcvReader {
           .map(c => bround(col(c), 4).as(c))): _*)
   }
 
-  /** readers.py:210-244: spine from min(bucket) to max(bucket) at
-    * width steps, left-join data, fill missing OHLC with the window
-    * average row (volume 0) — deliberately NOT interpolation (A7).
+  /** readers.py:210-244: spine from min(bucket) to the *requested end*
+    * (not max(data) — a live chart always has a trailing gap up to
+    * now−1min, and the reference emits those empty slots too) at width
+    * steps, keeping the latest `limit` slots (the spine carries its
+    * own ORDER BY time DESC LIMIT, readers.py:230-232), left-join
+    * data, fill missing OHLC with the window average row (volume 0) —
+    * deliberately NOT interpolation (A7).
     */
-  private def gapFill(data: DataFrame, widthSec: Long): DataFrame = {
+  private def gapFill(data: DataFrame, widthSec: Long, endTs: Column,
+                      limit: Int): DataFrame = {
     val stats = data.agg(
-      min(col("bucket")).as("mn"), max(col("bucket")).as("mx"),
+      min(col("bucket")).as("mn"),
       avg(col("open")).as("ao"), avg(col("high")).as("ah"),
       avg(col("low")).as("al"), avg(col("close")).as("ac"))
     val spine = stats.select(
-      explode(sequence(col("mn"), col("mx"),
-        expr(s"interval $widthSec seconds"))).as("bucket"),
-      col("ao"), col("ah"), col("al"), col("ac"))
+        explode(sequence(col("mn"), endTs,
+          expr(s"interval $widthSec seconds"))).as("bucket"),
+        col("ao"), col("ah"), col("al"), col("ac"))
+      .orderBy(col("bucket").desc)
+      .limit(limit)
     spine.join(data, Seq("bucket"), "left")
       .select(
         col("bucket"),

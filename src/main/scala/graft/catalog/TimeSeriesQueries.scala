@@ -133,6 +133,69 @@ object TimeSeriesQueries {
        |FROM spine LEFT JOIN data ON spine.slot_us = data.slot_us CROSS JOIN stats
        |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- J4/A7/F2 (to end)
+  /** Gap fill where the requested end exceeds the last data bucket —
+    * the reference's spine is generate_series(min(time), end, width)
+    * with its own ORDER BY time DESC LIMIT (readers.py:214-232), so
+    * trailing empty slots up to `end` are emitted (volume 0, close =
+    * window average) and only the latest `limit` slots survive. Data:
+    * signup slots of 2024-01-05 00:00–12:00; end 18:00 → 72 trailing
+    * fill slots; limit 150 prunes the spine's oldest slots.
+    */
+  private def gapfillToEnd(s: SparkSession, dir: String): DataFrame = {
+    val dayStartUs = 1704412800000000L // 2024-01-05T00:00Z
+    val endUs = dayStartUs + 64800000000L // 18:00 — 6h past the data window
+    val widthUs = 300000000L
+    val limit = 150
+    val data = series(s, dir)
+      .filter(col("event_type") === "signup" &&
+        col("tus") >= dayStartUs && col("tus") < dayStartUs + 43200000000L)
+      .groupBy((expr(s"tus div $widthUs") * widthUs).as("slot_us"))
+      .agg(max_by(col("value"), col("tus")).as("close"),
+           sum(cents(col("value"))).as("vol_cents"))
+    val stats = data.agg(min(col("slot_us")).as("mn"),
+                         sum(cents(col("close"))).as("sc"),
+                         count(lit(1)).as("cnt"))
+    val spine = stats
+      .select(explode(sequence(col("mn"), lit(endUs), lit(widthUs))).as("slot_us"),
+        col("sc"), col("cnt"))
+      .orderBy(col("slot_us").desc)
+      .limit(limit)
+    spine.join(data, Seq("slot_us"), "left")
+      .select(
+        col("slot_us"),
+        coalesce(col("close"), col("sc") / (lit(100.0d) * col("cnt"))).as("close"),
+        coalesce(col("vol_cents") / 100.0d, lit(0.0d)).as("volume"),
+        col("close").isNull.as("filled"))
+      .orderBy(col("slot_us"))
+  }
+
+  private val gapfillToEndSql: String =
+    s"""$seriesCte, data AS (
+       |  SELECT (tus // 300000000) * 300000000 AS slot_us,
+       |         max_by(value, tus) AS close,
+       |         SUM(${centsSql("value")}) AS vol_cents
+       |  FROM series
+       |  WHERE event_type = 'signup'
+       |    AND tus >= 1704412800000000 AND tus < 1704456000000000
+       |  GROUP BY 1
+       |), stats AS (
+       |  SELECT min(slot_us) AS mn, SUM(${centsSql("close")}) AS sc, count(*) AS cnt
+       |  FROM data
+       |), spine AS (
+       |  SELECT slot_us, sc, cnt FROM (
+       |    SELECT unnest(generate_series(mn, 1704477600000000, 300000000)) AS slot_us,
+       |           sc, cnt
+       |    FROM stats)
+       |  ORDER BY slot_us DESC LIMIT 150
+       |)
+       |SELECT spine.slot_us,
+       |       coalesce(data.close, spine.sc / (100.0 * spine.cnt)) AS close,
+       |       coalesce(data.vol_cents / 100.0, 0.0) AS volume,
+       |       data.close IS NULL AS filled
+       |FROM spine LEFT JOIN data ON spine.slot_us = data.slot_us
+       |ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- W1
   /** LEAD-based gap detection (reference select_queries.sql:28-49). */
   private def leadGap(s: SparkSession, dir: String): DataFrame =
@@ -310,6 +373,7 @@ object TimeSeriesQueries {
     "ts_candle_1d"     -> rollupQuery(86400L),
     "ts_scan_recent"   -> scanRecent,
     "ts_gapfill_5m"    -> gapfill5m,
+    "ts_gapfill_to_end" -> gapfillToEnd,
     "ts_lead_gap"      -> leadGap,
     "ts_lag_logreturn" -> lagLogReturn,
     "ts_sma10"         -> sma10,
@@ -323,6 +387,7 @@ object TimeSeriesQueries {
     "ts_candle_1d"     -> rollupSql(86400L),
     "ts_scan_recent"   -> scanRecentSql,
     "ts_gapfill_5m"    -> gapfill5mSql,
+    "ts_gapfill_to_end" -> gapfillToEndSql,
     "ts_lead_gap"      -> leadGapSql,
     "ts_lag_logreturn" -> lagLogReturnSql,
     "ts_sma10"         -> sma10Sql,

@@ -56,8 +56,14 @@ object Analytics {
     // argument, so materialize the fill end first, then explode.
     val withEnd = df.withColumn("__fill_end",
       coalesce(lead(bucketCol, 1).over(w) - expr("interval 1 day"), upTo))
+    // A key's last row can start after `upTo` (data newer than the
+    // requested as-of): ANSI sequence(start > stop) throws, while the
+    // oracle's generate_series yields an empty list — i.e. the row
+    // contributes nothing. The when-guard (null when start > stop)
+    // reproduces that exactly: explode drops null arrays.
     val cols = keys ++ carried.map { case (n, c) => c.as(n) } :+
-      explode(sequence(bucketCol, col("__fill_end"), expr("interval 1 day"))).as("day")
+      explode(when(bucketCol <= col("__fill_end"),
+        sequence(bucketCol, col("__fill_end"), expr("interval 1 day")))).as("day")
     withEnd.select(cols: _*)
   }
 

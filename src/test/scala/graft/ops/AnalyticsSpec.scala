@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("forwardFillDaily fills variable-length runs up to the next bucket") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 10.0),
+      ("a", ts("2024-01-04 00:00:00"), 20.0),
+    ).toDF("k", "bucket", "close")
+    val out = Analytics.forwardFillDaily(df, Seq(col("k")), col("bucket"),
+        Seq("close" -> col("close")), lit("2024-01-05 00:00:00").cast("timestamp"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getTimestamp(2).toString, r.getDouble(1)))
+    assert(out.toSeq == Seq(
+      "2024-01-01 00:00:00.0" -> 10.0, "2024-01-02 00:00:00.0" -> 10.0,
+      "2024-01-03 00:00:00.0" -> 10.0, // carried to next bucket − 1 day
+      "2024-01-04 00:00:00.0" -> 20.0, "2024-01-05 00:00:00.0" -> 20.0))
+  }
+
+  test("forwardFillDaily: last bucket after upTo contributes nothing (no ANSI crash)") {
+    // oracle parity: generate_series(start > stop) is empty, so a key
+    // whose newest data is past the as-of emits no fill rows for it,
+    // while rows with a successor still fill to that successor even
+    // past upTo (upTo only bounds the open-ended last run)
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-03 00:00:00"), 2.0), // has successor past upTo
+      ("a", ts("2024-01-06 00:00:00"), 3.0), // last, after upTo → dropped
+    ).toDF("k", "bucket", "close")
+    val out = Analytics.forwardFillDaily(df, Seq(col("k")), col("bucket"),
+        Seq("close" -> col("close")), lit("2024-01-02 00:00:00").cast("timestamp"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getTimestamp(2).toString, r.getDouble(1)))
+    assert(out.toSeq == Seq(
+      "2024-01-01 00:00:00.0" -> 1.0, "2024-01-02 00:00:00.0" -> 1.0,
+      "2024-01-03 00:00:00.0" -> 2.0, "2024-01-04 00:00:00.0" -> 2.0,
+      "2024-01-05 00:00:00.0" -> 2.0))
+  }
+
+  test("geoMeanDailyReturn survives data newer than the as-of") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 100.0),
+      ("a", ts("2024-01-02 00:00:00"), 110.0),
+      ("a", ts("2024-01-09 00:00:00"), 120.0), // after asOf 2024-01-05
+    ).toDF("k", "bucket", "close")
+    val r = Analytics.geoMeanDailyReturn(df, Seq(col("k")), col("bucket"),
+        col("close"), lit("2024-01-05 00:00:00").cast("timestamp"))
+      .collect()
+    assert(r.length == 1) // no SparkArithmeticException from sequence()
+  }
+}

@@ -75,6 +75,24 @@ class OhlcvSpec extends SparkSpec {
     assert(ts.zip(ts.tail).forall { case (a, b) => b - a == 60000L })
   }
 
+  test("OhlcvReader: empty_ts spine extends to the requested end (trailing gap)") {
+    val dataEndMs = 1629334740000L // fixture's last minute (1499)
+    val endMs = dataEndMs + 600000L // 10 minutes past the last data row
+    val p = OhlcvReader.Params("bitfinex", "BASE2", "Q0", "1m",
+      startMs = Some(1629334000000L), endMs = Some(endMs),
+      emptyTs = true, limit = 500)
+    val filled = OhlcvReader.read(fx, Map.empty, p).collect()
+    // the spine must reach the requested end, not stop at max(data) —
+    // reference readers.py:214-219 (a live chart's trailing gap)
+    assert(filled.last.getLong(0) == endMs)
+    val trailing = filled.filter(_.getLong(0) > dataEndMs)
+    assert(trailing.length == 10 && trailing.forall(_.getDouble(5) == 0.0))
+    // the spine carries its own DESC LIMIT (readers.py:230-232)
+    val limited = OhlcvReader.read(fx, Map.empty, p.copy(limit = 5)).collect()
+    assert(limited.length == 5 && limited.forall(_.getDouble(5) == 0.0))
+    assert(limited.map(_.getLong(0)).max == endMs)
+  }
+
   test("commonBaseQuote selects pairs on all 3 exchanges") {
     val c = OhlcvAnalytics.commonBaseQuote(dim).collect()
     assert(c.map(r => (r.getString(0), r.getString(1))).toSet == Set(("BASE2", "Q0")))
