@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.timeBucketDescriptor)
+    ext.injectFunction(GraftExtensions.inflateDescriptor)
   }
 }
 
@@ -32,8 +33,20 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Cast(children(2), org.apache.spark.sql.types.LongType))
     })
 
+  val inflateDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_inflate"),
+    new ExpressionInfo(classOf[graft.functions.Inflate].getName, "graft_inflate"),
+    (children: Seq[Expression]) => {
+      if (children.size != 1) throw new IllegalArgumentException(
+        s"graft_inflate(bin) takes 1 argument, got ${children.size}")
+      graft.functions.Inflate(children.head)
+    })
+
   /** Register on an existing session (tests / notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       timeBucketDescriptor._1, timeBucketDescriptor._2, timeBucketDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      inflateDescriptor._1, inflateDescriptor._2, inflateDescriptor._3)
+  }
 }

@@ -46,13 +46,17 @@ object ExchangeFormats {
   }
 
   /** Non-candle frames (heartbeats like `[chanId,"hb"]`, subscription
-    * acks, malformed JSON) parse to null ts_ms; by default they are
-    * dropped so they cannot pollute streaming state or land in a
+    * acks, malformed JSON) parse to null ts_ms, and a well-formed
+    * candle whose chan_id/symbol misses the dim join has null
+    * base_id/quote_id; by default both are dropped so they cannot
+    * create null-key groups in streaming state or land in a
     * __HIVE_DEFAULT_PARTITION__. `keepMalformed=true` keeps them for
     * routing to an error sink.
     */
   private def dropNonCandles(keep: Boolean)(df: DataFrame): DataFrame =
-    if (keep) df else df.filter(col("ts_ms").isNotNull)
+    if (keep) df
+    else df.filter(col("ts_ms").isNotNull &&
+      col("base_id").isNotNull && col("quote_id").isNotNull)
 
   private val binanceSchema = StructType(Seq(
     StructField("s", StringType),
@@ -112,5 +116,22 @@ object ExchangeFormats {
       j.getField("delta").getField("close").as("close"),
       j.getField("delta").getField("volume").as("volume"))
       .transform(dropNonCandles(keepMalformed))
+  }
+
+  /** Bittrex SignalR wire frames: base64 text wrapping a raw-deflate
+    * compressed JSON payload (reference fetchers/ws/bittrex.py:324-336).
+    * unbase64 → [[graft.functions.Inflate]] (raw, then zlib-headered
+    * fallback) → UTF-8 → the plain-JSON [[parseBittrex]]. Undecodable
+    * frames become null rows and follow the keepMalformed policy —
+    * replaying a real Bittrex capture needs no pre-processing.
+    */
+  def parseBittrexFrames(raw: DataFrame, frameCol: String,
+                         keepMalformed: Boolean = false): DataFrame = {
+    // try_to_binary: ANSI unbase64 throws on invalid base64; a bad
+    // frame must become a null row, not kill the stream
+    val decoded = raw.withColumn("__frame_json",
+      graft.functions.Inflate.inflate(
+        expr(s"try_to_binary(trim($frameCol), 'base64')")).cast("string"))
+    parseBittrex(decoded, "__frame_json", keepMalformed)
   }
 }

@@ -42,6 +42,50 @@ class ExchangeFormatsSpec extends SparkSpec {
     assert(r.getAs[Double]("close") == 0.0615)
   }
 
+  /** Build a reference-shaped SignalR frame: JSON → DEFLATE → base64
+    * (the inverse of fetchers/ws/bittrex.py:324-336's
+    * decompress(b64decode(msg), -MAX_WBITS)).
+    */
+  private def signalRFrame(json: String, raw: Boolean = true): String = {
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+    defl.setInput(json.getBytes("UTF-8")); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+  }
+
+  test("Bittrex SignalR frames: base64+deflate round-trips to the same candle rows") {
+    val json = """{"marketSymbol":"ETH-BTC","delta":{"startsAt":"2021-08-18T13:45:00+00:00","open":0.061,"high":0.062,"low":0.060,"close":0.0615,"volume":3.25}}"""
+    // raw-deflate (the real wire shape) and zlib-headered (the
+    // reference's fallback branch) must both decode
+    for (rawMode <- Seq(true, false)) {
+      val frames = Seq(signalRFrame(json, rawMode)).toDF("f")
+      val r = ExchangeFormats.parseBittrexFrames(frames, "f").first()
+      assert(r.getAs[Long]("ts_ms") == 1629294300000L)
+      assert(r.getAs[String]("base_id") == "ETH" && r.getAs[String]("quote_id") == "BTC")
+      assert(r.getAs[Double]("close") == 0.0615 && r.getAs[Double]("volume") == 3.25)
+    }
+    // identical rows to feeding the clean JSON through parseBittrex
+    val viaFrames = ExchangeFormats.parseBittrexFrames(
+      Seq(signalRFrame(json)).toDF("f"), "f").collect().toSeq
+    val viaJson = ExchangeFormats.parseBittrex(Seq(json).toDF("j"), "j").collect().toSeq
+    assert(viaFrames == viaJson)
+    // undecodable frames follow the malformed policy instead of throwing
+    val garbage = Seq("!!!not-base64!!!", signalRFrame(json).dropRight(8)).toDF("f")
+    assert(ExchangeFormats.parseBittrexFrames(garbage, "f").count() == 0)
+  }
+
+  test("dim-join misses (unknown symbol/chan) are dropped with the non-candle frames") {
+    // well-formed candle but chan 99 has no symbol mapping -> null keys
+    val raw = Seq("""[99, [1629294300000, 1.0, 1.0, 1.0, 1.0, 1.0]]""").toDF("j")
+    val chans = Seq((17, "ETHUSD")).toDF("chan_id", "symbol")
+    assert(ExchangeFormats.parseBitfinex(raw, "j", chans, symExch).count() == 0)
+    val kept = ExchangeFormats.parseBitfinex(raw, "j", chans, symExch, keepMalformed = true)
+    assert(kept.count() == 1 && kept.filter(col("base_id").isNull).count() == 1)
+  }
+
   test("non-candle frames (heartbeats, garbage) are dropped by default, kept on request") {
     val raw = Seq("""not json at all""", """[17, "hb"]""").toDF("j")
     val chans = Seq((17, "ETHUSD")).toDF("chan_id", "symbol")
