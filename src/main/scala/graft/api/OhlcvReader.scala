@@ -84,6 +84,22 @@ object OhlcvReader {
           .map(c => bround(col(c), 4).as(c))): _*)
   }
 
+  /** [[read]] through a [[QueryCache]]: identical parameter sets
+    * within the TTL return the same persisted result instead of
+    * re-scanning (reference caching.py:23-66 — every reader query is
+    * cached for 2 h keyed by rendered statement + params; here the
+    * key is the rendered [[Params]], which pins asOf and therefore
+    * the defaulted end too).
+    */
+  def readCached(cache: QueryCache, base: DataFrame,
+                 rollups: Map[String, DataFrame], p: Params): DataFrame =
+    cache.getOrCompute(cacheKey(p))(read(base, rollups, p))
+
+  /** Rendered-parameters cache key (≙ the reference's statement+params
+    * dogpile key — two reads are interchangeable iff all params match).
+    */
+  def cacheKey(p: Params): String = p.toString
+
   /** readers.py:210-244: spine from min(bucket) to the *requested end*
     * (not max(data) — a live chart always has a trailing gap up to
     * now−1min, and the reference emits those empty slots too) at width

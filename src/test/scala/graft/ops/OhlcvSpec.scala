@@ -93,6 +93,32 @@ class OhlcvSpec extends SparkSpec {
     assert(limited.map(_.getLong(0)).max == endMs)
   }
 
+  test("OhlcvReader: identical reads within the TTL hit the cache; expiry recomputes") {
+    import graft.api.{OhlcvReader, QueryCache}
+    var now = 1000L
+    val cache = new QueryCache(ttlSeconds = 7200L, clock = () => now)
+    val p = OhlcvReader.Params("bitfinex", "BASE2", "Q0", "1h", limit = 20,
+      asOf = java.sql.Timestamp.valueOf("2021-08-19 02:00:00"))
+    val r1 = OhlcvReader.readCached(cache, fx, Map.empty, p)
+    val n1 = r1.count()
+    val r2 = OhlcvReader.readCached(cache, fx, Map.empty, p)
+    // cache hit: the very same persisted DataFrame, no new plan built
+    assert(r2 eq r1)
+    // and the executed plan reads the in-memory relation, not the source
+    assert(r2.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]))
+    assert(r2.count() == n1)
+    // different params -> different key -> a real recompute
+    val r3 = OhlcvReader.readCached(cache, fx, Map.empty, p.copy(limit = 10))
+    assert(!(r3 eq r1) && cache.size == 2)
+    // TTL expiry -> recompute (old entry unpersisted lazily)
+    now += 7201L
+    val r4 = OhlcvReader.readCached(cache, fx, Map.empty, p)
+    assert(!(r4 eq r1) && r4.count() == n1)
+    cache.invalidateAll()
+    assert(cache.size == 0)
+  }
+
   test("commonBaseQuote selects pairs on all 3 exchanges") {
     val c = OhlcvAnalytics.commonBaseQuote(dim).collect()
     assert(c.map(r => (r.getString(0), r.getString(1))).toSet == Set(("BASE2", "Q0")))
