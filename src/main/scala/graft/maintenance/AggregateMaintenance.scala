@@ -108,4 +108,28 @@ object AggregateMaintenance {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+
+  /** [[writePartitioned]] through a transaction log: replaces exactly
+    * the date partitions `df` covers, conflict-checked against
+    * concurrent appends (a streaming batch landing mid-refresh makes
+    * this retry and fold it in — TxLog.scala). This is the refresh
+    * write path to pair with [[graft.streaming.CandleStream.runPipelineTx]];
+    * plain [[writePartitioned]] stays for single-writer bulk jobs.
+    */
+  def writePartitionedTx(df: DataFrame, table: graft.storage.TxTable,
+                         timeCol: String = "bucket"): Unit = {
+    val dated = df.withColumn("p_date", to_date(col(timeCol)))
+    if (table.version < 0) { table.append(dated); return }
+    val parts = table.touchedPartitions(dated)
+    table.rewritePartitions(parts) { existing =>
+      // recompute-from-snapshot contract: the refreshed content for
+      // these partitions is `dated` merged over what's now there —
+      // rows for keys the refresh recomputed are replaced, concurrent
+      // appends for other keys survive (upsert, queries.py:6-18).
+      val keys = CandleOps.keyCols :+ timeCol
+      dated
+        .sortWithinPartitions((Seq("p_date") ++ CandleOps.keyCols :+ timeCol).map(col): _*)
+        .unionByName(existing.join(dated.select(keys.map(col): _*), keys, "left_anti"))
+    }
+  }
 }

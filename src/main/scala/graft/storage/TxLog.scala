@@ -1,0 +1,343 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Minimal optimistic transaction log over parquet — the commit
+  * protocol the reference gets for free from Postgres MVCC (every
+  * write path lands in one transactional store,
+  * fetchers/helpers/psqlhelpers.py + the ON CONFLICT queries,
+  * fetchers/config/queries.py:4-18). Plain parquet directories have
+  * no such protocol: a dynamic-partition overwrite running
+  * concurrently with a streaming append can delete the files the
+  * append just committed. This module supplies the missing piece as a
+  * snapshot log, the public Delta/Iceberg design re-implemented at
+  * minimum viable size:
+  *
+  * {{{
+  *   <root>/_graft_log/v00000000000000000042.manifest   // snapshot N
+  *   <root>/data/p_date=2021-01-01/<commit-uuid>-part-*.parquet
+  * }}}
+  *
+  *  - Data files are immutable and invisible until a manifest names
+  *    them; writers stage files first, then commit.
+  *  - A manifest is the FULL list of live files (schema header +
+  *    one `partition TAB path` line per file). Readers load exactly
+  *    the listed files — a torn write is never observable.
+  *  - Commit = create-exclusive of the next version file (atomic
+  *    hard-link on a local filesystem, `create(overwrite=false)` on
+  *    HDFS; on S3 you would swap in a conditional PUT — same slot,
+  *    same protocol).
+  *  - Appends never conflict: on CAS failure the writer re-reads the
+  *    latest snapshot and re-commits its (already staged) files on
+  *    top.
+  *  - Partition rewrites (refresh / upsert / compaction) are
+  *    optimistic: they remember the snapshot they read, and the
+  *    commit fails with [[TxConflictException]] if any intervening
+  *    commit touched the same partitions — the caller recomputes
+  *    from the new snapshot and retries, so a streaming append that
+  *    lands mid-rewrite is folded in rather than dropped.
+  *
+  * Scale: the manifest is O(live files) text on the driver — with
+  * [[TxTable.compact]] keeping file counts bounded this stays small
+  * (Delta's delta-log + checkpoint split is the known growth path and
+  * deliberately out of scope). Readers pin a snapshot at plan time,
+  * so long queries are isolated from concurrent writers; [[TxTable.vacuum]]
+  * respects a retention horizon for exactly that reason.
+  */
+class TxTable(val spark: SparkSession, val root: String,
+              val partitionCol: String = "p_date") extends Serializable {
+  import TxTable._
+
+  private val hconf = new org.apache.hadoop.conf.Configuration(
+    spark.sparkContext.hadoopConfiguration)
+  private def rootPath = new org.apache.hadoop.fs.Path(root)
+  private def fs = rootPath.getFileSystem(hconf)
+  private def logDir = new org.apache.hadoop.fs.Path(root, LogDirName)
+
+  /** Latest committed version, or -1 for a table with no commits. */
+  def version: Long = {
+    if (!fs.exists(logDir)) return -1L
+    fs.listStatus(logDir).iterator
+      .map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The file list of snapshot `v` (with the schema recorded at that
+    * commit). Manifests are immutable — safe to read without locks.
+    */
+  def snapshot(v: Long): Snapshot = {
+    require(v >= 0, s"no committed version (asked for $v)")
+    val in = fs.open(manifestPath(v))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1).toSeq
+    val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+    val files = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(part, path) = l.split("\t", 2)
+      TxFile(path, part)
+    }
+    Snapshot(v, schema, files)
+  }
+
+  /** DataFrame over the latest snapshot (partition column recovered
+    * from the `p_date=` path segment). An empty table reads as an
+    * empty DataFrame with the last committed schema.
+    */
+  def read(): DataFrame = readSnapshot(snapshot(version))
+
+  def readSnapshot(s: Snapshot): DataFrame =
+    if (s.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    else
+      spark.read
+        .option("basePath", root)
+        .parquet(s.files.map(f => s"$root/${f.path}"): _*)
+
+  /** Stage `df` (must carry `partitionCol`) as immutable parquet files
+    * under a fresh commit directory; returns the file list for a
+    * commit. The files are invisible to readers until committed.
+    */
+  private def stage(df: DataFrame): Seq[TxFile] = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val staging = s"$root/_staging/$uuid"
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(staging)
+    // move into the canonical data/<part>=<v>/ layout (uniform depth,
+    // so the snapshot reader's partition discovery sees one structure);
+    // the uuid-prefixed name keeps every committed file unique forever,
+    // and nothing here is visible to readers until the manifest commit.
+    val out = scala.collection.mutable.ArrayBuffer.empty[TxFile]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(staging), true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val partDir = f.getParent.getName
+        val part = partDir match {
+          case PartitionDirName(_, v) => v
+          case _ => ""
+        }
+        val rel = s"data/$partDir/$uuid-${f.getName}"
+        val dest = new org.apache.hadoop.fs.Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(s"failed to move staged file $f -> $dest")
+        out += TxFile(rel, part)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    out.toSeq
+  }
+
+  /** Append-commit: stage `df`'s files, then CAS them onto whatever
+    * the latest snapshot is. Never conflicts — concurrent commits
+    * just cost a re-read of the manifest, and no committed file is
+    * ever removed by an append.
+    */
+  def append(df: DataFrame): Long = {
+    val files = stage(df)
+    val schema = df.schema
+    retryCas { v =>
+      val base = if (v < 0) Seq.empty else snapshot(v).files
+      (base ++ files, schema)
+    }
+  }
+
+  /** Rewrite the given partitions with `compute(current content of
+    * those partitions)`, under optimistic concurrency: if another
+    * commit touches one of `parts` between our snapshot read and our
+    * commit, the rewrite is recomputed from the new snapshot (up to
+    * `maxAttempts`). Partitions outside `parts` are never modified,
+    * so writers of disjoint partitions commit freely in parallel.
+    *
+    * This is the engine's upsert / incremental-refresh / compaction
+    * primitive — the moral equivalent of the reference's
+    * `INSERT ... ON CONFLICT DO UPDATE` transaction
+    * (fetchers/config/queries.py:6-18) at partition granularity.
+    */
+  def rewritePartitions(parts: Set[String], maxAttempts: Int = 20)
+                       (compute: DataFrame => DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = version
+      val snap = if (v < 0) Snapshot(-1, null, Seq.empty) else snapshot(v)
+      val current = snap.files.filter(f => parts.contains(f.partition))
+      val curDf =
+        if (current.isEmpty && snap.schema == null)
+          throw new IllegalStateException(s"rewritePartitions on uncommitted table $root")
+        else readSnapshot(Snapshot(v, snap.schema, current))
+      val result = compute(curDf)
+      val staged = stage(result)
+      val bad = staged.filterNot(f => parts.contains(f.partition))
+      require(bad.isEmpty,
+        s"rewritePartitions($parts) produced rows outside those partitions: ${bad.map(_.partition).distinct}")
+      try {
+        return commitRewrite(v, parts, staged, result.schema)
+      } catch {
+        case _: TxConflictException if attempt < maxAttempts => // recompute from fresh snapshot
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Low-level rewrite commit: replaces the files of `parts` with
+    * `adds`, failing with [[TxConflictException]] if any commit after
+    * `readVersion` changed a file inside `parts`.
+    */
+  def commitRewrite(readVersion: Long, parts: Set[String],
+                    adds: Seq[TxFile], schema: StructType): Long =
+    retryCas { v =>
+      if (v != readVersion) {
+        val before = if (readVersion < 0) Set.empty[TxFile] else snapshot(readVersion).files.toSet
+        val after = if (v < 0) Set.empty[TxFile] else snapshot(v).files.toSet
+        val changed = (before diff after) ++ (after diff before)
+        changed.find(f => parts.contains(f.partition)).foreach { f =>
+          throw new TxConflictException(
+            s"partition ${f.partition} changed by a commit after v$readVersion (saw v$v)")
+        }
+      }
+      val base = if (v < 0) Seq.empty else snapshot(v).files
+      (base.filterNot(f => parts.contains(f.partition)) ++ adds, schema)
+    }
+
+  /** First-write-wins upsert of a batch (ST4 `ON CONFLICT DO NOTHING`,
+    * fetchers/config/queries.py:4): within each touched partition,
+    * existing rows win on `keys`; new keys append. One rewrite commit
+    * per call, conflict-retried.
+    */
+  def insertIgnore(batch: DataFrame, keys: Seq[String]): Long = {
+    val parts = touchedPartitions(batch)
+    rewritePartitions(parts) { existing =>
+      existing.unionByName(
+        batch.join(existing.select(keys.map(org.apache.spark.sql.functions.col): _*),
+          keys, "left_anti"))
+    }
+  }
+
+  /** Partition values present in `df` (small distinct collect — the
+    * set of dates a batch touches, not data).
+    */
+  def touchedPartitions(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Compaction (the job CandleStream's 10 s appends need): any
+    * partition holding more than `maxFilesPerPartition` files is
+    * rewritten — hash-identical content, coalesced to one file —
+    * under the same conflict-checked commit, so compaction can run
+    * while the stream keeps appending (a mid-compaction append makes
+    * the compactor retry, never the reverse, and no row is lost
+    * either way). Returns the partitions it rewrote.
+    */
+  def compact(maxFilesPerPartition: Int = 8): Set[String] = {
+    val v = version
+    if (v < 0) return Set.empty
+    val byPart = snapshot(v).files.groupBy(_.partition)
+    val fat = byPart.collect { case (p, fs) if fs.size > maxFilesPerPartition => p }.toSet
+    fat.foreach { p => rewritePartitions(Set(p))(cur => cur.coalesce(1)) }
+    fat
+  }
+
+  /** Physically delete data files no snapshot within the last
+    * `retainVersions` references, plus manifests older than that
+    * horizon. Readers are snapshot-pinned, so retention must exceed
+    * the longest running query (the standard ACID-table tradeoff).
+    */
+  def vacuum(retainVersions: Int = 2): Int = {
+    val v = version
+    if (v < 0) return 0
+    val keepFrom = math.max(0L, v - (retainVersions - 1).toLong)
+    val live: Set[String] =
+      (keepFrom to v).flatMap(i => snapshot(i).files.map(_.path)).toSet
+    var deleted = 0
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    if (fs.exists(dataDir)) {
+      val qualifiedRoot = fs.makeQualified(rootPath).toString
+      val it = fs.listFiles(dataDir, true)
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = fs.makeQualified(f).toString.stripPrefix(qualifiedRoot + "/")
+        if (f.getName.endsWith(".parquet") && !live.contains(rel)) doomed += f
+      }
+      doomed.foreach { f => if (fs.delete(f, false)) deleted += 1 }
+    }
+    (0L until keepFrom).foreach { i =>
+      val m = manifestPath(i)
+      if (fs.exists(m)) fs.delete(m, false)
+    }
+    deleted
+  }
+
+  // ---------------------------------------------------------------- commit CAS
+
+  private def manifestPath(v: Long) =
+    new org.apache.hadoop.fs.Path(logDir, f"v$v%020d.manifest")
+
+  /** Run `build(latestVersion)` to produce the next snapshot and
+    * CAS-publish it as latest+1; on a lost race, re-runs `build`
+    * against the new latest. `build` may throw (conflict detection)
+    * — that propagates to the caller.
+    */
+  private def retryCas(build: Long => (Seq[TxFile], StructType)): Long = {
+    while (true) {
+      val v = version
+      val (files, schema) = build(v)
+      val body = (schema.json +: files.map(f => s"${f.partition}\t${f.path}"))
+        .mkString("\n")
+      if (casCreate(manifestPath(v + 1), body)) return v + 1
+    }
+    sys.error("unreachable")
+  }
+
+  /** Atomically create `target` with `body` iff it does not exist.
+    * Local filesystems: write a temp file and hard-link it into place
+    * (`link(2)` fails with EEXIST atomically — `rename(2)` would
+    * silently overwrite, and Hadoop's create(overwrite=false) on the
+    * local FS is check-then-act). HDFS: `create(overwrite=false)` is
+    * atomic at the NameNode. (S3: conditional PUT — not needed here.)
+    */
+  private def casCreate(target: org.apache.hadoop.fs.Path, body: String): Boolean = {
+    fs.mkdirs(target.getParent)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val dir = java.nio.file.Paths.get(target.getParent.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(dir, ".tmp-", ".manifest")
+      try {
+        java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+        java.nio.file.Files.createLink(java.nio.file.Paths.get(target.toUri.getPath), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs.create(target, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+}
+
+object TxTable {
+  val LogDirName = "_graft_log"
+  private val ManifestName = """v(\d+)\.manifest""".r
+  private val PartitionDirName = """([^=]+)=(.*)""".r
+
+  /** One live data file: path relative to the table root + its
+    * partition value ("" for unpartitioned).
+    */
+  final case class TxFile(path: String, partition: String)
+
+  final case class Snapshot(version: Long, schema: StructType, files: Seq[TxFile])
+}
+
+/** A rewrite lost an optimistic-concurrency race: another commit
+  * touched the same partitions after the rewrite's snapshot read.
+  */
+class TxConflictException(msg: String) extends RuntimeException(msg)

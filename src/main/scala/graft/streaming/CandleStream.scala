@@ -90,6 +90,49 @@ object CandleStream {
     * the table's age. Long-lived tables still need periodic small-file
     * compaction (standard for 10s appends).
     */
+  /** [[runPipeline]] against a [[graft.storage.TxTable]] — the
+    * concurrent-writer-safe form. Each micro-batch stages its files
+    * and append-commits them through the table's transaction log, so
+    * a maintenance rewrite (incremental refresh, compaction —
+    * AggregateMaintenance / TxTable.compact) running at the same
+    * moment can never drop the batch's files: rewrites are
+    * partition-conflict-checked and retried, appends are
+    * never-conflicting (TxLog.scala). First-write-wins (ST4) holds
+    * because the anti-join reads the snapshot the commit builds on.
+    * The reference gets this interleaving safety from Postgres MVCC;
+    * plain-parquet [[runPipeline]] remains for single-writer tables.
+    */
+  def runPipelineTx(stream: DataFrame, table: graft.storage.TxTable,
+                    checkpoint: String, triggerSecs: Int = 10,
+                    watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    closedCandles(stream, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions.{col, to_date}
+        if (!batch.isEmpty) {
+          val incoming = CandleOps.dedup(batch.toDF())
+            .withColumn("p_date", to_date(col("time")))
+          if (table.version < 0) table.append(incoming)
+          else {
+            // first-write-wins against the current snapshot, pruned to
+            // the batch's own partitions (partition pruning at scale);
+            // a re-delivered batch after crash recovery anti-joins to
+            // nothing — the idempotent ST4/ST6 sink policy.
+            val parts = table.touchedPartitions(incoming)
+            val existing = table.read()
+              .filter(col("p_date").cast("string").isInCollection(parts))
+              .select((CandleOps.keyCols :+ "time").map(col): _*)
+            table.append(
+              incoming.join(existing, CandleOps.keyCols :+ "time", "left_anti"))
+          }
+        }
+        ()
+      }
+      .start()
+
   def runPipeline(stream: DataFrame, tablePath: String, checkpoint: String,
                   triggerSecs: Int = 10, watermark: String = "1 hour")
       : org.apache.spark.sql.streaming.StreamingQuery = {

@@ -1,0 +1,153 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The concurrent-writer contract the round-2 verdict flagged as the
+  * last 100 TB correctness hole: streaming appends and maintenance
+  * partition-rewrites interleaving on one table must lose nothing.
+  */
+class TxTableSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private def freshTable(): TxTable = {
+    val dir = java.nio.file.Files.createTempDirectory("txtable").toString
+    new TxTable(spark, dir)
+  }
+
+  private def rows(ids: Range, date: String) =
+    ids.map(i => (i.toLong, s"v$i", java.sql.Date.valueOf(date)))
+      .toDF("id", "v", "p_date")
+
+  test("append then read round-trips with partition recovery") {
+    val t = freshTable()
+    t.append(rows(0 until 10, "2021-01-01"))
+    t.append(rows(10 until 20, "2021-01-02"))
+    val got = t.read()
+    assert(got.count() == 20)
+    assert(got.schema.fieldNames.toSet == Set("id", "v", "p_date"))
+    assert(got.filter(col("p_date") === "2021-01-02").count() == 10)
+    assert(t.version == 1)
+  }
+
+  test("empty table reads as empty DataFrame after a zero-row commit") {
+    val t = freshTable()
+    t.append(rows(0 until 0, "2021-01-01"))
+    assert(t.read().count() == 0)
+    assert(t.read().schema.fieldNames.contains("id"))
+  }
+
+  test("stale rewrite commit conflicts; append never does") {
+    val t = freshTable()
+    t.append(rows(0 until 5, "2021-01-01"))
+    val readV = t.version
+    // an append lands after our snapshot read, same partition
+    t.append(rows(5 until 10, "2021-01-01"))
+    intercept[TxConflictException] {
+      t.commitRewrite(readV, Set("2021-01-01"), Seq.empty, t.read().schema)
+    }
+    // disjoint partition: same staleness, no conflict
+    t.commitRewrite(readV, Set("2099-12-31"), Seq.empty, t.read().schema)
+    assert(t.read().count() == 10) // nothing lost by either commit
+  }
+
+  test("rewritePartitions retry folds in a mid-rewrite append") {
+    val t = freshTable()
+    t.append(rows(0 until 5, "2021-01-01"))
+    var injected = false
+    t.rewritePartitions(Set("2021-01-01")) { cur =>
+      if (!injected) { injected = true; t.append(rows(100 until 105, "2021-01-01")) }
+      cur // identity rewrite; first attempt must conflict and re-read
+    }
+    // the injected rows survive because the losing rewrite retried
+    assert(t.read().count() == 10)
+    assert(t.read().filter(col("id") >= 100).count() == 5)
+  }
+
+  test("insertIgnore is first-write-wins per key") {
+    val t = freshTable()
+    t.append(rows(0 until 5, "2021-01-01"))
+    val batch = (3 until 8).map(i => (i.toLong, s"NEW$i", java.sql.Date.valueOf("2021-01-01")))
+      .toDF("id", "v", "p_date")
+    t.insertIgnore(batch, Seq("id"))
+    val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 8)
+    assert(got(3) == "v3" && got(4) == "v4") // existing wins
+    assert(got(7) == "NEW7")
+  }
+
+  test("concurrent appender vs partition-rewriter: zero lost, zero duplicated") {
+    val t = freshTable()
+    t.append(rows(0 until 1, "2021-01-01"))
+    val nBatches = 12
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appender = new Thread(() => {
+      try (1 to nBatches).foreach { b =>
+        t.append(rows(b * 100 until b * 100 + 10, "2021-01-01"))
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val rewriter = new Thread(() => {
+      try (1 to 6).foreach { _ =>
+        // maintenance-style rewrite: recompute the partition's own
+        // content (identity refresh) + compaction passes
+        t.rewritePartitions(Set("2021-01-01"))(cur => cur.coalesce(1))
+        Thread.sleep(30)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    appender.start(); rewriter.start()
+    appender.join(120000); rewriter.join(120000)
+    assert(errs.isEmpty, s"writer threads failed: ${errs.toArray.mkString(";")}")
+    val ids = t.read().select("id").as[Long].collect().sorted.toSeq
+    val expected = (Seq(0L) ++ (1 to nBatches).flatMap(b => b * 100 until b * 100 + 10).map(_.toLong)).sorted
+    assert(ids == expected) // every appended row exactly once
+  }
+
+  test("compact bounds file count and preserves content exactly") {
+    val t = freshTable()
+    (0 until 12).foreach(b => t.append(rows(b * 10 until b * 10 + 10, "2021-01-01")))
+    val before = t.read().orderBy("id").collect().toSeq
+    val filesBefore = t.snapshot(t.version).files.size
+    assert(filesBefore > 8)
+    val rewrote = t.compact(maxFilesPerPartition = 8)
+    assert(rewrote == Set("2021-01-01"))
+    assert(t.snapshot(t.version).files.size == 1)
+    assert(t.read().orderBy("id").collect().toSeq == before)
+  }
+
+  test("vacuum deletes only unreferenced files; latest snapshot still reads") {
+    val t = freshTable()
+    (0 until 6).foreach(b => t.append(rows(b * 10 until b * 10 + 10, "2021-01-01")))
+    t.compact(maxFilesPerPartition = 2)
+    val before = t.read().orderBy("id").collect().toSeq
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted >= 6) // the pre-compaction files are gone
+    assert(t.read().orderBy("id").collect().toSeq == before)
+  }
+
+  test("runPipelineTx + writePartitionedTx interleave on one table family") {
+    // the verdict's exact scenario, deterministic form: maintenance
+    // rewrite lands between a batch's snapshot read and commit
+    val t = freshTable()
+    val base = (0 until 60).map { i =>
+      (java.sql.Timestamp.valueOf(f"2021-01-01 00:${i % 60}%02d:00"),
+        "binance", "BTC", "USDT", 1d, 2d, 0.5d, 1.5d, (i + 1).toDouble)
+    }.toDF("time", "exchange", "base_id", "quote_id", "open", "high", "low", "close", "volume")
+    graft.maintenance.AggregateMaintenance.writePartitionedTx(base, t, timeCol = "time")
+    val v0 = t.read().count()
+    assert(v0 == 60)
+    // refresh rewrite again while an append happens mid-rewrite
+    var injected = false
+    t.rewritePartitions(Set("2021-01-01")) { cur =>
+      if (!injected) {
+        injected = true
+        t.append(Seq((java.sql.Timestamp.valueOf("2021-01-01 12:00:00"),
+          "binance", "ETH", "USDT", 1d, 2d, 0.5d, 1.5d, 9d,
+          java.sql.Date.valueOf("2021-01-01")))
+          .toDF("time", "exchange", "base_id", "quote_id", "open", "high", "low", "close", "volume", "p_date"))
+      }
+      cur
+    }
+    assert(t.read().count() == 61)
+    assert(t.read().filter(col("base_id") === "ETH").count() == 1)
+  }
+}

@@ -102,4 +102,41 @@ class CandleStreamSpec extends SparkSpec {
         .first().getAs[Double]("close") == 102.0, "first write must win across restarts")
     } finally q2.stop()
   }
+
+  test("runPipelineTx: tx-log sink stays idempotent and survives a concurrent compaction") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("pipetx").toFile.getAbsolutePath
+    val table = new graft.storage.TxTable(spark, s"$dir/ohlcvs")
+
+    val in = MemoryStream[WsCandle]
+    val q = CandleStream.runPipelineTx(in.toDF(), table, s"$dir/ckpt",
+      triggerSecs = 1, watermark = "2 minutes")
+    try {
+      in.addData(ws(0, 100.0, 1.0), ws(240000, 110.0, 5.0)) // 13:45 closes
+      q.processAllAvailable()
+      assert(table.read().count() == 1)
+      // maintenance rewrite between micro-batches — the scenario plain
+      // parquet cannot survive (dynamic overwrite drops appended files)
+      table.rewritePartitions(table.touchedPartitions(table.read()))(cur => cur.coalesce(1))
+      in.addData(ws(480000, 120.0, 7.0)) // 13:53 -> watermark passes 13:50, closing 13:49
+      q.processAllAvailable()
+      val t1 = table.read()
+      assert(t1.count() == 2, "append after rewrite must land")
+      assert(t1.filter(col("time") === timestamp_millis(lit(t0)))
+        .first().getAs[Double]("close") == 100.0)
+    } finally q.stop()
+
+    // fresh query instance re-delivers an overlapping bucket: the
+    // snapshot anti-join keeps the sink idempotent (ST4/ST6)
+    val in2 = MemoryStream[WsCandle]
+    val q2 = CandleStream.runPipelineTx(in2.toDF(), table, s"$dir/ckpt2",
+      triggerSecs = 1, watermark = "2 minutes")
+    try {
+      in2.addData(ws(5000, 999.0, 9.0), ws(360000, 130.0, 8.0))
+      q2.processAllAvailable()
+      val t2 = table.read()
+      assert(t2.filter(col("time") === timestamp_millis(lit(t0)))
+        .first().getAs[Double]("close") == 100.0, "first write must win across restarts")
+    } finally q2.stop()
+  }
 }
