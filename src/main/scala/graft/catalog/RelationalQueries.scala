@@ -203,7 +203,34 @@ object RelationalQueries {
       |    SELECT event_id, event_type FROM events WHERE value > 50 AND event_type = 'click'))
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** J8: FK `ON DELETE CASCADE` as the explicit double-delete job
+    * (AggregateMaintenance.cascadeDelete; reference
+    * create_tables.sql:66-70 + delete_queries.sql): delete the
+    * BUILDING-segment customers, cascade to their orders, and verify
+    * both surviving tables in one deterministic output.
+    */
+  private def cascadeDelete(s: SparkSession, d: String): DataFrame = {
+    val (dim, Seq(orders)) = graft.maintenance.AggregateMaintenance.cascadeDelete(
+      Tables.customer(s, d), col("c_mktsegment") === "BUILDING", Seq("c_custkey"),
+      Seq(Tables.orders(s, d).withColumnRenamed("o_custkey", "c_custkey"))) : @unchecked
+    orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).cast("long").as("price_cents"))
+      .crossJoin(dim.agg(count(lit(1)).as("n_dim_survivors")))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val cascadeDeleteSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+       |       CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS price_cents,
+       |       (SELECT count(*) FROM customer WHERE c_mktsegment <> 'BUILDING') AS n_dim_survivors
+       |FROM orders
+       |WHERE NOT EXISTS (SELECT 1 FROM customer
+       |                  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_cascade_delete" -> cascadeDelete,
     "rel_join_revenue"   -> joinRevenue,
     "rel_latest_order"   -> latestOrder,
     "rel_anti_join"      -> antiJoin,
@@ -216,6 +243,7 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rel_cascade_delete" -> cascadeDeleteSql,
     "rel_join_revenue"   -> joinRevenueSql,
     "rel_latest_order"   -> latestOrderSql,
     "rel_anti_join"      -> antiJoinSql,

@@ -92,6 +92,46 @@ object AggregateMaintenance {
   def prune(base: DataFrame, symExch: DataFrame): DataFrame =
     OhlcvAnalytics.pruneToCommon(base, OhlcvAnalytics.commonBaseQuote(symExch))
 
+  /** J8 — `ON DELETE CASCADE` as an orchestrated maintenance job: the
+    * reference declares the FK ohlcvs(exchange, base_id, quote_id) →
+    * symbol_exchange with cascade (schemas/create_tables.sql:66-70)
+    * and Postgres deletes fact rows whenever a dim row dies; an
+    * immutable-file table has no triggers, so the engine runs the
+    * double delete explicitly. Generic form: drop `doomed` rows from
+    * `dim`, then anti-join every fact table on the FK `keys`.
+    *
+    * Scale: the doomed key set is a dim subset (small) — broadcast
+    * anti-join, no shuffle of the facts; with a TxTable sink, write
+    * the result back with [[writePartitionedTx]] so the delete is one
+    * conflict-checked commit per table.
+    */
+  def cascadeDelete(dim: DataFrame, doomed: Column, keys: Seq[String],
+                    facts: Seq[DataFrame]): (DataFrame, Seq[DataFrame]) = {
+    val dead = dim.filter(doomed).select(keys.map(col): _*).distinct()
+    (dim.join(broadcast(dead), keys, "left_anti"),
+      facts.map(_.join(broadcast(dead), keys, "left_anti")))
+  }
+
+  /** The candle-schema cascade: deleting symbol_exchange rows removes
+    * their ohlcvs + every maintained rollup (FK keys) and their
+    * ohlcvs_errors rows (keyed by the API's (exchange, symbol) pair —
+    * create_tables.sql:58-59). Returns all surviving tables.
+    */
+  def cascadeDeleteSymbols(symExch: DataFrame, doomed: Column, base: DataFrame,
+                           rollups: Map[String, DataFrame],
+                           errors: DataFrame): CascadeResult = {
+    val keys = Seq("exchange", "base_id", "quote_id")
+    val (dim, base2 +: rolls) =
+      cascadeDelete(symExch, doomed, keys, base +: Schemas.rollupIntervals.map(rollups)) : @unchecked
+    val deadSymbols = symExch.filter(doomed)
+      .select(col("exchange"), col("symbol")).distinct()
+    CascadeResult(dim, base2, Schemas.rollupIntervals.zip(rolls).toMap,
+      errors.join(broadcast(deadSymbols), Seq("exchange", "symbol"), "left_anti"))
+  }
+
+  case class CascadeResult(symbolExchange: DataFrame, base: DataFrame,
+                           rollups: Map[String, DataFrame], errors: DataFrame)
+
   /** The 100 TB write path: date-partitioned parquet with dynamic
     * partition overwrite, so refresh jobs touch only changed dates.
     * Sort within partitions by key+time for parquet min/max skipping
