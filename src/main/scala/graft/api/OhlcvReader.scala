@@ -93,12 +93,20 @@ object OhlcvReader {
     */
   def readCached(cache: QueryCache, base: DataFrame,
                  rollups: Map[String, DataFrame], p: Params): DataFrame =
-    cache.getOrCompute(cacheKey(p))(read(base, rollups, p))
+    cache.getOrCompute(cacheKey(p, base, rollups))(read(base, rollups, p))
 
-  /** Rendered-parameters cache key (≙ the reference's statement+params
-    * dogpile key — two reads are interchangeable iff all params match).
+  /** Rendered-parameters + source cache key (≙ the reference's
+    * statement+params dogpile key — its rendered SQL names the table,
+    * so two reads are interchangeable iff the params AND the scanned
+    * relations match). The source part is the semantic hash of each
+    * input plan: pass a different base/rollup snapshot (or a freshly
+    * re-read table) and the key changes instead of serving the other
+    * snapshot's rows.
     */
-  def cacheKey(p: Params): String = p.toString
+  def cacheKey(p: Params, base: DataFrame, rollups: Map[String, DataFrame]): String =
+    p.toString + "|base=" + base.semanticHash() +
+      rollups.toSeq.sortBy(_._1)
+        .map { case (k, df) => s"|$k=${df.semanticHash()}" }.mkString
 
   /** readers.py:210-244: spine from min(bucket) to the *requested end*
     * (not max(data) — a live chart always has a trailing gap up to

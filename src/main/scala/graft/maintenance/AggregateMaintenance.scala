@@ -138,7 +138,8 @@ object AggregateMaintenance {
     * of the composite-key point lookups (replaces the reference's
     * B-tree indexes, create.sql:76-83).
     */
-  def writePartitioned(df: DataFrame, path: String, timeCol: String = "bucket"): Unit =
+  def writePartitioned(df: DataFrame, path: String, timeCol: String = "bucket",
+                       invalidate: Seq[graft.api.QueryCache] = Nil): Unit = {
     df.withColumn("p_date", to_date(col(timeCol)))
       .repartition(col("p_date"))
       .sortWithinPartitions(
@@ -148,6 +149,10 @@ object AggregateMaintenance {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+    // refreshed results must surface now, not after the 2 h TTL the
+    // reference rides out (caching.py region invalidation)
+    invalidate.foreach(_.invalidateAll())
+  }
 
   /** [[writePartitioned]] through a transaction log: replaces exactly
     * the date partitions `df` covers, conflict-checked against
@@ -157,9 +162,10 @@ object AggregateMaintenance {
     * plain [[writePartitioned]] stays for single-writer bulk jobs.
     */
   def writePartitionedTx(df: DataFrame, table: graft.storage.TxTable,
-                         timeCol: String = "bucket"): Unit = {
+                         timeCol: String = "bucket",
+                         invalidate: Seq[graft.api.QueryCache] = Nil): Unit = {
     val dated = df.withColumn("p_date", to_date(col(timeCol)))
-    if (table.version < 0) { table.append(dated); return }
+    if (table.version < 0) { table.append(dated); invalidate.foreach(_.invalidateAll()); return }
     val parts = table.touchedPartitions(dated)
     table.rewritePartitions(parts) { existing =>
       // recompute-from-snapshot contract: the refreshed content for
