@@ -45,6 +45,42 @@ object ExchangeFormats {
       .transform(dropNonCandles(keepMalformed))
   }
 
+  /** Subscription-state builder: derive the chanId→symbol dim from the
+    * subscribe-ack frames inside the capture itself, the way the
+    * reference's WS loop does (`wssymbol_mapping[respj['key']]` on
+    * `event == "subscribed"` then `chanid_mapping[respj['chanId']]`,
+    * fetchers/ws/bitfinex.py:107-143). The ack's key is
+    * `trade:<tf>:t<symbol>` (subscribe_one builds it with
+    * make_tsymbol = 't'+symbol — bitfinex.py:101-106, rest/bitfinex
+    * .py:112-120), so the symbol is the key minus that prefix.
+    *
+    * Like the reference's per-connection dict, one mapping per
+    * chanId is assumed within a capture; replaying captures that
+    * re-use a chanId across reconnects should split per connection
+    * first (the reference never faces this — it rebuilds the dict on
+    * reconnect).
+    */
+  def bitfinexSubscriptions(raw: DataFrame, jsonCol: String): DataFrame =
+    raw.select(
+        expr(s"try_cast(get_json_object($jsonCol, '$$.chanId') AS int)").as("chan_id"),
+        expr(s"get_json_object($jsonCol, '$$.event')").as("event"),
+        expr(s"get_json_object($jsonCol, '$$.key')").as("key"))
+      .filter(col("event") === "subscribed" && col("chan_id").isNotNull)
+      .select(col("chan_id"),
+        regexp_extract(col("key"), "^trade:[^:]+:t(.+)$", 1).as("symbol"))
+      .filter(col("symbol") =!= "")
+      .distinct()
+
+  /** End-to-end Bitfinex capture replay: no hand-built chanSymbols —
+    * the subscription state comes from the capture's own ack frames
+    * ([[bitfinexSubscriptions]]), candle frames then resolve through
+    * it exactly as in [[parseBitfinex]].
+    */
+  def parseBitfinexCapture(raw: DataFrame, jsonCol: String, symExch: DataFrame,
+                           keepMalformed: Boolean = false): DataFrame =
+    parseBitfinex(raw, jsonCol, bitfinexSubscriptions(raw, jsonCol),
+      symExch, keepMalformed)
+
   /** Non-candle frames (heartbeats like `[chanId,"hb"]`, subscription
     * acks, malformed JSON) parse to null ts_ms, and a well-formed
     * candle whose chan_id/symbol misses the dim join has null

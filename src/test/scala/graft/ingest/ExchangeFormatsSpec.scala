@@ -22,6 +22,29 @@ class ExchangeFormatsSpec extends SparkSpec {
     assert(r.getAs[Double]("low") == 2618.0)
   }
 
+  test("Bitfinex raw capture replays end-to-end: acks build the chanId dim") {
+    // a realistic mixed capture: subscribe acks, info banner, heartbeat,
+    // candle frames (one for a channel whose ack is for another symbol),
+    // and garbage — no hand-built chanSymbols anywhere
+    val raw = Seq(
+      """{"event":"info","version":2}""",
+      """{"event":"subscribed","channel":"candles","chanId":17,"key":"trade:1m:tETHUSD"}""",
+      """{"event":"subscribed","channel":"candles","chanId":23,"key":"trade:1m:tBTCUSD"}""",
+      """[17,"hb"]""",
+      """[17, [1629294300000, 2619.4, 2621.0, 2625.0, 2618.0, 0.05]]""",
+      """[23, [1629294300000, 45000.0, 45100.0, 45200.0, 44900.0, 1.25]]""",
+      """not json at all"""
+    ).toDF("j")
+    val subs = ExchangeFormats.bitfinexSubscriptions(raw, "j")
+    assert(subs.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((17, "ETHUSD"), (23, "BTCUSD")))
+    val candles = ExchangeFormats.parseBitfinexCapture(raw, "j", symExch)
+    // BTCUSD has no symbol_exchange row -> dim-miss dropped; ETHUSD lands
+    val r = candles.collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("base_id") == "ETH" && r.head.getAs[Double]("close") == 2621.0)
+  }
+
   test("Binance kline JSON parses (numeric strings on the wire)") {
     val raw = Seq(
       """{"s":"ETHBTC","k":{"t":1629294300000,"o":"0.061","h":"0.062","l":"0.060","c":"0.0615","v":"12.5"}}"""
