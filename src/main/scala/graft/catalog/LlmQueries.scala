@@ -148,7 +148,12 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.charNgrams(col("text"), 5)).as("gs"))
     val exploded = g.select(col("doc_id").as("id"), explode(col("gs")).as("s"))
-    val cand = Dedup.minHashCandidates(exploded, 24, 3)
+    // threshold-aware generator: at this query's t=0.5 it selects the
+    // LSH path (recall curve documented above); at t >= 0.7 it would
+    // flip to the exact prefix filter with recall 1 — the catalog's
+    // published contract is "pairs the generator surfaces, verified
+    // exactly", not all-pairs, below that cliff
+    val cand = Dedup.jaccardCandidates(exploded, 0.5)
     val a = g.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
       col("source").as("source_a"), col("gs").as("ga"))
     val b = g.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
@@ -385,7 +390,13 @@ object LlmQueries {
       .orderBy(r4(col("sim")).desc, col("id"))
 
   /** 5 unrolled Lloyd iterations + probe, mirroring
-    * [[Similarity.kMeansFit]]/[[Similarity.ivfKMeansTopK]] exactly.
+    * [[Similarity.kMeansFit]]/[[Similarity.ivfKMeansTopK]]: the argmin
+    * orders by the same explicit ascending-index squared distance both
+    * sides (no sqrt — see d2Sql below). Residual caveat: both engines'
+    * `avg()` centroid recompute is summation-order-dependent, so the
+    * compare is fixture-stable (assignments diverge only on <1e-12
+    * centroid-distance near-ties, absent here), not proof of
+    * engine-exactness over 5 iterations.
     */
   private val kmeansIvfSql: String = {
     val k = 8; val iters = 5; val dimPlus1 = 65
@@ -396,12 +407,18 @@ object LlmQueries {
          |  GROUP BY 1, 2
          |), cents$i AS (SELECT cell, list(c ORDER BY i) AS centroid FROM comp$i GROUP BY 1)"""
         .stripMargin
+    // squared distance as an explicit ascending-index sum of products,
+    // matching the Spark side's aggregate-fold exactly: list_distance's
+    // sqrt could collapse distinct squared distances into float ties
+    // that the cell tiebreak then resolves differently per engine
+    def d2Sql(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, $dimPlus1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
     def assignCte(i: Int, cents: String): String =
       s"""assign$i AS (
          |  SELECT id, v, cell FROM (
          |    SELECT p.id, p.v, c.cell,
          |           row_number() OVER (PARTITION BY p.id
-         |             ORDER BY list_distance(p.v, c.centroid), c.cell) AS rn
+         |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
          |    FROM pts p CROSS JOIN $cents c)
          |  WHERE rn = 1)""".stripMargin
     val iterCtes = (1 to iters).map { i =>
@@ -419,7 +436,7 @@ object LlmQueries {
        |  SELECT id, v, cell FROM (
        |    SELECT p.id, p.v, c.cell,
        |           row_number() OVER (PARTITION BY p.id
-       |             ORDER BY list_distance(p.v, c.centroid), c.cell) AS rn
+       |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
        |    FROM pts p CROSS JOIN cents$iters c)
        |  WHERE rn = 1
        |), best AS (
@@ -446,7 +463,10 @@ object LlmQueries {
     * exact). Natural max cosine in this data is ~0.51, so the
     * detector's hits are exactly the constructed set. The oracle SQL
     * stays all-pairs (ground truth); the Spark plan is bucket-local
-    * with no driver collect.
+    * with no driver collect. On data with threshold-grazing pairs the
+    * LSH recall floor is ≥0.93 at 0.9 (nbits=64 default — see
+    * [[Similarity.nearDupPairs]]); [[Similarity.nearDupPairsExact]]
+    * is the contract-exact quadratic mode.
     */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)

@@ -46,10 +46,21 @@ case class Inflate(child: Expression) extends UnaryExpression {
 }
 
 object Inflate {
-  /** Raw-deflate inflate, zlib-headered fallback, null on failure.
-    * Mirrors the reference's try order (bittrex.py:331-335).
+  /** Decompression bomb guard: a WS candle frame inflates to a few KB;
+    * anything past this bound is hostile or corrupt and degrades to
+    * NULL like any other undecodable frame. (The reference inflates
+    * unbounded — bittrex.py:331-335 — which a crafted capture could
+    * use to OOM the process; an engine executor can do better.)
     */
-  def tryInflate(in: Array[Byte]): Array[Byte] = {
+  val MaxOutputBytes: Int = 8 << 20
+
+  /** Raw-deflate inflate, zlib-headered fallback, null on failure or
+    * past `maxBytes` of output. Mirrors the reference's try order
+    * (bittrex.py:331-335).
+    */
+  def tryInflate(in: Array[Byte]): Array[Byte] = tryInflate(in, MaxOutputBytes)
+
+  def tryInflate(in: Array[Byte], maxBytes: Int): Array[Byte] = {
     def run(nowrap: Boolean): Array[Byte] = {
       val inf = new java.util.zip.Inflater(nowrap)
       try {
@@ -60,6 +71,9 @@ object Inflate {
           val n = inf.inflate(buf)
           if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
             throw new java.util.zip.DataFormatException("truncated or dictionary frame")
+          if (out.size().toLong + n > maxBytes)
+            throw new java.util.zip.DataFormatException(
+              s"inflated output exceeds $maxBytes bytes (deflate bomb?)")
           out.write(buf, 0, n)
         }
         out.toByteArray

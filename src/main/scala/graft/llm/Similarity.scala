@@ -92,9 +92,14 @@ object Similarity {
     *
     * Recall: pairs at cosine 1.0 (scaled copies) share all bands —
     * recall 1. For threshold-grazing pairs recall is the standard SRP
-    * tradeoff 1−(1−(1−θ/π)^bandsOf)^(nbits/bandsOf); raise nbits or
-    * lower bandsOf for more recall at more candidate cost. Verification
-    * is exact, so precision is always 1.
+    * tradeoff 1−(1−(1−θ/π)^bandsOf)^(nbits/bandsOf). At the defaults
+    * (nbits=64, bandsOf=8 → 8 bands) and the advertised threshold
+    * 0.9 (θ≈0.451, per-bit agreement ≈0.856) this is ≥0.93 — the
+    * stated recall floor; the earlier nbits=32 default was ~0.74
+    * there. Raise nbits or lower bandsOf for more recall at more
+    * candidate cost; callers needing the literal all-pairs contract
+    * use [[nearDupPairsExact]]. Verification is exact, so precision
+    * is always 1 either way.
     *
     * Determinism: the verify dot folds ascending-index over doubles
     * ([[dot]]), matching DuckDB's list_dot_product bit-for-bit.
@@ -102,7 +107,7 @@ object Similarity {
     * @param dim embedding dimensionality (hyperplane width)
     */
   def nearDupPairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
-                   dim: Int = 64, nbits: Int = 32, bandsOf: Int = 8): DataFrame = {
+                   dim: Int = 64, nbits: Int = 64, bandsOf: Int = 8): DataFrame = {
     val prepared = df.select(id.cast("long").as("id"),
         transform(vec, x => x.cast("double")).as("v"))
       .withColumn("n", l2Norm(col("v")))
@@ -111,6 +116,27 @@ object Similarity {
     val a = prepared.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = prepared.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
+      .filter(col("c") >= threshold)
+  }
+
+  /** Exact all-pairs mode of [[nearDupPairs]]: recall exactly 1 at
+    * any threshold, at O(N²/2) verified pairs — the mode to use when
+    * the public contract is "every pair ≥ threshold" and the data may
+    * hold threshold-grazing pairs LSH would sample away. Distributed
+    * (the pair space shuffles across executors), but quadratic:
+    * right for ≤10⁵-vector partitions (dedup within a shard/day),
+    * not whole-corpus sweeps — that's what the LSH path is for.
+    */
+  def nearDupPairsExact(df: DataFrame, id: Column, vec: Column,
+                        threshold: Double): DataFrame = {
+    val prepared = df.select(id.cast("long").as("id"),
+        transform(vec, x => x.cast("double")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
+    val a = prepared.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = prepared.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
       .filter(col("c") >= threshold)

@@ -154,6 +154,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expected, s"unexpected extra pairs: ${(got -- expected).take(5)}")
   }
 
+  test("nearDupPairsExact matches LSH output on the fixture and keeps recall 1 by construction") {
+    import graft.core.Tables
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pert = base.filter(col("id") % 10 === 0)
+      .select((col("id") + 10000000L).as("id"),
+        transform(col("v"), x => x * 2.0d).as("v"))
+    val all = base.unionByName(pert)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.nearDupPairsExact(all, col("id"), col("v"), 0.9d))
+    val lsh = pairSet(Similarity.nearDupPairs(all, col("id"), col("v"), 0.9d))
+    assert(exact == lsh, "fixture has no threshold-grazing pairs, so the modes must agree")
+    assert(exact.nonEmpty)
+  }
+
+  test("jaccardCandidates: exact prefix filter above the cliff, LSH below") {
+    import graft.core.Tables
+    val exploded = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 5).limit(50)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(TextOps.charNgrams(col("text"), 5))).as("s"))
+    // t=0.8: prefix-filter candidates must be a superset of all true
+    // J>=0.8 pairs (recall exactly 1); verify against brute force
+    val cand = Dedup.jaccardCandidates(exploded, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = exploded.groupBy("id").agg(collect_set("s").as("ss")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val truth = sets.keys.toSeq.sorted.combinations(2).collect {
+      case Seq(a, b) if {
+        val i = sets(a).intersect(sets(b)).size
+        i.toDouble / (sets(a).size + sets(b).size - i) >= 0.8
+      } => (a, b)
+    }.toSet
+    assert(truth.subsetOf(cand), s"prefix filter missed: ${(truth -- cand).take(3)}")
+  }
+
   test("kMeans IVF: deterministic, and probed cell holds the true nearest neighbor") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sfDir)
