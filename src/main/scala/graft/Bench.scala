@@ -27,20 +27,35 @@ object Bench {
     // clock per query; class-loading noise would land on the first).
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Noise hygiene (round-2 verdict: a shared box inflated untouched
+    // sub-second queries 2-3x between rounds): run the whole catalog
+    // `rounds` times INTERLEAVED — a load spike lands on one round of
+    // many queries instead of one query's only sample — and report the
+    // per-query MEDIAN. Two consecutive bench invocations then agree
+    // per query instead of only in aggregate.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to rounds; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      samples.updateWith(name)(s => Some((System.nanoTime() - t0) / 1e9 :: s.getOrElse(Nil)))
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map(n => n -> median(samples(n)))
     // Locale.ROOT: %.3f under a comma-decimal default locale would
     // emit malformed JSON.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds}""")
     spark.stop()
   }
 }
