@@ -50,21 +50,24 @@ object AggregateMaintenance {
     */
   def refreshBuckets(existing: DataFrame, base: DataFrame, batch: DataFrame,
                      widthSec: Long): DataFrame = {
+    // ONE driver action per trigger: the micro-batch's distinct touched
+    // buckets are O(batch span / width) — a handful of timestamps, the
+    // same legitimate driver state as broadcast-join build sides. With
+    // the set in hand, both the base prune and the bucket membership
+    // tests become literal predicates (codegen'd, file-stats-skippable,
+    // partition-prunable), replacing a separate bounds job plus two
+    // broadcast joins that each re-evaluated `touched`.
     val touched = batch
       .select(bucketOf(col("time"), widthSec).as("bucket")).distinct()
-    // time-range prune BEFORE the semi join: with a date-partitioned
-    // base the range predicate becomes partition pruning, so the scan
-    // is O(touched window), not O(table)
-    val bounds = touched.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi")).first()
-    val pruned =
-      if (bounds.isNullAt(0)) base.limit(0)
-      else base.filter(col("time") >= bounds.getTimestamp(0) &&
-        col("time") < lit(bounds.getTimestamp(1)) + expr(s"interval $widthSec seconds"))
+      .collect().map(_.getTimestamp(0))
+    if (touched.isEmpty) return existing
+    val (lo, hi) = (touched.min, touched.max)
+    val pruned = base.filter(col("time") >= lit(lo) &&
+      col("time") < lit(hi) + expr(s"interval $widthSec seconds"))
     val fresh = CandleOps.rollup(
-      pruned.join(broadcast(touched),
-        bucketOf(col("time"), widthSec) === touched("bucket"), "left_semi"),
+      pruned.filter(bucketOf(col("time"), widthSec).isInCollection(touched.toIndexedSeq)),
       widthSec)
-    existing.join(broadcast(touched), Seq("bucket"), "left_anti")
+    existing.filter(!col("bucket").isInCollection(touched.toIndexedSeq))
       .unionByName(fresh)
   }
 

@@ -114,13 +114,16 @@ object Analytics {
     * stage 1 aggregates on (keys, salt) spreading a hot key over
     * `saltBuckets` reducers; stage 2 merges the partials on the true
     * key. Use when AQE skew handling isn't enough (e.g. a single key
-    * holding >1 executor's worth of rows). Sums of exact-integer
-    * inputs are order-independent; for doubles the result may differ
-    * in the last ulp from a direct sum, like any re-partitioning.
+    * holding >1 executor's worth of rows). The salt is a content hash
+    * of the whole row, so partials (and thus double-summation order)
+    * are stable across partition layouts — reruns of the same data
+    * bit-agree even for doubles; exact duplicates of one row land in
+    * one bucket, which only matters if a single key is dominated by
+    * copies of a single identical row.
     */
   def saltedSum(df: DataFrame, keys: Seq[Column], value: Column,
                 saltBuckets: Int, resultName: String = "sum"): DataFrame = {
-    val salt = pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
     df.groupBy((keys :+ salt.as("__salt")): _*)
       .agg(sum(value).as("__partial"))
       .groupBy(keys: _*)

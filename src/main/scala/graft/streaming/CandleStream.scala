@@ -112,16 +112,19 @@ object CandleStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$triggerSecs seconds"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions.{col, to_date}
-        if (!batch.isEmpty) {
-          val incoming = CandleOps.dedup(batch.toDF())
-            .withColumn("p_date", to_date(col("time")))
+        // ONE tiny driver action per trigger: the touched-partition set
+        // doubles as the emptiness check (dedup can't change the date
+        // set, so it's computed on the raw batch — no cache needed).
+        val withDate = batch.toDF().withColumn("p_date", to_date(col("time")))
+        val parts = table.touchedPartitions(withDate)
+        if (parts.nonEmpty) {
+          val incoming = CandleOps.dedup(withDate)
           if (table.version < 0) table.append(incoming)
           else {
             // first-write-wins against the current snapshot, pruned to
             // the batch's own partitions (partition pruning at scale);
             // a re-delivered batch after crash recovery anti-joins to
             // nothing — the idempotent ST4/ST6 sink policy.
-            val parts = table.touchedPartitions(incoming)
             val existing = table.read()
               .filter(col("p_date").cast("string").isInCollection(parts))
               .select((CandleOps.keyCols :+ "time").map(col): _*)
@@ -142,12 +145,21 @@ object CandleStream {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$triggerSecs seconds"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        import org.apache.spark.sql.functions.{col, lit, to_date}
-        // empty micro-batches (watermark-advance ticks) must not write:
-        // an empty parquet append creates a schemaless directory that
-        // breaks the next batch's read-back.
-        if (!batch.isEmpty) {
-          val incoming = CandleOps.dedup(batch.toDF()).cache()
+        import org.apache.spark.sql.functions.{col, count, lit, to_date}
+        // ONE driver action per trigger: row count (empty micro-batches
+        // — watermark-advance ticks — must not write: an empty parquet
+        // append creates a schemaless directory that breaks the next
+        // batch's read-back) and min date (prunes the dedup read to the
+        // dates this batch touches — a 10s trigger must not scan months
+        // of partitions) come from a single aggregation of the raw
+        // batch; dedup can't change either, so `incoming` is consumed
+        // exactly once by the write job and needs no cache.
+        val stats = batch
+          .agg(count(lit(1)).as("n"),
+            org.apache.spark.sql.functions.min(to_date(col("time"))).as("d"))
+          .first()
+        if (stats.getLong(0) > 0L) {
+          val incoming = CandleOps.dedup(batch.toDF())
           // filesystem-agnostic existence check (java.io.File would
           // always say false on HDFS/S3 and silently disable dedup)
           val path = new org.apache.hadoop.fs.Path(tablePath)
@@ -156,20 +168,14 @@ object CandleStream {
             fs.listStatus(path).exists(_.getPath.getName.startsWith("p_date="))
           val fresh =
             if (tableExists) {
-              // prune the dedup read to the dates this batch touches —
-              // a 10s trigger must not scan months of partitions
-              val minDate = incoming
-                .agg(org.apache.spark.sql.functions.min(to_date(col("time"))))
-                .first().getDate(0)
               val existing = spark.read.parquet(tablePath)
-                .filter(col("p_date") >= lit(minDate))
+                .filter(col("p_date") >= lit(stats.getDate(1)))
                 .select((CandleOps.keyCols :+ "time").map(col): _*)
               incoming.join(existing, CandleOps.keyCols :+ "time", "left_anti")
             } else incoming
           fresh
             .withColumn("p_date", to_date(col("time")))
             .write.partitionBy("p_date").mode("append").parquet(tablePath)
-          incoming.unpersist()
         }
         ()
       }
