@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.timeBucketDescriptor)
     ext.injectFunction(GraftExtensions.inflateDescriptor)
+    ext.injectFunction(GraftExtensions.charNgramSetDescriptor)
   }
 }
 
@@ -42,11 +43,28 @@ object GraftExtensions {
       graft.functions.Inflate(children.head)
     })
 
+  val charNgramSetDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_ngram_set"),
+    new ExpressionInfo(classOf[graft.functions.CharNgramSet].getName, "char_ngram_set"),
+    (children: Seq[Expression]) => {
+      if (children.size != 2) throw new IllegalArgumentException(
+        s"char_ngram_set(text, n) takes 2 arguments, got ${children.size}")
+      val n = children(1) match {
+        case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+          e.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"char_ngram_set: n must be an INT literal, got ${other.sql}")
+      }
+      graft.functions.CharNgramSet(children.head, n)
+    })
+
   /** Register on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       timeBucketDescriptor._1, timeBucketDescriptor._2, timeBucketDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       inflateDescriptor._1, inflateDescriptor._2, inflateDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      charNgramSetDescriptor._1, charNgramSetDescriptor._2, charNgramSetDescriptor._3)
   }
 }
