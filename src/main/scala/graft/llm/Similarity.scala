@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right dot product of two float-array columns in double. */
+  /** Left-to-right dot product of two float/double-array columns in
+    * double — the native [[graft.functions.VecExprs.VecDot]] kernel
+    * (the `aggregate(zip_with(...))` composition it replaces evaluates
+    * interpreted lambdas per element and dominated every ANN query's
+    * runtime; the fold order and widening are bit-identical).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VecExprs.vecDot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -75,12 +78,16 @@ object Similarity {
     * so exact duplicates are *always* candidates, in every band.
     */
   def srpSignature(prepared: DataFrame, nbits: Int, dim: Int): DataFrame = {
+    // all nbits sign dots in ONE compiled pass per row (SrpBits); the
+    // per-plane when(dot(...)) form re-walked the vector nbits times
+    // through interpreted lambdas
     val signs = srpSigns(nbits, dim)
-    val bits = (0 until nbits).map { p =>
-      when(dot(col("v"), typedlit(signs(p).toSeq)) >= 0d, lit("1"))
-        .otherwise(lit("0")).as(s"m$p")
-    }
-    prepared.select((col("id") +: bits): _*)
+    val bits = graft.functions.VecExprs.srpBitsCol(col("v"),
+      signs.map(_.toIndexedSeq).toIndexedSeq)
+    prepared
+      .select(col("id"), bits.as("__bits"))
+      .select(col("id") +:
+        (0 until nbits).map(p => col("__bits").getItem(p).as(s"m$p")): _*)
   }
 
   /** Cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold),
@@ -108,8 +115,9 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
                    dim: Int = 64, nbits: Int = 64, bandsOf: Int = 8): DataFrame = {
-    val prepared = df.select(id.cast("long").as("id"),
-        transform(vec, x => x.cast("double")).as("v"))
+    // no up-front cast: VecDot/SrpBits widen floats exactly during
+    // accumulation, so the interpreted transform() copy is pure cost
+    val prepared = df.select(id.cast("long").as("id"), vec.as("v"))
       .withColumn("n", l2Norm(col("v")))
     val cand = Dedup.lshCandidates(
       Dedup.lshBands(srpSignature(prepared, nbits, dim), nbits, bandsOf))
@@ -131,8 +139,7 @@ object Similarity {
     */
   def nearDupPairsExact(df: DataFrame, id: Column, vec: Column,
                         threshold: Double): DataFrame = {
-    val prepared = df.select(id.cast("long").as("id"),
-        transform(vec, x => x.cast("double")).as("v"))
+    val prepared = df.select(id.cast("long").as("id"), vec.as("v"))
       .withColumn("n", l2Norm(col("v")))
     val a = prepared.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = prepared.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
@@ -179,10 +186,7 @@ object Similarity {
     * lowest cell id. Returns (id, v, cell).
     */
   def kMeansAssign(pts: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("v"), col("centroid"),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0d), (acc, x) => acc + x)
+    val d2 = graft.functions.VecExprs.vecL2Sq(col("v"), col("centroid"))
     pts.crossJoin(broadcast(cents))
       .groupBy(col("id"))
       .agg(
