@@ -91,14 +91,36 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: docs(id, shingles array) →
     * pairs with exact Jaccard ≥ threshold.
+    *
+    * Fused shape: ONE groupBy(id) computes the distinct shingle set
+    * AND the k-hash signature; bands, the candidate join, and both
+    * hydration sides reuse that single exchange. The factored
+    * alternative ([[minHashSignature]] + [[jaccard]] over the exploded
+    * shingles) re-evaluates the shingling — typically the dominant
+    * cost — once per consumer (4x: signature, both intersection
+    * sides, sizes). Jaccard here is array_intersect over the carried
+    * sets: same integers as the join-count form, since sets are
+    * per-doc distinct.
     */
   def minHashNearDups(docs: DataFrame, id: Column, shinglesCol: Column,
                       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
     val exploded = docs
       .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
-    val sig = minHashSignature(exploded, col("id"), col("s"), k)
-    val cand = lshCandidates(lshBands(sig, k, bandsOf))
-    jaccard(cand, exploded).filter(col("jaccard") >= threshold)
+    val aggs = (0 until k).map { s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("s")))).as(s"m$s")
+    }
+    val docsig = exploded.groupBy(col("id"))
+      .agg(collect_list(col("s")).as("gs"), aggs: _*)
+    val cand = lshCandidates(lshBands(docsig, k, bandsOf))
+    val a = docsig.select(col("id").as("id_a"), col("gs").as("ga"))
+    val b = docsig.select(col("id").as("id_b"), col("gs").as("gb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("na", size(col("ga"))).withColumn("nb", size(col("gb")))
+      .withColumn("ninter", size(array_intersect(col("ga"), col("gb"))))
+      .select(col("id_a"), col("id_b"),
+        (col("ninter") * lit(1.0d) /
+          (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash-LSH candidate pairs from exploded distinct (id, s) rows,
@@ -181,20 +203,21 @@ object Dedup {
 
   /** SimHash fingerprint (`bits` ≤ 16) from a word bag: bit j of each
     * word's md5 hex nibble j votes ±1; fingerprint bit = majority.
-    * Pure integer arithmetic → engine-exact.
+    * Pure integer arithmetic → engine-exact. All `bits` vote-sums are
+    * aggregate expressions over ONE pass of the word rows (md5 once
+    * per word, one shuffle on id) — the explode-by-bit alternative
+    * multiplies the shuffle by `bits` and needs a second groupBy.
     */
   def simHash(wordBag: DataFrame, id: Column, word: Column, bits: Int): DataFrame = {
-    val votes = wordBag
-      .select(id.as("id"), md5(word).as("h"))
-      .select(col("id"), explode(sequence(lit(0), lit(bits - 1))).as("j"),
-        col("h"))
-      .withColumn("bit",
-        conv(col("h").substr(col("j") + 1, lit(1)), 16, 10).cast("int") % 2)
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("bit") * 2 - 1).as("v"))
-    votes
-      .groupBy(col("id"))
-      .agg(sum(when(col("v") > 0, expr("cast(pow(2.0, j) as bigint)"))
-        .otherwise(lit(0L))).as("simhash"))
+    val withH = wordBag.select(id.as("id"), md5(word).as("h"))
+    val voteAggs = (0 until bits).map { j =>
+      sum(conv(col("h").substr(j + 1, 1), 16, 10).cast("int") % 2 * 2 - 1).as(s"v$j")
+    }
+    withH.groupBy(col("id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(j =>
+            when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 }
