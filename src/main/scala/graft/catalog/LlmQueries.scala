@@ -119,6 +119,55 @@ object LlmQueries {
        |       CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------ SimHash Hamming-radius pairs
+  /** SimHash near-dup PAIRS (Hamming ≤ 2 over 32-bit fingerprints —
+    * 16 bits cluster badly on this small-vocabulary corpus, measured
+    * ~2% of ALL pairs within radius 2, which is noise, not dedup) on
+    * the same perturbed-dup fixture as `llm_minhash_lsh`, via the
+    * exact pigeonhole block decomposition ([[Dedup.simHashPairs]]:
+    * recall AND precision exactly 1 — no LSH curve, unlike the
+    * MinHash/SRP paths). The oracle is the quadratic self-join; the
+    * engine's block-bucketed plan must reproduce it bit-for-bit, which
+    * also certifies the pigeonhole cover (a missed pair = hash
+    * mismatch). Integer-only arithmetic end to end.
+    */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    val pert = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        slice(col("w"), lit(1), greatest(size(col("w")) - 3, lit(0))).as("w"))
+    val bag = docs.unionByName(pert)
+      .select(col("doc_id"), explode(col("w")).as("wrd"))
+    val fps = Dedup.simHash(bag, col("doc_id"), col("wrd"), 32)
+    Dedup.simHashPairs(fps, col("id"), col("simhash"), 32, 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val simhashPairsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS w FROM documents
+       |), base AS (
+       |  SELECT doc_id, w FROM docs
+       |  UNION ALL
+       |  SELECT doc_id + 100000, w[1:greatest(len(w)-3, 0)] FROM docs WHERE doc_id % 5 = 0
+       |), wb AS (
+       |  SELECT doc_id, unnest(w) AS wrd FROM base
+       |), votes AS (
+       |  SELECT doc_id, j,
+       |         SUM(((instr('0123456789abcdef', substr(md5(wrd), j+1, 1)) - 1) % 2) * 2 - 1) AS v
+       |  FROM wb CROSS JOIN (SELECT j FROM range(32) t(j)) GROUP BY 1, 2
+       |), fp AS (
+       |  SELECT doc_id AS id,
+       |         CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1
+       |)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------- char n-gram Jaccard pairs
   /** Char-5-gram Jaccard near-dup pairs within (lang, source) blocks,
     * composed as MinHash-LSH candidate generation → exact in-pair
@@ -516,6 +565,7 @@ object LlmQueries {
     "llm_exact_dedup"  -> exactDedup,
     "llm_minhash_lsh"  -> minhashLsh,
     "llm_simhash"      -> simhash,
+    "llm_simhash_pairs" -> simhashPairs,
     "llm_char_jaccard" -> charJaccard,
     "llm_cosine_topk"  -> cosineTopK,
     "llm_ivf_topk"     -> ivfTopK,
@@ -532,6 +582,7 @@ object LlmQueries {
     "llm_exact_dedup"  -> exactDedupSql,
     "llm_minhash_lsh"  -> minhashLshSql,
     "llm_simhash"      -> simhashSql,
+    "llm_simhash_pairs" -> simhashPairsSql,
     "llm_char_jaccard" -> charJaccardSql,
     "llm_cosine_topk"  -> cosineTopKSql,
     "llm_ivf_topk"     -> ivfTopKSql,

@@ -201,8 +201,61 @@ object Dedup {
     if (t >= exactFrom) prefixFilterCandidates(exploded, t)
     else minHashCandidates(exploded, k, bandsOf)
 
-  /** SimHash fingerprint (`bits` ≤ 16) from a word bag: bit j of each
-    * word's md5 hex nibble j votes ±1; fingerprint bit = majority.
+  /** Near-dup pairs by SimHash Hamming distance: all (id_a < id_b)
+    * whose fingerprints differ in ≤ `maxDist` of the low `bits` bits,
+    * WITHOUT the all-pairs join — and with **recall exactly 1**, not
+    * an LSH curve: the fingerprint splits into `maxDist + 1` bit
+    * blocks, and a pair within Hamming `maxDist` has at most `maxDist`
+    * differing blocks, so by pigeonhole at least one block matches
+    * exactly (the Manku/Jain/Sarma WWW'07 SimHash-dedup decomposition).
+    * Blocks are band keys for [[lshCandidates]] — the pair space is
+    * block-bucket-local — and candidates verify with bit_count(xor),
+    * so precision is exact too. Pure integer arithmetic throughout:
+    * engine-exact, oracle-checkable.
+    *
+    * Scale: each row emits `maxDist + 1` (band, key) rows; buckets are
+    * fingerprint-block collisions (tiny under well-mixed hashes unless
+    * the data truly is near-duplicate-heavy, in which case the output
+    * itself is that large). Same keyed-shuffle shape as the MinHash
+    * path at 100 TB.
+    *
+    * Input: (id, fingerprint) e.g. from [[simHash]]. `bits` must cover
+    * the fingerprint width; blocks of width < 2 would explode bucket
+    * sizes (a 1-bit key halves the corpus), so require
+    * bits ≥ 2·(maxDist+1).
+    */
+  def simHashPairs(fps: DataFrame, id: Column, fp: Column,
+                   bits: Int, maxDist: Int): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(bits >= 2 * nBlocks,
+      s"bits=$bits too narrow for maxDist=$maxDist (needs >= ${2 * nBlocks})")
+    val w = (bits + nBlocks - 1) / nBlocks
+    val keyed = fps.select(id.as("id"), fp.cast("long").as("fp"))
+    val blocks = (0 until nBlocks).map { b =>
+      val lo = b * w
+      val width = math.min(w, bits - lo)
+      struct(lit(b.toLong).as("band"),
+        shiftright(col("fp"), lo).bitwiseAND(lit((1L << width) - 1))
+          .cast("string").as("bk"))
+    }
+    // the fingerprint rides along in the band rows, so the bucket join
+    // verifies directly — `fps` (often an aggregation) is consumed
+    // exactly once, with no per-side hydration joins to recompute it
+    val bands = keyed
+      .select(col("id"), col("fp"), explode(array(blocks: _*)).as("bb"))
+      .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = bands.select(col("band"), col("bk"), col("id").as("id_a"), col("fp").as("fa"))
+    val b = bands.select(col("band"), col("bk"), col("id").as("id_b"), col("fp").as("fb"))
+    a.join(b, Seq("band", "bk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** SimHash fingerprint (`bits` ≤ 32, the md5 hex width) from a word
+    * bag: bit j of each word's md5 hex nibble j votes ±1; fingerprint
+    * bit = majority.
     * Pure integer arithmetic → engine-exact. All `bits` vote-sums are
     * aggregate expressions over ONE pass of the word rows (md5 once
     * per word, one shuffle on id) — the explode-by-bit alternative

@@ -78,6 +78,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(hamming <= 6, s"near-dup hamming was $hamming")
   }
 
+  test("simHashPairs: pigeonhole block-LSH equals brute force exactly (recall 1)") {
+    val bag = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val fps = Dedup.simHash(bag, col("doc_id"), col("w"), 16)
+    val got = Dedup.simHashPairs(fps, col("id"), col("simhash"), 16, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val local = fps.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, fa) <- local; (ib, fb) <- local if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == truth, s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    assert(truth.nonEmpty, "fixture must exercise at least one pair")
+  }
+
   test("cosine: self-similarity is 1.0, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
