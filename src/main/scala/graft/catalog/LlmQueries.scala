@@ -47,7 +47,11 @@ object LlmQueries {
        |WHERE id <> canon_id ORDER BY id""".stripMargin
 
   // ----------------------------------------------- MinHash + LSH
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** The perturbed-dup MinHash pair pipeline, shared by
+    * `llm_minhash_lsh` (the pairs themselves) and `llm_dedup_clusters`
+    * (components over them).
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
     val pert = docs.filter(col("doc_id") % 5 === 0)
@@ -56,12 +60,18 @@ object LlmQueries {
     val base = docs.unionByName(pert)
       .withColumn("sh", TextOps.wordNgrams(col("w"), 3))
     Dedup.minHashNearDups(base, col("doc_id"), col("sh"), 8, 2, 0.5d)
-      .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val minhashLshSql: String =
-    s"""WITH docs AS (
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d)
+      .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Shared CTE chain for the MinHash pair pipeline (through `inter`
+    * + `sizes`; a consumer appends its own final SELECT / more CTEs).
+    */
+  private val mhPairsCtes: String =
+    s"""docs AS (
        |  SELECT doc_id, ${wordsSql("text")} AS w FROM documents
        |), base AS (
        |  SELECT doc_id, w FROM docs
@@ -89,7 +99,10 @@ object LlmQueries {
        |  JOIN sh x ON x.id = c.id_a
        |  JOIN sh y ON y.id = c.id_b AND y.s = x.s
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  private val minhashLshSql: String =
+    s"""WITH $mhPairsCtes
        |SELECT i.id_a, i.id_b,
        |       ${r4Sql("i.ninter * 1.0 / (sa.n + sb.n - i.ninter)")} AS jaccard
        |FROM inter i
@@ -97,6 +110,54 @@ object LlmQueries {
        |JOIN sizes sb ON sb.id = i.id_b
        |WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
        |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------- near-dup cluster resolution
+  /** Cluster resolution over the MinHash near-dup pairs: connected
+    * components via [[Dedup.components]] (4 min-label-propagation
+    * rounds — the fixture's star-shaped dup clusters reach fixpoint
+    * after 1, see the components scaladoc; the oracle unrolls the SAME
+    * 4 rounds, so the compare is exact whatever the topology), then
+    * one row per cluster: canonical survivor id (= component min),
+    * member count, largest member. The keep-one corpus is documents
+    * anti-joined against `id <> canon_id` members — exercised in
+    * spec:LlmOpsSpec; this query pins the cluster structure itself.
+    */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d)
+    Dedup.components(pairs, col("id_a"), col("id_b"), iters = 4)
+      .groupBy(col("label").as("canon_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .orderBy(col("canon_id"))
+  }
+
+  private val dedupClustersSql: String = {
+    // the same 4 propagation rounds, unrolled: l{k} = one round of
+    // label := min(label, neighbours' labels) over l{k-1}
+    val rounds = (1 to 4).map { k =>
+      s"""l$k AS (
+         |  SELECT l.id, least(l.label, coalesce(min(nl.label), l.label)) AS label
+         |  FROM l${k - 1} l
+         |  LEFT JOIN sym e ON e.src = l.id
+         |  LEFT JOIN l${k - 1} nl ON nl.id = e.dst
+         |  GROUP BY l.id, l.label
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $mhPairsCtes, pairs AS (
+       |  SELECT i.id_a, i.id_b
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a
+       |  JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
+       |), sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), l0 AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM sym
+       |), $rounds
+       |SELECT label AS canon_id, count(*) AS n_members, max(id) AS max_member
+       |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // ------------------------------------------------------- SimHash
   private def simhash(s: SparkSession, d: String): DataFrame = {
@@ -564,6 +625,7 @@ object LlmQueries {
     "llm_embed_neardup" -> embedNearDup,
     "llm_exact_dedup"  -> exactDedup,
     "llm_minhash_lsh"  -> minhashLsh,
+    "llm_dedup_clusters" -> dedupClusters,
     "llm_simhash"      -> simhash,
     "llm_simhash_pairs" -> simhashPairs,
     "llm_char_jaccard" -> charJaccard,
@@ -581,6 +643,7 @@ object LlmQueries {
     "llm_embed_neardup" -> embedNearDupSql,
     "llm_exact_dedup"  -> exactDedupSql,
     "llm_minhash_lsh"  -> minhashLshSql,
+    "llm_dedup_clusters" -> dedupClustersSql,
     "llm_simhash"      -> simhashSql,
     "llm_simhash_pairs" -> simhashPairsSql,
     "llm_char_jaccard" -> charJaccardSql,

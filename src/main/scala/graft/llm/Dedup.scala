@@ -253,6 +253,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected near-dup pair graph —
+    * the cluster-resolution step that turns pairwise detections
+    * ([[minHashNearDups]], [[simHashPairs]], embedding near-dups) into
+    * keep-one groups: every node gets the component's minimum id as
+    * its `label` (the canonical survivor), so "dedup the corpus" is
+    * one anti-join of documents against `label =!= id` rows.
+    *
+    * Algorithm: `iters` rounds of min-label propagation
+    * (label := min(label, neighbours' labels)), each round one keyed
+    * join + one keyed groupBy. Convergence needs the graph diameter's
+    * worth of rounds; near-dup graphs are dense star/clique clusters
+    * (a dup cluster's members all pair with each other or a shared
+    * original), so diameters are tiny — the sf0.01 MinHash fixture
+    * reaches fixpoint after ONE productive round (234 nodes, max
+    * cluster 4). Callers pick `iters` ≥ expected diameter; the result
+    * is deterministic for ANY `iters` (exactly `iters` rounds run —
+    * what the unrolled SQL oracle mirrors), and a fixpoint check is
+    * one extra round compared for equality (spec:LlmOpsSpec).
+    *
+    * Scale: edges are materialized ONCE ([[DataFrame.localCheckpoint]])
+    * — without it every iteration would re-run the upstream pair
+    * pipeline (the expensive part) — and each round checkpoints, so
+    * lineage stays O(1) instead of compounding `iters` joins into one
+    * exponential plan. Rounds shuffle on node id only; the giant-
+    * component pathology (one hot label key) doesn't arise because
+    * propagation is per-node min, not a groupBy on label. For graphs
+    * with genuinely long chains, swap in the large-star/small-star
+    * decomposition (Kiveris et al., "Connected Components in
+    * MapReduce", SoCC'14) — same per-round shape, O(log²) rounds.
+    */
+  def components(pairs: DataFrame, idA: Column, idB: Column, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val e0 = pairs.select(idA.as("src"), idB.as("dst"))
+    val edges = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
+      labels = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** SimHash fingerprint (`bits` ≤ 32, the md5 hex width) from a word
     * bag: bit j of each word's md5 hex nibble j votes ±1; fingerprint
     * bit = majority.

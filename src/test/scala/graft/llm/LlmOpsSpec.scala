@@ -92,6 +92,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture must exercise at least one pair")
   }
 
+  test("components: chain, triangle, and pair resolve; fixpoint within diameter rounds") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs, col("id_a"), col("id_b"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+    // one more round changes nothing: 3 rounds was already the fixpoint
+    val more = Dedup.components(pairs, col("id_a"), col("id_b"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == want)
+  }
+
+  test("components + anti-join = keep-one corpus (canonical survivor per cluster)") {
+    val pairs = Dedup.minHashNearDups(
+      docs.withColumn("sh", TextOps.wordNgrams(TextOps.words(col("text")), 3)),
+      col("doc_id"), col("sh"), 8, 2, 0.3)
+    val doomed = Dedup.components(pairs, col("id_a"), col("id_b"), iters = 2)
+      .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+    val survivors = docs.join(doomed, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(1L) && survivors.contains(4L))
+    assert(!survivors.contains(2L)) // exact dup of 1 loses to the canonical
+  }
+
   test("cosine: self-similarity is 1.0, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
