@@ -468,6 +468,44 @@ object LlmQueries {
     s"""SELECT doc_id, md5(${normSql("text")}) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- winnowing fingerprint
+  /** Rolling-hash winnowing ([[Dedup.winnowFingerprints]], k=8 char
+    * grams, w=4 windows) over normalized text, summarized per doc as
+    * (selected-hash count, lexicographic min/max) — a different
+    * selection at ANY window moves the count or an extremum, so the
+    * hash compare pins the whole selection without dumping ~100 rows
+    * per document. The oracle replays the identical rolling min with
+    * a SQL window frame.
+    */
+  private def winnowQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+    Dedup.winnowFingerprints(docs, col("doc_id"), col("t"), k = 8, w = 4)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val winnowSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${normSql("text")} AS t FROM documents
+       |), p AS (
+       |  SELECT doc_id, t, length(t) AS n,
+       |         unnest(range(1, length(t) - 6)) AS pos
+       |  FROM d
+       |), g AS (
+       |  SELECT doc_id, pos, n, md5(substr(t, pos::INT, 8)) AS h FROM p
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, fp FROM (
+       |    SELECT doc_id, pos, n,
+       |           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |    FROM g) WHERE pos <= n - 10
+       |)
+       |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------- multimodal stub
   /** Binary-column pipeline: text bytes stand in for media blobs; the
     * deterministic StubDecoder runs in mapPartitions (the real-codec
@@ -635,6 +673,7 @@ object LlmQueries {
     "llm_quality"      -> quality,
     "llm_tokens"       -> tokens,
     "llm_fingerprint"  -> fingerprintQ,
+    "llm_winnow"       -> winnowQ,
     "llm_multimodal"   -> multimodal,
   )
 
@@ -653,6 +692,7 @@ object LlmQueries {
     "llm_quality"      -> qualitySql,
     "llm_tokens"       -> tokensSql,
     "llm_fingerprint"  -> fingerprintSql,
+    "llm_winnow"       -> winnowSql,
     "llm_multimodal"   -> multimodalSql,
   )
 }

@@ -253,6 +253,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Rolling-hash winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): hash every char `k`-gram of the text, slide a window
+    * of `w` consecutive gram hashes, keep each window's minimum. Two
+    * documents sharing ANY substring of length ≥ k + w − 1 share a
+    * selected hash — a PARTIAL-overlap detector, where
+    * [[TextOps.fingerprint]] (md5 of the whole normalized doc) only
+    * catches identical docs. The selected-value set is well-defined
+    * independent of tie-break position, so it is engine-exact; hashes
+    * stay md5 hex compared lexicographically (portable across
+    * engines), never converted to integers.
+    *
+    * Shape: posexplode grams → md5 once per gram → rolling `min` over
+    * a (doc, pos)-ordered window of `w` rows → distinct. One shuffle,
+    * keyed by doc id; the window never crosses documents, so at
+    * 100 TB this partitions like every other per-doc op. (A per-row
+    * higher-order-function form would re-evaluate the whole gram-hash
+    * array per window inside the lambda — HOFs don't hoist loop
+    * invariants — hence the exploded form.)
+    *
+    * Output: distinct (id, fp) rows; docs shorter than one window
+    * (len < k + w − 1) emit nothing.
+    */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 2 && w >= 2, s"degenerate winnow k=$k w=$w")
+    val grams = docs.select(id.as("id"), text.as("t"))
+      .select(col("id"), length(col("t")).as("n"),
+        posexplode(TextOps.charNgrams(col("t"), k)).as(Seq("pos", "g")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .select(col("id"), col("pos"), col("n"), min(md5(col("g"))).over(win).as("fp"))
+      // only full windows select a fingerprint: gram count = n-k+1,
+      // last full-window start = n-k+1-w (0-based posexplode)
+      .filter(col("pos") <= col("n") - (k + w - 1))
+      .select(col("id"), col("fp")).distinct()
+  }
+
   /** Connected components over an undirected near-dup pair graph —
     * the cluster-resolution step that turns pairwise detections
     * ([[minHashNearDups]], [[simHashPairs]], embedding near-dups) into

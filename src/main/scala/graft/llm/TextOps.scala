@@ -38,6 +38,7 @@ object TextOps {
   /** Deterministic document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+
   /** Count of `[A-Za-z0-9]+` token matches (BPE-ish pre-tokenizer). */
   def alnumTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))

@@ -119,6 +119,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(!survivors.contains(2L)) // exact dup of 1 loses to the canonical
   }
 
+  test("winnowFingerprints equals local brute-force winnowing; overlap detected, short docs empty") {
+    def localWinnow(t: String, k: Int, w: Int): Set[String] = {
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      if (t.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to t.length - k).map(i => md5hex(t.substring(i, i + k)))
+        (0 to t.length - k - w + 1).map(j => hs.slice(j, j + w).min).toSet
+      }
+    }
+    val shared = "a very long shared passage that both documents contain verbatim"
+    val rows = Seq(
+      (1L, s"first document begins here $shared and then diverges completely"),
+      (2L, s"totally other opening words $shared with a different conclusion"),
+      (3L, "unrelated text with nothing in common at all zzz"),
+      (4L, "tiny doc")) // shorter than k+w-1: no fingerprints
+    val df = rows.toDF("doc_id", "t")
+    val got = Dedup.winnowFingerprints(df, col("doc_id"), col("t"), 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, t) <- rows)
+      assert(got.getOrElse(id, Set.empty) == localWinnow(t, 8, 4), s"doc $id")
+    assert((got(1L) & got(2L)).nonEmpty, "shared passage must share a fingerprint")
+    assert((got(1L) & got(3L)).isEmpty, "unrelated docs should not collide")
+    assert(!got.contains(4L))
+  }
+
   test("cosine: self-similarity is 1.0, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
