@@ -180,5 +180,7 @@ object AggregateMaintenance {
         .sortWithinPartitions((Seq("p_date") ++ CandleOps.keyCols :+ timeCol).map(col): _*)
         .unionByName(existing.join(dated.select(keys.map(col): _*), keys, "left_anti"))
     }
+    // same contract as writePartitioned: refreshed results surface now
+    invalidate.foreach(_.invalidateAll())
   }
 }

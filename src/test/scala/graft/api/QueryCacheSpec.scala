@@ -81,6 +81,12 @@ class QueryCacheSpec extends SparkSpec {
     graft.maintenance.AggregateMaintenance.writePartitionedTx(
       rows, table, invalidate = Seq(cache))
     assert(cache.size == 0, "refresh must invalidate the reader cache")
+    // and again on the partition-REWRITE branch (table now has a version)
+    cache.getOrCompute("k2")(df(2)).count()
+    assert(cache.size == 1)
+    graft.maintenance.AggregateMaintenance.writePartitionedTx(
+      rows, table, invalidate = Seq(cache))
+    assert(cache.size == 0, "rewrite-path refresh must invalidate too")
   }
 
   test("cacheKey distinguishes source snapshots with identical params (ADVICE #2)") {
