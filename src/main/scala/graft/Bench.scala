@@ -35,7 +35,13 @@ object Bench {
     // >10% apart across two invocations; 5 rounds leaves 3/38, all
     // within 0.14s absolute (the box's scheduler floor).
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    // Local-iteration escape hatch: bench a comma-separated subset.
+    // The driver never sets it, so round benches always run the full
+    // catalog.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to rounds; name <- names) {
       val fn = SparkEntry.queries(name)

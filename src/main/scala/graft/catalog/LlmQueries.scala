@@ -478,12 +478,17 @@ object LlmQueries {
     * a SQL window frame.
     */
   private def winnowQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // The selected set is per-document (native WinnowSet), so the
+    // summary needs no groupBy at all: size/min/max over the array.
+    // Zero shuffles besides the final presentation sort.
+    val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
-    Dedup.winnowFingerprints(docs, col("doc_id"), col("t"), k = 8, w = 4)
-      .groupBy(col("id").as("doc_id"))
-      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
-        max(col("fp")).as("max_fp"))
+    docs
+      .select(col("doc_id"),
+        graft.functions.WinnowSet.winnowSet(col("t"), 8, 4).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -40,6 +40,21 @@ object Tables {
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** Fan a scan out to full core parallelism before a CPU-bound
+    * per-row kernel (md5 shingling, winnowing, vector math). A small
+    * parquet file is one row group = ONE task, so without this the
+    * kernel runs single-threaded no matter how many cores exist; the
+    * round-robin shuffle costs O(input bytes) once and unlocks
+    * cores× speedup. At 100 TB the scan already has ≥ cores splits
+    * and this is an identity — no extra exchange.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism)
+    else df
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** `events` deduplicated to one row per (event_type, ts): the driver

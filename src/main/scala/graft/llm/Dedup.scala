@@ -265,33 +265,22 @@ object Dedup {
     * stay md5 hex compared lexicographically (portable across
     * engines), never converted to integers.
     *
-    * Shape: posexplode grams → md5 once per gram → rolling `min` over
-    * a (doc, pos)-ordered window of `w` rows → distinct. One shuffle,
-    * keyed by doc id; the window never crosses documents, so at
-    * 100 TB this partitions like every other per-doc op. (A per-row
-    * higher-order-function form would re-evaluate the whole gram-hash
-    * array per window inside the lambda — HOFs don't hoist loop
-    * invariants — hence the exploded form.)
+    * Shape: the whole selection runs scan-local in the native
+    * [[graft.functions.WinnowSet]] expression (monotonic-deque sliding
+    * minimum, O(len) per doc) — the selected set is per-document, so
+    * no stage of it needs a shuffle; the explode emits only the
+    * ~2·len/(w+1) selected rows, not one row per gram. (The earlier
+    * posexplode→window-min formulation pushed every gram through a
+    * doc-keyed shuffle and per-doc sort; a per-row higher-order-
+    * function form is worse still — HOFs don't hoist loop invariants.)
     *
     * Output: distinct (id, fp) rows; docs shorter than one window
     * (len < k + w − 1) emit nothing.
     */
   def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
-                         k: Int, w: Int): DataFrame = {
-    require(k >= 2 && w >= 2, s"degenerate winnow k=$k w=$w")
-    val grams = docs.select(id.as("id"), text.as("t"))
-      .select(col("id"), length(col("t")).as("n"),
-        posexplode(TextOps.charNgrams(col("t"), k)).as(Seq("pos", "g")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
-    grams
-      .select(col("id"), col("pos"), col("n"), min(md5(col("g"))).over(win).as("fp"))
-      // only full windows select a fingerprint: gram count = n-k+1,
-      // last full-window start = n-k+1-w (0-based posexplode)
-      .filter(col("pos") <= col("n") - (k + w - 1))
-      .select(col("id"), col("fp")).distinct()
-  }
+                         k: Int, w: Int): DataFrame =
+    docs.select(id.as("id"),
+      explode(graft.functions.WinnowSet.winnowSet(text, k, w)).as("fp"))
 
   /** Connected components over an undirected near-dup pair graph —
     * the cluster-resolution step that turns pairwise detections
