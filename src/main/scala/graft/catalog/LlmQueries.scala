@@ -52,7 +52,11 @@ object LlmQueries {
     * (components over them).
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // fanOut: shingling is CPU-bound and otherwise runs inside the
+    // single-row-group scan task (MinHashProbe A/B: fused 1.97s →
+    // 1.38s with the fan; fused vs factored is a wash — the r3 bench's
+    // 5.4s fused reading was box contention, not the array payloads).
+    val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
     val pert = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
@@ -267,7 +271,7 @@ object LlmQueries {
     // k=24/bandsOf=3 recall curve ([[Dedup.jaccardCandidates]] keeps
     // the threshold dispatch for API callers; at t >= 0.7 use it to
     // get the exact prefix filter).
-    val grams = Tables.documents(s, d)
+    val grams = Tables.fanOut(Tables.documents(s, d))
       .filter(length(col("text")) >= 5)
       .select(col("doc_id").as("id"), col("lang"), col("source"),
         explode(graft.functions.CharNgramSet.charNgramSet(col("text"), 5)).as("s"))
@@ -275,13 +279,15 @@ object LlmQueries {
       min(xxhash64(lit(k), col("s"))).cast("string").as(s"m$k") }
     val docsig = grams.groupBy(col("id"), col("lang"), col("source"))
       .agg(collect_list(col("s")).as("gs"), sigAggs: _*)
-    val cand = Dedup.lshCandidates(Dedup.lshBands(docsig, 24, 3))
-    val a = docsig.select(col("id").as("id_a"), col("lang").as("lang_a"),
-      col("source").as("source_a"), col("gs").as("ga"))
-    val b = docsig.select(col("id").as("id_b"), col("lang").as("lang_b"),
-      col("source").as("source_b"), col("gs").as("gb"))
+    // (lang, source) folded INTO the band bucket key: cross-block
+    // candidates never materialize, so the block predicate needs no
+    // post-join filter — at 100 TB that prunes every spurious
+    // cross-block band collision before the pair join.
+    val cand = Dedup.lshCandidates(
+      Dedup.lshBands(docsig, 24, 3, Seq(col("lang"), col("source"))))
+    val a = docsig.select(col("id").as("id_a"), col("gs").as("ga"))
+    val b = docsig.select(col("id").as("id_b"), col("gs").as("gb"))
     cand.join(a, "id_a").join(b, "id_b")
-      .filter(col("lang_a") === col("lang_b") && col("source_a") === col("source_b"))
       .withColumn("na", size(col("ga"))).withColumn("nb", size(col("gb")))
       .filter(greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
       .withColumn("ninter", size(array_intersect(col("ga"), col("gb"))))

@@ -52,12 +52,18 @@ object Dedup {
     * candidate counts unpredictably at scale (harmless to results —
     * the exact verifier filters — but not to cost).
     */
-  def lshBands(sig: DataFrame, k: Int, bandsOf: Int): DataFrame = {
+  def lshBands(sig: DataFrame, k: Int, bandsOf: Int,
+               blockCols: Seq[Column] = Nil): DataFrame = {
     require(k % bandsOf == 0,
       s"k=$k must be a multiple of bandsOf=$bandsOf (trailing hashes would be silently dropped)")
     val bands = (0 until k / bandsOf).map { b =>
+      // blockCols fold hard-blocking keys (e.g. lang, source) INTO the
+      // bucket key, so cross-block candidate pairs never materialize --
+      // strictly cheaper than generating candidates globally and
+      // filtering the block predicate after the join.
       val key = concat_ws("",
-        (b * bandsOf until (b + 1) * bandsOf).map(s => col(s"m$s")): _*)
+        blockCols ++
+          (b * bandsOf until (b + 1) * bandsOf).map(s => col(s"m$s")): _*)
       struct(lit(b.toLong).as("band"), key.as("bk"))
     }
     sig.select(col("id"), explode(array(bands: _*)).as("bb"))
@@ -101,6 +107,13 @@ object Dedup {
     * sides, sizes). Jaccard here is array_intersect over the carried
     * sets: same integers as the join-count form, since sets are
     * per-doc distinct.
+    *
+    * A/B vs [[minHashNearDupsFactored]] (MinHashProbe, sf0.1, 5-round
+    * medians): fused 1.97s / factored 1.92s from a cold scan, 1.38s /
+    * 1.52s with the scan fanned out — a wash within box noise, fused
+    * marginally ahead when shingling is parallel. (An earlier 5.4s
+    * fused reading that suggested a regression was shared-box
+    * contention, not the array payloads.)
     */
   def minHashNearDups(docs: DataFrame, id: Column, shinglesCol: Column,
                       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
@@ -121,6 +134,23 @@ object Dedup {
         (col("ninter") * lit(1.0d) /
           (col("na") + col("nb") - col("ninter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Factored alternative to [[minHashNearDups]]: signature, bands,
+    * and Jaccard verification all consume the exploded (id, s) rows
+    * directly — the candidate verifier re-joins the shingle table and
+    * counts intersections instead of carrying whole shingle arrays
+    * through the candidate joins. Same contract and (per-doc-distinct
+    * sets) identical numbers; kept for A/B measurement — array
+    * payloads through joins vs a second pass over the shingles.
+    */
+  def minHashNearDupsFactored(docs: DataFrame, id: Column, shinglesCol: Column,
+                              k: Int, bandsOf: Int, threshold: Double): DataFrame = {
+    val exploded = docs
+      .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
+    val sig = minHashSignature(exploded, col("id"), col("s"), k)
+    val cand = lshCandidates(lshBands(sig, k, bandsOf))
+    jaccard(cand, exploded).filter(col("jaccard") >= threshold)
   }
 
   /** MinHash-LSH candidate pairs from exploded distinct (id, s) rows,
@@ -301,34 +331,45 @@ object Dedup {
     * what the unrolled SQL oracle mirrors), and a fixpoint check is
     * one extra round compared for equality (spec:LlmOpsSpec).
     *
-    * Scale: edges are materialized ONCE ([[DataFrame.localCheckpoint]])
-    * — without it every iteration would re-run the upstream pair
-    * pipeline (the expensive part) — and each round checkpoints, so
-    * lineage stays O(1) instead of compounding `iters` joins into one
-    * exponential plan. Rounds shuffle on node id only; the giant-
-    * component pathology (one hot label key) doesn't arise because
-    * propagation is per-node min, not a groupBy on label. For graphs
-    * with genuinely long chains, swap in the large-star/small-star
-    * decomposition (Kiveris et al., "Connected Components in
-    * MapReduce", SoCC'14) — same per-round shape, O(log²) rounds.
+    * Scale: edges are materialized ONCE — without it every iteration
+    * would re-run the upstream pair pipeline (the expensive part) —
+    * and each round checkpoints, so lineage stays O(1) instead of
+    * compounding `iters` joins into one exponential plan. Rounds
+    * shuffle on node id only; the giant-component pathology (one hot
+    * label key) doesn't arise because propagation is per-node min,
+    * not a groupBy on label. For graphs with genuinely long chains,
+    * swap in the large-star/small-star decomposition (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) — same per-round
+    * shape, O(log²) rounds.
+    *
+    * Checkpoint durability (`reliable` flag): the default
+    * `localCheckpoint` stores blocks on executors only — fast, but an
+    * executor loss mid-iteration is unrecoverable (Spark cannot
+    * recompute truncated-lineage partitions), which is fine in tests
+    * and single-JVM runs and NOT fine for a long job on a real
+    * cluster. With `reliable = true` rounds use RDD `checkpoint()` to
+    * the cluster's `SparkContext.setCheckpointDir` location (HDFS/
+    * object store), surviving executor loss at the cost of a write
+    * per round; the caller must have set a checkpoint dir.
     */
-  def components(pairs: DataFrame, idA: Column, idB: Column, iters: Int): DataFrame = {
+  def components(pairs: DataFrame, idA: Column, idB: Column, iters: Int,
+                 reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val e0 = pairs.select(idA.as("src"), idB.as("dst"))
-    val edges = e0
+    val edges = materialize(e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
-      labels = labels.join(viaNbr, Seq("id"), "left")
+      labels = materialize(labels.join(viaNbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
     }
     labels
   }

@@ -28,6 +28,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minHashNearDupsFactored produces identical pairs and jaccards to the fused form") {
+    val withSh = docs.withColumn("sh",
+      TextOps.wordNgrams(TextOps.words(col("text")), 3))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fused = rows(Dedup.minHashNearDups(withSh, col("doc_id"), col("sh"), 8, 2, 0.3))
+    val factored = rows(Dedup.minHashNearDupsFactored(withSh, col("doc_id"), col("sh"), 8, 2, 0.3))
+    assert(fused == factored)
+    assert(fused.nonEmpty)
+  }
+
   test("minHashCandidates: exact-dup pair always a candidate; no self pairs") {
     val withSh = docs.select(col("doc_id").as("id"),
       explode(array_distinct(TextOps.charNgrams(col("text"), 5))).as("s"))
@@ -105,6 +117,16 @@ class LlmOpsSpec extends SparkSpec {
     val more = Dedup.components(pairs, col("id_a"), col("id_b"), iters = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(more == want)
+    // reliable mode (RDD checkpoint to the checkpoint dir) — identical
+    // labels, but blocks live in fault-tolerant storage, surviving
+    // executor loss on a real cluster
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val rel = Dedup.components(pairs, col("id_a"), col("id_b"), iters = 3,
+        reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == want)
+    assert(new java.io.File(ckptDir).listFiles.nonEmpty, "checkpoint dir used")
   }
 
   test("components + anti-join = keep-one corpus (canonical survivor per cluster)") {
