@@ -19,15 +19,24 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   <root>/data/p_date=2021-01-01/<commit-uuid>-part-*.parquet
   * }}}
   *
-  *  - Data files are immutable and invisible until a manifest names
+  *  - Data files are immutable and invisible until the log names
   *    them; writers stage files first, then commit.
-  *  - A manifest is the FULL list of live files (schema header +
-  *    one `partition TAB path` line per file). Readers load exactly
-  *    the listed files — a torn write is never observable.
-  *  - Commit = create-exclusive of the next version file (atomic
+  *  - Commit N publishes `vN.delta`: a schema header plus one
+  *    `+ partition path` / `- partition path` line per file the
+  *    commit adds/removes — O(files touched by THIS commit), never
+  *    O(table). Every `checkpointInterval` commits the committer also
+  *    writes `vN.checkpoint`, the full live-file list at N (schema
+  *    header + `partition TAB path` lines) — the public Delta-log
+  *    delta/checkpoint split, so reconstructing a snapshot replays at
+  *    most `checkpointInterval` small deltas on top of one
+  *    checkpoint, and a long-lived table's per-commit log I/O stays
+  *    O(batch) forever instead of growing with history.
+  *  - Commit = create-exclusive of the next delta file (atomic
   *    hard-link on a local filesystem, `create(overwrite=false)` on
   *    HDFS; on S3 you would swap in a conditional PUT — same slot,
-  *    same protocol).
+  *    same protocol). Checkpoints are derived data: any committer may
+  *    (re)write one, contents are deterministic for a version, and
+  *    losing the race is harmless.
   *  - Appends never conflict: on CAS failure the writer re-reads the
   *    latest snapshot and re-commits its (already staged) files on
   *    top.
@@ -38,15 +47,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    from the new snapshot and retries, so a streaming append that
   *    lands mid-rewrite is folded in rather than dropped.
   *
-  * Scale: the manifest is O(live files) text on the driver — with
-  * [[TxTable.compact]] keeping file counts bounded this stays small
-  * (Delta's delta-log + checkpoint split is the known growth path and
-  * deliberately out of scope). Readers pin a snapshot at plan time,
-  * so long queries are isolated from concurrent writers; [[TxTable.vacuum]]
-  * respects a retention horizon for exactly that reason.
+  * Scale: checkpoints are O(live files) text — with
+  * [[TxTable.compact]] keeping file counts bounded this stays small;
+  * deltas are O(commit). Readers pin a snapshot at plan time, so long
+  * queries are isolated from concurrent writers; [[TxTable.vacuum]]
+  * respects a retention horizon for exactly that reason, writes a
+  * checkpoint at the horizon, and prunes all older log files, so log
+  * storage is bounded by the retention window, not the table's age
+  * (spec: TxTableSpec "log I/O stays bounded").
   */
 class TxTable(val spark: SparkSession, val root: String,
-              val partitionCol: String = "p_date") extends Serializable {
+              val partitionCol: String = "p_date",
+              val checkpointInterval: Int = 10) extends Serializable {
   import TxTable._
 
   private val hconf = new org.apache.hadoop.conf.Configuration(
@@ -55,31 +67,60 @@ class TxTable(val spark: SparkSession, val root: String,
   private def fs = rootPath.getFileSystem(hconf)
   private def logDir = new org.apache.hadoop.fs.Path(root, LogDirName)
 
-  /** Latest committed version, or -1 for a table with no commits. */
-  def version: Long = {
-    if (!fs.exists(logDir)) return -1L
-    fs.listStatus(logDir).iterator
-      .map(_.getPath.getName)
-      .collect { case ManifestName(v) => v.toLong }
-      .foldLeft(-1L)(math.max)
+  /** Listed log versions: (delta versions, checkpoint versions). */
+  private def logVersions(): (Set[Long], Set[Long]) = {
+    if (!fs.exists(logDir)) return (Set.empty, Set.empty)
+    val names = fs.listStatus(logDir).iterator.map(_.getPath.getName).toSeq
+    (names.collect { case DeltaName(v) => v.toLong }.toSet,
+      names.collect { case CheckpointName(v) => v.toLong }.toSet)
   }
 
-  /** The file list of snapshot `v` (with the schema recorded at that
-    * commit). Manifests are immutable — safe to read without locks.
+  /** Latest committed version, or -1 for a table with no commits.
+    * (Checkpoints count too: after vacuum the horizon version may
+    * survive only as a checkpoint.)
     */
-  def snapshot(v: Long): Snapshot = {
-    require(v >= 0, s"no committed version (asked for $v)")
-    val in = fs.open(manifestPath(v))
+  def version: Long = {
+    val (deltas, ckpts) = logVersions()
+    (deltas ++ ckpts).foldLeft(-1L)(math.max)
+  }
+
+  private def readLogFile(p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val lines = text.split("\n", -1).toSeq
-    val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
-    val files = lines.tail.filter(_.nonEmpty).map { l =>
-      val Array(part, path) = l.split("\t", 2)
-      TxFile(path, part)
+    text.split("\n", -1).toSeq
+  }
+
+  /** The file list of snapshot `v` (with the schema recorded at that
+    * commit): the newest checkpoint ≤ v replayed forward through the
+    * deltas (ckpt, v]. Log files are immutable — safe to read without
+    * locks. Fails if vacuum has pruned past `v` (retention horizon).
+    */
+  def snapshot(v: Long): Snapshot = {
+    require(v >= 0, s"no committed version (asked for $v)")
+    val (_, ckpts) = logVersions()
+    val ckptV = ckpts.filter(_ <= v).foldLeft(-1L)(math.max)
+    var schema: StructType = null
+    val files = scala.collection.mutable.LinkedHashSet.empty[TxFile]
+    if (ckptV >= 0) {
+      val lines = readLogFile(checkpointPath(ckptV))
+      schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+      lines.tail.filter(_.nonEmpty).foreach { l =>
+        val Array(part, path) = l.split("\t", 2)
+        files += TxFile(path, part)
+      }
     }
-    Snapshot(v, schema, files)
+    ((ckptV + 1) to v).foreach { i =>
+      val lines = readLogFile(deltaPath(i))
+      schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+      lines.tail.filter(_.nonEmpty).foreach { l =>
+        val Array(op, part, path) = l.split("\t", 3)
+        if (op == "+") files += TxFile(path, part)
+        else files -= TxFile(path, part)
+      }
+    }
+    Snapshot(v, schema, files.toSeq)
   }
 
   /** DataFrame over the latest snapshot (partition column recovered
@@ -135,14 +176,15 @@ class TxTable(val spark: SparkSession, val root: String,
     * just cost a re-read of the manifest, and no committed file is
     * ever removed by an append.
     */
-  def append(df: DataFrame): Long = {
-    val files = stage(df)
-    val schema = df.schema
-    retryCas { v =>
-      val base = if (v < 0) Seq.empty else snapshot(v).files
-      (base ++ files, schema)
-    }
-  }
+  def append(df: DataFrame): Long = commitAppend(stage(df), df.schema)
+
+  /** Append-commit of already-staged [[TxFile]]s — the log half of
+    * [[append]], exposed package-private so specs can drive thousands
+    * of commits through the real CAS/checkpoint path without paying a
+    * Spark write per commit.
+    */
+  private[storage] def commitAppend(files: Seq[TxFile], schema: StructType): Long =
+    retryCas { (_, _) => (files, Seq.empty, schema) }
 
   /** Rewrite the given partitions with `compute(current content of
     * those partitions)`, under optimistic concurrency: if another
@@ -188,18 +230,17 @@ class TxTable(val spark: SparkSession, val root: String,
     */
   def commitRewrite(readVersion: Long, parts: Set[String],
                     adds: Seq[TxFile], schema: StructType): Long =
-    retryCas { v =>
+    retryCas { (v, base) =>
       if (v != readVersion) {
         val before = if (readVersion < 0) Set.empty[TxFile] else snapshot(readVersion).files.toSet
-        val after = if (v < 0) Set.empty[TxFile] else snapshot(v).files.toSet
+        val after = base.toSet
         val changed = (before diff after) ++ (after diff before)
         changed.find(f => parts.contains(f.partition)).foreach { f =>
           throw new TxConflictException(
             s"partition ${f.partition} changed by a commit after v$readVersion (saw v$v)")
         }
       }
-      val base = if (v < 0) Seq.empty else snapshot(v).files
-      (base.filterNot(f => parts.contains(f.partition)) ++ adds, schema)
+      (adds, base.filter(f => parts.contains(f.partition)), schema)
     }
 
   /** First-write-wins upsert of a batch (ST4 `ON CONFLICT DO NOTHING`,
@@ -251,6 +292,12 @@ class TxTable(val spark: SparkSession, val root: String,
     val v = version
     if (v < 0) return 0
     val keepFrom = math.max(0L, v - (retainVersions - 1).toLong)
+    // Pin the horizon as a checkpoint FIRST: once it exists, every
+    // retained snapshot reconstructs from it plus retained deltas,
+    // making all older log files redundant and safe to prune.
+    val horizon = snapshot(keepFrom)
+    casCreate(checkpointPath(keepFrom),
+      checkpointBody(horizon.files, horizon.schema))
     val live: Set[String] =
       (keepFrom to v).flatMap(i => snapshot(i).files.map(_.path)).toSet
     var deleted = 0
@@ -266,30 +313,52 @@ class TxTable(val spark: SparkSession, val root: String,
       }
       doomed.foreach { f => if (fs.delete(f, false)) deleted += 1 }
     }
-    (0L until keepFrom).foreach { i =>
-      val m = manifestPath(i)
-      if (fs.exists(m)) fs.delete(m, false)
-    }
+    // Prune log files strictly below the horizon — both kinds. Log
+    // storage (and the listing cost of `version`) is thereafter
+    // bounded by the retention window, not the table's age.
+    val (deltas, ckpts) = logVersions()
+    deltas.filter(_ < keepFrom).foreach(i => fs.delete(deltaPath(i), false))
+    ckpts.filter(_ < keepFrom).foreach(i => fs.delete(checkpointPath(i), false))
     deleted
   }
 
   // ---------------------------------------------------------------- commit CAS
 
-  private def manifestPath(v: Long) =
-    new org.apache.hadoop.fs.Path(logDir, f"v$v%020d.manifest")
+  private def deltaPath(v: Long) =
+    new org.apache.hadoop.fs.Path(logDir, f"v$v%020d.delta")
 
-  /** Run `build(latestVersion)` to produce the next snapshot and
-    * CAS-publish it as latest+1; on a lost race, re-runs `build`
-    * against the new latest. `build` may throw (conflict detection)
-    * — that propagates to the caller.
+  private def checkpointPath(v: Long) =
+    new org.apache.hadoop.fs.Path(logDir, f"v$v%020d.checkpoint")
+
+  private def checkpointBody(files: Seq[TxFile], schema: StructType): String =
+    (schema.json +: files.map(f => s"${f.partition}\t${f.path}")).mkString("\n")
+
+  /** Run `build(latestVersion, itsFiles)` to produce the next
+    * commit's (adds, removes, schema) and CAS-publish the delta as
+    * latest+1; on a lost race, re-runs `build` against the new
+    * latest. `build` may throw (conflict detection) — that propagates
+    * to the caller. Every `checkpointInterval`-th version also gets a
+    * full checkpoint; checkpoint contents are deterministic per
+    * version, so a lost checkpoint race is harmless.
     */
-  private def retryCas(build: Long => (Seq[TxFile], StructType)): Long = {
+  private def retryCas(
+      build: (Long, Seq[TxFile]) => (Seq[TxFile], Seq[TxFile], StructType)): Long = {
     while (true) {
       val v = version
-      val (files, schema) = build(v)
-      val body = (schema.json +: files.map(f => s"${f.partition}\t${f.path}"))
-        .mkString("\n")
-      if (casCreate(manifestPath(v + 1), body)) return v + 1
+      val base = if (v < 0) Seq.empty[TxFile] else snapshot(v).files
+      val (adds, removes, schema) = build(v, base)
+      val body = (schema.json +:
+        (removes.map(f => s"-\t${f.partition}\t${f.path}") ++
+          adds.map(f => s"+\t${f.partition}\t${f.path}"))).mkString("\n")
+      val nv = v + 1
+      if (casCreate(deltaPath(nv), body)) {
+        if (nv > 0 && nv % checkpointInterval == 0) {
+          val removed = removes.toSet
+          casCreate(checkpointPath(nv),
+            checkpointBody(base.filterNot(removed) ++ adds, schema))
+        }
+        return nv
+      }
     }
     sys.error("unreachable")
   }
@@ -326,7 +395,8 @@ class TxTable(val spark: SparkSession, val root: String,
 
 object TxTable {
   val LogDirName = "_graft_log"
-  private val ManifestName = """v(\d+)\.manifest""".r
+  private val DeltaName = """v(\d+)\.delta""".r
+  private val CheckpointName = """v(\d+)\.checkpoint""".r
   private val PartitionDirName = """([^=]+)=(.*)""".r
 
   /** One live data file: path relative to the table root + its

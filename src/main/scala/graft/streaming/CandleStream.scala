@@ -104,8 +104,19 @@ object CandleStream {
     */
   def runPipelineTx(stream: DataFrame, table: graft.storage.TxTable,
                     checkpoint: String, triggerSecs: Int = 10,
-                    watermark: String = "1 hour")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                    watermark: String = "1 hour",
+                    maintainEvery: Int = 30, vacuumRetain: Int = 20)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Maintenance cadence: every `maintainEvery` triggers (~5 min at
+    // the 10 s default) the sink compacts fat partitions and vacuums
+    // past the retention horizon, so a long-lived stream's file count
+    // AND transaction-log size stay bounded without an external job.
+    // Both run through the same conflict-checked commit path, so a
+    // separate maintenance process (the deployment-scale alternative)
+    // can take over by just calling the same methods; `vacuumRetain`
+    // must exceed the longest concurrent reader's snapshot age in
+    // commits. Set maintainEvery <= 0 to disable.
+    val sinceMaintain = new java.util.concurrent.atomic.AtomicInteger(0)
     closedCandles(stream, watermark)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -132,9 +143,16 @@ object CandleStream {
               incoming.join(existing, CandleOps.keyCols :+ "time", "left_anti"))
           }
         }
+        if (maintainEvery > 0 &&
+            sinceMaintain.incrementAndGet() >= maintainEvery) {
+          sinceMaintain.set(0)
+          table.compact()
+          table.vacuum(vacuumRetain)
+        }
         ()
       }
       .start()
+  }
 
   def runPipeline(stream: DataFrame, tablePath: String, checkpoint: String,
                   triggerSecs: Int = 10, watermark: String = "1 hour")

@@ -124,6 +124,51 @@ class TxTableSpec extends SparkSpec {
     assert(t.read().orderBy("id").collect().toSeq == before)
   }
 
+  test("log I/O stays bounded across 1000 simulated 10s commits with compaction cadence") {
+    // A day of 10s streaming appends is ~8.6k commits; without the
+    // delta/checkpoint split each commit rewrote the FULL live-file
+    // list (O(files) text), so manifest I/O grew quadratically. This
+    // drives 1000 commits through the real CAS/checkpoint path
+    // (synthetic TxFiles — no Spark write per commit) with the
+    // runPipelineTx-style cadence: compaction every 50 commits,
+    // vacuum retaining 5 versions.
+    val t = freshTable()
+    t.append(rows(0 until 2, "2021-01-01")) // real commit -> schema, v0
+    val schema = t.read().schema
+    val logDir = new java.io.File(t.root, TxTable.LogDirName)
+    def logFiles = logDir.listFiles.toSeq
+    var earlyDelta = -1L
+    var lateDelta = -1L
+    var maxLogBytes = 0L
+    for (i <- 1 to 1000) {
+      val v = t.commitAppend(
+        Seq(TxTable.TxFile(s"data/p_date=2021-01-01/f$i.parquet", "2021-01-01")),
+        schema)
+      val dSize = new java.io.File(logDir, f"v$v%020d.delta").length
+      if (i == 10) earlyDelta = dSize
+      if (i == 1000) lateDelta = dSize
+      if (i % 50 == 0) {
+        t.commitRewrite(t.version, Set("2021-01-01"),
+          Seq(TxTable.TxFile(s"data/p_date=2021-01-01/c$i.parquet", "2021-01-01")),
+          schema)
+        t.vacuum(retainVersions = 5)
+        maxLogBytes = math.max(maxLogBytes, logFiles.map(_.length).sum)
+      }
+    }
+    // per-commit log writes are O(batch), independent of history
+    assert(earlyDelta > 0 && lateDelta > 0 && lateDelta <= earlyDelta * 2,
+      s"delta grew with table age: v10=$earlyDelta bytes vs v1020=$lateDelta bytes")
+    // total log storage bounded by the retention window, not the 1000
+    // commits of history (full-manifest design: ~25 MB by commit 1000)
+    assert(maxLogBytes < 64 * 1024, s"log dir peaked at $maxLogBytes bytes")
+    assert(logFiles.size < 60, s"${logFiles.size} log files survive vacuum")
+    // the log still reconstructs the right snapshot: last compaction
+    // at 1000 left 1 file, no appends after it
+    val snap = t.snapshot(t.version)
+    assert(t.version == 1020, s"v=${t.version}")
+    assert(snap.files.map(_.path) == Seq("data/p_date=2021-01-01/c1000.parquet"))
+  }
+
   test("runPipelineTx + writePartitionedTx interleave on one table family") {
     // the verdict's exact scenario, deterministic form: maintenance
     // rewrite lands between a batch's snapshot read and commit
