@@ -36,6 +36,11 @@ object RestCursors {
   val BinanceLimit = 1000
   /** Binance DEFAULT_WEIGHT_LIMIT per 60 s (binance.py:43). */
   val BinanceWeightLimit = 1200
+  /** Throttler request rates per 60 s window
+    * (fetchers/config/constants.py:10-17).
+    */
+  val BitfinexRatePerMin = 85
+  val BittrexRatePerMin = 55
 
   /** Bitfinex cursor pager: hist section while `asOf − start > 60 s`,
     * else the `last` endpoint (make_ohlcv_url, bitfinex.py:123-161);
@@ -48,9 +53,24 @@ object RestCursors {
     * same behavior rather than "fixing" it.
     */
   def bitfinex(page: PageFetcher, asOfMs: Long,
-               limit: Int = BitfinexLimit): Backfill.Fetcher =
-    cursorFetcher(page, limit, beforeRequest = _ => (),
+               limit: Int = BitfinexLimit,
+               limiter: Gcra = new Gcra(BitfinexRatePerMin)): Backfill.Fetcher =
+    cursorFetcher(page, limit, beforeRequest = _ => limiter.acquire(),
       section = start => if (asOfMs - start > 60000L) "hist" else "last")
+
+  /** Wrap any [[Backfill.Fetcher]] so each task fetch first conforms
+    * to a shared [[Gcra]] limiter — the Bittrex path, where one
+    * day-task is one HTTP request (fetchers/rest/bittrex.py fetches
+    * throttle through the same GCRARateLimiter as Bitfinex, at
+    * 55 req/min).
+    */
+  def throttled(inner: Backfill.Fetcher, limiter: Gcra): Backfill.Fetcher =
+    new Backfill.Fetcher {
+      def fetch(t: Backfill.Task): Seq[Candle] = {
+        limiter.acquire()
+        inner.fetch(t)
+      }
+    }
 
   /** Binance cursor pager: same advance rule with limit=1000, every
     * klines request charged 1 unit against the shared weight budget
@@ -96,7 +116,65 @@ object RestCursors {
     * `limit` as (exchange budget ÷ concurrent executors) — the same
     * division the reference does implicitly by consuming from one
     * Redis set.
+    *
+    * Concurrency note: `check` sleeps while HOLDING the monitor, so
+    * threads sharing one pool serialize through the wait — the
+    * intended semantics (the reference's RequestWeightManager is a
+    * single asyncio consumer; a drained pool means nobody may
+    * proceed), but it makes one pool per requesting thread-group the
+    * right deployment shape, not one pool per JVM shared by unrelated
+    * work.
     */
+  /** GCRA ("leaky bucket as a meter") request limiter — the
+    * reference's GCRARateLimiter (fetchers/utils/ratelimit.py:14-95)
+    * with the Redis TAT cell as a field: the limiter tracks one
+    * theoretical-arrival-time; a request conforms when
+    * `now >= max(tat, now) + increment − period` (increment =
+    * period/rate), and a grant advances tat by one increment. Unlike
+    * [[WeightBudget]]'s fixed window, GCRA spreads grants evenly at
+    * steady state while allowing an initial burst of up to `rate`
+    * requests — the shape exchange 429 policies expect.
+    *
+    * `acquire()` mirrors `wait()` (ratelimit.py:80-88): loop on the
+    * conformance test, sleeping exactly the non-conforming remainder.
+    * Clock and sleeper are injectable so specs assert throttling
+    * without wall-clock waits.
+    *
+    * Scale note (same as [[WeightBudget]]): the reference shares the
+    * TAT cell across fetcher instances via Redis under a lock; here
+    * each executor deserializes its own limiter, so size `rate` as
+    * (exchange budget ÷ concurrent executors). The `synchronized`
+    * block is the single-JVM stand-in for that Redis lock.
+    */
+  class Gcra(rate: Double, periodSec: Double = 60.0,
+             clock: () => Double = () => System.nanoTime() / 1e9,
+             sleeper: Double => Unit = s => Thread.sleep(math.max(0L, (s * 1000).toLong)))
+      extends Serializable {
+    require(rate > 0 && periodSec > 0, s"degenerate GCRA rate=$rate period=$periodSec")
+    private val increment = periodSec / rate
+    private var tat = Double.NaN
+
+    /** One conformance test: None = granted, Some(retryAfter) =
+      * limited (ratelimit.py:52-76 `_is_limited`).
+      */
+    def tryAcquire(): Option[Double] = synchronized {
+      val t = clock()
+      val base = if (tat.isNaN) t else math.max(tat, t)
+      val allowedAt = base + increment - periodSec
+      if (t >= allowedAt) { tat = base + increment; None }
+      else Some(allowedAt - t)
+    }
+
+    /** Block (via `sleeper`) until a request conforms. */
+    def acquire(): Unit = {
+      var limited = tryAcquire()
+      while (limited.isDefined) {
+        sleeper(limited.get)
+        limited = tryAcquire()
+      }
+    }
+  }
+
   class WeightBudget(limit: Int = BinanceWeightLimit, periodSec: Double = 60.0,
                      clock: () => Double = () => System.nanoTime() / 1e9,
                      sleeper: Double => Unit = s => Thread.sleep(math.max(0L, (s * 1000).toLong)))

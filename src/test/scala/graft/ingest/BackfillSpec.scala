@@ -127,6 +127,67 @@ class BackfillSpec extends SparkSpec {
     assert(sleeps.size == 1)
   }
 
+  test("GCRA: initial burst up to rate, then evenly spaced grants of period/rate") {
+    var now = 0.0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // rate 2 per 60s: increment 30s, burst tolerance = one period
+    val g = new RestCursors.Gcra(rate = 2, periodSec = 60.0,
+      clock = () => now, sleeper = s => { sleeps += s; now += s })
+    g.acquire(); g.acquire() // burst: tat runs ahead up to the period
+    assert(sleeps.isEmpty, "burst within the period must not sleep")
+    g.acquire() // tat - now == period: must wait one increment
+    assert(sleeps.toSeq == Seq(30.0), s"got $sleeps")
+    g.acquire()
+    assert(sleeps.toSeq == Seq(30.0, 30.0), "steady state spaces by period/rate")
+    // idle for a full period: burst capacity restores
+    now += 120.0
+    sleeps.clear()
+    g.acquire(); g.acquire()
+    assert(sleeps.isEmpty, "idle time restores the burst allowance")
+  }
+
+  test("bitfinex pager conforms every page request to the GCRA limiter") {
+    val end = 86400000L
+    FakePagedApi.requests.clear()
+    val api = new FakePagedApi(0L, end)
+    var now = 0.0
+    var acquires = 0
+    val limiter = new RestCursors.Gcra(rate = 85, periodSec = 60.0,
+      clock = () => now, sleeper = s => now += s) {
+      override def acquire(): Unit = { acquires += 1; super.acquire() }
+    }
+    val fetcher = RestCursors.bitfinex(api, asOfMs = end + 86400000L,
+      limit = 500, limiter = limiter)
+    val got = fetcher.fetch(Backfill.Task("bitfinex", "BTC", "USD", 0L, end))
+    assert(got.size == 1440)
+    assert(acquires == api.requests.size,
+      "every page request must pass the limiter first")
+    assert(acquires >= 3) // 1440 minutes at limit 500 needs >= 3 pages
+  }
+
+  test("throttled wrapper rate-limits bittrex day-task fetches at 55/min") {
+    var now = 0.0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val limiter = new RestCursors.Gcra(rate = RestCursors.BittrexRatePerMin,
+      periodSec = 60.0, clock = () => now, sleeper = s => { sleeps += s; now += s })
+    var fetches = 0
+    val inner = new Backfill.Fetcher {
+      def fetch(t: Backfill.Task) = { fetches += 1; Seq((t.startMs, 1d, 1d, 1d, 1d, 1d)) }
+    }
+    val f = RestCursors.throttled(inner, limiter)
+    // 56 day-tasks: the 56th exceeds the burst and must wait one increment
+    (0 until 56).foreach(i =>
+      f.fetch(Backfill.Task("bittrex", "BTC", "USD", i * 86400000L, (i + 1) * 86400000L)))
+    assert(fetches == 56)
+    // 55 accumulated increments of 60/55 carry ~1e-14 of FP error, so
+    // a grant on the exact burst boundary can "sleep" for femtoseconds
+    // (the reference's float arithmetic behaves identically); only
+    // material waits count.
+    val real = sleeps.filter(_ > 1e-9)
+    assert(real.size == 1, s"55 fit the burst window, the 56th waits: $sleeps")
+    assert(math.abs(real.head - 60.0 / 55) < 1e-9)
+  }
+
   test("binance pager charges 1 unit per klines request against the budget") {
     val end = 86400000L
     FakePagedApi.requests.clear()
