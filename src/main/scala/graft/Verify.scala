@@ -22,9 +22,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Verify.writeOracleJson(outDir)
+    spark.stop()
+  }
+
+  /** Dump `SparkEntry.oracleSql` as `<outDir>/oracle_sql.json`.
+    * JSON string escape covers backslash, quote, and ALL control
+    * chars (<0x20) — a tab or CR in builder-authored SQL would
+    * otherwise make the driver's json.load fail and silently zero
+    * the round's correctness.
+    */
+  def writeOracleJson(outDir: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -37,6 +45,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+  }
+}
+
+/** Oracle-SQL-only dump (no Spark session, no query execution) — lets
+  * `scripts/bench_all.sh` regenerate BENCH_COMPARE.md without a full
+  * Verify run.
+  */
+object DumpOracle {
+  def main(args: Array[String]): Unit = {
+    val Array(outDir) = args
+    new java.io.File(outDir).mkdirs()
+    Verify.writeOracleJson(outDir)
   }
 }

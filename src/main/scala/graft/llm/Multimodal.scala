@@ -53,6 +53,81 @@ object Multimodal {
     }
   }
 
+  /** A real (if minimal) codec: parses PNG and JPEG headers for
+    * dimensions from the raw bytes — no image library, just the
+    * public file formats (PNG: RFC 2083 §3.1 signature + IHDR chunk;
+    * JPEG: ISO/IEC 10918-1 marker segments walked to the first SOFn
+    * frame header). Anything else — truncated headers, wrong magic,
+    * a JPEG with no frame before start-of-scan — throws, exercising
+    * [[extractFeatures]]'s error-isolation path with genuinely
+    * malformed media rather than a stubbed failure.
+    */
+  class ImageHeaderDecoder extends MediaDecoder {
+    private def u8(b: Byte): Int = b & 0xff
+    private def be16(a: Array[Byte], i: Int): Int = (u8(a(i)) << 8) | u8(a(i + 1))
+    private def be32(a: Array[Byte], i: Int): Int =
+      (u8(a(i)) << 24) | (u8(a(i + 1)) << 16) | (u8(a(i + 2)) << 8) | u8(a(i + 3))
+
+    private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def parsePng(a: Array[Byte]): (Int, Int) = {
+      // signature, 4-byte chunk length, then the IHDR chunk: the spec
+      // requires IHDR first, so width/height sit at fixed offsets 16/20
+      if (a.length < 24) throw new IllegalArgumentException("truncated PNG header")
+      if (!(12 until 16).forall(i => a(i) == "IHDR".charAt(i - 12).toByte))
+        throw new IllegalArgumentException("PNG first chunk is not IHDR")
+      val w = be32(a, 16); val h = be32(a, 20)
+      if (w <= 0 || h <= 0)
+        throw new IllegalArgumentException(s"invalid PNG dimensions ${w}x$h")
+      (w, h)
+    }
+
+    private def parseJpeg(a: Array[Byte]): (Int, Int) = {
+      var i = 2 // past SOI
+      while (i + 3 < a.length) {
+        if (u8(a(i)) != 0xff)
+          throw new IllegalArgumentException(f"bad JPEG marker byte 0x${u8(a(i))}%02x at $i")
+        var j = i + 1
+        while (j < a.length && u8(a(j)) == 0xff) j += 1 // fill bytes
+        if (j >= a.length) throw new IllegalArgumentException("truncated JPEG")
+        val marker = u8(a(j))
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOFn frame header: [len16][precision8][height16][width16]
+          if (j + 8 >= a.length) throw new IllegalArgumentException("truncated JPEG SOF")
+          val h = be16(a, j + 4); val w = be16(a, j + 6)
+          if (w <= 0 || h <= 0)
+            throw new IllegalArgumentException(s"invalid JPEG dimensions ${w}x$h")
+          return (w, h)
+        }
+        if (marker == 0xda)
+          throw new IllegalArgumentException("JPEG start-of-scan before any SOF header")
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 1 // standalone
+        else {
+          if (j + 2 >= a.length) throw new IllegalArgumentException("truncated JPEG segment")
+          val len = be16(a, j + 1)
+          if (len < 2) throw new IllegalArgumentException(s"bad JPEG segment length $len")
+          i = j + 1 + len
+        }
+      }
+      throw new IllegalArgumentException("no JPEG SOF header found")
+    }
+
+    override def decode(bytes: Array[Byte]): MediaFeatures = {
+      if (bytes == null || bytes.length < 2)
+        throw new IllegalArgumentException("empty or missing blob")
+      val (w, h) =
+        if (bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)))
+          parsePng(bytes)
+        else if (u8(bytes(0)) == 0xff && u8(bytes(1)) == 0xd8)
+          parseJpeg(bytes)
+        else throw new IllegalArgumentException("unsupported image format (not PNG/JPEG)")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      MediaFeatures(bytes.length.toLong, md.digest(bytes).map("%02x".format(_)).mkString,
+        w, h, ok = true, error = "")
+    }
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
     StructField("digest", StringType, nullable = false),

@@ -169,6 +169,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("ImageHeaderDecoder parses real PNG/JPEG headers; corrupt blobs isolate as error rows") {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    // a structurally-real 640x480 PNG header: signature, IHDR chunk
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    // a real JPEG marker stream: SOI, APP0/JFIF, SOF0 (5x4), EOI
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+      "JFIF".getBytes ++ Array.fill[Byte](10)(0) ++
+      Array(0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x04, 0x00, 0x05,
+        0x01, 0x01, 0x11, 0x00).map(_.toByte) ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val truncatedPng = png.take(20)           // cut mid-IHDR
+    val noise = "not an image at all".getBytes // wrong magic
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte) // scan, no SOF
+    val rows = Seq((1L, png), (2L, jpeg), (3L, truncatedPng), (4L, noise), (5L, sosFirst))
+      .toDF("id", "blob")
+    val got = Multimodal.extractFeatures(rows, "blob", Seq("id"),
+        new Multimodal.ImageHeaderDecoder)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(3) == 640 && got(1L).getInt(4) == 480 && got(1L).getBoolean(5))
+    assert(got(2L).getInt(3) == 5 && got(2L).getInt(4) == 4 && got(2L).getBoolean(5))
+    for (i <- 3L to 5L) {
+      assert(!got(i).getBoolean(5), s"row $i must fail decode")
+      assert(got(i).getString(6).nonEmpty, s"row $i must carry the error")
+    }
+    // a failed row never fails the job, and good rows are unaffected
+    assert(got.size == 5)
+  }
+
   test("cosine: self-similarity is 1.0, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
