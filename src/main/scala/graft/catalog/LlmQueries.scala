@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -165,7 +165,7 @@ object LlmQueries {
 
   // ------------------------------------------------------- SimHash
   private def simhash(s: SparkSession, d: String): DataFrame = {
-    val bag = Tables.documents(s, d)
+    val bag = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("wrd"))
     Dedup.simHash(bag, col("doc_id"), col("wrd"), 16)
       .withColumnRenamed("id", "doc_id")
@@ -197,7 +197,7 @@ object LlmQueries {
     * mismatch). Integer-only arithmetic end to end.
     */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
     val pert = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
@@ -554,6 +554,10 @@ object LlmQueries {
     * in this fixture, and the emitted sims are r4-rounded.
     */
   private def kmeansIvf(s: SparkSession, d: String): DataFrame =
+    // NOT fanned out: the Lloyd loop re-executes its input lineage per
+    // iteration (centroid collects), so a repartition here repeats its
+    // shuffle 5x — measured 1.7s -> 3.0s. Single-row-group parallelism
+    // is the lesser cost.
     Similarity.ivfKMeansTopK(
         Tables.embeddings(s, d), col("vec_id"), col("embedding"),
         col("vec_id") === 0L, 10, cells = 8, iters = 5)
@@ -669,6 +673,184 @@ object LlmQueries {
        |SELECT id_a, id_b, ${r4Sql("c")} AS cos_sim
        |FROM p WHERE c >= 0.9 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- repetition metrics
+  /** Gopher-style repetition quality filters (Rae et al., "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", arXiv:2112.11446 §A1.3), adapted to word granularity —
+    * the corpus is single-line, so the line-level variants are
+    * degenerate here:
+    *
+    *  - `dup_word_frac`: fraction of word occurrences that are
+    *    repeats (1 − distinct/total) — the "duplicate line fraction"
+    *    analog;
+    *  - `top_word_frac`: occurrences of the most frequent word over
+    *    total words;
+    *  - `top_bigram_char_frac`: characters covered by all occurrences
+    *    of the most frequent word 2-gram over total characters — the
+    *    paper's "top 2-gram character fraction".
+    *
+    * Ties break deterministically to the lexicographically smallest
+    * gram (row_number over (count desc, gram) — identical in both
+    * engines, so the compare is exact). Shape: two keyed explode→
+    * count aggregations (words, 2-grams) + per-doc top-1 via
+    * row_number, joined back on doc_id — every shuffle keyed by
+    * doc_id, no driver actions; at 100 TB this partitions like every
+    * other per-doc op.
+    */
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    repetitionOver(Tables.fanOut(Tables.documents(s, d)))
+
+  /** Spec entry: the repetition pipeline over an arbitrary
+    * (doc_id, text) frame.
+    */
+  private[graft] def testRepetition(s: SparkSession, docsIn: DataFrame): DataFrame =
+    repetitionOver(docsIn)
+
+  private def repetitionOver(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_t"),
+        TextOps.words(col("text")).as("w"))
+    val base = docs.select(col("doc_id"), col("n_chars_t"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("wrd"))
+    val wtop = docs.select(col("doc_id"), explode(col("w")).as("wrd"))
+      .groupBy(col("doc_id"), col("wrd")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wWin)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("wrd").as("top_word"), col("c").as("wc"))
+    val gWin = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("gram"))
+    val gtop = docs.select(col("doc_id"),
+        explode(TextOps.wordNgrams(col("w"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(gWin)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_bigram"), col("c").as("gc"))
+    base.join(wtop, Seq("doc_id"), "left").join(gtop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        r4(lit(1.0d) - col("n_distinct") * lit(1.0d) / col("n_words")).as("dup_word_frac"),
+        col("top_word"),
+        r4(col("wc") * lit(1.0d) / col("n_words")).as("top_word_frac"),
+        col("top_bigram"),
+        r4(col("gc") * length(col("top_bigram")) * lit(1.0d) / col("n_chars_t"))
+          .as("top_bigram_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, length(text) AS n_chars_t, ${wordsSql("text")} AS w
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, n_chars_t, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+       |  FROM d
+       |), wcnt AS (
+       |  SELECT doc_id, wrd, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(w) AS wrd FROM d) GROUP BY 1, 2
+       |), wtop AS (
+       |  SELECT doc_id, wrd AS top_word, c AS wc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, wrd) AS rn
+       |    FROM wcnt) WHERE rn = 1
+       |), g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+       |    THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM d
+       |), gcnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+       |gtop AS (
+       |  SELECT doc_id, gram AS top_bigram, c AS gc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+       |    FROM gcnt) WHERE rn = 1
+       |)
+       |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+       |       ${r4Sql("1.0 - b.n_distinct * 1.0 / b.n_words")} AS dup_word_frac,
+       |       w.top_word,
+       |       ${r4Sql("w.wc * 1.0 / b.n_words")} AS top_word_frac,
+       |       g.top_bigram,
+       |       ${r4Sql("g.gc * length(g.top_bigram) * 1.0 / b.n_chars_t")} AS top_bigram_char_frac
+       |FROM base b
+       |LEFT JOIN wtop w USING (doc_id)
+       |LEFT JOIN gtop g USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  // ------------------------------------------ stratified hash-sample
+  /** Deterministic stratified sampling ([[Sampling.hashSample]]):
+    * downsample en to 0.5 and de/es/fr to 0.75, keep zh whole — the
+    * corpus-mixing move every training run makes. The output pins the
+    * EXACT kept set per stratum (count + id-sum + min/max witness),
+    * not just its size, so the oracle certifies that both engines
+    * select identical rows — the property that makes hash-sampling
+    * safe for reproducible pipelines, and the one `rand()` sampling
+    * cannot give. Pure map-side filter + one keyed aggregation; at
+    * 100 TB the filter folds into the scan.
+    */
+  private def hashSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = Sampling.hashSample(docs, col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5d, "de" -> 0.75d, "es" -> 0.75d, "fr" -> 0.75d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        r4(coalesce(col("n_kept"), lit(0L)) * lit(1.0d) / col("n_total"))
+          .as("kept_frac"),
+        col("id_sum"), col("min_id"), col("max_id"))
+      .orderBy(col("lang"))
+  }
+
+  private val hashSampleSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, lang,
+       |         CASE lang WHEN 'en' THEN '80000000'
+       |                   WHEN 'de' THEN 'c0000000'
+       |                   WHEN 'es' THEN 'c0000000'
+       |                   WHEN 'fr' THEN 'c0000000'
+       |                   ELSE 'g' END AS t
+       |  FROM documents
+       |), kept AS (
+       |  SELECT lang, count(*) AS n_kept,
+       |         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |         min(doc_id) AS min_id, max(doc_id) AS max_id
+       |  FROM th
+       |  WHERE substr(md5('graft|' || lang || '|' || doc_id), 1, 8) < t
+       |  GROUP BY 1
+       |), tot AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1)
+       |SELECT tot.lang, tot.n_total, coalesce(kept.n_kept, 0) AS n_kept,
+       |       ${r4Sql("coalesce(kept.n_kept, 0) * 1.0 / tot.n_total")} AS kept_frac,
+       |       kept.id_sum, kept.min_id, kept.max_id
+       |FROM tot LEFT JOIN kept USING (lang)
+       |ORDER BY tot.lang""".stripMargin
+
+  // ------------------------------------------ context-window chunking
+  /** Token chunking ([[TextOps.tokenChunks]], 32-token windows every
+    * 24 tokens = 8 overlap): one row per chunk with its token count
+    * and an md5 content witness, so the oracle pins exact chunk
+    * boundaries AND contents in both engines. The explode emits only
+    * chunk rows (~n/stride per doc), not per-token rows.
+    */
+  private def chunk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    docs.select(col("doc_id"), explode(TextOps.tokenChunks(col("w"), 32, 24)).as("c"))
+      .select(col("doc_id"), col("c.idx").cast("long").as("chunk_idx"),
+        col("c.n_tok").cast("long").as("n_tok"), md5(col("c.txt")).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS w FROM documents
+       |), x AS (
+       |  SELECT doc_id, w,
+       |         unnest(range(0, CAST(ceil(len(w) * 1.0 / 24) AS BIGINT))) AS i
+       |  FROM d WHERE len(w) > 0
+       |)
+       |SELECT doc_id, i AS chunk_idx,
+       |       least(32, len(w) - i * 24) AS n_tok,
+       |       md5(array_to_string(w[(i*24+1)::INT:(i*24+32)::INT], ' ')) AS fp
+       |FROM x ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_embed_neardup" -> embedNearDup,
@@ -686,6 +868,9 @@ object LlmQueries {
     "llm_fingerprint"  -> fingerprintQ,
     "llm_winnow"       -> winnowQ,
     "llm_multimodal"   -> multimodal,
+    "llm_repetition"   -> repetition,
+    "llm_hash_sample"  -> hashSample,
+    "llm_chunk"        -> chunk,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -705,5 +890,8 @@ object LlmQueries {
     "llm_fingerprint"  -> fingerprintSql,
     "llm_winnow"       -> winnowSql,
     "llm_multimodal"   -> multimodalSql,
+    "llm_repetition"   -> repetitionSql,
+    "llm_hash_sample"  -> hashSampleSql,
+    "llm_chunk"        -> chunkSql,
   )
 }

@@ -22,6 +22,29 @@ object TextOps {
         i => array_join(slice(ws, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Fixed-window token chunking with overlap — the context-window
+    * prep step of a training pipeline (split long documents into
+    * `win`-token windows every `stride` tokens; `win − stride` tokens
+    * of overlap preserve cross-boundary context). Chunk starts are
+    * 0, stride, 2·stride, … while < token count, so every token is
+    * covered and the tail chunk may be short (the drop-last=false
+    * convention). Returns `array<struct<idx, n_tok, txt>>`, [] for
+    * empty input; pure array expressions, no explode until the caller
+    * asks for rows — so at 100 TB the chunking itself never shuffles.
+    */
+  def tokenChunks(ws: Column, win: Int, stride: Int): Column = {
+    require(win >= 1 && stride >= 1 && stride <= win,
+      s"degenerate chunking win=$win stride=$stride")
+    val n = size(ws)
+    val nChunks = ceil(n * lit(1.0d) / stride).cast("int")
+    when(n > 0,
+      transform(sequence(lit(0), nChunks - 1), i =>
+        struct(i.as("idx"),
+          least(lit(win), n - i * lit(stride)).as("n_tok"),
+          array_join(slice(ws, i * lit(stride) + 1, lit(win)), " ").as("txt"))))
+      .otherwise(array().cast("array<struct<idx:int,n_tok:int,txt:string>>"))
+  }
+
   /** Character n-gram shingles, empty when text shorter than n. */
   def charNgrams(text: Column, n: Int): Column =
     when(length(text) >= n,

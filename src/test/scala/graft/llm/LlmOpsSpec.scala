@@ -199,6 +199,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("repetition metrics: dup-word and top-gram fractions on a known fixture") {
+    // "a b a b a": 5 words, 2 distinct -> dup_word_frac = 0.6;
+    // top word "a" x3 -> 0.6; bigrams: "a b" x2, "b a" x2 -> tie
+    // breaks to "a b"; chars = 9, covered = 2 * 3 = 6 -> 0.6667
+    val q = graft.catalog.LlmQueries.testRepetition(spark,
+      Seq((1L, "a b a b a")).toDF("doc_id", "text"))
+    val r = q.collect().head
+    assert(r.getLong(1) == 5L)
+    assert(math.abs(r.getDouble(2) - 0.6) < 1e-9, "dup_word_frac")
+    assert(r.getString(3) == "a" && math.abs(r.getDouble(4) - 0.6) < 1e-9)
+    assert(r.getString(5) == "a b", "bigram tie must break lexicographically")
+    assert(math.abs(r.getDouble(6) - 0.6667) < 1e-9, "top_bigram_char_frac r4")
+  }
+
+  test("hashSample: deterministic, threshold math exact, rates approximately honored") {
+    import graft.llm.Sampling
+    assert(Sampling.rateThreshold(0.5) == "80000000")
+    assert(Sampling.rateThreshold(0.25) == "40000000")
+    assert(Sampling.rateThreshold(0.0) == "00000000")
+    assert(Sampling.rateThreshold(1.0) == "g")
+    val big = spark.range(10000).select(col("id"),
+      when(col("id") % 2 === 0, "en").otherwise("zh").as("lang"))
+    val kept = Sampling.hashSample(big, col("id"), col("lang"),
+      rates = Map("en" -> 0.5d)) // zh defaults to keep-all
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") == 5000L, "default rate 1.0 keeps every row")
+    assert(math.abs(byLang("en") - 2500L) < 250, s"~50% of en, got ${byLang("en")}")
+    // rerun = identical membership (the property rand() cannot give)
+    val again = Sampling.hashSample(big, col("id"), col("lang"),
+      rates = Map("en" -> 0.5d)).select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+    // a different salt draws an independent sample
+    val salted = Sampling.hashSample(big, col("id"), col("lang"),
+      rates = Map("en" -> 0.5d), salt = "v2").select("id").as[Long].collect().toSet
+    assert(salted != again.toSet)
+    // rate 0 keeps nothing
+    assert(Sampling.hashSample(big, col("id"), col("lang"),
+      rates = Map.empty, defaultRate = 0.0d).count() == 0L)
+  }
+
+  test("tokenChunks: full coverage, correct overlap, short tail, empty and sub-window docs") {
+    val rows = Seq(
+      (1L, (1 to 60).map(i => s"t$i").mkString(" ")), // 60 tokens: chunks at 0,24,48
+      (2L, "a b c"),                                  // sub-window: one short chunk
+      (3L, "")                                        // empty: no chunks
+    ).toDF("doc_id", "text")
+    val got = rows
+      .select(col("doc_id"),
+        explode(TextOps.tokenChunks(TextOps.words(col("text")), 32, 24)).as("c"))
+      .select(col("doc_id"), col("c.idx"), col("c.n_tok"), col("c.txt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3)).toSeq == Seq((0, 32), (1, 32), (2, 12)))
+    // overlap: chunk 1 starts at token 25 (stride 24), so chunk 0's
+    // last 8 tokens open chunk 1
+    assert(d1(0)._4.split(" ").takeRight(8).toSeq == d1(1)._4.split(" ").take(8).toSeq)
+    // every token covered exactly: union of chunks == original tokens
+    assert(d1.flatMap(c => c._4.split(" ")).distinct.length == 60)
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("cosine: self-similarity is 1.0, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
