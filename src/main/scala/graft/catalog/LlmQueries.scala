@@ -851,6 +851,70 @@ object LlmQueries {
        |       md5(array_to_string(w[(i*24+1)::INT:(i*24+32)::INT], ' ')) AS fp
        |FROM x ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------- decontamination
+  /** Benchmark decontamination (the overlap scrub every training run
+    * does — Brown et al., "Language Models are Few-Shot Learners",
+    * arXiv:2005.14165 Appendix C: flag training docs sharing any
+    * long n-gram with an evaluation set). Benchmark slice =
+    * `doc_id % 97 == 0`; the training corpus is everything else PLUS
+    * constructed contaminated copies of the benchmark docs
+    * (id + 200000, last 3 words dropped) so the detector has
+    * guaranteed positives. A training doc is flagged with its count
+    * of distinct shared word-8-grams.
+    *
+    * Scale shape: the benchmark gram set is eval-suite-sized —
+    * broadcast it; the training side streams through one explode +
+    * broadcast-hash semi-join + keyed count, so a 100 TB corpus
+    * never shuffles its grams.
+    */
+  private def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateOver(Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.words(col("text")).as("w")))
+
+  /** Spec entry: the decontamination pipeline over an arbitrary
+    * (doc_id, w) frame.
+    */
+  private[graft] def testDecontaminate(docs: DataFrame): DataFrame =
+    decontaminateOver(docs)
+
+  private def decontaminateOver(docs: DataFrame): DataFrame = {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .unionByName(bench.select((col("doc_id") + 200000L).as("doc_id"),
+        slice(col("w"), lit(1), greatest(size(col("w")) - 3, lit(0))).as("w")))
+    val bg = bench
+      .select(explode(array_distinct(TextOps.wordNgrams(col("w"), 8))).as("g"))
+      .distinct()
+    train
+      .select(col("doc_id"), explode(array_distinct(TextOps.wordNgrams(col("w"), 8))).as("g"))
+      .join(broadcast(bg), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS w FROM documents
+       |), bench AS (SELECT doc_id, w FROM d WHERE doc_id % 97 = 0),
+       |train AS (
+       |  SELECT doc_id, w FROM d WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, w[1:greatest(len(w)-3, 0)] FROM bench
+       |), gr AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 8
+       |    THEN list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END)) AS g
+       |  FROM train
+       |), bg AS (
+       |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(w) >= 8
+       |    THEN list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END)) AS g
+       |  FROM bench
+       |)
+       |SELECT gr.doc_id, count(*) AS n_shared
+       |FROM gr JOIN bg USING (g)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_embed_neardup" -> embedNearDup,
@@ -871,6 +935,7 @@ object LlmQueries {
     "llm_repetition"   -> repetition,
     "llm_hash_sample"  -> hashSample,
     "llm_chunk"        -> chunk,
+    "llm_decontaminate" -> decontaminate,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -893,5 +958,6 @@ object LlmQueries {
     "llm_repetition"   -> repetitionSql,
     "llm_hash_sample"  -> hashSampleSql,
     "llm_chunk"        -> chunkSql,
+    "llm_decontaminate" -> decontaminateSql,
   )
 }

@@ -262,6 +262,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("decontamination: contaminated copies flagged, clean docs not, benchmark side broadcast") {
+    // doc 0 (id % 97 == 0) is the "benchmark"; its constructed copy
+    // (id+200000, 3 words dropped) must be flagged; unrelated docs not
+    val fixture = Seq(
+      (0L, (1 to 20).map(i => s"b$i").mkString(" ")),   // benchmark doc
+      (5L, (1 to 20).map(i => s"x$i").mkString(" ")),   // clean training doc
+      (7L, (1 to 12).map(i => s"b$i").mkString(" "))    // shares an 8-gram prefix
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    val q = graft.catalog.LlmQueries.testDecontaminate(fixture)
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(200000L), "constructed contaminated copy must be flagged")
+    assert(got(200000L) == 10L, "17-token copy shares all 10 of its 8-grams")
+    assert(got.contains(7L) && got(7L) == 5L, "12-token prefix doc shares 5 8-grams")
+    assert(!got.contains(5L), "clean doc must not be flagged")
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "benchmark gram set must broadcast, not shuffle the corpus")
+  }
+
   test("cosine: self-similarity is 1.0, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
