@@ -554,10 +554,10 @@ object LlmQueries {
     * in this fixture, and the emitted sims are r4-rounded.
     */
   private def kmeansIvf(s: SparkSession, d: String): DataFrame =
-    // NOT fanned out: the Lloyd loop re-executes its input lineage per
-    // iteration (centroid collects), so a repartition here repeats its
-    // shuffle 5x — measured 1.7s -> 3.0s. Single-row-group parallelism
-    // is the lesser cost.
+    // NOT fanned out (measured slower both with and without the fit's
+    // persist): the assignment/probe path re-executes the repartition
+    // exchange, and the 32-thread win on a 2000-row vector scan never
+    // repays it. kMeansFit persists its own input for the Lloyd loop.
     Similarity.ivfKMeansTopK(
         Tables.embeddings(s, d), col("vec_id"), col("embedding"),
         col("vec_id") === 0L, 10, cells = 8, iters = 5)

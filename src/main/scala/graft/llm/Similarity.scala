@@ -161,7 +161,13 @@ object Similarity {
   def kMeansFit(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Each Lloyd iteration's centroid collect is an action, so without
+    // a persist the input lineage (scan + cast) re-executes iters+1
+    // times. At 100 TB don't fit on the full corpus at all — fit on a
+    // Sampling.hashSample subset (deterministic, so the fit is
+    // reproducible) and let assignment stream the full data once.
     val pts = df.select(id.as("id"), vec.as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Centroids are tiny (k x dim): materialize them to the driver
     // every iteration and rebuild a literal DataFrame. Without this,
     // iteration i's plan nests all prior iterations' crossJoins and
@@ -179,6 +185,7 @@ object Similarity {
       val assigned = kMeansAssign(pts, toDF(local))
       local = toLocal(centroids(assigned, col("cell"), col("v")))
     }
+    pts.unpersist(false)
     toDF(local)
   }
 
