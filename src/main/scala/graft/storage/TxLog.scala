@@ -141,7 +141,7 @@ class TxTable(val spark: SparkSession, val root: String,
     * under a fresh commit directory; returns the file list for a
     * commit. The files are invisible to readers until committed.
     */
-  private def stage(df: DataFrame): Seq[TxFile] = {
+  private[storage] def stage(df: DataFrame): Seq[TxFile] = {
     val uuid = java.util.UUID.randomUUID().toString
     val staging = s"$root/_staging/$uuid"
     df.write.partitionBy(partitionCol).mode("overwrite").parquet(staging)
@@ -287,8 +287,25 @@ class TxTable(val spark: SparkSession, val root: String,
     * `retainVersions` references, plus manifests older than that
     * horizon. Readers are snapshot-pinned, so retention must exceed
     * the longest running query (the standard ACID-table tradeoff).
+    *
+    * Retention contract (the public Delta `VACUUM` design): a data
+    * file is deleted only when it is BOTH unreferenced by every
+    * retained snapshot AND older than `retainAgeMillis` by
+    * modification time. The age guard exists because [[stage]] moves
+    * files into `data/` *before* the manifest CAS publishes them — an
+    * unreferenced-but-fresh file may be a concurrent writer's
+    * staged-but-uncommitted batch, and deleting it would let that
+    * writer commit a snapshot pointing at nothing (data loss). With
+    * the default 7-day horizon any in-flight commit finishes long
+    * before its staged files become eligible; pass `0L` only when the
+    * caller can prove no writer is mid-commit (e.g. single-threaded
+    * tests). Log-file pruning needs no age guard: once the horizon
+    * checkpoint is pinned, log files below it are redundant by
+    * construction, and concurrent committers only ever create files
+    * at `latest+1`, above any horizon.
     */
-  def vacuum(retainVersions: Int = 2): Int = {
+  def vacuum(retainVersions: Int = 2,
+             retainAgeMillis: Long = TxTable.DefaultVacuumRetainAgeMillis): Int = {
     val v = version
     if (v < 0) return 0
     val keepFrom = math.max(0L, v - (retainVersions - 1).toLong)
@@ -301,15 +318,18 @@ class TxTable(val spark: SparkSession, val root: String,
     val live: Set[String] =
       (keepFrom to v).flatMap(i => snapshot(i).files.map(_.path)).toSet
     var deleted = 0
+    val ageCutoff = System.currentTimeMillis() - retainAgeMillis
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (fs.exists(dataDir)) {
       val qualifiedRoot = fs.makeQualified(rootPath).toString
       val it = fs.listFiles(dataDir, true)
       val doomed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
       while (it.hasNext) {
-        val f = it.next().getPath
+        val st = it.next()
+        val f = st.getPath
         val rel = fs.makeQualified(f).toString.stripPrefix(qualifiedRoot + "/")
-        if (f.getName.endsWith(".parquet") && !live.contains(rel)) doomed += f
+        if (f.getName.endsWith(".parquet") && !live.contains(rel) &&
+            st.getModificationTime <= ageCutoff) doomed += f
       }
       doomed.foreach { f => if (fs.delete(f, false)) deleted += 1 }
     }
@@ -395,6 +415,12 @@ class TxTable(val spark: SparkSession, val root: String,
 
 object TxTable {
   val LogDirName = "_graft_log"
+
+  /** Default vacuum age horizon: 7 days, the public Delta `VACUUM`
+    * default. Files younger than this are never deleted even when
+    * unreferenced — they may be a concurrent writer's staged batch.
+    */
+  val DefaultVacuumRetainAgeMillis: Long = 7L * 24 * 60 * 60 * 1000
   private val DeltaName = """v(\d+)\.delta""".r
   private val CheckpointName = """v(\d+)\.checkpoint""".r
   private val PartitionDirName = """([^=]+)=(.*)""".r

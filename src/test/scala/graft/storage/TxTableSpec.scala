@@ -119,9 +119,38 @@ class TxTableSpec extends SparkSpec {
     (0 until 6).foreach(b => t.append(rows(b * 10 until b * 10 + 10, "2021-01-01")))
     t.compact(maxFilesPerPartition = 2)
     val before = t.read().orderBy("id").collect().toSeq
-    val deleted = t.vacuum(retainVersions = 1)
+    // age guard disabled: this test proves the logical-unreference
+    // half of the contract (no writer is mid-commit here)
+    val deleted = t.vacuum(retainVersions = 1, retainAgeMillis = 0L)
     assert(deleted >= 6) // the pre-compaction files are gone
     assert(t.read().orderBy("id").collect().toSeq == before)
+  }
+
+  test("vacuum never deletes a concurrent writer's staged-but-uncommitted files") {
+    // The round-4 race: stage() moves parquet into data/ BEFORE the
+    // manifest CAS, so a vacuum running between a writer's stage()
+    // and its commit sees unreferenced files. The mtime retention
+    // horizon (Delta VACUUM semantics) must keep them alive.
+    val t = freshTable()
+    t.append(rows(0 until 10, "2021-01-01"))
+    val schema = t.read().schema
+    // concurrent writer mid-commit: staged, not yet CAS'd
+    val staged = t.stage(rows(10 until 20, "2021-01-01"))
+    // default 7-day age horizon: fresh staged files survive even at
+    // the most aggressive version retention
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted == 0, s"vacuum deleted $deleted staged files")
+    // the writer's commit lands and the snapshot reads fully
+    t.commitAppend(staged, schema)
+    assert(t.read().count() == 20)
+    assert(t.read().orderBy("id").select("id").as[Long].collect().toSeq ==
+      (0L until 20L))
+    // sanity: the same staged files WOULD be collected once older
+    // than the horizon (simulated by zeroing the age guard after a
+    // compaction makes them genuinely unreferenced)
+    t.compact(maxFilesPerPartition = 1)
+    assert(t.vacuum(retainVersions = 1, retainAgeMillis = 0L) > 0)
+    assert(t.read().count() == 20)
   }
 
   test("log I/O stays bounded across 1000 simulated 10s commits with compaction cadence") {
@@ -151,7 +180,7 @@ class TxTableSpec extends SparkSpec {
         t.commitRewrite(t.version, Set("2021-01-01"),
           Seq(TxTable.TxFile(s"data/p_date=2021-01-01/c$i.parquet", "2021-01-01")),
           schema)
-        t.vacuum(retainVersions = 5)
+        t.vacuum(retainVersions = 5, retainAgeMillis = 0L)
         maxLogBytes = math.max(maxLogBytes, logFiles.map(_.length).sum)
       }
     }
