@@ -338,9 +338,10 @@ object Dedup {
     * shuffle on node id only; the giant-component pathology (one hot
     * label key) doesn't arise because propagation is per-node min,
     * not a groupBy on label. For graphs with genuinely long chains,
-    * swap in the large-star/small-star decomposition (Kiveris et al.,
-    * "Connected Components in MapReduce", SoCC'14) — same per-round
-    * shape, O(log²) rounds.
+    * use [[componentsStar]] (the Kiveris et al. SoCC'14
+    * large-star/small-star decomposition — same per-round shape,
+    * O(log²) rounds); for an unknown diameter with a star-shaped
+    * expectation, [[componentsUntilStable]] adds the fixpoint check.
     *
     * Checkpoint durability (`reliable` flag): the default
     * `localCheckpoint` stores blocks on executors only — fast, but an
@@ -372,6 +373,138 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
     }
     labels
+  }
+
+  /** Min-label propagation until the labels stop changing — the
+    * fixpoint form of [[components]] for callers who don't know the
+    * graph diameter up front. Runs at most `maxIters` rounds, exiting
+    * as soon as a round changes no label (so a star-shaped near-dup
+    * graph pays 1 productive round + 1 confirming round, while a
+    * pathological chain is cut off at the cap rather than looping).
+    * Returns (labels, roundsRun); `roundsRun == maxIters` with a
+    * still-unstable graph means under-convergence — switch to
+    * [[componentsStar]], whose round count is O(log² n) regardless of
+    * diameter, instead of raising the cap.
+    *
+    * Cost of the fixpoint check: the changed-flag count is computed on
+    * the round's already-materialized labels (one cheap scan of
+    * checkpointed blocks per round), not a second pass over the join.
+    */
+  def componentsUntilStable(pairs: DataFrame, idA: Column, idB: Column,
+                            maxIters: Int = 20,
+                            reliable: Boolean = false): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters=$maxIters must be >= 1")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val e0 = pairs.select(idA.as("src"), idB.as("dst"))
+    val edges = materialize(e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxIters) {
+      rounds += 1
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
+      val next = materialize(labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          coalesce(col("nl") < col("label"), lit(false)).as("__changed")))
+      changed = next.filter(col("__changed")).count()
+      labels = next.drop("__changed")
+    }
+    (labels, rounds)
+  }
+
+  /** Large-star / small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * long-chain fallback [[components]] documents: min-label
+    * propagation needs diameter rounds (a 64-node chain = 63 rounds,
+    * each a full shuffle), while the star decomposition converges in
+    * O(log² n) rounds on ANY graph by rewiring edges toward component
+    * minima instead of flooding labels along them:
+    *
+    *  - large-star (per node u over its full neighborhood): connect
+    *    every neighbor v > u to m = min(N(u) ∪ {u});
+    *  - small-star (per node u over neighbors ≤ u, edges directed
+    *    larger → smaller): connect every v ∈ N(u) ∪ {u} to m = min.
+    *
+    * Both halve long paths (each endpoint of a chain edge re-attaches
+    * to a node at least two hops closer to the minimum), so rounds
+    * compound like pointer doubling. Each round is the same keyed
+    * join + groupBy shape as a propagation round — no new shuffle
+    * pattern at 100 TB — and the edge set is checkpointed per round
+    * (O(1) lineage). Convergence = the directed edge set reaching a
+    * fixpoint, detected with a per-round (count, order-independent
+    * hash-sum) pair: one tiny driver action per round, O(log²) rounds
+    * total. At the fixpoint every edge points directly at its
+    * component's minimum, so labels read straight off the edges.
+    *
+    * Output matches [[components]] at convergence: (id, label = the
+    * component's minimum id), one row per non-isolated node. Throws
+    * if `maxRounds` is hit first — under-convergence here would mean
+    * silently wrong clusters, and with O(log²) growth a cap of 30
+    * covers any graph that fits on hardware.
+    */
+  def componentsStar(pairs: DataFrame, idA: Column, idB: Column,
+                     maxRounds: Int = 30,
+                     reliable: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+
+    // large-star over the symmetric neighborhood: (v, min(N(u) ∪ {u}))
+    // for v > u. Output directed src > dst (v > u ≥ m).
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mn = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      sym.join(mn, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), least(col("src"), col("mn")).as("dst"))
+        .distinct()
+    }
+
+    // small-star over larger→smaller edges: every strictly-smaller
+    // neighbor plus u itself re-attaches to the neighborhood minimum.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val dir = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mn = dir.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      val attached = dir.join(mn, "src")
+        .filter(col("dst") =!= col("mn"))
+        .select(col("dst").as("src"), col("mn").as("dst"))
+      attached.unionByName(mn.select(col("src"), col("mn").as("dst")))
+        .distinct()
+    }
+
+    var edges = materialize(
+      pairs.select(idA.as("src"), idB.as("dst")).filter(col("src") =!= col("dst")))
+    var prev: Option[(Long, Long)] = None
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds,
+        s"componentsStar did not converge in $maxRounds rounds")
+      edges = materialize(smallStar(largeStar(edges)))
+      // order-independent signature of the directed edge set; equal
+      // signatures on consecutive rounds = fixpoint (xxhash64 sum
+      // collisions are negligible, and a false positive would need a
+      // colliding set ON the convergence boundary)
+      val sig = edges.agg(count(lit(1)), sum(xxhash64(col("src"), col("dst"))))
+        .collect()(0)
+      val cur = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      converged = prev.contains(cur)
+      prev = Some(cur)
+    }
+    // fixpoint edges are (member, root) stars; roots label themselves
+    edges.select(col("src").as("id"), col("dst").as("label"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
   }
 
   /** SimHash fingerprint (`bits` ≤ 32, the md5 hex width) from a word
