@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
@@ -50,10 +51,33 @@ object Tables {
     * and this is an identity — no extra exchange.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions < sc.defaultParallelism)
-      df.repartition(sc.defaultParallelism)
-    else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (estimatedScanSplits(df) < target) df.repartition(target) else df
+  }
+
+  /** Estimate how many input splits the scan under `df` will produce,
+    * from file metadata alone — no physical planning, no RDD
+    * materialization, AQE untouched. Mirrors Spark's own
+    * `FilePartition.maxSplitBytes` binning: splits ≈
+    * ceil(totalBytes / min(maxPartitionBytes, max(openCost,
+    * totalBytes/parallelism))). Plans with no file relation (in-memory
+    * fixtures) estimate 1 — fanning those out is always cheap and
+    * correct.
+    */
+  private[graft] def estimatedScanSplits(df: DataFrame): Long = {
+    val conf  = df.sparkSession.sessionState.conf
+    val bytes = df.queryExecution.analyzed.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => fs.location.sizeInBytes
+    }.sum
+    if (bytes <= 0L) 1L
+    else {
+      val parallelism  = df.sparkSession.sparkContext.defaultParallelism.toLong
+      val bytesPerCore = bytes / math.max(1L, parallelism)
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(conf.filesOpenCostInBytes, bytesPerCore))
+      (bytes + maxSplit - 1) / math.max(1L, maxSplit)
+    }
   }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

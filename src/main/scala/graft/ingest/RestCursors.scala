@@ -105,26 +105,6 @@ object RestCursors {
       }
     }
 
-  /** The reference's RequestWeightManager (binance.py:54-155) without
-    * the Redis hop: a fixed-window weight pool of `limit` units per
-    * `periodSec`; `check(w)` debits when enough remain, else sleeps
-    * out the window remainder and retries. Clock and sleeper are
-    * injectable so specs assert throttling without wall-clock waits.
-    *
-    * Scale note: the reference shares one pool across workers via
-    * Redis; here each executor deserializes its own pool, so size
-    * `limit` as (exchange budget ÷ concurrent executors) — the same
-    * division the reference does implicitly by consuming from one
-    * Redis set.
-    *
-    * Concurrency note: `check` sleeps while HOLDING the monitor, so
-    * threads sharing one pool serialize through the wait — the
-    * intended semantics (the reference's RequestWeightManager is a
-    * single asyncio consumer; a drained pool means nobody may
-    * proceed), but it makes one pool per requesting thread-group the
-    * right deployment shape, not one pool per JVM shared by unrelated
-    * work.
-    */
   /** GCRA ("leaky bucket as a meter") request limiter — the
     * reference's GCRARateLimiter (fetchers/utils/ratelimit.py:14-95)
     * with the Redis TAT cell as a field: the limiter tracks one
@@ -175,6 +155,26 @@ object RestCursors {
     }
   }
 
+  /** The reference's RequestWeightManager (binance.py:54-155) without
+    * the Redis hop: a fixed-window weight pool of `limit` units per
+    * `periodSec`; `check(w)` debits when enough remain, else sleeps
+    * out the window remainder and retries. Clock and sleeper are
+    * injectable so specs assert throttling without wall-clock waits.
+    *
+    * Scale note: the reference shares one pool across workers via
+    * Redis; here each executor deserializes its own pool, so size
+    * `limit` as (exchange budget ÷ concurrent executors) — the same
+    * division the reference does implicitly by consuming from one
+    * Redis set.
+    *
+    * Concurrency note: `check` sleeps while HOLDING the monitor, so
+    * threads sharing one pool serialize through the wait — the
+    * intended semantics (the reference's RequestWeightManager is a
+    * single asyncio consumer; a drained pool means nobody may
+    * proceed), but it makes one pool per requesting thread-group the
+    * right deployment shape, not one pool per JVM shared by unrelated
+    * work.
+    */
   class WeightBudget(limit: Int = BinanceWeightLimit, periodSec: Double = 60.0,
                      clock: () => Double = () => System.nanoTime() / 1e9,
                      sleeper: Double => Unit = s => Thread.sleep(math.max(0L, (s * 1000).toLong)))
