@@ -771,6 +771,85 @@ object LlmQueries {
        |LEFT JOIN gtop g USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  // -------------------------------------- line-level repetition
+  /** Line-granularity Gopher repetition metrics (Rae et al.,
+    * arXiv:2112.11446 §A1.3) — the real "duplicate line fraction" and
+    * "duplicate line character fraction", beside [[repetition]]'s
+    * word-level analogs. The bench corpus is single-line, so the
+    * query first assembles newline-bearing "pages": `page =
+    * doc_id div 10`, page text = the page's lowest-doc_id text (a
+    * repeated boilerplate-header stand-in) + '\n' + all member texts
+    * joined by '\n' in doc_id order. Every page therefore carries at
+    * least one genuinely duplicated line, plus whatever exact-dup
+    * texts the corpus itself contributes.
+    *
+    * Metrics per page, over `lines = split(page_text, '\n')`:
+    *  - `dup_line_frac`: 1 − distinct/total line occurrences;
+    *  - `dup_line_char_frac`: characters in excess occurrences of
+    *    repeated lines over total characters — Σ(c−1)·len / Σc·len.
+    *
+    * Scale shape: page assembly is one doc_id-keyed groupBy whose
+    * collect_list is bounded by page size (10 docs) — on a real
+    * multi-line corpus the assembly disappears and the metric is just
+    * explode + two page-keyed aggregations, partitioning like every
+    * other per-doc op.
+    */
+  private def repetitionLines(s: SparkSession, d: String): DataFrame =
+    repetitionLinesOver(
+      Tables.documents(s, d).withColumn("page", expr("doc_id div 10")))
+
+  /** Spec entry: line metrics over an arbitrary (page, text) frame —
+    * each row's `text` may itself contain newlines; rows of a page
+    * are joined in `doc_id` order under a repeated header line.
+    */
+  private[graft] def testRepetitionLines(s: SparkSession, docsIn: DataFrame): DataFrame =
+    repetitionLinesOver(docsIn)
+
+  private def repetitionLinesOver(docsIn: DataFrame): DataFrame = {
+    val pages = docsIn
+      .groupBy(col("page"))
+      .agg(concat(
+        min_by(col("text"), col("doc_id")), lit("\n"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "\n")).as("page_text"))
+    val cnt = pages
+      .select(col("page"), explode(split(col("page_text"), "\n")).as("line"))
+      .groupBy(col("page"), col("line")).agg(count(lit(1)).as("c"))
+      .withColumn("len", length(col("line")).cast("long"))
+    cnt.groupBy(col("page"))
+      .agg(
+        sum(col("c")).as("n_lines"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("c") - 1L) * col("len")).as("dup_chars"),
+        sum(col("c") * col("len")).as("tot_chars"))
+      .select(col("page"), col("n_lines"),
+        r4(lit(1.0d) - col("n_distinct") * lit(1.0d) / col("n_lines")).as("dup_line_frac"),
+        r4(col("dup_chars") * lit(1.0d) / col("tot_chars")).as("dup_line_char_frac"))
+      .orderBy(col("page"))
+  }
+
+  private val repetitionLinesSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text, doc_id // 10 AS page FROM documents
+       |), pg AS (
+       |  SELECT page,
+       |         arg_min(text, doc_id) || chr(10) ||
+       |           string_agg(text, chr(10) ORDER BY doc_id) AS page_text
+       |  FROM b GROUP BY page
+       |), ln AS (
+       |  SELECT page, unnest(string_split(page_text, chr(10))) AS line FROM pg
+       |), cnt AS (
+       |  SELECT page, line, count(*) AS c, length(line) AS len
+       |  FROM ln GROUP BY 1, 2
+       |)
+       |SELECT page, CAST(sum(c) AS BIGINT) AS n_lines,
+       |       ${r4Sql("1.0 - count(*) * 1.0 / sum(c)")} AS dup_line_frac,
+       |       ${r4Sql("sum((c - 1) * len) * 1.0 / sum(c * len)")} AS dup_line_char_frac
+       |FROM cnt GROUP BY page ORDER BY page""".stripMargin
+
   // ------------------------------------------ stratified hash-sample
   /** Deterministic stratified sampling ([[Sampling.hashSample]]):
     * downsample en to 0.5 and de/es/fr to 0.75, keep zh whole — the
@@ -933,6 +1012,7 @@ object LlmQueries {
     "llm_winnow"       -> winnowQ,
     "llm_multimodal"   -> multimodal,
     "llm_repetition"   -> repetition,
+    "llm_repetition_lines" -> repetitionLines,
     "llm_hash_sample"  -> hashSample,
     "llm_chunk"        -> chunk,
     "llm_decontaminate" -> decontaminate,
@@ -956,6 +1036,7 @@ object LlmQueries {
     "llm_winnow"       -> winnowSql,
     "llm_multimodal"   -> multimodalSql,
     "llm_repetition"   -> repetitionSql,
+    "llm_repetition_lines" -> repetitionLinesSql,
     "llm_hash_sample"  -> hashSampleSql,
     "llm_chunk"        -> chunkSql,
     "llm_decontaminate" -> decontaminateSql,

@@ -49,11 +49,21 @@ object Tables {
     * round-robin shuffle costs O(input bytes) once and unlocks
     * cores× speedup. At 100 TB the scan already has ≥ cores splits
     * and this is an identity — no extra exchange.
+    *
+    * File-scan-only: plans with no `HadoopFsRelation` underneath
+    * (in-memory fixtures, `spark.range`, LocalRelation) are returned
+    * untouched — their partition count isn't knowable from metadata
+    * alone and probing it would force physical planning. Callers with
+    * a CPU-bound kernel over an in-memory source should repartition
+    * explicitly.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    if (estimatedScanSplits(df) < target) df.repartition(target) else df
+    estimatedScanSplits(df) match {
+      case Some(splits) if splits < target => df.repartition(target)
+      case _                               => df
+    }
   }
 
   /** Estimate how many input splits the scan under `df` will produce,
@@ -61,17 +71,25 @@ object Tables {
     * materialization, AQE untouched. Mirrors Spark's own
     * `FilePartition.maxSplitBytes` binning: splits ≈
     * ceil(totalBytes / min(maxPartitionBytes, max(openCost,
-    * totalBytes/parallelism))). Plans with no file relation (in-memory
-    * fixtures) estimate 1 — fanning those out is always cheap and
-    * correct.
+    * totalBytes/parallelism))). `None` when the plan has no file
+    * relation (in-memory fixtures) — nothing to estimate.
+    *
+    * `location.sizeInBytes` is the PRE-pruning footprint: partition
+    * pruning, pushed filters, and per-file open-cost padding are not
+    * modeled, so the estimate can only over-count splits relative to
+    * Spark's actual `FilePartition` binning of a pruned scan. Callers
+    * apply fanOut to raw scans before any filter (all current call
+    * sites), where over-counting errs toward skipping a repartition
+    * that the real split count would also skip.
     */
-  private[graft] def estimatedScanSplits(df: DataFrame): Long = {
+  private[graft] def estimatedScanSplits(df: DataFrame): Option[Long] = {
     val conf  = df.sparkSession.sessionState.conf
-    val bytes = df.queryExecution.analyzed.collect {
+    val sizes = df.queryExecution.analyzed.collect {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => fs.location.sizeInBytes
-    }.sum
-    if (bytes <= 0L) 1L
-    else {
+    }
+    val bytes = sizes.sum
+    if (sizes.isEmpty || bytes <= 0L) None
+    else Some {
       val parallelism  = df.sparkSession.sparkContext.defaultParallelism.toLong
       val bytesPerCore = bytes / math.max(1L, parallelism)
       val maxSplit = math.min(conf.filesMaxPartitionBytes,

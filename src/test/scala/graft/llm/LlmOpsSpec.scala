@@ -213,6 +213,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - 0.6667) < 1e-9, "top_bigram_char_frac r4")
   }
 
+  test("repetitionLines: dup-line fractions on a newline-bearing fixture") {
+    // page 0: docs (1, "x\ny"), (2, "x") joined under header = doc 1's text:
+    //   page_text = "x\ny" + \n + "x\ny" + \n + "x"
+    //   lines = [x, y, x, y, x] -> 5 lines, 2 distinct
+    //   dup_line_frac = 1 - 2/5 = 0.6
+    //   all lines 1 char: dup chars = (3-1)*1 + (2-1)*1 = 3, tot = 5 -> 0.6
+    // page 1: single doc "a\nb" -> header repeats it:
+    //   lines = [a, b, a, b] -> dup_line_frac = 0.5, char frac = 0.5
+    val q = graft.catalog.LlmQueries.testRepetitionLines(spark,
+      Seq((1L, "x\ny", 0L), (2L, "x", 0L), (10L, "a\nb", 1L))
+        .toDF("doc_id", "text", "page"))
+    val rows = q.collect()
+    assert(rows.length == 2)
+    val p0 = rows(0); val p1 = rows(1)
+    assert(p0.getLong(0) == 0L && p0.getLong(1) == 5L)
+    assert(math.abs(p0.getDouble(2) - 0.6) < 1e-9, "p0 dup_line_frac")
+    assert(math.abs(p0.getDouble(3) - 0.6) < 1e-9, "p0 dup_line_char_frac")
+    assert(p1.getLong(0) == 1L && p1.getLong(1) == 4L)
+    assert(math.abs(p1.getDouble(2) - 0.5) < 1e-9, "p1 dup_line_frac")
+    assert(math.abs(p1.getDouble(3) - 0.5) < 1e-9, "p1 dup_line_char_frac")
+  }
+
   test("hashSample: deterministic, threshold math exact, rates approximately honored") {
     import graft.llm.Sampling
     assert(Sampling.rateThreshold(0.5) == "80000000")
