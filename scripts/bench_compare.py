@@ -58,8 +58,38 @@ def main():
         d_tot += d
         lines.append(f"| {name} | {s:.2f} | {d:.2f} | {s / d if d > 0.005 else float('nan'):.1f}x |")
     lines.append(f"| **total** | **{s_tot:.2f}** | **{d_tot:.2f}** | **{s_tot / d_tot:.1f}x** |")
+    lines += scaling_section()
     open("BENCH_COMPARE.md", "w").write("\n".join(lines) + "\n")
     print("\n".join(lines))
+
+
+def scaling_section():
+    """Two-SF scaling table from SCALING.json (written by
+    `Test/runMain graft.tools.ScaleBench`), appended so bench
+    regeneration never drops the scale-proof."""
+    if not os.path.exists("SCALING.json"):
+        return []
+    s = json.load(open("SCALING.json"))
+    f = s["factor"]
+    lines = [
+        "",
+        f"## Two-SF scaling — heavy queries at sf0.1 vs a {f}x corpus",
+        "",
+        f"`graft.tools.ScaleBench` replicates sf0.1 documents/embeddings {f}x",
+        "(per-replica Caesar-rotated text and sign-flipped embeddings: within-",
+        "replica dup/similarity structure exact, cross-replica overlap none, so",
+        "detector work grows linearly like genuinely new data). Exponent =",
+        f"log_{f}(t_{f}x / t_1x); a bucket-local plan stays ≤ ~1; the",
+        "sub-1 values reflect the 32-core headroom sf0.1 leaves idle plus the",
+        "constant session floor.",
+        "",
+        f"| query | t(sf0.1) s | t({f}x) s | ratio | exponent |",
+        "|---|---|---|---|---|",
+    ]
+    for name, q in sorted(s["queries"].items()):
+        lines.append(f"| {name} | {q['t1']:.2f} | {q['tN']:.2f} "
+                     f"| {q['ratio']:.2f}x | {q['exponent']:.2f} |")
+    return lines
 
 
 if __name__ == "__main__":

@@ -1,0 +1,125 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Two-SF scaling probe (round-4 verdict item 2): measure the heavy
+  * LLM queries at sf0.1 and at a synthetic ~10x corpus, and report the
+  * per-query scaling exponent log_factor(t_big / t_small). A
+  * bucket-local plan should come out ~linear (exponent ≤ ~1.1 after
+  * the constant session floor); anything clearly super-linear is a
+  * plan bug, not noise.
+  *
+  * The 10x corpus replicates the sf0.1 `documents`/`embeddings`
+  * tables `factor` times, transforming each replica so it behaves
+  * like MORE data rather than 10 copies:
+  *
+  *  - `doc_id`/`vec_id` offset by r*1_000_000 (clear of the +100000 /
+  *    +10000000 constructed-dup offsets the catalog queries use);
+  *  - `text` passed through a per-replica Caesar rotation
+  *    (`translate` over a rotated alphabet) — a bijection, so every
+  *    within-replica dup/near-dup relationship and every length is
+  *    preserved exactly, while cross-replica shingles/grams share
+  *    almost nothing (letters all remap; only digits/punct survive).
+  *    Near-dup pair counts therefore grow linearly with the data, as
+  *    they would with genuinely new documents;
+  *  - `embedding` element signs flipped by a per-(replica, dim) hash —
+  *    an isometry, so within-replica cosine geometry is exact while
+  *    cross-replica cosines collapse toward 0 (random-sign inner
+  *    product, E=0, sd≈1/√64) — far below every similarity threshold.
+  *
+  * Usage: Test/runMain graft.tools.ScaleBench [factor] [rounds]
+  * Writes the replica tables under /tmp/graft_sfx<factor>/ once
+  * (reused if present) and prints one JSON line plus a markdown table
+  * for BENCH_COMPARE.md.
+  */
+object ScaleBench {
+  /** The bench catalog's most expensive queries (r6 medians) — all of
+    * the verdict's named six plus the rest of the LLM top-10.
+    */
+  val Heavy: Seq[String] = Seq(
+    "llm_char_jaccard", "llm_dedup_clusters", "llm_minhash_lsh",
+    "llm_simhash_pairs", "llm_winnow", "llm_repetition",
+    "llm_repetition_lines", "llm_kmeans_ivf", "llm_embed_neardup",
+    "llm_simhash", "llm_exact_dedup")
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  def replicateDocs(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      val rot  = Lower.drop(r % 26) + Lower.take(r % 26)
+      val text = if (r == 0) col("text")
+                 else translate(col("text"), Lower + Upper, rot + rot.toUpperCase)
+      docs.select((col("doc_id") + r * 1000000L).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+  def replicateEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      val v = if (r == 0) col("embedding")
+              else transform(col("embedding"),
+                (x, i) => x * (pmod(hash(i, lit(r)), lit(2)) * 2 - 1).cast("float"))
+      emb.select((col("vec_id") + r * 1000000L).as("vec_id"),
+        v.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val factor  = args.headOption.map(_.toInt).getOrElse(10)
+    val rounds  = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigDir  = s"/tmp/graft_sfx$factor"
+    val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
+      replicateDocs(spark.read.parquet(s"$baseDir/documents.parquet"), factor)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      replicateEmbeddings(spark.read.parquet(s"$baseDir/embeddings.parquet"), factor)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    }
+
+    // warmup (classloading/codegen) outside the timings
+    SparkEntry.queries("llm_simhash")(spark, baseDir)
+      .write.format("noop").mode("overwrite").save()
+
+    val samples = scala.collection.mutable.Map.empty[(String, String), List[Double]]
+    for (_ <- 1 to rounds; name <- Heavy; dir <- Seq(baseDir, bigDir)) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      samples.updateWith(name -> dir)(s =>
+        Some((System.nanoTime() - t0) / 1e9 :: s.getOrElse(Nil)))
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"| query | t(sf0.1) s | t(${factor}x) s | ratio | exponent |")
+    println("|---|---|---|---|---|")
+    val rows = Heavy.map { name =>
+      val t1 = median(samples(name -> baseDir))
+      val tN = median(samples(name -> bigDir))
+      val ratio = tN / t1
+      val expo  = math.log(ratio) / math.log(factor.toDouble)
+      println(s"| $name | ${f(t1)} | ${f(tN)} | ${f(ratio)} | ${f(expo)} |")
+      s""""$name":{"t1":${f(t1)},"tN":${f(tN)},"ratio":${f(ratio)},"exponent":${f(expo)}}"""
+    }
+    println(s"""{"metric":"scaling","factor":$factor,"rounds":$rounds,"queries":${rows.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+}
