@@ -850,6 +850,95 @@ object LlmQueries {
        |       ${r4Sql("sum((c - 1) * len) * 1.0 / sum(c * len)")} AS dup_line_char_frac
        |FROM cnt GROUP BY page ORDER BY page""".stripMargin
 
+  // ------------------------------------------ boilerplate line scrub
+  /** Cross-corpus frequent-line removal ([[Dedup.scrubFrequentLines]];
+    * CCNet/RefinedWeb-style boilerplate scrub). The single-line corpus
+    * gets a line structure the way a crawler output would have one:
+    * each doc's lines are its 6-word chunks ([[TextOps.tokenChunks]],
+    * stride=win), plus two injected boilerplate lines — a global
+    * footer and a per-`source` copyright line — standing in for the
+    * nav/banner text every page of a site shares. With minDocs=10 the
+    * global footer (df=all docs) and the per-source footers (df≈docs
+    * per source) are scrubbed while genuine content chunks (df≈1)
+    * survive — the oracle certifies clean_text, kept and dropped
+    * counts per doc exactly.
+    */
+  private def lineScrub(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val withLines = docs.select(col("doc_id"),
+      concat(
+        transform(TextOps.tokenChunks(TextOps.words(col("text")), 6, 6),
+          c => c.getField("txt")),
+        array(lit("subscribe to our newsletter"),
+          concat(lit("copyright "), col("source")))).as("lines"))
+    Dedup.scrubFrequentLines(withLines, col("doc_id"), col("lines"), minDocs = 10L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val lineScrubSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents
+       |), l AS (
+       |  SELECT doc_id,
+       |         list_concat(
+       |           list_transform(range(0, CAST(ceil(len(w) / 6.0) AS INT)),
+       |             i -> array_to_string(w[i*6+1 : i*6+6], ' ')),
+       |           ['subscribe to our newsletter', 'copyright ' || source]) AS lines
+       |  FROM d
+       |), ex AS (
+       |  SELECT doc_id, unnest(lines) AS line,
+       |         unnest(range(1, len(lines) + 1)) AS pos FROM l
+       |), f AS (
+       |  SELECT line, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+       |)
+       |SELECT e.doc_id,
+       |       coalesce(string_agg(CASE WHEN f.df < 10 THEN e.line END,
+       |                           chr(10) ORDER BY e.pos), '') AS clean_text,
+       |       CAST(count(CASE WHEN f.df < 10 THEN 1 END) AS BIGINT) AS n_kept,
+       |       CAST(count(CASE WHEN f.df >= 10 THEN 1 END) AS BIGINT) AS n_dropped
+       |FROM ex e JOIN f USING (line)
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
+  // ------------------------------------------------ corpus profiling
+  /** Corpus profiling summary — the data-audit pass before any
+    * training run: per language, document count and exact
+    * length-distribution quantiles (PERCENTILE_CONT interpolation in
+    * both engines, so the compare is exact after r4). All map-side
+    * until ONE lang-keyed aggregation; at 100 TB exact per-group
+    * percentiles over billions of rows would switch to
+    * `percentile_approx` (documented trade: ±ε error for mergeable
+    * sketch state) — the group cardinality (languages) stays tiny
+    * either way.
+    */
+  private def profile(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("lang"),
+      size(TextOps.words(col("text"))).cast("long").as("n_words"),
+      col("n_chars"))
+    docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        r4(avg(col("n_words"))).as("avg_words"),
+        r4(percentile(col("n_words"), lit(0.25))).as("p25_words"),
+        r4(percentile(col("n_words"), lit(0.5))).as("p50_words"),
+        r4(percentile(col("n_words"), lit(0.75))).as("p75_words"),
+        r4(percentile(col("n_chars"), lit(0.5))).as("p50_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val profileSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, len(${wordsSql("text")}) AS n_words, n_chars FROM documents
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       ${r4Sql("avg(n_words)")} AS avg_words,
+       |       ${r4Sql("quantile_cont(n_words, 0.25)")} AS p25_words,
+       |       ${r4Sql("quantile_cont(n_words, 0.5)")} AS p50_words,
+       |       ${r4Sql("quantile_cont(n_words, 0.75)")} AS p75_words,
+       |       ${r4Sql("quantile_cont(n_chars, 0.5)")} AS p50_chars,
+       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------ stratified hash-sample
   /** Deterministic stratified sampling ([[Sampling.hashSample]]):
     * downsample en to 0.5 and de/es/fr to 0.75, keep zh whole — the
@@ -1013,6 +1102,8 @@ object LlmQueries {
     "llm_multimodal"   -> multimodal,
     "llm_repetition"   -> repetition,
     "llm_repetition_lines" -> repetitionLines,
+    "llm_line_scrub"   -> lineScrub,
+    "llm_profile"      -> profile,
     "llm_hash_sample"  -> hashSample,
     "llm_chunk"        -> chunk,
     "llm_decontaminate" -> decontaminate,
@@ -1037,6 +1128,8 @@ object LlmQueries {
     "llm_multimodal"   -> multimodalSql,
     "llm_repetition"   -> repetitionSql,
     "llm_repetition_lines" -> repetitionLinesSql,
+    "llm_line_scrub"   -> lineScrubSql,
+    "llm_profile"      -> profileSql,
     "llm_hash_sample"  -> hashSampleSql,
     "llm_chunk"        -> chunkSql,
     "llm_decontaminate" -> decontaminateSql,

@@ -527,4 +527,45 @@ object Dedup {
             when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).cast("long").as("simhash"))
   }
+
+  /** Cross-corpus frequent-line scrub — the boilerplate-removal pass
+    * of a web-scale pipeline (CCNet, Wenzek arXiv:1911.00359 §4.1
+    * paragraph dedup; RefinedWeb, Penedo arXiv:2306.01116 line-wise
+    * filters): a line occurring in ≥ `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, copyright footers) and is
+    * removed from EVERY document it appears in.
+    *
+    * Input: one row per doc with `linesCol: array<string>`. Output one
+    * row per doc with ≥1 line: `(doc_id, clean_text, n_kept,
+    * n_dropped)` — kept lines rejoined by '\n' in original order
+    * (clean_text = "" when everything was boilerplate). Docs whose
+    * `linesCol` is empty produce no output row (posexplode yields
+    * nothing); callers that must preserve them can left-join back.
+    *
+    * Scale shape: posexplode is narrow; document frequency is ONE
+    * line-keyed aggregation (map-side combined); the verdict join is
+    * line-keyed; reassembly is one doc-keyed aggregation whose
+    * collect_list is bounded by the doc's own line count. No driver
+    * actions, nothing all-pairs — partitions like every per-doc op at
+    * 100 TB.
+    */
+  def scrubFrequentLines(docs: DataFrame, id: Column, linesCol: Column,
+      minDocs: Long): DataFrame = {
+    val ex = docs.select(id.as("doc_id"), posexplode(linesCol).as(Seq("pos", "line")))
+    val freq = ex.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val keep = col("df") < minDocs
+    ex.join(freq, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(
+        // collect_list drops nulls, so the `when` with no otherwise
+        // filters boilerplate lines before the sort/rejoin
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_dropped"))
+  }
 }

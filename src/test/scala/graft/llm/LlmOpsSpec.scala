@@ -235,6 +235,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(p1.getDouble(3) - 0.5) < 1e-9, "p1 dup_line_char_frac")
   }
 
+  test("scrubFrequentLines: boilerplate dropped everywhere, order kept, full-drop doc survives") {
+    import graft.llm.Dedup
+    // "footer" is in 3 docs (>= minDocs=2) -> scrubbed from all;
+    // "rare" is in 1 doc -> kept; doc 3 is ALL boilerplate.
+    val docs = Seq(
+      (1L, Seq("alpha", "footer", "beta")),
+      (2L, Seq("footer", "rare")),
+      (3L, Seq("footer"))).toDF("doc_id", "lines")
+    val got = Dedup.scrubFrequentLines(docs, col("doc_id"), col("lines"), minDocs = 2L)
+      .orderBy("doc_id").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(1) == "alpha\nbeta", "order of kept lines preserved")
+    assert(got(0).getLong(2) == 2L && got(0).getLong(3) == 1L)
+    assert(got(1).getString(1) == "rare" && got(1).getLong(2) == 1L && got(1).getLong(3) == 1L)
+    assert(got(2).getString(1) == "" && got(2).getLong(2) == 0L && got(2).getLong(3) == 1L,
+      "all-boilerplate doc keeps a row with empty clean_text")
+    // a line must reach minDocs DISTINCT docs: repeats inside ONE doc
+    // are not boilerplate
+    val solo = Seq((1L, Seq("x", "x", "y")), (2L, Seq("z"))).toDF("doc_id", "lines")
+    val soloGot = Dedup.scrubFrequentLines(solo, col("doc_id"), col("lines"), minDocs = 2L)
+      .orderBy("doc_id").collect()
+    assert(soloGot(0).getString(1) == "x\nx\ny" && soloGot(0).getLong(3) == 0L)
+  }
+
   test("hashSample: deterministic, threshold math exact, rates approximately honored") {
     import graft.llm.Sampling
     assert(Sampling.rateThreshold(0.5) == "80000000")
