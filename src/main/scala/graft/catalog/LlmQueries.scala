@@ -1083,12 +1083,140 @@ object LlmQueries {
        |FROM gr JOIN bg USING (g)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------- star-contraction components
+  /** [[Dedup.componentsStar]] on its worst-case-for-propagation input:
+    * a deterministic chain graph over `vec_id` (edge i→i+1 except at
+    * 50-boundaries → 50-node paths). Min-label propagation
+    * ([[Dedup.components]], `llm_dedup_clusters`) needs diameter ≈ 49
+    * full-shuffle rounds here; large-star/small-star contraction
+    * converges in O(log²) rounds — this query pins the long-chain
+    * fallback's exactness against a transitive-closure oracle
+    * (recursive CTE; labels only ever flow from smaller ids, so the
+    * forward-edge closure reaches exactly the component minimum).
+    */
+  private def componentsChain(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.embeddings(s, d).select(col("vec_id"))
+    val edges = ids.filter(col("vec_id") % 50 =!= 49)
+      .select(col("vec_id").as("src"), (col("vec_id") + 1L).as("dst"))
+      .join(ids.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+    Dedup.componentsStar(edges, col("src"), col("dst"))
+      .orderBy(col("id"))
+  }
+
+  private val componentsChainSql: String =
+    """WITH RECURSIVE fwd AS (
+      |  SELECT e.vec_id AS s, e.vec_id + 1 AS d
+      |  FROM embeddings e JOIN embeddings n ON n.vec_id = e.vec_id + 1
+      |  WHERE e.vec_id % 50 <> 49
+      |), reach(id, lbl) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT f.d, r.lbl FROM reach r JOIN fwd f ON f.s = r.id
+      |), nodes AS (
+      |  SELECT DISTINCT id FROM (SELECT s AS id FROM fwd UNION ALL SELECT d FROM fwd)
+      |)
+      |SELECT r.id, CAST(min(r.lbl) AS BIGINT) AS label
+      |FROM reach r JOIN nodes n ON n.id = r.id
+      |GROUP BY r.id ORDER BY r.id""".stripMargin
+
+  // ------------------------------------------------------ PII scrub
+  /** [[TextOps.scrubPii]] over documents with deterministic synthetic
+    * PII appended (derived from doc_id in BOTH engines — the corpus
+    * itself is synthetic prose, so the fixture guarantees every row
+    * exercises all three redactions). Checked output: per-doc match
+    * counts (pre-scrub), the scrubbed text's md5 and length. Counts
+    * use the literally-same patterns via Spark `regexp_count` ↔
+    * DuckDB `len(regexp_extract_all)`.
+    */
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."), (col("doc_id") % 250).cast("string"),
+        lit(".0.7 or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" now.")).as("t"))
+    aug.select(col("doc_id"),
+        regexp_count(col("t"), lit(TextOps.emailRe)).cast("bigint").as("n_email"),
+        regexp_count(col("t"), lit(TextOps.ipv4Re)).cast("bigint").as("n_ip"),
+        regexp_count(col("t"), lit(TextOps.phoneRe)).cast("bigint").as("n_phone"),
+        md5(TextOps.scrubPii(col("t"))).as("scrub_md5"),
+        length(TextOps.scrubPii(col("t"))).cast("bigint").as("scrub_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiScrubSql: String = {
+    // shared regexes dropped into single-quoted SQL literals verbatim
+    // (DuckDB standard strings don't process backslash escapes, and
+    // none of the patterns contain a quote)
+    val em = TextOps.emailRe
+    val ip = TextOps.ipv4Re
+    val ph = TextOps.phoneRe
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+       |              || '@mail.example.com from 10.' || CAST(doc_id % 250 AS VARCHAR)
+       |              || '.0.7 or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |              || ' now.' AS t
+       |  FROM documents
+       |), scrubbed AS (
+       |  SELECT doc_id, t,
+       |         regexp_replace(regexp_replace(regexp_replace(t,
+       |           '$em', '<EMAIL>', 'g'),
+       |           '$ip', '<IP>', 'g'),
+       |           '$ph', '<PHONE>', 'g') AS st
+       |  FROM aug
+       |)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+       |       CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phone,
+       |       md5(st) AS scrub_md5,
+       |       CAST(length(st) AS BIGINT) AS scrub_len
+       |FROM scrubbed ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- filtered top-k
+  /** [[Similarity.filteredTopK]]: nearest neighbors of vec 0 among
+    * documents WHERE lang = 'en' AND label < 5 (metadata joined from
+    * `documents` on vec_id = doc_id). The predicate prunes before any
+    * cosine is computed; the query vector is taken from the unfiltered
+    * corpus.
+    */
+  private def filteredTopK(s: SparkSession, d: String): DataFrame = {
+    val cand = Tables.embeddings(s, d)
+      .join(broadcast(Tables.documents(s, d).select(col("doc_id"), col("lang"))),
+        col("vec_id") === col("doc_id"))
+    Similarity.filteredTopK(cand, col("vec_id"), col("embedding"),
+        col("vec_id") === 0L, col("lang") === "en" && col("label") < 5, 10)
+      .select(col("id"), r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
+  }
+
+  private val filteredTopKSql: String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings JOIN documents ON vec_id = doc_id
+       |  WHERE lang = 'en' AND label < 5 AND vec_id <> 0
+       |), d AS (
+       |  SELECT id,
+       |         list_dot_product(v, qv)
+       |           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM c, q
+       |), topk AS (SELECT id, sim FROM d ORDER BY sim DESC, id LIMIT 10)
+       |SELECT id, ${r4Sql("sim")} AS sim FROM topk
+       |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_embed_neardup" -> embedNearDup,
     "llm_exact_dedup"  -> exactDedup,
     "llm_minhash_lsh"  -> minhashLsh,
     "llm_dedup_clusters" -> dedupClusters,
+    "llm_components_chain" -> componentsChain,
+    "llm_pii_scrub"    -> piiScrub,
+    "llm_filtered_topk" -> filteredTopK,
     "llm_simhash"      -> simhash,
     "llm_simhash_pairs" -> simhashPairs,
     "llm_char_jaccard" -> charJaccard,
@@ -1115,6 +1243,9 @@ object LlmQueries {
     "llm_exact_dedup"  -> exactDedupSql,
     "llm_minhash_lsh"  -> minhashLshSql,
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_components_chain" -> componentsChainSql,
+    "llm_pii_scrub"    -> piiScrubSql,
+    "llm_filtered_topk" -> filteredTopKSql,
     "llm_simhash"      -> simhashSql,
     "llm_simhash_pairs" -> simhashPairsSql,
     "llm_char_jaccard" -> charJaccardSql,

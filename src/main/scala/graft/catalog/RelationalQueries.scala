@@ -229,7 +229,48 @@ object RelationalQueries {
        |                  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ROLLUP grouping sets: order value by (nation, priority) with
+    * per-nation and grand-total subtotal rows in one pass — Spark
+    * `rollup()` expands the sets inside a single hash-aggregate (one
+    * shuffle, map-side partials for every set), vs the naive
+    * union-of-3-aggregations which scans and shuffles three times.
+    * `grouping_id()` (Spark) and `GROUPING(a, b)` (DuckDB) share the
+    * first-column-is-MSB bitmask convention; null group keys from the
+    * subtotal rows are projected to 'ALL' so the checked output is
+    * null-free (catalog convention).
+    */
+  private def rollupRevenue(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(n("n_name").as("n_name"), o("o_orderpriority").as("o_orderpriority"))
+      .agg(
+        grouping_id().cast("bigint").as("gid"),
+        sum(cents(o("o_totalprice"))).as("price_cents"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("gid"), col("price_cents"), col("n_orders"))
+      .orderBy("gid", "n_name", "o_orderpriority")
+  }
+
+  private val rollupRevenueSql: String =
+    s"""SELECT coalesce(n_name, 'ALL') AS n_name,
+       |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       |       CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS gid,
+       |       CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS price_cents,
+       |       count(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP(n_name, o_orderpriority)
+       |ORDER BY gid, n_name, o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_rollup"         -> rollupRevenue,
     "rel_cascade_delete" -> cascadeDelete,
     "rel_join_revenue"   -> joinRevenue,
     "rel_latest_order"   -> latestOrder,
@@ -243,6 +284,7 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rel_rollup"         -> rollupRevenueSql,
     "rel_cascade_delete" -> cascadeDeleteSql,
     "rel_join_revenue"   -> joinRevenueSql,
     "rel_latest_order"   -> latestOrderSql,

@@ -367,7 +367,127 @@ object TimeSeriesQueries {
         |FROM series GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  // ------------------------------------------------------ as-of join
+  /** Price-at-event lookup: each click gets the user's latest purchase
+    * value at-or-before the click ([[TimeSeries.asofJoin]] — one keyed
+    * shuffle + sort, no range-join blow-up). The purchase side is
+    * pre-deduped to one row per (user, tus) with latest-event_id-wins,
+    * the same determinism rule as [[Tables.eventSeries]]; clicks keep
+    * their event_id identity so left duplicates are fine. Values pass
+    * through raw (no arithmetic) — both engines read the same parquet
+    * doubles, so the hash compare is exact.
+    */
+  private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tus"))
+      .agg(max_by(col("value"), col("event_id")).as("purchase_value"))
+    TimeSeries.asofJoin(clicks, purchases, Seq("user_id"), "tus",
+        Seq("purchase_value"))
+      // no-match rows surface as nulls from the operator; the driver
+      // compare hashes values, so project them to sentinels + a flag
+      // (catalog convention: no nulls in checked output)
+      .select(col("event_id"), col("user_id"), col("tus"), col("value"),
+        col("asof_tus").isNotNull.as("matched"),
+        coalesce(col("purchase_value"), lit(-1.0d)).as("purchase_value"),
+        coalesce(col("asof_tus"), lit(-1L)).as("asof_tus"))
+      .orderBy(col("event_id"))
+  }
+
+  private val asofJoinSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+      |         max_by(value, event_id) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, value
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT c.event_id, c.user_id, c.tus, c.value,
+      |       p.tus IS NOT NULL AS matched,
+      |       coalesce(p.purchase_value, -1.0) AS purchase_value,
+      |       coalesce(p.tus, -1) AS asof_tus
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tus >= p.tus
+      |ORDER BY c.event_id""".stripMargin
+
+  // --------------------------------------------------- sessionization
+  /** Gap-based sessions per user (30 min gap) aggregated to one row
+    * per session ([[Analytics.sessionize]]: lag + running sum over one
+    * keyed window — the batch twin of streaming session windows).
+    */
+  private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.sessionize(
+        Tables.events(s, dir).withColumn("tus", unix_micros(col("ts"))),
+        Seq(col("user_id")), col("tus"), col("event_id"), 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("tus")).as("start_tus"),
+        max(col("tus")).as("end_tus"),
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0d).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  private val sessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, value FROM events
+       |), b AS (
+       |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+       |                   OR tus - lag(tus) OVER w > 1800000000
+       |                 THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |), sess AS (
+       |  SELECT *, CAST(sum(brk) OVER (
+       |      PARTITION BY user_id ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM b
+       |)
+       |SELECT user_id, session_id,
+       |       min(tus) AS start_tus, max(tus) AS end_tus,
+       |       count(*) AS n_events,
+       |       SUM(${centsSql("value")}) / CAST(100 AS DOUBLE) AS total_value
+       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- exact quantiles
+  /** Exact interpolated quantiles per event_type. Both engines use the
+    * h = p·(n−1) linear-interpolation definition (Spark `percentile` ↔
+    * DuckDB `quantile_cont`); computing over integer cents with
+    * quarter-valued p keeps every intermediate exact in doubles, so
+    * the compare is bit-exact without r4. One hash-aggregate, map-side
+    * partials — but note exact percentile buffers each group's values
+    * (OpenHashMap per key): fine keyed by 5 event types × cents
+    * cardinality, at 100 TB × high-cardinality keys switch to
+    * `approx_percentile` (t-digest, mergeable constant-size sketch).
+    */
+  private def quantilesQ(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        (percentile(cents(col("value")), lit(0.25)) / 100.0d).as("p25"),
+        (percentile(cents(col("value")), lit(0.5)) / 100.0d).as("p50"),
+        (percentile(cents(col("value")), lit(0.75)) / 100.0d).as("p75"),
+        (min(cents(col("value"))) / 100.0d).as("vmin"),
+        (max(cents(col("value"))) / 100.0d).as("vmax"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private val quantilesSql: String = {
+    val c = centsSql("value")
+    s"""SELECT event_type,
+       |       quantile_cont($c, 0.25) / CAST(100 AS DOUBLE) AS p25,
+       |       quantile_cont($c, 0.5)  / CAST(100 AS DOUBLE) AS p50,
+       |       quantile_cont($c, 0.75) / CAST(100 AS DOUBLE) AS p75,
+       |       min($c) / CAST(100 AS DOUBLE) AS vmin,
+       |       max($c) / CAST(100 AS DOUBLE) AS vmax,
+       |       count(*) AS n
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_asof_join"     -> asofJoinQ,
+    "ts_sessionize"    -> sessionizeQ,
+    "ts_quantiles"     -> quantilesQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
     "ts_sql_candle_1h" -> sqlCandle1h,
     "ts_candle_1d"     -> rollupQuery(86400L),
@@ -382,6 +502,9 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_asof_join"     -> asofJoinSql,
+    "ts_sessionize"    -> sessionizeSql,
+    "ts_quantiles"     -> quantilesSql,
     "ts_candle_1h"     -> rollupSql(3600L),
     "ts_sql_candle_1h" -> rollupSql(3600L),
     "ts_candle_1d"     -> rollupSql(86400L),

@@ -483,7 +483,7 @@ object Dedup {
 
     var edges = materialize(
       pairs.select(idA.as("src"), idB.as("dst")).filter(col("src") =!= col("dst")))
-    var prev: Option[(Long, Long)] = None
+    var prev: Option[(Long, String)] = None
     var round = 0
     var converged = false
     while (!converged) {
@@ -494,10 +494,15 @@ object Dedup {
       // order-independent signature of the directed edge set; equal
       // signatures on consecutive rounds = fixpoint (xxhash64 sum
       // collisions are negligible, and a false positive would need a
-      // colliding set ON the convergence boundary)
-      val sig = edges.agg(count(lit(1)), sum(xxhash64(col("src"), col("dst"))))
+      // colliding set ON the convergence boundary). The sum runs in
+      // decimal(38,0): summing raw ±2^63-scale hashes as Long throws
+      // ARITHMETIC_OVERFLOW under ANSI mode (Spark 4 default) on
+      // practically any edge set.
+      val sig = edges.agg(count(lit(1)),
+          sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")))
         .collect()(0)
-      val cur = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      val cur = (sig.getLong(0),
+        if (sig.isNullAt(1)) "0" else sig.getDecimal(1).toPlainString)
       converged = prev.contains(cur)
       prev = Some(cur)
     }

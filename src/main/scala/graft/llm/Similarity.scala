@@ -47,6 +47,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Filtered (metadata-constrained) top-k — the RAG-retrieval shape
+    * "nearest neighbors among documents WHERE <predicate>". The
+    * predicate is applied BEFORE any distance is computed, so it
+    * reaches the scan as an ordinary pushed filter (partition pruning
+    * at 100 TB when the corpus is partitioned on the filter column)
+    * and the O(dim) cosine kernel runs only on survivors — the
+    * post-filter alternative both wastes distance work and can return
+    * < k rows. The query row is looked up in the UNfiltered frame:
+    * the query need not satisfy the candidate predicate.
+    */
+  def filteredTopK(df: DataFrame, id: Column, vec: Column,
+                   queryPred: Column, candPred: Column, k: Int): DataFrame = {
+    val q = df.filter(queryPred).select(vec.as("qv")).limit(1)
+    df.filter(candPred && !queryPred)
+      .crossJoin(broadcast(q))
+      .select(id.as("id"), cosine(vec, col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Per-cell mean centroids from (cell, vec) — elementwise average
     * via posexplode + re-assemble (sorted by position).
     */

@@ -112,4 +112,25 @@ object TextOps {
 
   def upperCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[A-Z]", ""))
+
+  /** PII scrubbing for training corpora: redact emails, IPv4
+    * addresses, and phone numbers to typed placeholders. The patterns
+    * stay inside the Java-regex ∩ RE2 common subset (no lookaround, no
+    * backreferences) so the DuckDB oracle applies the literally-same
+    * regexes; replacement order is fixed email → IP → phone because an
+    * IP-shaped substring can occur inside an email's domain and must
+    * not be clipped out from under it. Pure codegen'd `regexp_replace`
+    * chain — per-row work, no shuffle, runs inside the scan stage at
+    * any scale.
+    */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe: String = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

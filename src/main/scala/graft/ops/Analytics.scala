@@ -110,6 +110,32 @@ object Analytics {
     avg(value).over(
       Window.partitionBy(keys: _*).orderBy(order).rowsBetween(-(nRows - 1), 0))
 
+  /** Gap-based sessionization (SURVEY ST-family batch analog): assign
+    * each row a per-key `session_id` that increments whenever the gap
+    * to the previous row (ordered by `order` then `tiebreak`) exceeds
+    * `maxGap` (same units as `order` — epoch-µs for a `tus` column).
+    * The batch twin of Structured Streaming's session windows: one
+    * shuffle on the key, one per-partition sort, two window passes
+    * (lag → running sum) that Catalyst fuses into a single Window
+    * exec over the same (partition, order) spec — no second shuffle.
+    *
+    * `tiebreak` makes the order total so equal timestamps (the events
+    * table has collisions) sessionize deterministically; rows at an
+    * equal `order` value are always in one session (gap 0 ≤ maxGap),
+    * so the tiebreak only fixes row identity, not session membership.
+    * Session ids start at 1 and are contiguous per key — stable join
+    * keys for downstream per-session aggregation.
+    */
+  def sessionize(df: DataFrame, keys: Seq[Column], order: Column,
+                 tiebreak: Column, maxGap: Long): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order, tiebreak)
+    val break = when(
+      lag(order, 1).over(w).isNull || order - lag(order, 1).over(w) > maxGap,
+      1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(break).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Salted two-stage sum for skewed keys (hot symbols at 100 TB):
     * stage 1 aggregates on (keys, salt) spreading a hot key over
     * `saltBuckets` reducers; stage 2 merges the partials on the true

@@ -54,4 +54,61 @@ object TimeSeries {
         max_by(value, timeCol).as("close"),
         sum(volume.getOrElse(value)).as("volume"),
         count(lit(1)).as("n"))
+
+  /** As-of join: attach to each left row the right row with the
+    * greatest `timeCol` ≤ the left row's `timeCol`, per key — the
+    * trades-to-quotes / price-at-event lookup the reference serves by
+    * point SELECTs against the latest candle (api/endpoints views of
+    * the newest row per symbol; SURVEY §2.3 J-family) generalized to a
+    * whole-table batch operator.
+    *
+    * Spark-first plan: NOT a range join (a `l.ts >= r.ts` theta-join
+    * explodes to O(|L|·|R|) per key before the per-row max is taken —
+    * unusable at 100 TB). Instead the two sides are tagged and
+    * unioned, shuffled ONCE on the key, and sorted per key on
+    * (time, side) so a running `last(value, ignoreNulls)` window
+    * carries each right value forward to every later-or-equal left
+    * row. Cost = one shuffle + one per-partition sort of |L|+|R| rows,
+    * the same shape as any keyed window — no blow-up, AQE-splittable
+    * if a key is hot.
+    *
+    * Right rows sort BEFORE left rows at an equal timestamp (side 0 <
+    * side 1), making the match inclusive, matching DuckDB/kdb ASOF
+    * `l.ts >= r.ts` semantics. `rightVals` must be non-null (a null
+    * right value would read as "no match yet" and fall through to the
+    * previous observation); `right` must be unique per (keys, time) —
+    * pre-aggregate with max_by first (Tables.eventSeries-style),
+    * otherwise which duplicate wins is engine-undefined.
+    *
+    * Output: every left column, plus for each right value column `c` a
+    * column `c` holding the as-of value (null when no right row is at
+    * or before the left time), plus `asof_<timeCol-name>` with the
+    * matched right row's time.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String, rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("__side") && rightVals.forall(!leftCols.contains(_)),
+      "left columns collide with right value columns or the side tag")
+    val asofTime = s"asof_$timeCol"
+    val l = left.select(
+      (keys.map(col) :+ col(timeCol) :+ lit(1).as("__side")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        lit(null).cast(right.schema(timeCol).dataType).as(asofTime) :+
+        struct(leftCols.map(col): _*).as("__lrow"): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(timeCol) :+ lit(0).as("__side")) ++
+        rightVals.map(col) :+ col(timeCol).as(asofTime) :+
+        lit(null).cast(l.schema("__lrow").dataType).as("__lrow"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r).select(
+      (Seq(col("__lrow")) ++ (rightVals :+ asofTime).map(c =>
+        last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    carried.filter(col("__lrow").isNotNull)
+      .select((leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+        (rightVals :+ asofTime).map(col)): _*)
+  }
 }
