@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.timeBucketDescriptor)
     ext.injectFunction(GraftExtensions.inflateDescriptor)
     ext.injectFunction(GraftExtensions.charNgramSetDescriptor)
+    ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
   }
 }
 
@@ -58,6 +59,15 @@ object GraftExtensions {
       graft.functions.CharNgramSet(children.head, n)
     })
 
+  val nfcNormalizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => {
+      if (children.size != 1) throw new IllegalArgumentException(
+        s"nfc_normalize(text) takes 1 argument, got ${children.size}")
+      graft.functions.NfcNormalize(children.head)
+    })
+
   /** Register on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -66,5 +76,7 @@ object GraftExtensions {
       inflateDescriptor._1, inflateDescriptor._2, inflateDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       charNgramSetDescriptor._1, charNgramSetDescriptor._2, charNgramSetDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      nfcNormalizeDescriptor._1, nfcNormalizeDescriptor._2, nfcNormalizeDescriptor._3)
   }
 }

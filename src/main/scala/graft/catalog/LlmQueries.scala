@@ -1176,6 +1176,41 @@ object LlmQueries {
        |FROM scrubbed ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- unicode normalization
+  /** [[graft.functions.NfcNormalize]] (native expression, JDK
+    * Normalizer) against DuckDB's utf8proc `nfc_normalize` — both
+    * implement Unicode canonical composition, so lengths and digests
+    * must agree byte-for-byte. Decomposed sequences (A+U+030A,
+    * e+U+0301, A+U+0301) are appended deterministically in both
+    * engines since the corpus itself is ASCII-clean.
+    */
+  private def unicodeNorm(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      // the literal is DECOMPOSED (A+U+030A, e+U+0301, A+U+0301) —
+      // len_raw must count the combining marks; NFC composes them
+      concat(col("text"),
+        lit(" nfc Å café Á end")).as("t"))
+    aug.select(col("doc_id"),
+        length(col("t")).cast("bigint").as("len_raw"),
+        length(nfc(col("t"))).cast("bigint").as("len_nfc"),
+        md5(nfc(col("t"))).as("nfc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val unicodeNormSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         text || ' nfc A' || chr(778) || ' cafe' || chr(769)
+      |              || ' A' || chr(769) || ' end' AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(length(t) AS BIGINT) AS len_raw,
+      |       CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc,
+      |       md5(nfc_normalize(t)) AS nfc_md5
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- filtered top-k
   /** [[Similarity.filteredTopK]]: nearest neighbors of vec 0 among
     * documents WHERE lang = 'en' AND label < 5 (metadata joined from
@@ -1216,6 +1251,7 @@ object LlmQueries {
     "llm_dedup_clusters" -> dedupClusters,
     "llm_components_chain" -> componentsChain,
     "llm_pii_scrub"    -> piiScrub,
+    "llm_unicode_norm" -> unicodeNorm,
     "llm_filtered_topk" -> filteredTopK,
     "llm_simhash"      -> simhash,
     "llm_simhash_pairs" -> simhashPairs,
@@ -1245,6 +1281,7 @@ object LlmQueries {
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_components_chain" -> componentsChainSql,
     "llm_pii_scrub"    -> piiScrubSql,
+    "llm_unicode_norm" -> unicodeNormSql,
     "llm_filtered_topk" -> filteredTopKSql,
     "llm_simhash"      -> simhashSql,
     "llm_simhash_pairs" -> simhashPairsSql,

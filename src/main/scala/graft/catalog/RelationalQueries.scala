@@ -269,7 +269,44 @@ object RelationalQueries {
        |GROUP BY ROLLUP(n_name, o_orderpriority)
        |ORDER BY gid, n_name, o_orderpriority""".stripMargin
 
+  /** Ratio-to-report: each priority's share of its nation's order
+    * value — aggregate once, then a partition-scoped window sum over
+    * the (tiny) aggregated frame; the percentage divides two exact
+    * integer cent totals so both engines run the identical IEEE
+    * divide. The window runs AFTER the groupBy (25 nations × 5
+    * priorities rows), so its sort cost is nil at any input scale.
+    */
+  private def shareQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val g = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("n_name"), o("o_orderpriority").as("o_orderpriority"))
+      .agg(sum(cents(o("o_totalprice"))).as("pc"))
+    val natTotal = sum(col("pc")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("n_name")))
+    g.select(col("n_name"), col("o_orderpriority"),
+        col("pc").as("price_cents"),
+        r4((col("pc") * 100L).cast("double") / natTotal.cast("double")).as("share_pct"))
+      .orderBy("n_name", "o_orderpriority")
+  }
+
+  private val shareSql: String =
+    s"""WITH g AS (
+       |  SELECT n_name, o_orderpriority,
+       |         CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS pc
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2
+       |)
+       |SELECT n_name, o_orderpriority, pc AS price_cents,
+       |       ${r4Sql("CAST(pc * 100 AS DOUBLE) / CAST(CAST(SUM(pc) OVER (PARTITION BY n_name) AS BIGINT) AS DOUBLE)")} AS share_pct
+       |FROM g ORDER BY n_name, o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_share"          -> shareQ,
     "rel_rollup"         -> rollupRevenue,
     "rel_cascade_delete" -> cascadeDelete,
     "rel_join_revenue"   -> joinRevenue,
@@ -284,6 +321,7 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rel_share"          -> shareSql,
     "rel_rollup"         -> rollupRevenueSql,
     "rel_cascade_delete" -> cascadeDeleteSql,
     "rel_join_revenue"   -> joinRevenueSql,

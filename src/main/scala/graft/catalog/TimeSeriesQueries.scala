@@ -484,7 +484,96 @@ object TimeSeriesQueries {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------- correlation / regression
+  /** Pearson correlation + OLS slope between the hourly close series
+    * of two event types, computed from exact integer sums: x/y are
+    * cents (Longs), so n, Σx, Σy, Σx², Σy², Σxy are integer-exact and
+    * engine-order-independent; the closed-form corr/beta then perform
+    * the IDENTICAL few IEEE ops in both engines (the naive streaming
+    * `corr()` aggregate is summation-order-dependent and can't be
+    * hash-compared). Overflow envelope under ANSI: cents ≤ 10^6 and
+    * n ≤ 10^6 keep n·Σxy ≤ 10^18 < 2^63. One aggregate over a
+    * bucket-keyed self-join of the hourly rollup — two shuffles total
+    * at any scale, partial aggregation on both.
+    */
+  private def corrQ(s: SparkSession, dir: String): DataFrame = {
+    val hourly = TimeSeries.candleRollup(
+        Tables.eventSeries(s, dir), col("ts"), Seq(col("event_type")),
+        col("value"), 3600L)
+      .select(col("event_type"), col("bucket"), cents(col("close")).as("c"))
+    val x = hourly.filter(col("event_type") === "click")
+      .select(col("bucket"), col("c").as("x"))
+    val y = hourly.filter(col("event_type") === "view")
+      .select(col("bucket"), col("c").as("y"))
+    val sums = x.join(y, "bucket").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    sums.select(col("n"),
+      r4(cov / (sqrt(vx) * sqrt(vy))).as("corr"),
+      r4(cov / vx).as("beta"))
+  }
+
+  private val corrSql: String =
+    s"""$seriesCte, hourly AS (
+       |  SELECT event_type, tus // 3600000000 AS bk,
+       |         ${centsSql("max_by(value, tus)")} AS c
+       |  FROM series GROUP BY 1, 2
+       |), j AS (
+       |  SELECT a.c AS x, b.c AS y
+       |  FROM (SELECT bk, c FROM hourly WHERE event_type = 'click') a
+       |  JOIN (SELECT bk, c FROM hourly WHERE event_type = 'view') b ON a.bk = b.bk
+       |), sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM j
+       |)
+       |SELECT n,
+       |       ${r4Sql("CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))")} AS corr,
+       |       ${r4Sql("CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)")} AS beta
+       |FROM sums""".stripMargin
+
+  // ------------------------------------------------------------ pivot
+  /** Daily value pivoted by event type — Spark's `pivot` with PINNED
+    * values, which keeps the plan a single hash-aggregate over
+    * conditional sums (unpinned pivot adds a blocking distinct-values
+    * job over the whole input first). Absent (day, type) cells
+    * coalesce to 0 to match the oracle's FILTER aggregates.
+    */
+  private def pivotQ(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .select(TimeSeries.timeBucket(col("ts"), 86400L).as("day"),
+        col("event_type"), cents(col("value")).as("c"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(sum(col("c")))
+      .select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"${t}_cents")): _*)
+      .orderBy(col("day"))
+  }
+
+  private val pivotSql: String = {
+    val w = 86400000000L
+    val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
+      s"coalesce(CAST(SUM(${centsSql("value")}) FILTER (WHERE event_type = '$t') AS BIGINT), 0) AS ${t}_cents"
+    }.mkString(",\n|       ")
+    s"""SELECT make_timestamp((epoch_ns(ts) // 1000 // $w) * $w) AS day,
+       |       $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_corr"          -> corrQ,
+    "ts_pivot"         -> pivotQ,
     "ts_asof_join"     -> asofJoinQ,
     "ts_sessionize"    -> sessionizeQ,
     "ts_quantiles"     -> quantilesQ,
@@ -502,6 +591,8 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_corr"          -> corrSql,
+    "ts_pivot"         -> pivotSql,
     "ts_asof_join"     -> asofJoinSql,
     "ts_sessionize"    -> sessionizeSql,
     "ts_quantiles"     -> quantilesSql,
