@@ -543,10 +543,14 @@ object TimeSeriesQueries {
 
   // ------------------------------------------------------------ pivot
   /** Daily value pivoted by event type — Spark's `pivot` with PINNED
-    * values, which keeps the plan a single hash-aggregate over
-    * conditional sums (unpinned pivot adds a blocking distinct-values
-    * job over the whole input first). Absent (day, type) cells
-    * coalesce to 0 to match the oracle's FILTER aggregates.
+    * values (unpinned pivot adds a blocking distinct-values job over
+    * the whole input first). The plan is Spark's two-phase pivot
+    * aggregate — (day, type) partial+final, then (day) pivot
+    * partial+final — so both shuffles move already-aggregated rows
+    * (≤ |days|·|types|), not input; a hand-written conditional-sum
+    * saves the second tiny exchange but loses the operator surface
+    * this entry exists to cover. Absent (day, type) cells coalesce to
+    * 0 to match the oracle's FILTER aggregates.
     */
   private def pivotQ(s: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
