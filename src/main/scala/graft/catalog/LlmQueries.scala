@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, NgramLm, Sampling, Similarity, TextOps}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1211,6 +1211,53 @@ object LlmQueries {
       |       md5(nfc_normalize(t)) AS nfc_md5
       |FROM aug ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- bigram LM quality score
+  /** [[NgramLm]] char-bigram quality scoring trained and scored on the
+    * corpus itself (CCNet-style perplexity filter). Hash-comparable
+    * because the score is an integer sum of micro-nat-quantized
+    * log-probs — float summation order can't leak in; `ln` on the
+    * identical exact rational is bit-equal across engines (the same
+    * contract ts_geomean already pins for LN/EXP).
+    */
+  private def lmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val bg = NgramLm.bigrams(docs, col("doc_id"), col("text"))
+    val m = NgramLm.model(bg)
+    val p = NgramLm.prefixCounts(m)
+    NgramLm.score(bg, m, p)
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("q_sum"),
+        r4(col("q_sum").cast("double") / col("n_bigrams").cast("double") / 1e6)
+          .as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmScoreSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text AS t FROM documents WHERE length(text) >= 2
+       |), bg AS (
+       |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS g
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+       |        FROM docs)
+       |), model AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS cg FROM bg GROUP BY g
+       |), prefix AS (
+       |  SELECT substr(g, 1, 1) AS c1, CAST(SUM(cg) AS BIGINT) AS cp
+       |  FROM model GROUP BY 1
+       |), vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM prefix),
+       |scored AS (
+       |  SELECT b.doc_id,
+       |         CAST(floor(ln(CAST(m.cg + 1 AS DOUBLE) / CAST(p.cp + vocab.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
+       |  FROM bg b
+       |  JOIN model m ON b.g = m.g
+       |  JOIN prefix p ON substr(b.g, 1, 1) = p.c1
+       |  CROSS JOIN vocab
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       CAST(SUM(q) AS BIGINT) AS q_sum,
+       |       ${r4Sql("CAST(SUM(q) AS BIGINT) / CAST(count(*) AS DOUBLE) / 1000000")} AS avg_logp
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- filtered top-k
   /** [[Similarity.filteredTopK]]: nearest neighbors of vec 0 among
     * documents WHERE lang = 'en' AND label < 5 (metadata joined from
@@ -1252,6 +1299,7 @@ object LlmQueries {
     "llm_components_chain" -> componentsChain,
     "llm_pii_scrub"    -> piiScrub,
     "llm_unicode_norm" -> unicodeNorm,
+    "llm_lm_score"     -> lmScore,
     "llm_filtered_topk" -> filteredTopK,
     "llm_simhash"      -> simhash,
     "llm_simhash_pairs" -> simhashPairs,
@@ -1282,6 +1330,7 @@ object LlmQueries {
     "llm_components_chain" -> componentsChainSql,
     "llm_pii_scrub"    -> piiScrubSql,
     "llm_unicode_norm" -> unicodeNormSql,
+    "llm_lm_score"     -> lmScoreSql,
     "llm_filtered_topk" -> filteredTopKSql,
     "llm_simhash"      -> simhashSql,
     "llm_simhash_pairs" -> simhashPairsSql,
