@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, NgramLm, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, NgramLm, Sampling, Similarity, TextOps, TfIdf}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1258,6 +1258,44 @@ object LlmQueries {
        |       ${r4Sql("CAST(SUM(q) AS BIGINT) / CAST(count(*) AS DOUBLE) / 1000000")} AS avg_logp
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- TF-IDF
+  /** [[TfIdf]] top-3 terms per document. Integer tf · micro-nat-
+    * quantized idf keeps scores and the rank order engine-exact
+    * (ties break on the term string, which both engines collate
+    * identically for ASCII).
+    */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    TfIdf.topTerms(
+        TfIdf.termFreq(docs, col("doc_id"), col("ws")), 3)
+      .select(col("id").as("doc_id"), col("w"), col("tf"),
+        col("score"), col("rank").cast("bigint").as("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val tfidfSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+       |), tf AS (
+       |  SELECT doc_id, unnest(ws) AS w FROM docs
+       |), tfc AS (
+       |  SELECT doc_id, w, count(*) AS tf FROM tf GROUP BY 1, 2
+       |), dfc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1
+       |), n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tfc),
+       |scored AS (
+       |  SELECT doc_id, w, tf,
+       |         tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(dfc.df AS DOUBLE)) * 1000000) AS BIGINT) AS score
+       |  FROM tfc JOIN dfc USING (w) CROSS JOIN n
+       |), ranked AS (
+       |  SELECT doc_id, w, tf, score,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, w, tf, score, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // ------------------------------------------------- filtered top-k
   /** [[Similarity.filteredTopK]]: nearest neighbors of vec 0 among
     * documents WHERE lang = 'en' AND label < 5 (metadata joined from
@@ -1300,6 +1338,7 @@ object LlmQueries {
     "llm_pii_scrub"    -> piiScrub,
     "llm_unicode_norm" -> unicodeNorm,
     "llm_lm_score"     -> lmScore,
+    "llm_tfidf"        -> tfidf,
     "llm_filtered_topk" -> filteredTopK,
     "llm_simhash"      -> simhash,
     "llm_simhash_pairs" -> simhashPairs,
@@ -1331,6 +1370,7 @@ object LlmQueries {
     "llm_pii_scrub"    -> piiScrubSql,
     "llm_unicode_norm" -> unicodeNormSql,
     "llm_lm_score"     -> lmScoreSql,
+    "llm_tfidf"        -> tfidfSql,
     "llm_filtered_topk" -> filteredTopKSql,
     "llm_simhash"      -> simhashSql,
     "llm_simhash_pairs" -> simhashPairsSql,

@@ -42,7 +42,12 @@ object ScaleBench {
     "llm_char_jaccard", "llm_dedup_clusters", "llm_minhash_lsh",
     "llm_simhash_pairs", "llm_winnow", "llm_repetition",
     "llm_repetition_lines", "llm_kmeans_ivf", "llm_embed_neardup",
-    "llm_simhash", "llm_exact_dedup")
+    "llm_simhash", "llm_exact_dedup",
+    // r7 additions: the iterative star contraction (replica offsets
+    // are multiples of 50, so each replica contributes its own intact
+    // chains) and the bigram-LM train+score double pass (per-replica
+    // Caesar rotation grows the model alphabet, as new data would)
+    "llm_components_chain", "llm_lm_score")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
