@@ -575,7 +575,83 @@ object TimeSeriesQueries {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------- histogram
+  /** Fixed-width value histogram per event type. Bins are absolute
+    * (floor(cents / 5000), i.e. 50-unit buckets anchored at 0), not
+    * data-dependent min/max — so bin identity is stable across
+    * engines, runs, and data growth, and the whole thing is one
+    * hash-aggregate with map-side partials. Empty bins are absent by
+    * construction (densifying is a presentation join against a
+    * sequence, same as gap-fill).
+    */
+  private def histogramQ(s: SparkSession, dir: String): DataFrame = {
+    // float divide + floor on BOTH sides: Spark's long/long truncates
+    // toward zero while DuckDB's integer `/` is float division — for
+    // any negative values those disagree; the explicit double path is
+    // the same IEEE ops in both engines (cents ≪ 2^53, division exact
+    // enough for a 5000 divisor to bin identically)
+    val bin = floor(cents(col("value")).cast("double") / 5000.0d)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (min(cents(col("value"))) / 100.0d).as("lo"),
+        (max(cents(col("value"))) / 100.0d).as("hi"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  private val histogramSql: String = {
+    val c = centsSql("value")
+    s"""SELECT event_type,
+       |       CAST(floor($c / 5000) AS BIGINT) AS bin,
+       |       count(*) AS n,
+       |       min($c) / CAST(100 AS DOUBLE) AS lo,
+       |       max($c) / CAST(100 AS DOUBLE) AS hi
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------- rank-distribution windows
+  /** percent_rank / cume_dist / ntile over each type's daily closes.
+    * The window ORDER BY is a TOTAL order (cents, then bucket):
+    * percent_rank/cume_dist are tie-stable anyway, but ntile assigns
+    * by row position, which with ties would be engine-arbitrary —
+    * the tiebreak is what makes the quartile label hashable. Both
+    * rank fractions are exact small rationals ((rank−1)/(n−1),
+    * peers/n) so the r4 guard never sits on a boundary.
+    */
+  private def rankDistQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = TimeSeries.candleRollup(
+        Tables.eventSeries(s, dir), col("ts"), Seq(col("event_type")),
+        col("value"), 86400L)
+      .select(col("event_type"), unix_micros(col("bucket")).as("tus"),
+        cents(col("close")).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"), col("tus"))
+    daily.select(col("event_type"), col("tus"), (col("c") / 100.0d).as("close"),
+        r4(percent_rank().over(w)).as("pr"),
+        r4(cume_dist().over(w)).as("cd"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy(col("event_type"), col("tus"))
+  }
+
+  private val rankDistSql: String = {
+    val w = 86400000000L
+    s"""$seriesCte, daily AS (
+       |  SELECT event_type, (tus // $w) * $w AS btus,
+       |         ${centsSql("max_by(value, tus)")} AS c
+       |  FROM series GROUP BY 1, 2
+       |)
+       |SELECT event_type, btus AS tus, c / CAST(100 AS DOUBLE) AS close,
+       |       ${r4Sql("percent_rank() OVER w")} AS pr,
+       |       ${r4Sql("cume_dist() OVER w")} AS cd,
+       |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY c, btus)
+       |ORDER BY event_type, tus""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rank_dist"     -> rankDistQ,
+    "ts_histogram"     -> histogramQ,
     "ts_corr"          -> corrQ,
     "ts_pivot"         -> pivotQ,
     "ts_asof_join"     -> asofJoinQ,
@@ -595,6 +671,8 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_rank_dist"     -> rankDistSql,
+    "ts_histogram"     -> histogramSql,
     "ts_corr"          -> corrSql,
     "ts_pivot"         -> pivotSql,
     "ts_asof_join"     -> asofJoinSql,
