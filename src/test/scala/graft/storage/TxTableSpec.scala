@@ -30,6 +30,23 @@ class TxTableSpec extends SparkSpec {
     assert(t.version == 1)
   }
 
+  test("time travel: any retained version reads exactly its historical content") {
+    val t = freshTable()
+    t.append(rows(0 until 5, "2021-01-01"))            // v0
+    t.append(rows(5 until 9, "2021-01-01"))            // v1
+    t.rewritePartitions(Set("2021-01-01")) { df =>
+      df.filter(col("id") < 2)                         // v2 keeps ids 0, 1
+    }
+    assert(t.readSnapshot(t.snapshot(0)).select("id").collect().map(_.getLong(0)).sorted
+      === (0L until 5L).toArray)
+    assert(t.readSnapshot(t.snapshot(1)).count() === 9)
+    assert(t.read().count() === 2)
+    // snapshots are immutable objects: a later commit doesn't mutate one
+    val s1 = t.snapshot(1)
+    t.append(rows(100 until 110, "2021-01-02"))
+    assert(t.readSnapshot(s1).count() === 9)
+  }
+
   test("empty table reads as empty DataFrame after a zero-row commit") {
     val t = freshTable()
     t.append(rows(0 until 0, "2021-01-01"))
