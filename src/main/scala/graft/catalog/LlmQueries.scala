@@ -1222,6 +1222,12 @@ object LlmQueries {
   private def lmScore(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
+    // bg feeds the model pass and the scoring join but is NOT
+    // checkpointed: A/B at sf0.1 showed materializing the exploded
+    // frame (one row per character) costs more than re-running the
+    // codegen'd explode (1.72 s plain vs 2.21 s checkpointed) — the
+    // opposite trade from llm_tfidf, whose post-aggregation tf frame
+    // is small. Checkpoint AFTER aggregation, not before.
     val bg = NgramLm.bigrams(docs, col("doc_id"), col("text"))
     val m = NgramLm.model(bg)
     val p = NgramLm.prefixCounts(m)
@@ -1267,8 +1273,11 @@ object LlmQueries {
   private def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    // the (doc, term, tf) frame feeds THREE consumers (df, N, the
+    // scoring join); a lazy localCheckpoint caches the corpus pass on
+    // first use instead of re-exploding the corpus per consumer
     TfIdf.topTerms(
-        TfIdf.termFreq(docs, col("doc_id"), col("ws")), 3)
+        TfIdf.termFreq(docs, col("doc_id"), col("ws")).localCheckpoint(false), 3)
       .select(col("id").as("doc_id"), col("w"), col("tf"),
         col("score"), col("rank").cast("bigint").as("rank"))
       .orderBy(col("doc_id"), col("rank"))
