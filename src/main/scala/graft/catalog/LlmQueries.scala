@@ -1305,6 +1305,87 @@ object LlmQueries {
        |SELECT doc_id, w, tf, score, rank FROM ranked
        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------- end-to-end pipeline
+  /** The composed C4-style cleaning pipeline in ONE dataflow:
+    * (corpus ∪ synthesized exact dups) → language-ID gate (computed,
+    * not the stored label) → length gate → exact-dedup keep-one →
+    * per-doc fingerprint. Every stage is an operator the catalog
+    * already proves in isolation; this entry pins their COMPOSITION —
+    * stage order, survivor sets, and the digests of what a training
+    * run would actually ingest. One scan feeds the per-row gates
+    * (they fold into the scan at scale); the only shuffle is the
+    * digest window for keep-one.
+    */
+  private def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val base = Tables.fanOut(docs.unionByName(dups))
+    // ONE exploded pass yields n_words AND all stopword hit counts —
+    // the column-bound `TextOps.langId(ws)` form re-evaluates
+    // words(text) per language (CollapseProject re-inlines the
+    // projection): the r2 llm_langid lesson, re-measured here
+    // (3.25 s column-bound → 1.14 s exploded at sf0.1)
+    val stats = base
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("wrd"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        TextOps.langStopwords.map { case (l, sw) =>
+          sum(when(col("wrd").isin(sw: _*), 1L).otherwise(0L)).as(s"n_$l")
+        }: _*)
+    val scored = TextOps.langStopwords.map { case (l, _) =>
+      (l, coalesce(col(s"n_$l"), lit(0L)))
+    }
+    val kept = base.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        TextOps.argMaxLabel(scored).as("pred_lang"))
+      .filter(col("pred_lang") === "en" && col("n_words") >= 30L)
+      .select(col("doc_id"), col("n_words"),
+        TextOps.fingerprint(col("text")).as("digest"))
+    kept
+      .withColumn("canon", min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+      .filter(col("doc_id") === col("canon"))
+      .select(col("doc_id"), col("n_words"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val cleanCorpusSql: String = {
+    val hits = TextOps.langStopwords.map { case (l, sw) =>
+      val set = sw.map(w => s"'$w'").mkString(", ")
+      s"coalesce(len(list_filter(ws, x -> x IN ($set))), 0) AS n_$l"
+    }.mkString(",\n       |         ")
+    val langs = TextOps.langStopwords.map(_._1)
+    val mx = s"greatest(${langs.map("n_" + _).mkString(", ")})"
+    val caseArms = langs.init
+      .map(l => s"WHEN n_$l = $mx THEN '$l'").mkString(" ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+       |), w AS (
+       |  SELECT doc_id, text, ${wordsSql("text")} AS ws FROM base
+       |), h AS (
+       |  SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_words,
+       |         $hits
+       |  FROM w
+       |), lang AS (
+       |  SELECT doc_id, text, n_words,
+       |         CASE WHEN $mx = 0 THEN 'und' $caseArms ELSE '${langs.last}' END AS pred_lang
+       |  FROM h
+       |), kept AS (
+       |  SELECT doc_id, n_words, md5(${normSql("text")}) AS digest
+       |  FROM lang WHERE pred_lang = 'en' AND n_words >= 30
+       |), canon AS (
+       |  SELECT doc_id, n_words, digest,
+       |         min(doc_id) OVER (PARTITION BY digest) AS canon
+       |  FROM kept
+       |)
+       |SELECT doc_id, n_words, digest FROM canon
+       |WHERE doc_id = canon ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- filtered top-k
   /** [[Similarity.filteredTopK]]: nearest neighbors of vec 0 among
     * documents WHERE lang = 'en' AND label < 5 (metadata joined from
@@ -1348,6 +1429,7 @@ object LlmQueries {
     "llm_unicode_norm" -> unicodeNorm,
     "llm_lm_score"     -> lmScore,
     "llm_tfidf"        -> tfidf,
+    "llm_clean_corpus" -> cleanCorpus,
     "llm_filtered_topk" -> filteredTopK,
     "llm_simhash"      -> simhash,
     "llm_simhash_pairs" -> simhashPairs,
@@ -1380,6 +1462,7 @@ object LlmQueries {
     "llm_unicode_norm" -> unicodeNormSql,
     "llm_lm_score"     -> lmScoreSql,
     "llm_tfidf"        -> tfidfSql,
+    "llm_clean_corpus" -> cleanCorpusSql,
     "llm_filtered_topk" -> filteredTopKSql,
     "llm_simhash"      -> simhashSql,
     "llm_simhash_pairs" -> simhashPairsSql,
