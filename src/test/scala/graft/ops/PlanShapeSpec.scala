@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the shuffle/broadcast structure each
+  * operator was designed around, asserted on the executed plan — a
+  * rewrite that silently adds an exchange or drops a broadcast fails
+  * here long before it shows up as a 100 TB incident.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private def shuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("asofJoin: right-side dedup aside, ONE shuffle feeds the window") {
+    val left = (1L to 50L).map(i => (i, i % 3, i)).toDF("event_id", "k", "t")
+    val right = (1L to 20L).map(i => (i % 3, i * 2, i * 1.0)).toDF("k", "t", "v")
+    // right here is already unique per (k, t): the operator itself
+    // must add exactly one exchange (the window's partitionBy)
+    val out = TimeSeries.asofJoin(left, right.groupBy("k", "t").agg(max("v").as("v")),
+      Seq("k"), "t", Seq("v"))
+    // 1 for the union window + 1 for the dedup groupBy the caller chose
+    assert(shuffles(out) <= 2, s"asofJoin gained a shuffle:\n${plan(out)}")
+    assert(plan(out).contains("Window"), "expected a window, not a join")
+    assert(!plan(out).contains("SortMergeJoin") && !plan(out).contains("NestedLoop"),
+      s"asofJoin must not plan as a join:\n${plan(out)}")
+  }
+
+  test("sessionize: lag and running sum share ONE window exchange") {
+    val df = (1L to 100L).map(i => (i, i % 5, i * 7 % 97)).toDF("event_id", "k", "t")
+    val out = Analytics.sessionize(df, Seq(col("k")), col("t"), col("event_id"), 10L)
+    assert(shuffles(out) === 1, s"sessionize should shuffle once:\n${plan(out)}")
+  }
+
+  test("saltedSum: two aggregation stages, hot key spread across the first") {
+    val df = (1L to 200L).map(i => (i % 2, i)).toDF("k", "v")
+    val out = Analytics.saltedSum(df, Seq(col("k")), col("v"), 8)
+    val p = plan(out)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final x2 stages:\n$p")
+  }
+}
