@@ -363,6 +363,42 @@ object LlmQueries {
        |SELECT id, picked_cell, ${r4Sql("sim")} AS sim FROM topk
        |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
 
+  // -------------------------------------------- multi-probe IVF
+  /** [[Similarity.ivfTopKMultiProbe]] with nprobe=3: candidates from
+    * the three nearest cells, so a query near a cell boundary can
+    * rank true neighbors the single-probe form never scans. Same
+    * oracle scaffolding as llm_ivf_topk with the probe LIMIT raised.
+    */
+  private def ivfMultiProbe(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopKMultiProbe(
+        Tables.embeddings(s, d), col("vec_id"), col("label"), col("embedding"),
+        col("vec_id") === 0L, 5, 3)
+      .select(col("id"), col("picked_cell").cast("int").as("picked_cell"),
+        r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
+
+  private val ivfMultiProbeSql: String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |pts AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+       |comp AS (
+       |  SELECT label, i, avg(v[i]) AS c
+       |  FROM pts CROSS JOIN (SELECT i FROM range(1, 65) t(i)) GROUP BY 1, 2
+       |), cents AS (SELECT label, list(c ORDER BY i) AS centroid FROM comp GROUP BY 1),
+       |probed AS (
+       |  SELECT label FROM cents, q
+       |  ORDER BY list_dot_product(centroid, qv)
+       |             / (sqrt(list_dot_product(centroid, centroid))
+       |                * sqrt(list_dot_product(qv, qv))) DESC, label
+       |  LIMIT 3
+       |), sel AS (
+       |  SELECT p.vec_id AS id, p.label AS picked_cell,
+       |         list_dot_product(p.v, qv)
+       |           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM pts p JOIN probed USING (label), q
+       |), topk AS (SELECT * FROM sel ORDER BY sim DESC, id LIMIT 5)
+       |SELECT id, picked_cell, ${r4Sql("sim")} AS sim FROM topk
+       |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
+
   // ------------------------------------------------- language ID
   /** Exploded single-pass form of [[TextOps.langId]]: one word explode,
     * one aggregation with 5 conditional sums — the tokenizer runs once
@@ -1436,6 +1472,7 @@ object LlmQueries {
     "llm_char_jaccard" -> charJaccard,
     "llm_cosine_topk"  -> cosineTopK,
     "llm_ivf_topk"     -> ivfTopK,
+    "llm_ivf_multiprobe" -> ivfMultiProbe,
     "llm_langid"       -> langId,
     "llm_quality"      -> quality,
     "llm_tokens"       -> tokens,
@@ -1469,6 +1506,7 @@ object LlmQueries {
     "llm_char_jaccard" -> charJaccardSql,
     "llm_cosine_topk"  -> cosineTopKSql,
     "llm_ivf_topk"     -> ivfTopKSql,
+    "llm_ivf_multiprobe" -> ivfMultiProbeSql,
     "llm_langid"       -> langIdSql,
     "llm_quality"      -> qualitySql,
     "llm_tokens"       -> tokensSql,

@@ -59,3 +59,34 @@ class PiiFilteredSpec extends SparkSpec {
     assert(got.count() === 1L)
   }
 }
+/** Multi-probe IVF recall semantics on the real embeddings fixture. */
+class MultiProbeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  private lazy val emb = graft.core.Tables.embeddings(spark, sfDir)
+
+  private def ids(df: org.apache.spark.sql.DataFrame) =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("nprobe=1 degenerates to single-probe ivfTopK") {
+    val single = Similarity.ivfTopK(emb, col("vec_id"), col("label"),
+      col("embedding"), col("vec_id") === 0L, 5)
+    val multi = Similarity.ivfTopKMultiProbe(emb, col("vec_id"), col("label"),
+      col("embedding"), col("vec_id") === 0L, 5, 1)
+    assert(ids(single) === ids(multi))
+  }
+
+  test("nprobe=all cells equals exact brute force (recall 1)") {
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), col("vec_id") === 0L, 5)
+    val multi = Similarity.ivfTopKMultiProbe(emb, col("vec_id"), col("label"),
+      col("embedding"), col("vec_id") === 0L, 5, 10)
+    assert(ids(multi) === ids(brute))
+  }
+
+  test("probe set grows monotonically with nprobe") {
+    def cand(n: Int) = Similarity.ivfTopKMultiProbe(emb, col("vec_id"),
+      col("label"), col("embedding"), col("vec_id") === 0L, 500, n)
+    assert(cand(1).count() < cand(3).count())
+    assert(cand(3).count() < cand(10).count())
+  }
+}
