@@ -114,7 +114,7 @@ class TxTable(val spark: SparkSession, val root: String,
     ((ckptV + 1) to v).foreach { i =>
       val lines = readLogFile(deltaPath(i))
       schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
-      lines.tail.filter(_.nonEmpty).foreach { l =>
+      lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
         val Array(op, part, path) = l.split("\t", 3)
         if (op == "+") files += TxFile(path, part)
         else files -= TxFile(path, part)
@@ -136,6 +136,52 @@ class TxTable(val spark: SparkSession, val root: String,
       spark.read
         .option("basePath", root)
         .parquet(s.files.map(f => s"$root/${f.path}"): _*)
+
+  /** Change feed: the rows APPENDED after version `sinceV`, up to
+    * `untilV` (default: current) — read from only the delta-log's `+`
+    * files of that version range, never by scanning or diffing table
+    * contents. This is what makes incremental consumers (aggregate
+    * refresh, downstream sync, a training-data freshness pass) O(new
+    * data) instead of O(table): a 10-second append cadence at 100 TB
+    * means the feed reads megabytes while the table holds terabytes.
+    *
+    * Only APPEND commits contribute: every delta records its commit
+    * kind (`#kind` trailer), and a rewrite/compaction's staged files
+    * hold previously-delivered rows reshaped — re-delivering them
+    * would double-count in any downstream sum. Deltas older than the
+    * marker (none in practice; tables are created by this code) count
+    * as appends. A later rewrite may delete an in-range append's file
+    * before `untilV`; its rows were genuinely appended in-range, and
+    * the rewrite preserves surviving content, so the feed reads the
+    * appended file itself — vacuum retention must therefore cover the
+    * feed consumer's lag, the same horizon contract as time travel.
+    */
+  def readChangesSince(sinceV: Long, untilV: Long = -1L): DataFrame = {
+    val to = if (untilV < 0) version else untilV
+    require(to >= 0, s"no committed version to read changes from")
+    require(sinceV >= -1 && sinceV <= to,
+      s"changes range ($sinceV, $to] is empty-backwards")
+    // sinceV = -1 bootstraps the feed from the table's first commit
+    var schema: StructType = if (sinceV >= 0) snapshot(sinceV).schema else null
+    val added = scala.collection.mutable.LinkedHashSet.empty[TxFile]
+    ((sinceV + 1) to to).foreach { i =>
+      val lines = readLogFile(deltaPath(i))
+      schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+      val kind = lines.tail.find(_.startsWith("#kind\t"))
+        .map(_.split("\t", 2)(1)).getOrElse("append")
+      if (kind == "append") {
+        lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
+          val Array(op, part, path) = l.split("\t", 3)
+          if (op == "+") added += TxFile(path, part)
+        }
+      }
+    }
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.option("basePath", root)
+        .parquet(added.toSeq.map(f => s"$root/${f.path}"): _*)
+  }
 
   /** Stage `df` (must carry `partitionCol`) as immutable parquet files
     * under a fresh commit directory; returns the file list for a
@@ -184,7 +230,7 @@ class TxTable(val spark: SparkSession, val root: String,
     * Spark write per commit.
     */
   private[storage] def commitAppend(files: Seq[TxFile], schema: StructType): Long =
-    retryCas { (_, _) => (files, Seq.empty, schema) }
+    retryCas("append") { (_, _) => (files, Seq.empty, schema) }
 
   /** Rewrite the given partitions with `compute(current content of
     * those partitions)`, under optimistic concurrency: if another
@@ -230,7 +276,7 @@ class TxTable(val spark: SparkSession, val root: String,
     */
   def commitRewrite(readVersion: Long, parts: Set[String],
                     adds: Seq[TxFile], schema: StructType): Long =
-    retryCas { (v, base) =>
+    retryCas("rewrite") { (v, base) =>
       if (v != readVersion) {
         val before = if (readVersion < 0) Set.empty[TxFile] else snapshot(readVersion).files.toSet
         val after = base.toSet
@@ -361,15 +407,20 @@ class TxTable(val spark: SparkSession, val root: String,
     * full checkpoint; checkpoint contents are deterministic per
     * version, so a lost checkpoint race is harmless.
     */
-  private def retryCas(
+  private def retryCas(kind: String)(
       build: (Long, Seq[TxFile]) => (Seq[TxFile], Seq[TxFile], StructType)): Long = {
     while (true) {
       val v = version
       val base = if (v < 0) Seq.empty[TxFile] else snapshot(v).files
       val (adds, removes, schema) = build(v, base)
-      val body = (schema.json +:
+      // '#'-prefixed metadata lines are skipped by every op-line
+      // parser; `kind` distinguishes content-new commits (append)
+      // from content-reshaping ones (rewrite/compact) for the
+      // change feed
+      val body = ((schema.json +:
         (removes.map(f => s"-\t${f.partition}\t${f.path}") ++
-          adds.map(f => s"+\t${f.partition}\t${f.path}"))).mkString("\n")
+          adds.map(f => s"+\t${f.partition}\t${f.path}"))) :+ s"#kind\t$kind")
+        .mkString("\n")
       val nv = v + 1
       if (casCreate(deltaPath(nv), body)) {
         if (nv > 0 && nv % checkpointInterval == 0) {

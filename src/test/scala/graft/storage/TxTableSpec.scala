@@ -47,6 +47,27 @@ class TxTableSpec extends SparkSpec {
     assert(t.readSnapshot(s1).count() === 9)
   }
 
+  test("change feed: appends in range only; rewrites never re-deliver") {
+    val t = freshTable()
+    t.append(rows(0 until 5, "2021-01-01"))             // v0
+    t.append(rows(5 until 8, "2021-01-01"))             // v1
+    t.rewritePartitions(Set("2021-01-01")) { df =>      // v2 reshapes all rows
+      df.filter(col("id") =!= 0L)
+    }
+    t.append(rows(100 until 103, "2021-01-02"))         // v3
+
+    // feed after v0: v1's append + v3's append; the v2 rewrite's
+    // staged files (reshaped old rows) must NOT re-deliver
+    val feed = t.readChangesSince(0).select("id").collect().map(_.getLong(0)).sorted
+    assert(feed.toSeq === Seq(5L, 6L, 7L, 100L, 101L, 102L))
+    // bounded range excludes the later append
+    assert(t.readChangesSince(0, 2).count() === 3)
+    // bootstrap from -1 delivers every append ever (not the rewrite)
+    assert(t.readChangesSince(-1).count() === 11)
+    // empty range at head
+    assert(t.readChangesSince(t.version).count() === 0)
+  }
+
   test("empty table reads as empty DataFrame after a zero-row commit") {
     val t = freshTable()
     t.append(rows(0 until 0, "2021-01-01"))
