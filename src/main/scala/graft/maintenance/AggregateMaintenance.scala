@@ -42,6 +42,27 @@ object AggregateMaintenance {
     graft.ops.TimeSeries.timeBucket(t.cast("timestamp"), widthSec,
       CandleOps.originFor(widthSec))
 
+  /** Change-feed-driven refresh: recompute exactly the rollup buckets
+    * touched by the base table's appends since `sinceV`
+    * ([[graft.storage.TxTable.readChangesSince]] — the feed reads only
+    * the append-commit files of the version range, so discovering
+    * WHAT to refresh is O(new data) even when the base table is
+    * 100 TB; the recompute itself then prunes to those buckets). This
+    * closes the loop the time-window policy approximates: instead of
+    * "recompute the trailing 3 widths and hope lag fits", the refresh
+    * is driven by exactly what landed, however stale — a backfill
+    * append from last year refreshes last year's buckets and nothing
+    * else. Returns the refreshed rollup plus the version to hand back
+    * as the next `sinceV` (the feed's cursor).
+    */
+  def refreshFromFeed(existing: DataFrame, base: graft.storage.TxTable,
+                      sinceV: Long, widthSec: Long): (DataFrame, Long) = {
+    val untilV = base.version
+    val feed = base.readChangesSince(sinceV, untilV)
+    (refreshBuckets(existing, base.readSnapshot(base.snapshot(untilV)), feed,
+      widthSec), untilV)
+  }
+
   /** Refresh exactly the rollup buckets a micro-batch touched: the
     * streaming-side analog of the CAgg refresh policy, for use inside
     * foreachBatch after appending `batch` to the base table. Buckets
