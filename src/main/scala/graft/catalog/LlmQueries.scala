@@ -1422,6 +1422,51 @@ object LlmQueries {
        |WHERE doc_id = canon ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------- BM25
+  /** [[TfIdf.bm25]] ranking the corpus for a data-derived query (the
+    * 5 highest-df terms — deterministic in both engines by
+    * (df desc, term)). Integer-quantized per-term scores summed as
+    * integers keep the ranking hash-exact; the float literals are
+    * written as the same arithmetic in both engines (`1.2 + 1`, not a
+    * pre-evaluated decimal) so the IEEE constants are identical.
+    */
+  private def bm25Q(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    val tf = TfIdf.termFreq(docs, col("doc_id"), col("ws")).localCheckpoint(false)
+    val q = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(5).select(col("w"))
+    TfIdf.bm25(tf, q)
+      .select(col("id").as("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  private val bm25Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+       |), tfc AS (
+       |  SELECT doc_id AS id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM docs) GROUP BY 1, 2
+       |), dfc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1
+       |), dl AS (
+       |  SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfc GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl
+       |), q AS (SELECT w, df FROM dfc ORDER BY df DESC, w LIMIT 5),
+       |scored AS (
+       |  SELECT t.id,
+       |         CAST(floor(
+       |           ln((tot.n - q.df + 0.5) / (q.df + 0.5))
+       |             * (t.tf * (1.2 + 1))
+       |             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl
+       |                  / (CAST(tot.sumdl AS DOUBLE) / CAST(tot.n AS DOUBLE))))
+       |           * 1000000) AS BIGINT) AS qs
+       |  FROM tfc t JOIN q ON t.w = q.w JOIN dl d ON d.id = t.id CROSS JOIN tot
+       |)
+       |SELECT id AS doc_id, CAST(SUM(qs) AS BIGINT) AS score, count(*) AS n_terms
+       |FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------- filtered top-k
   /** [[Similarity.filteredTopK]]: nearest neighbors of vec 0 among
     * documents WHERE lang = 'en' AND label < 5 (metadata joined from
@@ -1465,6 +1510,7 @@ object LlmQueries {
     "llm_unicode_norm" -> unicodeNorm,
     "llm_lm_score"     -> lmScore,
     "llm_tfidf"        -> tfidf,
+    "llm_bm25"         -> bm25Q,
     "llm_clean_corpus" -> cleanCorpus,
     "llm_filtered_topk" -> filteredTopK,
     "llm_simhash"      -> simhash,
@@ -1499,6 +1545,7 @@ object LlmQueries {
     "llm_unicode_norm" -> unicodeNormSql,
     "llm_lm_score"     -> lmScoreSql,
     "llm_tfidf"        -> tfidfSql,
+    "llm_bm25"         -> bm25Sql,
     "llm_clean_corpus" -> cleanCorpusSql,
     "llm_filtered_topk" -> filteredTopKSql,
     "llm_simhash"      -> simhashSql,

@@ -305,7 +305,39 @@ object RelationalQueries {
        |       ${r4Sql("CAST(pc * 100 AS DOUBLE) / CAST(CAST(SUM(pc) OVER (PARTITION BY n_name) AS BIGINT) AS DOUBLE)")} AS share_pct
        |FROM g ORDER BY n_name, o_orderpriority""".stripMargin
 
+  /** GROUPING SETS through the SQL entry point — a set combination
+    * (priority-only totals ∪ status-only totals) that neither ROLLUP
+    * nor CUBE expresses, exercising the second user-facing API
+    * surface (`spark.sql`) like ts_sql_candle_1h does. Still one
+    * Expand + one hash-aggregate pass. `grouping_id()` (Spark,
+    * all-grouping-columns form) ↔ `GROUPING(a, b)` (DuckDB): same
+    * first-column-MSB bitmask.
+    */
+  private def groupingSetsQ(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       CAST(grouping_id() AS BIGINT) AS gid,
+        |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+        |       count(*) AS n_orders
+        |FROM graft_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin)
+  }
+
+  private val groupingSetsSql: String =
+    s"""SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       |       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       |       CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS price_cents,
+       |       count(*) AS n_orders
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+       |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_grouping_sets"  -> groupingSetsQ,
     "rel_share"          -> shareQ,
     "rel_rollup"         -> rollupRevenue,
     "rel_cascade_delete" -> cascadeDelete,
@@ -321,6 +353,7 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rel_grouping_sets"  -> groupingSetsSql,
     "rel_share"          -> shareSql,
     "rel_rollup"         -> rollupRevenueSql,
     "rel_cascade_delete" -> cascadeDeleteSql,

@@ -29,6 +29,39 @@ object TfIdf {
       .groupBy(col("id"), col("w"))
       .agg(count(lit(1)).as("tf"))
 
+  /** BM25 document ranking for a fixed query-term set — the retrieval
+    * scorer TF-IDF feeds (Robertson/Sparck Jones; the public Lucene/
+    * Elasticsearch default). Per matching (doc, term):
+    *
+    *   idf  = ln((N − df + 0.5)/(df + 0.5))
+    *   s    = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * quantized to integer micro-units per term and SUMMED AS INTEGERS
+    * per doc ([[NgramLm]] discipline) — every input to the float
+    * expression (tf, df, N, dl, Σdl) is an exact integer, so the few
+    * IEEE ops run bit-identically in any engine and the ranking is
+    * hash-exact. Shape: df/dl/avgdl derive from the tf frame
+    * (no corpus rescans), the query-term stats broadcast, docs
+    * aggregate on their own key.
+    */
+  def bm25(tf: DataFrame, queryTerms: DataFrame, k1: Double = 1.2d,
+           b: Double = 0.75d): DataFrame = {
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qdf = df.join(broadcast(queryTerms.select(col("w"))), "w")
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val idf = log((col("n") - col("df") + 0.5d) / (col("df") + 0.5d))
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val s = idf * (col("tf") * (k1 + 1.0d)) /
+      (col("tf") + lit(k1) * (lit(1.0d) - b + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(qdf), "w")
+      .join(dl, "id")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), floor(s * 1000000d).as("q"))
+      .groupBy(col("id"))
+      .agg(sum(col("q")).as("score"), count(lit(1)).as("n_terms"))
+  }
+
   /** Top-k terms per document by tf·idf, deterministic tie-break on
     * the term. Returns (id, w, tf, score, rank) with
     * score = tf · floor(ln(N/df)·10⁶).
