@@ -64,7 +64,10 @@ def main():
 
 
 def scaling_section():
-    """Two-SF scaling table from SCALING.json (written by
+    """Two-SF scaling table from SCALING.json (refreshed MANUALLY by
+    copying the one-line JSON that `Test/runMain graft.tools.ScaleBench`
+    prints to stdout — the tool does not write the file itself, so a
+    perf change only lands here once that line is re-captured; written by
     `Test/runMain graft.tools.ScaleBench`), appended so bench
     regeneration never drops the scale-proof."""
     if not os.path.exists("SCALING.json"):

@@ -1289,10 +1289,11 @@ object LlmQueries {
        |), vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM prefix),
        |scored AS (
        |  SELECT b.doc_id,
-       |         CAST(floor(ln(CAST(m.cg + 1 AS DOUBLE) / CAST(p.cp + vocab.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
+       |         CAST(floor(ln(CAST(coalesce(m.cg, 0) + 1 AS DOUBLE)
+       |                       / CAST(coalesce(p.cp, 0) + vocab.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
        |  FROM bg b
-       |  JOIN model m ON b.g = m.g
-       |  JOIN prefix p ON substr(b.g, 1, 1) = p.c1
+       |  LEFT JOIN model m ON b.g = m.g
+       |  LEFT JOIN prefix p ON substr(b.g, 1, 1) = p.c1
        |  CROSS JOIN vocab
        |)
        |SELECT doc_id, count(*) AS n_bigrams,
@@ -1457,7 +1458,7 @@ object LlmQueries {
        |scored AS (
        |  SELECT t.id,
        |         CAST(floor(
-       |           ln((tot.n - q.df + 0.5) / (q.df + 0.5))
+       |           ln(1 + (tot.n - q.df + 0.5) / (q.df + 0.5))
        |             * (t.tf * (1.2 + 1))
        |             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl
        |                  / (CAST(tot.sumdl AS DOUBLE) / CAST(tot.n AS DOUBLE))))

@@ -491,8 +491,9 @@ object TimeSeriesQueries {
     * engine-order-independent; the closed-form corr/beta then perform
     * the IDENTICAL few IEEE ops in both engines (the naive streaming
     * `corr()` aggregate is summation-order-dependent and can't be
-    * hash-compared). Overflow envelope under ANSI: cents ≤ 10^6 and
-    * n ≤ 10^6 keep n·Σxy ≤ 10^18 < 2^63. One aggregate over a
+    * hash-compared). The moment arithmetic runs in decimal(38,0)
+    * (HUGEINT in the oracle) because n·Σxy ~ n²·cents² exceeds 2^63
+    * at ~10^4 buckets of 10^6-cent values. One aggregate over a
     * bucket-keyed self-join of the hourly rollup — two shuffles total
     * at any scale, partial aggregation on both.
     */
@@ -511,9 +512,16 @@ object TimeSeriesQueries {
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"),
       sum(col("x") * col("y")).as("sxy"))
-    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // moments multiply in decimal(38,0): n·Σxy is bounded by
+    // n²·cents², which blows through 2^63 around 10^4 buckets of
+    // 10^6-cent values — Long arithmetic here would ANSI-throw at
+    // exactly the scale the operator targets. decimal keeps the
+    // subtraction exact (≤ 10^24 ≪ 10^38); only the final quotient
+    // drops to double. The oracle mirrors via HUGEINT.
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cov = (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
+    val vx = (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).cast("double")
+    val vy = (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))).cast("double")
     sums.select(col("n"),
       r4(cov / (sqrt(vx) * sqrt(vy))).as("corr"),
       r4(cov / vx).as("beta"))
@@ -537,8 +545,8 @@ object TimeSeriesQueries {
        |  FROM j
        |)
        |SELECT n,
-       |       ${r4Sql("CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))")} AS corr,
-       |       ${r4Sql("CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)")} AS beta
+       |       ${r4Sql("CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) / (sqrt(CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)) * sqrt(CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)))")} AS corr,
+       |       ${r4Sql("CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)")} AS beta
        |FROM sums""".stripMargin
 
   // ------------------------------------------------------------ pivot

@@ -568,7 +568,17 @@ object Dedup {
     */
   def scrubFrequentLines(docs: DataFrame, id: Column, linesCol: Column,
       minDocs: Long): DataFrame = {
+    // null array elements are discarded up front: they are not text
+    // (split() never produces them), and leaving them in would make
+    // the `line` equi-join silently drop them from n_kept/n_dropped —
+    // an undercount with no error. A doc whose lines are ALL null
+    // therefore emits no row, same as an empty-array doc.
+    // NOT checkpointed despite the double consumption (freq + join):
+    // like the bigram frame in llm_lm_score, the exploded line frame
+    // is corpus-sized and materializing it measured a wash (2.60 s vs
+    // 2.52 s at sf0.1) — the checkpoint-after-aggregation rule holds.
     val ex = docs.select(id.as("doc_id"), posexplode(linesCol).as(Seq("pos", "line")))
+      .filter(col("line").isNotNull)
     val freq = ex.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val keep = col("df") < minDocs

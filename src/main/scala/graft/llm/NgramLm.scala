@@ -52,15 +52,24 @@ object NgramLm {
     * (id, n_bigrams, q_sum) where q_sum = Σ floor(ln((cg+1)/(cp+V))·10⁶)
     * over the document's bigrams. `V` = |distinct first chars| (the
     * prefix frame's row count), the smoothing vocabulary.
+    *
+    * The model joins are LEFT joins with zero-coalesced counts: a
+    * bigram the reference corpus never saw scores (0+1)/(0+V) — the
+    * exact case add-one smoothing exists for. An inner join here
+    * would silently DROP unseen bigrams (undercounting n_bigrams and
+    * inflating the quality of precisely the out-of-distribution
+    * documents the filter is meant to catch); it goes unnoticed only
+    * when training and scoring on the same corpus.
     */
   def score(bg: DataFrame, model: DataFrame, prefix: DataFrame): DataFrame = {
     val vocab = prefix.agg(count(lit(1)).as("v"))
     val q = floor(
-      log((col("cg") + 1L).cast("double") / (col("cp") + col("v")).cast("double"))
+      log((coalesce(col("cg"), lit(0L)) + 1L).cast("double")
+          / (coalesce(col("cp"), lit(0L)) + col("v")).cast("double"))
         * 1000000d)
     bg.withColumn("c1", substring(col("g"), 1, 1))
-      .join(broadcast(model), "g")
-      .join(broadcast(prefix), "c1")
+      .join(broadcast(model), Seq("g"), "left")
+      .join(broadcast(prefix), Seq("c1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("id"), q.as("q"))
       .groupBy(col("id"))

@@ -33,7 +33,9 @@ object TfIdf {
     * scorer TF-IDF feeds (Robertson/Sparck Jones; the public Lucene/
     * Elasticsearch default). Per matching (doc, term):
     *
-    *   idf  = ln((N − df + 0.5)/(df + 0.5))
+    *   idf  = ln(1 + (N − df + 0.5)/(df + 0.5))   (non-negative — a
+    *          term in over half the corpus must never score a MATCH
+    *          below a non-match, which the raw Robertson form does)
     *   s    = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     *
     * quantized to integer micro-units per term and SUMMED AS INTEGERS
@@ -50,7 +52,7 @@ object TfIdf {
     val qdf = df.join(broadcast(queryTerms.select(col("w"))), "w")
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val idf = log((col("n") - col("df") + 0.5d) / (col("df") + 0.5d))
+    val idf = log(lit(1.0d) + (col("n") - col("df") + 0.5d) / (col("df") + 0.5d))
     val avgdl = col("sumdl").cast("double") / col("n").cast("double")
     val s = idf * (col("tf") * (k1 + 1.0d)) /
       (col("tf") + lit(k1) * (lit(1.0d) - b + lit(b) * col("dl") / avgdl))

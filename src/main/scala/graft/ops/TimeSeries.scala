@@ -89,9 +89,16 @@ object TimeSeries {
                timeCol: String, rightVals: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__side") && rightVals.forall(!leftCols.contains(_)),
-      "left columns collide with right value columns or the side tag")
     val asofTime = s"asof_$timeCol"
+    // the full output-column guard: a chained as-of join (left already
+    // carrying asof_<t> from a previous join on the same time column)
+    // must fail HERE with a clear message, not downstream with an
+    // ambiguous-reference error
+    val reserved = Seq("__side", "__lrow", asofTime) ++ rightVals
+    val clash = leftCols.intersect(reserved)
+    require(clash.isEmpty,
+      s"left columns ${clash.mkString(", ")} collide with asofJoin outputs " +
+        s"($asofTime, right value columns) or internal tags — rename them first")
     val l = left.select(
       (keys.map(col) :+ col(timeCol) :+ lit(1).as("__side")) ++
         rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+

@@ -52,7 +52,12 @@ object ScaleBench {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  def replicateDocs(docs: DataFrame, factor: Int): DataFrame =
+  def replicateDocs(docs: DataFrame, factor: Int): DataFrame = {
+    // r % 26 == 0 for r > 0 would make the rotation the identity —
+    // byte-identical text across replicas, quadratic cross-replica
+    // dups, and silently inflated scaling exponents. 26 replicas is
+    // already a 26x corpus; refuse rather than mislead.
+    require(factor <= 26, s"replicateDocs: factor $factor > 26 would reuse rotations")
     (0 until factor).map { r =>
       val rot  = Lower.drop(r % 26) + Lower.take(r % 26)
       val text = if (r == 0) col("text")
@@ -60,6 +65,7 @@ object ScaleBench {
       docs.select((col("doc_id") + r * 1000000L).as("doc_id"), text.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
+  }
 
   def replicateEmbeddings(emb: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { r =>
