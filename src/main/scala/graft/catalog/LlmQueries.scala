@@ -1427,9 +1427,12 @@ object LlmQueries {
   /** [[TfIdf.bm25]] ranking the corpus for a data-derived query (the
     * 5 highest-df terms — deterministic in both engines by
     * (df desc, term)). Integer-quantized per-term scores summed as
-    * integers keep the ranking hash-exact; the float literals are
-    * written as the same arithmetic in both engines (`1.2 + 1`, not a
-    * pre-evaluated decimal) so the IEEE constants are identical.
+    * integers keep the ranking hash-exact; every float literal in the
+    * oracle is CAST(... AS DOUBLE) so DuckDB can't constant-fold them
+    * as exact DECIMALs (e.g. folding `tf * (1.2+1)` decimal-exactly
+    * while Spark compounds IEEE double ops) — both engines then run
+    * the identical IEEE op sequence and the floor(s·10⁶) quantization
+    * can never flip on a boundary score.
     */
   private def bm25Q(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
@@ -1458,9 +1461,10 @@ object LlmQueries {
        |scored AS (
        |  SELECT t.id,
        |         CAST(floor(
-       |           ln(1 + (tot.n - q.df + 0.5) / (q.df + 0.5))
-       |             * (t.tf * (1.2 + 1))
-       |             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl
+       |           ln(1 + (tot.n - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE)))
+       |             * (t.tf * (CAST(1.2 AS DOUBLE) + 1))
+       |             / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |                  + CAST(0.75 AS DOUBLE) * d.dl
        |                  / (CAST(tot.sumdl AS DOUBLE) / CAST(tot.n AS DOUBLE))))
        |           * 1000000) AS BIGINT) AS qs
        |  FROM tfc t JOIN q ON t.w = q.w JOIN dl d ON d.id = t.id CROSS JOIN tot

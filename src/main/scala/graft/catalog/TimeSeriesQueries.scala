@@ -506,19 +506,20 @@ object TimeSeriesQueries {
       .select(col("bucket"), col("c").as("x"))
     val y = hourly.filter(col("event_type") === "view")
       .select(col("bucket"), col("c").as("y"))
+    // the WHOLE moment pipeline runs in decimal(38,0), starting
+    // inside the sums: Σx² alone passes 2^63 at ~10^7 buckets of
+    // 10^6-cent values, so accumulating the raw sums as Long would
+    // ANSI-throw before the (already-decimal) n·Σxy products are even
+    // reached. decimal keeps every product and subtraction exact
+    // (≤ 10^24 ≪ 10^38); only the final quotient drops to double.
+    // The oracle mirrors via HUGEINT sums.
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val sums = x.join(y, "bucket").agg(
       count(lit(1)).as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"),
-      sum(col("x") * col("y")).as("sxy"))
-    // moments multiply in decimal(38,0): n·Σxy is bounded by
-    // n²·cents², which blows through 2^63 around 10^4 buckets of
-    // 10^6-cent values — Long arithmetic here would ANSI-throw at
-    // exactly the scale the operator targets. decimal keeps the
-    // subtraction exact (≤ 10^24 ≪ 10^38); only the final quotient
-    // drops to double. The oracle mirrors via HUGEINT.
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"))
     val cov = (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
     val vx = (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).cast("double")
     val vy = (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))).cast("double")
@@ -538,10 +539,10 @@ object TimeSeriesQueries {
        |  JOIN (SELECT bk, c FROM hourly WHERE event_type = 'view') b ON a.bk = b.bk
        |), sums AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
-       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-       |         CAST(sum(x * x) AS BIGINT) AS sxx,
-       |         CAST(sum(y * y) AS BIGINT) AS syy,
-       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy
        |  FROM j
        |)
        |SELECT n,

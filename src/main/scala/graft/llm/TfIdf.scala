@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * are engine-exact.
   *
   * Scale shape: one corpus pass to (doc, term, tf); df/N derive from
-  * that frame grouped by term — the vocabulary frame (≤ distinct
-  * terms) broadcasts back for scoring, so the corpus shuffles only on
-  * its own (doc, term) keys. The top-k per doc is a bounded window
-  * over each doc's distinct terms.
+  * that frame grouped by term. The vocabulary frame is UNBOUNDED
+  * (hapax typos alone make it ~O(corpus) distinct terms at 100 TB),
+  * so it is never broadcast-hinted: tf⋈df is a plain equi-join on
+  * `w` — both sides already hash-partition on `w` from their own
+  * aggregations, so the join is co-partitioned and adds no exchange,
+  * and AQE may still elect a runtime broadcast when df turns out
+  * small. Only provably-bounded frames (the single-row N) carry a
+  * hint. The top-k per doc is a bounded window over each doc's
+  * distinct terms.
   */
 object TfIdf {
 
@@ -75,7 +80,7 @@ object TfIdf {
       log(col("n").cast("double") / col("df").cast("double")) * 1000000d)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("w").asc)
-    tf.join(broadcast(df), "w")
+    tf.join(df, "w")
       .crossJoin(broadcast(n))
       .select(col("id"), col("w"), col("tf"), (col("tf") * qidf).as("score"))
       .withColumn("rank", row_number().over(w))

@@ -191,15 +191,23 @@ object AggregateMaintenance {
     val dated = df.withColumn("p_date", to_date(col(timeCol)))
     if (table.version < 0) { table.append(dated); invalidate.foreach(_.invalidateAll()); return }
     val parts = table.touchedPartitions(dated)
-    table.rewritePartitions(parts) { existing =>
+    table.upsertRewritePartitions(parts) { existing =>
       // recompute-from-snapshot contract: the refreshed content for
       // these partitions is `dated` merged over what's now there —
       // rows for keys the refresh recomputed are replaced, concurrent
       // appends for other keys survive (upsert, queries.py:6-18).
+      // The split keeps the change feed honest: keys already present
+      // are reshaped content; keys new to the table are net-new rows
+      // the feed must deliver (TxLog readChangesSince contract).
       val keys = CandleOps.keyCols :+ timeCol
-      dated
-        .sortWithinPartitions((Seq("p_date") ++ CandleOps.keyCols :+ timeCol).map(col): _*)
-        .unionByName(existing.join(dated.select(keys.map(col): _*), keys, "left_anti"))
+      val keyCols = keys.map(col)
+      val sortCols = (Seq("p_date") ++ CandleOps.keyCols :+ timeCol).map(col)
+      val reshaped = dated.join(existing.select(keyCols: _*), keys, "left_semi")
+        .sortWithinPartitions(sortCols: _*)
+        .unionByName(existing.join(dated.select(keyCols: _*), keys, "left_anti"))
+      val fresh = dated.join(existing.select(keyCols: _*), keys, "left_anti")
+        .sortWithinPartitions(sortCols: _*)
+      (reshaped, fresh)
     }
     // same contract as writePartitioned: refreshed results surface now
     invalidate.foreach(_.invalidateAll())

@@ -128,6 +128,9 @@ object Analytics {
     */
   def sessionize(df: DataFrame, keys: Seq[Column], order: Column,
                  tiebreak: Column, maxGap: Long): DataFrame = {
+    require(!df.columns.contains("session_id"),
+      "input already has a session_id column — rename it first; " +
+        "sessionize would silently overwrite it")
     val w = Window.partitionBy(keys: _*).orderBy(order, tiebreak)
     val break = when(
       lag(order, 1).over(w).isNull || order - lag(order, 1).over(w) > maxGap,

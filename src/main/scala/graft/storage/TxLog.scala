@@ -21,10 +21,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *  - Data files are immutable and invisible until the log names
   *    them; writers stage files first, then commit.
-  *  - Commit N publishes `vN.delta`: a schema header plus one
-  *    `+ partition path` / `- partition path` line per file the
-  *    commit adds/removes — O(files touched by THIS commit), never
-  *    O(table). Every `checkpointInterval` commits the committer also
+  *  - Commit N publishes `vN.delta`: a schema header plus one line
+  *    per file the commit touches — `n partition path` for a file of
+  *    net-NEW rows (appends, upsert inserts), `+ partition path` for
+  *    a file of reshaped previously-committed rows (rewrites,
+  *    compaction), `- partition path` for a removal — O(files touched
+  *    by THIS commit), never O(table). Every `checkpointInterval` commits the committer also
   *    writes `vN.checkpoint`, the full live-file list at N (schema
   *    header + `partition TAB path` lines) — the public Delta-log
   *    delta/checkpoint split, so reconstructing a snapshot replays at
@@ -116,7 +118,9 @@ class TxTable(val spark: SparkSession, val root: String,
       schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
       lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
         val Array(op, part, path) = l.split("\t", 3)
-        if (op == "+") files += TxFile(path, part)
+        // `+` reshaped-content add, `n` net-new-content add (the
+        // change feed cares about the distinction; a snapshot does not)
+        if (op == "+" || op == "n") files += TxFile(path, part)
         else files -= TxFile(path, part)
       }
     }
@@ -145,16 +149,23 @@ class TxTable(val spark: SparkSession, val root: String,
     * data) instead of O(table): a 10-second append cadence at 100 TB
     * means the feed reads megabytes while the table holds terabytes.
     *
-    * Only APPEND commits contribute: every delta records its commit
-    * kind (`#kind` trailer), and a rewrite/compaction's staged files
-    * hold previously-delivered rows reshaped — re-delivering them
-    * would double-count in any downstream sum. Deltas older than the
-    * marker (none in practice; tables are created by this code) count
-    * as appends. A later rewrite may delete an in-range append's file
-    * before `untilV`; its rows were genuinely appended in-range, and
-    * the rewrite preserves surviving content, so the feed reads the
-    * appended file itself — vacuum retention must therefore cover the
-    * feed consumer's lag, the same horizon contract as time travel.
+    * Contribution is decided PER FILE by the delta op letter, not per
+    * commit: `n` files hold rows never committed before — append
+    * batches, [[insertIgnore]]'s conditional-append inserts, and the
+    * fresh half of [[upsertRewritePartitions]] — and are delivered;
+    * `+` files hold previously-delivered rows reshaped
+    * (rewrite/compaction) and are skipped, since re-delivering them
+    * would double-count in any downstream sum. (Legacy `+` lines
+    * inside `#kind append` deltas count as net-new.) The one delivery
+    * the feed does NOT make is in-place VALUE changes to an existing
+    * key (the reshaped half of an upserting rewrite): the feed's
+    * contract is row-level inserts; update-aware consumers must
+    * re-read the touched partitions. A later rewrite may delete an
+    * in-range `n` file before `untilV`; its rows were genuinely new
+    * in-range, and the rewrite preserves surviving content, so the
+    * feed reads the `n` file itself — vacuum retention must therefore
+    * cover the feed consumer's lag, the same horizon contract as time
+    * travel.
     */
   def readChangesSince(sinceV: Long, untilV: Long = -1L): DataFrame = {
     val to = if (untilV < 0) version else untilV
@@ -169,11 +180,9 @@ class TxTable(val spark: SparkSession, val root: String,
       schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
       val kind = lines.tail.find(_.startsWith("#kind\t"))
         .map(_.split("\t", 2)(1)).getOrElse("append")
-      if (kind == "append") {
-        lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
-          val Array(op, part, path) = l.split("\t", 3)
-          if (op == "+") added += TxFile(path, part)
-        }
+      lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
+        val Array(op, part, path) = l.split("\t", 3)
+        if (op == "n" || (op == "+" && kind == "append")) added += TxFile(path, part)
       }
     }
     if (added.isEmpty)
@@ -230,7 +239,7 @@ class TxTable(val spark: SparkSession, val root: String,
     * Spark write per commit.
     */
   private[storage] def commitAppend(files: Seq[TxFile], schema: StructType): Long =
-    retryCas("append") { (_, _) => (files, Seq.empty, schema) }
+    retryCas("append") { (_, _) => (Seq.empty, files, Seq.empty, schema) }
 
   /** Rewrite the given partitions with `compute(current content of
     * those partitions)`, under optimistic concurrency: if another
@@ -270,37 +279,115 @@ class TxTable(val spark: SparkSession, val root: String,
     sys.error("unreachable")
   }
 
+  /** Throw [[TxConflictException]] if any commit in (readVersion, v]
+    * changed a file inside `parts` — the shared optimistic-concurrency
+    * check of every partition-scoped commit.
+    */
+  private def conflictCheck(readVersion: Long, v: Long, parts: Set[String],
+                            base: Seq[TxFile]): Unit =
+    if (v != readVersion) {
+      val before = if (readVersion < 0) Set.empty[TxFile] else snapshot(readVersion).files.toSet
+      val after = base.toSet
+      val changed = (before diff after) ++ (after diff before)
+      changed.find(f => parts.contains(f.partition)).foreach { f =>
+        throw new TxConflictException(
+          s"partition ${f.partition} changed by a commit after v$readVersion (saw v$v)")
+      }
+    }
+
   /** Low-level rewrite commit: replaces the files of `parts` with
-    * `adds`, failing with [[TxConflictException]] if any commit after
-    * `readVersion` changed a file inside `parts`.
+    * `adds` (reshaped prior content) plus `freshAdds` (net-new rows —
+    * delivered by [[readChangesSince]]), failing with
+    * [[TxConflictException]] if any commit after `readVersion`
+    * changed a file inside `parts`.
     */
   def commitRewrite(readVersion: Long, parts: Set[String],
-                    adds: Seq[TxFile], schema: StructType): Long =
-    retryCas("rewrite") { (v, base) =>
-      if (v != readVersion) {
-        val before = if (readVersion < 0) Set.empty[TxFile] else snapshot(readVersion).files.toSet
-        val after = base.toSet
-        val changed = (before diff after) ++ (after diff before)
-        changed.find(f => parts.contains(f.partition)).foreach { f =>
-          throw new TxConflictException(
-            s"partition ${f.partition} changed by a commit after v$readVersion (saw v$v)")
-        }
-      }
-      (adds, base.filter(f => parts.contains(f.partition)), schema)
+                    adds: Seq[TxFile], schema: StructType,
+                    freshAdds: Seq[TxFile] = Seq.empty): Long =
+    retryCas(if (freshAdds.isEmpty) "rewrite" else "upsert") { (v, base) =>
+      conflictCheck(readVersion, v, parts, base)
+      (adds, freshAdds, base.filter(f => parts.contains(f.partition)), schema)
+    }
+
+  /** Conditional-append commit: adds `freshAdds` (net-new rows only)
+    * WITHOUT touching any existing file, failing like a rewrite if
+    * `parts` changed after `readVersion` — the anti-join that proved
+    * the rows new was computed against that snapshot, so a
+    * same-partition commit invalidates it.
+    */
+  def commitUpsert(readVersion: Long, parts: Set[String],
+                   freshAdds: Seq[TxFile], schema: StructType): Long =
+    retryCas("upsert") { (v, base) =>
+      conflictCheck(readVersion, v, parts, base)
+      (Seq.empty, freshAdds, Seq.empty, schema)
     }
 
   /** First-write-wins upsert of a batch (ST4 `ON CONFLICT DO NOTHING`,
     * fetchers/config/queries.py:4): within each touched partition,
-    * existing rows win on `keys`; new keys append. One rewrite commit
-    * per call, conflict-retried.
+    * existing rows win on `keys`; new keys append. One conditional-
+    * append commit per call, conflict-retried: ONLY the net-new rows
+    * are staged — existing files are never rewritten, so upserting a
+    * small batch into a 100 TB partition costs O(batch), and the
+    * change feed delivers exactly the rows this call actually
+    * inserted (`n` files).
     */
-  def insertIgnore(batch: DataFrame, keys: Seq[String]): Long = {
+  def insertIgnore(batch: DataFrame, keys: Seq[String],
+                   maxAttempts: Int = 20): Long = {
+    import org.apache.spark.sql.functions.col
     val parts = touchedPartitions(batch)
-    rewritePartitions(parts) { existing =>
-      existing.unionByName(
-        batch.join(existing.select(keys.map(org.apache.spark.sql.functions.col): _*),
-          keys, "left_anti"))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = version
+      if (v < 0)
+        throw new IllegalStateException(s"insertIgnore on uncommitted table $root")
+      val snap = snapshot(v)
+      val current = snap.files.filter(f => parts.contains(f.partition))
+      val existing = readSnapshot(Snapshot(v, snap.schema, current))
+      val fresh = batch.join(existing.select(keys.map(col): _*), keys, "left_anti")
+      val staged = stage(fresh)
+      try {
+        return commitUpsert(v, parts, staged, fresh.schema)
+      } catch {
+        case _: TxConflictException if attempt < maxAttempts => // re-anti-join vs new snapshot
+      }
     }
+    sys.error("unreachable")
+  }
+
+  /** [[rewritePartitions]] with the upsert split the change feed
+    * needs: `compute(current)` returns (reshaped, fresh) — rows that
+    * restate/reshape prior content vs rows that are genuinely NEW to
+    * the table. Both replace the partitions' files in one conflict-
+    * checked commit, but only the fresh files are marked `n` and
+    * delivered by [[readChangesSince]]. Use for refresh jobs that mix
+    * recomputed existing keys with newly-appeared keys.
+    */
+  def upsertRewritePartitions(parts: Set[String], maxAttempts: Int = 20)
+                             (compute: DataFrame => (DataFrame, DataFrame)): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = version
+      val snap = if (v < 0) Snapshot(-1, null, Seq.empty) else snapshot(v)
+      val current = snap.files.filter(f => parts.contains(f.partition))
+      val curDf =
+        if (current.isEmpty && snap.schema == null)
+          throw new IllegalStateException(s"upsertRewritePartitions on uncommitted table $root")
+        else readSnapshot(Snapshot(v, snap.schema, current))
+      val (reshaped, fresh) = compute(curDf)
+      val stagedOld = stage(reshaped)
+      val stagedNew = stage(fresh)
+      val bad = (stagedOld ++ stagedNew).filterNot(f => parts.contains(f.partition))
+      require(bad.isEmpty,
+        s"upsertRewritePartitions($parts) produced rows outside those partitions: ${bad.map(_.partition).distinct}")
+      try {
+        return commitRewrite(v, parts, stagedOld, reshaped.schema, freshAdds = stagedNew)
+      } catch {
+        case _: TxConflictException if attempt < maxAttempts => // recompute from fresh snapshot
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Partition values present in `df` (small distinct collect — the
@@ -408,25 +495,27 @@ class TxTable(val spark: SparkSession, val root: String,
     * version, so a lost checkpoint race is harmless.
     */
   private def retryCas(kind: String)(
-      build: (Long, Seq[TxFile]) => (Seq[TxFile], Seq[TxFile], StructType)): Long = {
+      build: (Long, Seq[TxFile]) => (Seq[TxFile], Seq[TxFile], Seq[TxFile], StructType)): Long = {
     while (true) {
       val v = version
       val base = if (v < 0) Seq.empty[TxFile] else snapshot(v).files
-      val (adds, removes, schema) = build(v, base)
+      val (reshaped, fresh, removes, schema) = build(v, base)
       // '#'-prefixed metadata lines are skipped by every op-line
-      // parser; `kind` distinguishes content-new commits (append)
-      // from content-reshaping ones (rewrite/compact) for the
-      // change feed
-      val body = ((schema.json +:
-        (removes.map(f => s"-\t${f.partition}\t${f.path}") ++
-          adds.map(f => s"+\t${f.partition}\t${f.path}"))) :+ s"#kind\t$kind")
-        .mkString("\n")
+      // parser. The op letter carries the content provenance the
+      // change feed needs: `n` files hold rows never committed before
+      // (append batches, upsert inserts); `+` files hold previously-
+      // committed rows reshaped (rewrite/compact). `kind` names the
+      // commit path for operators/debugging.
+      val ops = removes.map(f => s"-\t${f.partition}\t${f.path}") ++
+        reshaped.map(f => s"+\t${f.partition}\t${f.path}") ++
+        fresh.map(f => s"n\t${f.partition}\t${f.path}")
+      val body = ((schema.json +: ops) :+ s"#kind\t$kind").mkString("\n")
       val nv = v + 1
       if (casCreate(deltaPath(nv), body)) {
         if (nv > 0 && nv % checkpointInterval == 0) {
           val removed = removes.toSet
           casCreate(checkpointPath(nv),
-            checkpointBody(base.filterNot(removed) ++ adds, schema))
+            checkpointBody(base.filterNot(removed) ++ reshaped ++ fresh, schema))
         }
         return nv
       }

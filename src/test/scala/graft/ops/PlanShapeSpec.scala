@@ -39,6 +39,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(out) === 1, s"sessionize should shuffle once:\n${plan(out)}")
   }
 
+  test("tfidf topTerms: vocabulary frame carries NO broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val tf = (1L to 200L).map(i => (i % 20, s"w${i % 37}", i % 5 + 1))
+      .toDF("id", "w", "tf")
+    val out = graft.llm.TfIdf.topTerms(tf, 3)
+    // The per-term df frame is unbounded at scale (one row per distinct
+    // token): a broadcast hint over ANY grouped aggregate here is the
+    // 100 TB OOM the round-7 verdict flagged. Only global (single-row)
+    // aggregates like N may be hinted.
+    val hintedVocab = out.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.nonEmpty => a
+      }
+    }.flatten
+    assert(hintedVocab.isEmpty,
+      s"vocabulary aggregate is broadcast-hinted:\n${out.queryExecution.analyzed}")
+  }
+
   test("saltedSum: two aggregation stages, hot key spread across the first") {
     val df = (1L to 200L).map(i => (i % 2, i)).toDF("k", "v")
     val out = Analytics.saltedSum(df, Seq(col("k")), col("v"), 8)

@@ -68,6 +68,31 @@ class TxTableSpec extends SparkSpec {
     assert(t.readChangesSince(t.version).count() === 0)
   }
 
+  test("change feed delivers upsert inserts; reshaped upsert content never re-delivers") {
+    val t = freshTable()
+    t.append(rows(0 until 5, "2021-01-01"))             // v0
+    // insertIgnore: ids 3,4 exist (skipped), 5..7 are net-new
+    val batch = (3 until 8).map(i => (i.toLong, s"NEW$i", java.sql.Date.valueOf("2021-01-01")))
+      .toDF("id", "v", "p_date")
+    t.insertIgnore(batch, Seq("id"))                    // v1 (upsert)
+    val afterV0 = t.readChangesSince(0).select("id").collect().map(_.getLong(0)).sorted
+    assert(afterV0.toSeq === Seq(5L, 6L, 7L), "feed must carry exactly the inserted keys")
+    // the upsert rewrote NOTHING: v0's files are still live (O(batch) upsert)
+    assert(t.snapshot(0).files.toSet.subsetOf(t.snapshot(1).files.toSet))
+
+    // upsertRewritePartitions: reshape ids 0..7, introduce 100..102
+    val freshRows = rows(100 until 103, "2021-01-01")
+    t.upsertRewritePartitions(Set("2021-01-01")) { cur =>
+      (cur.withColumn("v", upper(col("v"))), freshRows)  // v2
+    }
+    val afterV1 = t.readChangesSince(1).select("id").collect().map(_.getLong(0)).sorted
+    assert(afterV1.toSeq === Seq(100L, 101L, 102L),
+      "reshaped half of an upserting rewrite must not re-deliver")
+    assert(t.read().count() === 11)
+    // table content reflects both halves of the split commit
+    assert(t.read().filter(col("v") === "V0").count() === 1)
+  }
+
   test("empty table reads as empty DataFrame after a zero-row commit") {
     val t = freshTable()
     t.append(rows(0 until 0, "2021-01-01"))
