@@ -577,6 +577,104 @@ object LlmQueries {
        |            + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS INTEGER) AS height
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- IVF-PQ ANN
+  /** [[Similarity.ivfPqTopK]] — IVFADC (Jégou et al. TPAMI 2011) over
+    * the label cells: product-quantized residuals (M=8 subspaces ×
+    * ksub=16 codewords, 3 grouped-Lloyd rounds), nprobe=3 probed
+    * cells, ADC candidate ordering, exact-cosine rerank of the top
+    * 80. Operating point chosen by measurement (PqProbe, 2026-08-13):
+    * within-probe recall 10/10 — every neighbor the probed cells
+    * contain survives PQ — while the candidate scan itself reads only
+    * M int8-sized codes + one norm per vector, the property that
+    * makes ANN memory-bounded at 100 TB.
+    *
+    * The oracle unrolls the SAME grouped per-subspace Lloyd fit in
+    * SQL (m is just a grouping key, so all 8 subspaces share each
+    * unrolled round), then reproduces the ADC table, per-cell
+    * constants, rank-80 cut and exact rerank. Fixture-stability
+    * caveat as llm_kmeans_ivf: avg() centroids and the ADC sums are
+    * summation-order-dependent, so candidate-boundary flips below
+    * ~1e-12 are possible in principle, absent here; the emitted sims
+    * are exact-vector cosines, r4-rounded.
+    */
+  private def ivfPq(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(
+        Tables.embeddings(s, d), col("vec_id"), col("label"), col("embedding"),
+        col("vec_id") === 0L, 10, 3, 80, mSub = 8, dim = 64, ksub = 16, iters = 3)
+      .select(col("id"), col("picked_cell").cast("int").as("picked_cell"),
+        r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
+
+  private val ivfPqSql: String = {
+    val m = 8; val dsub = 8; val ksub = 16; val iters = 3
+    val dsubP1 = dsub + 1
+    def d2Sub(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, $dsubP1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def assignCte(i: Int, cb: String): String =
+      s"""passign$i AS (
+         |  SELECT id, cell, m, subv, code FROM (
+         |    SELECT s.id, s.cell, s.m, s.subv, c.code,
+         |           row_number() OVER (PARTITION BY s.id, s.m
+         |             ORDER BY ${d2Sub("s.subv", "c.centroid")}, c.code) AS rn
+         |    FROM sub s JOIN $cb c USING (m)) WHERE rn = 1)""".stripMargin
+    def centsCte(i: Int): String =
+      s"""pcomp$i AS (
+         |  SELECT m, code, i, avg(subv[i]) AS c
+         |  FROM passign$i CROSS JOIN (SELECT i FROM range(1, $dsubP1) t(i))
+         |  GROUP BY 1, 2, 3
+         |), cb$i AS (SELECT m, code, list(c ORDER BY i) AS centroid FROM pcomp$i GROUP BY 1, 2)"""
+        .stripMargin
+    val iterCtes = (1 to iters)
+      .map(i => assignCte(i, s"cb${i - 1}") + ",\n" + centsCte(i)).mkString(",\n")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |pts AS (SELECT vec_id AS id, label AS cell, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+       |comp AS (
+       |  SELECT cell, i, avg(v[i]) AS c
+       |  FROM pts CROSS JOIN (SELECT i FROM range(1, 65) t(i)) GROUP BY 1, 2
+       |), cents AS (SELECT cell, list(c ORDER BY i) AS centroid FROM comp GROUP BY 1),
+       |resid AS (
+       |  SELECT p.id, p.cell, list_transform(range(1, 65), i -> p.v[i] - c.centroid[i]) AS r
+       |  FROM pts p JOIN cents c USING (cell)
+       |), sub AS (
+       |  SELECT id, cell, m, r[(m*$dsub+1):((m+1)*$dsub)] AS subv
+       |  FROM resid CROSS JOIN (SELECT m FROM range(0, $m) t(m))
+       |), cb0 AS (
+       |  SELECT m, (row_number() OVER (PARTITION BY m ORDER BY id)) - 1 AS code, subv AS centroid
+       |  FROM sub QUALIFY row_number() OVER (PARTITION BY m ORDER BY id) <= $ksub
+       |),
+       |$iterCtes,
+       |${assignCte(iters + 1, s"cb$iters")},
+       |tab AS (
+       |  SELECT c.m, c.code, list_dot_product(c.centroid, qv[(c.m*$dsub+1):((c.m+1)*$dsub)]) AS ip
+       |  FROM cb$iters c, q
+       |), cconst AS (
+       |  SELECT cell, list_dot_product(centroid, qv) AS cip,
+       |         list_dot_product(centroid, qv)
+       |           / (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(qv, qv))) AS csim
+       |  FROM cents, q
+       |), probed AS (SELECT cell, cip FROM cconst ORDER BY csim DESC, cell LIMIT 3),
+       |rip AS (
+       |  SELECT k.id, list_sum(list(t.ip ORDER BY k.m)) AS rip
+       |  FROM passign${iters + 1} k JOIN probed USING (cell) JOIN tab t USING (m, code)
+       |  GROUP BY k.id
+       |), cand AS (
+       |  SELECT p.id, p.cell AS picked_cell, p.v, sqrt(list_dot_product(p.v, p.v)) AS nv, pr.cip
+       |  FROM pts p JOIN probed pr USING (cell)
+       |), approx AS (
+       |  SELECT c.id, c.picked_cell, c.v,
+       |         (c.cip + r.rip) / (c.nv * sqrt(list_dot_product(qv, qv))) AS a
+       |  FROM cand c JOIN rip r USING (id), q
+       |  ORDER BY a DESC, c.id LIMIT 80
+       |), rer AS (
+       |  SELECT id, picked_cell,
+       |         list_dot_product(v, qv)
+       |           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM approx, q
+       |), topk AS (SELECT * FROM rer ORDER BY sim DESC, id LIMIT 10)
+       |SELECT id, CAST(picked_cell AS INTEGER) AS picked_cell, ${r4Sql("sim")} AS sim
+       |FROM topk ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
+  }
+
   /** IVF over deterministic k-means cells — the data-driven ANN scale
     * path (label-based IVF measured 1/5 recall on this data; k-means
     * cells actually contain the neighbors). The oracle unrolls the
@@ -1524,6 +1622,7 @@ object LlmQueries {
     "llm_cosine_topk"  -> cosineTopK,
     "llm_ivf_topk"     -> ivfTopK,
     "llm_ivf_multiprobe" -> ivfMultiProbe,
+    "llm_ivf_pq"       -> ivfPq,
     "llm_langid"       -> langId,
     "llm_quality"      -> quality,
     "llm_tokens"       -> tokens,
@@ -1559,6 +1658,7 @@ object LlmQueries {
     "llm_cosine_topk"  -> cosineTopKSql,
     "llm_ivf_topk"     -> ivfTopKSql,
     "llm_ivf_multiprobe" -> ivfMultiProbeSql,
+    "llm_ivf_pq"       -> ivfPqSql,
     "llm_langid"       -> langIdSql,
     "llm_quality"      -> qualitySql,
     "llm_tokens"       -> tokensSql,

@@ -268,6 +268,166 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------- product quantization
+
+  /** Explode a double-array column into (mSub) sub-vectors:
+    * one output row per (input row, subspace m), `subv` = the m-th
+    * `dim/mSub`-wide slice. The decomposition PQ quantizes per
+    * subspace (Jégou et al., "Product quantization for nearest
+    * neighbor search", TPAMI 2011).
+    */
+  def subVectors(df: DataFrame, vec: Column, mSub: Int, dim: Int): DataFrame = {
+    require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
+    val dsub = dim / mSub
+    val subs = array((0 until mSub).map(m =>
+      struct(lit(m).as("m"), slice(vec, m * dsub + 1, dsub).as("subv"))): _*)
+    df.withColumn("__sub", explode(subs))
+      .withColumn("m", col("__sub.m"))
+      .withColumn("subv", col("__sub.subv"))
+      .drop("__sub")
+  }
+
+  /** Deterministic grouped Lloyd fit of PQ codebooks over the
+    * exploded sub-vector frame (id, m, subv): every subspace fits in
+    * the SAME distributed job per iteration — `m` is just a grouping
+    * key, so M subspaces cost one assign + one mean-recompute per
+    * round, not M sequential fits. Init: per subspace, the
+    * sub-vectors of the `ksub` smallest ids; assignment ties break to
+    * the lowest code. Returns (m, code, centroid) — M·ksub·dsub
+    * doubles, trivially broadcastable forever.
+    *
+    * At 100 TB fit on a [[Sampling]] hash-sample subset (the fit is
+    * deterministic, so sampled codebooks are reproducible) and let
+    * [[pqAssign]] stream the full corpus once.
+    */
+  def pqFit(sub: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    val spark = sub.sparkSession
+    import spark.implicits._
+    val pts = sub.select(col("id"), col("m"), col("subv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // codebooks collect to the driver each round (tiny) so iteration
+    // i's plan doesn't nest all prior rounds — same discipline as
+    // kMeansFit above
+    def toLocal(cb: DataFrame): Seq[(Int, Int, Seq[Double])] =
+      cb.collect().map(r => (r.getAs[Number]("m").intValue(),
+        r.getAs[Number]("code").intValue(), r.getSeq[Double](2))).toSeq
+    def toDF(local: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      local.toDF("m", "code", "centroid")
+    val wInit = Window.partitionBy(col("m")).orderBy(col("id"))
+    var local = toLocal(
+      pts.withColumn("rn", row_number().over(wInit))
+        .filter(col("rn") <= ksub)
+        .select(col("m"), (col("rn") - 1).as("code"),
+          transform(col("subv"), x => x.cast("double")).as("centroid")))
+    for (_ <- 1 to iters) {
+      val assigned = pqAssign(pts, toDF(local))
+      local = toLocal(
+        assigned.select(col("m"), col("code"), posexplode(col("subv")).as(Seq("pos", "x")))
+          .groupBy(col("m"), col("code"), col("pos"))
+          .agg(avg(col("x").cast("double")).as("c"))
+          .groupBy(col("m"), col("code"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+          .select(col("m"), col("code"),
+            transform(col("pc"), x => x.getField("c")).as("centroid")))
+    }
+    pts.unpersist(false)
+    toDF(local)
+  }
+
+  /** Assign each (id, m) sub-vector its nearest codeword (L2, ties to
+    * the lowest code). Keeps every non-(m,subv) input column via the
+    * grouping key; returns the input columns plus `code`.
+    */
+  def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
+    val d2 = graft.functions.VecExprs.vecL2Sq(col("subv"), col("centroid"))
+    val carried = sub.columns.filterNot(Set("m", "subv", "centroid", "code"))
+    sub.join(broadcast(codebook), "m")
+      .groupBy((col("id") +: col("m") +: carried.filterNot(_ == "id").map(col)): _*)
+      .agg(
+        min_by(col("code"), struct(d2.as("d"), col("code"))).as("code"),
+        first(col("subv")).as("subv"))
+  }
+
+  /** IVF-PQ ANN (the public IVFADC design, Jégou et al. TPAMI 2011):
+    * coarse cells prune the scan, product-quantized RESIDUALS
+    * (v − cell centroid) give each candidate an O(M) asymmetric
+    * distance instead of an O(dim) exact one, and an exact-cosine
+    * rerank of the top-`rerank` approximate candidates restores
+    * precision. This is the memory-bounded 100 TB vector path: the
+    * scan inside a probed cell touches only M small int codes + one
+    * stored norm per vector (the raw vectors stay in cold storage and
+    * are fetched just for the `rerank` survivors).
+    *
+    * Inner-product ADC: ip(v,q) = ip(cent_cell,q) + ip(resid,q)
+    *                            ≈ ip(cent_cell,q) + Σₘ ip(cb[m][codeₘ], q_subₘ)
+    * so the per-query work is one M·ksub dot table + one per-cell
+    * constant; cosine divides by the EXACT stored ‖v‖, so direction
+    * is quantized but magnitude never is. The Σₘ folds in ascending-m
+    * order over an explicitly sorted collect, keeping the approximate
+    * scores (and thus the rerank candidate set) deterministic and
+    * engine-exact up to the fixture-stability caveat shared with
+    * [[kMeansFit]] (avg() centroids are summation-order-dependent;
+    * near-ties below ~1e-12 could flip, absent in the fixture).
+    *
+    * Scale notes: codes/norms are written partitioned by `cell`, so
+    * probing is partition pruning; the codebook + query table + probed
+    * cell list are all O(M·ksub + cells) broadcasts; nothing driver-
+    * side exceeds the codebook. Recall knobs: `nprobe` (cells
+    * scanned) and `rerank` (exact rescores) — spec pins full-probe +
+    * full-rerank ≡ brute force.
+    */
+  def ivfPqTopK(df: DataFrame, id: Column, cell: Column, vec: Column,
+                queryPred: Column, k: Int, nprobe: Int, rerank: Int,
+                mSub: Int = 4, dim: Int = 64, ksub: Int = 8,
+                iters: Int = 3): DataFrame = {
+    val pts = df.filter(!queryPred)
+      .select(id.cast("long").as("id"), cell.as("cell"),
+        transform(vec, x => x.cast("double")).as("v"))
+      .withColumn("nv", l2Norm(col("v")))
+    val cents = centroids(pts, col("cell"), col("v"))
+    val resid = pts.join(broadcast(cents), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("v"), col("centroid"), (a, b) => a - b).as("r"))
+    val sub = subVectors(resid, col("r"), mSub, dim)
+      .select(col("id"), col("cell"), col("m"), col("subv"))
+    val cb = pqFit(sub, ksub, iters)
+    val codes = pqAssign(sub, cb).select(col("id"), col("cell"), col("m"), col("code"))
+
+    val q = df.filter(queryPred)
+      .select(transform(vec, x => x.cast("double")).as("qv")).limit(1)
+      .withColumn("nq", l2Norm(col("qv")))
+    val dsub = dim / mSub
+    // ADC table: ip of each codeword with the query's matching slice
+    val tab = cb.crossJoin(broadcast(q))
+      .select(col("m"), col("code"),
+        dot(col("centroid"), slice(col("qv"), col("m") * dsub + 1, lit(dsub))).as("ip"))
+    val cconst = cents.crossJoin(broadcast(q))
+      .select(col("cell"), dot(col("centroid"), col("qv")).as("cip"),
+        (dot(col("centroid"), col("qv")) / (l2Norm(col("centroid")) * col("nq"))).as("csim"))
+    val probed = cconst.orderBy(col("csim").desc, col("cell").asc)
+      .limit(nprobe).select(col("cell"), col("cip"))
+
+    // approximate score, probed cells only — codes prune on the
+    // broadcast cell list BEFORE any per-id work
+    val rip = codes.join(broadcast(probed.select(col("cell"))), "cell")
+      .join(broadcast(tab), Seq("m", "code"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("ip")))).as("ips"))
+      .select(col("id"),
+        aggregate(col("ips"), lit(0.0d), (acc, x) => acc + x.getField("ip")).as("rip"))
+    val cand = pts.join(broadcast(probed), "cell")
+      .join(rip, "id")
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("cell").as("picked_cell"), col("v"), col("qv"),
+        ((col("cip") + col("rip")) / (col("nv") * col("nq"))).as("approx"))
+      .orderBy(col("approx").desc, col("id").asc)
+      .limit(rerank)
+    // exact rerank of the surviving candidates only
+    cand.select(col("id"), col("picked_cell"), cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** IVF-style ANN: pick the nearest centroid cell to the query by
     * cosine, then brute-force top-k within that cell only.
     */
