@@ -773,7 +773,7 @@ object LlmQueries {
     * detector's hits are exactly the constructed set. The oracle SQL
     * stays all-pairs (ground truth); the Spark plan is bucket-local
     * with no driver collect. On data with threshold-grazing pairs the
-    * LSH recall floor is ≥0.93 at 0.9 (nbits=64 default — see
+    * LSH recall floor is ≥0.93 at 0.9 (nbits=192/bandsOf=12 — see
     * [[Similarity.nearDupPairs]]); [[Similarity.nearDupPairsExact]]
     * is the contract-exact quadratic mode.
     */

@@ -120,13 +120,21 @@ object Similarity {
     * Recall: pairs at cosine 1.0 (scaled copies) share all bands —
     * recall 1. For threshold-grazing pairs recall is the standard SRP
     * tradeoff 1−(1−(1−θ/π)^bandsOf)^(nbits/bandsOf). At the defaults
-    * (nbits=64, bandsOf=8 → 8 bands) and the advertised threshold
+    * (nbits=192, bandsOf=12 → 16 bands) and the advertised threshold
     * 0.9 (θ≈0.451, per-bit agreement ≈0.856) this is ≥0.93 — the
-    * stated recall floor; the earlier nbits=32 default was ~0.74
-    * there. Raise nbits or lower bandsOf for more recall at more
-    * candidate cost; callers needing the literal all-pairs contract
-    * use [[nearDupPairsExact]]. Verification is exact, so precision
-    * is always 1 either way.
+    * stated recall floor. Band WIDTH also sets the scale exponent:
+    * random (cosine≈0) pairs collide per band at ~2^−bandsOf, so
+    * bands·2^−bandsOf of ALL pairs become candidates — an O(N²) term
+    * that dominated the r7 10× ScaleBench (8-bit bands: 1/32 of
+    * pairs, 9.0M candidates, exponent 0.70 in SrpScaleProbe). The
+    * 12-bit geometry keeps the recall floor while admitting 16/4096
+    * ≈ 0.4% of random pairs (1.4M candidates, exponent 0.49
+    * measured 2026-08-13); candidate cost per kept recall point only
+    * rises beyond that (16-bit bands halve candidates again but drop
+    * recall to 0.50–0.75). Raise nbits or lower bandsOf for more
+    * recall at more candidate cost; callers needing the literal
+    * all-pairs contract use [[nearDupPairsExact]]. Verification is
+    * exact, so precision is always 1 either way.
     *
     * Determinism: the verify dot folds ascending-index over doubles
     * ([[dot]]), matching DuckDB's list_dot_product bit-for-bit.
@@ -134,7 +142,7 @@ object Similarity {
     * @param dim embedding dimensionality (hyperplane width)
     */
   def nearDupPairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
-                   dim: Int = 64, nbits: Int = 64, bandsOf: Int = 8): DataFrame = {
+                   dim: Int = 64, nbits: Int = 192, bandsOf: Int = 12): DataFrame = {
     // no up-front cast: VecDot/SrpBits widen floats exactly during
     // accumulation, so the interpreted transform() copy is pure cost
     val prepared = df.select(id.cast("long").as("id"), vec.as("v"))
