@@ -579,8 +579,21 @@ object Dedup {
     // 2.52 s at sf0.1) — the checkpoint-after-aggregation rule holds.
     val ex = docs.select(id.as("doc_id"), posexplode(linesCol).as(Seq("pos", "line")))
       .filter(col("line").isNotNull)
-    val freq = ex.groupBy(col("line"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // document frequency as an EXPLICIT two-level aggregation instead
+    // of countDistinct: Spark plans a single distinct aggregate with
+    // its exchange on the grouping key alone, so a boilerplate line
+    // present in 10⁸ documents sends every surviving (line, doc_id)
+    // pair to ONE reducer. distinct() keys the exchange on the full
+    // pair — the hot line spreads across the cluster by doc_id — and
+    // the count then map-side-combines to ≤ one row per (line,
+    // partition) before the line-keyed exchange — the hot reducer's
+    // input drops from 10⁸ pair rows to #partitions partial counts.
+    // Measured (HotLineProbe, 2026-08-13, 20M docs all sharing one
+    // line, local[32]): 10.8 s → 8.1 s; the in-memory single-JVM
+    // shuffle compresses the straggler, a networked cluster does not.
+    val freq = ex.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("df"))
     val keep = col("df") < minDocs
     ex.join(freq, Seq("line"))
       .groupBy(col("doc_id"))

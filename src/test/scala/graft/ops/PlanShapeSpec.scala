@@ -57,6 +57,20 @@ class PlanShapeSpec extends SparkSpec {
       s"vocabulary aggregate is broadcast-hinted:\n${out.queryExecution.analyzed}")
   }
 
+  test("scrubFrequentLines: df aggregation spreads hot lines by (line, doc_id)") {
+    val docs = (1L to 50L).map(i => (i, Seq("BOILER", s"u$i"))).toDF("doc_id", "lines")
+    val out = graft.llm.Dedup.scrubFrequentLines(docs, col("doc_id"), col("lines"), 10L)
+    val p = plan(out)
+    // the document-frequency dedup must exchange on the FULL pair —
+    // a line-only exchange funnels a mega-frequent line's pairs into
+    // one reducer (r7 verdict hot-key finding)
+    assert(p.linesIterator.exists(l => l.contains("Exchange hashpartitioning") &&
+      l.contains("line") && l.contains("doc_id")),
+      s"no pair-keyed exchange in:\n$p")
+    assert(!p.contains("distinct_"), // no planAggregateWithOneDistinct artifacts
+      s"countDistinct plan resurfaced:\n$p")
+  }
+
   test("saltedSum: two aggregation stages, hot key spread across the first") {
     val df = (1L to 200L).map(i => (i % 2, i)).toDF("k", "v")
     val out = Analytics.saltedSum(df, Seq(col("k")), col("v"), 8)
