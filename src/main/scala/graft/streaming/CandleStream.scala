@@ -76,6 +76,49 @@ object CandleStream {
   def reconcile(existing: DataFrame, refetched: DataFrame): DataFrame =
     CandleOps.upsert(existing, CandleOps.dedup(refetched))
 
+  /** ST5's LIVE form: stream–stream left-outer join of the WS candle
+    * stream with the REST repair stream, per (key, 1-minute bucket),
+    * inside the watermark horizon — the streaming counterpart of
+    * [[reconcile]] (which fixes the table after the fact, the batch
+    * shadow of the reference's updater/repair pair). A live message
+    * whose bucket gets a repair row within `delay` emits with the
+    * repair's authoritative values (`repaired = true`); an unmatched
+    * message emits unchanged once both watermarks pass its bucket —
+    * append-only output either way.
+    *
+    * Spark's event-time-window equi-join contract makes the state
+    * BOUNDED: both sides carry `withWatermark(ts, delay)` and join on
+    * the windowed event time, so each side's state holds only buckets
+    * younger than the watermark — O(active keys × buckets-per-delay)
+    * rows, partitioned by join key hash across executors, evicted as
+    * the watermark advances (asserted in StreamRepairJoinSpec via
+    * `stateOperators.numRowsTotal`). Repairs arriving later than
+    * `delay` are outside the live join horizon by design; they remain
+    * the batch [[reconcile]] path's job.
+    */
+  def repairJoin(live: DataFrame, repairs: DataFrame,
+                 delay: String = "10 minutes"): DataFrame = {
+    val l = withTs(live).withWatermark("ts", delay)
+      .select(keys.map(col) :+ window(col("ts"), "1 minute").as("bucket") :+
+        col("ts_ms") :+ col("open") :+ col("high") :+ col("low") :+
+        col("close") :+ col("volume"): _*)
+    val r = withTs(repairs).withWatermark("ts", delay)
+      .select(keys.map(col) :+ window(col("ts"), "1 minute").as("bucket") :+
+        struct(col("open").as("open"), col("high").as("high"),
+          col("low").as("low"), col("close").as("close"),
+          col("volume").as("volume")).as("r"): _*)
+    l.join(r, keys :+ "bucket", "left_outer")
+      .select(
+        col("bucket.start").as("time"),
+        col("exchange"), col("base_id"), col("quote_id"), col("ts_ms"),
+        coalesce(col("r.open"), col("open")).as("open"),
+        coalesce(col("r.high"), col("high")).as("high"),
+        coalesce(col("r.low"), col("low")).as("low"),
+        coalesce(col("r.close"), col("close")).as("close"),
+        coalesce(col("r.volume"), col("volume")).as("volume"),
+        col("r").isNotNull.as("repaired"))
+  }
+
   /** The full live pipeline (reference updater loop, ws/updater.py):
     * WS stream → closed candles → first-write-wins append into the
     * date-partitioned base table, every `triggerSecs` (reference
