@@ -527,8 +527,26 @@ class TxTable(val spark: SparkSession, val root: String,
     * Local filesystems: write a temp file and hard-link it into place
     * (`link(2)` fails with EEXIST atomically — `rename(2)` would
     * silently overwrite, and Hadoop's create(overwrite=false) on the
-    * local FS is check-then-act). HDFS: `create(overwrite=false)` is
-    * atomic at the NameNode. (S3: conditional PUT — not needed here.)
+    * local FS is check-then-act). Every other scheme:
+    * `create(overwrite=false)` + write + close.
+    *
+    * Consistency contract for that second branch — what the backing
+    * store must provide, and ALL it must provide: the object named
+    * `target` appears atomically with its full body, at most once
+    * across racers, and a loser's attempt fails with an IOException
+    * no later than `close()`. HDFS meets it at create() time (the
+    * NameNode arbitrates the exclusive create). An object store
+    * meets it at close() time with a conditional PUT
+    * (`If-None-Match: *` — the upload is buffered and the key either
+    * materializes whole or the PUT fails with 412): a FileSystem
+    * adapter over such a store maps create(overwrite=false) to
+    * exactly that, which is how this log commits on S3-class storage
+    * — no rename, no link, no lock service. The protocol never
+    * renames under the log dir and tolerates non-atomic (copy+
+    * delete) rename for staged DATA files, whose visibility comes
+    * only from the committed manifest. MemObjectStoreTxSpec drives
+    * the full commit/conflict/vacuum protocol against a simulated
+    * store exposing exactly this contract and nothing more.
     */
   private def casCreate(target: org.apache.hadoop.fs.Path, body: String): Boolean = {
     fs.mkdirs(target.getParent)
