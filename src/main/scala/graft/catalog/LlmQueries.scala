@@ -577,6 +577,78 @@ object LlmQueries {
        |            + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS INTEGER) AS height
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- perceptual image near-dup
+  /** [[Multimodal.perceptualHash]] (dHash over the stubbed byte-
+    * sampling thumbnail) feeding [[Dedup.simHashPairs]]'s pigeonhole
+    * Hamming machinery — image dedup as a first-class pipeline op.
+    * Constructed near-dups: docs with doc_id % 10 == 0 get a copy
+    * (id + 100000) with 3 characters overwritten mid-text — a small
+    * byte perturbation that moves only the cells covering it, so the
+    * pair lands within the Hamming radius; byte-identical dup texts
+    * pair at distance 0. The oracle recomputes the thumbnail sums
+    * from hex(blob) bytes, the cross-multiplied bit comparisons, and
+    * an all-pairs Hamming filter (ground truth — the Spark plan is
+    * block-bucket-local, never all-pairs).
+    */
+  private def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val pert = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(substring(col("text"), 1, 5), lit("ZZZ"),
+          expr("substring(text, 9)")).as("text"))
+    val blobs = base.unionByName(pert)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val ph = Multimodal.perceptualHash(blobs, "blob", Seq("doc_id"))
+    val fp = ph.filter(col("ok")).select(col("doc_id"),
+      shiftleft(col("ph_hi"), 32).bitwiseOR(col("ph_lo")).as("fp"))
+    Dedup.simHashPairs(fp, col("doc_id"), col("fp"), 64, 4)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val imageNearDupSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, substr(text, 1, 5) || 'ZZZ' || substr(text, 9)
+       |  FROM documents WHERE doc_id % 10 = 0
+       |), blobs AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM base
+       |), bytes AS (
+       |  SELECT doc_id, n, unnest(range(0, n)) AS p, hx FROM blobs
+       |), vals AS (
+       |  SELECT doc_id, n, (p * 72) // n AS cell,
+       |         (instr('0123456789abcdef', substr(hx, CAST(2*p+1 AS INTEGER), 1)) - 1) * 16
+       |          + instr('0123456789abcdef', substr(hx, CAST(2*p+2 AS INTEGER), 1)) - 1 AS v
+       |  FROM bytes
+       |), cells AS (
+       |  SELECT doc_id, cell, SUM(v) AS s, COUNT(*) AS c FROM vals GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT b.doc_id, rr, cc
+       |  FROM (SELECT DISTINCT doc_id FROM blobs) b
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS rr)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cc)
+       |), bits AS (
+       |  SELECT g.doc_id, (g.rr*8 + g.cc) AS k,
+       |         CASE WHEN COALESCE(l.s, 0) * COALESCE(r.c, 0)
+       |                 > COALESCE(r.s, 0) * COALESCE(l.c, 0) THEN 1 ELSE 0 END AS bit
+       |  FROM grid g
+       |  LEFT JOIN cells l ON l.doc_id = g.doc_id AND l.cell = g.rr*9 + g.cc
+       |  LEFT JOIN cells r ON r.doc_id = g.doc_id AND r.cell = g.rr*9 + g.cc + 1
+       |), ph AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY 1
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------- IVF-PQ ANN
   /** [[Similarity.ivfPqTopK]] — IVFADC (Jégou et al. TPAMI 2011) over
     * the label cells: product-quantized residuals (M=8 subspaces ×
@@ -1623,6 +1695,7 @@ object LlmQueries {
     "llm_ivf_topk"     -> ivfTopK,
     "llm_ivf_multiprobe" -> ivfMultiProbe,
     "llm_ivf_pq"       -> ivfPq,
+    "llm_image_neardup" -> imageNearDup,
     "llm_langid"       -> langId,
     "llm_quality"      -> quality,
     "llm_tokens"       -> tokens,
@@ -1659,6 +1732,7 @@ object LlmQueries {
     "llm_ivf_topk"     -> ivfTopKSql,
     "llm_ivf_multiprobe" -> ivfMultiProbeSql,
     "llm_ivf_pq"       -> ivfPqSql,
+    "llm_image_neardup" -> imageNearDupSql,
     "llm_langid"       -> langIdSql,
     "llm_quality"      -> qualitySql,
     "llm_tokens"       -> tokensSql,

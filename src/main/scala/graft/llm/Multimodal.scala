@@ -136,6 +136,83 @@ object Multimodal {
     StructField("ok", BooleanType, nullable = false),
     StructField("error", StringType, nullable = false)))
 
+  /** Perceptual dHash of a blob (the public "difference hash" of the
+    * aHash/dHash/pHash family — Krawetz's widely-documented variant):
+    * a 9×8 grayscale thumbnail, one bit per adjacent-cell comparison
+    * (bit r·8+c set when cell (r,c) is brighter than cell (r,c+1)),
+    * robust to re-encodes because only the coarse brightness GRADIENT
+    * survives into the hash. The decode+resize step is this module's
+    * stubbed codec slot: the thumbnail here derives from the RAW
+    * payload bytes — cell i sums the bytes p with (p·72)/n = i — so a
+    * small byte perturbation moves only its own cells (near-dup-
+    * preserving) and the whole computation is integer-exact and
+    * SQL-reproducible for the oracle. A real deployment swaps the
+    * byte sampler for decoded-pixel means; everything downstream
+    * (bit layout, Hamming pairing via [[Dedup.simHashPairs]]) is
+    * codec-independent.
+    *
+    * Brightness comparison is cross-multiplied (sumₗ·cntᵣ > sumᵣ·cntₗ)
+    * — no float division anywhere; exact for blobs < 2²⁷ bytes
+    * (255·n² must stay inside a signed 64-bit), larger blobs take the
+    * error path. The 64 bits return as two 32-bit halves so neither
+    * engine ever manufactures a sign bit.
+    */
+  private[llm] def dHash(bytes: Array[Byte]): (Long, Long) = {
+    if (bytes == null) throw new IllegalArgumentException("missing blob")
+    val n = bytes.length
+    if (n >= (1 << 27)) throw new IllegalArgumentException(s"blob too large for exact dHash: $n bytes")
+    val sums = new Array[Long](72); val cnts = new Array[Long](72)
+    var p = 0
+    while (p < n) {
+      val cell = ((p.toLong * 72L) / n).toInt
+      sums(cell) += (bytes(p) & 0xff); cnts(cell) += 1
+      p += 1
+    }
+    var hi = 0L; var lo = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val l = r * 9 + c; val rt = l + 1
+        val k = r * 8 + c
+        if (sums(l) * cnts(rt) > sums(rt) * cnts(l)) {
+          if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
+  }
+
+  /** [[dHash]] over a binary column, batched per partition like
+    * [[extractFeatures]]: returns idCols + (ph_hi, ph_lo, ok, error).
+    * Feed `(ph_hi << 32) | ph_lo` to [[Dedup.simHashPairs]] for
+    * Hamming-radius near-duplicate pairs — image dedup reuses the
+    * SimHash pigeonhole machinery unchanged.
+    */
+  def perceptualHash(df: DataFrame, binCol: String, idCols: Seq[String]): DataFrame = {
+    val in = df.select((idCols :+ binCol).map(col): _*)
+    val outSchema = StructType(idCols.map(in.schema(_)) ++ Seq(
+      StructField("ph_hi", LongType, nullable = false),
+      StructField("ph_lo", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("error", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binCol)
+        try {
+          val (hi, lo) = dHash(bytes)
+          Row.fromSeq(idCols.map(r.getAs[Any]) ++ Seq(hi, lo, true, ""))
+        } catch { case e: Exception =>
+          Row.fromSeq(idCols.map(r.getAs[Any]) ++
+            Seq(0L, 0L, false, String.valueOf(e.getMessage)))
+        }
+      }
+    }(enc)
+  }
+
   /** Decode a binary column into feature columns, batched per
     * partition. Keeps `idCols` pass-through; appends featureSchema.
     */
