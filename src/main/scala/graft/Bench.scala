@@ -57,12 +57,21 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.map(n => n -> median(samples(n)))
+    // The per-query session floor — plan + job scheduling through the
+    // same noop sink on a trivial input — measured with the same
+    // median-of-rounds discipline. BENCH_COMPARE nets it out so
+    // sub-second queries' plan ratios aren't drowned by fixed cost.
+    val floor = median((1 to rounds).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(32).repartition(2).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.toList)
     // Locale.ROOT: %.3f under a comma-decimal default locale would
     // emit malformed JSON.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds}""")
     spark.stop()
   }
 }

@@ -591,7 +591,12 @@ object LlmQueries {
     * block-bucket-local, never all-pairs).
     */
   private def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    // NULL text must be excluded in BOTH engines: Spark's decoder
+    // error path drops it (ok=false) while the oracle's grid CTE
+    // would otherwise hand it the all-zero hash and pair it with
+    // every empty doc — a latent divergence on future fixtures
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
     val pert = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
         concat(substring(col("text"), 1, 5), lit("ZZZ"),
@@ -608,10 +613,10 @@ object LlmQueries {
 
   private val imageNearDupSql: String =
     s"""WITH base AS (
-       |  SELECT doc_id, text FROM documents
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
        |  UNION ALL
        |  SELECT doc_id + 100000, substr(text, 1, 5) || 'ZZZ' || substr(text, 9)
-       |  FROM documents WHERE doc_id % 10 = 0
+       |  FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
        |), blobs AS (
        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
        |         octet_length(encode(text)) AS n

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * that frame grouped by term. The vocabulary frame is UNBOUNDED
   * (hapax typos alone make it ~O(corpus) distinct terms at 100 TB),
   * so it is never broadcast-hinted: tf⋈df is a plain equi-join on
-  * `w` — both sides already hash-partition on `w` from their own
-  * aggregations, so the join is co-partitioned and adds no exchange,
+  * `w` — df arrives pre-partitioned on `w` from its own aggregation,
+  * tf re-exchanges on `w` (unavoidable for co-partitioning a join
+  * against an unbounded vocabulary; its own partitioning is (id, w)),
   * and AQE may still elect a runtime broadcast when df turns out
   * small. Only provably-bounded frames (the single-row N) carry a
   * hint. The top-k per doc is a bounded window over each doc's

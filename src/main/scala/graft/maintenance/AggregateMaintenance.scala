@@ -188,8 +188,16 @@ object AggregateMaintenance {
   def writePartitionedTx(df: DataFrame, table: graft.storage.TxTable,
                          timeCol: String = "bucket",
                          invalidate: Seq[graft.api.QueryCache] = Nil): Unit = {
-    val dated = df.withColumn("p_date", to_date(col(timeCol)))
-    if (table.version < 0) { table.append(dated); invalidate.foreach(_.invalidateAll()); return }
+    if (table.version < 0) {
+      table.append(df.withColumn("p_date", to_date(col(timeCol))))
+      invalidate.foreach(_.invalidateAll()); return
+    }
+    // `dated` is retry-invariant (it never depends on `existing`) but
+    // is consumed by BOTH staged halves below and re-consumed on every
+    // conflict retry — without the checkpoint a refresh rollup's full
+    // lineage recomputes 2+ times per attempt (checkpoint-after-
+    // aggregation rule; the refresh output is post-aggregation).
+    val dated = df.withColumn("p_date", to_date(col(timeCol))).localCheckpoint(false)
     val parts = table.touchedPartitions(dated)
     table.upsertRewritePartitions(parts) { existing =>
       // recompute-from-snapshot contract: the refreshed content for

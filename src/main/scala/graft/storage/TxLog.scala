@@ -346,6 +346,10 @@ class TxTable(val spark: SparkSession, val root: String,
       val existing = readSnapshot(Snapshot(v, snap.schema, current))
       val fresh = batch.join(existing.select(keys.map(col): _*), keys, "left_anti")
       val staged = stage(fresh)
+      // a fully-duplicate batch (the routine ON CONFLICT DO NOTHING
+      // re-delivery) must not publish an empty delta: every no-op
+      // version bump widens the vacuum/time-travel window for nothing
+      if (staged.isEmpty) return v
       try {
         return commitUpsert(v, parts, staged, fresh.schema)
       } catch {

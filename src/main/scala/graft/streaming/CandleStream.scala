@@ -102,7 +102,20 @@ object CandleStream {
       .select(keys.map(col) :+ window(col("ts"), "1 minute").as("bucket") :+
         col("ts_ms") :+ col("open") :+ col("high") :+ col("low") :+
         col("close") :+ col("volume"): _*)
+    // the repair side re-fetches periodically, so the same (key,
+    // bucket) can arrive more than once inside the horizon — exactly
+    // why batch [[reconcile]] runs CandleOps.dedup first. Without this
+    // dedup every duplicate repair row would re-emit each matched live
+    // message into the append-only output (nothing retracts).
+    // First-repair-wins within the watermark, state evicted with it.
+    // the dedup key is a PLAIN minute number, not the window() column:
+    // deriving the window before the dedup would leave two event-time
+    // columns (ts + bucket) in one stream, which the join rejects; the
+    // windowed bucket is derived after, and `ts` dropped, so exactly
+    // one event-time column reaches the join
     val r = withTs(repairs).withWatermark("ts", delay)
+      .withColumn("bucket_min", (col("ts_ms") - pmod(col("ts_ms"), lit(60000L))) / 60000L)
+      .dropDuplicatesWithinWatermark((keys :+ "bucket_min").toArray)
       .select(keys.map(col) :+ window(col("ts"), "1 minute").as("bucket") :+
         struct(col("open").as("open"), col("high").as("high"),
           col("low").as("low"), col("close").as("close"),

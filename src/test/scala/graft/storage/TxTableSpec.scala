@@ -80,6 +80,12 @@ class TxTableSpec extends SparkSpec {
     // the upsert rewrote NOTHING: v0's files are still live (O(batch) upsert)
     assert(t.snapshot(0).files.toSet.subsetOf(t.snapshot(1).files.toSet))
 
+    // a fully-duplicate re-delivery is a no-op: no version bump, no
+    // empty delta in the log
+    val vBefore = t.version
+    t.insertIgnore(batch, Seq("id"))
+    assert(t.version === vBefore, "all-dup insertIgnore must not commit")
+
     // upsertRewritePartitions: reshape ids 0..7, introduce 100..102
     val freshRows = rows(100 until 103, "2021-01-01")
     t.upsertRewritePartitions(Set("2021-01-01")) { cur =>

@@ -53,6 +53,23 @@ class StreamRepairJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("duplicate repair rows for one bucket emit each live message once, not once per repair") {
+    implicit val sc = spark.sqlContext
+    val live = MemoryStream[WsCandle]
+    val rep = MemoryStream[WsCandle]
+    val q = CandleStream.repairJoin(live.toDF(), rep.toDF(), delay = "2 minutes")
+      .writeStream.format("memory").queryName("dedup_rep").outputMode("append").start()
+    try {
+      live.addData(ws(0, 100.0, 1.0))
+      // the REST repair path re-fetches: same bucket repaired twice
+      rep.addData(ws(1000, 111.0, 9.0), ws(2000, 222.0, 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_rep").collect()
+      assert(rows.length === 1, s"append-only output double-counted: ${rows.toSeq}")
+      assert(rows.head.getAs[Double]("close") === 111.0, "first repair wins")
+    } finally q.stop()
+  }
+
   test("join state is watermark-bounded: old buckets evict as time advances") {
     implicit val sc = spark.sqlContext
     val live = MemoryStream[WsCandle]
