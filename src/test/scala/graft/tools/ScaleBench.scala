@@ -47,7 +47,12 @@ object ScaleBench {
     // are multiples of 50, so each replica contributes its own intact
     // chains) and the bigram-LM train+score double pass (per-replica
     // Caesar rotation grows the model alphabet, as new data would)
-    "llm_components_chain", "llm_lm_score")
+    "llm_components_chain", "llm_lm_score",
+    // r8 additions: IVF-PQ (grouped Lloyd fit + ADC over 10x vectors)
+    // and perceptual-hash image dedup (dHash + pigeonhole blocks;
+    // rotated replica text hashes differently, so cross-replica
+    // Hamming collisions stay rare like genuinely new images)
+    "llm_ivf_pq", "llm_image_neardup")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
