@@ -1151,6 +1151,31 @@ object LlmQueries {
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------ stratified hash-sample
+  /** Per-domain quota cap ([[Sampling.capPerGroup]]) — the C4/
+    * RefinedWeb "≤ k documents per domain" step, k=10 per `source`
+    * with priority md5(doc_id): survivors are a reproducible uniform
+    * draw per domain, not an ingestion-order artifact. Catalyst's
+    * rank-limit pushdown gives the plan a map-side Partial
+    * WindowGroupLimit below the exchange (PlanShapeSpec), so a
+    * mega-domain's reducer receives k·partitions pre-trimmed rows,
+    * never the domain's cardinality.
+    */
+  private def domainCap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    Sampling.capPerGroup(docs, col("source"),
+        md5(col("doc_id").cast("string")), col("doc_id"), k = 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val domainCapSql: String =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin
+
   /** Deterministic stratified sampling ([[Sampling.hashSample]]):
     * downsample en to 0.5 and de/es/fr to 0.75, keep zh whole — the
     * corpus-mixing move every training run makes. The output pins the
@@ -1712,6 +1737,7 @@ object LlmQueries {
     "llm_line_scrub"   -> lineScrub,
     "llm_profile"      -> profile,
     "llm_hash_sample"  -> hashSample,
+    "llm_domain_cap"   -> domainCap,
     "llm_chunk"        -> chunk,
     "llm_decontaminate" -> decontaminate,
   )
@@ -1749,6 +1775,7 @@ object LlmQueries {
     "llm_line_scrub"   -> lineScrubSql,
     "llm_profile"      -> profileSql,
     "llm_hash_sample"  -> hashSampleSql,
+    "llm_domain_cap"   -> domainCapSql,
     "llm_chunk"        -> chunkSql,
     "llm_decontaminate" -> decontaminateSql,
   )

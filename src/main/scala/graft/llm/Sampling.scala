@@ -46,4 +46,33 @@ object Sampling {
     df.filter(
       substring(md5(concat_ws("|", lit(salt), stratum, id)), 1, 8) < threshold)
   }
+
+  /** Per-group quota cap — the C4/RefinedWeb "at most k documents per
+    * domain" step: keep each group's k best rows by `(priority,
+    * tiebreak)` ascending. Priority should itself be a deterministic
+    * hash (e.g. `md5(id)`) so the survivors are a reproducible uniform
+    * draw rather than an ingestion-order artifact.
+    *
+    * Scale shape: written as the PLAIN single window + `rn <= k`
+    * filter on purpose — Catalyst's rank-limit pushdown (SPARK-37099,
+    * `WindowGroupLimit`) inserts a map-side Partial limit BELOW the
+    * exchange, so every input partition pre-trims to k rows per
+    * group and a mega-domain's reducer receives at most k·partitions
+    * rows, never the domain's raw cardinality. A hand-salted
+    * two-stage window (measured while writing this) plans as two
+    * full exchanges and defeats the built-in pushdown — the optimizer
+    * already runs the salted plan's bound with one shuffle.
+    * PlanShapeSpec pins the Partial WindowGroupLimit below the
+    * exchange so a regression (or a window-function change that
+    * breaks pushdown eligibility) fails loudly.
+    */
+  def capPerGroup(df: DataFrame, group: Column, priority: Column,
+                  tiebreak: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0)
+    val w = Window.partitionBy(group).orderBy(priority, tiebreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

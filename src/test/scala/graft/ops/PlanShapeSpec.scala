@@ -71,6 +71,25 @@ class PlanShapeSpec extends SparkSpec {
       s"countDistinct plan resurfaced:\n$p")
   }
 
+  test("capPerGroup: map-side WindowGroupLimit trims the hot group below the exchange") {
+    val df = (1L to 300L).map(i => (i, if (i <= 280) "hot" else s"g${i % 5}"))
+      .toDF("id", "grp")
+    val out = graft.llm.Sampling.capPerGroup(df, col("grp"),
+      md5(col("id").cast("string")), col("id"), k = 7)
+    assert(out.select("id").collect().length === 7 + 4 * 5) // hot capped; tiny groups whole
+    // rank-limit pushdown (SPARK-37099) must keep a Partial
+    // WindowGroupLimit BELOW the exchange: each input partition
+    // pre-trims to k rows per group, so a mega-domain's reducer sees
+    // k·partitions rows, never the domain's cardinality
+    val p = plan(out)
+    val lines = p.linesIterator.toSeq
+    val firstWgl = lines.indexWhere(_.contains("WindowGroupLimit"))
+    val exch = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val lastWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(firstWgl >= 0 && exch > firstWgl && lastWgl > exch,
+      s"no Partial WindowGroupLimit below the exchange:\n$p")
+  }
+
   test("saltedSum: two aggregation stages, hot key spread across the first") {
     val df = (1L to 200L).map(i => (i % 2, i)).toDF("k", "v")
     val out = Analytics.saltedSum(df, Seq(col("k")), col("v"), 8)
