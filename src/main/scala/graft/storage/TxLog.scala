@@ -254,29 +254,55 @@ class TxTable(val spark: SparkSession, val root: String,
     * (fetchers/config/queries.py:6-18) at partition granularity.
     */
   def rewritePartitions(parts: Set[String], maxAttempts: Int = 20)
-                       (compute: DataFrame => DataFrame): Long = {
+                       (compute: DataFrame => DataFrame): Long =
+    withConflictRetry(maxAttempts) { () =>
+      val (v, curDf) = readPartitions(parts, "rewritePartitions")
+      val result = compute(curDf)
+      val staged = stageInto(parts, result, s"rewritePartitions($parts)")
+      commitRewrite(v, parts, staged, result.schema)
+    }
+
+  /** The shared optimistic-retry scaffold of every partition-scoped
+    * writer: run `body` (snapshot-read → compute → stage → commit);
+    * on [[TxConflictException]] re-run it against the new snapshot,
+    * up to `maxAttempts`. A loser's staged files are simply never
+    * referenced — vacuum's age horizon reclaims them.
+    */
+  private def withConflictRetry(maxAttempts: Int)(body: () => Long): Long = {
     var attempt = 0
     while (true) {
       attempt += 1
-      val v = version
-      val snap = if (v < 0) Snapshot(-1, null, Seq.empty) else snapshot(v)
-      val current = snap.files.filter(f => parts.contains(f.partition))
-      val curDf =
-        if (current.isEmpty && snap.schema == null)
-          throw new IllegalStateException(s"rewritePartitions on uncommitted table $root")
-        else readSnapshot(Snapshot(v, snap.schema, current))
-      val result = compute(curDf)
-      val staged = stage(result)
-      val bad = staged.filterNot(f => parts.contains(f.partition))
-      require(bad.isEmpty,
-        s"rewritePartitions($parts) produced rows outside those partitions: ${bad.map(_.partition).distinct}")
-      try {
-        return commitRewrite(v, parts, staged, result.schema)
-      } catch {
+      try return body()
+      catch {
         case _: TxConflictException if attempt < maxAttempts => // recompute from fresh snapshot
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Current (version, content of `parts`) — the snapshot read every
+    * partition-scoped writer starts from. Throws on an uncommitted
+    * table (there is no schema to read the partitions as).
+    */
+  private def readPartitions(parts: Set[String], op: String): (Long, DataFrame) = {
+    val v = version
+    val snap = if (v < 0) Snapshot(-1, null, Seq.empty) else snapshot(v)
+    val current = snap.files.filter(f => parts.contains(f.partition))
+    if (current.isEmpty && snap.schema == null)
+      throw new IllegalStateException(s"$op on uncommitted table $root")
+    (v, readSnapshot(Snapshot(v, snap.schema, current)))
+  }
+
+  /** [[stage]] + the partition-containment guard every partition-
+    * scoped commit requires: staged files outside `parts` would
+    * bypass the conflict check other writers rely on.
+    */
+  private def stageInto(parts: Set[String], df: DataFrame, op: String): Seq[TxFile] = {
+    val staged = stage(df)
+    val bad = staged.filterNot(f => parts.contains(f.partition))
+    require(bad.isEmpty,
+      s"$op produced rows outside those partitions: ${bad.map(_.partition).distinct}")
+    staged
   }
 
   /** Throw [[TxConflictException]] if any commit in (readVersion, v]
@@ -335,28 +361,16 @@ class TxTable(val spark: SparkSession, val root: String,
                    maxAttempts: Int = 20): Long = {
     import org.apache.spark.sql.functions.col
     val parts = touchedPartitions(batch)
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val v = version
-      if (v < 0)
-        throw new IllegalStateException(s"insertIgnore on uncommitted table $root")
-      val snap = snapshot(v)
-      val current = snap.files.filter(f => parts.contains(f.partition))
-      val existing = readSnapshot(Snapshot(v, snap.schema, current))
+    withConflictRetry(maxAttempts) { () =>
+      val (v, existing) = readPartitions(parts, "insertIgnore")
       val fresh = batch.join(existing.select(keys.map(col): _*), keys, "left_anti")
-      val staged = stage(fresh)
+      val staged = stageInto(parts, fresh, "insertIgnore")
       // a fully-duplicate batch (the routine ON CONFLICT DO NOTHING
       // re-delivery) must not publish an empty delta: every no-op
       // version bump widens the vacuum/time-travel window for nothing
-      if (staged.isEmpty) return v
-      try {
-        return commitUpsert(v, parts, staged, fresh.schema)
-      } catch {
-        case _: TxConflictException if attempt < maxAttempts => // re-anti-join vs new snapshot
-      }
+      if (staged.isEmpty) v
+      else commitUpsert(v, parts, staged, fresh.schema)
     }
-    sys.error("unreachable")
   }
 
   /** [[rewritePartitions]] with the upsert split the change feed
@@ -368,31 +382,14 @@ class TxTable(val spark: SparkSession, val root: String,
     * recomputed existing keys with newly-appeared keys.
     */
   def upsertRewritePartitions(parts: Set[String], maxAttempts: Int = 20)
-                             (compute: DataFrame => (DataFrame, DataFrame)): Long = {
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val v = version
-      val snap = if (v < 0) Snapshot(-1, null, Seq.empty) else snapshot(v)
-      val current = snap.files.filter(f => parts.contains(f.partition))
-      val curDf =
-        if (current.isEmpty && snap.schema == null)
-          throw new IllegalStateException(s"upsertRewritePartitions on uncommitted table $root")
-        else readSnapshot(Snapshot(v, snap.schema, current))
+                             (compute: DataFrame => (DataFrame, DataFrame)): Long =
+    withConflictRetry(maxAttempts) { () =>
+      val (v, curDf) = readPartitions(parts, "upsertRewritePartitions")
       val (reshaped, fresh) = compute(curDf)
-      val stagedOld = stage(reshaped)
-      val stagedNew = stage(fresh)
-      val bad = (stagedOld ++ stagedNew).filterNot(f => parts.contains(f.partition))
-      require(bad.isEmpty,
-        s"upsertRewritePartitions($parts) produced rows outside those partitions: ${bad.map(_.partition).distinct}")
-      try {
-        return commitRewrite(v, parts, stagedOld, reshaped.schema, freshAdds = stagedNew)
-      } catch {
-        case _: TxConflictException if attempt < maxAttempts => // recompute from fresh snapshot
-      }
+      val stagedOld = stageInto(parts, reshaped, s"upsertRewritePartitions($parts)")
+      val stagedNew = stageInto(parts, fresh, s"upsertRewritePartitions($parts)")
+      commitRewrite(v, parts, stagedOld, reshaped.schema, freshAdds = stagedNew)
     }
-    sys.error("unreachable")
-  }
 
   /** Partition values present in `df` (small distinct collect — the
     * set of dates a batch touches, not data).
