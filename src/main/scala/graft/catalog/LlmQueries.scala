@@ -163,6 +163,72 @@ object LlmQueries {
        |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------- leakage-safe split assign
+  /** Cluster-consistent train/validation split — the leakage guard a
+    * training pipeline needs BETWEEN splits: hashing each document
+    * independently puts one near-duplicate in train and its twin in
+    * validation, silently inflating eval. Here the split is decided
+    * by md5 of the near-dup CLUSTER label (minhash pairs →
+    * [[Dedup.components]], singletons = their own cluster), so an
+    * entire dup cluster lands on one side; the 90/10 threshold uses
+    * [[Sampling.rateThreshold]]'s exact hex form in both engines.
+    * Scale: one left join of the corpus against the (much smaller)
+    * clustered-id frame, then a map-side hash — nothing beyond the
+    * components cost itself.
+    */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"))
+    val universe = base.unionByName(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id")))
+    val comp = Dedup.components(minhashPairs(s, d), col("id_a"), col("id_b"), iters = 4)
+    val labeled = universe
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+    labeled.select(col("doc_id"), col("cluster"),
+        when(substring(md5(concat(lit("split|"), col("cluster").cast("string"))), 1, 8)
+            < lit(Sampling.rateThreshold(0.9d)), "train")
+          .otherwise("val").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val splitAssignSql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""sl$k AS (
+         |  SELECT l.id, least(l.label, coalesce(min(nl.label), l.label)) AS label
+         |  FROM sl${k - 1} l
+         |  LEFT JOIN ssym e ON e.src = l.id
+         |  LEFT JOIN sl${k - 1} nl ON nl.id = e.dst
+         |  GROUP BY l.id, l.label
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $mhPairsCtes, spairs AS (
+       |  SELECT i.id_a, i.id_b
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a
+       |  JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
+       |), ssym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM spairs
+       |  UNION
+       |  SELECT id_b, id_a FROM spairs
+       |), sl0 AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM ssym
+       |), $rounds, universe AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 FROM documents WHERE doc_id % 5 = 0
+       |), labeled AS (
+       |  SELECT u.doc_id, COALESCE(c.label, u.doc_id) AS cluster
+       |  FROM universe u LEFT JOIN sl4 c ON c.id = u.doc_id
+       |)
+       |SELECT doc_id, cluster,
+       |       CASE WHEN substr(md5('split|' || CAST(cluster AS VARCHAR)), 1, 8)
+       |                 < '${Sampling.rateThreshold(0.9d)}'
+       |            THEN 'train' ELSE 'val' END AS split
+       |FROM labeled ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- SimHash
   private def simhash(s: SparkSession, d: String): DataFrame = {
     val bag = Tables.fanOut(Tables.documents(s, d))
@@ -1738,6 +1804,7 @@ object LlmQueries {
     "llm_profile"      -> profile,
     "llm_hash_sample"  -> hashSample,
     "llm_domain_cap"   -> domainCap,
+    "llm_split_assign" -> splitAssign,
     "llm_chunk"        -> chunk,
     "llm_decontaminate" -> decontaminate,
   )
@@ -1776,6 +1843,7 @@ object LlmQueries {
     "llm_profile"      -> profileSql,
     "llm_hash_sample"  -> hashSampleSql,
     "llm_domain_cap"   -> domainCapSql,
+    "llm_split_assign" -> splitAssignSql,
     "llm_chunk"        -> chunkSql,
     "llm_decontaminate" -> decontaminateSql,
   )
