@@ -720,6 +720,75 @@ object LlmQueries {
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
        |ORDER BY id_a, id_b""".stripMargin
 
+  // -------------------------------------- audio-fingerprint near-dup
+  /** [[Multimodal.audioHash]] (energy-delta fingerprint over the
+    * stubbed sample slot) feeding the same pigeonhole Hamming
+    * machinery as the image path — audio dedup as a pipeline op.
+    * Constructed near-dups: docs with doc_id % 10 == 3 get a copy
+    * (id + 200000) with 3 characters overwritten at offset 50; the
+    * perturbation moves only the frames covering it. Oracle: exact
+    * Σv² frame energies from hex(blob) bytes, sign-of-difference
+    * bits, all-pairs Hamming ≤ 4 as ground truth.
+    */
+  private def audioNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+    val pert = base.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(substring(col("text"), 1, 50), lit("QQQ"),
+          expr("substring(text, 54)")).as("text"))
+    val blobs = base.unionByName(pert)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val fp = Multimodal.audioHash(blobs, "blob", Seq("doc_id"))
+      .filter(col("ok")).select(col("doc_id"),
+        shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo")).as("fp"))
+    Dedup.simHashPairs(fp, col("doc_id"), col("fp"), 64, 4)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val audioNearDupSql: String =
+    s"""WITH abase AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + 200000, substr(text, 1, 50) || 'QQQ' || substr(text, 54)
+       |  FROM documents WHERE doc_id % 10 = 3 AND text IS NOT NULL
+       |), ablobs AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM abase
+       |), abytes AS (
+       |  SELECT doc_id, n, unnest(range(0, n)) AS p, hx FROM ablobs
+       |), avals AS (
+       |  SELECT doc_id, (p * 65) // n AS frame,
+       |         (instr('0123456789abcdef', substr(hx, CAST(2*p+1 AS INTEGER), 1)) - 1) * 16
+       |          + instr('0123456789abcdef', substr(hx, CAST(2*p+2 AS INTEGER), 1)) - 1 AS v
+       |  FROM abytes
+       |), aenergy AS (
+       |  SELECT doc_id, frame, SUM(CAST(v AS BIGINT) * v) AS e
+       |  FROM avals GROUP BY 1, 2
+       |), agrid AS (
+       |  SELECT b.doc_id, k
+       |  FROM (SELECT DISTINCT doc_id FROM ablobs) b
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k)
+       |), abits AS (
+       |  SELECT g.doc_id, g.k,
+       |         CASE WHEN COALESCE(l.e, 0) > COALESCE(r.e, 0) THEN 1 ELSE 0 END AS bit
+       |  FROM agrid g
+       |  LEFT JOIN aenergy l ON l.doc_id = g.doc_id AND l.frame = g.k
+       |  LEFT JOIN aenergy r ON r.doc_id = g.doc_id AND r.frame = g.k + 1
+       |), afp AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM abits GROUP BY 1
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+       |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------- IVF-PQ ANN
   /** [[Similarity.ivfPqTopK]] — IVFADC (Jégou et al. TPAMI 2011) over
     * the label cells: product-quantized residuals (M=8 subspaces ×
@@ -1792,6 +1861,7 @@ object LlmQueries {
     "llm_ivf_multiprobe" -> ivfMultiProbe,
     "llm_ivf_pq"       -> ivfPq,
     "llm_image_neardup" -> imageNearDup,
+    "llm_audio_neardup" -> audioNearDup,
     "llm_langid"       -> langId,
     "llm_quality"      -> quality,
     "llm_tokens"       -> tokens,
@@ -1831,6 +1901,7 @@ object LlmQueries {
     "llm_ivf_multiprobe" -> ivfMultiProbeSql,
     "llm_ivf_pq"       -> ivfPqSql,
     "llm_image_neardup" -> imageNearDupSql,
+    "llm_audio_neardup" -> audioNearDupSql,
     "llm_langid"       -> langIdSql,
     "llm_quality"      -> qualitySql,
     "llm_tokens"       -> tokensSql,

@@ -185,6 +185,72 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** Audio fingerprint over the stubbed decode slot — the 1-D analog
+    * of [[dHash]] (the energy-delta family behind public audio
+    * fingerprinting à la Haitsma/Kalker's robust hash: fingerprint
+    * bits are SIGNS of energy differences between adjacent frames,
+    * which survive re-encoding because absolute levels cancel).
+    * The decode step is stubbed exactly like [[dHash]]'s thumbnail:
+    * "samples" are the raw payload bytes, framed into 65 windows by
+    * the same (p·frames)/n partition; frame energy is the exact
+    * integer Σv² and bit k compares energy(k) > energy(k+1) — 64
+    * bits, two sign-safe halves, [[Dedup.simHashPairs]]-ready. A real
+    * deployment swaps byte energies for decoded-PCM frame energies;
+    * everything downstream is codec-independent. Exact for blobs
+    * < 2²⁶ bytes (255²·n stays inside int64 per frame; the guard
+    * mirrors dHash's).
+    */
+  private[llm] def audioFingerprint(bytes: Array[Byte]): (Long, Long) = {
+    if (bytes == null) throw new IllegalArgumentException("missing blob")
+    val n = bytes.length
+    if (n >= (1 << 26)) throw new IllegalArgumentException(s"blob too large for exact fingerprint: $n bytes")
+    val frames = 65
+    val energy = new Array[Long](frames)
+    var p = 0
+    while (p < n) {
+      val f = ((p.toLong * frames.toLong) / n).toInt
+      val v = (bytes(p) & 0xff).toLong
+      energy(f) += v * v
+      p += 1
+    }
+    var hi = 0L; var lo = 0L
+    var k = 0
+    while (k < 64) {
+      if (energy(k) > energy(k + 1)) {
+        if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** [[audioFingerprint]] over a binary column, batched per partition;
+    * returns idCols + (fp_hi, fp_lo, ok, error) — feed
+    * `(fp_hi << 32) | fp_lo` to [[Dedup.simHashPairs]] like the image
+    * path.
+    */
+  def audioHash(df: DataFrame, binCol: String, idCols: Seq[String]): DataFrame = {
+    val in = df.select((idCols :+ binCol).map(col): _*)
+    val outSchema = StructType(idCols.map(in.schema(_)) ++ Seq(
+      StructField("fp_hi", LongType, nullable = false),
+      StructField("fp_lo", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("error", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binCol)
+        try {
+          val (hi, lo) = audioFingerprint(bytes)
+          Row.fromSeq(idCols.map(r.getAs[Any]) ++ Seq(hi, lo, true, ""))
+        } catch { case e: Exception =>
+          Row.fromSeq(idCols.map(r.getAs[Any]) ++
+            Seq(0L, 0L, false, String.valueOf(e.getMessage)))
+        }
+      }
+    }(enc)
+  }
+
   /** [[dHash]] over a binary column, batched per partition like
     * [[extractFeatures]]: returns idCols + (ph_hi, ph_lo, ok, error).
     * Feed `(ph_hi << 32) | ph_lo` to [[Dedup.simHashPairs]] for

@@ -31,6 +31,18 @@ class ImageDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.dHash(null) }
   }
 
+  test("audioFingerprint: deterministic, local under perturbation, far for unrelated") {
+    def fp(b: Array[Byte]) = Multimodal.audioFingerprint(b)
+    val base = blob(7)
+    assert(fp(base) === fp(base.clone()))
+    val pert = base.clone(); (100 until 103).foreach(i => pert(i) = 1)
+    assert(hamming(fp(base), fp(pert)) <= 4,
+      "3-byte perturbation must move only its own frames")
+    assert(hamming(fp(base), fp(blob(77))) > 8)
+    assert(fp(Array.emptyByteArray) === ((0L, 0L)))
+    intercept[IllegalArgumentException] { Multimodal.audioFingerprint(null) }
+  }
+
   test("perceptualHash isolates per-row failures; pipeline finds constructed near-dups") {
     val rows = Seq(
       (1L, blob(1)), (2L, { val p = blob(1).clone(); p(100) = 0; p }), // near-dup pair
