@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, NgramLm, Sampling, Similarity, TextOps, TfIdf}
+import graft.llm.{Dedup, Multimodal, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -719,6 +719,44 @@ object LlmQueries {
        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------ sequence packing
+  /** [[Packing.packSequences]] — documents' whitespace tokens laid
+    * end-to-end in doc_id order and cut into 512-token training
+    * sequences (docs split across boundaries, zero padding waste;
+    * the public GPT/Megatron data layout). The Spark plan computes
+    * the global token offset as a two-level parallel prefix sum
+    * (deterministic id-range shards; the only global window runs
+    * over one row per shard), so the answer is shard-count-invariant
+    * — which is exactly what the single-window DuckDB oracle proves.
+    */
+  private def packSeqs(s: SparkSession, d: String): DataFrame =
+    Packing.packSequences(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        col("doc_id"), size(TextOps.words(col("text"))), seqLen = 512L)
+      .orderBy(col("doc_id"), col("seq_id"))
+
+  private val packSeqsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents WHERE text IS NOT NULL
+       |), pos AS (
+       |  SELECT doc_id, n_tok,
+       |         SUM(n_tok) OVER (ORDER BY doc_id) AS cum
+       |  FROM toks WHERE n_tok > 0
+       |), spans AS (
+       |  SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS strt,
+       |         CAST(cum AS BIGINT) AS en
+       |  FROM pos
+       |), seqs AS (
+       |  SELECT doc_id, strt, en,
+       |         unnest(generate_series(strt // 512, (en - 1) // 512)) AS seq_id
+       |  FROM spans
+       |)
+       |SELECT doc_id, seq_id,
+       |       greatest(strt, seq_id * 512) - strt AS doc_off,
+       |       least(en, (seq_id + 1) * 512) - greatest(strt, seq_id * 512) AS n_tok_in_seq
+       |FROM seqs ORDER BY doc_id, seq_id""".stripMargin
 
   // -------------------------------------- audio-fingerprint near-dup
   /** [[Multimodal.audioHash]] (energy-delta fingerprint over the
@@ -1875,6 +1913,7 @@ object LlmQueries {
     "llm_hash_sample"  -> hashSample,
     "llm_domain_cap"   -> domainCap,
     "llm_split_assign" -> splitAssign,
+    "llm_pack_sequences" -> packSeqs,
     "llm_chunk"        -> chunk,
     "llm_decontaminate" -> decontaminate,
   )
@@ -1915,6 +1954,7 @@ object LlmQueries {
     "llm_hash_sample"  -> hashSampleSql,
     "llm_domain_cap"   -> domainCapSql,
     "llm_split_assign" -> splitAssignSql,
+    "llm_pack_sequences" -> packSeqsSql,
     "llm_chunk"        -> chunkSql,
     "llm_decontaminate" -> decontaminateSql,
   )
