@@ -79,10 +79,16 @@ object PqIndex {
     val cb = spark.read.parquet(s"$dir/codebook").collect()
       .map(r => (r.getAs[Number]("m").intValue(), r.getAs[Number]("code").intValue(),
         r.getSeq[Double](r.fieldIndex("centroid"))))
-    // probed cells by centroid cosine, deterministic tiebreak on cell
+    // probed cells by centroid cosine; the tiebreak must order like
+    // the one-shot path's `col("cell").asc` — numeric for numeric
+    // cells (a bare toString would put "10" before "2")
+    def cellKey(c: Any): String = c match {
+      case n: Number => f"${n.longValue()}%020d"
+      case other     => String.valueOf(other)
+    }
     val probed = cents.map { case (c, cent) =>
       (c, dot(cent, q), dot(cent, q) / (math.sqrt(dot(cent, cent)) * nq))
-    }.sortBy { case (c, _, csim) => (-csim, c.toString) }.take(nprobe)
+    }.sortBy { case (c, _, csim) => (-csim, cellKey(c)) }.take(nprobe)
     val cellConst = probed.map { case (c, cip, _) => (c.toString, cip) }.toMap
     // ADC table as one literal array indexed m*ksub + code
     val tab = Array.ofDim[Double](params.mSub * params.ksub)
