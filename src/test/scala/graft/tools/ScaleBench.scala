@@ -52,7 +52,11 @@ object ScaleBench {
     // and perceptual-hash image dedup (dHash + pigeonhole blocks;
     // rotated replica text hashes differently, so cross-replica
     // Hamming collisions stay rare like genuinely new images)
-    "llm_ivf_pq", "llm_image_neardup")
+    "llm_ivf_pq", "llm_image_neardup",
+    // r8 late additions: split assignment (components + hash over the
+    // near-dup graph — the heaviest new query) and sequence packing
+    // (two-level prefix sum; replicas append disjoint id ranges)
+    "llm_split_assign", "llm_pack_sequences")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
