@@ -134,34 +134,42 @@ object LlmQueries {
       .orderBy(col("canon_id"))
   }
 
-  private val dedupClustersSql: String = {
-    // the same 4 propagation rounds, unrolled: l{k} = one round of
-    // label := min(label, neighbours' labels) over l{k-1}
-    val rounds = (1 to 4).map { k =>
-      s"""l$k AS (
+  /** Unrolled min-label connected components over the MinHash pair
+    * graph (thresholded pairs → symmetrized edges → `rounds`
+    * propagation rounds of label := min(label, neighbours' labels)).
+    * CTE names get `prefix` so two consumers can coexist in one
+    * statement (`llm_dedup_clusters` uses "", `llm_split_assign`
+    * "s"); the last CTE is `<prefix>l<rounds>` (id, label).
+    */
+  private def componentCtes(prefix: String, rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""${prefix}l$k AS (
          |  SELECT l.id, least(l.label, coalesce(min(nl.label), l.label)) AS label
-         |  FROM l${k - 1} l
-         |  LEFT JOIN sym e ON e.src = l.id
-         |  LEFT JOIN l${k - 1} nl ON nl.id = e.dst
+         |  FROM ${prefix}l${k - 1} l
+         |  LEFT JOIN ${prefix}sym e ON e.src = l.id
+         |  LEFT JOIN ${prefix}l${k - 1} nl ON nl.id = e.dst
          |  GROUP BY l.id, l.label
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $mhPairsCtes, pairs AS (
+    s"""${prefix}pairs AS (
        |  SELECT i.id_a, i.id_b
        |  FROM inter i
        |  JOIN sizes sa ON sa.id = i.id_a
        |  JOIN sizes sb ON sb.id = i.id_b
        |  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
-       |), sym AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |), ${prefix}sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM ${prefix}pairs
        |  UNION
-       |  SELECT id_b, id_a FROM pairs
-       |), l0 AS (
-       |  SELECT DISTINCT src AS id, src AS label FROM sym
-       |), $rounds
+       |  SELECT id_b, id_a FROM ${prefix}pairs
+       |), ${prefix}l0 AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM ${prefix}sym
+       |), $rs""".stripMargin
+  }
+
+  private val dedupClustersSql: String =
+    s"""WITH $mhPairsCtes, ${componentCtes("", 4)}
        |SELECT label AS canon_id, count(*) AS n_members, max(id) AS max_member
        |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   // --------------------------------------- leakage-safe split assign
   /** Cluster-consistent train/validation split — the leakage guard a
@@ -193,28 +201,7 @@ object LlmQueries {
   }
 
   private val splitAssignSql: String = {
-    val rounds = (1 to 4).map { k =>
-      s"""sl$k AS (
-         |  SELECT l.id, least(l.label, coalesce(min(nl.label), l.label)) AS label
-         |  FROM sl${k - 1} l
-         |  LEFT JOIN ssym e ON e.src = l.id
-         |  LEFT JOIN sl${k - 1} nl ON nl.id = e.dst
-         |  GROUP BY l.id, l.label
-         |)""".stripMargin
-    }.mkString(", ")
-    s"""WITH $mhPairsCtes, spairs AS (
-       |  SELECT i.id_a, i.id_b
-       |  FROM inter i
-       |  JOIN sizes sa ON sa.id = i.id_a
-       |  JOIN sizes sb ON sb.id = i.id_b
-       |  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
-       |), ssym AS (
-       |  SELECT id_a AS src, id_b AS dst FROM spairs
-       |  UNION
-       |  SELECT id_b, id_a FROM spairs
-       |), sl0 AS (
-       |  SELECT DISTINCT src AS id, src AS label FROM ssym
-       |), $rounds, universe AS (
+    s"""WITH $mhPairsCtes, ${componentCtes("s", 4)}, universe AS (
        |  SELECT doc_id FROM documents
        |  UNION ALL
        |  SELECT doc_id + 100000 FROM documents WHERE doc_id % 5 = 0

@@ -36,12 +36,16 @@ object Packing {
     val base = docs.select(id.cast("long").as("doc_id"), tokens.cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
     // deterministic id-range sharding: one tiny driver scalar, then
-    // pure arithmetic — never RangePartitioner's sampled bounds
-    val maxId = base.agg(max(col("doc_id"))).head() match {
-      case r if r.isNullAt(0) => return base.select(col("doc_id"),
+    // pure arithmetic — never RangePartitioner's sampled bounds.
+    // Non-negative ids are part of the contract: a negative id would
+    // flip the shard/doc_id monotonicity the prefix sum relies on.
+    val bounds = base.agg(max(col("doc_id")), min(col("doc_id"))).head()
+    if (bounds.isNullAt(0))
+      return base.select(col("doc_id"),
         lit(0L).as("seq_id"), lit(0L).as("doc_off"), lit(0L).as("n_tok_in_seq"))
-      case r => r.getLong(0)
-    }
+    require(bounds.getLong(1) >= 0,
+      s"packSequences requires non-negative doc ids (saw ${bounds.getLong(1)})")
+    val maxId = bounds.getLong(0)
     val width = maxId / shards + 1
     val sharded = base.withColumn("shard", expr(s"doc_id DIV $width"))
     val local = sharded.withColumn("cum",

@@ -52,19 +52,36 @@ object PqIndex {
       .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
       .select(col("id"), col("cell"),
         transform(col("mc"), x => x.getField("code").cast("int")).as("codes"))
+    // the partition column is the CANONICAL STRING of the cell, and
+    // topK reads it back with an explicit schema: Spark's partition-
+    // column type inference would otherwise rewrite values on the
+    // round-trip (cell "007" → directory cell=007 → read back as
+    // integer 7) and silently unmatch them from the cents frame
     codes.join(pts.select(col("id"), col("nv")), "id")
+      .withColumn("cell", col("cell").cast("string"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     cents.write.mode("overwrite").parquet(s"$dir/cents")
   }
 
+  private val codesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("nv", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.StringType)))
+
   /** Top-k by ADC + exact rerank against a stored index. `base` must
     * hold the original vectors as (idCol, vecCol); only the `rerank`
     * surviving ids are joined back to it (point lookups at scale).
+    * `picked_cell` in the output carries the index's canonical STRING
+    * form of the cell (what the partition directories are named).
     */
   def topK(spark: SparkSession, dir: String, base: DataFrame,
            id: Column, vec: Column, q: Seq[Double], k: Int, nprobe: Int,
            rerank: Int, params: Params = Params()): DataFrame = {
+    require(q.length == params.dim,
+      s"query vector has ${q.length} dims, index expects ${params.dim}")
     val dsub = params.dim / params.mSub
     // driver-side query prep: tiny frames, exact same arithmetic as
     // the one-shot path (ascending-index dot folds)
@@ -76,20 +93,23 @@ object PqIndex {
     val nq = math.sqrt(dot(q, q))
     val cents = spark.read.parquet(s"$dir/cents").collect()
       .map(r => (r.getAs[Any]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
+    require(cents.nonEmpty, s"empty or missing index at $dir/cents")
     val cb = spark.read.parquet(s"$dir/codebook").collect()
       .map(r => (r.getAs[Number]("m").intValue(), r.getAs[Number]("code").intValue(),
         r.getSeq[Double](r.fieldIndex("centroid"))))
-    // probed cells by centroid cosine; the tiebreak must order like
-    // the one-shot path's `col("cell").asc` — numeric for numeric
-    // cells (a bare toString would put "10" before "2")
-    def cellKey(c: Any): String = c match {
-      case n: Number => f"${n.longValue()}%020d"
-      case other     => String.valueOf(other)
-    }
-    val probed = cents.map { case (c, cent) =>
+    // probed cells by centroid cosine; the csim tiebreak must order
+    // like the one-shot path's `col("cell").asc`: NUMERICALLY for
+    // numeric cells (a string sort misorders both "10" vs "2" and
+    // every negative value), lexicographically otherwise
+    val scored = cents.map { case (c, cent) =>
       (c, dot(cent, q), dot(cent, q) / (math.sqrt(dot(cent, cent)) * nq))
-    }.sortBy { case (c, _, csim) => (-csim, cellKey(c)) }.take(nprobe)
-    val cellConst = probed.map { case (c, cip, _) => (c.toString, cip) }.toMap
+    }
+    val probed = (scored.head._1 match {
+      case _: Number =>
+        scored.sortBy { case (c, _, csim) => (-csim, c.asInstanceOf[Number].longValue()) }
+      case _ =>
+        scored.sortBy { case (c, _, csim) => (-csim, String.valueOf(c)) }
+    }).take(nprobe)
     // ADC table as one literal array indexed m*ksub + code
     val tab = Array.ofDim[Double](params.mSub * params.ksub)
     cb.foreach { case (m, code, cent) =>
@@ -97,11 +117,14 @@ object PqIndex {
     }
     val tabCol = array(tab.map(lit): _*)
     val qCol = array(q.map(lit): _*)
-    val codes = spark.read.parquet(s"$dir/codes")
-      .filter(col("cell").isin(probed.map(_._1): _*)) // partition pruning
+    // explicit schema: the partition column stays the canonical STRING
+    // build() wrote — no type inference, so the cents↔codes cell match
+    // below cannot drift (see build)
+    val codes = spark.read.schema(codesSchema).parquet(s"$dir/codes")
+      .filter(col("cell").isin(probed.map(p => String.valueOf(p._1)): _*)) // partition pruning
     val cipCol = probed.tail.foldLeft(
-      when(col("cell").cast("string") === probed.head._1.toString, lit(probed.head._2))) {
-      case (acc, (cl, cip, _)) => acc.when(col("cell").cast("string") === cl.toString, lit(cip))
+      when(col("cell") === String.valueOf(probed.head._1), lit(probed.head._2))) {
+      case (acc, (cl, cip, _)) => acc.when(col("cell") === String.valueOf(cl), lit(cip))
     }
     val ksub = params.ksub
     val rip = aggregate(

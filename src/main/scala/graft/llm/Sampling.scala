@@ -70,6 +70,8 @@ object Sampling {
                   tiebreak: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0)
+    require(!df.columns.contains("__rn"),
+      "input already has a __rn column — rename it first; capPerGroup would clobber it")
     val w = Window.partitionBy(group).orderBy(priority, tiebreak)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
