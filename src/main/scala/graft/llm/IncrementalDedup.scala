@@ -1,0 +1,107 @@
+package graft.llm
+
+import graft.storage.TxTable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus dedup — the daily-crawl shape: each new batch
+  * dedups against the ACCUMULATED corpus without ever rescanning the
+  * corpus text, using a fingerprint state table ([[TxTable]]) of one
+  * row per admitted document: (doc_id, digest, minhash m0..m{k−1},
+  * p_date = admission date).
+  *
+  *  - exact: batch digests anti-join stored digests (plus in-batch
+  *    keep-lowest-id on identical digests);
+  *  - near: stored signatures re-derive their LSH band keys on the
+  *    fly; batch bands join them bucket-locally and candidates verify
+  *    with the standard MinHash estimate (fraction of equal signature
+  *    components) ≥ threshold. Docs too short to shingle carry a null
+  *    signature and participate in exact dedup only.
+  *
+  * Survivors' fingerprints fold back via [[TxTable.insertIgnore]]
+  * keyed on doc_id, which makes the whole increment IDEMPOTENT: a
+  * crash-redelivered batch anti-joins to nothing and the no-op
+  * upsert does not even bump the table version, while a genuinely
+  * new batch's admissions flow out of [[TxTable.readChangesSince]]
+  * for downstream consumers (the exact shape a training-data
+  * freshness pass wants).
+  *
+  * Scale notes: the state table holds k+2 small values per corpus
+  * document — O(corpus) rows but O(1) width, partitioned by admission
+  * date. The band join derives stored band keys per increment, an
+  * O(state) map-side pass; the 100 TB layout lever is materializing
+  * the band keys into a table bucketed by (band, bk) (see
+  * [[graft.storage.Bucketing]]) so the candidate join is bucket-local
+  * and each increment touches only colliding buckets. In-batch
+  * NEAR-dups are out of scope here ([[Dedup.minHashNearDups]] +
+  * [[Dedup.components]] own that); this component's contract is
+  * increment-vs-history.
+  */
+object IncrementalDedup {
+
+  /** Admit `batch` against `state`, fold admissions in, and return
+    * the admitted rows (original columns). `k` minhash components,
+    * bands of `bandsOf`, estimate threshold `threshold`.
+    */
+  def admit(state: TxTable, batch: DataFrame, id: Column, text: Column,
+            date: String, k: Int = 8, bandsOf: Int = 2,
+            threshold: Double = 0.5): DataFrame = {
+    val sigCols = (0 until k).map(s => s"m$s")
+    val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"))
+    val fp = fingerprints(docs, k)
+
+    // in-batch exact dedup first: lowest id wins per digest
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col("doc_id"))
+    val batchUnique = fp.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).drop("__r")
+
+    val admitted =
+      if (state.version < 0) batchUnique
+      else {
+        val stored = state.read()
+        // exact: digest seen before
+        val noExact = batchUnique.join(
+          stored.select(col("digest")), Seq("digest"), "left_anti")
+        // near: candidates from shared LSH band buckets, verified by
+        // the signature-overlap estimate
+        val newSig = noExact.filter(col("m0").isNotNull)
+          .select((col("doc_id").as("id") +: sigCols.map(col)): _*)
+        val oldSig = stored.filter(col("m0").isNotNull)
+          .select((col("doc_id").as("id") +: sigCols.map(col)): _*)
+        val cand = Dedup.lshBands(newSig, k, bandsOf)
+          .select(col("band"), col("bk"), col("id").as("new_id"))
+          .join(Dedup.lshBands(oldSig, k, bandsOf)
+            .select(col("band"), col("bk"), col("id").as("old_id")), Seq("band", "bk"))
+          .select(col("new_id"), col("old_id")).distinct()
+        val est = sigCols.map(m =>
+          when(col(s"n.$m") === col(s"o.$m"), 1.0d).otherwise(0.0d))
+          .reduce(_ + _) / k.toDouble
+        val suppressed = cand
+          .join(newSig.as("n"), col("new_id") === col("n.id"))
+          .join(oldSig.as("o"), col("old_id") === col("o.id"))
+          .filter(est >= threshold)
+          .select(col("new_id").as("doc_id")).distinct()
+        noExact.join(suppressed, Seq("doc_id"), "left_anti")
+      }
+
+    val folded = admitted.select(
+      (col("doc_id") +: col("digest") +: sigCols.map(col)) :+ lit(date).as("p_date"): _*)
+    if (state.version < 0) state.append(folded)
+    else state.insertIgnore(folded, Seq("doc_id"))
+    docs.join(admitted.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** (doc_id, digest, m0..m{k−1}) — null signature components for
+    * docs too short to shingle (< 3 words).
+    */
+  private def fingerprints(docs: DataFrame, k: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("sh"))
+    val sig = Dedup.minHashSignature(sh, col("doc_id"), col("sh"), k)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("digest"))
+      .join(sig, Seq("doc_id"), "left")
+  }
+}
