@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
+import graft.llm.{Dedup, IncrementalDedup, Multimodal, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -706,6 +706,92 @@ object LlmQueries {
        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------- incremental dedup
+  /** [[IncrementalDedup.admit]] end-to-end: increment 1 (doc_id % 3
+    * == 0) seeds the fingerprint state; increment 2 (the remaining
+    * docs, plus constructed near-dups of %9 docs with their last 3
+    * words cut) admits only what history hasn't seen — exact dups by
+    * digest, near dups by LSH-banded signature-overlap estimate
+    * ≥ 0.5. The state table lives in a per-run temp dir (contents
+    * fully deterministic); the oracle recomputes both increments'
+    * admission logic declaratively over the same corpus, so the hash
+    * compare pins digesting, in-batch keep-lowest-id, band keying,
+    * and the estimate threshold in one go.
+    */
+  private def incrementalDedupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+    val ws = TextOps.words(col("text"))
+    val pert = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        array_join(slice(ws, lit(1), greatest(size(ws) - 3, lit(0))), " ").as("text"))
+    val b2 = docs.filter(col("doc_id") % 3 =!= 0).unionByName(pert)
+    val t = new graft.storage.TxTable(s,
+      java.nio.file.Files.createTempDirectory("inc_dedup_q").toString)
+    IncrementalDedup.admit(t, b1, col("doc_id"), col("text"), "2021-01-01")
+    IncrementalDedup.admit(t, b2, col("doc_id"), col("text"), "2021-01-02")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalDedupSql: String =
+    s"""WITH ib1 AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+       |), ib2 AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000,
+       |         array_to_string(ws[1:greatest(len(ws)-3, 0)], ' ')
+       |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+       |        WHERE text IS NOT NULL AND doc_id % 9 = 0)
+       |), id1 AS (SELECT doc_id, md5(${normSql("text")}) AS digest FROM ib1),
+       |ib2f AS (SELECT doc_id, text, md5(${normSql("text")}) AS digest FROM ib2),
+       |ib2u AS (
+       |  SELECT doc_id, text, digest FROM (
+       |    SELECT doc_id, text, digest,
+       |           row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+       |    FROM ib2f) WHERE rn = 1
+       |), inoex AS (
+       |  SELECT * FROM ib2u WHERE digest NOT IN (SELECT digest FROM id1)
+       |), ish1 AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(
+       |    CASE WHEN len(ws) >= 3
+       |         THEN list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END)) AS s
+       |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM ib1)
+       |), ish2 AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(
+       |    CASE WHEN len(ws) >= 3
+       |         THEN list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END)) AS s
+       |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM inoex)
+       |), imh1 AS (
+       |  SELECT id, seed, min(md5(seed::VARCHAR || '|' || s)) AS m
+       |  FROM ish1 CROSS JOIN (SELECT seed FROM range(8) t(seed)) GROUP BY 1, 2
+       |), imh2 AS (
+       |  SELECT id, seed, min(md5(seed::VARCHAR || '|' || s)) AS m
+       |  FROM ish2 CROSS JOIN (SELECT seed FROM range(8) t(seed)) GROUP BY 1, 2
+       |), ibd1 AS (
+       |  SELECT id, seed // 2 AS band, string_agg(m, '' ORDER BY seed) AS bk
+       |  FROM imh1 GROUP BY 1, 2
+       |), ibd2 AS (
+       |  SELECT id, seed // 2 AS band, string_agg(m, '' ORDER BY seed) AS bk
+       |  FROM imh2 GROUP BY 1, 2
+       |), icand AS (
+       |  SELECT DISTINCT n.id AS new_id, o.id AS old_id
+       |  FROM ibd2 n JOIN ibd1 o ON n.band = o.band AND n.bk = o.bk
+       |), isupp AS (
+       |  SELECT DISTINCT c.new_id FROM icand c
+       |  JOIN imh2 a ON a.id = c.new_id
+       |  JOIN imh1 b ON b.id = c.old_id AND b.seed = a.seed
+       |  GROUP BY c.new_id, c.old_id
+       |  HAVING count(*) FILTER (WHERE a.m = b.m) * 1.0 / 8 >= 0.5
+       |)
+       |SELECT doc_id, digest AS fp FROM inoex
+       |WHERE doc_id NOT IN (SELECT new_id FROM isupp)
+       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ sequence packing
   /** [[Packing.packSequences]] — documents' whitespace tokens laid
@@ -1901,6 +1987,7 @@ object LlmQueries {
     "llm_domain_cap"   -> domainCap,
     "llm_split_assign" -> splitAssign,
     "llm_pack_sequences" -> packSeqs,
+    "llm_incremental_dedup" -> incrementalDedupQ,
     "llm_chunk"        -> chunk,
     "llm_decontaminate" -> decontaminate,
   )
@@ -1942,6 +2029,7 @@ object LlmQueries {
     "llm_domain_cap"   -> domainCapSql,
     "llm_split_assign" -> splitAssignSql,
     "llm_pack_sequences" -> packSeqsSql,
+    "llm_incremental_dedup" -> incrementalDedupSql,
     "llm_chunk"        -> chunkSql,
     "llm_decontaminate" -> decontaminateSql,
   )
