@@ -56,7 +56,14 @@ object ScaleBench {
     // r8 late additions: split assignment (components + hash over the
     // near-dup graph — the heaviest new query) and sequence packing
     // (two-level prefix sum; replicas append disjoint id ranges)
-    "llm_split_assign", "llm_pack_sequences")
+    "llm_split_assign", "llm_pack_sequences",
+    // r8 final addition: two-increment stateful dedup through a real
+    // TxTable fingerprint state (the catalog's most expensive query).
+    // Replica offsets are multiples of 1e6, so the +300000 perturbed
+    // ids stay inside their replica's range and each replica carries
+    // its own exact+near dup structure, Caesar-rotated clear of the
+    // others'.
+    "llm_incremental_dedup")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
@@ -88,6 +95,10 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val factor  = args.headOption.map(_.toInt).getOrElse(10)
     val rounds  = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    // optional 3rd+ args: run only these queries (incremental re-runs
+    // merge into SCALING.json by hand)
+    val subset  = args.drop(2).toSeq
+    val queries = if (subset.isEmpty) Heavy else Heavy.filter(subset.contains)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val bigDir  = s"/tmp/graft_sfx$factor"
     val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -117,7 +128,7 @@ object ScaleBench {
       .write.format("noop").mode("overwrite").save()
 
     val samples = scala.collection.mutable.Map.empty[(String, String), List[Double]]
-    for (_ <- 1 to rounds; name <- Heavy; dir <- Seq(baseDir, bigDir)) {
+    for (_ <- 1 to rounds; name <- queries; dir <- Seq(baseDir, bigDir)) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -131,7 +142,7 @@ object ScaleBench {
     def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"| query | t(sf0.1) s | t(${factor}x) s | ratio | exponent |")
     println("|---|---|---|---|---|")
-    val rows = Heavy.map { name =>
+    val rows = queries.map { name =>
       val t1 = median(samples(name -> baseDir))
       val tN = median(samples(name -> bigDir))
       val ratio = tN / t1
