@@ -104,6 +104,55 @@ object IncrementalDedup {
       .select(col("doc_id"), col("text"))
   }
 
+  /** [[admit]] as a streaming sink — the live form of the daily-crawl
+    * shape: every micro-batch dedups against the accumulated corpus
+    * and appends its admissions to `sink`, both TxTables.
+    *
+    * Exactly-once from at-least-once redelivery, WITHOUT relying on
+    * the micro-batch running to completion: the delivery frame is NOT
+    * [[admit]]'s return value but `batch ⋈ state` on doc_id —
+    * a doc_id is in the state iff some attempt admitted it, so a
+    * batch that crashed AFTER the state fold but BEFORE the sink
+    * write still delivers those docs when redelivered (admit itself
+    * re-admits nothing on the retry), and a redelivery after a
+    * complete batch no-ops in both tables via insertIgnore. The
+    * composition requires globally unique doc_ids across batches —
+    * the same key contract the state fold already has.
+    *
+    * Scale: the recovery join is a doc_id semi-join against the
+    * state's two narrow columns — same O(state) cost class as the
+    * band derivation inside [[admit]], and only the key column is
+    * read off the columnar state.
+    */
+  def admitStream(state: TxTable, sink: TxTable, stream: DataFrame,
+                  id: Column, text: Column, checkpoint: String,
+                  dateOf: Long => String = _ => "1970-01-01",
+                  k: Int = 8, bandsOf: Int = 2,
+                  threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(state, sink, batch, id, text, dateOf(batchId), k, bandsOf, threshold)
+      }
+      .start()
+
+  /** One micro-batch of [[admitStream]], exposed so specs can drive
+    * the crash-between-fold-and-delivery redelivery directly.
+    */
+  private[llm] def admitBatch(state: TxTable, sink: TxTable, batch: DataFrame,
+                              id: Column, text: Column, date: String,
+                              k: Int, bandsOf: Int, threshold: Double): Unit = {
+    val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"))
+    admit(state, batch, id, text, date, k, bandsOf, threshold)
+    // recovery-safe delivery: admitted-by-ANY-attempt, not by this one.
+    // dateOf is per-batchId, so a redelivery lands in the same partition
+    // and the doc_id-keyed insertIgnore sees its earlier rows.
+    val delivered = docs.join(state.read().select(col("doc_id")), Seq("doc_id"))
+      .withColumn(sink.partitionCol, lit(date))
+    if (sink.version < 0) sink.append(delivered)
+    else sink.insertIgnore(delivered, Seq("doc_id"))
+  }
+
   /** (doc_id, digest, m0..m{k−1}) — null signature components for
     * docs too short to shingle (< 3 words).
     */
