@@ -900,6 +900,80 @@ object LlmQueries {
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------- video frame sampling
+  /** [[Multimodal.frameSample]] — the video slot: blobs demuxed as
+    * fixed-size-frame containers (64-byte stub frames), every 3rd
+    * frame emitted as its own (doc_id, frame_idx, frame) row off a
+    * lazy per-partition iterator. The hash compare pins the frame
+    * BYTES (hex), boundaries, sampling stride, and partial-frame
+    * drop; the oracle slices the identical windows out of the blob's
+    * hex image.
+    */
+  private def frameSampleQ(s: SparkSession, d: String): DataFrame = {
+    val blobs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    Multimodal.frameSample(blobs, "blob", Seq("doc_id"), 64, 3)
+      .filter(col("ok"))
+      .select(col("doc_id"), col("frame_idx"),
+        lower(hex(col("frame"))).as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val frameSampleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents WHERE text IS NOT NULL
+       |), f AS (
+       |  SELECT doc_id, unnest(range(0, n // 64)) AS frame_idx, hx FROM b
+       |)
+       |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |       substr(hx, CAST(frame_idx * 128 + 1 AS INTEGER), 128) AS frame_hex
+       |FROM f WHERE frame_idx % 3 = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------ thumbnail resize
+  /** [[Multimodal.resize]] — 6×4 grayscale thumbnails from the
+    * stubbed codec slot: cell = integer mean of the raw bytes binned
+    * by (p·24)/n, the dHash binning factored into a standalone
+    * resize stage. Integer-exact, so the oracle rebuilds every
+    * thumbnail byte (two hex digits at a time) and the hash compare
+    * pins the binning, the mean, and the empty-cell letterboxing.
+    */
+  private def resizeQ(s: SparkSession, d: String): DataFrame = {
+    val blobs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    Multimodal.resize(blobs, "blob", Seq("doc_id"), 6, 4)
+      .filter(col("ok"))
+      .select(col("doc_id"), lower(hex(col("thumb"))).as("thumb_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val resizeSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+       |), bytes AS (
+       |  SELECT doc_id, n, unnest(range(0, n)) AS p, hx FROM b
+       |), vals AS (
+       |  SELECT doc_id, (p * 24) // n AS cell,
+       |         (instr('0123456789abcdef', substr(hx, CAST(2*p+1 AS INTEGER), 1)) - 1) * 16
+       |          + instr('0123456789abcdef', substr(hx, CAST(2*p+2 AS INTEGER), 1)) - 1 AS v
+       |  FROM bytes
+       |), cells AS (
+       |  SELECT doc_id, cell, SUM(v) // COUNT(*) AS m FROM vals GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT d.doc_id, g.cell
+       |  FROM (SELECT DISTINCT doc_id FROM b) d
+       |  CROSS JOIN (SELECT unnest(range(0, 24)) AS cell) g
+       |)
+       |SELECT g.doc_id,
+       |       lower(string_agg(lpad(to_hex(COALESCE(c.m, 0)), 2, '0'), '' ORDER BY g.cell)) AS thumb_hex
+       |FROM grid g LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.cell = g.cell
+       |GROUP BY 1 ORDER BY g.doc_id""".stripMargin
+
   // ---------------------------------------------------- IVF-PQ ANN
   /** [[Similarity.ivfPqTopK]] — IVFADC (Jégou et al. TPAMI 2011) over
     * the label cells: product-quantized residuals (M=8 subspaces ×
@@ -1973,6 +2047,8 @@ object LlmQueries {
     "llm_ivf_pq"       -> ivfPq,
     "llm_image_neardup" -> imageNearDup,
     "llm_audio_neardup" -> audioNearDup,
+    "llm_frame_sample" -> frameSampleQ,
+    "llm_resize"       -> resizeQ,
     "llm_langid"       -> langId,
     "llm_quality"      -> quality,
     "llm_tokens"       -> tokens,
@@ -2015,6 +2091,8 @@ object LlmQueries {
     "llm_ivf_pq"       -> ivfPqSql,
     "llm_image_neardup" -> imageNearDupSql,
     "llm_audio_neardup" -> audioNearDupSql,
+    "llm_frame_sample" -> frameSampleSql,
+    "llm_resize"       -> resizeSql,
     "llm_langid"       -> langIdSql,
     "llm_quality"      -> qualitySql,
     "llm_tokens"       -> tokensSql,

@@ -279,6 +279,108 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic thumbnail "resize" over the stubbed codec slot:
+    * cell i of the w×h grayscale grid is the integer mean of the raw
+    * payload bytes p with (p·w·h)/n == i — the SAME 1-D binning
+    * [[dHash]] uses, factored to a standalone op because resize is
+    * its own pipeline stage (dedup wants hashes, training wants
+    * thumbnails). A real deployment swaps the byte binning for
+    * decoded-pixel means; the output contract — a w·h-byte blob, one
+    * byte per cell, row-major — is codec-independent. Cells an
+    * undersized blob never reaches stay 0 (letterboxing). Integer-
+    * exact, so the oracle can rebuild the blob hex-digit-for-hex-
+    * digit in SQL.
+    */
+  private[llm] def thumbnailBytes(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty)
+      throw new IllegalArgumentException("missing or empty blob")
+    val cells = w * h
+    val n = bytes.length
+    val sums = new Array[Long](cells); val cnts = new Array[Long](cells)
+    var p = 0
+    while (p < n) {
+      val cell = ((p.toLong * cells.toLong) / n).toInt
+      sums(cell) += (bytes(p) & 0xff); cnts(cell) += 1
+      p += 1
+    }
+    val out = new Array[Byte](cells)
+    var i = 0
+    while (i < cells) {
+      out(i) = (if (cnts(i) == 0) 0 else (sums(i) / cnts(i)).toInt).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[thumbnailBytes]] over a binary column, batched per partition
+    * like [[extractFeatures]]: returns idCols + (thumb, ok, error).
+    */
+  def resize(df: DataFrame, binCol: String, idCols: Seq[String],
+             w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"resize: non-positive dimensions ${w}x$h")
+    val in = df.select((idCols :+ binCol).map(col): _*)
+    val outSchema = StructType(idCols.map(in.schema(_)) ++ Seq(
+      StructField("thumb", BinaryType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("error", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binCol)
+        try Row.fromSeq(idCols.map(r.getAs[Any]) ++
+          Seq(thumbnailBytes(bytes, w, h), true, ""))
+        catch { case e: Exception =>
+          Row.fromSeq(idCols.map(r.getAs[Any]) ++
+            Seq(null, false, String.valueOf(e.getMessage)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Stub frame demux + sampling — the video slot of the pipeline:
+    * the blob is read as a fixed-size-frame container (`frameBytes`
+    * per frame, trailing partial frame dropped — a stand-in for an
+    * mp4/webm demuxer, which is the one piece a real deployment
+    * swaps) and every `every`-th frame is emitted as its own row
+    * (frame_idx, frame). Emission happens inside `mapPartitions` via
+    * a lazy iterator, so a long video never materializes all its
+    * frames in executor memory at once; downstream per-frame ops
+    * ([[resize]], [[perceptualHash]] for frame-level dedup) compose
+    * on the exploded rows. Decode errors yield ONE (frame_idx = −1,
+    * ok=false) row so the failing blob stays visible to the error
+    * sink without killing the job.
+    */
+  def frameSample(df: DataFrame, binCol: String, idCols: Seq[String],
+                  frameBytes: Int, every: Int): DataFrame = {
+    require(frameBytes > 0, s"frameSample: non-positive frameBytes $frameBytes")
+    require(every > 0, s"frameSample: non-positive sampling step $every")
+    val in = df.select((idCols :+ binCol).map(col): _*)
+    val outSchema = StructType(idCols.map(in.schema(_)) ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("error", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ids = idCols.map(r.getAs[Any])
+        try {
+          val bytes = r.getAs[Array[Byte]](binCol)
+          if (bytes == null) throw new IllegalArgumentException("missing blob")
+          val nf = bytes.length / frameBytes
+          Iterator.range(0, nf).filter(_ % every == 0).map { i =>
+            Row.fromSeq(ids ++ Seq(i,
+              java.util.Arrays.copyOfRange(bytes, i * frameBytes, (i + 1) * frameBytes),
+              true, ""))
+          }
+        } catch { case e: Exception =>
+          Iterator.single(Row.fromSeq(ids ++
+            Seq(-1, null, false, String.valueOf(e.getMessage))))
+        }
+      }
+    }(enc)
+  }
+
   /** Decode a binary column into feature columns, batched per
     * partition. Keeps `idCols` pass-through; appends featureSchema.
     */
