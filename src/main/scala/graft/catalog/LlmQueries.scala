@@ -932,6 +932,67 @@ object LlmQueries {
        |FROM f WHERE frame_idx % 3 = 0
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------- video near-duplicate
+  /** Frame-level video near-dup — [[Multimodal.frameSample]] composed
+    * into the dedup machinery: two videos pair when they share ≥ 2
+    * distinct sampled-frame contents. Frames repeated within one doc
+    * count once; frames present in > 32 docs are pruned as
+    * boilerplate (no dedup signal, and the prune is what keeps the
+    * frame-keyed pair join bucket-local at scale — the same min/max
+    * document-frequency discipline as the line scrub). Constructed
+    * near-dups: doc_id % 10 == 0 gets a copy (+200000) with 3 chars
+    * overwritten — one damaged frame, every other sampled frame
+    * still shared. The oracle replays frames as 128-hex-digit slices.
+    */
+  private def videoNearDupQ(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val pert = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(substring(col("text"), 1, 5), lit("ZZZ"),
+          expr("substring(text, 9)")).as("text"))
+    val blobs = base.unionByName(pert)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val frames = Multimodal.frameSample(blobs, "blob", Seq("doc_id"), 64, 3)
+      .filter(col("ok"))
+      .select(col("doc_id"), lower(hex(col("frame"))).as("fh"))
+      .distinct()
+    val keep = frames.groupBy("fh").count()
+      .filter(col("count").between(2, 32)).select("fh")
+    val f = frames.join(keep, Seq("fh"))
+    f.as("x").join(f.as("y"),
+        col("x.fh") === col("y.fh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val videoNearDupSql: String =
+    s"""WITH vbase AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + 200000, substr(text, 1, 5) || 'ZZZ' || substr(text, 9)
+       |  FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+       |), vb AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM vbase
+       |), vf0 AS (
+       |  SELECT doc_id, unnest(range(0, n // 64)) AS fi, hx FROM vb
+       |), vf AS (
+       |  SELECT DISTINCT doc_id, substr(hx, CAST(fi * 128 + 1 AS INTEGER), 128) AS fh
+       |  FROM vf0 WHERE fi % 3 = 0
+       |), vkeep AS (
+       |  SELECT fh FROM vf GROUP BY fh HAVING count(*) BETWEEN 2 AND 32
+       |), vff AS (
+       |  SELECT vf.doc_id, vf.fh FROM vf JOIN vkeep USING (fh)
+       |)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+       |FROM vff x JOIN vff y ON x.fh = y.fh AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------ thumbnail resize
   /** [[Multimodal.resize]] — 6×4 grayscale thumbnails from the
     * stubbed codec slot: cell = integer mean of the raw bytes binned
@@ -2049,6 +2110,7 @@ object LlmQueries {
     "llm_audio_neardup" -> audioNearDup,
     "llm_frame_sample" -> frameSampleQ,
     "llm_resize"       -> resizeQ,
+    "llm_video_neardup" -> videoNearDupQ,
     "llm_langid"       -> langId,
     "llm_quality"      -> quality,
     "llm_tokens"       -> tokens,
@@ -2093,6 +2155,7 @@ object LlmQueries {
     "llm_audio_neardup" -> audioNearDupSql,
     "llm_frame_sample" -> frameSampleSql,
     "llm_resize"       -> resizeSql,
+    "llm_video_neardup" -> videoNearDupSql,
     "llm_langid"       -> langIdSql,
     "llm_quality"      -> qualitySql,
     "llm_tokens"       -> tokensSql,
