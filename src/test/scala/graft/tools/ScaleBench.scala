@@ -63,7 +63,11 @@ object ScaleBench {
     // ids stay inside their replica's range and each replica carries
     // its own exact+near dup structure, Caesar-rotated clear of the
     // others'.
-    "llm_incremental_dedup")
+    "llm_incremental_dedup",
+    // frame-level video near-dup: the pairwise class where exponents
+    // are the signal — rotated replicas share no 64-byte frames, so
+    // shared-frame pairs grow linearly like genuinely new videos
+    "llm_video_neardup")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
