@@ -644,12 +644,15 @@ object LlmQueries {
     * block-bucket-local, never all-pairs).
     */
   private def imageNearDup(s: SparkSession, d: String): DataFrame = {
-    // NULL text must be excluded in BOTH engines: Spark's decoder
-    // error path drops it (ok=false) while the oracle's grid CTE
-    // would otherwise hand it the all-zero hash and pair it with
-    // every empty doc — a latent divergence on future fixtures
+    // NULL and EMPTY text must be excluded in BOTH engines: Spark's
+    // decoder error path drops them (ok=false) while the oracle's
+    // grid CTE would otherwise hand them the all-zero hash and pair
+    // every empty doc with every other — a latent divergence (and a
+    // candidate-pair flood) on future fixtures. The filter ALSO keeps
+    // an empty doc out of the perturbation source: 'ZZZ'+empty would
+    // hash fine on the Spark side but be absent from the oracle's.
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && col("text") =!= "")
     val pert = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
         concat(substring(col("text"), 1, 5), lit("ZZZ"),
@@ -666,10 +669,10 @@ object LlmQueries {
 
   private val imageNearDupSql: String =
     s"""WITH base AS (
-       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND text <> ''
        |  UNION ALL
        |  SELECT doc_id + 100000, substr(text, 1, 5) || 'ZZZ' || substr(text, 9)
-       |  FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+       |  FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL AND text <> ''
        |), blobs AS (
        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
        |         octet_length(encode(text)) AS n
@@ -842,8 +845,9 @@ object LlmQueries {
     * bits, all-pairs Hamming ≤ 4 as ground truth.
     */
   private def audioNearDup(s: SparkSession, d: String): DataFrame = {
+    // null/empty excluded for the same reasons as imageNearDup's base
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && col("text") =!= "")
     val pert = base.filter(col("doc_id") % 10 === 3)
       .select((col("doc_id") + 200000L).as("doc_id"),
         concat(substring(col("text"), 1, 50), lit("QQQ"),
@@ -860,10 +864,10 @@ object LlmQueries {
 
   private val audioNearDupSql: String =
     s"""WITH abase AS (
-       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND text <> ''
        |  UNION ALL
        |  SELECT doc_id + 200000, substr(text, 1, 50) || 'QQQ' || substr(text, 54)
-       |  FROM documents WHERE doc_id % 10 = 3 AND text IS NOT NULL
+       |  FROM documents WHERE doc_id % 10 = 3 AND text IS NOT NULL AND text <> ''
        |), ablobs AS (
        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
        |         octet_length(encode(text)) AS n

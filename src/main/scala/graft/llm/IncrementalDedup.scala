@@ -119,6 +119,22 @@ object IncrementalDedup {
     * composition requires globally unique doc_ids across batches —
     * the same key contract the state fold already has.
     *
+    * SINK PARTITIONING AND CHECKPOINT RESETS: the sink's insertIgnore
+    * dedup is scoped to the partitions a batch touches, so exactly-
+    * once holds only while a redelivered doc lands in the SAME sink
+    * partition as its first delivery. The default (`sinkPartOf` =
+    * None) partitions by `dateOf(batchId)`, which is stable across
+    * ordinary redeliveries (same checkpoint ⇒ same batchId) but NOT
+    * across a checkpoint RESET — reprocessed data arrives under new
+    * batchIds, lands in a different partition, and duplicates. A
+    * deployment that may reset checkpoints must pass `sinkPartOf`, a
+    * Column over the stream's own columns (e.g.
+    * `date_format(col("ts"), "yyyy-MM-dd")` from a document
+    * timestamp): a data-derived partition is reset-proof because the
+    * data, not the scheduler, names it. (The STATE table needs no
+    * such care — admission dedups against the full stored digest/
+    * signature set regardless of partition.)
+    *
     * Scale: the recovery join is a doc_id semi-join against the
     * state's two narrow columns — same O(state) cost class as the
     * band derivation inside [[admit]], and only the key column is
@@ -128,11 +144,13 @@ object IncrementalDedup {
                   id: Column, text: Column, checkpoint: String,
                   dateOf: Long => String = _ => "1970-01-01",
                   k: Int = 8, bandsOf: Int = 2,
-                  threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+                  threshold: Double = 0.5,
+                  sinkPartOf: Option[Column] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(state, sink, batch, id, text, dateOf(batchId), k, bandsOf, threshold)
+        admitBatch(state, sink, batch, id, text, dateOf(batchId), k, bandsOf,
+          threshold, sinkPartOf)
       }
       .start()
 
@@ -141,14 +159,16 @@ object IncrementalDedup {
     */
   private[llm] def admitBatch(state: TxTable, sink: TxTable, batch: DataFrame,
                               id: Column, text: Column, date: String,
-                              k: Int, bandsOf: Int, threshold: Double): Unit = {
-    val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"))
+                              k: Int, bandsOf: Int, threshold: Double,
+                              sinkPartOf: Option[Column] = None): Unit = {
+    // the sink partition is evaluated over the ORIGINAL batch columns
+    // (before the id/text projection) so callers can derive it from a
+    // document timestamp — see the checkpoint-reset caveat above
+    val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"),
+      sinkPartOf.getOrElse(lit(date)).cast("string").as(sink.partitionCol))
     admit(state, batch, id, text, date, k, bandsOf, threshold)
     // recovery-safe delivery: admitted-by-ANY-attempt, not by this one.
-    // dateOf is per-batchId, so a redelivery lands in the same partition
-    // and the doc_id-keyed insertIgnore sees its earlier rows.
     val delivered = docs.join(state.read().select(col("doc_id")), Seq("doc_id"))
-      .withColumn(sink.partitionCol, lit(date))
     if (sink.version < 0) sink.append(delivered)
     else sink.insertIgnore(delivered, Seq("doc_id"))
   }

@@ -158,7 +158,12 @@ object Multimodal {
     * engine ever manufactures a sign bit.
     */
   private[llm] def dHash(bytes: Array[Byte]): (Long, Long) = {
-    if (bytes == null) throw new IllegalArgumentException("missing blob")
+    // empty takes the error path like null: the all-zero hash an empty
+    // blob would produce pairs with every other empty at Hamming 0 —
+    // a candidate-pair flood on dirty corpora (thumbnailBytes already
+    // rejects empties; the oracle SQL mirrors the exclusion)
+    if (bytes == null || bytes.isEmpty)
+      throw new IllegalArgumentException("missing or empty blob")
     val n = bytes.length
     if (n >= (1 << 27)) throw new IllegalArgumentException(s"blob too large for exact dHash: $n bytes")
     val sums = new Array[Long](72); val cnts = new Array[Long](72)
@@ -201,7 +206,9 @@ object Multimodal {
     * mirrors dHash's).
     */
   private[llm] def audioFingerprint(bytes: Array[Byte]): (Long, Long) = {
-    if (bytes == null) throw new IllegalArgumentException("missing blob")
+    // empty → error path, same rationale as dHash's guard
+    if (bytes == null || bytes.isEmpty)
+      throw new IllegalArgumentException("missing or empty blob")
     val n = bytes.length
     if (n >= (1 << 26)) throw new IllegalArgumentException(s"blob too large for exact fingerprint: $n bytes")
     val frames = 65

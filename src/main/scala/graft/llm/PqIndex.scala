@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *   codes/cell=<c>/…   (id, nv, codes array<int> ordered by m)
   *   codebook/          (m, code, centroid)   — M·ksub·dsub doubles
   *   cents/             (cell, centroid)      — coarse centroids
+  *   params/            (m_sub, dim, ksub)    — build geometry; topK
+  *                      validates its Params against this and errors
+  *                      on mismatch (a wrong geometry would silently
+  *                      mis-index the ADC table otherwise)
   * }}}
   *
   * Query-side math runs on the DRIVER over the collected codebook
@@ -62,6 +66,25 @@ object PqIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     cents.write.mode("overwrite").parquet(s"$dir/cents")
+    // persist the geometry the codes were quantized under: topK
+    // re-derives dsub and the ADC table indexing from these, and a
+    // caller passing a different Params would otherwise silently
+    // mis-index tab (wrong neighbors, no error)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((params.mSub, params.dim, params.ksub))
+      .toDF("m_sub", "dim", "ksub")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** The [[Params]] an index at `dir` was built with; fails loudly on
+    * a pre-params index rather than guessing.
+    */
+  def readParams(spark: SparkSession, dir: String): Params = {
+    val r = spark.read.parquet(s"$dir/params").collect()
+    require(r.length == 1, s"malformed index params at $dir/params")
+    Params(mSub = r(0).getAs[Int]("m_sub"), dim = r(0).getAs[Int]("dim"),
+      ksub = r(0).getAs[Int]("ksub"))
   }
 
   private val codesSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -80,6 +103,16 @@ object PqIndex {
   def topK(spark: SparkSession, dir: String, base: DataFrame,
            id: Column, vec: Column, q: Seq[Double], k: Int, nprobe: Int,
            rerank: Int, params: Params = Params()): DataFrame = {
+    // the on-disk geometry is authoritative: a caller-supplied Params
+    // that disagrees with what build() wrote would mis-index the ADC
+    // table (wrong tab slots, zip_with null-padding) and return wrong
+    // neighbors with no error — so validate, don't trust
+    val stored = readParams(spark, dir)
+    require(stored.mSub == params.mSub && stored.dim == params.dim &&
+        stored.ksub == params.ksub,
+      s"index at $dir was built with (mSub=${stored.mSub}, dim=${stored.dim}, " +
+        s"ksub=${stored.ksub}) but topK was called with (mSub=${params.mSub}, " +
+        s"dim=${params.dim}, ksub=${params.ksub})")
     require(q.length == params.dim,
       s"query vector has ${q.length} dims, index expects ${params.dim}")
     val dsub = params.dim / params.mSub

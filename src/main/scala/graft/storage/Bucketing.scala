@@ -45,6 +45,22 @@ object Bucketing {
     w.saveAsTable(table)
   }
 
+  /** Append to an existing bucketed table (layout must match the
+    * original `bucketBy`/`sortBy` — Spark rejects a mismatch). Each
+    * append writes its own sorted files, so multi-append buckets stay
+    * Exchange-free in joins but may re-Sort per task (a merge of
+    * sorted runs, not a shuffle).
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val sorts = if (sortCols.nonEmpty) sortCols else Seq(key)
+    df.repartition(buckets, df(key))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Read a bucketed table back (scan exposes the bucket layout). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

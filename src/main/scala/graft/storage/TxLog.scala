@@ -159,8 +159,10 @@ class TxTable(val spark: SparkSession, val root: String,
     * inside `#kind append` deltas count as net-new.) The one delivery
     * the feed does NOT make is in-place VALUE changes to an existing
     * key (the reshaped half of an upserting rewrite): the feed's
-    * contract is row-level inserts; update-aware consumers must
-    * re-read the touched partitions. A later rewrite may delete an
+    * contract is row-level inserts; update-aware consumers pair this
+    * with [[changedPartitionsSince]] — the marker naming exactly the
+    * partitions whose prior content was reshaped in the range, i.e.
+    * the ones to re-read. A later rewrite may delete an
     * in-range `n` file before `untilV`; its rows were genuinely new
     * in-range, and the rewrite preserves surviving content, so the
     * feed reads the `n` file itself — vacuum retention must therefore
@@ -190,6 +192,36 @@ class TxTable(val spark: SparkSession, val root: String,
     else
       spark.read.option("basePath", root)
         .parquet(added.toSeq.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** The update marker that completes [[readChangesSince]]'s contract:
+    * partitions whose PREVIOUSLY-COMMITTED content was reshaped or
+    * removed by a commit in `(sinceV, untilV]` — rewrites, upserting
+    * rewrites, compactions, cascade deletes — i.e. the partitions an
+    * update-aware consumer must re-read because the row-insert feed
+    * deliberately does not re-deliver their changed values. Append
+    * and insertIgnore commits never appear here (their `n` files are
+    * net-new and already delivered by the feed). O(deltas in range)
+    * log text, no data I/O.
+    */
+  def changedPartitionsSince(sinceV: Long, untilV: Long = -1L): Set[String] = {
+    val to = if (untilV < 0) version else untilV
+    require(to >= 0, s"no committed version to read changes from")
+    require(sinceV >= -1 && sinceV <= to,
+      s"changes range ($sinceV, $to] is empty-backwards")
+    val parts = scala.collection.mutable.LinkedHashSet.empty[String]
+    ((sinceV + 1) to to).foreach { i =>
+      val lines = readLogFile(deltaPath(i))
+      val kind = lines.tail.find(_.startsWith("#kind\t"))
+        .map(_.split("\t", 2)(1)).getOrElse("append")
+      if (kind != "append") {
+        lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
+          val Array(op, part, _) = l.split("\t", 3)
+          if (op == "+" || op == "-") parts += part
+        }
+      }
+    }
+    parts.toSet
   }
 
   /** Stage `df` (must carry `partitionCol`) as immutable parquet files

@@ -26,8 +26,10 @@ class ImageDedupSpec extends SparkSpec {
     assert(hamming(Multimodal.dHash(base), Multimodal.dHash(blob(99))) > 8)
   }
 
-  test("dHash: empty and oversized blobs take defined paths") {
-    assert(Multimodal.dHash(Array.emptyByteArray) === ((0L, 0L)))
+  test("dHash: empty blobs error like null (no all-zero-hash pair flood)") {
+    // an empty blob hashing to (0,0) would pair with every other empty
+    // at Hamming 0 — empty must take the same error path as null
+    intercept[IllegalArgumentException] { Multimodal.dHash(Array.emptyByteArray) }
     intercept[IllegalArgumentException] { Multimodal.dHash(null) }
   }
 
@@ -39,7 +41,7 @@ class ImageDedupSpec extends SparkSpec {
     assert(hamming(fp(base), fp(pert)) <= 4,
       "3-byte perturbation must move only its own frames")
     assert(hamming(fp(base), fp(blob(77))) > 8)
-    assert(fp(Array.emptyByteArray) === ((0L, 0L)))
+    intercept[IllegalArgumentException] { fp(Array.emptyByteArray) }
     intercept[IllegalArgumentException] { Multimodal.audioFingerprint(null) }
   }
 

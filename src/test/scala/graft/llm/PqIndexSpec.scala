@@ -40,5 +40,17 @@ class PqIndexSpec extends SparkSpec {
     // that the filter lists 3 cells
     val pruned = plan.linesIterator.find(_.contains("PartitionFilters")).get
     assert(pruned.contains("IN") || pruned.contains("in("), pruned)
+
+    // the build geometry is persisted and authoritative: a topK with
+    // mismatched Params would silently mis-index the ADC table, so it
+    // must REFUSE instead of returning wrong neighbors
+    val stored = PqIndex.readParams(spark, dir)
+    assert((stored.mSub, stored.dim, stored.ksub) === ((8, 64, 16)))
+    val bad = intercept[IllegalArgumentException] {
+      PqIndex.topK(spark, dir, emb.filter(c("vec_id") =!= 0L),
+        c("vec_id"), c("embedding"), q, k = 10, nprobe = 3, rerank = 80,
+        params = PqIndex.Params(mSub = 4, dim = 64, ksub = 16))
+    }
+    assert(bad.getMessage.contains("was built with"), bad.getMessage)
   }
 }

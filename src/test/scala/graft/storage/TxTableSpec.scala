@@ -97,6 +97,29 @@ class TxTableSpec extends SparkSpec {
     assert(t.read().count() === 11)
     // table content reflects both halves of the split commit
     assert(t.read().filter(col("v") === "V0").count() === 1)
+
+    // the update MARKER completes the feed contract: the row feed
+    // skipped v2's reshaped (value-changed) half, so the marker must
+    // name exactly its partition — the one an update-aware consumer
+    // re-reads. Pure appends/insertIgnores must NOT appear.
+    assert(t.changedPartitionsSince(1) === Set("2021-01-01"),
+      "upserting rewrite must mark its partition for re-read")
+    assert(t.changedPartitionsSince(0, 1) === Set.empty,
+      "insertIgnore inserts are net-new — no partition to re-read")
+  }
+
+  test("changedPartitionsSince marks rewrites/compactions, never appends") {
+    val t = freshTable()
+    t.append(rows(0 until 5, "2021-01-01"))             // v0
+    t.append(rows(5 until 8, "2021-01-02"))             // v1
+    assert(t.changedPartitionsSince(-1) === Set.empty)
+    t.rewritePartitions(Set("2021-01-02")) { df =>      // v2 reshapes
+      df.filter(col("id") =!= 5L)
+    }
+    t.append(rows(100 until 103, "2021-01-03"))         // v3
+    assert(t.changedPartitionsSince(-1) === Set("2021-01-02"))
+    assert(t.changedPartitionsSince(2) === Set.empty,
+      "range after the rewrite sees only the append")
   }
 
   test("empty table reads as empty DataFrame after a zero-row commit") {
