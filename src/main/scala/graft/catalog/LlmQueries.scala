@@ -733,8 +733,15 @@ object LlmQueries {
     val b2 = docs.filter(col("doc_id") % 3 =!= 0).unionByName(pert)
     val t = new graft.storage.TxTable(s,
       java.nio.file.Files.createTempDirectory("inc_dedup_q").toString)
-    IncrementalDedup.admit(t, b1, col("doc_id"), col("text"), "2021-01-01")
-    IncrementalDedup.admit(t, b2, col("doc_id"), col("text"), "2021-01-02")
+    // the bucketed band index is the 100 TB candidate path — running
+    // it here puts the bucket-local join under the oracle hash gate
+    // (admissions must be identical to the derive-from-state form)
+    val bi = new graft.llm.BandIndex(s,
+      "inc_bands_q_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    IncrementalDedup.admit(t, b1, col("doc_id"), col("text"), "2021-01-01",
+      bands = Some(bi))
+    IncrementalDedup.admit(t, b2, col("doc_id"), col("text"), "2021-01-02",
+      bands = Some(bi))
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
   }

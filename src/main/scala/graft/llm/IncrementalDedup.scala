@@ -1,7 +1,7 @@
 package graft.llm
 
-import graft.storage.TxTable
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.storage.{Bucketing, TxTable}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental corpus dedup — the daily-crawl shape: each new batch
@@ -28,14 +28,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: the state table holds k+2 small values per corpus
   * document — O(corpus) rows but O(1) width, partitioned by admission
-  * date. The band join derives stored band keys per increment, an
-  * O(state) map-side pass; the 100 TB layout lever is materializing
-  * the band keys into a table bucketed by (band, bk) (see
-  * [[graft.storage.Bucketing]]) so the candidate join is bucket-local
-  * and each increment touches only colliding buckets. In-batch
-  * NEAR-dups are out of scope here ([[Dedup.minHashNearDups]] +
-  * [[Dedup.components]] own that); this component's contract is
-  * increment-vs-history.
+  * date. Without an index the band join derives stored band keys per
+  * increment — an O(state) map pass PLUS an O(state·bands) shuffle
+  * per daily batch. Passing a [[BandIndex]] removes both: band keys
+  * are materialized once per admitted document into a table bucketed
+  * by the band key, the stored side of the candidate join reads with
+  * ZERO Exchange, and catch-up is O(new fingerprints) off the state's
+  * change feed — the 100 TB layout. In-batch NEAR-dups are out of
+  * scope here ([[Dedup.minHashNearDups]] + [[Dedup.components]] own
+  * that); this component's contract is increment-vs-history.
   */
 object IncrementalDedup {
 
@@ -45,7 +46,8 @@ object IncrementalDedup {
     */
   def admit(state: TxTable, batch: DataFrame, id: Column, text: Column,
             date: String, k: Int = 8, bandsOf: Int = 2,
-            threshold: Double = 0.5): DataFrame = {
+            threshold: Double = 0.5,
+            bands: Option[BandIndex] = None): DataFrame = {
     val sigCols = (0 until k).map(s => s"m$s")
     val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"))
     val fp = fingerprints(docs, k)
@@ -74,11 +76,22 @@ object IncrementalDedup {
           .select((col("doc_id").as("id") +: sigCols.map(col)): _*)
         val oldSig = stored.filter(col("m0").isNotNull)
           .select((col("doc_id").as("id") +: sigCols.map(col)): _*)
-        val cand = Dedup.lshBands(newSig, k, bandsOf)
-          .select(col("band"), col("bk"), col("id").as("new_id"))
-          .join(Dedup.lshBands(oldSig, k, bandsOf)
-            .select(col("band"), col("bk"), col("id").as("old_id")), Seq("band", "bk"))
-          .select(col("new_id"), col("old_id")).distinct()
+        val newBands = Dedup.lshBands(newSig, k, bandsOf)
+        val cand = (bands match {
+          case Some(bi) =>
+            // bucket-local path: stored bands come off the index with
+            // zero Exchange; only the batch's bands shuffle
+            bi.catchUp(state, k, bandsOf)
+            bi.read().join(
+              newBands.select(BandIndex.bkey.as("bkey"), col("id").as("new_id")),
+              Seq("bkey"))
+          case None =>
+            // derive-from-state path: O(state·bands) shuffle per call
+            newBands.select(col("band"), col("bk"), col("id").as("new_id"))
+              .join(Dedup.lshBands(oldSig, k, bandsOf)
+                .select(col("band"), col("bk"), col("id").as("old_id")),
+                Seq("band", "bk"))
+        }).select(col("new_id"), col("old_id")).distinct()
         val est = sigCols.map(m =>
           when(col(s"n.$m") === col(s"o.$m"), 1.0d).otherwise(0.0d))
           .reduce(_ + _) / k.toDouble
@@ -145,12 +158,13 @@ object IncrementalDedup {
                   dateOf: Long => String = _ => "1970-01-01",
                   k: Int = 8, bandsOf: Int = 2,
                   threshold: Double = 0.5,
-                  sinkPartOf: Option[Column] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                  sinkPartOf: Option[Column] = None,
+                  bands: Option[BandIndex] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(state, sink, batch, id, text, dateOf(batchId), k, bandsOf,
-          threshold, sinkPartOf)
+          threshold, sinkPartOf, bands)
       }
       .start()
 
@@ -160,13 +174,14 @@ object IncrementalDedup {
   private[llm] def admitBatch(state: TxTable, sink: TxTable, batch: DataFrame,
                               id: Column, text: Column, date: String,
                               k: Int, bandsOf: Int, threshold: Double,
-                              sinkPartOf: Option[Column] = None): Unit = {
+                              sinkPartOf: Option[Column] = None,
+                              bands: Option[BandIndex] = None): Unit = {
     // the sink partition is evaluated over the ORIGINAL batch columns
     // (before the id/text projection) so callers can derive it from a
     // document timestamp — see the checkpoint-reset caveat above
     val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"),
       sinkPartOf.getOrElse(lit(date)).cast("string").as(sink.partitionCol))
-    admit(state, batch, id, text, date, k, bandsOf, threshold)
+    admit(state, batch, id, text, date, k, bandsOf, threshold, bands)
     // recovery-safe delivery: admitted-by-ANY-attempt, not by this one.
     val delivered = docs.join(state.read().select(col("doc_id")), Seq("doc_id"))
     if (sink.version < 0) sink.append(delivered)
@@ -184,4 +199,91 @@ object IncrementalDedup {
     docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("digest"))
       .join(sig, Seq("doc_id"), "left")
   }
+}
+
+/** Bucketed band-key companion index for [[IncrementalDedup.admit]] —
+  * the 100 TB layout lever its scaladoc names: instead of re-deriving
+  * LSH band keys from the ENTIRE fingerprint state on every increment
+  * (an O(corpus) map pass plus an O(corpus·bands) shuffle per daily
+  * batch), band keys are materialized ONCE per admitted document into
+  * a managed parquet table bucketed (and sorted) by the folded band
+  * key `bkey = band|bk` via [[Bucketing]]. Each increment's candidate
+  * join then:
+  *  - reads the stored side with ZERO Exchange — the scan's bucket
+  *    layout IS the join partitioning, so only the (small) batch side
+  *    shuffles, into `buckets` tasks;
+  *  - is bucket-local: a join task holds one stored bucket and
+  *    exactly the batch keys that hash to it, so stored band keys
+  *    colliding with nothing in the batch never leave their scan.
+  *
+  * Catch-up is incremental and crash-safe: the table records the
+  * state version it covers (`graft.state.version` in TBLPROPERTIES)
+  * and [[catchUp]] appends bands for exactly the state rows committed
+  * after that version, read off [[TxTable.readChangesSince]] —
+  * O(new fingerprints) per increment, never O(state). A crash between
+  * the append and the version bump makes the next catch-up re-append
+  * those bands; duplicate band rows only produce duplicate candidate
+  * pairs, which the admit verifier's distinct absorbs — correctness
+  * never depends on the index being exactly fresh. Two operational
+  * contracts: state-table vacuum retention must cover the index's lag
+  * (the standard change-feed horizon), and the band geometry
+  * (k, bandsOf) is pinned at first write — a mismatched catch-up
+  * fails loudly rather than mixing incompatible keys.
+  *
+  * `buckets` is a layout constant (see [[Bucketing]]'s sizing note):
+  * pick ≈ corpus band rows / target partition size at the LARGEST
+  * expected corpus, not today's.
+  */
+final class BandIndex(val spark: SparkSession, val table: String,
+                      val buckets: Int = 32) extends Serializable {
+
+  private def exists: Boolean = spark.catalog.tableExists(table)
+
+  private def props(): Map[String, String] =
+    if (!exists) Map.empty
+    else spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** The state version this index's contents cover (−1 = empty). */
+  def coveredVersion: Long =
+    props().get(BandIndex.VersionProp).map(_.toLong).getOrElse(-1L)
+
+  /** (bkey, old_id) with the bucket layout exposed. */
+  def read(): DataFrame = spark.table(table)
+
+  /** Append bands for state rows committed in (coveredVersion,
+    * state.version] — O(new fingerprints). No-op when current.
+    */
+  def catchUp(state: TxTable, k: Int, bandsOf: Int): Unit = {
+    val cur = state.version
+    if (cur < 0) return
+    val p = props()
+    p.get(BandIndex.KProp).foreach(s => require(s.toInt == k,
+      s"band index $table was built with k=$s, caught up with k=$k"))
+    p.get(BandIndex.BandsOfProp).foreach(s => require(s.toInt == bandsOf,
+      s"band index $table was built with bandsOf=$s, caught up with bandsOf=$bandsOf"))
+    val from = p.get(BandIndex.VersionProp).map(_.toLong).getOrElse(-1L)
+    if (from >= cur) return
+    val src = if (from < 0) state.read() else state.readChangesSince(from, cur)
+    val sig = src.filter(col("m0").isNotNull)
+      .select((col("doc_id").as("id") +: (0 until k).map(i => col(s"m$i"))): _*)
+    val newBands = Dedup.lshBands(sig, k, bandsOf)
+      .select(BandIndex.bkey.as("bkey"), col("id").as("old_id"))
+    if (!exists) Bucketing.writeBucketed(newBands, table, "bkey", buckets)
+    else Bucketing.appendBucketed(newBands, table, "bkey", buckets)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'${BandIndex.VersionProp}'='$cur','${BandIndex.KProp}'='$k'," +
+      s"'${BandIndex.BandsOfProp}'='$bandsOf')")
+  }
+}
+
+object BandIndex {
+  private[llm] val VersionProp = "graft.state.version"
+  private[llm] val KProp = "graft.band.k"
+  private[llm] val BandsOfProp = "graft.band.bandsOf"
+
+  /** The folded single-column bucket key over a (band, bk) frame; the
+    * delimiter keeps (1,"23") and (12,"3") distinct.
+    */
+  private[llm] def bkey: Column = concat_ws("|", col("band"), col("bk"))
 }
