@@ -293,10 +293,20 @@ object LlmQueries {
     * array_intersect) — the LSH pre-blocking the earlier
     * block-quadratic self-join only promised. The pair space is now
     * band-bucket-local, so the dominant (en, web) block at 100 TB
-    * never goes block²; k=24/bandsOf=3 gives recall ≥ 0.999 for
-    * J ≥ 0.85 (real near-dups; this fixture's true pair sits at
-    * J=0.98, next-highest natural pair 0.28) and ~2/3 at the 0.5
-    * cliff, the standard LSH tradeoff. The exact prefix-filter
+    * never goes block²; k=24/bandsOf=4 (6 bands of 4) gives recall
+    * 0.988 at J=0.85, ≥0.998 at J ≥ 0.9 (real near-dups; this
+    * fixture's true pair sits at J=0.98, next-highest natural pair
+    * 0.28) and ~1/3 at the 0.5 cliff — the r9 geometry: JaccardProbe6
+    * measured bandsOf=3's junk-candidate admission (J≈0.3 pairs pass
+    * a 3-hash band at 0.027 vs 0.008 for 4) at 51k candidates for a
+    * 10x corpus vs 6.7k under bandsOf=4, with IDENTICAL verified
+    * pairs at both scales and the intersect stage 6.6 s → 1.7 s;
+    * candidate growth is linear in the corpus under 4 (11x at 10x
+    * data). A 24-component sketch prefilter before the intersect was
+    * also measured (cuts bandsOf=3's verify 4.3x) but rejected: the
+    * estimate is 24 Bernoulli(J) trials, so a TRUE J=0.5 pair fails
+    * an est ≥ 8/24 gate with ~5% probability — not exact, unlike the
+    * band geometry change. The exact prefix-filter
     * alternative ([[Dedup.prefixFilterCandidates]]) was measured not
     * to prune at t=0.5 on natural text (92% of all pairs survive —
     * mid-frequency shingles are too shared); it remains the right
@@ -321,7 +331,7 @@ object LlmQueries {
     // per consumer (measured 2x end-to-end on top of the native
     // expression's win). t=0.5 sits below the prefix-filter cliff, so
     // the generator is the LSH path with the catalog's documented
-    // k=24/bandsOf=3 recall curve ([[Dedup.jaccardCandidates]] keeps
+    // k=24/bandsOf=4 recall curve ([[Dedup.jaccardCandidates]] keeps
     // the threshold dispatch for API callers; at t >= 0.7 use it to
     // get the exact prefix filter).
     val grams = Tables.fanOut(Tables.documents(s, d))
@@ -337,7 +347,7 @@ object LlmQueries {
     // post-join filter — at 100 TB that prunes every spurious
     // cross-block band collision before the pair join.
     val cand = Dedup.lshCandidates(
-      Dedup.lshBands(docsig, 24, 3, Seq(col("lang"), col("source"))))
+      Dedup.lshBands(docsig, 24, 4, Seq(col("lang"), col("source"))))
     val a = docsig.select(col("id").as("id_a"), col("gs").as("ga"))
     val b = docsig.select(col("id").as("id_b"), col("gs").as("gb"))
     cand.join(a, "id_a").join(b, "id_b")
