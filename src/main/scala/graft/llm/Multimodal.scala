@@ -36,6 +36,35 @@ object Multimodal {
     def decode(bytes: Array[Byte]): MediaFeatures
   }
 
+  /** The unified codec seam of the content ops ([[dHash]],
+    * [[audioFingerprint]], [[thumbnailBytes]]): a decoder turns a blob
+    * into a 1-D stream of 0..255 samples — a row-major grayscale
+    * raster for images, PCM-ish amplitudes for audio — and everything
+    * downstream (cell/frame binning, bit layout, Hamming pairing,
+    * letterboxing) is sample-source-independent. The default
+    * [[RawByteSampler]] reads the payload bytes AS the samples — the
+    * documented stub for this codec-less environment, integer-exact
+    * and SQL-reproducible for the oracle. A real deployment swaps in
+    * one decoder class (e.g. [[ImageHeaderDecoder]]'s PGM path, or a
+    * JNI codec) and every multimodal op picks it up through this one
+    * seam. Throws on undecodable input — callers' per-row error
+    * isolation turns that into ok=false.
+    */
+  trait SampleDecoder extends Serializable {
+    def samples(bytes: Array[Byte]): Array[Byte]
+  }
+
+  /** Raw payload bytes as the sample stream (the stub decode slot —
+    * null/empty rejected like every decoder).
+    */
+  object RawByteSampler extends SampleDecoder {
+    override def samples(bytes: Array[Byte]): Array[Byte] = {
+      if (bytes == null || bytes.isEmpty)
+        throw new IllegalArgumentException("missing or empty blob")
+      bytes
+    }
+  }
+
   /** Deterministic stand-in for the real codec: digest is md5 of the
     * bytes; "dimensions" are derived from the digest so tests have
     * stable, data-dependent values.
@@ -54,15 +83,23 @@ object Multimodal {
   }
 
   /** A real (if minimal) codec: parses PNG and JPEG headers for
-    * dimensions from the raw bytes — no image library, just the
-    * public file formats (PNG: RFC 2083 §3.1 signature + IHDR chunk;
-    * JPEG: ISO/IEC 10918-1 marker segments walked to the first SOFn
-    * frame header). Anything else — truncated headers, wrong magic,
-    * a JPEG with no frame before start-of-scan — throws, exercising
-    * [[extractFeatures]]'s error-isolation path with genuinely
-    * malformed media rather than a stubbed failure.
+    * dimensions, and binary PGM (P5) all the way to its pixel plane —
+    * no image library, just the public file formats (PNG: RFC 2083
+    * §3.1 signature + IHDR chunk; JPEG: ISO/IEC 10918-1 marker
+    * segments walked to the first SOFn frame header; PGM: the
+    * netpbm P5 header + raw 8-bit gray raster). Anything else —
+    * truncated headers, wrong magic, a JPEG with no frame before
+    * start-of-scan — throws, exercising [[extractFeatures]]'s
+    * error-isolation path with genuinely malformed media rather than
+    * a stubbed failure.
+    *
+    * As a [[SampleDecoder]] it serves PGM's decoded luminance plane
+    * into [[dHash]]/[[thumbnailBytes]] — the real-pixel path of the
+    * content ops, uncompressed so no codec library is needed; PNG and
+    * JPEG throw there (header parsing cannot produce pixels), taking
+    * the ok=false path.
     */
-  class ImageHeaderDecoder extends MediaDecoder {
+  class ImageHeaderDecoder extends MediaDecoder with SampleDecoder {
     private def u8(b: Byte): Int = b & 0xff
     private def be16(a: Array[Byte], i: Int): Int = (u8(a(i)) << 8) | u8(a(i + 1))
     private def be32(a: Array[Byte], i: Int): Int =
@@ -113,6 +150,41 @@ object Multimodal {
       throw new IllegalArgumentException("no JPEG SOF header found")
     }
 
+    /** Binary PGM (netpbm P5): ASCII header `P5 <w> <h> <maxval>`
+      * (whitespace-separated, `#` comments allowed) followed by one
+      * whitespace byte and the w·h raw gray raster. Returns
+      * (w, h, offset-of-raster).
+      */
+    private def parsePgmHeader(a: Array[Byte]): (Int, Int, Int) = {
+      var i = 2
+      def nextInt(): Int = {
+        var done = false
+        while (!done && i < a.length) {
+          val c = a(i).toChar
+          if (c == '#') { while (i < a.length && a(i) != '\n'.toByte) i += 1 }
+          else if (c.isWhitespace) i += 1
+          else done = true
+        }
+        if (i >= a.length || !a(i).toChar.isDigit)
+          throw new IllegalArgumentException("truncated PGM header")
+        var v = 0
+        while (i < a.length && a(i).toChar.isDigit) { v = v * 10 + (a(i) - '0'); i += 1 }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val mx = nextInt()
+      if (w <= 0 || h <= 0)
+        throw new IllegalArgumentException(s"invalid PGM dimensions ${w}x$h")
+      if (mx != 255)
+        throw new IllegalArgumentException(s"unsupported PGM maxval $mx (8-bit only)")
+      i += 1 // the single whitespace separating header from raster
+      if (a.length - i < w * h)
+        throw new IllegalArgumentException("truncated PGM pixel data")
+      (w, h, i)
+    }
+
+    private def isPgm(bytes: Array[Byte]): Boolean =
+      bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '5'.toByte
+
     override def decode(bytes: Array[Byte]): MediaFeatures = {
       if (bytes == null || bytes.length < 2)
         throw new IllegalArgumentException("empty or missing blob")
@@ -121,10 +193,24 @@ object Multimodal {
           parsePng(bytes)
         else if (u8(bytes(0)) == 0xff && u8(bytes(1)) == 0xd8)
           parseJpeg(bytes)
-        else throw new IllegalArgumentException("unsupported image format (not PNG/JPEG)")
+        else if (isPgm(bytes)) { val (w0, h0, _) = parsePgmHeader(bytes); (w0, h0) }
+        else throw new IllegalArgumentException("unsupported image format (not PNG/JPEG/PGM)")
       val md = java.security.MessageDigest.getInstance("MD5")
       MediaFeatures(bytes.length.toLong, md.digest(bytes).map("%02x".format(_)).mkString,
         w, h, ok = true, error = "")
+    }
+
+    /** Decoded luminance plane (row-major) — PGM only; compressed
+      * formats throw into the callers' ok=false path.
+      */
+    override def samples(bytes: Array[Byte]): Array[Byte] = {
+      if (bytes == null || bytes.length < 2)
+        throw new IllegalArgumentException("empty or missing blob")
+      if (!isPgm(bytes))
+        throw new IllegalArgumentException(
+          "no pixel plane without a codec (PGM is the uncompressed path)")
+      val (w, h, off) = parsePgmHeader(bytes)
+      java.util.Arrays.copyOfRange(bytes, off, off + w * h)
     }
   }
 
@@ -141,15 +227,17 @@ object Multimodal {
     * a 9×8 grayscale thumbnail, one bit per adjacent-cell comparison
     * (bit r·8+c set when cell (r,c) is brighter than cell (r,c+1)),
     * robust to re-encodes because only the coarse brightness GRADIENT
-    * survives into the hash. The decode+resize step is this module's
-    * stubbed codec slot: the thumbnail here derives from the RAW
-    * payload bytes — cell i sums the bytes p with (p·72)/n = i — so a
-    * small byte perturbation moves only its own cells (near-dup-
-    * preserving) and the whole computation is integer-exact and
-    * SQL-reproducible for the oracle. A real deployment swaps the
-    * byte sampler for decoded-pixel means; everything downstream
-    * (bit layout, Hamming pairing via [[Dedup.simHashPairs]]) is
-    * codec-independent.
+    * survives into the hash. The decode+resize step is the
+    * [[SampleDecoder]] seam: the thumbnail derives from the decoder's
+    * sample stream — cell i sums the samples p with (p·72)/n = i —
+    * so under the default [[RawByteSampler]] a small byte
+    * perturbation moves only its own cells (near-dup-preserving) and
+    * the whole computation is integer-exact and SQL-reproducible for
+    * the oracle, while a real decoder (e.g. [[ImageHeaderDecoder]]'s
+    * PGM pixel plane) swaps in decoded luminance through the same
+    * argument; everything downstream (bit layout, Hamming pairing via
+    * [[Dedup.simHashPairs]]) is decoder-independent — spec'd by
+    * hashing a PGM blob and its bare pixel plane to the same bits.
     *
     * Brightness comparison is cross-multiplied (sumₗ·cntᵣ > sumᵣ·cntₗ)
     * — no float division anywhere; exact for blobs < 2²⁷ bytes
@@ -157,20 +245,21 @@ object Multimodal {
     * error path. The 64 bits return as two 32-bit halves so neither
     * engine ever manufactures a sign bit.
     */
-  private[llm] def dHash(bytes: Array[Byte]): (Long, Long) = {
-    // empty takes the error path like null: the all-zero hash an empty
-    // blob would produce pairs with every other empty at Hamming 0 —
-    // a candidate-pair flood on dirty corpora (thumbnailBytes already
-    // rejects empties; the oracle SQL mirrors the exclusion)
-    if (bytes == null || bytes.isEmpty)
-      throw new IllegalArgumentException("missing or empty blob")
-    val n = bytes.length
-    if (n >= (1 << 27)) throw new IllegalArgumentException(s"blob too large for exact dHash: $n bytes")
+  private[llm] def dHash(bytes: Array[Byte],
+                         dec: SampleDecoder = RawByteSampler): (Long, Long) = {
+    // empty takes the error path like null (every decoder rejects it):
+    // the all-zero hash an empty blob would produce pairs with every
+    // other empty at Hamming 0 — a candidate-pair flood on dirty
+    // corpora (the oracle SQL mirrors the exclusion)
+    val s = dec.samples(bytes)
+    val n = s.length
+    if (n >= (1 << 27)) throw new IllegalArgumentException(s"blob too large for exact dHash: $n samples")
+    if (n == 0) throw new IllegalArgumentException("decoder produced no samples")
     val sums = new Array[Long](72); val cnts = new Array[Long](72)
     var p = 0
     while (p < n) {
       val cell = ((p.toLong * 72L) / n).toInt
-      sums(cell) += (bytes(p) & 0xff); cnts(cell) += 1
+      sums(cell) += (s(p) & 0xff); cnts(cell) += 1
       p += 1
     }
     var hi = 0L; var lo = 0L
@@ -195,28 +284,29 @@ object Multimodal {
     * fingerprinting à la Haitsma/Kalker's robust hash: fingerprint
     * bits are SIGNS of energy differences between adjacent frames,
     * which survive re-encoding because absolute levels cancel).
-    * The decode step is stubbed exactly like [[dHash]]'s thumbnail:
-    * "samples" are the raw payload bytes, framed into 65 windows by
+    * The decode step is the same [[SampleDecoder]] seam as [[dHash]]:
+    * samples (payload bytes under the default [[RawByteSampler]],
+    * decoded PCM under a real codec) are framed into 65 windows by
     * the same (p·frames)/n partition; frame energy is the exact
     * integer Σv² and bit k compares energy(k) > energy(k+1) — 64
-    * bits, two sign-safe halves, [[Dedup.simHashPairs]]-ready. A real
-    * deployment swaps byte energies for decoded-PCM frame energies;
-    * everything downstream is codec-independent. Exact for blobs
-    * < 2²⁶ bytes (255²·n stays inside int64 per frame; the guard
+    * bits, two sign-safe halves, [[Dedup.simHashPairs]]-ready;
+    * everything downstream is decoder-independent. Exact for blobs
+    * < 2²⁶ samples (255²·n stays inside int64 per frame; the guard
     * mirrors dHash's).
     */
-  private[llm] def audioFingerprint(bytes: Array[Byte]): (Long, Long) = {
+  private[llm] def audioFingerprint(bytes: Array[Byte],
+                                    dec: SampleDecoder = RawByteSampler): (Long, Long) = {
     // empty → error path, same rationale as dHash's guard
-    if (bytes == null || bytes.isEmpty)
-      throw new IllegalArgumentException("missing or empty blob")
-    val n = bytes.length
-    if (n >= (1 << 26)) throw new IllegalArgumentException(s"blob too large for exact fingerprint: $n bytes")
+    val s = dec.samples(bytes)
+    val n = s.length
+    if (n >= (1 << 26)) throw new IllegalArgumentException(s"blob too large for exact fingerprint: $n samples")
+    if (n == 0) throw new IllegalArgumentException("decoder produced no samples")
     val frames = 65
     val energy = new Array[Long](frames)
     var p = 0
     while (p < n) {
       val f = ((p.toLong * frames.toLong) / n).toInt
-      val v = (bytes(p) & 0xff).toLong
+      val v = (s(p) & 0xff).toLong
       energy(f) += v * v
       p += 1
     }
@@ -236,7 +326,8 @@ object Multimodal {
     * `(fp_hi << 32) | fp_lo` to [[Dedup.simHashPairs]] like the image
     * path.
     */
-  def audioHash(df: DataFrame, binCol: String, idCols: Seq[String]): DataFrame = {
+  def audioHash(df: DataFrame, binCol: String, idCols: Seq[String],
+                dec: SampleDecoder = RawByteSampler): DataFrame = {
     val in = df.select((idCols :+ binCol).map(col): _*)
     val outSchema = StructType(idCols.map(in.schema(_)) ++ Seq(
       StructField("fp_hi", LongType, nullable = false),
@@ -248,7 +339,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binCol)
         try {
-          val (hi, lo) = audioFingerprint(bytes)
+          val (hi, lo) = audioFingerprint(bytes, dec)
           Row.fromSeq(idCols.map(r.getAs[Any]) ++ Seq(hi, lo, true, ""))
         } catch { case e: Exception =>
           Row.fromSeq(idCols.map(r.getAs[Any]) ++
@@ -264,7 +355,8 @@ object Multimodal {
     * Hamming-radius near-duplicate pairs — image dedup reuses the
     * SimHash pigeonhole machinery unchanged.
     */
-  def perceptualHash(df: DataFrame, binCol: String, idCols: Seq[String]): DataFrame = {
+  def perceptualHash(df: DataFrame, binCol: String, idCols: Seq[String],
+                     dec: SampleDecoder = RawByteSampler): DataFrame = {
     val in = df.select((idCols :+ binCol).map(col): _*)
     val outSchema = StructType(idCols.map(in.schema(_)) ++ Seq(
       StructField("ph_hi", LongType, nullable = false),
@@ -276,7 +368,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binCol)
         try {
-          val (hi, lo) = dHash(bytes)
+          val (hi, lo) = dHash(bytes, dec)
           Row.fromSeq(idCols.map(r.getAs[Any]) ++ Seq(hi, lo, true, ""))
         } catch { case e: Exception =>
           Row.fromSeq(idCols.map(r.getAs[Any]) ++
@@ -286,28 +378,28 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic thumbnail "resize" over the stubbed codec slot:
-    * cell i of the w×h grayscale grid is the integer mean of the raw
-    * payload bytes p with (p·w·h)/n == i — the SAME 1-D binning
+  /** Deterministic thumbnail "resize" over the [[SampleDecoder]]
+    * seam: cell i of the w×h grayscale grid is the integer mean of
+    * the samples p with (p·w·h)/n == i — the SAME 1-D binning
     * [[dHash]] uses, factored to a standalone op because resize is
     * its own pipeline stage (dedup wants hashes, training wants
-    * thumbnails). A real deployment swaps the byte binning for
-    * decoded-pixel means; the output contract — a w·h-byte blob, one
-    * byte per cell, row-major — is codec-independent. Cells an
-    * undersized blob never reaches stay 0 (letterboxing). Integer-
-    * exact, so the oracle can rebuild the blob hex-digit-for-hex-
-    * digit in SQL.
+    * thumbnails). Under the default [[RawByteSampler]] the samples
+    * are the payload bytes (integer-exact, so the oracle rebuilds
+    * the blob hex-digit-for-hex-digit in SQL); a real decoder swaps
+    * in pixel luminance. The output contract — a w·h-byte blob, one
+    * byte per cell, row-major — is decoder-independent. Cells an
+    * undersized blob never reaches stay 0 (letterboxing).
     */
-  private[llm] def thumbnailBytes(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    if (bytes == null || bytes.isEmpty)
-      throw new IllegalArgumentException("missing or empty blob")
+  private[llm] def thumbnailBytes(bytes: Array[Byte], w: Int, h: Int,
+                                  dec: SampleDecoder = RawByteSampler): Array[Byte] = {
+    val s = dec.samples(bytes)
     val cells = w * h
-    val n = bytes.length
+    val n = s.length
     val sums = new Array[Long](cells); val cnts = new Array[Long](cells)
     var p = 0
     while (p < n) {
       val cell = ((p.toLong * cells.toLong) / n).toInt
-      sums(cell) += (bytes(p) & 0xff); cnts(cell) += 1
+      sums(cell) += (s(p) & 0xff); cnts(cell) += 1
       p += 1
     }
     val out = new Array[Byte](cells)
@@ -323,7 +415,7 @@ object Multimodal {
     * like [[extractFeatures]]: returns idCols + (thumb, ok, error).
     */
   def resize(df: DataFrame, binCol: String, idCols: Seq[String],
-             w: Int, h: Int): DataFrame = {
+             w: Int, h: Int, dec: SampleDecoder = RawByteSampler): DataFrame = {
     require(w > 0 && h > 0, s"resize: non-positive dimensions ${w}x$h")
     val in = df.select((idCols :+ binCol).map(col): _*)
     val outSchema = StructType(idCols.map(in.schema(_)) ++ Seq(
@@ -335,7 +427,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binCol)
         try Row.fromSeq(idCols.map(r.getAs[Any]) ++
-          Seq(thumbnailBytes(bytes, w, h), true, ""))
+          Seq(thumbnailBytes(bytes, w, h, dec), true, ""))
         catch { case e: Exception =>
           Row.fromSeq(idCols.map(r.getAs[Any]) ++
             Seq(null, false, String.valueOf(e.getMessage)))
@@ -344,22 +436,48 @@ object Multimodal {
     }(enc)
   }
 
-  /** Stub frame demux + sampling — the video slot of the pipeline:
-    * the blob is read as a fixed-size-frame container (`frameBytes`
-    * per frame, trailing partial frame dropped — a stand-in for an
-    * mp4/webm demuxer, which is the one piece a real deployment
-    * swaps) and every `every`-th frame is emitted as its own row
-    * (frame_idx, frame). Emission happens inside `mapPartitions` via
-    * a lazy iterator, so a long video never materializes all its
-    * frames in executor memory at once; downstream per-frame ops
-    * ([[resize]], [[perceptualHash]] for frame-level dedup) compose
-    * on the exploded rows. Decode errors yield ONE (frame_idx = −1,
+  /** The video-container seam, parallel to [[SampleDecoder]]: a
+    * demuxer turns a blob into a LAZY iterator of (frame_idx, frame
+    * bytes) — lazy so a long video never materializes all frames in
+    * executor memory at once. [[FixedSizeDemuxer]] is the stub (a
+    * fixed-byte-frame container); a real deployment implements this
+    * with an mp4/webm demuxer and every frame-level op picks it up.
+    */
+  trait FrameDemuxer extends Serializable {
+    def frames(bytes: Array[Byte]): Iterator[(Int, Array[Byte])]
+  }
+
+  /** Stub demuxer: `frameBytes` per frame, trailing partial frame
+    * dropped; null rejected like every decoder.
+    */
+  final class FixedSizeDemuxer(frameBytes: Int) extends FrameDemuxer {
+    require(frameBytes > 0, s"non-positive frameBytes $frameBytes")
+    override def frames(bytes: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+      if (bytes == null) throw new IllegalArgumentException("missing blob")
+      val nf = bytes.length / frameBytes
+      Iterator.range(0, nf).map { i =>
+        (i, java.util.Arrays.copyOfRange(bytes, i * frameBytes, (i + 1) * frameBytes))
+      }
+    }
+  }
+
+  /** Frame demux + sampling — the video slot of the pipeline: the
+    * demuxer's frames are emitted as their own rows (frame_idx,
+    * frame), keeping every `every`-th by the demuxer's frame index.
+    * Emission happens inside `mapPartitions` off the demuxer's lazy
+    * iterator; downstream per-frame ops ([[resize]],
+    * [[perceptualHash]] for frame-level dedup) compose on the
+    * exploded rows. Decode errors yield ONE (frame_idx = −1,
     * ok=false) row so the failing blob stays visible to the error
     * sink without killing the job.
     */
   def frameSample(df: DataFrame, binCol: String, idCols: Seq[String],
-                  frameBytes: Int, every: Int): DataFrame = {
-    require(frameBytes > 0, s"frameSample: non-positive frameBytes $frameBytes")
+                  frameBytes: Int, every: Int): DataFrame =
+    frameSample(df, binCol, idCols, new FixedSizeDemuxer(frameBytes), every)
+
+  /** [[frameSample]] over an arbitrary [[FrameDemuxer]]. */
+  def frameSample(df: DataFrame, binCol: String, idCols: Seq[String],
+                  demux: FrameDemuxer, every: Int): DataFrame = {
     require(every > 0, s"frameSample: non-positive sampling step $every")
     val in = df.select((idCols :+ binCol).map(col): _*)
     val outSchema = StructType(idCols.map(in.schema(_)) ++ Seq(
@@ -372,14 +490,9 @@ object Multimodal {
       rows.flatMap { r =>
         val ids = idCols.map(r.getAs[Any])
         try {
-          val bytes = r.getAs[Array[Byte]](binCol)
-          if (bytes == null) throw new IllegalArgumentException("missing blob")
-          val nf = bytes.length / frameBytes
-          Iterator.range(0, nf).filter(_ % every == 0).map { i =>
-            Row.fromSeq(ids ++ Seq(i,
-              java.util.Arrays.copyOfRange(bytes, i * frameBytes, (i + 1) * frameBytes),
-              true, ""))
-          }
+          demux.frames(r.getAs[Array[Byte]](binCol))
+            .filter(_._1 % every == 0)
+            .map { case (i, f) => Row.fromSeq(ids ++ Seq(i, f, true, "")) }
         } catch { case e: Exception =>
           Iterator.single(Row.fromSeq(ids ++
             Seq(-1, null, false, String.valueOf(e.getMessage))))

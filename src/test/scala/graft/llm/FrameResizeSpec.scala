@@ -28,6 +28,65 @@ class FrameResizeSpec extends SparkSpec {
     assert(strided(1).getAs[Array[Byte]]("frame").toSeq === blob(4, 5).toSeq)
   }
 
+  test("decoder seam: a PGM blob hashes/resizes exactly like its bare pixel plane") {
+    // the invariant the MediaDecoder unification promises: swapping
+    // the decoder changes ONLY the sampling stage — dHash/thumbnail
+    // over a real decoded pixel plane equal the raw-sampler result
+    // over the same plane handed in directly
+    val pixels = (0 until 32).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val pgm = ("P5\n# a comment\n8 4\n255\n").getBytes("US-ASCII") ++ pixels
+    val dec = new Multimodal.ImageHeaderDecoder
+
+    assert(dec.decode(pgm).width === 8)
+    assert(dec.decode(pgm).height === 4)
+    assert(Multimodal.dHash(pgm, dec) === Multimodal.dHash(pixels))
+    assert(Multimodal.thumbnailBytes(pgm, 3, 2, dec).toSeq ===
+      Multimodal.thumbnailBytes(pixels, 3, 2).toSeq)
+
+    // compressed formats have no pixel plane without a codec: the
+    // samples path throws (→ ok=false rows), decode still works
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      Array.fill(20)(0.toByte)
+    intercept[IllegalArgumentException] { dec.samples(png) }
+
+    // DataFrame-level: perceptualHash with the real decoder isolates
+    // the codec-less PNG as an error row, hashes the PGM
+    val df = Seq((1L, pgm), (2L, png)).toDF("doc_id", "blob")
+    val out = Multimodal.perceptualHash(df, "blob", Seq("doc_id"), dec).collect()
+    assert(out.filter(_.getAs[Boolean]("ok")).map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    val (hi, lo) = Multimodal.dHash(pixels)
+    val okRow = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert((okRow.getAs[Long]("ph_hi"), okRow.getAs[Long]("ph_lo")) === ((hi, lo)))
+  }
+
+  test("demuxer seam: a custom FrameDemuxer changes only the demux stage") {
+    // length-prefixed container: [len][len bytes]... — a stand-in for
+    // a real variable-frame demuxer; downstream rows are identical in
+    // shape to the fixed-size path
+    object LenPrefixed extends Multimodal.FrameDemuxer {
+      override def frames(bytes: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+        if (bytes == null) throw new IllegalArgumentException("missing blob")
+        new Iterator[(Int, Array[Byte])] {
+          private var p = 0; private var idx = 0
+          def hasNext: Boolean = p < bytes.length && p + (bytes(p) & 0xff) < bytes.length
+          def next(): (Int, Array[Byte]) = {
+            val len = bytes(p) & 0xff
+            val f = java.util.Arrays.copyOfRange(bytes, p + 1, p + 1 + len)
+            p += 1 + len; val i = idx; idx += 1
+            (i, f)
+          }
+        }
+      }
+    }
+    val df = Seq((7L, blob(2, 10, 11, 3, 20, 21, 22, 1, 30))).toDF("doc_id", "blob")
+    val out = Multimodal.frameSample(df, "blob", Seq("doc_id"), LenPrefixed, 1)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 1, 2))
+    assert(out(0).getAs[Array[Byte]]("frame").toSeq === blob(10, 11).toSeq)
+    assert(out(1).getAs[Array[Byte]]("frame").toSeq === blob(20, 21, 22).toSeq)
+    assert(out(2).getAs[Array[Byte]]("frame").toSeq === blob(30).toSeq)
+  }
+
   test("frameSample: a failing blob yields one error row, others unaffected") {
     val df = Seq((1L, blob(1, 2, 3, 4)), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "blob")
