@@ -99,7 +99,15 @@ object WinnowSet {
     // the head is always the current window minimum
     val cap = w + 1
     val qpos = new Array[Int](cap)
-    val qdig = new Array[Array[Byte]](cap)
+    // per-slot digest buffers, reused for the whole document: the
+    // 3-arg digest() + a 16-byte copy into the slot avoids the
+    // per-gram Array[Byte] allocation md.digest() would make — ~1
+    // allocation per CHARACTER of corpus text, pure GC pressure.
+    // Slot qt is dead at write time (popped or never filled) and
+    // `seen` copies to hex on selection, so no live digest is ever
+    // overwritten.
+    val qdig = Array.fill(cap)(new Array[Byte](16))
+    val scratch = new Array[Byte](16)
     var qh = 0
     var qt = 0 // exclusive; qh == qt means empty
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -108,13 +116,13 @@ object WinnowSet {
     while (i < grams) {
       md.reset()
       md.update(bytes, offsets(i), offsets(i + k) - offsets(i))
-      val d = md.digest()
+      md.digest(scratch, 0, 16)
       while (qh != qt &&
-          java.util.Arrays.compareUnsigned(qdig((qt - 1 + cap) % cap), d) >= 0) {
+          java.util.Arrays.compareUnsigned(qdig((qt - 1 + cap) % cap), scratch) >= 0) {
         qt = (qt - 1 + cap) % cap
       }
       qpos(qt) = i
-      qdig(qt) = d
+      System.arraycopy(scratch, 0, qdig(qt), 0, 16)
       qt = (qt + 1) % cap
       val winStart = i - w + 1
       if (winStart >= 0) {
