@@ -35,7 +35,7 @@ object TwsCandleState {
   case class Armed(bucketMs: Long, timerTs: Long)
 
   class CandleProcessor(holdMs: Long)
-      extends StatefulProcessor[(String, String, String), WsCandle, Closed] {
+      extends StatefulProcessorWithInitialState[(String, String, String), WsCandle, Closed, WsCandle] {
     @transient private var buckets: MapState[Long, Candle] = _
     @transient private var armed: ValueState[Armed] = _
 
@@ -50,16 +50,34 @@ object TwsCandleState {
       Closed(c.bucketMs, key._1, key._2, key._3, c.open, c.high, c.low,
         c.close, c.volume)
 
+    /** The shared latest-wins bucket fold — one step of the state
+      * machine, used identically by live rows and bootstrap rows so
+      * a warm start IS a replay, not a parallel code path.
+      */
+    private def fold(w: WsCandle): Unit = {
+      val b = w.ts_ms / 60000L * 60000L
+      val next = Candle(b, w.ts_ms, w.open, w.high, w.low, w.close, w.volume)
+      // latest message wins (new_ts >= current_ts guard)
+      if (!buckets.containsKey(b) || buckets.getValue(b).lastTsMs <= w.ts_ms)
+        buckets.updateValue(b, next)
+    }
+
+    /** Warm start (Spark 4 initial state): open candles read off the
+      * batch table enter the state through the SAME transition as
+      * live rows — no flush, no timer (the first live batch or expiry
+      * does that), so bootstrap+live is behaviorally a cold run over
+      * the union. Called once per initial-state row; multiple open
+      * buckets per key fold in independently.
+      */
+    override def handleInitialState(key: (String, String, String),
+                                    initialState: WsCandle,
+                                    timerValues: TimerValues): Unit =
+      fold(initialState)
+
     override def handleInputRows(key: (String, String, String),
                                  rows: Iterator[WsCandle],
                                  timerValues: TimerValues): Iterator[Closed] = {
-      rows.foreach { w =>
-        val b = w.ts_ms / 60000L * 60000L
-        val next = Candle(b, w.ts_ms, w.open, w.high, w.low, w.close, w.volume)
-        // latest message wins (new_ts >= current_ts guard)
-        if (!buckets.containsKey(b) || buckets.getValue(b).lastTsMs <= w.ts_ms)
-          buckets.updateValue(b, next)
-      }
+      rows.foreach(fold)
       val all = buckets.iterator().toSeq.sortBy(_._1)
       if (all.isEmpty) return Iterator.empty
       val latest = all.last._1
@@ -97,5 +115,28 @@ object TwsCandleState {
       .transformWithState(new CandleProcessor(holdMs),
         if (holdMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** [[closedCandles]] warm-started from the batch candle table — the
+    * deployed-restart path: rather than re-deriving open candles from
+    * the stream (hours of replay) or losing them (they'd re-emit as
+    * partial candles), the caller selects the still-open candles off
+    * the batch table as [[WsCandle]] rows (ts_ms = the candle's last
+    * update time; o/h/l/c/v its current values) and they seed the
+    * state store via Spark 4's initial-state support, flowing through
+    * the SAME latest-wins transition as live rows. First-batch-only
+    * by engine contract; a restart FROM A CHECKPOINT ignores the
+    * initial state (the store already has it).
+    */
+  def closedCandlesFrom(ds: Dataset[WsCandle], initial: Dataset[WsCandle],
+                        holdMs: Long = 3600000L): Dataset[Closed] = {
+    implicit val closedEnc: org.apache.spark.sql.Encoder[Closed] = Encoders.product[Closed]
+    implicit val wsEnc: org.apache.spark.sql.Encoder[WsCandle] = Encoders.product[WsCandle]
+    val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    val init = initial.groupByKey(w => (w.exchange, w.base_id, w.quote_id))(keyEnc)
+    ds.groupByKey(w => (w.exchange, w.base_id, w.quote_id))(keyEnc)
+      .transformWithState(new CandleProcessor(holdMs),
+        if (holdMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(), init)
   }
 }

@@ -57,6 +57,65 @@ class TwsCandleStateSpec extends SparkSpec {
     }
   }
 
+  test("initial-state bootstrap: warm start + live ≡ cold run over the union") {
+    // deployed-restart path: open candles from the batch table seed
+    // the state store; the SAME live traffic must then produce the
+    // SAME closed candles as a cold run fed bootstrap+live rows
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    // two keys warm-started: BTC holds TWO open buckets (t0, t0+1m),
+    // ETH one; plus a key (XRP) with no live traffic at all
+    val boot = Seq(
+      ws(0, 100.0, 1.0), ws(60000, 101.0, 2.0),
+      ws(0, 50.0, 5.0, key = "ETH"),
+      ws(0, 10.0, 1.0, key = "XRP"))
+    // live: BTC stale update to the bootstrapped bucket (must lose to
+    // the bootstrap's later ts? no — bootstrap ts is t0+0; live at
+    // +5000 is NEWER and wins), then bucket advances close the rest
+    val live = Seq(
+      ws(65000, 102.0, 3.0),             // newer update to BTC's open bucket
+      ws(120000, 103.0, 4.0),            // closes both BTC buckets
+      ws(120000, 52.0, 6.0, key = "ETH")) // closes ETH's bootstrapped bucket
+
+    def run(name: String, initial: Option[Seq[WsCandle]], rows: Seq[WsCandle]): Set[(String, Long, Double, Double)] = {
+      val in = MemoryStream[WsCandle]
+      val ds = initial match {
+        case Some(b) => TwsCandleState.closedCandlesFrom(in.toDS(), b.toDS(), holdMs = 0L)
+        case None => TwsCandleState.closedCandles(in.toDS(), holdMs = 0L)
+      }
+      val q = ds.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(rows)
+        q.processAllAvailable()
+        spark.table(name).collect().map(r => (r.getAs[String]("base_id"),
+          r.getAs[Long]("time_ms"), r.getAs[Double]("close"),
+          r.getAs[Double]("volume"))).toSet
+      } finally q.stop()
+    }
+
+    try {
+      val warm = run("tws_boot_warm", Some(boot), live)
+      val cold = run("tws_boot_cold", None, boot ++ live)
+      assert(warm === cold, "bootstrap+live must equal a cold run over the union")
+      // and the bootstrapped values actually flowed: BTC t0 closed with
+      // the bootstrap's candle, BTC t0+1m closed with the NEWER live
+      // update folded over the bootstrapped bucket
+      assert(warm.contains(("BTC", t0, 100.0, 1.0)))
+      assert(warm.contains(("BTC", t0 + 60000, 102.0, 3.0)),
+        "live update must win over the bootstrapped open bucket by ts")
+      assert(warm.contains(("ETH", t0, 50.0, 5.0)))
+      assert(!warm.exists(_._1 == "XRP"), "no live traffic — stays open, never emits")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("hold clock: re-arms only when the latest bucket advances; expiry flushes held state") {
     // the timer branch is driven directly through a fake handle —
     // deterministic, no processing-time spin (same rationale as
