@@ -61,9 +61,48 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(a.select("doc_id").as[Long].collect().sorted.toSeq === Seq(3L))
   }
 
+  test("in-batch NEAR-dups are both admitted: admit is increment-vs-history, not full dedup") {
+    // the contract pinned: admit suppresses only against STORED
+    // signatures (plus in-batch EXACT dups by digest). Two near-dup
+    // (not byte-identical) docs arriving in the same batch are both
+    // admitted — in-batch near-dedup belongs to minHashNearDups +
+    // components, composed AFTER admit (the scaladoc example).
+    val t = table()
+    IncrementalDedup.admit(t, Seq((1L, longB)).toDF("id", "text"),
+      col("id"), col("text"), "2021-01-01")
+
+    val nearA = longA.split(" ").dropRight(3).mkString(" ")
+    val batch = Seq((10L, longA), (11L, nearA)).toDF("id", "text")
+    val admitted = IncrementalDedup.admit(t, batch, col("id"), col("text"), "2021-01-02")
+      .localCheckpoint()
+    assert(admitted.select("doc_id").as[Long].collect().sorted.toSeq === Seq(10L, 11L),
+      "neither near-dup is in history: BOTH admit")
+
+    // the composed pipeline: admit → in-batch near-dedup keeps one
+    // representative per near-dup cluster (lowest id)
+    val docsArr = admitted.select(col("doc_id").as("id"),
+      TextOps.wordNgrams(TextOps.words(col("text")), 3).as("sh"))
+    val pairs = Dedup.minHashNearDups(docsArr, col("id"), col("sh"), k = 8,
+      bandsOf = 2, threshold = 0.5)
+    val labels = Dedup.components(pairs, col("id_a"), col("id_b"), iters = 3)
+    val keep = admitted.join(
+      labels.filter(col("id") =!= col("label")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    assert(keep.select("doc_id").as[Long].collect().sorted.toSeq === Seq(10L),
+      "composed near-dedup keeps the cluster's lowest id")
+
+    // and the FOLLOWING increment is suppressed by both admissions —
+    // history-vs-increment still sees everything admit folded in
+    val next = IncrementalDedup.admit(t,
+      Seq((20L, nearA)).toDF("id", "text"), col("id"), col("text"), "2021-01-03")
+    assert(next.count() === 0)
+  }
+
   test("band index: identical admissions, incremental catch-up, zero-Exchange stored side") {
     val t = table()
-    val bi = new BandIndex(spark, s"inc_bands_spec_${System.nanoTime()}", buckets = 8)
+    // minFoldRows = 0: fold on every view, the always-current layout
+    val bi = new BandIndex(spark, s"inc_bands_spec_${System.nanoTime()}",
+      buckets = 8, minFoldRows = 0L)
     try {
       val b1 = Seq((1L, longA), (2L, longB)).toDF("id", "text")
       IncrementalDedup.admit(t, b1, col("id"), col("text"), "2021-01-01",
@@ -122,6 +161,48 @@ class IncrementalDedupSpec extends SparkSpec {
           k = 8, bandsOf = 4, bands = Some(bi))
       }
       assert(bad.getMessage.contains("bandsOf"), bad.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${bi.table}")
+  }
+
+  test("band index: small tails serve from the derived delta; fold waits for minFoldRows") {
+    // the main+delta contract: below minFoldRows an increment rides
+    // the derived tail (no bucketed append, coveredVersion frozen)
+    // yet still suppresses against the un-folded admissions; once the
+    // accumulated tail crosses the threshold, one append folds it
+    val t = table()
+    val bi = new BandIndex(spark, s"inc_bands_tail_${System.nanoTime()}",
+      buckets = 4, minFoldRows = 3L)
+    try {
+      IncrementalDedup.admit(t, Seq((1L, longA), (2L, longB)).toDF("id", "text"),
+        col("id"), col("text"), "2021-01-01", bands = Some(bi))          // state v0
+      val fresh = "completely different words about ships and storms and salt " +
+        "carried far over the grey water by a patient wind"
+      IncrementalDedup.admit(t, Seq((10L, fresh)).toDF("id", "text"),
+        col("id"), col("text"), "2021-01-02", bands = Some(bi))          // backfill folds v0
+      assert(bi.coveredVersion === 0L)
+      assert(bi.read().count() === 8, "backfill holds only v0's 2 docs x 4 bands")
+
+      // near-dup of the UN-FOLDED admission: must be suppressed off
+      // the derived tail (1 doc < minFoldRows=3 -> no fold)
+      val nearFresh = fresh.split(" ").dropRight(3).mkString(" ")
+      val a3 = IncrementalDedup.admit(t, Seq((20L, nearFresh)).toDF("id", "text"),
+        col("id"), col("text"), "2021-01-03", bands = Some(bi))
+      assert(a3.count() === 0, "tail-served suppression must work before any fold")
+      assert(bi.coveredVersion === 0L, "small tail must not fold")
+      assert(bi.read().count() === 8)
+
+      // two more admissions push the tail to 3 docs >= minFoldRows:
+      // the next view folds all of them in one append
+      IncrementalDedup.admit(t, Seq(
+        (30L, "the quick brown fox jumps over a lazy dog by the river bank"),
+        (31L, "pack my box with five dozen liquor jugs said the printer"))
+        .toDF("id", "text"),
+        col("id"), col("text"), "2021-01-04", bands = Some(bi))          // state v2
+      val a5 = IncrementalDedup.admit(t, Seq((40L, fresh)).toDF("id", "text"),
+        col("id"), col("text"), "2021-01-05", bands = Some(bi))
+      assert(a5.count() === 0, "exact dup vs folded-or-tail history")
+      assert(bi.coveredVersion === 2L, "3-doc tail crosses minFoldRows and folds")
+      assert(bi.read().count() === 20, "8 backfilled + 12 folded tail bands")
     } finally spark.sql(s"DROP TABLE IF EXISTS ${bi.table}")
   }
 }
