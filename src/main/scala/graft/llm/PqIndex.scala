@@ -99,23 +99,28 @@ object PqIndex {
     * surviving ids are joined back to it (point lookups at scale).
     * `picked_cell` in the output carries the index's canonical STRING
     * form of the cell (what the partition directories are named).
+    * The index's persisted geometry is authoritative — omit `params`
+    * to use it directly, or pass it to have it validated.
     */
   def topK(spark: SparkSession, dir: String, base: DataFrame,
            id: Column, vec: Column, q: Seq[Double], k: Int, nprobe: Int,
-           rerank: Int, params: Params = Params()): DataFrame = {
+           rerank: Int, params: Params = null): DataFrame = {
     // the on-disk geometry is authoritative: a caller-supplied Params
     // that disagrees with what build() wrote would mis-index the ADC
     // table (wrong tab slots, zip_with null-padding) and return wrong
-    // neighbors with no error — so validate, don't trust
+    // neighbors with no error — so validate, don't trust; with no
+    // caller Params the stored geometry simply drives the query
     val stored = readParams(spark, dir)
-    require(stored.mSub == params.mSub && stored.dim == params.dim &&
-        stored.ksub == params.ksub,
-      s"index at $dir was built with (mSub=${stored.mSub}, dim=${stored.dim}, " +
-        s"ksub=${stored.ksub}) but topK was called with (mSub=${params.mSub}, " +
-        s"dim=${params.dim}, ksub=${params.ksub})")
-    require(q.length == params.dim,
-      s"query vector has ${q.length} dims, index expects ${params.dim}")
-    val dsub = params.dim / params.mSub
+    Option(params).foreach { p =>
+      require(stored.mSub == p.mSub && stored.dim == p.dim &&
+          stored.ksub == p.ksub,
+        s"index at $dir was built with (mSub=${stored.mSub}, dim=${stored.dim}, " +
+          s"ksub=${stored.ksub}) but topK was called with (mSub=${p.mSub}, " +
+          s"dim=${p.dim}, ksub=${p.ksub})")
+    }
+    require(q.length == stored.dim,
+      s"query vector has ${q.length} dims, index expects ${stored.dim}")
+    val dsub = stored.dim / stored.mSub
     // driver-side query prep: tiny frames, exact same arithmetic as
     // the one-shot path (ascending-index dot folds)
     def dot(a: Seq[Double], b: Seq[Double]): Double = {
@@ -144,9 +149,9 @@ object PqIndex {
         scored.sortBy { case (c, _, csim) => (-csim, String.valueOf(c)) }
     }).take(nprobe)
     // ADC table as one literal array indexed m*ksub + code
-    val tab = Array.ofDim[Double](params.mSub * params.ksub)
+    val tab = Array.ofDim[Double](stored.mSub * stored.ksub)
     cb.foreach { case (m, code, cent) =>
-      tab(m * params.ksub + code) = dot(cent, q.slice(m * dsub, (m + 1) * dsub))
+      tab(m * stored.ksub + code) = dot(cent, q.slice(m * dsub, (m + 1) * dsub))
     }
     val tabCol = array(tab.map(lit): _*)
     val qCol = array(q.map(lit): _*)
@@ -159,9 +164,9 @@ object PqIndex {
       when(col("cell") === String.valueOf(probed.head._1), lit(probed.head._2))) {
       case (acc, (cl, cip, _)) => acc.when(col("cell") === String.valueOf(cl), lit(cip))
     }
-    val ksub = params.ksub
+    val ksub = stored.ksub
     val rip = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(params.mSub - 1)),
+      zip_with(col("codes"), sequence(lit(0), lit(stored.mSub - 1)),
         (c, m) => element_at(tabCol, (m * ksub + c + 1).cast("int"))),
       lit(0.0d), (acc, x) => acc + x)
     val cand = codes
