@@ -748,12 +748,20 @@ object LlmQueries {
     // (admissions must be identical to the derive-from-state form)
     val bi = new graft.llm.BandIndex(s,
       "inc_bands_q_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    IncrementalDedup.admit(t, b1, col("doc_id"), col("text"), "2021-01-01",
-      bands = Some(bi))
-    IncrementalDedup.admit(t, b2, col("doc_id"), col("text"), "2021-01-02",
-      bands = Some(bi))
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
+    try {
+      IncrementalDedup.admit(t, b1, col("doc_id"), col("text"), "2021-01-01",
+        bands = Some(bi))
+      IncrementalDedup.admit(t, b2, col("doc_id"), col("text"), "2021-01-02",
+        bands = Some(bi))
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    } finally {
+      // the returned frame reads only the checkpointed admission frame
+      // and the input parquet, never the index — dropping the managed
+      // table here (data included) is safe and keeps repeated catalog
+      // runs from accumulating orphaned inc_bands_q_* tables
+      s.sql(s"DROP TABLE IF EXISTS ${bi.table}")
+    }
   }
 
   private val incrementalDedupSql: String =

@@ -30,11 +30,17 @@ import org.apache.spark.sql.functions._
   * document — O(corpus) rows but O(1) width, partitioned by admission
   * date. Without an index the band join derives stored band keys per
   * increment — an O(state) map pass PLUS an O(state·bands) shuffle
-  * per daily batch. Passing a [[BandIndex]] removes both: band keys
-  * are materialized once per admitted document into a table bucketed
-  * by the band key, the stored side of the candidate join reads with
-  * ZERO Exchange, and catch-up is O(new fingerprints) off the state's
-  * change feed — the 100 TB layout. In-batch NEAR-dups are out of
+  * per daily batch. Passing a [[BandIndex]] removes both from the
+  * CANDIDATE stage: band keys are materialized once per admitted
+  * document into a table bucketed by the band key, the stored side of
+  * the candidate join reads with ZERO Exchange, and catch-up is
+  * O(new fingerprints) off the state's change feed — the 100 TB
+  * layout. (The estimate VERIFICATION stage still hydrates candidate
+  * old-ids' signatures from the state — a narrow O(state) columnar
+  * scan per increment; AQE broadcasts the candidate side when small.
+  * Making verification bucket-local too would mean carrying the k
+  * signature columns into the index — the named next lever if that
+  * scan ever dominates.) In-batch NEAR-dups are out of
   * scope here ([[Dedup.minHashNearDups]] + [[Dedup.components]] own
   * that); this component's contract is increment-vs-history: two
   * near-dup (not byte-identical) docs arriving in the SAME batch are
@@ -297,11 +303,27 @@ final class BandIndex(val spark: SparkSession, val table: String,
     */
   def view(state: TxTable, k: Int, bandsOf: Int): BandIndex.BandsView = {
     val cur = state.version
-    val p = props()
-    p.get(BandIndex.KProp).foreach(s => require(s.toInt == k,
-      s"band index $table was built with k=$s, called with k=$k"))
-    p.get(BandIndex.BandsOfProp).foreach(s => require(s.toInt == bandsOf,
-      s"band index $table was built with bandsOf=$s, called with bandsOf=$bandsOf"))
+    // one catalog round-trip per call: tableExists + SHOW TBLPROPERTIES
+    // are metastore RPCs on the daily-increment hot path
+    val tableExists = exists
+    val p = if (tableExists)
+      spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    else Map.empty[String, String]
+    if (tableExists) {
+      // data without geometry props = a crash between the first
+      // fold's table write and its property commit; the promised
+      // fail-loudly contract must hold HERE, or a later call with
+      // different geometry would silently append mixed band keys
+      require(p.contains(BandIndex.KProp) && p.contains(BandIndex.BandsOfProp),
+        s"band index $table exists but its geometry properties are missing — " +
+          s"likely a crashed first fold; DROP TABLE $table and re-run to rebuild")
+      require(p(BandIndex.KProp).toInt == k,
+        s"band index $table was built with k=${p(BandIndex.KProp)}, called with k=$k")
+      require(p(BandIndex.BandsOfProp).toInt == bandsOf,
+        s"band index $table was built with bandsOf=${p(BandIndex.BandsOfProp)}, " +
+          s"called with bandsOf=$bandsOf")
+    }
     val from = p.get(BandIndex.VersionProp).map(_.toLong).getOrElse(-1L)
     if (cur < 0 || from >= cur) return BandIndex.BandsView(read(), None)
 
@@ -312,8 +334,8 @@ final class BandIndex(val spark: SparkSession, val table: String,
       .select(BandIndex.bkey.as("bkey"), col("id").as("old_id"))
     // fold decision on the narrow state-row count (columnar, O(tail));
     // the first call always folds — it IS the backfill
-    if (!exists || src.count() >= minFoldRows) {
-      if (!exists) Bucketing.writeBucketed(tailBands, table, "bkey", buckets)
+    if (!tableExists || src.count() >= minFoldRows) {
+      if (!tableExists) Bucketing.writeBucketed(tailBands, table, "bkey", buckets)
       else Bucketing.appendBucketed(tailBands, table, "bkey", buckets)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
         s"'${BandIndex.VersionProp}'='$cur','${BandIndex.KProp}'='$k'," +

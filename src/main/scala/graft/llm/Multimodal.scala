@@ -467,9 +467,11 @@ object Multimodal {
     * Emission happens inside `mapPartitions` off the demuxer's lazy
     * iterator; downstream per-frame ops ([[resize]],
     * [[perceptualHash]] for frame-level dedup) compose on the
-    * exploded rows. Decode errors yield ONE (frame_idx = −1,
-    * ok=false) row so the failing blob stays visible to the error
-    * sink without killing the job.
+    * exploded rows. A decode error — at demux construction OR
+    * mid-stream (a real container demuxer detects truncation inside
+    * hasNext/next) — ends that blob with ONE (frame_idx = −1,
+    * ok=false) row after any frames already emitted, so the failing
+    * blob stays visible to the error sink without killing the job.
     */
   def frameSample(df: DataFrame, binCol: String, idCols: Seq[String],
                   frameBytes: Int, every: Int): DataFrame =
@@ -489,13 +491,30 @@ object Multimodal {
     in.mapPartitions { rows =>
       rows.flatMap { r =>
         val ids = idCols.map(r.getAs[Any])
-        try {
-          demux.frames(r.getAs[Array[Byte]](binCol))
-            .filter(_._1 % every == 0)
-            .map { case (i, f) => Row.fromSeq(ids ++ Seq(i, f, true, "")) }
-        } catch { case e: Exception =>
-          Iterator.single(Row.fromSeq(ids ++
-            Seq(-1, null, false, String.valueOf(e.getMessage))))
+        def errRow(e: Exception) =
+          Row.fromSeq(ids ++ Seq(-1, null, false, String.valueOf(e.getMessage)))
+        // the demuxer is lazy, so failures surface in hasNext/next as
+        // well as at construction; the wrapper converts ANY of them
+        // into the single error row instead of killing the task
+        new scala.collection.AbstractIterator[Row] {
+          private var pendingError: Row = null
+          private var finished = false
+          private val under: Iterator[(Int, Array[Byte])] =
+            try demux.frames(r.getAs[Array[Byte]](binCol)).filter(_._1 % every == 0)
+            catch { case e: Exception => pendingError = errRow(e); Iterator.empty }
+          override def hasNext: Boolean =
+            !finished && (pendingError != null ||
+              (try under.hasNext
+               catch { case e: Exception => pendingError = errRow(e); true }))
+          override def next(): Row = {
+            if (pendingError != null) {
+              finished = true
+              val out = pendingError; pendingError = null; out
+            } else {
+              try { val (i, f) = under.next(); Row.fromSeq(ids ++ Seq(i, f, true, "")) }
+              catch { case e: Exception => finished = true; errRow(e) }
+            }
+          }
         }
       }
     }(enc)

@@ -34,6 +34,38 @@ object PqIndex {
   final case class Params(mSub: Int = 8, dim: Int = 64, ksub: Int = 16,
                           iters: Int = 3)
 
+  /** The driver-side artifacts a query needs, collected once per `dir`
+    * on the probe-many hot path: geometry, coarse centroids, codebook.
+    * All three are bounded (1 row, ncells, M·ksub) — caching them adds
+    * no peak memory beyond what a single topK already collects.
+    */
+  private final case class Meta(params: Params,
+                                cents: Array[(Any, Seq[Double])],
+                                cb: Array[(Int, Int, Seq[Double])])
+
+  // keyed on the literal dir string; build() invalidates its own dir,
+  // an out-of-process rebuild needs invalidate(dir) (documented there)
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Meta]()
+
+  /** Drop the cached driver-side artifacts for `dir`. [[build]] calls
+    * this itself; only needed directly when ANOTHER process rebuilt
+    * the index at the same path under this one's feet.
+    */
+  def invalidate(dir: String): Unit = metaCache.remove(dir)
+
+  private def meta(spark: SparkSession, dir: String): Meta =
+    metaCache.computeIfAbsent(dir, { d =>
+      val params = readParams(spark, d)
+      val cents = spark.read.parquet(s"$d/cents").collect()
+        .map(r => (r.getAs[Any]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
+      require(cents.nonEmpty, s"empty or missing index at $d/cents")
+      val cb = spark.read.parquet(s"$d/codebook").collect()
+        .map(r => (r.getAs[Number]("m").intValue(), r.getAs[Number]("code").intValue(),
+          r.getSeq[Double](r.fieldIndex("centroid"))))
+      Meta(params, cents, cb)
+    })
+
   /** Fit coarse+PQ structure on `df` and write the index. Vectors are
     * NOT copied into the index — rerank reads them from the caller's
     * base table. At 100 TB fit on a [[Sampling.hashSample]] subset
@@ -75,6 +107,7 @@ object PqIndex {
     Seq((params.mSub, params.dim, params.ksub))
       .toDF("m_sub", "dim", "ksub")
       .write.mode("overwrite").parquet(s"$dir/params")
+    invalidate(dir)
   }
 
   /** The [[Params]] an index at `dir` was built with; fails loudly on
@@ -109,8 +142,12 @@ object PqIndex {
     // that disagrees with what build() wrote would mis-index the ADC
     // table (wrong tab slots, zip_with null-padding) and return wrong
     // neighbors with no error — so validate, don't trust; with no
-    // caller Params the stored geometry simply drives the query
-    val stored = readParams(spark, dir)
+    // caller Params the stored geometry simply drives the query.
+    // The driver-side artifacts (params, cents, codebook) are cached
+    // per dir: build-once / probe-many must not pay three collect jobs
+    // per query
+    val m = meta(spark, dir)
+    val stored = m.params
     Option(params).foreach { p =>
       require(stored.mSub == p.mSub && stored.dim == p.dim &&
           stored.ksub == p.ksub,
@@ -129,12 +166,8 @@ object PqIndex {
       s
     }
     val nq = math.sqrt(dot(q, q))
-    val cents = spark.read.parquet(s"$dir/cents").collect()
-      .map(r => (r.getAs[Any]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
-    require(cents.nonEmpty, s"empty or missing index at $dir/cents")
-    val cb = spark.read.parquet(s"$dir/codebook").collect()
-      .map(r => (r.getAs[Number]("m").intValue(), r.getAs[Number]("code").intValue(),
-        r.getSeq[Double](r.fieldIndex("centroid"))))
+    val cents = m.cents
+    val cb = m.cb
     // probed cells by centroid cosine; the csim tiebreak must order
     // like the one-shot path's `col("cell").asc`: NUMERICALLY for
     // numeric cells (a string sort misorders both "10" vs "2" and

@@ -30,20 +30,27 @@ import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed managed parquet table. `sortCols`
-    * defaults to the bucket key so merge-join reads skip the sort.
-    */
-  def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+  // the ONE place the bucketed layout is spelled out: initial write and
+  // append must build the identical writer chain or their bucket files
+  // silently mismatch
+  private def save(df: DataFrame, table: String, key: String, buckets: Int,
+                   sortCols: Seq[String], mode: String): Unit = {
     val sorts = if (sortCols.nonEmpty) sortCols else Seq(key)
     // one file per bucket: route rows to their bucket's writer task
     val w: DataFrameWriter[Row] = df
       .repartition(buckets, df(key))
-      .write.mode("overwrite").format("parquet")
+      .write.mode(mode).format("parquet")
       .bucketBy(buckets, key)
       .sortBy(sorts.head, sorts.tail: _*)
     w.saveAsTable(table)
   }
+
+  /** Write `df` as a bucketed managed parquet table. `sortCols`
+    * defaults to the bucket key so merge-join reads skip the sort.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit =
+    save(df, table, key, buckets, sortCols, "overwrite")
 
   /** Append to an existing bucketed table (layout must match the
     * original `bucketBy`/`sortBy` — Spark rejects a mismatch). Each
@@ -52,14 +59,8 @@ object Bucketing {
     * sorted runs, not a shuffle).
     */
   def appendBucketed(df: DataFrame, table: String, key: String,
-                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val sorts = if (sortCols.nonEmpty) sortCols else Seq(key)
-    df.repartition(buckets, df(key))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(sorts.head, sorts.tail: _*)
-      .saveAsTable(table)
-  }
+                     buckets: Int, sortCols: Seq[String] = Nil): Unit =
+    save(df, table, key, buckets, sortCols, "append")
 
   /** Read a bucketed table back (scan exposes the bucket layout). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =

@@ -62,17 +62,36 @@ object TwsCandleState {
         buckets.updateValue(b, next)
     }
 
+    /** Arm (or re-arm) the hold clock for `latest` — only when the
+      * latest bucket ADVANCES, so intra-bucket updates never extend
+      * the hold (the reference's held-too-long rule).
+      */
+    private def armFor(latest: Long, timerValues: TimerValues): Unit =
+      if (holdMs > 0 && !Option(armed.get()).exists(_.bucketMs == latest)) {
+        Option(armed.get()).foreach(a => getHandle.deleteTimer(a.timerTs))
+        val ts = timerValues.getCurrentProcessingTimeInMs() + holdMs
+        getHandle.registerTimer(ts)
+        armed.update(Armed(latest, ts))
+      }
+
     /** Warm start (Spark 4 initial state): open candles read off the
       * batch table enter the state through the SAME transition as
-      * live rows — no flush, no timer (the first live batch or expiry
-      * does that), so bootstrap+live is behaviorally a cold run over
-      * the union. Called once per initial-state row; multiple open
-      * buckets per key fold in independently.
+      * live rows — no flush (emission is not possible here; the first
+      * live batch or timer expiry does that), but the hold clock IS
+      * armed for the bootstrapped latest bucket: a key that never
+      * receives live traffic again (a delisted pair) must still
+      * force-flush at holdMs, exactly as the cold run would have.
+      * Called once per initial-state row; multiple open buckets per
+      * key fold in independently (re-arming is a no-op until the
+      * latest bucket advances).
       */
     override def handleInitialState(key: (String, String, String),
                                     initialState: WsCandle,
-                                    timerValues: TimerValues): Unit =
+                                    timerValues: TimerValues): Unit = {
       fold(initialState)
+      val latest = buckets.keys().foldLeft(Long.MinValue)(math.max)
+      armFor(latest, timerValues)
+    }
 
     override def handleInputRows(key: (String, String, String),
                                  rows: Iterator[WsCandle],
@@ -86,12 +105,7 @@ object TwsCandleState {
       // the hold clock re-arms only when the LATEST bucket advances:
       // intra-bucket updates never extend the hold, matching the
       // reference's held-too-long rule rather than key inactivity
-      if (holdMs > 0 && !Option(armed.get()).exists(_.bucketMs == latest)) {
-        Option(armed.get()).foreach(a => getHandle.deleteTimer(a.timerTs))
-        val ts = timerValues.getCurrentProcessingTimeInMs() + holdMs
-        getHandle.registerTimer(ts)
-        armed.update(Armed(latest, ts))
-      }
+      armFor(latest, timerValues)
       closed.iterator.map(emit(key, _))
     }
 

@@ -87,6 +87,40 @@ class FrameResizeSpec extends SparkSpec {
     assert(out(2).getAs[Array[Byte]]("frame").toSeq === blob(30).toSeq)
   }
 
+  test("frameSample: a demuxer failing MID-STREAM ends the blob with one error row") {
+    // real container demuxers detect truncation inside hasNext/next,
+    // not at construction — the error contract must hold there too:
+    // frames already emitted stay, then ONE (-1, ok=false) row, and
+    // the task (other blobs) survives
+    object Truncating extends Multimodal.FrameDemuxer {
+      override def frames(bytes: Array[Byte]): Iterator[(Int, Array[Byte])] =
+        new Iterator[(Int, Array[Byte])] {
+          private var i = 0
+          def hasNext: Boolean =
+            if (i < bytes.length) true
+            // a "short" container is detected as truncated only AFTER
+            // its frames were already handed out
+            else if (bytes.length < 3) throw new IllegalStateException("truncated container")
+            else false
+          def next(): (Int, Array[Byte]) = {
+            val f = Array(bytes(i)); i += 1; (i - 1, f)
+          }
+        }
+    }
+    val df = Seq((1L, blob(9, 8)), (2L, blob(5, 6, 7))).toDF("doc_id", "blob")
+    val out = Multimodal.frameSample(df, "blob", Seq("doc_id"), Truncating, 1)
+      .orderBy("doc_id", "frame_idx").collect()
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(r => (r.getAs[Int]("frame_idx"), r.getAs[Boolean]("ok"))).toSeq
+      === Seq((-1, false), (0, true), (1, true)),
+      "emitted frames must survive, truncation adds exactly one error row")
+    assert(d1.filterNot(_.getAs[Boolean]("ok")).head.getAs[String]("error")
+      .contains("truncated"))
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 1, 2))
+    assert(d2.forall(_.getAs[Boolean]("ok")), "healthy blob in the same task unaffected")
+  }
+
   test("frameSample: a failing blob yields one error row, others unaffected") {
     val df = Seq((1L, blob(1, 2, 3, 4)), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "blob")

@@ -164,6 +164,25 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${bi.table}")
   }
 
+  test("band index: a crashed first fold (data without geometry props) fails loudly") {
+    // the crash window: the first fold's bucketed write landed but the
+    // TBLPROPERTIES commit did not — a later call must refuse rather
+    // than silently appending under possibly-different band geometry
+    val t = table()
+    val bi = new BandIndex(spark, s"inc_bands_crash_${System.nanoTime()}")
+    try {
+      IncrementalDedup.admit(t, Seq((1L, longA)).toDF("id", "text"),
+        col("id"), col("text"), "2021-01-01") // seed history, no index yet
+      graft.storage.Bucketing.writeBucketed(
+        Seq(("0|x", 1L)).toDF("bkey", "old_id"), bi.table, "bkey", 4)
+      val e = intercept[IllegalArgumentException] {
+        IncrementalDedup.admit(t, Seq((2L, longB)).toDF("id", "text"),
+          col("id"), col("text"), "2021-01-02", bands = Some(bi))
+      }
+      assert(e.getMessage.contains("geometry properties are missing"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${bi.table}")
+  }
+
   test("band index: small tails serve from the derived delta; fold waits for minFoldRows") {
     // the main+delta contract: below minFoldRows an increment rides
     // the derived tail (no bucketed append, coveredVersion frozen)

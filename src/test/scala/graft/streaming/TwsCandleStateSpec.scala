@@ -116,6 +116,35 @@ class TwsCandleStateSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap arms the hold clock: a warm-started key with no live traffic still force-flushes") {
+    // the cold-run equivalence must hold for holdMs > 0 too: a
+    // bootstrapped key that never sees another live row (a delisted
+    // pair) would otherwise hold its open candles in RocksDB forever —
+    // handleInitialState must arm the same clock handleInputRows would
+    val h = new TwsTestHandle
+    val proc = new TwsCandleState.CandleProcessor(holdMs = 3600000L)
+    proc.setHandle(h)
+    proc.init(org.apache.spark.sql.streaming.OutputMode.Append(),
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+    val key = ("bitfinex", "XRP", "USD")
+    def tv(nowMs: Long) = new org.apache.spark.sql.streaming.TimerValues {
+      override def getCurrentProcessingTimeInMs: Long = nowMs
+      override def getCurrentWatermarkInMs: Long = -1L
+    }
+    // first bootstrap row arms at now + hold
+    proc.handleInitialState(key, ws(60000, 11.0, 2.0, key = "XRP"), tv(1000L))
+    assert(h.timers.toSeq === Seq(1000L + 3600000L), "bootstrap must arm the hold clock")
+    // a second bootstrap row in an OLDER bucket folds in without
+    // re-arming (latest bucket unchanged)
+    proc.handleInitialState(key, ws(0, 10.0, 1.0, key = "XRP"), tv(2000L))
+    assert(h.timers.toSeq === Seq(1000L + 3600000L), "older bootstrap bucket re-armed the clock")
+    // with NO live traffic ever, expiry force-flushes both held
+    // buckets, oldest first, and clears state
+    val flushed = proc.handleExpiredTimer(key, tv(1000L + 3600000L), null).toSeq
+    assert(flushed.map(c => (c.time_ms, c.close)) === Seq((t0, 10.0), (t0 + 60000L, 11.0)))
+    assert(proc.handleExpiredTimer(key, tv(9999999L), null).isEmpty, "state not cleared")
+  }
+
   test("hold clock: re-arms only when the latest bucket advances; expiry flushes held state") {
     // the timer branch is driven directly through a fake handle —
     // deterministic, no processing-time spin (same rationale as
