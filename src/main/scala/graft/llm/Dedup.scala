@@ -53,7 +53,8 @@ object Dedup {
     * the exact verifier filters — but not to cost).
     */
   def lshBands(sig: DataFrame, k: Int, bandsOf: Int,
-               blockCols: Seq[Column] = Nil): DataFrame = {
+               blockCols: Seq[Column] = Nil,
+               carry: Seq[String] = Nil): DataFrame = {
     require(k % bandsOf == 0,
       s"k=$k must be a multiple of bandsOf=$bandsOf (trailing hashes would be silently dropped)")
     val bands = (0 until k / bandsOf).map { b =>
@@ -66,8 +67,12 @@ object Dedup {
           (b * bandsOf until (b + 1) * bandsOf).map(s => col(s"m$s")): _*)
       struct(lit(b.toLong).as("band"), key.as("bk"))
     }
-    sig.select(col("id"), explode(array(bands: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    // `carry` rides extra columns through the explode (e.g. the
+    // signature itself, for a band table that answers verification
+    // without re-reading the signature source)
+    sig.select((col("id") +: carry.map(col)) :+ explode(array(bands: _*)).as("bb"): _*)
+      .select((col("id") +: carry.map(col)) :+
+        col("bb.band").as("band") :+ col("bb.bk").as("bk"): _*)
   }
 
   /** Candidate pairs: ids sharing any LSH band bucket (id_a < id_b). */

@@ -30,17 +30,14 @@ import org.apache.spark.sql.functions._
   * document — O(corpus) rows but O(1) width, partitioned by admission
   * date. Without an index the band join derives stored band keys per
   * increment — an O(state) map pass PLUS an O(state·bands) shuffle
-  * per daily batch. Passing a [[BandIndex]] removes both from the
-  * CANDIDATE stage: band keys are materialized once per admitted
-  * document into a table bucketed by the band key, the stored side of
-  * the candidate join reads with ZERO Exchange, and catch-up is
-  * O(new fingerprints) off the state's change feed — the 100 TB
-  * layout. (The estimate VERIFICATION stage still hydrates candidate
-  * old-ids' signatures from the state — a narrow O(state) columnar
-  * scan per increment; AQE broadcasts the candidate side when small.
-  * Making verification bucket-local too would mean carrying the k
-  * signature columns into the index — the named next lever if that
-  * scan ever dominates.) In-batch NEAR-dups are out of
+  * per daily batch. Passing a [[BandIndex]] removes both: band keys
+  * are materialized once per admitted document into a table bucketed
+  * by the band key — WITH the signature columns riding along, so the
+  * bucket-local candidate join hands the estimate verifier everything
+  * it needs and the near-dup path never reads the state at all (the
+  * exact path's digest anti-join remains the one narrow state scan an
+  * increment pays). Catch-up is O(new fingerprints) off the state's
+  * change feed — the 100 TB layout. In-batch NEAR-dups are out of
   * scope here ([[Dedup.minHashNearDups]] + [[Dedup.components]] own
   * that); this component's contract is increment-vs-history: two
   * near-dup (not byte-identical) docs arriving in the SAME batch are
@@ -100,7 +97,12 @@ object IncrementalDedup {
         val oldSig = stored.filter(col("m0").isNotNull)
           .select((col("doc_id").as("id") +: sigCols.map(col)): _*)
         val newBands = Dedup.lshBands(newSig, k, bandsOf)
-        val cand = (bands match {
+        // candidate pairs ANNOTATED with the stored side's signature
+        // (new_id, old_id, m0..m{k-1}): the index path carries it
+        // bucket-locally off the index rows themselves — verification
+        // touches no state at all; the derive path hydrates it from
+        // the state read it already makes
+        val candSig = (bands match {
           case Some(bi) =>
             // bucket-local path: the folded main reads with zero
             // Exchange; an un-folded tail (recent admissions below
@@ -109,12 +111,11 @@ object IncrementalDedup {
             val v = bi.view(state, k, bandsOf)
             val nb = newBands
               .select(BandIndex.bkey.as("bkey"), col("id").as("new_id"))
-            val mainJoin = v.main.join(nb, Seq("bkey"))
-              .select(col("new_id"), col("old_id"))
+            def leg(stored: DataFrame) = stored.join(nb, Seq("bkey"))
+              .select((col("new_id") +: col("old_id") +: sigCols.map(col)): _*)
             v.tail match {
-              case Some(t) => mainJoin.unionByName(
-                t.join(nb, Seq("bkey")).select(col("new_id"), col("old_id")))
-              case None => mainJoin
+              case Some(t) => leg(v.main).unionByName(leg(t))
+              case None => leg(v.main)
             }
           case None =>
             // derive-from-state path: O(state·bands) shuffle per call
@@ -122,16 +123,18 @@ object IncrementalDedup {
               .join(Dedup.lshBands(oldSig, k, bandsOf)
                 .select(col("band"), col("bk"), col("id").as("old_id")),
                 Seq("band", "bk"))
-              .select(col("new_id"), col("old_id"))
+              .select(col("new_id"), col("old_id")).distinct()
+              .join(oldSig.as("o"), col("old_id") === col("o.id"))
+              .select((col("new_id") +: col("old_id") +:
+                sigCols.map(m => col(s"o.$m"))): _*)
         }).distinct()
         val est = sigCols.map(m =>
-          when(col(s"n.$m") === col(s"o.$m"), 1.0d).otherwise(0.0d))
+          when(col(s"n.$m") === col(s"c.$m"), 1.0d).otherwise(0.0d))
           .reduce(_ + _) / k.toDouble
-        val suppressed = cand
-          .join(newSig.as("n"), col("new_id") === col("n.id"))
-          .join(oldSig.as("o"), col("old_id") === col("o.id"))
+        val suppressed = candSig.as("c")
+          .join(newSig.as("n"), col("c.new_id") === col("n.id"))
           .filter(est >= threshold)
-          .select(col("new_id").as("doc_id")).distinct()
+          .select(col("c.new_id").as("doc_id")).distinct()
         noExact.join(suppressed, Seq("doc_id"), "left_anti")
       }
     // checkpoint-after-aggregation: the admission frame (minhash +
@@ -239,8 +242,10 @@ object IncrementalDedup {
   * (an O(corpus) map pass plus an O(corpus·bands) shuffle per daily
   * batch), band keys are materialized ONCE per admitted document into
   * a managed parquet table bucketed (and sorted) by the folded band
-  * key `bkey = band|bk` via [[Bucketing]]. Each increment's candidate
-  * join then:
+  * key `bkey = band|bk` via [[Bucketing]] — with the k signature
+  * columns carried on each row, so a candidate pair leaves the join
+  * already holding what the estimate verifier needs. Each increment's
+  * candidate join then:
   *  - reads the stored side with ZERO Exchange — the scan's bucket
   *    layout IS the join partitioning, so only the (small) batch side
   *    shuffles, into `buckets` tasks;
@@ -293,7 +298,10 @@ final class BandIndex(val spark: SparkSession, val table: String,
   def coveredVersion: Long =
     props().get(BandIndex.VersionProp).map(_.toLong).getOrElse(-1L)
 
-  /** The bucketed main: (bkey, old_id) with the bucket layout exposed. */
+  /** The bucketed main: (bkey, old_id, m0..m{k−1}) with the bucket
+    * layout exposed — the signature columns make verification
+    * bucket-local, not just candidate generation.
+    */
   def read(): DataFrame = spark.table(table)
 
   /** The candidate join's stored side at `state`'s current version:
@@ -330,8 +338,12 @@ final class BandIndex(val spark: SparkSession, val table: String,
     val src = if (from < 0) state.read() else state.readChangesSince(from, cur)
     val sig = src.filter(col("m0").isNotNull)
       .select((col("doc_id").as("id") +: (0 until k).map(i => col(s"m$i"))): _*)
-    val tailBands = Dedup.lshBands(sig, k, bandsOf)
-      .select(BandIndex.bkey.as("bkey"), col("id").as("old_id"))
+    // the signature rides into the index rows so the estimate
+    // verification never has to hydrate it from the state again
+    val tailBands = Dedup.lshBands(sig, k, bandsOf,
+        carry = (0 until k).map(i => s"m$i"))
+      .select((BandIndex.bkey.as("bkey") +: col("id").as("old_id") +:
+        (0 until k).map(i => col(s"m$i"))): _*)
     // fold decision on the narrow state-row count (columnar, O(tail));
     // the first call always folds — it IS the backfill
     if (!tableExists || src.count() >= minFoldRows) {

@@ -123,6 +123,11 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(bi.coveredVersion === 0L, "index covers the pre-fold state version")
       // backfill indexed docs 1,2 — k/bandsOf = 4 bands each
       assert(bi.read().count() === 8)
+      // the signature rides on every index row: verification joins
+      // bucket-locally off the index, never re-reading the state
+      assert(bi.read().columns.toSeq ===
+        "bkey" +: "old_id" +: (0 until 8).map(i => s"m$i"),
+        "index rows must carry the signature columns")
 
       // next increment: catch-up appends ONLY the newly-folded rows
       // (doc 12's 4 bands; short doc 13 has a null signature — excluded)
