@@ -1636,6 +1636,61 @@ object LlmQueries {
        |FROM tot LEFT JOIN kept USING (lang)
        |ORDER BY tot.lang""".stripMargin
 
+  // ---------------------------------------------- mixture sampling
+  /** Token-budget mixture sampling ([[Sampling.mixToBudget]]): mix
+    * the 20 sources toward target shares of an 8k-token budget —
+    * src0/src1 at heavy shares (high keep-rates), src4/src5 light,
+    * src8's share exceeds its weight (kept whole, the 'g' sentinel
+    * branch), everything else at a small default. The output pins the
+    * exact kept set per source (count + kept-token sum + id-sum
+    * witness): the admission threshold is DERIVED FROM THE DATA (one
+    * totals aggregation), so the hash compare certifies that both
+    * engines compute identical per-group rates AND admit identical
+    * rows — the reproducibility contract a training-run mixing pass
+    * needs. One shuffle + broadcast-joined map filter.
+    */
+  private def mixSources(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextOps.alnumTokenCount(col("text")).cast("long").as("toks"))
+    Sampling.mixToBudget(docs, col("doc_id"), col("source"), col("toks"),
+        shares = Map("src0" -> 0.15d, "src1" -> 0.15d, "src4" -> 0.05d,
+          "src5" -> 0.05d, "src8" -> 0.5d),
+        budget = 8000.0d, defaultShare = 0.01d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("toks")).as("tok_kept"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+  }
+
+  private val mixSourcesSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS toks
+       |  FROM documents
+       |), tot AS (
+       |  SELECT source, CAST(SUM(toks) AS DOUBLE) AS gw FROM w GROUP BY 1
+       |), sh AS (
+       |  SELECT w.doc_id, w.source, w.toks,
+       |         CAST(CASE w.source WHEN 'src0' THEN 0.15 WHEN 'src1' THEN 0.15
+       |                            WHEN 'src4' THEN 0.05 WHEN 'src5' THEN 0.05
+       |                            WHEN 'src8' THEN 0.5 ELSE 0.01 END AS DOUBLE)
+       |           * 8000.0 / tot.gw AS r
+       |  FROM w JOIN tot USING (source)
+       |), th AS (
+       |  SELECT doc_id, source, toks,
+       |         CASE WHEN r >= 1.0 THEN 'g'
+       |              ELSE printf('%08x', CAST(FLOOR(r * 4294967296.0) AS BIGINT)) END AS t
+       |  FROM sh
+       |)
+       |SELECT source, count(*) AS n_kept,
+       |       CAST(sum(toks) AS BIGINT) AS tok_kept,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM th
+       |WHERE substr(md5('graft|' || source || '|' || doc_id), 1, 8) < t
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------ context-window chunking
   /** Token chunking ([[TextOps.tokenChunks]], 32-token windows every
     * 24 tokens = 8 overlap): one row per chunk with its token count
@@ -2151,6 +2206,7 @@ object LlmQueries {
     "llm_line_scrub"   -> lineScrub,
     "llm_profile"      -> profile,
     "llm_hash_sample"  -> hashSample,
+    "llm_mix_sources"  -> mixSources,
     "llm_domain_cap"   -> domainCap,
     "llm_split_assign" -> splitAssign,
     "llm_pack_sequences" -> packSeqs,
@@ -2196,6 +2252,7 @@ object LlmQueries {
     "llm_line_scrub"   -> lineScrubSql,
     "llm_profile"      -> profileSql,
     "llm_hash_sample"  -> hashSampleSql,
+    "llm_mix_sources"  -> mixSourcesSql,
     "llm_domain_cap"   -> domainCapSql,
     "llm_split_assign" -> splitAssignSql,
     "llm_pack_sequences" -> packSeqsSql,

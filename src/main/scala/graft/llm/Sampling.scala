@@ -77,4 +77,49 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Token-budget mixture sampling — the data-MIXING step of a
+    * training run: down-sample each group (source, domain, language)
+    * toward its target share of a total `budget`, measured in
+    * `weight`'s unit (tokens). Each group's keep-rate is
+    * `min(1, share·budget / group_weight)` from one narrow
+    * aggregation, and rows are then admitted by the same
+    * deterministic md5 predicate as [[hashSample]] — no `rand()`, no
+    * global sort, membership reproducible across runs and engines.
+    * Groups absent from `shares` use `defaultShare`; a group already
+    * at or under its target is kept whole (the op never up-samples).
+    *
+    * `weight` must be INTEGRAL (token counts): group totals sum
+    * exactly (order-independent) and convert to double once, so the
+    * hex admission threshold — and therefore the kept SET, not just
+    * its size — is bit-identical across engines and partitionings. A
+    * double weight would make the total depend on partial-aggregation
+    * order.
+    *
+    * Scale shape: one shuffle (the totals aggregation, |groups|
+    * rows, broadcast back), then a pure map-side filter that folds
+    * into the scan. The expected output is `budget` tokens however
+    * large the corpus — the knob a 100 TB mixing pass turns.
+    */
+  def mixToBudget(df: DataFrame, id: Column, group: Column, weight: Column,
+                  shares: Map[String, Double], budget: Double,
+                  defaultShare: Double = 0.0d,
+                  salt: String = "graft"): DataFrame = {
+    require(budget > 0, s"non-positive budget $budget")
+    (shares.values.toSeq :+ defaultShare).foreach(s =>
+      require(s >= 0, s"negative share $s"))
+    val shareCol = shares.foldLeft(lit(defaultShare)) {
+      case (acc, (k, v)) => when(group === lit(k), lit(v)).otherwise(acc)
+    }
+    val totals = df.groupBy(group.as("__mix_g"))
+      .agg(sum(weight.cast("long")).as("__mix_w"))
+    // ((share·budget) / total) · 2³² floored, as 8 lowercase hex chars
+    // — the COLUMN form of rateThreshold, same 'g' keep-all sentinel
+    val rate = shareCol * lit(budget) / col("__mix_w").cast("double")
+    val th = when(rate >= 1.0d, lit("g"))
+      .otherwise(lower(lpad(hex(floor(rate * lit(4294967296.0d)).cast("long")), 8, "0")))
+    df.join(broadcast(totals), group === col("__mix_g"))
+      .filter(substring(md5(concat_ws("|", lit(salt), group, id)), 1, 8) < th)
+      .drop("__mix_g", "__mix_w")
+  }
 }

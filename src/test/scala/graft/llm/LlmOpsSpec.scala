@@ -286,6 +286,42 @@ class LlmOpsSpec extends SparkSpec {
       rates = Map.empty, defaultRate = 0.0d).count() == 0L)
   }
 
+  test("mixToBudget: data-derived rates, keep-whole groups, deterministic membership") {
+    import graft.llm.Sampling
+    // g0/g1: 1000 rows × weight 10 = 10k tokens each; tiny: 20 × 10 = 200
+    val df = spark.range(2020).select(col("id"),
+      when(col("id") < 1000, lit("g0"))
+        .when(col("id") < 2000, lit("g1"))
+        .otherwise(lit("tiny")).as("g"),
+      lit(10L).as("w"))
+    // budget 4000: g0 share 0.5 → rate 2000/10000 = 0.2; g1 default
+    // 0.05 → 0.02; tiny share 0.9 → target 3600 > 200 → kept whole
+    val kept = Sampling.mixToBudget(df, col("id"), col("g"), col("w"),
+      shares = Map("g0" -> 0.5d, "tiny" -> 0.9d),
+      budget = 4000.0d, defaultShare = 0.05d)
+    val byG = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("tiny") === 20L, "group at/under its target is kept whole, never up-sampled")
+    assert(math.abs(byG("g0") - 200L) < 60, s"~20% of g0, got ${byG("g0")}")
+    assert(byG.getOrElse("g1", 0L) > 1L && byG.getOrElse("g1", 0L) < 60L,
+      s"~2% of g1, got ${byG.getOrElse("g1", 0L)}")
+    // the COLUMN threshold must agree exactly with the scalar
+    // rateThreshold form on the same computed rate — membership, not
+    // just counts
+    val manual = df.filter(col("g") === "g0")
+      .filter(substring(md5(concat_ws("|", lit("graft"), col("g"), col("id"))), 1, 8)
+        < lit(Sampling.rateThreshold(0.5d * 4000.0d / 10000.0d)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept.filter(col("g") === "g0").select("id").as[Long].collect().sorted.toSeq
+      === manual, "column threshold drifted from the scalar rateThreshold math")
+    // rerun = identical membership
+    val again = Sampling.mixToBudget(df, col("id"), col("g"), col("w"),
+      shares = Map("g0" -> 0.5d, "tiny" -> 0.9d),
+      budget = 4000.0d, defaultShare = 0.05d)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === kept.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("tokenChunks: full coverage, correct overlap, short tail, empty and sub-window docs") {
     val rows = Seq(
       (1L, (1 to 60).map(i => s"t$i").mkString(" ")), // 60 tokens: chunks at 0,24,48
