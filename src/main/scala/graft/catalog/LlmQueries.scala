@@ -1636,6 +1636,56 @@ object LlmQueries {
        |FROM tot LEFT JOIN kept USING (lang)
        |ORDER BY tot.lang""".stripMargin
 
+  // ------------------------------------------- quantile filtering
+  /** Adaptive quality filtering ([[Sampling.dropBottomQuantile]]):
+    * drop each language's worst quarter by quality score — the cutoff
+    * is an exact per-group order statistic derived from the data, not
+    * a fixed threshold. The Spark side runs the histogram + boundary-
+    * tie construction (no giant per-group sort window); the oracle
+    * states the same semantics as a plain `percent_rank` window —
+    * identical kept sets certify the construction. All score
+    * arithmetic is pinned to DOUBLE on both sides so ordering and
+    * ties agree bit-for-bit; rounding only at output.
+    */
+  private def qualityFilterQ(s: SparkSession, d: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val stop = TextOps.langStopwords.head._2
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(size(w) > 0,
+          lit(1.0d) / (lit(1.0d) +
+            TextOps.stopwordHits(w, stop).cast("double") / size(w).cast("double")))
+          .otherwise(lit(0.0d)).as("q"))
+    Sampling.dropBottomQuantile(scored, "lang", "q", "doc_id", 1L, 4L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), r4(min(col("q"))).as("min_q"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  private val qualityFilterSql: String = {
+    val set = TextOps.langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, ${wordsSql("text")} AS w FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN len(w) > 0
+       |              THEN CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+       |                   + CAST(len(list_filter(w, x -> x IN ($set))) AS DOUBLE)
+       |                     / CAST(len(w) AS DOUBLE))
+       |              ELSE CAST(0.0 AS DOUBLE) END AS q
+       |  FROM w
+       |), p AS (
+       |  SELECT doc_id, lang, q,
+       |         percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+       |  FROM s
+       |)
+       |SELECT lang, count(*) AS n_kept, ${r4Sql("min(q)")} AS min_q,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM p WHERE pr >= 0.25
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---------------------------------------------- mixture sampling
   /** Token-budget mixture sampling ([[Sampling.mixToBudget]]): mix
     * the 20 sources toward target shares of an 8k-token budget —
@@ -2207,6 +2257,7 @@ object LlmQueries {
     "llm_profile"      -> profile,
     "llm_hash_sample"  -> hashSample,
     "llm_mix_sources"  -> mixSources,
+    "llm_quality_filter" -> qualityFilterQ,
     "llm_domain_cap"   -> domainCap,
     "llm_split_assign" -> splitAssign,
     "llm_pack_sequences" -> packSeqs,
@@ -2253,6 +2304,7 @@ object LlmQueries {
     "llm_profile"      -> profileSql,
     "llm_hash_sample"  -> hashSampleSql,
     "llm_mix_sources"  -> mixSourcesSql,
+    "llm_quality_filter" -> qualityFilterSql,
     "llm_domain_cap"   -> domainCapSql,
     "llm_split_assign" -> splitAssignSql,
     "llm_pack_sequences" -> packSeqsSql,

@@ -78,6 +78,68 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Exact per-group quantile filter — the FineWeb/Gopher-style
+    * "drop the worst `num/den` of every language by quality score"
+    * step with a DATA-DERIVED cutoff. Semantically identical to
+    * `percent_rank() OVER (PARTITION BY group ORDER BY score, id)
+    * >= num/den` (each group's lowest `ceil(frac·(n−1))` rows by
+    * `(score, id)` are dropped; a 1-row group has percent_rank 0 and
+    * is dropped for any positive fraction) — but built WITHOUT the
+    * giant per-group sort window that form plans: a mega-group at
+    * 100 TB would otherwise sort on one reducer.
+    *
+    * Shape: (1) a compact (group, score) histogram — map-side
+    * combined, reducers hold distinct scores only; (2) a cumulative
+    * window over THE HISTOGRAM (|distinct scores| rows per group) to
+    * locate the boundary score and how many of its ties to drop —
+    * the drop count is computed in INTEGER arithmetic, no float
+    * boundary; (3) survivors = everything above the boundary score
+    * (broadcast bounds, map-side filter) plus the boundary-score tie
+    * group minus its `r` smallest ids (the one remaining per-group
+    * window runs over a SINGLE score value per group). The contract
+    * this buys: `score` should be discrete or quantized (quality
+    * scores, per-mille buckets) — the histogram, not the corpus, is
+    * what gets windowed, and the worst case (every score distinct)
+    * degrades to the sort the method exists to avoid.
+    */
+  def dropBottomQuantile(df: DataFrame, group: String, score: String,
+                         id: String, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"drop fraction $num/$den must be in [0, 1]")
+    val reserved = Seq("__cnt", "__cum", "__n", "__k", "__bg", "__bs", "__r", "__rn")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input already has a $c column — rename it first"))
+    import org.apache.spark.sql.expressions.Window
+    val (g, s, i) = (col(group), col(score), col(id))
+    val hist = df.groupBy(g, s).agg(count(lit(1)).as("__cnt"))
+    val wcum = Window.partitionBy(g).orderBy(s)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(g)
+    // dropped-row count k per group: ceil(num·(n−1)/den), except the
+    // 1-row group (percent_rank 0 → dropped whole). Integral div via
+    // floor((a + den − 1)/den) — exact for any n below 2^53/num.
+    val k = when(col("__n") === 1L, lit(if (num == 0L) 0L else 1L))
+      .otherwise(floor(((col("__n") - 1L) * num + (den - 1L)) / lit(den.toDouble))
+        .cast("long"))
+    val bounds = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wcum) - col("__cnt"))
+      .withColumn("__n", sum(col("__cnt")).over(wtot))
+      .withColumn("__k", k)
+      // the boundary score: strictly-below count < k ≤ through-count
+      .filter(col("__cum") < col("__k") && col("__k") <= col("__cum") + col("__cnt"))
+      .select(g.as("__bg"), s.as("__bs"), (col("__k") - col("__cum")).as("__r"))
+    val joined = df.join(broadcast(bounds), g === col("__bg"), "left")
+    // no bounds row = k == 0 (nothing dropped in this group)
+    val keepOutright = joined.filter(col("__bg").isNull || s > col("__bs"))
+      .drop("__bg", "__bs", "__r")
+    val wTie = Window.partitionBy(g).orderBy(i)
+    val tieSurvivors = joined.filter(col("__bg").isNotNull && s === col("__bs"))
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") > col("__r"))
+      .drop("__bg", "__bs", "__r", "__rn")
+    keepOutright.unionByName(tieSurvivors)
+  }
+
   /** Token-budget mixture sampling — the data-MIXING step of a
     * training run: down-sample each group (source, domain, language)
     * toward its target share of a total `budget`, measured in

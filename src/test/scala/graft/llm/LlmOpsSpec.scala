@@ -286,6 +286,34 @@ class LlmOpsSpec extends SparkSpec {
       rates = Map.empty, defaultRate = 0.0d).count() == 0L)
   }
 
+  test("dropBottomQuantile: equals the percent_rank window on grouped data with ties") {
+    import graft.llm.Sampling
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { i =>
+      val g = s"g${i % 7}"
+      // coarse scores force tie groups; g6 is constant-score (the
+      // degenerate case where the whole group is one tie bucket)
+      val q = if (i % 7 == 6) 5.0d else rnd.nextInt(8).toDouble
+      (i.toLong, g, q)
+    } :+ ((1000L, "solo", 3.0d)) // 1-row group: percent_rank 0 → dropped
+    val df = rows.toDF("id", "g", "q")
+    val got = Sampling.dropBottomQuantile(df, "g", "q", "id", 1L, 4L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("q"), col("id"))
+    val ref = df.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.25d).select("id").as[Long].collect().sorted.toSeq
+    assert(got === ref,
+      "histogram+boundary construction must equal the sort-window semantics")
+    assert(!got.contains(1000L), "1-row group has percent_rank 0 and is dropped")
+    // constant-score group: ties resolve by id — lowest ceil((n-1)/4) ids go
+    val g6 = rows.filter(_._2 == "g6").map(_._1).sorted
+    assert(got.filter(g6.contains) === g6.drop(math.ceil((g6.size - 1) / 4.0d).toInt))
+    // num = 0 keeps everything, including the 1-row group
+    assert(Sampling.dropBottomQuantile(df, "g", "q", "id", 0L, 4L).count()
+      === rows.size.toLong)
+  }
+
   test("mixToBudget: data-derived rates, keep-whole groups, deterministic membership") {
     import graft.llm.Sampling
     // g0/g1: 1000 rows × weight 10 = 10k tokens each; tiny: 20 × 10 = 200
