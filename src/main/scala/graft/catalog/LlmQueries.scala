@@ -746,21 +746,23 @@ object LlmQueries {
     // the bucketed band index is the 100 TB candidate path — running
     // it here puts the bucket-local join under the oracle hash gate
     // (admissions must be identical to the derive-from-state form)
-    val bi = new graft.llm.BandIndex(s,
-      "inc_bands_q_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val run = java.util.UUID.randomUUID().toString.replace("-", "")
+    val bi = new graft.llm.BandIndex(s, s"inc_bands_q_$run")
+    val di = new graft.llm.DigestIndex(s, s"inc_digests_q_$run")
     try {
       IncrementalDedup.admit(t, b1, col("doc_id"), col("text"), "2021-01-01",
-        bands = Some(bi))
+        bands = Some(bi), digests = Some(di))
       IncrementalDedup.admit(t, b2, col("doc_id"), col("text"), "2021-01-02",
-        bands = Some(bi))
+        bands = Some(bi), digests = Some(di))
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     } finally {
       // the returned frame reads only the checkpointed admission frame
-      // and the input parquet, never the index — dropping the managed
-      // table here (data included) is safe and keeps repeated catalog
-      // runs from accumulating orphaned inc_bands_q_* tables
+      // and the input parquet, never the indexes — dropping the managed
+      // tables here (data included) is safe and keeps repeated catalog
+      // runs from accumulating orphaned per-run tables
       s.sql(s"DROP TABLE IF EXISTS ${bi.table}")
+      s.sql(s"DROP TABLE IF EXISTS ${di.table}")
     }
   }
 

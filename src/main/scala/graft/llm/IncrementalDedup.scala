@@ -34,10 +34,12 @@ import org.apache.spark.sql.functions._
   * are materialized once per admitted document into a table bucketed
   * by the band key — WITH the signature columns riding along, so the
   * bucket-local candidate join hands the estimate verifier everything
-  * it needs and the near-dup path never reads the state at all (the
-  * exact path's digest anti-join remains the one narrow state scan an
-  * increment pays). Catch-up is O(new fingerprints) off the state's
-  * change feed — the 100 TB layout. In-batch NEAR-dups are out of
+  * it needs and the near-dup path never reads the state at all. A
+  * [[DigestIndex]] does the same for the EXACT path (otherwise a
+  * full-state digest scan + anti-join shuffle per increment); with
+  * both, an increment touches no full-state data at all and catch-up
+  * is O(new fingerprints) off the state's change feed — the 100 TB
+  * layout. In-batch NEAR-dups are out of
   * scope here ([[Dedup.minHashNearDups]] + [[Dedup.components]] own
   * that); this component's contract is increment-vs-history: two
   * near-dup (not byte-identical) docs arriving in the SAME batch are
@@ -67,7 +69,8 @@ object IncrementalDedup {
   def admit(state: TxTable, batch: DataFrame, id: Column, text: Column,
             date: String, k: Int = 8, bandsOf: Int = 2,
             threshold: Double = 0.5,
-            bands: Option[BandIndex] = None): DataFrame = {
+            bands: Option[BandIndex] = None,
+            digests: Option[DigestIndex] = None): DataFrame = {
     val sigCols = (0 until k).map(s => s"m$s")
     val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"))
     val fp = fingerprints(docs, k)
@@ -87,9 +90,22 @@ object IncrementalDedup {
       if (state.version < 0) batchUnique
       else {
         val stored = state.read()
-        // exact: digest seen before
-        val noExact = batchUnique.join(
-          stored.select(col("digest")), Seq("digest"), "left_anti")
+        // exact: digest seen before. With a DigestIndex the stored
+        // side is the bucketed digest table — zero Exchange, only the
+        // batch side shuffles, and the un-folded tail anti-joins as
+        // its own small leg; without one this is a full-state digest
+        // scan AND shuffle per increment
+        val noExact = digests match {
+          case Some(di) =>
+            val v = di.view(state)
+            val afterMain = batchUnique.join(v.main, Seq("digest"), "left_anti")
+            v.tail match {
+              case Some(t) => afterMain.join(t, Seq("digest"), "left_anti")
+              case None => afterMain
+            }
+          case None => batchUnique.join(
+            stored.select(col("digest")), Seq("digest"), "left_anti")
+        }
         // near: candidates from shared LSH band buckets, verified by
         // the signature-overlap estimate
         val newSig = noExact.filter(col("m0").isNotNull)
@@ -194,12 +210,13 @@ object IncrementalDedup {
                   k: Int = 8, bandsOf: Int = 2,
                   threshold: Double = 0.5,
                   sinkPartOf: Option[Column] = None,
-                  bands: Option[BandIndex] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                  bands: Option[BandIndex] = None,
+                  digests: Option[DigestIndex] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(state, sink, batch, id, text, dateOf(batchId), k, bandsOf,
-          threshold, sinkPartOf, bands)
+          threshold, sinkPartOf, bands, digests)
       }
       .start()
 
@@ -210,13 +227,14 @@ object IncrementalDedup {
                               id: Column, text: Column, date: String,
                               k: Int, bandsOf: Int, threshold: Double,
                               sinkPartOf: Option[Column] = None,
-                              bands: Option[BandIndex] = None): Unit = {
+                              bands: Option[BandIndex] = None,
+                              digests: Option[DigestIndex] = None): Unit = {
     // the sink partition is evaluated over the ORIGINAL batch columns
     // (before the id/text projection) so callers can derive it from a
     // document timestamp — see the checkpoint-reset caveat above
     val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"),
       sinkPartOf.getOrElse(lit(date)).cast("string").as(sink.partitionCol))
-    admit(state, batch, id, text, date, k, bandsOf, threshold, bands)
+    admit(state, batch, id, text, date, k, bandsOf, threshold, bands, digests)
     // recovery-safe delivery: admitted-by-ANY-attempt, not by this one.
     val delivered = docs.join(state.read().select(col("doc_id")), Seq("doc_id"))
     if (sink.version < 0) sink.append(delivered)
@@ -281,9 +299,70 @@ object IncrementalDedup {
   * work (an O(tail) map per increment) against append fixed cost;
   * the default folds once the tail outgrows a few bucket files.
   */
-final class BandIndex(val spark: SparkSession, val table: String,
-                      val buckets: Int = 32,
-                      val minFoldRows: Long = 100000L) extends Serializable {
+final class BandIndex(spark: SparkSession, table: String,
+                      buckets: Int = 32, minFoldRows: Long = 100000L)
+    extends FoldIndex(spark, table, buckets, minFoldRows) {
+
+  override protected def keyCol: String = "bkey"
+
+  /** The candidate join's stored side at `state`'s current version:
+    * bucketed main + optional derived tail. Folds the tail into the
+    * main when it has outgrown `minFoldRows` (or the main doesn't
+    * exist yet — the one-time backfill). The main's rows are
+    * (bkey, old_id, m0..m{k−1}) — the signature columns make
+    * verification bucket-local, not just candidate generation.
+    */
+  def view(state: TxTable, k: Int, bandsOf: Int): FoldIndex.View =
+    viewWith(state,
+      Map(BandIndex.KProp -> k.toString, BandIndex.BandsOfProp -> bandsOf.toString),
+      { src =>
+        val sig = src.filter(col("m0").isNotNull)
+          .select((col("doc_id").as("id") +: (0 until k).map(i => col(s"m$i"))): _*)
+        // the signature rides into the index rows so the estimate
+        // verification never has to hydrate it from the state again
+        Dedup.lshBands(sig, k, bandsOf, carry = (0 until k).map(i => s"m$i"))
+          .select((BandIndex.bkey.as("bkey") +: col("id").as("old_id") +:
+            (0 until k).map(i => col(s"m$i"))): _*)
+      })
+}
+
+/** Bucketed digest companion index — the EXACT-dedup counterpart of
+  * [[BandIndex]]: without it, every increment's digest anti-join
+  * sort-merges the FULL stored digest set (an O(corpus) shuffle per
+  * daily batch — the last full-state shuffle left on the admit path).
+  * Digests are materialized once per admitted document into a table
+  * bucketed by digest, so the anti-join's stored side reads with ZERO
+  * Exchange and only the (small) batch side shuffles; the un-folded
+  * tail anti-joins as its own tiny O(new) leg. Same main+delta fold,
+  * crash, and vacuum-retention contracts as [[BandIndex]].
+  */
+final class DigestIndex(spark: SparkSession, table: String,
+                        buckets: Int = 32, minFoldRows: Long = 100000L)
+    extends FoldIndex(spark, table, buckets, minFoldRows) {
+
+  override protected def keyCol: String = "digest"
+
+  /** The exact anti-join's stored side at `state`'s current version:
+    * bucketed main + optional derived tail, one `digest` column.
+    */
+  def view(state: TxTable): FoldIndex.View =
+    viewWith(state, Map.empty, _.select(col("digest")))
+}
+
+/** Main+delta bucketed fold machinery shared by [[BandIndex]] and
+  * [[DigestIndex]]: a managed table bucketed by `keyCol` (the MAIN),
+  * TBLPROPERTIES pinning the covered state version + any geometry,
+  * and a derived TAIL for state rows committed past that version,
+  * folded in once it outgrows `minFoldRows`. Subclasses supply the
+  * key column and a per-call derivation; `viewWith` owns the catalog
+  * round-trip caching, the fail-loudly property checks, and the fold
+  * decision.
+  */
+sealed abstract class FoldIndex(val spark: SparkSession, val table: String,
+                                val buckets: Int, val minFoldRows: Long)
+    extends Serializable {
+
+  protected def keyCol: String
 
   private def exists: Boolean = spark.catalog.tableExists(table)
 
@@ -296,20 +375,21 @@ final class BandIndex(val spark: SparkSession, val table: String,
     * newer state rows are served from the derived tail until folded.
     */
   def coveredVersion: Long =
-    props().get(BandIndex.VersionProp).map(_.toLong).getOrElse(-1L)
+    props().get(FoldIndex.VersionProp).map(_.toLong).getOrElse(-1L)
 
-  /** The bucketed main: (bkey, old_id, m0..m{k−1}) with the bucket
-    * layout exposed — the signature columns make verification
-    * bucket-local, not just candidate generation.
-    */
+  /** The bucketed main with the bucket layout exposed. */
   def read(): DataFrame = spark.table(table)
 
-  /** The candidate join's stored side at `state`'s current version:
-    * bucketed main + optional derived tail. Folds the tail into the
-    * main when it has outgrown `minFoldRows` (or the main doesn't
-    * exist yet — the one-time backfill).
+  /** The stored side at `state`'s current version: bucketed main +
+    * optional derived tail (`derive` over the state rows not yet
+    * folded). Folds the tail into the main when it has outgrown
+    * `minFoldRows` (or the main doesn't exist yet — the one-time
+    * backfill); `geometry` is pinned into TBLPROPERTIES at first fold
+    * and a mismatched later call fails loudly rather than mixing
+    * incompatible keys.
     */
-  def view(state: TxTable, k: Int, bandsOf: Int): BandIndex.BandsView = {
+  protected def viewWith(state: TxTable, geometry: Map[String, String],
+                         derive: DataFrame => DataFrame): FoldIndex.View = {
     val cur = state.version
     // one catalog round-trip per call: tableExists + SHOW TBLPROPERTIES
     // are metastore RPCs on the daily-increment hot path
@@ -319,55 +399,50 @@ final class BandIndex(val spark: SparkSession, val table: String,
         .map(r => r.getString(0) -> r.getString(1)).toMap
     else Map.empty[String, String]
     if (tableExists) {
-      // data without geometry props = a crash between the first
-      // fold's table write and its property commit; the promised
+      // data without the version/geometry props = a crash between the
+      // first fold's table write and its property commit; the promised
       // fail-loudly contract must hold HERE, or a later call with
-      // different geometry would silently append mixed band keys
-      require(p.contains(BandIndex.KProp) && p.contains(BandIndex.BandsOfProp),
-        s"band index $table exists but its geometry properties are missing — " +
+      // different geometry would silently append mixed keys
+      require(p.contains(FoldIndex.VersionProp) && geometry.keys.forall(p.contains),
+        s"index $table exists but its fold properties are missing — " +
           s"likely a crashed first fold; DROP TABLE $table and re-run to rebuild")
-      require(p(BandIndex.KProp).toInt == k,
-        s"band index $table was built with k=${p(BandIndex.KProp)}, called with k=$k")
-      require(p(BandIndex.BandsOfProp).toInt == bandsOf,
-        s"band index $table was built with bandsOf=${p(BandIndex.BandsOfProp)}, " +
-          s"called with bandsOf=$bandsOf")
+      geometry.foreach { case (gk, gv) =>
+        require(p(gk) == gv,
+          s"index $table was built with $gk=${p(gk)}, called with $gk=$gv")
+      }
     }
-    val from = p.get(BandIndex.VersionProp).map(_.toLong).getOrElse(-1L)
-    if (cur < 0 || from >= cur) return BandIndex.BandsView(read(), None)
+    val from = p.get(FoldIndex.VersionProp).map(_.toLong).getOrElse(-1L)
+    if (cur < 0 || from >= cur) return FoldIndex.View(read(), None)
 
     val src = if (from < 0) state.read() else state.readChangesSince(from, cur)
-    val sig = src.filter(col("m0").isNotNull)
-      .select((col("doc_id").as("id") +: (0 until k).map(i => col(s"m$i"))): _*)
-    // the signature rides into the index rows so the estimate
-    // verification never has to hydrate it from the state again
-    val tailBands = Dedup.lshBands(sig, k, bandsOf,
-        carry = (0 until k).map(i => s"m$i"))
-      .select((BandIndex.bkey.as("bkey") +: col("id").as("old_id") +:
-        (0 until k).map(i => col(s"m$i"))): _*)
+    val tailRows = derive(src)
     // fold decision on the narrow state-row count (columnar, O(tail));
     // the first call always folds — it IS the backfill
     if (!tableExists || src.count() >= minFoldRows) {
-      if (!tableExists) Bucketing.writeBucketed(tailBands, table, "bkey", buckets)
-      else Bucketing.appendBucketed(tailBands, table, "bkey", buckets)
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
-        s"'${BandIndex.VersionProp}'='$cur','${BandIndex.KProp}'='$k'," +
-        s"'${BandIndex.BandsOfProp}'='$bandsOf')")
-      BandIndex.BandsView(read(), None)
-    } else BandIndex.BandsView(read(), Some(tailBands))
+      if (!tableExists) Bucketing.writeBucketed(tailRows, table, keyCol, buckets)
+      else Bucketing.appendBucketed(tailRows, table, keyCol, buckets)
+      val propsSql = (geometry + (FoldIndex.VersionProp -> cur.toString))
+        .map { case (gk, gv) => s"'$gk'='$gv'" }.mkString(",")
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES($propsSql)")
+      FoldIndex.View(read(), None)
+    } else FoldIndex.View(read(), Some(tailRows))
   }
 }
 
-object BandIndex {
+object FoldIndex {
   private[llm] val VersionProp = "graft.state.version"
-  private[llm] val KProp = "graft.band.k"
-  private[llm] val BandsOfProp = "graft.band.bandsOf"
 
-  /** The stored side of the candidate join: the bucketed `main` scan
-    * plus the optional un-folded `tail` (bands derived O(new) at
-    * query time). Joined as separate legs to preserve the main's
+  /** The stored side of an increment's join: the bucketed `main` scan
+    * plus the optional un-folded `tail` (derived O(new) at query
+    * time). Joined as separate legs to preserve the main's
     * bucket-local plan.
     */
-  final case class BandsView(main: DataFrame, tail: Option[DataFrame])
+  final case class View(main: DataFrame, tail: Option[DataFrame])
+}
+
+object BandIndex {
+  private[llm] val KProp = "graft.band.k"
+  private[llm] val BandsOfProp = "graft.band.bandsOf"
 
   /** The folded single-column bucket key over a (band, bk) frame; the
     * delimiter keeps (1,"23") and (12,"3") distinct.

@@ -169,6 +169,51 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${bi.table}")
   }
 
+  test("digest index: identical exact suppression, incremental catch-up, zero-Exchange stored side") {
+    val t = table()
+    val di = new DigestIndex(spark, s"inc_digests_spec_${System.nanoTime()}",
+      buckets = 8, minFoldRows = 0L)
+    try {
+      val b1 = Seq((1L, longA), (2L, longB)).toDF("id", "text")
+      IncrementalDedup.admit(t, b1, col("id"), col("text"), "2021-01-01",
+        digests = Some(di))
+      assert(di.coveredVersion === -1L,
+        "first increment has no history — nothing to index yet")
+
+      val b2 = Seq(
+        (10L, longA), // exact dup of doc 1 — must be rejected via the index
+        (11L, "completely different words about ships and storms and salt"),
+        (12L, "tiny doc")
+      ).toDF("id", "text")
+      val a2 = IncrementalDedup.admit(t, b2, col("id"), col("text"), "2021-01-02",
+        digests = Some(di))
+      assert(a2.select("doc_id").as[Long].collect().sorted.toSeq === Seq(11L, 12L),
+        "digest-index path must suppress exactly what the full-state scan suppresses")
+      assert(di.coveredVersion === 0L)
+      assert(di.read().count() === 2, "backfill holds b1's 2 digests")
+
+      val b3 = Seq((20L, longA)).toDF("id", "text")
+      val a3 = IncrementalDedup.admit(t, b3, col("id"), col("text"), "2021-01-03",
+        digests = Some(di))
+      assert(a3.count() === 0, "exact dup of an indexed admission rejected")
+      assert(di.read().count() === 4, "catch-up appended only b2's 2 admissions")
+
+      // the anti-join's stored side must read bucket-local: one
+      // Exchange total (the batch side), none above the index scan
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = Seq("00notreal").toDF("digest")
+        val anti = probe.join(di.read(), Seq("digest"), "left_anti")
+        val plan = anti.queryExecution.executedPlan.toString
+        val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+        assert(exchanges === 1,
+          s"stored side must anti-join off its bucket layout (batch side only shuffles):\n$plan")
+        assert(plan.contains("Bucketed: true"), s"digest index scan not bucketed:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${di.table}")
+  }
+
   test("band index: a crashed first fold (data without geometry props) fails loudly") {
     // the crash window: the first fold's bucketed write landed but the
     // TBLPROPERTIES commit did not — a later call must refuse rather
@@ -184,7 +229,7 @@ class IncrementalDedupSpec extends SparkSpec {
         IncrementalDedup.admit(t, Seq((2L, longB)).toDF("id", "text"),
           col("id"), col("text"), "2021-01-02", bands = Some(bi))
       }
-      assert(e.getMessage.contains("geometry properties are missing"), e.getMessage)
+      assert(e.getMessage.contains("fold properties are missing"), e.getMessage)
     } finally spark.sql(s"DROP TABLE IF EXISTS ${bi.table}")
   }
 
