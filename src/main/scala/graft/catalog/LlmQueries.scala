@@ -1638,6 +1638,43 @@ object LlmQueries {
        |FROM tot LEFT JOIN kept USING (lang)
        |ORDER BY tot.lang""".stripMargin
 
+  // ------------------------------------------ verbatim span dedup
+  /** Exact-substring dedup ([[Dedup.sharedSpanPairs]]): document
+    * pairs sharing a VERBATIM 10-token span, joined on the span text
+    * itself (no hashing — candidates are their own verification),
+    * with document-frequency pruning [2, 32] so boilerplate spans
+    * cannot go quadratic. The complement of the minhash family: that
+    * estimates whole-document overlap, this finds exact copied
+    * passages however different the rest of the documents are.
+    */
+  private def spanDedupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        TextOps.wordNgrams(TextOps.words(col("text")), 10))).as("g"))
+    Dedup.sharedSpanPairs(grams, col("doc_id"), col("g"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val spanDedupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+       |  WHERE text IS NOT NULL
+       |), g AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(ws) >= 10
+       |         THEN list_transform(range(1, len(ws)-8), i -> array_to_string(ws[i:i+9], ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END)) AS g
+       |  FROM w
+       |), df AS (
+       |  SELECT g FROM g GROUP BY g HAVING count(*) BETWEEN 2 AND 32
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       count(*) AS n_shared, min(a.g) AS span
+       |FROM g a JOIN df USING (g) JOIN g b USING (g)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------- quantile filtering
   /** Adaptive quality filtering ([[Sampling.dropBottomQuantile]]):
     * drop each language's worst quarter by quality score — the cutoff
@@ -2260,6 +2297,7 @@ object LlmQueries {
     "llm_hash_sample"  -> hashSample,
     "llm_mix_sources"  -> mixSources,
     "llm_quality_filter" -> qualityFilterQ,
+    "llm_span_dedup"   -> spanDedupQ,
     "llm_domain_cap"   -> domainCap,
     "llm_split_assign" -> splitAssign,
     "llm_pack_sequences" -> packSeqs,
@@ -2307,6 +2345,7 @@ object LlmQueries {
     "llm_hash_sample"  -> hashSampleSql,
     "llm_mix_sources"  -> mixSourcesSql,
     "llm_quality_filter" -> qualityFilterSql,
+    "llm_span_dedup"   -> spanDedupSql,
     "llm_domain_cap"   -> domainCapSql,
     "llm_split_assign" -> splitAssignSql,
     "llm_pack_sequences" -> packSeqsSql,

@@ -83,6 +83,36 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Cross-document VERBATIM span pairs — the exact-substring form of
+    * near-dup detection (Lee/Ippolito et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22): two documents pair
+    * iff they share at least one exact `n`-token span, found by
+    * joining on the span text itself (each n-gram is its own bucket —
+    * no hashing, no false positives, candidates ARE verifications).
+    * Returns (id_a, id_b, n_shared = number of distinct shared spans,
+    * span = lexicographically-first witness).
+    *
+    * `maxDf` prunes spans present in more than that many documents
+    * before the pair join — boilerplate (license headers, navigation
+    * chrome) would otherwise go quadratic, exactly the [[simHashPairs]]
+    * / video shared-frame df-prune rule; dropped spans are the ones a
+    * dedup decision should not be based on anyway. Shape: one distinct
+    * + one df aggregation + a per-span bucket join — nothing all-pairs.
+    */
+  def sharedSpanPairs(exploded: DataFrame, id: Column, gram: Column,
+                      minDf: Long = 2L, maxDf: Long = 32L): DataFrame = {
+    val g = exploded.select(id.as("id"), gram.as("g")).distinct()
+    val keep = g.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf && col("__df") <= maxDf)
+      .select(col("g"))
+    val pruned = g.join(keep, Seq("g"))
+    pruned.select(col("g"), col("id").as("id_a"))
+      .join(pruned.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"), min(col("g")).as("span"))
+  }
+
   /** Exact Jaccard over candidate pairs given the exploded distinct
     * shingle table (id, s). Joins run per-bucket, not all-pairs.
     */

@@ -286,6 +286,29 @@ class LlmOpsSpec extends SparkSpec {
       rates = Map.empty, defaultRate = 0.0d).count() == 0L)
   }
 
+  test("sharedSpanPairs: verbatim 10-token span pairs, boilerplate df-pruned") {
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    // docs 1,2 embed the same span in different surroundings; docs
+    // 3..37 all carry `boiler` (df 35 > maxDf 32 → pruned — 595
+    // quadratic pairs that must NOT materialize); doc 38 too short
+    val rows = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"zeta eta theta $span iota")) ++
+      (3 to 37).map(i => (i.toLong, s"x$i y$i $boiler z$i")) :+
+      ((38L, "short doc"))
+    val df = rows.toDF("id", "text")
+    val grams = df.select(col("id"), explode(array_distinct(
+      TextOps.wordNgrams(TextOps.words(col("text")), 10))).as("g"))
+    val pairs = Dedup.sharedSpanPairs(grams, col("id"), col("g")).collect()
+    assert(pairs.length === 1, "only the genuine copied span pairs; boilerplate pruned")
+    assert(pairs.head.getAs[Long]("id_a") === 1L)
+    assert(pairs.head.getAs[Long]("id_b") === 2L)
+    assert(pairs.head.getAs[Long]("n_shared") === 1L)
+    assert(pairs.head.getAs[String]("span") === span,
+      "the witness is the exact copied text, not a hash")
+  }
+
   test("dropBottomQuantile: equals the percent_rank window on grouped data with ties") {
     import graft.llm.Sampling
     val rnd = new scala.util.Random(42)
