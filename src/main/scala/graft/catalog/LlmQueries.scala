@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{Dedup, IncrementalDedup, Multimodal, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
+import graft.llm.{CorpusStats, Dedup, IncrementalDedup, Multimodal, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1253,6 +1253,92 @@ object LlmQueries {
        |FROM topk ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
   }
 
+  /** [[Similarity.semanticDedup]] — SemDeDup (Abbas et al.,
+    * arXiv:2303.09540) over the embeddings table: k-means (k=8, 5
+    * Lloyd iterations, same deterministic fit as llm_kmeans_ivf),
+    * then within each cluster drop every item with cosine ≥ 0.9 to
+    * an earlier-ranked item (rank = cosine-to-centroid DESC, id ASC).
+    * Duplicates are constructed exact copies of every 10th vector
+    * (cosine exactly 1.0, identical L2 distances → same cell and
+    * same centroid-cosine in both engines, rank tie broken by id),
+    * so recall is 1 by construction and the compare is exact; the
+    * natural max cosine in this data is ~0.51, far under τ. The
+    * oracle unrolls the SAME Lloyd fit in SQL (kmeansIvfSql's
+    * fixture-stability caveat applies) and reproduces the rank +
+    * pairwise-drop join verbatim.
+    */
+  private def semanticDedupQ(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val copies = base.filter(col("id") % 10 === 0)
+      .select((col("id") + 10000000L).as("id"), col("v"))
+    Similarity.semanticDedup(base.unionByName(copies),
+        col("id"), col("v"), k = 8, iters = 5, tau = 0.9d)
+      .select(col("id"), col("cell").cast("int").as("cell"), col("keep"))
+      .orderBy(col("id"))
+  }
+
+  private val semanticDedupSql: String = {
+    val k = 8; val iters = 5; val dimPlus1 = 65
+    def centsCte(i: Int, from: String): String =
+      s"""scomp$i AS (
+         |  SELECT cell, i, avg(v[i]) AS c
+         |  FROM $from CROSS JOIN (SELECT i FROM range(1, $dimPlus1) t(i))
+         |  GROUP BY 1, 2
+         |), scents$i AS (SELECT cell, list(c ORDER BY i) AS centroid FROM scomp$i GROUP BY 1)"""
+        .stripMargin
+    def d2Sql(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, $dimPlus1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def assignCte(i: Int, cents: String): String =
+      s"""sassign$i AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT p.id, p.v, c.cell,
+         |           row_number() OVER (PARTITION BY p.id
+         |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
+         |    FROM pts p CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      assignCte(i, s"scents${i - 1}") + ",\n" + centsCte(i, s"sassign$i")
+    }.mkString(",\n")
+    def cosSql(a: String, b: String): String =
+      s"""list_dot_product($a, $b)
+         |           / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, embedding::DOUBLE[] FROM embeddings
+       |  WHERE vec_id % 10 = 0
+       |),
+       |scents0 AS (
+       |  SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell, v AS centroid
+       |  FROM pts QUALIFY row_number() OVER (ORDER BY id) <= $k
+       |),
+       |$iterCtes,
+       |final_assign AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT p.id, p.v, c.cell,
+       |           row_number() OVER (PARTITION BY p.id
+       |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
+       |    FROM pts p CROSS JOIN scents$iters c)
+       |  WHERE rn = 1
+       |), rankc AS (
+       |  SELECT a.id, a.cell, a.v,
+       |         ${cosSql("a.v", "c.centroid")} AS csim
+       |  FROM final_assign a JOIN scents$iters c USING (cell)
+       |), ord AS (
+       |  SELECT id, cell, v,
+       |         row_number() OVER (PARTITION BY cell ORDER BY csim DESC, id) AS rk
+       |  FROM rankc
+       |), dup AS (
+       |  SELECT DISTINCT b.id
+       |  FROM ord a JOIN ord b ON a.cell = b.cell AND a.rk < b.rk
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.9
+       |)
+       |SELECT o.id, CAST(o.cell AS INTEGER) AS cell, (d.id IS NULL) AS keep
+       |FROM ord o LEFT JOIN dup d ON o.id = d.id
+       |ORDER BY o.id""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs via distributed SRP-LSH
     * (signature → band buckets → in-bucket exact cosine verify),
     * threshold 0.9. Positives are constructed power-of-2-scaled copies
@@ -2258,8 +2344,120 @@ object LlmQueries {
        |SELECT id, ${r4Sql("sim")} AS sim FROM topk
        |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
 
+  // --------------------------------------- corpus statistics
+  /** [[CorpusStats.pmiTopK]] — PMI-ranked adjacent word pairs
+    * (Church & Hanks CL 1990) over the whole corpus: top 20 by
+    * r4-rounded PMI among pairs occurring ≥ 5 times. Both engines
+    * tokenize with the same `[a-z]+`-after-lower regex and compute
+    * PMI with the same expression shape over the same exact integer
+    * counts, so only ln's last-ulp can differ — absorbed by r4; ties
+    * at the cut break on (w1, w2).
+    */
+  private def collocations(s: SparkSession, d: String): DataFrame =
+    CorpusStats.pmiTopK(Tables.fanOut(Tables.documents(s, d)), col("text"), minCount = 5L, k = 20)
+      .select(col("w1"), col("w2"), col("c12"), r4(col("pmi")).as("pmi"))
+      .orderBy(r4(col("pmi")).desc, col("w1"), col("w2"))
+
+  private val collocationsSql: String =
+    s"""WITH tl AS (
+       |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
+       |  FROM documents WHERE text IS NOT NULL
+       |), toks AS (SELECT ts FROM tl WHERE len(ts) > 0),
+       |uni AS (
+       |  SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1
+       |), totals AS (
+       |  SELECT CAST(sum(len(ts)) AS BIGINT) AS n,
+       |         CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS btot
+       |  FROM toks
+       |), bg AS (
+       |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks WHERE len(ts) >= 2)
+       |), pairs AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+       |), p AS (
+       |  SELECT pr.w1, pr.w2, pr.c12,
+       |         ln((CAST(pr.c12 AS DOUBLE) / CAST(t.btot AS DOUBLE)) /
+       |            ((CAST(u1.c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+       |             (CAST(u2.c AS DOUBLE) / CAST(t.n AS DOUBLE)))) AS pmi
+       |  FROM pairs pr
+       |  JOIN uni u1 ON pr.w1 = u1.w
+       |  JOIN uni u2 ON pr.w2 = u2.w
+       |  CROSS JOIN totals t
+       |), topk AS (
+       |  SELECT * FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20
+       |)
+       |SELECT w1, w2, c12, ${r4Sql("pmi")} AS pmi
+       |FROM topk ORDER BY ${r4Sql("pmi")} DESC, w1, w2""".stripMargin
+
+  /** [[CorpusStats.sourceOverlap]] — the cross-source contamination
+    * matrix over distinct word 5-grams: shared-gram count, Jaccard,
+    * and containment per overlapping source pair. All three outputs
+    * derive from exact integer set sizes (the divisions are the only
+    * float steps, identical shape both sides), so the compare is
+    * effectively exact; r4 by convention.
+    */
+  private def sourceOverlapQ(s: SparkSession, d: String): DataFrame =
+    CorpusStats.sourceOverlap(Tables.fanOut(Tables.documents(s, d)),
+        col("source"), col("text"), n = 5)
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        r4(col("jaccard")).as("jaccard"), r4(col("containment")).as("containment"))
+      .orderBy(col("source_a"), col("source_b"))
+
+  private val sourceOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT source, ${wordsSql("text")} AS w FROM documents
+       |  WHERE text IS NOT NULL
+       |), sg AS (
+       |  SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 5
+       |    THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS g
+       |  FROM d
+       |), c AS (SELECT source, count(*) AS cnt FROM sg GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM sg a JOIN sg b USING (g) WHERE a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.source_a, i.source_b, i.n_shared,
+       |       ${r4Sql("CAST(i.n_shared AS DOUBLE) / CAST(ca.cnt + cb.cnt - i.n_shared AS DOUBLE)")} AS jaccard,
+       |       ${r4Sql("CAST(i.n_shared AS DOUBLE) / CAST(least(ca.cnt, cb.cnt) AS DOUBLE)")} AS containment
+       |FROM inter i
+       |JOIN c ca ON i.source_a = ca.source
+       |JOIN c cb ON i.source_b = cb.source
+       |ORDER BY 1, 2""".stripMargin
+
+  /** [[CorpusStats.byteEntropy]] — per-document Shannon entropy of
+    * the UTF-8 byte distribution, the gibberish/diversity quality
+    * signal. Byte extraction uses the llm_resize oracle's hex-pair
+    * form on both sides; entropy = ln(n) − Σ c·ln(c)/n folds ≤256
+    * exact integer counts per doc, r4 absorbs fold-order ulps.
+    */
+  private def docEntropy(s: SparkSession, d: String): DataFrame =
+    CorpusStats.byteEntropy(Tables.fanOut(Tables.documents(s, d)), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_bytes"), r4(col("entropy")).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  private val docEntropySql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+       |), by AS (
+       |  SELECT doc_id, substr(hx, CAST(2 * p + 1 AS INTEGER), 2) AS b
+       |  FROM (SELECT doc_id, hx, unnest(range(0, length(hx) // 2)) AS p FROM b)
+       |), c AS (SELECT doc_id, b, count(*) AS c FROM by GROUP BY 1, 2),
+       |e AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT doc_id, n AS n_bytes,
+       |       ${r4Sql("ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE)")} AS entropy
+       |FROM e ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
+    "llm_semantic_dedup" -> semanticDedupQ,
     "llm_embed_neardup" -> embedNearDup,
     "llm_exact_dedup"  -> exactDedup,
     "llm_minhash_lsh"  -> minhashLsh,
@@ -2304,10 +2502,14 @@ object LlmQueries {
     "llm_incremental_dedup" -> incrementalDedupQ,
     "llm_chunk"        -> chunk,
     "llm_decontaminate" -> decontaminate,
+    "llm_collocations" -> collocations,
+    "llm_doc_entropy"  -> docEntropy,
+    "llm_source_overlap" -> sourceOverlapQ,
   )
 
   def oracleSql: Map[String, String] = Map(
     "llm_kmeans_ivf"   -> kmeansIvfSql,
+    "llm_semantic_dedup" -> semanticDedupSql,
     "llm_embed_neardup" -> embedNearDupSql,
     "llm_exact_dedup"  -> exactDedupSql,
     "llm_minhash_lsh"  -> minhashLshSql,
@@ -2352,5 +2554,8 @@ object LlmQueries {
     "llm_incremental_dedup" -> incrementalDedupSql,
     "llm_chunk"        -> chunkSql,
     "llm_decontaminate" -> decontaminateSql,
+    "llm_collocations" -> collocationsSql,
+    "llm_doc_entropy"  -> docEntropySql,
+    "llm_source_overlap" -> sourceOverlapSql,
   )
 }

@@ -455,4 +455,50 @@ object Similarity {
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate pruning via k-means clustering followed
+    * by within-cluster cosine comparison. Items in a cluster are
+    * ranked by cosine-to-centroid descending (id ascending breaks
+    * ties); an item is DROPPED when some earlier-ranked item in the
+    * same cluster has cosine ≥ `tau` to it — one representative per
+    * semantic group survives, preferring the most central. This is
+    * the pairwise-matrix form of the paper's dedup (no sequential
+    * greedy dependency), so the drop set is a single cluster-local
+    * join, not an iterative loop.
+    *
+    * Scale: pairwise work is cluster-local — O(Σ|cell|²) — and the
+    * paper's own regime scales k with N to bound |cell| (SemDeDup
+    * uses 50k clusters for LAION-440M). Every shuffle is keyed by
+    * `cell`; centroids are the only driver-side state (k×dim, from
+    * [[kMeansFit]], which documents the fit-on-sample path for
+    * 100 TB). For a mega-cell that still overflows the quadratic
+    * verify, [[nearDupPairs]]' SRP banding composes as an in-cell
+    * prefilter.
+    *
+    * Returns (id, cell, keep) for every input row.
+    */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column,
+                    k: Int, iters: Int, tau: Double): DataFrame = {
+    val pts = df.select(id.cast("long").as("id"), vec.as("v"))
+    val cents = kMeansFit(pts, col("id"), col("v"), k, iters)
+    val ranked = kMeansAssign(pts, cents)
+      .join(broadcast(cents), "cell")
+      .select(col("id"), col("cell"), col("v"),
+        cosine(col("v"), col("centroid")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("csim").desc, col("id"))))
+    val a = ranked.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("rk").as("rk_a"))
+    val b = ranked.select(col("cell").as("cell_b"), col("id").as("id_b"),
+      col("v").as("vb"), col("rk").as("rk_b"))
+    val dropped = a.join(b,
+        col("cell") === col("cell_b") && col("rk_a") < col("rk_b"))
+      .filter(cosine(col("va"), col("vb")) >= tau)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("dup", lit(true))
+    ranked.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
+  }
 }
