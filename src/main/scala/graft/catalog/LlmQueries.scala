@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{CorpusStats, Dedup, IncrementalDedup, Multimodal, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
+import graft.llm.{CorpusStats, Dedup, Dsir, IncrementalDedup, Multimodal, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2455,6 +2455,161 @@ object LlmQueries {
        |       ${r4Sql("ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE)")} AS entropy
        |FROM e ORDER BY doc_id""".stripMargin
 
+  /** [[CorpusStats.jsDivergence]] between the five language unigram
+    * distributions — 10 pairs, each JS ∈ [0, ln 2]. Both engines sum
+    * the same per-word double terms (fold order differs; r4 absorbs
+    * the ~1e-13 relative ulps) over exact integer counts from the
+    * shared `[a-z]+` tokenizer.
+    */
+  private def jsDivergenceQ(s: SparkSession, d: String): DataFrame =
+    CorpusStats.jsDivergence(Tables.fanOut(Tables.documents(s, d)), col("lang"), col("text"))
+      .select(col("source_a").as("lang_a"), col("source_b").as("lang_b"),
+        r4(col("js")).as("js"))
+      .orderBy(col("lang_a"), col("lang_b"))
+
+  private val jsDivergenceSql: String =
+    s"""WITH cnt AS (
+       |  SELECT src, w, count(*) AS c FROM (
+       |    SELECT lang AS src, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1, 2
+       |), tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+       |p AS (
+       |  SELECT cnt.src, w, CAST(c AS DOUBLE) / CAST(ct AS DOUBLE) AS p
+       |  FROM cnt JOIN tot USING (src)
+       |), shared AS (
+       |  SELECT a.src AS lang_a, b.src AS lang_b,
+       |         sum(a.p) AS sa, sum(b.p) AS sb,
+       |         sum(a.p * ln(2 * a.p / (a.p + b.p))
+       |             + b.p * ln(2 * b.p / (a.p + b.p))) AS sh
+       |  FROM p a JOIN p b USING (w) WHERE a.src < b.src
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.src AS lang_a, b.src AS lang_b
+       |  FROM tot a CROSS JOIN tot b WHERE a.src < b.src
+       |)
+       |SELECT pr.lang_a, pr.lang_b,
+       |       ${r4Sql("0.5 * (ln(2) * (2 - coalesce(sa, 0) - coalesce(sb, 0)) + coalesce(sh, 0))")} AS js
+       |FROM pairs pr LEFT JOIN shared sh
+       |  ON pr.lang_a = sh.lang_a AND pr.lang_b = sh.lang_b
+       |ORDER BY 1, 2""".stripMargin
+
+  /** [[Dsir.logWeights]] — DSIR importance weights (Xia et al.
+    * arXiv:2302.03169): target = `src0` documents, raw = the other 19
+    * sources; every raw doc scored by Σ n_b·(ln p_t(b) − ln p_r(b))
+    * over 256 md5-prefix hash buckets of its unigrams+bigrams, top 30
+    * by weight. Counts and bucket ids are exact/identical both sides;
+    * the two lns and the weighted sum are the only float steps (same
+    * expression shape, r4 absorbs fold-order ulps).
+    */
+  private def dsirQ(s: SparkSession, d: String): DataFrame =
+    Dsir.logWeights(Tables.fanOut(Tables.documents(s, d)), col("doc_id"),
+        col("text"), col("source") === "src0")
+      .orderBy(col("log_w").desc, col("doc_id")).limit(30)
+      .select(col("doc_id"), col("n_grams"), r4(col("log_w")).as("log_w"))
+      .orderBy(r4(col("log_w")).desc, col("doc_id"))
+
+  private val dsirSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, (source = 'src0') AS is_target, ${wordsSql("text")} AS ws
+       |  FROM documents WHERE text IS NOT NULL
+       |), grams AS (
+       |  SELECT doc_id, is_target,
+       |         unnest(ws || CASE WHEN len(ws) >= 2
+       |           THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+       |           ELSE CAST([] AS VARCHAR[]) END) AS g
+       |  FROM d0
+       |), feats AS (
+       |  SELECT doc_id, is_target, substr(md5('dsir|' || g), 1, 2) AS b,
+       |         count(*) AS n
+       |  FROM grams GROUP BY 1, 2, 3
+       |), model AS (
+       |  SELECT b,
+       |         CAST(sum(CASE WHEN is_target THEN n ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(sum(CASE WHEN NOT is_target THEN n ELSE 0 END) AS BIGINT) AS cr
+       |  FROM feats GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM model
+       |), llr AS (
+       |  SELECT b, ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+       |           - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)) AS llr
+       |  FROM model CROSS JOIN tot
+       |), sc AS (
+       |  SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_grams,
+       |         sum(CAST(f.n AS DOUBLE) * llr.llr) AS log_w
+       |  FROM feats f JOIN llr USING (b) WHERE NOT f.is_target
+       |  GROUP BY 1
+       |), topk AS (SELECT * FROM sc ORDER BY log_w DESC, doc_id LIMIT 30)
+       |SELECT doc_id, n_grams, ${r4Sql("log_w")} AS log_w
+       |FROM topk ORDER BY ${r4Sql("log_w")} DESC, doc_id""".stripMargin
+
+  /** [[Similarity.embedOutliers]] — per-cell distance z-scores over
+    * the embeddings table (k=8, 5 Lloyd iterations, the same
+    * deterministic fit as llm_kmeans_ivf; kmeansIvfSql's
+    * fixture-stability caveat applies). Variance is the explicit
+    * E[d²]−μ² form on BOTH sides so the expression trees match; all
+    * 500 rows returned, ordered by id — no threshold filter, so row
+    * membership cannot flip on a rounding boundary.
+    */
+  private def embedOutliersQ(s: SparkSession, d: String): DataFrame =
+    Similarity.embedOutliers(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), k = 8, iters = 5)
+      .select(col("id"), col("cell").cast("int").as("cell"),
+        r4(col("dist")).as("dist"), r4(col("z")).as("z"))
+      .orderBy(col("id"))
+
+  private val embedOutliersSql: String = {
+    val k = 8; val iters = 5; val dimPlus1 = 65
+    def centsCte(i: Int, from: String): String =
+      s"""ocomp$i AS (
+         |  SELECT cell, i, avg(v[i]) AS c
+         |  FROM $from CROSS JOIN (SELECT i FROM range(1, $dimPlus1) t(i))
+         |  GROUP BY 1, 2
+         |), ocents$i AS (SELECT cell, list(c ORDER BY i) AS centroid FROM ocomp$i GROUP BY 1)"""
+        .stripMargin
+    def d2Sql(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, $dimPlus1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def assignCte(i: Int, cents: String): String =
+      s"""oassign$i AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT p.id, p.v, c.cell,
+         |           row_number() OVER (PARTITION BY p.id
+         |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
+         |    FROM pts p CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      assignCte(i, s"ocents${i - 1}") + ",\n" + centsCte(i, s"oassign$i")
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |),
+       |ocents0 AS (
+       |  SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell, v AS centroid
+       |  FROM pts QUALIFY row_number() OVER (ORDER BY id) <= $k
+       |),
+       |$iterCtes,
+       |final_assign AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT p.id, p.v, c.cell,
+       |           row_number() OVER (PARTITION BY p.id
+       |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
+       |    FROM pts p CROSS JOIN ocents$iters c)
+       |  WHERE rn = 1
+       |), dists AS (
+       |  SELECT a.id, a.cell, sqrt(${d2Sql("a.v", "c.centroid")}) AS dist
+       |  FROM final_assign a JOIN ocents$iters c USING (cell)
+       |), stats AS (
+       |  SELECT cell, sum(dist) / count(*) AS mu,
+       |         sqrt(greatest(sum(dist * dist) / count(*)
+       |           - (sum(dist) / count(*)) * (sum(dist) / count(*)), 0)) AS sigma
+       |  FROM dists GROUP BY 1
+       |)
+       |SELECT d.id, CAST(d.cell AS INTEGER) AS cell, ${r4Sql("d.dist")} AS dist,
+       |       ${r4Sql("CASE WHEN s.sigma > 0 THEN (d.dist - s.mu) / s.sigma ELSE 0.0 END")} AS z
+       |FROM dists d JOIN stats s USING (cell)
+       |ORDER BY d.id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -2505,6 +2660,9 @@ object LlmQueries {
     "llm_collocations" -> collocations,
     "llm_doc_entropy"  -> docEntropy,
     "llm_source_overlap" -> sourceOverlapQ,
+    "llm_js_divergence" -> jsDivergenceQ,
+    "llm_dsir"         -> dsirQ,
+    "llm_embed_outliers" -> embedOutliersQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2557,5 +2715,8 @@ object LlmQueries {
     "llm_collocations" -> collocationsSql,
     "llm_doc_entropy"  -> docEntropySql,
     "llm_source_overlap" -> sourceOverlapSql,
+    "llm_js_divergence" -> jsDivergenceSql,
+    "llm_dsir"         -> dsirSql,
+    "llm_embed_outliers" -> embedOutliersSql,
   )
 }

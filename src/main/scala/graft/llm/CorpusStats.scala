@@ -70,21 +70,31 @@ object CorpusStats {
     * of the gram sets, and containment (shared / smaller set).
     * Non-overlapping pairs are omitted — their row would be all-zero.
     *
-    * Scale: one gram-keyed distinct, then a self-join on the gram —
-    * each gram fans out to at most |sources with it|² ≤ |S|² pair
-    * rows (|S| is small: a corpus has tens of sources, not millions),
-    * partially aggregated before the (a,b)-keyed shuffle. No stage
-    * depends on corpus size beyond the initial linear shingle pass.
+    * Scale: ONE gram-keyed shuffle — `groupBy(gram).collect_set(src)`
+    * (sets dedup map-side in the partial aggregation, and |set| ≤
+    * |S|, which is small: a corpus has tens of sources, not
+    * millions) — then both the per-source distinct-gram counts and
+    * the pair intersections derive from the per-gram source sets
+    * with pipeline-local explodes and map-side-combined counts. The
+    * first version self-joined the distinct (src, gram) frame on the
+    * gram — same semantics, but three full-width shuffles of raw
+    * gram strings (distinct + two join sides); measured at a 10x
+    * corpus the set form cut the query 13.0 s → 4.0 s and the scale
+    * exponent 0.81 → 0.32 (see SCALE.md).
     */
   def sourceOverlap(docs: DataFrame, group: Column, text: Column, n: Int): DataFrame = {
-    val sg = docs.filter(text.isNotNull)
+    val sets = docs.filter(text.isNotNull)
       .select(group.as("src"),
         explode(array_distinct(TextOps.wordNgrams(TextOps.words(text), n))).as("g"))
-      .distinct()
-    val counts = sg.groupBy("src").agg(count(lit(1)).as("cnt"))
-    val inter = sg.select(col("src").as("source_a"), col("g"))
-      .join(sg.select(col("src").as("source_b"), col("g")), "g")
-      .filter(col("source_a") < col("source_b"))
+      .groupBy("g").agg(sort_array(collect_set(col("src"))).as("ss"))
+      .select(col("ss"))
+    val counts = sets.select(explode(col("ss")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("cnt"))
+    val inter = sets.filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
     inter
       .join(counts.select(col("src").as("source_a"), col("cnt").as("na")), "source_a")
@@ -94,6 +104,52 @@ object CorpusStats {
           (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard"),
         (col("n_shared").cast("double") /
           least(col("na"), col("nb")).cast("double")).as("containment"))
+  }
+
+  /** Jensen–Shannon divergence between the unigram word distributions
+    * of every pair of `group` values — the DISTRIBUTIONAL drift/
+    * composition audit (Lin, IEEE IT 1991), complementing
+    * [[sourceOverlap]]'s verbatim n-gram overlap: two sources can
+    * share zero 5-grams yet have near-identical topic/vocabulary
+    * profiles (JS ≈ 0), or quote each other verbatim while writing
+    * about different things. JS is symmetric and bounded in
+    * [0, ln 2]; disjoint vocabularies score exactly ln 2.
+    *
+    * Decomposition used (avoids a per-pair full-outer join): with
+    * Pa, Pb the unigram distributions and S the shared vocabulary,
+    *   JS = ½[ln2·(1−Σ_S Pa) + ln2·(1−Σ_S Pb)
+    *          + Σ_S (pa·ln(2pa/(pa+pb)) + pb·ln(2pb/(pa+pb)))]
+    * — words on one side only contribute their whole mass · ln 2, so
+    * a single INNER self-join on the word covers everything and
+    * non-overlapping pairs fall out of the closed form as ln 2.
+    *
+    * Scale: one vocab-keyed count per group, then a self-join on the
+    * word — fan-out ≤ |groups|² per word, partially aggregated before
+    * the (a,b)-keyed shuffle; the |groups|² pair frame is tiny.
+    */
+  def jsDivergence(docs: DataFrame, group: Column, text: Column): DataFrame = {
+    val cnt = docs.filter(text.isNotNull)
+      .select(group.as("src"), explode(alphaTokens(text)).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("src").agg(sum("c").as("ct"))
+    val p = cnt.join(tot, "src").select(col("src"), col("w"),
+      (col("c").cast("double") / col("ct").cast("double")).as("p"))
+    val shared = p.select(col("src").as("source_a"), col("w"), col("p").as("pa"))
+      .join(p.select(col("src").as("source_b"), col("w"), col("p").as("pb")), "w")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("pa")).as("sa"), sum(col("pb")).as("sb"),
+        sum(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+            col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb")))).as("sh"))
+    val srcs = tot.select(col("src"))
+    srcs.select(col("src").as("source_a"))
+      .crossJoin(srcs.select(col("src").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        (lit(0.5) * (log(lit(2.0)) *
+            (lit(2.0) - coalesce(col("sa"), lit(0.0)) - coalesce(col("sb"), lit(0.0))) +
+          coalesce(col("sh"), lit(0.0)))).as("js"))
   }
 
   /** Per-document Shannon entropy of the UTF-8 byte distribution —

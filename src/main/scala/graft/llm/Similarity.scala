@@ -501,4 +501,42 @@ object Similarity {
     ranked.join(dropped, Seq("id"), "left")
       .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
   }
+
+  /** Embedding-space outlier scoring — the quality gate for learned
+    * representations (mislabeled, corrupted, or off-distribution
+    * items sit far from every cluster): k-means the corpus, then
+    * z-score each item's L2 distance to its own centroid against its
+    * CELL's distance distribution. Per-cell normalization matters —
+    * a tight cluster's mild straggler and a diffuse cluster's core
+    * member can have the same absolute distance.
+    *
+    * Variance is computed in the explicit E[d²]−μ² form (not a
+    * `stddev` aggregate) so an oracle reproduces the identical
+    * expression tree; a single-member cell (σ = 0) scores z = 0.
+    *
+    * Scale: assignment is the [[kMeansAssign]] broadcast pass; the
+    * per-cell moment table is k rows, broadcast back for the z-score
+    * map. Nothing pairwise, nothing driver-side beyond centroids.
+    *
+    * Returns (id, cell, dist, z) for every input row.
+    */
+  def embedOutliers(df: DataFrame, id: Column, vec: Column,
+                    k: Int, iters: Int): DataFrame = {
+    val pts = df.select(id.cast("long").as("id"), vec.as("v"))
+    val cents = kMeansFit(pts, col("id"), col("v"), k, iters)
+    val assigned = kMeansAssign(pts, cents)
+      .join(broadcast(cents), "cell")
+      .select(col("id"), col("cell"),
+        sqrt(graft.functions.VecExprs.vecL2Sq(col("v"), col("centroid"))).as("dist"))
+    val stats = assigned.groupBy("cell").agg(
+      count(lit(1)).as("n"), sum(col("dist")).as("sd"),
+      sum(col("dist") * col("dist")).as("sdd"))
+      .select(col("cell"), (col("sd") / col("n")).as("mu"),
+        sqrt(greatest(col("sdd") / col("n") -
+          (col("sd") / col("n")) * (col("sd") / col("n")), lit(0.0))).as("sigma"))
+    assigned.join(broadcast(stats), "cell")
+      .select(col("id"), col("cell"), col("dist"),
+        when(col("sigma") > 0, (col("dist") - col("mu")) / col("sigma"))
+          .otherwise(lit(0.0)).as("z"))
+  }
 }

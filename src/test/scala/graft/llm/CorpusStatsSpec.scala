@@ -108,4 +108,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.head.getLong(1) === 4L)
     assert(math.abs(got.head.getDouble(2) - math.log(2)) < 1e-12)
   }
+
+  test("jsDivergence: identical distributions 0, disjoint vocabularies ln 2") {
+    val docs = Seq(
+      ("A", "cat dog cat"), ("B", "cat dog cat"), // identical dists
+      ("C", "bird fish")                          // disjoint from both
+    ).toDF("src", "text")
+    val got = CorpusStats.jsDivergence(docs, col("src"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(math.abs(got(("A", "B"))) < 1e-12)
+    assert(math.abs(got(("A", "C")) - math.log(2)) < 1e-12)
+    assert(math.abs(got(("B", "C")) - math.log(2)) < 1e-12)
+  }
+
+  test("jsDivergence matches the closed form on a half-overlapping pair") {
+    // A: {a: 1/2, b: 1/2}; B: {a: 1/2, c: 1/2}
+    val docs = Seq(("A", "a b"), ("B", "a c")).toDF("src", "text")
+    val got = CorpusStats.jsDivergence(docs, col("src"), col("text"))
+      .collect().head.getDouble(2)
+    // shared a: pa=pb=1/2 → terms vanish (ln 1); one-sided mass 1/2
+    // each → JS = 0.5·(ln2·(1/2) + ln2·(1/2)) = ln2/2
+    assert(math.abs(got - math.log(2) / 2) < 1e-12)
+    // and bounded by [0, ln 2]
+    assert(got >= 0 && got <= math.log(2) + 1e-12)
+  }
 }
