@@ -2610,6 +2610,105 @@ object LlmQueries {
        |ORDER BY d.id""".stripMargin
   }
 
+  /** [[CorpusStats.zipfFit]] — per-source Zipf slope/intercept over
+    * the top-200 word types. Ranks are exact (integer counts, word
+    * tiebreak); the OLS moments are the explicit `(nΣxy−ΣxΣy)/…`
+    * form on BOTH sides so the expression trees match; r4 absorbs
+    * fold-order ulps in the ln/product sums.
+    */
+  private def zipfQ(s: SparkSession, d: String): DataFrame =
+    CorpusStats.zipfFit(Tables.fanOut(Tables.documents(s, d)), col("source"),
+        col("text"), topN = 200)
+      .select(col("src").as("source"), col("n_types"),
+        r4(col("slope")).as("slope"), r4(col("intercept")).as("intercept"))
+      .orderBy(col("source"))
+
+  private val zipfSql: String =
+    s"""WITH cnt AS (
+       |  SELECT src, w, count(*) AS c FROM (
+       |    SELECT source AS src, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT src, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM (
+       |    SELECT src, c, w,
+       |           row_number() OVER (PARTITION BY src ORDER BY c DESC, w) AS rank
+       |    FROM cnt) WHERE rank <= 200
+       |), m AS (
+       |  SELECT src, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT src AS source, CAST(n AS BIGINT) AS n_types,
+       |       ${r4Sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+       |       ${r4Sql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept
+       |FROM m ORDER BY source""".stripMargin
+
+  /** [[Similarity.centroidMatrix]] — pairwise cosine between the ten
+    * label-group centroids of the embeddings table. Centroids are
+    * plain per-dim averages; the cosine is the explicit
+    * `Σab/(√Σa²·√Σb²)` form on both sides.
+    */
+  private def centroidSimQ(s: SparkSession, d: String): DataFrame =
+    Similarity.centroidMatrix(Tables.embeddings(s, d), col("label"), col("embedding"))
+      .select(col("group_a").cast("int").as("group_a"),
+        col("group_b").cast("int").as("group_b"), r4(col("cosine")).as("cosine"))
+      .orderBy(col("group_a"), col("group_b"))
+
+  private val centroidSimSql: String =
+    s"""WITH pts AS (
+       |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+       |), comp AS (
+       |  SELECT label, i, avg(v[i]) AS c
+       |  FROM pts CROSS JOIN (SELECT i FROM range(1, 65) t(i))
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.label AS la, b.label AS lb,
+       |         sum(a.c * b.c) AS sab, sum(a.c * a.c) AS saa, sum(b.c * b.c) AS sbb
+       |  FROM comp a JOIN comp b USING (i) WHERE a.label < b.label
+       |  GROUP BY 1, 2
+       |)
+       |SELECT CAST(la AS INTEGER) AS group_a, CAST(lb AS INTEGER) AS group_b,
+       |       ${r4Sql("sab / (sqrt(saa) * sqrt(sbb))")} AS cosine
+       |FROM pairs ORDER BY 1, 2""".stripMargin
+
+  /** [[Sampling.uniMaxAlloc]] — UniMax epoch-capped budget split
+    * (budget 280k chars, maxEpochs 2 → at sf0.01 four sources hit
+    * their 2-epoch cap and sixteen share the remainder evenly). The
+    * capped/uncapped decision is exact long arithmetic on both
+    * sides; the only float is the final uncapped-share division.
+    */
+  private def uniMaxQ(s: SparkSession, d: String): DataFrame =
+    Sampling.uniMaxAlloc(Tables.documents(s, d), col("source"), col("n_chars"),
+        budget = 280000L, maxEpochs = 2)
+      .select(col("grp").as("source"), col("n_tok"), col("cap"),
+        r4(col("alloc")).as("alloc"))
+      .orderBy(col("source"))
+
+  private val uniMaxSql: String =
+    s"""WITH tot AS (
+       |  SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS n_tok,
+       |         CAST(sum(n_chars) AS BIGINT) * 2 AS cap
+       |  FROM documents GROUP BY 1
+       |), ranked AS (
+       |  SELECT grp, n_tok, cap,
+       |         row_number() OVER (ORDER BY cap, grp) AS i,
+       |         coalesce(sum(cap) OVER (ORDER BY cap, grp
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+       |         count(*) OVER () AS l
+       |  FROM tot
+       |), flagged AS (
+       |  SELECT *, (s_prev + cap * (l - i + 1)) <= 280000 AS capped FROM ranked
+       |), sums AS (
+       |  SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+       |         CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS sk,
+       |         count(*) AS ltot
+       |  FROM flagged
+       |)
+       |SELECT grp AS source, n_tok, cap,
+       |       ${r4Sql("CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE CAST(280000 - sk AS DOUBLE) / CAST(ltot - k AS DOUBLE) END")} AS alloc
+       |FROM flagged CROSS JOIN sums ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -2663,6 +2762,9 @@ object LlmQueries {
     "llm_js_divergence" -> jsDivergenceQ,
     "llm_dsir"         -> dsirQ,
     "llm_embed_outliers" -> embedOutliersQ,
+    "llm_zipf"         -> zipfQ,
+    "llm_centroid_sim" -> centroidSimQ,
+    "llm_unimax"       -> uniMaxQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2718,5 +2820,8 @@ object LlmQueries {
     "llm_js_divergence" -> jsDivergenceSql,
     "llm_dsir"         -> dsirSql,
     "llm_embed_outliers" -> embedOutliersSql,
+    "llm_zipf"         -> zipfSql,
+    "llm_centroid_sim" -> centroidSimSql,
+    "llm_unimax"       -> uniMaxSql,
   )
 }

@@ -152,6 +152,51 @@ object CorpusStats {
           coalesce(col("sh"), lit(0.0)))).as("js"))
   }
 
+  /** Zipf-law fit per `group`: OLS slope/intercept of ln(freq) on
+    * ln(rank) over each group's `topN` most frequent word types —
+    * the classic sanity check that a text source is natural language
+    * (Zipf 1949; natural corpora fit slope ≈ −1). Generated or
+    * template-heavy sources flatten (slope → 0, a few types dominate
+    * then plateau) and boilerplate-duplicated ones steepen; a drifted
+    * slope is a cheap red flag on an incoming 100 TB crawl slice
+    * before any per-document scoring runs.
+    *
+    * Ranks are deterministic: (count DESC, word ASC). The OLS slope
+    * is computed in the explicit moment form
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — not a `regr_slope`
+    * aggregate — so an oracle engine reproduces the identical
+    * expression tree over the same exact integer counts (ln and the
+    * products are the only float steps).
+    *
+    * Scale: one (group, word)-keyed count (map-side combined, shuffle
+    * bounded by vocabulary), a per-group window rank over the count
+    * frame — rank-limit pushdown plans a partial WindowGroupLimit
+    * below the exchange, so each partition forwards ≤ topN rows per
+    * group — then a |groups|-row moment aggregation.
+    */
+  def zipfFit(docs: DataFrame, group: Column, text: Column, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs.filter(text.isNotNull)
+      .select(group.as("src"), explode(alphaTokens(text)).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val ranked = cnt
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("c").desc, col("w"))))
+      .filter(col("rank") <= topN)
+      .select(col("src"), log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    ranked.groupBy("src").agg(
+        count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("src"), col("n").cast("long").as("n_types"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n")).as("intercept"))
+  }
+
   /** Per-document Shannon entropy of the UTF-8 byte distribution —
     * the gibberish/low-diversity quality signal (binary junk and
     * single-char spam score near 0, natural text ~4.2 bits·ln2).

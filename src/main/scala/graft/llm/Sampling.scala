@@ -184,4 +184,61 @@ object Sampling {
       .filter(substring(md5(concat_ws("|", lit(salt), group, id)), 1, 8) < th)
       .drop("__mix_g", "__mix_w")
   }
+
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023, arXiv:2304.09151): split a total token
+    * `budget` across groups (languages, sources) as EVENLY as
+    * possible, subject to no group repeating more than `maxEpochs`
+    * times — the allocation POLICY whose output shares
+    * [[mixToBudget]] consumes. Proportional sampling lets head
+    * languages dominate; uniform sampling over-repeats tail ones;
+    * UniMax is the water-filling compromise.
+    *
+    * Closed form instead of the paper's sequential loop: sort groups
+    * by cap `c = maxEpochs·n` ascending (group tiebreak). With
+    * prefix sums S and L groups, group i is capped iff
+    * `S_{i−1} + c_i·(L−i+1) ≤ B` — that predicate is monotone in i
+    * (difference `(L−i)(c_{i+1}−c_i) ≥ 0`), so the capped set is a
+    * prefix and one cumulative window decides it. Capped groups get
+    * `c_i`; the rest split `B − S_K` evenly. All comparisons are in
+    * exact LONG arithmetic (integral weights, integral budget); the
+    * only float step is the final uncapped-share division.
+    *
+    * Scale: one (group)-keyed sum (map-side combined), then windows
+    * over the |groups|-row totals frame — tens of rows, whatever the
+    * corpus size; the single-partition window is over that frame,
+    * never the data.
+    *
+    * Returns (grp, n_tok, cap, alloc) — `alloc/n_tok` is the
+    * group's epoch count, ≤ maxEpochs by construction.
+    */
+  def uniMaxAlloc(df: DataFrame, group: Column, weight: Column,
+                  budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget > 0, s"non-positive budget $budget")
+    require(maxEpochs > 0, s"non-positive maxEpochs $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val tot = df.groupBy(group.as("grp"))
+      .agg(sum(weight.cast("long")).as("n_tok"))
+      .withColumn("cap", col("n_tok") * maxEpochs)
+    val ord  = Window.orderBy(col("cap"), col("grp"))
+    val all  = Window.partitionBy()
+    val ranked = tot
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__s_prev", coalesce(
+        sum(col("cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__L", count(lit(1)).over(all))
+      .withColumn("__capped",
+        col("__s_prev") + col("cap") * (col("__L") - col("__i") + 1) <= budget)
+    val sums = ranked.agg(
+      sum(when(col("__capped"), 1L).otherwise(0L)).as("__K"),
+      sum(when(col("__capped"), col("cap")).otherwise(0L)).as("__SK"),
+      count(lit(1)).as("__Ltot"))
+    ranked.crossJoin(broadcast(sums))
+      .select(col("grp"), col("n_tok"), col("cap"),
+        when(col("__capped"), col("cap").cast("double"))
+          .otherwise((lit(budget) - col("__SK")).cast("double") /
+            (col("__Ltot") - col("__K")).cast("double")).as("alloc"))
+  }
 }

@@ -502,6 +502,39 @@ object Similarity {
       .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
   }
 
+  /** Pairwise cosine similarity between per-`group` embedding
+    * centroids — the embedding-space counterpart of
+    * [[CorpusStats.jsDivergence]]'s token-space drift audit: two
+    * sources/snapshots whose centroids drift apart have different
+    * semantic composition even when their vocabularies overlap, and a
+    * near-1 cosine between supposedly distinct sources flags
+    * mislabeled or duplicated provenance before any per-item dedup
+    * runs.
+    *
+    * Cosine is computed from the (group, dim, component) frame in the
+    * explicit `Σab / (√Σa²·√Σb²)` form so an oracle reproduces the
+    * expression tree; centroid components are plain `avg` over exact
+    * per-dim values.
+    *
+    * Scale: one (group, dim)-keyed average (map-side combined; the
+    * explode is pipeline-local, shuffle bounded by |groups|·dim rows
+    * regardless of corpus size), then an all-pairs join on the TINY
+    * component frame — |groups| is tens, never corpus-sized.
+    */
+  def centroidMatrix(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val comp = df.select(group.as("grp"), posexplode(vec).as(Seq("i", "x")))
+      .groupBy("grp", "i").agg(avg(col("x").cast("double")).as("c"))
+    comp.select(col("grp").as("group_a"), col("i"), col("c").as("ca"))
+      .join(comp.select(col("grp").as("group_b"), col("i"), col("c").as("cb")), "i")
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(sum(col("ca") * col("cb")).as("sab"),
+        sum(col("ca") * col("ca")).as("saa"),
+        sum(col("cb") * col("cb")).as("sbb"))
+      .select(col("group_a"), col("group_b"),
+        (col("sab") / (sqrt(col("saa")) * sqrt(col("sbb")))).as("cosine"))
+  }
+
   /** Embedding-space outlier scoring — the quality gate for learned
     * representations (mislabeled, corrupted, or off-distribution
     * items sit far from every cluster): k-means the corpus, then

@@ -75,7 +75,15 @@ object ScaleBench {
     // aggregation pipelines whose shuffles carry distinct keys only —
     // measured to confirm nothing hides a full-width shuffle.
     "llm_span_dedup", "llm_quality_filter", "llm_mix_sources",
-    "llm_collocations", "llm_doc_entropy", "llm_source_overlap")
+    "llm_collocations", "llm_doc_entropy", "llm_source_overlap",
+    // model-broadcast shapes (DSIR bucket model ≤ 256 rows, JS vocab
+    // self-join, k-row outlier moments) — measured to confirm the
+    // broadcast/model stages really are corpus-size-independent.
+    "llm_js_divergence", "llm_dsir", "llm_embed_outliers",
+    // zipf ranks its per-source vocabulary under WindowGroupLimit
+    // (map-side pre-trim to topN per source); centroid_sim and unimax
+    // reduce to |groups|-row frames after one keyed aggregation.
+    "llm_zipf", "llm_centroid_sim", "llm_unimax")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
