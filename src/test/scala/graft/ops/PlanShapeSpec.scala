@@ -90,6 +90,25 @@ class PlanShapeSpec extends SparkSpec {
       s"no Partial WindowGroupLimit below the exchange:\n$p")
   }
 
+  test("zipfFit: rank window pre-trims to topN below its exchange") {
+    // one source with a 400-type vocabulary: the rank window must
+    // plan a Partial WindowGroupLimit under the src-keyed exchange so
+    // a mega-source forwards ≤ topN rows per input partition, not its
+    // whole vocabulary
+    val text = (0 until 400).map { i =>
+      val w = "w" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+      (w + " ") * (i % 7 + 1)
+    }.mkString(" ")
+    val docs = Seq(("s1", text)).toDF("src", "text")
+    val out = graft.llm.CorpusStats.zipfFit(docs, col("src"), col("text"), topN = 50)
+    assert(out.collect().head.getLong(1) === 50L)
+    val lines = plan(out).linesIterator.toSeq
+    val firstWgl = lines.indexWhere(_.contains("WindowGroupLimit"))
+    val lastWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(firstWgl >= 0 && lastWgl > firstWgl,
+      s"no Partial/Final WindowGroupLimit pair in zipfFit:\n${plan(out)}")
+  }
+
   test("saltedSum: two aggregation stages, hot key spread across the first") {
     val df = (1L to 200L).map(i => (i % 2, i)).toDF("k", "v")
     val out = Analytics.saltedSum(df, Seq(col("k")), col("v"), 8)
