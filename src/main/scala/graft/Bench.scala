@@ -25,7 +25,14 @@ object Bench {
 
     // JVM/codegen warmup outside the timings (driver measures wall
     // clock per query; class-loading noise would land on the first).
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Non-fatal: a warmup failure (e.g. a testdata schema change) must
+    // not zero out the round's entire performance evidence — round 9
+    // lost its bench to exactly that. Root cause goes to stderr first
+    // so a truncated log tail still identifies it.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${rootLine(e)}")
+    }
 
     // Noise hygiene (round-2 verdict: a shared box inflated untouched
     // sub-second queries 2-3x between rounds): run the whole catalog
@@ -43,12 +50,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errors  = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to rounds; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name failed: ${rootLine(e)}")
+        errors(name) = rootLine(e)
       }
       samples.updateWith(name)(s => Some((System.nanoTime() - t0) / 1e9 :: s.getOrElse(Nil)))
     }
@@ -71,7 +80,29 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds}""")
+    // Failed queries are called out IN the artifact (name → root-cause
+    // first line) — a bench with errors must not read as a clean run.
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val errField =
+      if (errors.isEmpty) ""
+      else errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${jstr(v.take(300))}""" }
+        .mkString(""","errors":{""", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds$errField}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** First line of the ROOT cause — the `DATATYPE_MISMATCH ...` line,
+    * not 30 frames of analyzer scaffolding (round-9 bench tail lost
+    * the message to truncation).
+    */
+  private def rootLine(e: Throwable): String = {
+    var t = e
+    while (t.getCause != null && t.getCause != t) t = t.getCause
+    val msg = Option(t.getMessage).getOrElse(t.getClass.getName)
+    s"${t.getClass.getSimpleName}: ${msg.linesIterator.take(3).mkString(" | ")}"
   }
 }

@@ -18,9 +18,10 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
-      // events.ts is physical INT64 TIMESTAMP(NANOS) which Spark's µs
-      // TimestampType cannot represent; read it as a nanosecond epoch
-      // Long and derive timestamps explicitly (see events()).
+      // When events.ts is physical INT64 TIMESTAMP(NANOS) — which
+      // Spark's µs TimestampType cannot represent — read it as a
+      // nanosecond epoch Long; events() adapts to whichever physical
+      // type the file actually carries. No-op for µs-encoded files.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -32,14 +33,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events` with `ts_ns` (raw nanosecond epoch Long) and `ts`
-    * (µs-truncated TimestampType). Oracle-side equivalents:
-    * `epoch_ns(ts)` and `make_timestamp(epoch_ns(ts)//1000)`.
+  /** `events` with `ts_ns` (nanosecond epoch Long) and `ts`
+    * (TimestampType, µs precision). Schema-adaptive: the driver has
+    * shipped the file both as INT64 TIMESTAMP(NANOS) (read as a Long
+    * via nanosAsLong, truncated to µs for `ts`) and as timestamp[us]
+    * (read natively; `ts_ns` derived as µs×1000). Either way the
+    * session is UTC, so both encodings agree with the oracle's
+    * `epoch_ns(ts)` / naive-as-UTC reading of the same parquet.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TimestampType or TIMESTAMP_NTZ (timestamp[us] file)
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 
   /** Fan a scan out to full core parallelism before a CPU-bound
