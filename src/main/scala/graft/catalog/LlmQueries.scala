@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{CorpusStats, Dedup, Dsir, IncrementalDedup, Multimodal, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
+import graft.llm.{CorpusStats, Dedup, Dsir, IncrementalDedup, Multimodal, NbClassifier, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2709,6 +2709,142 @@ object LlmQueries {
        |       ${r4Sql("CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE CAST(280000 - sk AS DOUBLE) / CAST(ltot - k AS DOUBLE) END")} AS alloc
        |FROM flagged CROSS JOIN sums ORDER BY source""".stripMargin
 
+  /** [[NbClassifier]] — multinomial Naive Bayes trained on the
+    * doc_id%5≠0 slice (label = lang), scoring the held-out %5=0
+    * slice. Scores are integer micro-nats (the [[NgramLm]] scheme) so
+    * the per-document argmax is an integer compare on both engines;
+    * tie-break smallest label.
+    */
+  private def nbClassify(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test  = docs.filter(col("doc_id") % 5 === 0)
+    val model = NbClassifier.fit(train, col("lang"), TextOps.words(col("text")))
+    NbClassifier.predict(model, test, col("doc_id"), TextOps.words(col("text")))
+      .join(test.select(col("doc_id").as("id"), col("lang").as("true_lang")),
+        Seq("id"))
+      .select(col("id").as("doc_id"), col("true_lang"),
+        col("pred_label").as("pred_lang"), col("q_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val nbClassifySql: String =
+    s"""WITH trd AS (
+       |  SELECT lang, ${wordsSql("text")} AS w FROM documents WHERE doc_id % 5 <> 0
+       |), trtok AS (
+       |  SELECT lang, unnest(w) AS tok FROM trd
+       |), cnts AS (
+       |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM trtok GROUP BY 1, 2
+       |), tots AS (
+       |  SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnts GROUP BY 1
+       |), vocab AS (
+       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnts
+       |), priors AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents
+       |  WHERE doc_id % 5 <> 0 GROUP BY 1
+       |), ntot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 5 <> 0
+       |), classes AS (
+       |  SELECT p.lang, coalesce(t.tot, 0) AS tot,
+       |         CAST(floor(ln(CAST(p.nd AS DOUBLE) / n.n) * 1000000) AS BIGINT) AS q_prior
+       |  FROM priors p LEFT JOIN tots t USING (lang) CROSS JOIN ntot n
+       |), te AS (
+       |  SELECT doc_id, lang AS true_lang, ${wordsSql("text")} AS w
+       |  FROM documents WHERE doc_id % 5 = 0
+       |), prof AS (
+       |  SELECT doc_id, true_lang, tok,
+       |         CAST(count(CASE WHEN tok IS NOT NULL THEN 1 END) AS BIGINT) AS m
+       |  FROM (SELECT doc_id, true_lang,
+       |          unnest(CASE WHEN len(w) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE w END) AS tok
+       |        FROM te)
+       |  GROUP BY 1, 2, 3
+       |), scored AS (
+       |  SELECT p.doc_id, p.true_lang, cl.lang AS cand,
+       |         CAST(cl.q_prior + sum(p.m * CAST(floor(ln(
+       |             (coalesce(c.c, 0) + 1) / CAST(cl.tot + v.v AS DOUBLE))
+       |           * 1000000) AS BIGINT)) AS BIGINT) AS q
+       |  FROM prof p CROSS JOIN classes cl
+       |  LEFT JOIN cnts c ON c.lang = cl.lang AND c.tok = p.tok
+       |  CROSS JOIN vocab v
+       |  GROUP BY 1, 2, 3, cl.q_prior
+       |)
+       |SELECT doc_id, true_lang, cand AS pred_lang, q AS q_score
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, cand) = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[Dedup.keepFirstUnits]] — corpus-wide first-occurrence paragraph
+    * dedup (keep one copy, drop later ones; Lee et al.
+    * arXiv:2107.06499), on the same injected-boilerplate corpus shape
+    * as `llm_line_scrub` but with 8-word pseudo-paragraphs: the global
+    * footer survives only in the corpus-earliest document, each
+    * per-source copyright line only in its source's earliest — unlike
+    * the df-threshold scrub, which removes them everywhere.
+    */
+  private def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val withParas = docs.select(col("doc_id"),
+      concat(
+        transform(TextOps.tokenChunks(TextOps.words(col("text")), 8, 8),
+          c => c.getField("txt")),
+        array(lit("subscribe to our newsletter"),
+          concat(lit("copyright "), col("source")))).as("paras"))
+    Dedup.keepFirstUnits(withParas, col("doc_id"), col("paras"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val paragraphDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents
+       |), l AS (
+       |  SELECT doc_id,
+       |         list_concat(
+       |           list_transform(range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+       |             i -> array_to_string(w[i*8+1 : i*8+8], ' ')),
+       |           ['subscribe to our newsletter', 'copyright ' || source]) AS paras
+       |  FROM d
+       |), e AS (
+       |  SELECT doc_id, unnest(paras) AS para,
+       |         unnest(range(1, len(paras) + 1)) AS pos FROM l
+       |), r AS (
+       |  SELECT doc_id, pos, para,
+       |         row_number() OVER (PARTITION BY md5(para)
+       |                            ORDER BY doc_id, pos) AS rn
+       |  FROM e
+       |)
+       |SELECT doc_id,
+       |       coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+       |                           chr(10) ORDER BY pos), '') AS clean_text,
+       |       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+       |       CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** [[Sampling.temperatureWeights]] — τ=0.5 temperature mixture
+    * shares per source. Group totals are exact longs; the pow and the
+    * two normalizations are the only float steps, r4 on both sides.
+    */
+  private def temperatureMix(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureWeights(Tables.documents(s, d), col("source"),
+        col("n_chars"), tau = 0.5)
+      .select(col("grp").as("source"), col("n_tok"),
+        r4(col("p_raw")).as("p_raw"), r4(col("weight")).as("weight"))
+      .orderBy(col("source"))
+
+  private val temperatureMixSql: String =
+    s"""WITH tot AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY 1
+       |), shares AS (
+       |  SELECT source, n_tok,
+       |         CAST(n_tok AS DOUBLE) / CAST(sum(n_tok) OVER () AS DOUBLE) AS p_raw
+       |  FROM tot
+       |), p AS (
+       |  SELECT source, n_tok, p_raw, pow(p_raw, 0.5) AS pt FROM shares
+       |)
+       |SELECT source, n_tok, ${r4Sql("p_raw")} AS p_raw,
+       |       ${r4Sql("pt / sum(pt) OVER ()")} AS weight
+       |FROM p ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -2765,6 +2901,9 @@ object LlmQueries {
     "llm_zipf"         -> zipfQ,
     "llm_centroid_sim" -> centroidSimQ,
     "llm_unimax"       -> uniMaxQ,
+    "llm_nb_classify"  -> nbClassify,
+    "llm_paragraph_dedup" -> paragraphDedup,
+    "llm_temperature_mix" -> temperatureMix,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2823,5 +2962,8 @@ object LlmQueries {
     "llm_zipf"         -> zipfSql,
     "llm_centroid_sim" -> centroidSimSql,
     "llm_unimax"       -> uniMaxSql,
+    "llm_nb_classify"  -> nbClassifySql,
+    "llm_paragraph_dedup" -> paragraphDedupSql,
+    "llm_temperature_mix" -> temperatureMixSql,
   )
 }

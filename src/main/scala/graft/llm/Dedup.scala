@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -639,6 +640,51 @@ object Dedup {
           transform(
             array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
             x => x.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  /** Global FIRST-OCCURRENCE dedup at sub-document granularity — the
+    * "keep one copy, drop the rest" form of paragraph dedup (Lee et
+    * al., arXiv:2107.06499 dedup corpus-wide repeated text while
+    * preserving one occurrence; complements [[scrubFrequentLines]],
+    * which removes boilerplate from EVERY document including the
+    * first). The corpus-wide earliest occurrence of each distinct
+    * unit — ordered by (doc, pos) — is kept; all later occurrences
+    * are dropped.
+    *
+    * Input: one row per doc with `unitsCol: array<string>` (lines,
+    * paragraphs, or token chunks). Output: `(doc_id, clean_text,
+    * n_kept, n_dropped)` per doc with ≥1 unit — kept units rejoined
+    * by '\n' in original order.
+    *
+    * Scale shape: occurrences shuffle ONCE keyed by the unit's md5
+    * digest (16-byte keys, never the unit text — the digest column is
+    * what the exchange carries); the first-occurrence rank is a
+    * streaming row_number over each digest's sorted run, so a
+    * boilerplate unit in 10⁸ docs costs one sorted scan, not a
+    * self-join; reassembly is one doc-keyed aggregation. A mega-hot
+    * digest concentrates its occurrences on one reducer — same
+    * trade-off as [[scrubFrequentLines]]'s verdict join, and the rank
+    * itself is O(n log n) in that partition's rows, not quadratic.
+    */
+  def keepFirstUnits(docs: DataFrame, id: Column,
+      unitsCol: Column): DataFrame = {
+    val ex = docs
+      .select(id.as("doc_id"), posexplode(unitsCol).as(Seq("pos", "unit")))
+      .filter(col("unit").isNotNull)
+      .withColumn("dg", md5(col("unit")))
+    val rn = row_number().over(
+      Window.partitionBy(col("dg")).orderBy(col("doc_id"), col("pos")))
+    val keep = col("rn") === 1
+    ex.withColumn("rn", rn)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep, struct(col("pos"), col("unit"))))),
+            x => x.getField("unit")),
           "\n").as("clean_text"),
         sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
         sum(when(keep, 0L).otherwise(1L)).as("n_dropped"))

@@ -241,4 +241,30 @@ object Sampling {
           .otherwise((lit(budget) - col("__SK")).cast("double") /
             (col("__Ltot") - col("__K")).cast("double")).as("alloc"))
   }
+
+  /** Temperature-scaled mixture weights (the α/τ-sampling of
+    * multilingual pretraining — XLM-R, Conneau arXiv:1911.02116 §3.1;
+    * mT5's language-sampling exponent, Xue arXiv:2010.11934 §3):
+    * `w_i = p_i^τ / Σ_j p_j^τ` with `p_i = n_i / Σn`. τ=1 is
+    * proportional sampling (head groups dominate), τ→0 approaches
+    * uniform (tail groups over-repeat); 0.3–0.7 is the published
+    * compromise band. Output shares feed [[mixToBudget]].
+    *
+    * Scale: one (group)-keyed sum — map-side combined, |groups| rows
+    * — then windows over that tiny frame. The group totals are exact
+    * longs; p and the normalization are the only float steps.
+    */
+  def temperatureWeights(df: DataFrame, group: Column, weight: Column,
+                         tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"temperature $tau outside (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    df.groupBy(group.as("grp"))
+      .agg(sum(weight.cast("long")).as("n_tok"))
+      .withColumn("p_raw",
+        col("n_tok").cast("double") / sum(col("n_tok")).over(all).cast("double"))
+      .withColumn("__pt", pow(col("p_raw"), lit(tau)))
+      .withColumn("weight", col("__pt") / sum(col("__pt")).over(all))
+      .select(col("grp"), col("n_tok"), col("p_raw"), col("weight"))
+  }
 }

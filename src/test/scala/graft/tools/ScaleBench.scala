@@ -83,7 +83,16 @@ object ScaleBench {
     // zipf ranks its per-source vocabulary under WindowGroupLimit
     // (map-side pre-trim to topN per source); centroid_sim and unimax
     // reduce to |groups|-row frames after one keyed aggregation.
-    "llm_zipf", "llm_centroid_sim", "llm_unimax")
+    "llm_zipf", "llm_centroid_sim", "llm_unimax",
+    // r10 additions. nb_classify: the model (vocab×classes) grows with
+    // genuinely-new rotated vocabulary while the class count stays
+    // fixed — measures that the model join really is vocab-bounded,
+    // not corpus-bounded. paragraph_dedup: the injected boilerplate
+    // units are constant literals, so at 10x they are true corpus-wide
+    // hot digests (5k occurrences on one reducer) — measures the
+    // streaming row_number hot-key path. temperature_mix shares
+    // unimax's |groups|-frame shape.
+    "llm_nb_classify", "llm_paragraph_dedup", "llm_temperature_mix")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
