@@ -2845,6 +2845,92 @@ object LlmQueries {
        |       ${r4Sql("pt / sum(pt) OVER ()")} AS weight
        |FROM p ORDER BY source""".stripMargin
 
+  /** [[Similarity.knnJoin]] — batch exact k-NN retrieval: every 50th
+    * vector is a query, top-5 cosine neighbors each. The per-query
+    * top-k runs under the same rank-limit pushdown as `llm_domain_cap`
+    * (map-side pre-trim below the exchange).
+    */
+  private def knnJoinQ(s: SparkSession, d: String): DataFrame =
+    Similarity.knnJoin(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), col("vec_id") % 50 === 0, k = 5)
+      .select(col("qid"), col("id"), r4(col("sim")).as("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("id"))
+
+  private val knnJoinSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), d AS (
+       |  SELECT q.qid, e.vec_id AS id,
+       |         list_dot_product(e.embedding::DOUBLE[], q.qv)
+       |           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+       |              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id % 50 <> 0
+       |), r AS (
+       |  SELECT qid, id, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |  FROM d
+       |)
+       |SELECT qid, id, ${r4Sql("sim")} AS sim FROM r WHERE rn <= 5
+       |ORDER BY qid, ${r4Sql("sim")} DESC, id""".stripMargin
+
+  /** [[Similarity.annRecall]] — recall@10 of the IVF route (nearest
+    * label-cell centroid, cell-local scan) against the exact batch
+    * k-NN ground truth, per query: the self-evaluation an ANN
+    * deployment runs on a probe set before trusting the index.
+    */
+  private def annRecallQ(s: SparkSession, d: String): DataFrame =
+    Similarity.annRecall(Tables.embeddings(s, d), col("vec_id"),
+        col("label"), col("embedding"), col("vec_id") % 50 === 0, k = 10)
+      .select(col("qid"), col("n_hit"), r4(col("recall")).as("recall"))
+      .orderBy(col("qid"))
+
+  private val annRecallSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), pts AS (
+       |  SELECT vec_id AS id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id % 50 <> 0
+       |), truth AS (
+       |  SELECT qid, id FROM (
+       |    SELECT q.qid, p.id,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             list_dot_product(p.v, q.qv)
+       |               / (sqrt(list_dot_product(p.v, p.v))
+       |                  * sqrt(list_dot_product(q.qv, q.qv))) DESC, p.id) AS rn
+       |    FROM pts p CROSS JOIN q)
+       |  WHERE rn <= 10
+       |), comp AS (
+       |  SELECT label, i, avg(v[i]) AS c
+       |  FROM pts CROSS JOIN (SELECT i FROM range(1, 65) t(i)) GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT label, list(c ORDER BY i) AS centroid FROM comp GROUP BY 1
+       |), routed AS (
+       |  SELECT qid, qv, label FROM (
+       |    SELECT q.qid, q.qv, c.label,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             list_dot_product(c.centroid, q.qv)
+       |               / (sqrt(list_dot_product(c.centroid, c.centroid))
+       |                  * sqrt(list_dot_product(q.qv, q.qv))) DESC, c.label) AS rn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE rn = 1
+       |), approx AS (
+       |  SELECT qid, id FROM (
+       |    SELECT r.qid, p.id,
+       |           row_number() OVER (PARTITION BY r.qid ORDER BY
+       |             list_dot_product(p.v, r.qv)
+       |               / (sqrt(list_dot_product(p.v, p.v))
+       |                  * sqrt(list_dot_product(r.qv, r.qv))) DESC, p.id) AS rn
+       |    FROM pts p JOIN routed r ON p.label = r.label)
+       |  WHERE rn <= 10
+       |)
+       |SELECT t.qid,
+       |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       ${r4Sql("sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0")} AS recall
+       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.id = t.id
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -2904,6 +2990,8 @@ object LlmQueries {
     "llm_nb_classify"  -> nbClassify,
     "llm_paragraph_dedup" -> paragraphDedup,
     "llm_temperature_mix" -> temperatureMix,
+    "llm_knn_join"     -> knnJoinQ,
+    "llm_ann_recall"   -> annRecallQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2965,5 +3053,7 @@ object LlmQueries {
     "llm_nb_classify"  -> nbClassifySql,
     "llm_paragraph_dedup" -> paragraphDedupSql,
     "llm_temperature_mix" -> temperatureMixSql,
+    "llm_knn_join"     -> knnJoinSql,
+    "llm_ann_recall"   -> annRecallSql,
   )
 }

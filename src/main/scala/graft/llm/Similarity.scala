@@ -456,6 +456,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join — the retrieval/eval form of [[bruteForceTopK]]:
+    * for EVERY query row (selected by `queryPred`), the cosine top-k
+    * among the non-query rows. The query set is assumed bounded (an
+    * eval batch, a probe set) and broadcasts; the corpus is read ONCE
+    * and never shuffles on its own cardinality: the per-query top-k
+    * is the plain window + `rn ≤ k` filter whose rank-limit pushdown
+    * ([[Sampling.capPerGroup]]'s plan shape, SPARK-37099) pre-trims
+    * each map partition to k rows per query before the exchange — the
+    * reducer sees k·partitions rows per query, not the corpus.
+    *
+    * Returns (qid, id, sim), exact by construction (the scale path
+    * for an UNbounded query set is an LSH/IVF candidate join —
+    * [[ivfKnnJoin]]).
+    */
+  def knnJoin(df: DataFrame, id: Column, vec: Column,
+              queryPred: Column, k: Int): DataFrame = {
+    val q = df.filter(queryPred).select(id.as("qid"), vec.as("qv"))
+    val scored = df.filter(!queryPred)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), id.as("id"), cosine(vec, col("qv")).as("sim"))
+    Sampling.capPerGroup(scored, col("qid"), -col("sim"), col("id"), k)
+  }
+
+  /** IVF form of [[knnJoin]]: each query is routed to its nearest
+    * centroid cell (by cosine, cell-id tiebreak) and scored against
+    * THAT CELL's members only — the candidate scan drops from |corpus|
+    * to |picked cells|, the approximation [[annRecall]]-style
+    * evaluation quantifies. Centroids derive from the given `cell`
+    * column ([[centroids]]); both the centroid table and the routed
+    * query set broadcast.
+    */
+  def ivfKnnJoin(df: DataFrame, id: Column, cell: Column, vec: Column,
+                 queryPred: Column, k: Int): DataFrame = {
+    val cand = df.filter(!queryPred)
+    val cents = centroids(cand, cell, vec)
+    val q = df.filter(queryPred).select(id.as("qid"), vec.as("qv"))
+    val routed = Sampling.capPerGroup(
+      q.crossJoin(broadcast(cents))
+        .select(col("qid"), col("qv"), col("cell"),
+          cosine(col("qv"), col("centroid")).as("csim")),
+      col("qid"), -col("csim"), col("cell"), 1)
+      .select(col("qid"), col("qv"), col("cell"))
+    val scored = cand
+      .select(cell.as("cell"), id.as("id"), vec.as("v"))
+      .join(broadcast(routed), Seq("cell"))
+      .select(col("qid"), col("id"), col("cell").as("picked_cell"),
+        cosine(col("v"), col("qv")).as("sim"))
+    Sampling.capPerGroup(scored, col("qid"), -col("sim"), col("id"), k)
+  }
+
+  /** Recall@k of [[ivfKnnJoin]] against the exact [[knnJoin]] ground
+    * truth, per query — the self-evaluation step an ANN deployment
+    * runs on a probe set before trusting the index (the recall curves
+    * of Jégou et al. TPAMI'11 §V). Both sides run over the same
+    * frame; hits join on (qid, id); a LEFT join from the truth side
+    * keeps queries with zero approximate hits at recall 0 rather than
+    * dropping them.
+    *
+    * Returns (qid, n_hit, recall) with recall = n_hit / k.
+    */
+  def annRecall(df: DataFrame, id: Column, cell: Column, vec: Column,
+                queryPred: Column, k: Int): DataFrame = {
+    val truth  = knnJoin(df, id, vec, queryPred, k)
+      .select(col("qid"), col("id"))
+    val approx = ivfKnnJoin(df, id, cell, vec, queryPred, k)
+      .select(col("qid"), col("id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * semantic near-duplicate pruning via k-means clustering followed
