@@ -2931,6 +2931,38 @@ object LlmQueries {
        |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.id = t.id
        |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
+  /** [[CorpusStats.gramNovelty]] — per-doc 8-gram novelty /
+    * memorization-risk score: the corpus-internal counterpart of
+    * `llm_decontaminate`. Integer counts, one float division at the
+    * end (r4 both sides).
+    */
+  private def gramNovelty(s: SparkSession, d: String): DataFrame =
+    CorpusStats.gramNovelty(Tables.fanOut(Tables.documents(s, d)),
+        col("doc_id"), TextOps.words(col("text")), n = 8)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+        r4(col("shared_frac")).as("shared_frac"))
+      .orderBy(col("doc_id"))
+
+  private val gramNoveltySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(w) >= 8
+       |      THEN list_transform(range(0, len(w) - 7),
+       |             i -> array_to_string(w[i+1 : i+8], ' '))
+       |      ELSE [] END)) AS g
+       |  FROM d
+       |), f AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1
+       |)
+       |SELECT e.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |       ${r4Sql("sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS shared_frac
+       |FROM g e JOIN f USING (g)
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -2992,6 +3024,7 @@ object LlmQueries {
     "llm_temperature_mix" -> temperatureMix,
     "llm_knn_join"     -> knnJoinQ,
     "llm_ann_recall"   -> annRecallQ,
+    "llm_gram_novelty" -> gramNovelty,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3055,5 +3088,6 @@ object LlmQueries {
     "llm_temperature_mix" -> temperatureMixSql,
     "llm_knn_join"     -> knnJoinSql,
     "llm_ann_recall"   -> annRecallSql,
+    "llm_gram_novelty" -> gramNoveltySql,
   )
 }

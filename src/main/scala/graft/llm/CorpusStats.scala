@@ -223,4 +223,34 @@ object CorpusStats {
         (log(col("n").cast("double")) - col("slc") / col("n").cast("double"))
           .as("entropy"))
   }
+
+  /** Per-document n-gram novelty — the memorization-risk audit of a
+    * training corpus (the corpus-internal counterpart of benchmark
+    * decontamination; cf. Carlini et al. arXiv:2202.07646's finding
+    * that text repeated across documents is what models memorize):
+    * for each document, how many of its DISTINCT word `n`-grams occur
+    * in ≥2 documents, and the shared fraction. High shared_frac =
+    * templated/duplicated text a dedup pass missed; 0 = fully novel.
+    *
+    * Scale shape: per-doc grams are deduped map-side
+    * (`array_distinct` before the explode), so the document-frequency
+    * aggregation receives one (gram, doc) row per distinct pair —
+    * already the pair-distinct form [[Dedup.scrubFrequentLines]]
+    * needs an explicit distinct() for — and map-side-combines to one
+    * row per (gram, partition). One gram-keyed shuffle for df, the
+    * verdict join reuses the same key, then one doc-keyed
+    * aggregation. Documents with < n words emit no grams and no row.
+    */
+  def gramNovelty(docs: DataFrame, id: Column, words: Column,
+                  n: Int): DataFrame = {
+    val grams = docs.select(id.as("id"),
+      explode(array_distinct(TextOps.wordNgrams(words, n))).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_grams").cast("double"))
+  }
 }

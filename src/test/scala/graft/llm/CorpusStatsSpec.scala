@@ -133,4 +133,32 @@ class CorpusStatsSpec extends SparkSpec {
     // and bounded by [0, ln 2]
     assert(got >= 0 && got <= math.log(2) + 1e-12)
   }
+
+  test("gramNovelty: shared vs novel bigrams, within-doc repeats count once") {
+    // bigrams (n=2): doc1 {a b, b c}; doc2 {a b, b d}; doc3 {x y}
+    // doc4 repeats "a b" twice → still ONE distinct gram, df("a b")=3
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "x y"), (4L, "a b a b")
+    ).toDF("doc_id", "text")
+    val m = CorpusStats.gramNovelty(docs, col("doc_id"),
+        TextOps.words(col("text")), n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(m(1L) === ((2L, 1L, 0.5)))      // "a b" shared, "b c" novel
+    assert(m(2L) === ((2L, 1L, 0.5)))
+    assert(m(3L) === ((1L, 0L, 0.0)))      // fully novel
+    // doc4: distinct grams {a b, b a}; "a b" df=3 shared, "b a" df=1
+    assert(m(4L) === ((2L, 1L, 0.5)))
+  }
+
+  test("gramNovelty: docs shorter than n emit no row; determinism across partitions") {
+    val docs = Seq((1L, "only"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val run = CorpusStats.gramNovelty(docs, col("doc_id"),
+      TextOps.words(col("text")), n = 2)
+    assert(run.collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    val rep = CorpusStats.gramNovelty(docs.repartition(5), col("doc_id"),
+      TextOps.words(col("text")), n = 2)
+    assert(run.collect().toSeq.sortBy(_.getLong(0)).map(_.toString) ===
+      rep.collect().toSeq.sortBy(_.getLong(0)).map(_.toString))
+  }
 }

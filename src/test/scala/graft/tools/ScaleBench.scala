@@ -92,7 +92,11 @@ object ScaleBench {
     // hot digests (5k occurrences on one reducer) — measures the
     // streaming row_number hot-key path. temperature_mix shares
     // unimax's |groups|-frame shape.
-    "llm_nb_classify", "llm_paragraph_dedup", "llm_temperature_mix")
+    "llm_nb_classify", "llm_paragraph_dedup", "llm_temperature_mix",
+    // gram novelty: per-doc distinct 8-grams deduped map-side before
+    // the one gram-keyed df shuffle; rotated replicas share no grams,
+    // so df structure grows linearly like genuinely new text
+    "llm_gram_novelty")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
