@@ -243,10 +243,16 @@ object CorpusStats {
     */
   def gramNovelty(docs: DataFrame, id: Column, words: Column,
                   n: Int): DataFrame = {
+    // The gram TEXT never leaves the map side: both the df aggregation
+    // and the verdict join are keyed on the md5 digest (16 raw bytes
+    // via unhex vs ~(n·word) chars), the same narrow-shuffle move as
+    // [[Dedup.keepFirstUnits]]. Collisions would need 2⁶⁴ distinct
+    // grams; the n-gram count of a corpus is orders below that.
     val grams = docs.select(id.as("id"),
       explode(array_distinct(TextOps.wordNgrams(words, n))).as("g"))
-    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    grams.join(dfreq, Seq("g"))
+      .select(col("id"), unhex(md5(col("g"))).as("dg"))
+    val dfreq = grams.groupBy(col("dg")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("dg"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_shared"))
