@@ -2963,6 +2963,46 @@ object LlmQueries {
        |FROM g e JOIN f USING (g)
        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 
+  /** [[Dedup.minHashEstimates]] — sketch calibration on the same
+    * perturbed-dup corpus as `llm_minhash_lsh`: estimated-vs-exact
+    * Jaccard per LSH candidate, no threshold. n_match is an exact
+    * integer on both engines (md5 min-hash family); the two ratios
+    * and their gap are r4.
+    */
+  private def minhashErrorQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    val pert = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        slice(col("w"), lit(1), greatest(size(col("w")) - 3, lit(0))).as("w"))
+    val base = docs.unionByName(pert)
+      .withColumn("sh", TextOps.wordNgrams(col("w"), 3))
+    Dedup.minHashEstimates(base, col("doc_id"), col("sh"), 8, 2)
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        r4(col("est")).as("est"), r4(col("jaccard")).as("jaccard"),
+        r4(abs(col("est") - col("jaccard"))).as("abs_err"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val minhashErrorSql: String =
+    s"""WITH $mhPairsCtes, matches AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM cand c
+       |  JOIN mh a ON a.id = c.id_a
+       |  JOIN mh b ON b.id = c.id_b AND b.seed = a.seed
+       |  GROUP BY 1, 2
+       |)
+       |SELECT m.id_a, m.id_b, m.n_match,
+       |       ${r4Sql("m.n_match / 8.0")} AS est,
+       |       ${r4Sql("i.ninter * 1.0 / (sa.n + sb.n - i.ninter)")} AS jaccard,
+       |       ${r4Sql("abs(m.n_match / 8.0 - i.ninter * 1.0 / (sa.n + sb.n - i.ninter))")} AS abs_err
+       |FROM matches m
+       |JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+       |JOIN sizes sa ON sa.id = m.id_a
+       |JOIN sizes sb ON sb.id = m.id_b
+       |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -3025,6 +3065,7 @@ object LlmQueries {
     "llm_knn_join"     -> knnJoinQ,
     "llm_ann_recall"   -> annRecallQ,
     "llm_gram_novelty" -> gramNovelty,
+    "llm_minhash_error" -> minhashErrorQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3089,5 +3130,6 @@ object LlmQueries {
     "llm_knn_join"     -> knnJoinSql,
     "llm_ann_recall"   -> annRecallSql,
     "llm_gram_novelty" -> gramNoveltySql,
+    "llm_minhash_error" -> minhashErrorSql,
   )
 }

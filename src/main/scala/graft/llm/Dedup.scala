@@ -172,6 +172,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sketch-calibration form of [[minHashNearDups]]: every LSH
+    * candidate pair with BOTH the signature-estimated Jaccard (the
+    * matching-component fraction — Broder '97's unbiased E[est] = J
+    * estimator) and the exact Jaccard, so a pipeline can size `k`
+    * against the error it can tolerate instead of guessing. Same
+    * fused single-groupBy shape as [[minHashNearDups]]; deliberately
+    * NO threshold — sub-threshold candidates are exactly where the
+    * estimate's error matters.
+    *
+    * Returns (id_a, id_b, n_match, est, jaccard).
+    */
+  def minHashEstimates(docs: DataFrame, id: Column, shinglesCol: Column,
+                       k: Int, bandsOf: Int): DataFrame = {
+    val exploded = docs
+      .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
+    val aggs = (0 until k).map { s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("s")))).as(s"m$s")
+    }
+    val docsig = exploded.groupBy(col("id"))
+      .agg(collect_list(col("s")).as("gs"), aggs: _*)
+    val cand = lshCandidates(lshBands(docsig, k, bandsOf))
+    val a = docsig.select(col("id").as("id_a") +: col("gs").as("ga") +:
+      (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = docsig.select(col("id").as("id_b") +: col("gs").as("gb") +:
+      (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    val nMatch = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("n_match", nMatch)
+      .withColumn("ninter", size(array_intersect(col("ga"), col("gb"))))
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        (col("n_match").cast("double") / k).as("est"),
+        (col("ninter") * lit(1.0d) /
+          (size(col("ga")) + size(col("gb")) - col("ninter"))).as("jaccard"))
+  }
+
   /** Factored alternative to [[minHashNearDups]]: signature, bands,
     * and Jaccard verification all consume the exploded (id, s) rows
     * directly — the candidate verifier re-joins the shingle table and

@@ -109,6 +109,34 @@ class PlanShapeSpec extends SparkSpec {
       s"no Partial/Final WindowGroupLimit pair in zipfFit:\n${plan(out)}")
   }
 
+  test("knnJoin: query set broadcasts; ONE corpus shuffle, pre-trimmed map-side") {
+    val pts = (0L until 200L)
+      .map(i => (i, Seq.tabulate(4)(j => ((i + j) % 7 + 1).toFloat)))
+      .toDF("id", "v")
+    val out = graft.llm.Similarity.knnJoin(pts, col("id"), col("v"),
+      col("id") < 3L, k = 4)
+    assert(out.collect().length === 3 * 4)
+    // the collect() above finalizes AQE: the plan string now carries
+    // BOTH "Final Plan" and "Initial Plan" sections — count structure
+    // in the final section only, not twice
+    val p = plan(out).split("== Initial Plan ==").head
+    // the probe set must reach the corpus as a broadcast, never a
+    // corpus-wide join shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    // the only hash exchange is the per-query window's, and the
+    // rank-limit pushdown pre-trims k rows per query below it — the
+    // reducer sees k·partitions rows per query, never the corpus
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"knnJoin gained a corpus shuffle:\n$p")
+    val lines = p.linesIterator.toSeq
+    val firstWgl = lines.indexWhere(_.contains("WindowGroupLimit"))
+    val exch = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val lastWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(firstWgl >= 0 && exch > firstWgl && lastWgl > exch,
+      s"no Partial WindowGroupLimit below the exchange:\n$p")
+  }
+
   test("saltedSum: two aggregation stages, hot key spread across the first") {
     val df = (1L to 200L).map(i => (i % 2, i)).toDF("k", "v")
     val out = Analytics.saltedSum(df, Seq(col("k")), col("v"), 8)
