@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.inflateDescriptor)
     ext.injectFunction(GraftExtensions.charNgramSetDescriptor)
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.winnowSetDescriptor)
   }
 }
 
@@ -68,15 +70,47 @@ object GraftExtensions {
       graft.functions.NfcNormalize(children.head)
     })
 
+  /** vec_dot(a, b): the codegen'd double dot product every ANN query
+    * runs on — SQL users get the same kernel the DataFrame API uses
+    * (`SELECT vec_dot(embedding, q.qv) ...`), not an interpreted
+    * `aggregate(zip_with(...))` lambda.
+    */
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[graft.functions.VecExprs.VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => {
+      if (children.size != 2) throw new IllegalArgumentException(
+        s"vec_dot(a, b) takes 2 arguments, got ${children.size}")
+      graft.functions.VecExprs.VecDot(children(0), children(1))
+    })
+
+  /** winnow_set(text, k, w): the one-pass winnowing fingerprint kernel
+    * (k-gram rolling hash, window-w minima). k and w must be INT
+    * literals — they size per-slot buffers at plan time.
+    */
+  val winnowSetDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_set"),
+    new ExpressionInfo(classOf[graft.functions.WinnowSet].getName, "winnow_set"),
+    (children: Seq[Expression]) => {
+      if (children.size != 3) throw new IllegalArgumentException(
+        s"winnow_set(text, k, w) takes 3 arguments, got ${children.size}")
+      def intLit(e: Expression, name: String): Int = e match {
+        case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+          l.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"winnow_set: $name must be an INT literal, got ${other.sql}")
+      }
+      graft.functions.WinnowSet(children.head,
+        intLit(children(1), "k"), intLit(children(2), "w"))
+    })
+
+  private val all = Seq(timeBucketDescriptor, inflateDescriptor,
+    charNgramSetDescriptor, nfcNormalizeDescriptor, vecDotDescriptor,
+    winnowSetDescriptor)
+
   /** Register on an existing session (tests / notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      timeBucketDescriptor._1, timeBucketDescriptor._2, timeBucketDescriptor._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      inflateDescriptor._1, inflateDescriptor._2, inflateDescriptor._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      charNgramSetDescriptor._1, charNgramSetDescriptor._2, charNgramSetDescriptor._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      nfcNormalizeDescriptor._1, nfcNormalizeDescriptor._2, nfcNormalizeDescriptor._3)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -2720,9 +2720,10 @@ object LlmQueries {
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val test  = docs.filter(col("doc_id") % 5 === 0)
     val model = NbClassifier.fit(train, col("lang"), TextOps.words(col("text")))
-    NbClassifier.predict(model, test, col("doc_id"), TextOps.words(col("text")))
-      .join(test.select(col("doc_id").as("id"), col("lang").as("true_lang")),
-        Seq("id"))
+    // true_lang rides through predict as a carry column — ONE corpus
+    // scan, no re-join (the second scan is the 100 TB cost)
+    NbClassifier.predict(model, test, col("doc_id"),
+        TextOps.words(col("text")), carry = Seq("true_lang" -> col("lang")))
       .select(col("id").as("doc_id"), col("true_lang"),
         col("pred_label").as("pred_lang"), col("q_score"))
       .orderBy(col("doc_id"))

@@ -61,8 +61,9 @@ object NbClassifier {
     Model(tokenCounts, classStats, vocabSize)
   }
 
-  /** Score + argmax: (id, pred_label, q_score) with q_score the
-    * winner's integer micro-nat total (prior + Σ token likelihoods).
+  /** Score + argmax: (id, <carry...>, pred_label, q_score) with
+    * q_score the winner's integer micro-nat total (prior + Σ token
+    * likelihoods).
     *
     * The model join is LEFT with zero-coalesced counts: a token the
     * training slice never saw scores (0+1)/(tot+V) under every class
@@ -71,17 +72,24 @@ object NbClassifier {
     * tokens score prior-only (classified to the majority class), not
     * dropped: the per-doc token profile is built with a left-join
     * explode so empty docs keep one null-token row contributing 0.
+    *
+    * `carry` rides id-functionally-dependent columns (the true label,
+    * a source tag) through the aggregations as extra group keys, so a
+    * caller needing them alongside the prediction does NOT re-scan
+    * and re-join the corpus — at 100 TB that second scan is the cost
+    * that matters.
     */
-  def predict(model: Model, docs: DataFrame, id: Column,
-      words: Column): DataFrame = {
-    // (id, w, m): token multiplicity per doc; empty docs keep a null
-    // row (m=0) so they survive to the prior-only score.
+  def predict(model: Model, docs: DataFrame, id: Column, words: Column,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
+    val carryKeys = carry.map { case (n, _) => col(n) }
+    // (id, carry..., w, m): token multiplicity per doc; empty docs
+    // keep a null row (m=0) so they survive to the prior-only score.
     val profile = docs
-      .select(id.as("id"),
+      .select((id.as("id") +: carry.map { case (n, c) => c.as(n) }) :+
         explode(concat(words,
           when(size(words) === 0, array(lit(null).cast("string")))
-            .otherwise(array().cast("array<string>")))).as("w"))
-      .groupBy(col("id"), col("w"))
+            .otherwise(array().cast("array<string>")))).as("w"): _*)
+      .groupBy(col("id") +: carryKeys :+ col("w"): _*)
       .agg(count(when(col("w").isNotNull, 1)).as("m"))
     // |classes|-way expansion × model lookup. classStats/vocab are
     // tiny (class count) and broadcast; tokenCounts is vocab-bounded
@@ -94,14 +102,14 @@ object NbClassifier {
       .crossJoin(broadcast(model.classStats))
       .join(model.tokenCounts, Seq("label", "w"), "left")
       .crossJoin(broadcast(model.vocabSize))
-      .groupBy(col("id"), col("label"))
+      .groupBy(col("id") +: carryKeys :+ col("label"): _*)
       .agg((first(col("q_prior")) + sum(col("m") * q)).as("q_sum"))
       // argmax by (q desc, label asc): min over struct(-q, label)
       // orders lexicographically — no window, one aggregation.
-      .groupBy(col("id"))
+      .groupBy(col("id") +: carryKeys: _*)
       .agg(min(struct((-col("q_sum")).as("nq"), col("label").as("pred"),
         col("q_sum").as("q"))).as("best"))
-      .select(col("id"), col("best.pred").as("pred_label"),
-        col("best.q").as("q_score"))
+      .select((col("id") +: carryKeys) ++ Seq(
+        col("best.pred").as("pred_label"), col("best.q").as("q_score")): _*)
   }
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQL registration of the native kernels via [[graft.GraftExtensions]]
+  * — the `spark.sql` user gets the same codegen'd expressions the
+  * DataFrame API uses, with literal-argument validation at plan time.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  test("vec_dot from SQL equals the Column-API kernel") {
+    graft.GraftExtensions.register(spark)
+    Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val sql = spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").first().getDouble(0)
+    assert(sql === 32.0)
+    val api = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      .select(VecExprs.vecDot(col("a"), col("b"))).first().getDouble(0)
+    assert(sql === api)
+  }
+
+  test("winnow_set from SQL equals the Column-API kernel") {
+    graft.GraftExtensions.register(spark)
+    val text = "the quick brown fox jumps over the lazy dog"
+    Seq(Tuple1(text)).toDF("t").createOrReplaceTempView("wtxt")
+    val sql = spark.sql("SELECT winnow_set(t, 5, 4) AS f FROM wtxt")
+      .first().getSeq[String](0)
+    val api = Seq(Tuple1(text)).toDF("t")
+      .select(WinnowSet.winnowSet(col("t"), 5, 4)).first().getSeq[String](0)
+    assert(sql === api && sql.nonEmpty)
+  }
+
+  test("winnow_set rejects non-literal k/w at plan time") {
+    graft.GraftExtensions.register(spark)
+    Seq((1, "abcdef")).toDF("n", "t").createOrReplaceTempView("wbad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT winnow_set(t, n, 4) FROM wbad").collect()
+    }
+    assert(e.getMessage.contains("INT literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("INT literal")))
+  }
+}

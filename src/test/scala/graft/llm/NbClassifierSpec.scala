@@ -54,6 +54,21 @@ class NbClassifierSpec extends SparkSpec {
     assert(m(30L) === expected)
   }
 
+  test("carry columns ride through without changing predictions") {
+    val test = Seq((10L, "en", "the cat"), (11L, "es", "el gato"))
+      .toDF("id", "tag", "text")
+    val got = NbClassifier.predict(fitModel(), test, col("id"),
+        TextOps.words(col("text")), carry = Seq("tag" -> col("tag")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(got(10L)._1 === "en" && got(10L)._2 === "en")
+    assert(got(11L)._1 === "es" && got(11L)._2 === "es")
+    // scores identical to the no-carry path
+    val plain = predict(Seq((10L, "the cat"), (11L, "el gato")))
+    assert(got(10L)._3 === plain(10L)._2 && got(11L)._3 === plain(11L)._2)
+  }
+
   test("deterministic across input partitioning") {
     val test = Seq((10L, "the cat"), (11L, "el gato"), (30L, "zzz qqq"))
     val a = predict(test)
