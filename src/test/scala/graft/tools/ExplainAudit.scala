@@ -17,7 +17,9 @@ object ExplainAudit {
       else Seq("rel_join_revenue", "ts_candle_1h", "ts_scan_recent", "llm_minhash_lsh",
         "ts_asof_join", "rel_rollup", "llm_filtered_topk", "llm_lm_score",
         "llm_domain_cap", "llm_pack_sequences", "llm_image_neardup",
-        "llm_mix_sources", "llm_quality_filter", "llm_span_dedup")
+        "llm_mix_sources", "llm_quality_filter", "llm_span_dedup",
+        "llm_nb_classify", "llm_paragraph_dedup", "llm_knn_join",
+        "llm_ann_recall", "llm_minhash_error", "llm_gram_novelty")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")
