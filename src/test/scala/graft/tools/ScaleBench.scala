@@ -96,7 +96,10 @@ object ScaleBench {
     // gram novelty: per-doc distinct 8-grams deduped map-side before
     // the one gram-keyed df shuffle; rotated replicas share no grams,
     // so df structure grows linearly like genuinely new text
-    "llm_gram_novelty")
+    "llm_gram_novelty",
+    // sketch calibration: the minhash_lsh pipeline plus a signature
+    // compare per candidate — pairwise family, exponent is the signal
+    "llm_minhash_error")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
