@@ -3004,6 +3004,180 @@ object LlmQueries {
        |JOIN sizes sb ON sb.id = m.id_b
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- Kneser-Ney bigram LM
+  /** [[NgramLm.knModel]]/[[NgramLm.knScore]] — interpolated
+    * Kneser-Ney word-bigram scoring, trained and scored on the
+    * corpus itself (every bigram in-model ⇒ P > 0). Integer counts
+    * everywhere, per-bigram micro-nat quantization, integer sums.
+    */
+  private def knLmQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val bg = NgramLm.wordBigrams(docs, col("doc_id"),
+      TextOps.words(col("text"))).localCheckpoint(false)
+    NgramLm.knScore(bg, NgramLm.knModel(bg))
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("q_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val knLmSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+       |), bg AS (
+       |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+       |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 1)) AS i
+       |        FROM docs WHERE len(ws) >= 2)
+       |), c AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+       |), b1 AS (
+       |  SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1, CAST(count(*) AS BIGINT) AS n1f
+       |  FROM c GROUP BY 1
+       |), b2 AS (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c GROUP BY 1
+       |), tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c),
+       |scored AS (
+       |  SELECT bg.doc_id,
+       |         CAST(floor(ln(
+       |           greatest(c.c - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+       |             / CAST(b1.cw1 AS DOUBLE)
+       |           + (CAST(0.75 AS DOUBLE) * CAST(b1.n1f AS DOUBLE)
+       |              / CAST(b1.cw1 AS DOUBLE))
+       |             * (CAST(b2.n1b AS DOUBLE) / CAST(tt.t AS DOUBLE))
+       |         ) * 1000000) AS BIGINT) AS q
+       |  FROM bg JOIN c USING (w1, w2) JOIN b1 USING (w1) JOIN b2 USING (w2)
+       |  CROSS JOIN tt
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(q) AS BIGINT) AS q_sum
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------- Dirichlet query likelihood
+  /** [[TfIdf.dirichletQl]] on the same top-5-by-df query-term fixture
+    * as `llm_bm25` (μ = 100). Every doc scores on every query term
+    * (zero-tf terms contribute the smoothed background mass) — the
+    * defining difference from BM25's match-only sum.
+    */
+  private def dirichletQlQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    val tf = TfIdf.termFreq(docs, col("doc_id"), col("ws")).localCheckpoint(false)
+    val q = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(5).select(col("w"))
+    TfIdf.dirichletQl(tf, q, mu = 100.0d)
+      .select(col("id").as("doc_id"), col("score"), col("n_hit"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  private val dirichletQlSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+       |), tfc AS (
+       |  SELECT doc_id AS id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM docs) GROUP BY 1, 2
+       |), dfc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1
+       |), cfc AS (
+       |  SELECT w, CAST(SUM(tf) AS BIGINT) AS cf FROM tfc GROUP BY 1
+       |), dl AS (
+       |  SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfc GROUP BY 1
+       |), tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS ctot FROM tfc),
+       |q AS (SELECT w FROM dfc ORDER BY df DESC, w LIMIT 5),
+       |qcf AS (SELECT cfc.w, cf FROM cfc JOIN q USING (w)),
+       |scored AS (
+       |  SELECT dl.id,
+       |         CAST(floor(ln(
+       |           (CAST(coalesce(t.tf, 0) AS DOUBLE)
+       |            + CAST(100.0 AS DOUBLE) * CAST(qcf.cf AS DOUBLE)
+       |              / CAST(tot.ctot AS DOUBLE))
+       |           / (CAST(dl.dl AS DOUBLE) + CAST(100.0 AS DOUBLE))
+       |         ) * 1000000) AS BIGINT) AS q,
+       |         CASE WHEN t.tf IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM dl CROSS JOIN qcf
+       |  LEFT JOIN tfc t ON t.id = dl.id AND t.w = qcf.w
+       |  CROSS JOIN tot
+       |)
+       |SELECT id AS doc_id, CAST(SUM(q) AS BIGINT) AS score,
+       |       CAST(SUM(hit) AS BIGINT) AS n_hit
+       |FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // --------------------------------------------- log-odds domain terms
+  /** [[CorpusStats.logOdds]] — top-5 distinctive words per source,
+    * Monroe et al. informative-Dirichlet log-odds z-scores, words
+    * with ≥ 5 in-source occurrences. Selection ranks on the
+    * unrounded z (both engines compute the identical expression);
+    * output z is r4.
+    */
+  private def logOddsQ(s: SparkSession, d: String): DataFrame =
+    CorpusStats.logOdds(Tables.fanOut(Tables.documents(s, d)),
+        col("source"), col("text"), minCount = 5L, k = 5)
+      .select(col("g").as("source"), col("w"), col("ysw").as("y_sw"),
+        r4(col("z")).as("z"))
+      .orderBy(col("source"), col("z").desc, col("w"))
+
+  private val logOddsSql: String =
+    s"""WITH toks AS (
+       |  SELECT source AS g, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents
+       |), ysw AS (
+       |  SELECT g, w, CAST(count(*) AS BIGINT) AS ysw FROM toks GROUP BY 1, 2
+       |), yw AS (SELECT w, CAST(SUM(ysw) AS BIGINT) AS yw FROM ysw GROUP BY 1),
+       |ns AS (SELECT g, CAST(SUM(ysw) AS BIGINT) AS ns FROM ysw GROUP BY 1),
+       |nt AS (SELECT CAST(SUM(ysw) AS BIGINT) AS n FROM ysw),
+       |zs AS (
+       |  SELECT g, w, ysw,
+       |         (ln(CAST(ysw + yw AS DOUBLE)
+       |             / CAST(ns + n - ysw - yw AS DOUBLE))
+       |          - ln((CAST(yw - ysw AS DOUBLE) + yw)
+       |               / (CAST(n - ns AS DOUBLE) + n
+       |                  - CAST(yw - ysw AS DOUBLE) - yw)))
+       |         / sqrt(CAST(1.0 AS DOUBLE) / CAST(ysw + yw AS DOUBLE)
+       |                + CAST(1.0 AS DOUBLE) / (CAST(yw - ysw AS DOUBLE) + yw)) AS z
+       |  FROM ysw JOIN yw USING (w) JOIN ns USING (g) CROSS JOIN nt
+       |  WHERE ysw >= 5
+       |), rk AS (
+       |  SELECT g, w, ysw, z,
+       |         row_number() OVER (PARTITION BY g ORDER BY z DESC, w) AS r
+       |  FROM zs
+       |)
+       |SELECT g AS source, w, ysw AS y_sw, ${r4Sql("z")} AS z
+       |FROM rk WHERE r <= 5 ORDER BY source, z DESC, w""".stripMargin
+
+  // ------------------------------------------------ SQ8 quantized ANN
+  /** [[Similarity.sq8TopK]] — int8 scalar-quantized candidates
+    * (floor(x/scale + 0.5), scale = max|x|/127), exact-cosine rerank
+    * of the top-50, top-10 out. The integer code dot is exact in both
+    * engines; approximate ties break by id at the cut.
+    */
+  private def sq8TopKQ(s: SparkSession, d: String): DataFrame =
+    Similarity.sq8TopK(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), col("vec_id") === 0L, k = 10, rerank = 50)
+      .select(col("id"), r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
+
+  private val sq8TopKSql: String =
+    s"""WITH pts AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), sc AS (
+       |  SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS s
+       |  FROM pts
+       |), cd AS (
+       |  SELECT vec_id, v, s,
+       |         CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+       |              ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS c
+       |  FROM sc
+       |), q AS (SELECT v AS qv, s AS qs, c AS qc FROM cd WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, v, qv, list_dot_product(c, qc) * s * qs AS approx
+       |  FROM cd, q WHERE vec_id <> 0 AND s > 0
+       |  ORDER BY approx DESC, vec_id LIMIT 50
+       |), rer AS (
+       |  SELECT vec_id AS id,
+       |         list_dot_product(v, qv)
+       |           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM cand ORDER BY sim DESC, id LIMIT 10
+       |)
+       |SELECT id, ${r4Sql("sim")} AS sim FROM rer
+       |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -3067,6 +3241,10 @@ object LlmQueries {
     "llm_ann_recall"   -> annRecallQ,
     "llm_gram_novelty" -> gramNovelty,
     "llm_minhash_error" -> minhashErrorQ,
+    "llm_kn_lm"        -> knLmQ,
+    "llm_dirichlet_ql" -> dirichletQlQ,
+    "llm_log_odds"     -> logOddsQ,
+    "llm_sq8_topk"     -> sq8TopKQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3132,5 +3310,9 @@ object LlmQueries {
     "llm_ann_recall"   -> annRecallSql,
     "llm_gram_novelty" -> gramNoveltySql,
     "llm_minhash_error" -> minhashErrorSql,
+    "llm_kn_lm"        -> knLmSql,
+    "llm_dirichlet_ql" -> dirichletQlSql,
+    "llm_log_odds"     -> logOddsSql,
+    "llm_sq8_topk"     -> sq8TopKSql,
   )
 }

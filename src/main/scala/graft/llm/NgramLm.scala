@@ -75,4 +75,69 @@ object NgramLm {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"))
   }
+
+  // ------------------------------------------- Kneser-Ney word bigrams
+
+  /** All consecutive WORD bigram instances of a document, with
+    * multiplicity: (id, w1, w2). Documents with < 2 words emit
+    * nothing. One slide over the words array — no self-join.
+    */
+  def wordBigrams(docs: DataFrame, id: Column, words: Column): DataFrame =
+    docs.select(id.as("id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+                      element_at(col("ws"), i + 2).as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney ICASSP'95;
+    * Chen & Goodman TR-10-98 eq. 4.25, fixed discount D) — the
+    * smoothing KenLM and every serious n-gram LM pipeline uses, where
+    * [[model]]/[[score]]'s add-one form systematically over-smooths:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *              + (D · N1+(w1·)/c(w1·)) · (N1+(·w2)/T)
+    *
+    * with N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * histories of w2 (the "novel-context" continuation probability —
+    * KN's defining idea), T = distinct bigram types.
+    *
+    * Everything derives from ONE grouped bigram frame: c is the group
+    * count, c(w1·)/N1+(w1·) one aggregation by w1, N1+(·w2) one by w2,
+    * T a single-row count — no corpus rescans. All counts are exact
+    * integers, so the few IEEE ops in P run bit-identically in any
+    * engine ([[score]]'s determinism discipline).
+    *
+    * Returns (w1, w2, c, cw1, n1f, n1b, t) — the integer model frame;
+    * [[knScore]] folds it into per-document quantized log-probs.
+    */
+  def knModel(bg: DataFrame): DataFrame = {
+    val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val byW1 = c.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1f"))
+    val byW2 = c.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val t = c.agg(count(lit(1)).as("t"))
+    c.join(byW1, Seq("w1")).join(byW2, Seq("w2")).crossJoin(broadcast(t))
+  }
+
+  /** Per-document quantized KN log-prob score: (id, n_bigrams, q_sum),
+    * q_sum = Σ floor(ln(P_KN)·10⁶) over the document's bigram
+    * instances. The model frame is an UNBOUNDED vocabulary product —
+    * never broadcast ([[TfIdf]]'s lesson): the instance⋈model join
+    * keys on (w1, w2), both sides shuffle-partitioned on it, AQE free
+    * to elect a runtime broadcast when the model turns out small.
+    * Scoring the training corpus itself ⇒ every bigram is in the
+    * model and P > 0 (c ≥ 1 and N1+(·w2) ≥ 1); an unseen-corpus
+    * scorer would first need a backoff unigram leg.
+    */
+  def knScore(bg: DataFrame, model: DataFrame, d: Double = 0.75d): DataFrame = {
+    val p = greatest(col("c") - lit(d), lit(0.0d)) / col("cw1").cast("double") +
+      (lit(d) * col("n1f").cast("double") / col("cw1").cast("double")) *
+        (col("n1b").cast("double") / col("t").cast("double"))
+    bg.join(model, Seq("w1", "w2"))
+      .select(col("id"), floor(log(p) * 1000000d).as("q"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"))
+  }
 }

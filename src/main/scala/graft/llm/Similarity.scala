@@ -645,4 +645,51 @@ object Similarity {
         when(col("sigma") > 0, (col("dist") - col("mu")) / col("sigma"))
           .otherwise(lit(0.0)).as("z"))
   }
+
+  /** Int8 scalar-quantized top-k with exact rerank — the FAISS
+    * `SQ8`/`ScalarQuantizer` memory path (Jégou et al.'s baseline to
+    * PQ; ~4x smaller than float32 vectors, no training step, unlike
+    * [[ivfPqTopK]]'s codebooks): per vector, scale = max|x|/127 and
+    * code_i = floor(x_i/scale + 0.5) ∈ [−127, 127] (the explicit
+    * floor(+0.5) form so both engines round identically; |x| ≤ max|x|
+    * bounds the code without clamping). The approximate score is the
+    * exact INTEGER code dot (codes carried as doubles — ≤ dim·127²,
+    * exact well under 2⁵³) times the two scales; the top `rerank`
+    * approximate candidates rerank by exact float cosine and the top
+    * `k` survive.
+    *
+    * Scale shape: the 100 TB deployment stores (code, scale, norm) —
+    * the scan reads dim bytes + 2 doubles per vector instead of dim
+    * floats; the query row broadcasts as a 1-row frame; candidate cut
+    * is TakeOrderedAndProject (no global sort); only `rerank` rows
+    * ever touch full-precision vectors. Deterministic: approximate
+    * ties break by id at the cut, exact ties by id at the output.
+    */
+  def sq8TopK(df: DataFrame, id: Column, vec: Column,
+              queryPred: Column, k: Int, rerank: Int): DataFrame = {
+    def coded(src: DataFrame): DataFrame = src
+      .select(id.as("id"), transform(vec, x => x.cast("double")).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0d))
+      .withColumn("code",
+        when(col("scale") === 0.0d, transform(col("v"), _ => lit(0.0d)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("scale") + lit(0.5d)))))
+    val q = coded(df.filter(queryPred))
+      .select(col("v").as("qv"), col("scale").as("qscale"),
+        col("code").as("qcode")).limit(1)
+    // a zero vector has no direction: its cosine is undefined (and an
+    // ANSI divide-by-zero) — excluded from candidacy, not scored 0
+    coded(df.filter(!queryPred))
+      .filter(col("scale") > 0.0d)
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("v"), col("qv"),
+        (dot(col("code"), col("qcode")) * col("scale") * col("qscale"))
+          .as("approx"))
+      .orderBy(col("approx").desc, col("id").asc)
+      .limit(rerank)
+      .select(col("id"), cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -70,6 +70,42 @@ object TfIdf {
       .agg(sum(col("q")).as("score"), count(lit(1)).as("n_terms"))
   }
 
+  /** Dirichlet-smoothed query likelihood ranking (Zhai & Lafferty
+    * SIGIR'01) — the language-model retrieval scorer that sits beside
+    * [[bm25]] in every public IR stack (Lucene's `LMDirichletSimilarity`):
+    *
+    *   score(Q,D) = Σ_{q∈Q} ln( (tf(q,D) + μ·cf(q)/|C|) / (dl(D) + μ) )
+    *
+    * cf(q) = corpus frequency of q, |C| = corpus token count. Unlike
+    * BM25 a document scores on EVERY query term (a zero-tf term
+    * contributes the smoothed background mass), so the scored frame is
+    * docs × queryTerms — built by a broadcast crossJoin of the ≤|Q|-row
+    * term-stats frame against the per-doc length frame, then a LEFT
+    * join to hydrate tf. Quantized to integer micro-nats per term and
+    * summed as integers ([[NgramLm]] discipline); every float input
+    * (tf, cf, |C|, dl, μ) is an exact integer or literal, so the IEEE
+    * ops run bit-identically in any engine.
+    *
+    * Returns (id, score, n_hit) — n_hit = query terms with tf > 0.
+    */
+  def dirichletQl(tf: DataFrame, queryTerms: DataFrame,
+                  mu: Double = 100.0d): DataFrame = {
+    val cf = tf.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
+    val qcf = cf.join(broadcast(queryTerms.select(col("w"))), "w")
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val ctot = tf.agg(sum(col("tf")).as("ctot"))
+    val p = (coalesce(col("tf"), lit(0L)).cast("double")
+        + lit(mu) * col("cf").cast("double") / col("ctot").cast("double")) /
+      (col("dl").cast("double") + lit(mu))
+    dl.crossJoin(broadcast(qcf))
+      .join(tf, Seq("id", "w"), "left")
+      .crossJoin(broadcast(ctot))
+      .select(col("id"), floor(log(p) * 1000000d).as("q"),
+        when(col("tf").isNotNull, 1L).otherwise(0L).as("hit"))
+      .groupBy(col("id"))
+      .agg(sum(col("q")).as("score"), sum(col("hit")).as("n_hit"))
+  }
+
   /** Top-k terms per document by tf·idf, deterministic tie-break on
     * the term. Returns (id, w, tf, score, rank) with
     * score = tf · floor(ln(N/df)·10⁶).

@@ -161,4 +161,38 @@ class CorpusStatsSpec extends SparkSpec {
     assert(run.collect().toSeq.sortBy(_.getLong(0)).map(_.toString) ===
       rep.collect().toSeq.sortBy(_.getLong(0)).map(_.toString))
   }
+
+  test("logOdds: exclusive words score symmetric positive z, balanced words 0") {
+    // s1: apple×3 banana ; s2: cherry×3 banana — mirror corpora.
+    // apple/s1: ysw=3 yw=3 ns=4 n=8 →
+    //   δ = ln(6/6) − ln(3/9) = ln 3 ; σ² = 1/6 + 1/3 ; z = ln3/√0.5
+    val docs = Seq(
+      ("s1", "apple apple apple banana"),
+      ("s2", "cherry cherry cherry banana")
+    ).toDF("source", "text")
+    val got = CorpusStats.logOdds(docs, col("source"), col("text"),
+        minCount = 1L, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    val zApple = math.log(3.0) / math.sqrt(1.0 / 6.0 + 1.0 / 3.0)
+    assert(math.abs(got(("s1", "apple")) - zApple) < 1e-12)
+    assert(math.abs(got(("s2", "cherry")) - zApple) < 1e-12)
+    // banana is split evenly: both deltas are ln(3/9), z = 0
+    assert(math.abs(got(("s1", "banana"))) < 1e-12)
+    assert(math.abs(got(("s2", "banana"))) < 1e-12)
+    // cherry never occurs in s1 — not a candidate there
+    assert(!got.contains(("s1", "cherry")))
+  }
+
+  test("logOdds: minCount prunes, k caps per group, rank ties on the word") {
+    val docs = Seq(
+      ("s1", "a a a b b c z z"),
+      ("s2", "z z z z")
+    ).toDF("source", "text")
+    val got = CorpusStats.logOdds(docs, col("source"), col("text"),
+      minCount = 2L, k = 2).collect()
+    val s1 = got.filter(_.getString(0) == "s1").map(_.getString(1)).toSeq
+    // c (count 1) pruned by minCount; k=2 keeps the two largest z
+    assert(s1.length === 2 && !s1.contains("c"))
+  }
 }

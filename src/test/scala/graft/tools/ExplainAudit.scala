@@ -19,7 +19,8 @@ object ExplainAudit {
         "llm_domain_cap", "llm_pack_sequences", "llm_image_neardup",
         "llm_mix_sources", "llm_quality_filter", "llm_span_dedup",
         "llm_nb_classify", "llm_paragraph_dedup", "llm_knn_join",
-        "llm_ann_recall", "llm_minhash_error", "llm_gram_novelty")
+        "llm_ann_recall", "llm_minhash_error", "llm_gram_novelty",
+        "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")

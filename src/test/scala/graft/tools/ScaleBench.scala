@@ -99,7 +99,16 @@ object ScaleBench {
     "llm_gram_novelty",
     // sketch calibration: the minhash_lsh pipeline plus a signature
     // compare per candidate — pairwise family, exponent is the signal
-    "llm_minhash_error")
+    "llm_minhash_error",
+    // r10 wave-2 additions. kn_lm: one grouped-bigram model frame +
+    // an instance⋈model join keyed (w1,w2) — rotated replicas grow the
+    // bigram vocabulary linearly like genuinely new text, measuring
+    // that the model join is vocab-bounded. dirichlet_ql: dl ×
+    // broadcast(5-term stats) — must stay corpus-linear. log_odds: one
+    // (source,word) aggregation + vocab-keyed join + WindowGroupLimit
+    // top-k. sq8_topk: codes+scales map pass, TakeOrdered cut, 50-row
+    // rerank — the memory-bounded scan path
+    "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
