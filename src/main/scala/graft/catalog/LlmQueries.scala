@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{CorpusStats, Dedup, Dsir, IncrementalDedup, Multimodal, NbClassifier, NgramLm, Packing, Sampling, Similarity, TextOps, TfIdf}
+import graft.llm.{CorpusStats, Dedup, Dsir, GraphOps, IncrementalDedup, Multimodal, NbClassifier, NgramLm, Packing, Retrieval, Sampling, Similarity, TextOps, TfIdf}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3178,6 +3178,185 @@ object LlmQueries {
        |SELECT id, ${r4Sql("sim")} AS sim FROM rer
        |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
 
+  // ------------------------------------------------ RRF hybrid fusion
+  /** [[Retrieval.rrf]] — reciprocal rank fusion of the BM25 top-30
+    * (same query fixture as `llm_bm25`) with the dense cosine top-30
+    * against vec 0 (`llm_cosine_topk`'s retriever); doc_id ↔ vec_id
+    * is the corpus's 1:1 key. Integer ranks ⇒ engine-exact
+    * contributions; two-operand FP addition is order-free.
+    */
+  private def rrfFusionQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    val tf = TfIdf.termFreq(docs, col("doc_id"), col("ws")).localCheckpoint(false)
+    val q = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(5).select(col("w"))
+    val textList = TfIdf.bm25(tf, q)
+      .orderBy(col("score").desc, col("id")).limit(30)
+    val vecList = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+      col("vec_id"), col("embedding"), col("vec_id") === 0L, 30)
+    Retrieval.rrf(Seq(
+        Retrieval.ranked(textList, col("id"), col("score")),
+        Retrieval.ranked(vecList, col("id"), col("sim"))), topK = 10)
+      .select(col("id").as("doc_id"), col("n_lists"), r4(col("rrf")).as("rrf"))
+      .orderBy(r4(col("rrf")).desc, col("doc_id"))
+  }
+
+  private val rrfFusionSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+       |), tfc AS (
+       |  SELECT doc_id AS id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM docs) GROUP BY 1, 2
+       |), dfc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1
+       |), dl AS (
+       |  SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfc GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl
+       |), q AS (SELECT w, df FROM dfc ORDER BY df DESC, w LIMIT 5),
+       |bscored AS (
+       |  SELECT t.id,
+       |         CAST(floor(
+       |           ln(1 + (tot.n - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE)))
+       |             * (t.tf * (CAST(1.2 AS DOUBLE) + 1))
+       |             / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |                  + CAST(0.75 AS DOUBLE) * d.dl
+       |                  / (CAST(tot.sumdl AS DOUBLE) / CAST(tot.n AS DOUBLE))))
+       |           * 1000000) AS BIGINT) AS qs
+       |  FROM tfc t JOIN q ON t.w = q.w JOIN dl d ON d.id = t.id CROSS JOIN tot
+       |), bm AS (
+       |  SELECT id, CAST(SUM(qs) AS BIGINT) AS score FROM bscored GROUP BY 1
+       |  ORDER BY score DESC, id LIMIT 30
+       |), bmr AS (
+       |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM bm
+       |), qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |cos AS (
+       |  SELECT vec_id AS id,
+       |         list_dot_product(embedding::DOUBLE[], qv)
+       |           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |              * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM embeddings, qv WHERE vec_id <> 0
+       |  ORDER BY sim DESC, id LIMIT 30
+       |), cosr AS (
+       |  SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank FROM cos
+       |), u AS (
+       |  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)) AS contrib FROM bmr
+       |  UNION ALL
+       |  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)) AS contrib FROM cosr
+       |), f AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_lists, SUM(contrib) AS rrf
+       |  FROM u GROUP BY 1 ORDER BY rrf DESC, id LIMIT 10
+       |)
+       |SELECT id AS doc_id, n_lists, ${r4Sql("rrf")} AS rrf FROM f
+       |ORDER BY ${r4Sql("rrf")} DESC, doc_id""".stripMargin
+
+  // --------------------------------------------------- PageRank hubs
+  /** [[GraphOps.pageRank]] over the same thresholded MinHash near-dup
+    * graph as `llm_dedup_clusters` — duplication-hub centrality, 3
+    * iterations. Edge contributions quantize to integer pico-units
+    * before summing, so both engines iterate identical rank vectors;
+    * the oracle unrolls the SAME 3 rounds.
+    */
+  private def pageRankQ(s: SparkSession, d: String): DataFrame =
+    GraphOps.pageRank(minhashPairs(s, d), col("id_a"), col("id_b"), iters = 3)
+      .select(col("id").as("doc_id"), col("deg"), r4(col("rank")).as("rank"))
+      .orderBy(col("doc_id"))
+
+  private val pageRankSql: String = {
+    val iter = (1 to 3).map { k =>
+      s"""pc$k AS (
+         |  SELECT e.dst,
+         |         CAST(SUM(CAST(floor(r.rank / CAST(d.deg AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS sq
+         |  FROM psym e JOIN pdeg d ON d.src = e.src
+         |  JOIN pr${k - 1} r ON r.id = e.src GROUP BY 1
+         |), pr$k AS (
+         |  SELECT d.src AS id,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(pn.n AS DOUBLE)
+         |           + CAST(0.85 AS DOUBLE)
+         |             * (CAST(coalesce(c.sq, 0) AS DOUBLE) / 1e12) AS rank
+         |  FROM pdeg d LEFT JOIN pc$k c ON c.dst = d.src CROSS JOIN pn
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $mhPairsCtes, ppairs AS (
+       |  SELECT i.id_a, i.id_b
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a
+       |  JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
+       |), psym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM ppairs
+       |  UNION
+       |  SELECT id_b, id_a FROM ppairs
+       |), pdeg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM psym GROUP BY 1
+       |), pn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pdeg),
+       |pr0 AS (
+       |  SELECT src AS id, CAST(1.0 AS DOUBLE) / CAST(pn.n AS DOUBLE) AS rank
+       |  FROM pdeg CROSS JOIN pn
+       |), $iter
+       |SELECT d.src AS doc_id, d.deg, ${r4Sql("r.rank")} AS rank
+       |FROM pdeg d JOIN pr3 r ON r.id = d.src
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- content-defined chunks
+  /** [[TextOps.cdcChunks]] + [[CorpusStats.unitNovelty]] — chunk-level
+    * dedup audit with LBFS content-defined boundaries (w=16,
+    * boundary odds 4/256 ⇒ mean chunk ≈ 64 chars). The constructed
+    * positives are PREFIX-INSERTED copies (doc_id+100000, text with
+    * 16 chars prepended): fixed-width chunking would shift every
+    * boundary and share nothing; CDC re-chunks only the prefix span,
+    * so the copies score high shared_frac — the property under test.
+    */
+  private def cdcDedupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val pert = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("INSERTED PREFIX "), col("text")).as("text"))
+    CorpusStats.unitNovelty(docs.unionByName(pert), col("doc_id"),
+        TextOps.cdcChunks(col("text"), 16, "03"))
+      .select(col("id").as("doc_id"), col("n_units").as("n_chunks"),
+        col("n_shared"), r4(col("shared_frac")).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val cdcDedupSql: String =
+    s"""WITH cbase AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + 100000, 'INSERTED PREFIX ' || text FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 7 = 0
+       |), cu AS (
+       |  SELECT doc_id, text AS t,
+       |         [CAST(0 AS BIGINT)]
+       |           || list_filter(range(16, length(text) + 1),
+       |                i -> substr(md5(substr(t, i - 15, 16)), 1, 2) <= '03')
+       |           || [CAST(length(text) AS BIGINT)] AS cuts
+       |  FROM cbase
+       |), ch AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    list_transform(range(1, len(cuts)),
+       |      j -> substr(t, CAST(cuts[j] + 1 AS INTEGER),
+       |                  CAST(cuts[j + 1] - cuts[j] AS INTEGER))),
+       |    c -> length(c) > 0))) AS g
+       |  FROM cu
+       |), cf AS (
+       |  SELECT md5(g) AS dg, CAST(count(*) AS BIGINT) AS df,
+       |         min(doc_id) AS owner
+       |  FROM ch GROUP BY 1
+       |), cpd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1
+       |), cuq AS (
+       |  SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_unique
+       |  FROM cf WHERE df = 1 GROUP BY 1
+       |)
+       |SELECT cpd.doc_id, cpd.n_chunks,
+       |       cpd.n_chunks - COALESCE(cuq.n_unique, 0) AS n_shared,
+       |       ${r4Sql("(cpd.n_chunks - COALESCE(cuq.n_unique, 0)) * 1.0 / cpd.n_chunks")} AS shared_frac
+       |FROM cpd LEFT JOIN cuq USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -3245,6 +3424,9 @@ object LlmQueries {
     "llm_dirichlet_ql" -> dirichletQlQ,
     "llm_log_odds"     -> logOddsQ,
     "llm_sq8_topk"     -> sq8TopKQ,
+    "llm_rrf_fusion"   -> rrfFusionQ,
+    "llm_pagerank"     -> pageRankQ,
+    "llm_cdc_dedup"    -> cdcDedupQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3314,5 +3496,8 @@ object LlmQueries {
     "llm_dirichlet_ql" -> dirichletQlSql,
     "llm_log_odds"     -> logOddsSql,
     "llm_sq8_topk"     -> sq8TopKSql,
+    "llm_rrf_fusion"   -> rrfFusionSql,
+    "llm_pagerank"     -> pageRankSql,
+    "llm_cdc_dedup"    -> cdcDedupSql,
   )
 }

@@ -249,40 +249,47 @@ object CorpusStats {
     * Documents with < n words emit no grams and no row.
     */
   def gramNovelty(docs: DataFrame, id: Column, words: Column,
-                  n: Int): DataFrame = {
-    // The gram TEXT never leaves the map side: the df aggregation is
-    // keyed on the md5 digest (16 raw bytes via unhex vs ~(n·word)
-    // chars), the same narrow-shuffle move as [[Dedup.keepFirstUnits]].
-    // Collisions would need 2⁶⁴ distinct grams; the n-gram count of a
-    // corpus is orders below that.
-    //
-    // The narrow (id, dg) frame feeds TWO aggregations with different
-    // keys; the lazy localCheckpoint materializes the shingle
-    // transform once (the [[TfIdf]] tf-frame pattern). Re-deriving it
-    // per consumer measured 4x worse at sf0.1 — CollapseProject
-    // re-inlines the n-gram expression at every reference.
-    val grams = docs.select(id.as("id"),
-        explode(array_distinct(TextOps.wordNgrams(words, n))).as("g"))
+                  n: Int): DataFrame =
+    unitNovelty(docs, id, TextOps.wordNgrams(words, n))
+      .withColumnRenamed("n_units", "n_grams")
+
+  /** The sharing engine under [[gramNovelty]] (word n-grams) and the
+    * chunk-level CDC dedup audit ([[TextOps.cdcChunks]] units): per
+    * document, how many of its DISTINCT units occur in ≥ 2 documents.
+    * Returns (id, n_units, n_shared, shared_frac); docs whose `units`
+    * array is empty emit no row.
+    *
+    * Unit text never leaves the map side: the df aggregation is keyed
+    * on the md5 digest (16 raw bytes via unhex), the same
+    * narrow-shuffle move as [[Dedup.keepFirstUnits]]. Collisions would
+    * need 2⁶⁴ distinct units; no corpus gets close.
+    *
+    * The narrow (id, dg) frame feeds TWO aggregations with different
+    * keys; the lazy localCheckpoint materializes the unit transform
+    * once (the [[TfIdf]] tf-frame pattern). Re-deriving it per
+    * consumer measured 4x worse at sf0.1 — CollapseProject re-inlines
+    * the unit expression at every reference. The unit table shuffles
+    * exactly once: a unit with df==1 has a unique owning document, so
+    * min(id) inside the SAME df aggregation recovers the owner and
+    * n_shared = n_units − n_unique — no verdict join of the unit
+    * table back against the frequency table (the join form measured
+    * 1.62→7.34 s at 10x, exponent 0.66, the catalog's worst).
+    */
+  def unitNovelty(docs: DataFrame, id: Column, units: Column): DataFrame = {
+    val dus = docs.select(id.as("id"),
+        explode(array_distinct(units)).as("g"))
       .select(col("id"), unhex(md5(col("g"))).as("dg"))
       .localCheckpoint(false)
-    // per-doc totals: one map-side-combined count per id. Docs with
-    // < n words emit no grams and so no row — the contract.
-    val perDoc = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    // a gram with df==1 has a unique owning document, so min(id)
-    // inside the SAME df aggregation recovers the owner and
-    // n_shared = n_grams − n_unique — no verdict join of the gram
-    // table back against the frequency table (the previous form
-    // re-shuffled every gram row a second time; 1.62→7.34 s at 10x,
-    // exponent 0.66, the catalog's worst).
-    val uniqPerDoc = grams.groupBy(col("dg"))
+    val perDoc = dus.groupBy(col("id")).agg(count(lit(1)).as("n_units"))
+    val uniqPerDoc = dus.groupBy(col("dg"))
       .agg(count(lit(1)).as("df"), min(col("id")).as("owner"))
       .filter(col("df") === 1L)
       .groupBy(col("owner")).agg(count(lit(1)).as("n_unique"))
     perDoc.join(uniqPerDoc, col("id") === col("owner"), "left")
-      .select(col("id"), col("n_grams"),
-        (col("n_grams") - coalesce(col("n_unique"), lit(0L))).as("n_shared"))
+      .select(col("id"), col("n_units"),
+        (col("n_units") - coalesce(col("n_unique"), lit(0L))).as("n_shared"))
       .withColumn("shared_frac",
-        col("n_shared").cast("double") / col("n_grams").cast("double"))
+        col("n_shared").cast("double") / col("n_units").cast("double"))
   }
 
   /** Domain-distinctive vocabulary via weighted log-odds-ratio with an

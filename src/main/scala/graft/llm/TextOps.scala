@@ -45,6 +45,44 @@ object TextOps {
       .otherwise(array().cast("array<struct<idx:int,n_tok:int,txt:string>>"))
   }
 
+  /** Content-defined chunking, LBFS form (Muthitacharoen, Chen &
+    * Mazières SOSP'01 §3.1): a chunk boundary falls after position i
+    * iff the hash of the `w`-char window ENDING at i lands in a fixed
+    * 1-in-2⁸·|prefix| slice of hash space — here "first two md5 hex
+    * chars ≤ `probHex`", e.g. "03" ⇒ 4/256 = 1/64 boundary odds per
+    * position ⇒ mean chunk ≈ 64 chars. Because the decision depends
+    * only on WINDOW CONTENT, an insertion re-chunks just the window
+    * spans it touches and every later chunk survives byte-identical —
+    * the property that makes chunk-level dedup robust where
+    * fixed-width chunking ([[tokenChunks]]) shifts every downstream
+    * boundary. Texts shorter than `w` are one chunk; empty chunks
+    * (adjacent boundaries) are dropped.
+    *
+    * Position-independent by design, so the whole op is a per-doc
+    * array expression — codegen'd, no explode, no shuffle, and every
+    * position's window hashes in parallel (LBFS's Rabin fingerprint
+    * has the same property; md5 stands in as the engine-portable
+    * deterministic hash — a production deployment chasing GB/s/core
+    * would swap a gear-hash native Expression into this boundary
+    * predicate and nothing else changes).
+    *
+    * Returns `array<string>` of the chunks in document order.
+    */
+  def cdcChunks(text: Column, w: Int, probHex: String): Column = {
+    require(w >= 2 && probHex.length == 2, s"degenerate CDC w=$w probHex=$probHex")
+    val len = length(text)
+    val bounds = when(len >= w,
+        filter(sequence(lit(w), len),
+          i => substring(md5(text.substr(i - (w - 1), lit(w))), 1, 2) <= probHex))
+      .otherwise(array().cast("array<int>"))
+    val cuts = concat(array(lit(0)), bounds, array(len))
+    filter(
+      transform(sequence(lit(1), size(cuts) - 1),
+        j => text.substr(element_at(cuts, j) + 1,
+          element_at(cuts, j + 1) - element_at(cuts, j))),
+      c => length(c) > 0)
+  }
+
   /** Character n-gram shingles, empty when text shorter than n. */
   def charNgrams(text: Column, n: Int): Column =
     when(length(text) >= n,

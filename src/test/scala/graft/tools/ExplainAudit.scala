@@ -20,7 +20,8 @@ object ExplainAudit {
         "llm_mix_sources", "llm_quality_filter", "llm_span_dedup",
         "llm_nb_classify", "llm_paragraph_dedup", "llm_knn_join",
         "llm_ann_recall", "llm_minhash_error", "llm_gram_novelty",
-        "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk")
+        "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk",
+        "llm_cdc_dedup", "llm_pagerank", "llm_rrf_fusion")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")

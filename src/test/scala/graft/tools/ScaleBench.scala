@@ -108,7 +108,14 @@ object ScaleBench {
     // (source,word) aggregation + vocab-keyed join + WindowGroupLimit
     // top-k. sq8_topk: codes+scales map pass, TakeOrdered cut, 50-row
     // rerank — the memory-bounded scan path
-    "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk")
+    "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk",
+    // cdc_dedup: per-position window hashing is the map cost, then one
+    // digest-keyed unit shuffle (unitNovelty); rotated replicas share
+    // no chunks, so df structure grows linearly. pagerank: per-replica
+    // dup graphs are disjoint — components cost class, 3 rounds.
+    // rrf_fusion: two corpus-pass retrievers + a 60-row fusion — the
+    // fusion itself must stay corpus-size-independent.
+    "llm_cdc_dedup", "llm_pagerank", "llm_rrf_fusion")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
