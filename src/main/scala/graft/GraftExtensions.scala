@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.winnowSetDescriptor)
+    ext.injectFunction(GraftExtensions.cdcGearChunksDescriptor)
   }
 }
 
@@ -104,9 +105,31 @@ object GraftExtensions {
         intLit(children(1), "k"), intLit(children(2), "w"))
     })
 
+  /** cdc_gear_chunks(text, minLen, maxLen, maskBits): the gear-hash
+    * content-defined chunking kernel — O(1)/byte where the oracle's
+    * md5-window form pays a digest per position. Sizing args must be
+    * INT literals.
+    */
+  val cdcGearChunksDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cdc_gear_chunks"),
+    new ExpressionInfo(classOf[graft.functions.CdcGearChunks].getName, "cdc_gear_chunks"),
+    (children: Seq[Expression]) => {
+      if (children.size != 4) throw new IllegalArgumentException(
+        s"cdc_gear_chunks(text, minLen, maxLen, maskBits) takes 4 arguments, got ${children.size}")
+      def intLit(e: Expression, name: String): Int = e match {
+        case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+          l.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"cdc_gear_chunks: $name must be an INT literal, got ${other.sql}")
+      }
+      graft.functions.CdcGearChunks(children.head,
+        intLit(children(1), "minLen"), intLit(children(2), "maxLen"),
+        intLit(children(3), "maskBits"))
+    })
+
   private val all = Seq(timeBucketDescriptor, inflateDescriptor,
     charNgramSetDescriptor, nfcNormalizeDescriptor, vecDotDescriptor,
-    winnowSetDescriptor)
+    winnowSetDescriptor, cdcGearChunksDescriptor)
 
   /** Register on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
