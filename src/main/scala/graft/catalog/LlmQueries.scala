@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{CorpusStats, Dedup, Dsir, GraphOps, IncrementalDedup, Multimodal, NbClassifier, NgramLm, Packing, Retrieval, Sampling, Similarity, TextOps, TfIdf}
+import graft.llm.{Bpe, CorpusStats, Dedup, Dsir, GraphOps, IncrementalDedup, Multimodal, NbClassifier, NgramLm, Packing, Pca, Retrieval, Sampling, Similarity, TextOps, TfIdf}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3357,6 +3357,99 @@ object LlmQueries {
        |       ${r4Sql("(cpd.n_chunks - COALESCE(cuq.n_unique, 0)) * 1.0 / cpd.n_chunks")} AS shared_frac
        |FROM cpd LEFT JOIN cuq USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- BPE training
+  /** [[Bpe.train]] — 8 BPE merges learned from the corpus word-
+    * frequency table (Sennrich ACL'16). Deterministic: integer pair
+    * counts, (count desc, pair lexicographic) tie-break, and merge
+    * application via literal `replace` whose left-to-right
+    * non-overlapping scan is BPE's greedy order in both engines. The
+    * oracle unrolls the SAME 8 iterations.
+    */
+  private def bpeTrainQ(s: SparkSession, d: String): DataFrame =
+    Bpe.train(
+      Bpe.wordFreq(Tables.fanOut(Tables.documents(s, d)), col("text"))
+        .localCheckpoint(false),
+      merges = 8)
+
+  private val bpeTrainSql: String = {
+    def iter(k: Int): String =
+      s"""bp$k AS (
+         |  SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+         |    SELECT wc, sym[i] AS a, sym[i + 1] AS b FROM (
+         |      SELECT wc, sym, unnest(range(1, len(sym))) AS i FROM (
+         |        SELECT wc, list_filter(string_split(s, '|'), x -> x <> '') AS sym
+         |        FROM bw${k - 1})
+         |      WHERE len(sym) >= 2)
+         |  ) GROUP BY 1, 2
+         |), bt$k AS (
+         |  SELECT a, b, cnt FROM bp$k ORDER BY cnt DESC, a, b LIMIT 1
+         |), bw$k AS (
+         |  SELECT wc, replace(s, t.a || '|' || t.b || '|', t.a || t.b || '|') AS s
+         |  FROM bw${k - 1} CROSS JOIN bt$k t
+         |)""".stripMargin
+    val finals = (1 to 8)
+      .map(k => s"SELECT $k AS step, a, b, a || b AS merged, cnt FROM bt$k")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH bw0 AS (
+       |  SELECT wc, regexp_replace(w, '(.)', '\\1|', 'g') AS s FROM (
+       |    SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |      FROM documents) GROUP BY 1)
+       |), ${(1 to 8).map(iter).mkString(", ")}
+       |SELECT * FROM (
+       |  $finals
+       |) ORDER BY step""".stripMargin
+  }
+
+  // ---------------------------------------------- PCA top component
+  /** [[Pca.topComponent]] — 3 quantized power iterations over the
+    * 64×64 covariance of the embedding corpus (ABTT's component-1).
+    * Every cross-row sum is an integer sum of floor-quantized terms,
+    * so the oracle's unrolled iterations land on identical doubles.
+    */
+  private def pcaTopQ(s: SparkSession, d: String): DataFrame =
+    Pca.topComponent(Tables.embeddings(s, d), col("embedding"), iters = 3)
+      .select(col("dim").cast("int").as("dim"), r4(col("loading")).as("loading"))
+      .orderBy(col("dim"))
+
+  private val pcaTopSql: String = {
+    def iter(i: Int): String =
+      s"""yq$i AS (
+         |  SELECT c.j, CAST(SUM(CAST(floor(c.c * x.xv * 1e12) AS BIGINT)) AS BIGINT) AS yq
+         |  FROM pcov c JOIN px${i - 1} x ON x.k = c.j2 GROUP BY 1
+         |), ya$i AS (
+         |  SELECT list(CAST(yq AS DOUBLE) / 1e12 ORDER BY j) AS ya FROM yq$i
+         |), px$i AS (
+         |  SELECT unnest(range(0, 64)) AS k,
+         |         unnest(list_transform(ya,
+         |           y -> y / sqrt(list_dot_product(ya, ya)))) AS xv
+         |  FROM ya$i
+         |)""".stripMargin
+    s"""WITH ppts AS (
+       |  SELECT embedding::DOUBLE[] AS v FROM embeddings
+       |), pn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppts),
+       |pel AS (
+       |  SELECT unnest(range(0, 64)) AS j, unnest(v) AS x, v FROM ppts
+       |), pmq AS (
+       |  SELECT j, CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS BIGINT) AS sq
+       |  FROM pel GROUP BY 1
+       |), pel2 AS (
+       |  SELECT j, x AS xj, unnest(range(0, 64)) AS k, unnest(v) AS xk FROM pel
+       |), pgq AS (
+       |  SELECT j, k, CAST(SUM(CAST(floor(xj * xk * 1e9) AS BIGINT)) AS BIGINT) AS gq
+       |  FROM pel2 GROUP BY 1, 2
+       |), pcov AS (
+       |  SELECT g.j, g.k AS j2,
+       |         CAST(g.gq AS DOUBLE) / 1e9 / CAST(pn.n AS DOUBLE)
+       |         - (CAST(a.sq AS DOUBLE) / 1e6 / CAST(pn.n AS DOUBLE))
+       |           * (CAST(b.sq AS DOUBLE) / 1e6 / CAST(pn.n AS DOUBLE)) AS c
+       |  FROM pgq g JOIN pmq a ON a.j = g.j JOIN pmq b ON b.j = g.k CROSS JOIN pn
+       |), px0 AS (SELECT j AS k, CAST(1.0 AS DOUBLE) AS xv FROM pmq),
+       |${(1 to 3).map(iter).mkString(", ")}
+       |SELECT CAST(k AS INTEGER) AS dim, ${r4Sql("xv")} AS loading
+       |FROM px3 ORDER BY dim""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -3427,6 +3520,8 @@ object LlmQueries {
     "llm_rrf_fusion"   -> rrfFusionQ,
     "llm_pagerank"     -> pageRankQ,
     "llm_cdc_dedup"    -> cdcDedupQ,
+    "llm_bpe_train"    -> bpeTrainQ,
+    "llm_pca_top"      -> pcaTopQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3499,5 +3594,7 @@ object LlmQueries {
     "llm_rrf_fusion"   -> rrfFusionSql,
     "llm_pagerank"     -> pageRankSql,
     "llm_cdc_dedup"    -> cdcDedupSql,
+    "llm_bpe_train"    -> bpeTrainSql,
+    "llm_pca_top"      -> pcaTopSql,
   )
 }

@@ -21,7 +21,8 @@ object ExplainAudit {
         "llm_nb_classify", "llm_paragraph_dedup", "llm_knn_join",
         "llm_ann_recall", "llm_minhash_error", "llm_gram_novelty",
         "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk",
-        "llm_cdc_dedup", "llm_pagerank", "llm_rrf_fusion")
+        "llm_cdc_dedup", "llm_pagerank", "llm_rrf_fusion",
+        "llm_bpe_train", "llm_pca_top")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")

@@ -115,7 +115,12 @@ object ScaleBench {
     // dup graphs are disjoint — components cost class, 3 rounds.
     // rrf_fusion: two corpus-pass retrievers + a 60-row fusion — the
     // fusion itself must stay corpus-size-independent.
-    "llm_cdc_dedup", "llm_pagerank", "llm_rrf_fusion")
+    "llm_cdc_dedup", "llm_pagerank", "llm_rrf_fusion",
+    // bpe_train: the corpus pass is the word count; 8 merge rounds run
+    // on the distinct-word frame, which grows sub-linearly (rotated
+    // replicas add rotated vocabulary). pca_top: one dim²-keyed Gram
+    // aggregation over the corpus + iterations on the 4096-row frame.
+    "llm_bpe_train", "llm_pca_top")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
