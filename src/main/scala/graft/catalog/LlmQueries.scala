@@ -3412,7 +3412,12 @@ object LlmQueries {
       .select(col("dim").cast("int").as("dim"), r4(col("loading")).as("loading"))
       .orderBy(col("dim"))
 
-  private val pcaTopSql: String = {
+  /** Shared CTE chain computing the quantized PCA pipeline through
+    * `px3` (the unit top component after 3 power iterations), plus
+    * `pmq`/`pn` for the quantized means — consumed by `llm_pca_top`
+    * and `llm_abtt_topk`.
+    */
+  private val pcaCtes: String = {
     def iter(i: Int): String =
       s"""yq$i AS (
          |  SELECT c.j, CAST(SUM(CAST(floor(c.c * x.xv * 1e12) AS BIGINT)) AS BIGINT) AS yq
@@ -3425,7 +3430,7 @@ object LlmQueries {
          |           y -> y / sqrt(list_dot_product(ya, ya)))) AS xv
          |  FROM ya$i
          |)""".stripMargin
-    s"""WITH ppts AS (
+    s"""ppts AS (
        |  SELECT embedding::DOUBLE[] AS v FROM embeddings
        |), pn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppts),
        |pel AS (
@@ -3445,10 +3450,57 @@ object LlmQueries {
        |           * (CAST(b.sq AS DOUBLE) / 1e6 / CAST(pn.n AS DOUBLE)) AS c
        |  FROM pgq g JOIN pmq a ON a.j = g.j JOIN pmq b ON b.j = g.k CROSS JOIN pn
        |), px0 AS (SELECT j AS k, CAST(1.0 AS DOUBLE) AS xv FROM pmq),
-       |${(1 to 3).map(iter).mkString(", ")}
+       |${(1 to 3).map(iter).mkString(", ")}""".stripMargin
+  }
+
+  private val pcaTopSql: String =
+    s"""WITH $pcaCtes
        |SELECT CAST(k AS INTEGER) AS dim, ${r4Sql("xv")} AS loading
        |FROM px3 ORDER BY dim""".stripMargin
+
+  // ------------------------------------------------- ABTT retrieval
+  /** [[Pca.abtt]] composed into retrieval: top-10 cosine neighbors of
+    * vec 0 AFTER removing the corpus mean and the top principal
+    * direction — the post-processing that makes raw-embedding cosine
+    * discriminative. Exercises pca_top's component as an input to a
+    * second operator; the oracle recomputes the identical pipeline.
+    */
+  private def abttTopKQ(s: SparkSession, d: String): DataFrame = {
+    val proc = Pca.abtt(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), iters = 3)
+      .localCheckpoint(false) // query row + candidate scan share it
+    val q = proc.filter(col("id") === 0L).select(col("w").as("qw")).limit(1)
+    proc.filter(col("id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("id"), Similarity.cosine(col("w"), col("qw")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc).limit(10)
+      .select(col("id"), r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
   }
+
+  private val abttTopKSql: String =
+    s"""WITH $pcaCtes, mus AS (
+       |  SELECT list(CAST(sq AS DOUBLE) / 1e6 / CAST(pn.n AS DOUBLE) ORDER BY j) AS mu
+       |  FROM pmq CROSS JOIN pn
+       |), uarr AS (SELECT list(xv ORDER BY k) AS u FROM px3),
+       |pts2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cc AS (
+       |  SELECT vec_id, list_transform(range(1, 65), j -> v[j] - mu[j]) AS c, u
+       |  FROM pts2 CROSS JOIN mus CROSS JOIN uarr
+       |), ww AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, 65),
+       |           j -> c[j] - list_dot_product(c, u) * u[j]) AS w
+       |  FROM cc
+       |), qq AS (SELECT w AS qw FROM ww WHERE vec_id = 0),
+       |dd AS (
+       |  SELECT vec_id AS id,
+       |         list_dot_product(w, qw)
+       |           / (sqrt(list_dot_product(w, w)) * sqrt(list_dot_product(qw, qw))) AS sim
+       |  FROM ww, qq WHERE vec_id <> 0
+       |), topk AS (SELECT id, sim FROM dd ORDER BY sim DESC, id LIMIT 10)
+       |SELECT id, ${r4Sql("sim")} AS sim FROM topk
+       |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
@@ -3522,6 +3574,7 @@ object LlmQueries {
     "llm_cdc_dedup"    -> cdcDedupQ,
     "llm_bpe_train"    -> bpeTrainQ,
     "llm_pca_top"      -> pcaTopQ,
+    "llm_abtt_topk"    -> abttTopKQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3596,5 +3649,6 @@ object LlmQueries {
     "llm_cdc_dedup"    -> cdcDedupSql,
     "llm_bpe_train"    -> bpeTrainSql,
     "llm_pca_top"      -> pcaTopSql,
+    "llm_abtt_topk"    -> abttTopKSql,
   )
 }

@@ -67,4 +67,44 @@ object Pca {
     }
     x.select(col("k").as("dim"), col("xv").as("loading")).orderBy(col("dim"))
   }
+
+  /** Quantized per-dim means as a 1-row array frame (mu), the exact
+    * mean form [[topComponent]]'s covariance uses — sq/10⁶/n.
+    */
+  private def meanArray(df: DataFrame, vec: Column): DataFrame = {
+    val pts = df.select(transform(vec, x => x.cast("double")).as("v"))
+    val n = pts.agg(count(lit(1)).as("n"))
+    pts.select(posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(sum(floor(col("x") * lit(1e6d)).cast("long")).as("sq"))
+      .crossJoin(broadcast(n))
+      .agg(array_sort(collect_list(struct(col("j"),
+        (col("sq").cast("double") / lit(1e6d) / col("n").cast("double"))
+          .as("m")))).as("pa"))
+      .select(transform(col("pa"), s => s.getField("m")).as("mu"))
+  }
+
+  /** All-but-the-top post-processing (Mu & Viswanath ICLR'18, D = 1):
+    * w = (v − μ) − ⟨v − μ, u⟩·u with u = [[topComponent]] — remove
+    * the common mean and the dominant direction so cosine similarity
+    * measures CONTENT, not the corpus-wide bias every embedding
+    * shares. Returns (id, w).
+    *
+    * Scale: μ and u are 1-row array frames broadcast into a pure map
+    * pass — the corpus is scanned once for the Gram (inside
+    * topComponent), once for the means, once for the projection.
+    */
+  def abtt(df: DataFrame, id: Column, vec: Column, iters: Int): DataFrame = {
+    val uarr = topComponent(df, vec, iters)
+      .agg(array_sort(collect_list(struct(col("dim"), col("loading")))).as("pa"))
+      .select(transform(col("pa"), s => s.getField("loading")).as("u"))
+    df.select(id.as("id"), transform(vec, x => x.cast("double")).as("v"))
+      .crossJoin(broadcast(uarr))
+      .crossJoin(broadcast(meanArray(df, vec)))
+      .select(col("id"), {
+        val c = zip_with(col("v"), col("mu"), (a, b) => a - b)
+        val dot = Similarity.dot(c, col("u"))
+        zip_with(c, col("u"), (cj, uj) => cj - dot * uj).as("w")
+      })
+  }
 }

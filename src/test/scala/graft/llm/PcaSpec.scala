@@ -36,6 +36,26 @@ class PcaSpec extends SparkSpec {
     assert(a === b) // exact equality, not approximate
   }
 
+  test("abtt annihilates the top direction and the mean") {
+    val df = corpus(200, 4)
+    val u = Pca.topComponent(df, col("v"), iters = 3)
+      .collect().map(_.getDouble(1))
+    val ws = Pca.abtt(df, col("id"), col("v"), iters = 3)
+      .collect().map(_.getSeq[Double](1))
+    // every processed vector is orthogonal to the removed component
+    ws.foreach { w =>
+      val proj = w.zip(u).map { case (a, b) => a * b }.sum
+      assert(math.abs(proj) < 1e-8, s"residual projection $proj")
+    }
+    // and the processed corpus mean is (near) zero per dim — only the
+    // 10^-6 mean quantization survives
+    val n = ws.length
+    (0 until dim).foreach { j =>
+      val m = ws.map(_(j)).sum / n
+      assert(math.abs(m) < 1e-5, s"dim $j mean $m")
+    }
+  }
+
   test("mean-centering: a constant offset does not change the component") {
     val base = corpus(150, 3)
     val shifted = base.select(col("id"),

@@ -120,7 +120,10 @@ object ScaleBench {
     // on the distinct-word frame, which grows sub-linearly (rotated
     // replicas add rotated vocabulary). pca_top: one dim²-keyed Gram
     // aggregation over the corpus + iterations on the 4096-row frame.
-    "llm_bpe_train", "llm_pca_top")
+    "llm_bpe_train", "llm_pca_top",
+    // abtt: pca_top's Gram pass + a broadcast-arrays projection map —
+    // the composition must stay two corpus passes, no pairwise stage
+    "llm_abtt_topk")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
