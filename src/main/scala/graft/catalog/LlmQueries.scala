@@ -3502,6 +3502,59 @@ object LlmQueries {
        |SELECT id, ${r4Sql("sim")} AS sim FROM topk
        |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
 
+  // ---------------------------------------------- hard negatives
+  /** [[Similarity.hardNegatives]] — per probe query, top-5 most
+    * similar candidates OUTSIDE the query's near-dup cluster. The
+    * fixture plants an exact copy of every probe vector (id+1000001)
+    * clustered with its source: unfiltered k-NN would return it at
+    * sim 1.0 as a mislabeled positive; the exclusion must remove
+    * exactly those and nothing else.
+    */
+  private def hardNegativesQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val copies = probes
+      .select((col("vec_id") + 1000001L).as("vec_id"), col("embedding"))
+    val clusters = probes.select(col("vec_id").as("id"), col("vec_id").as("label"))
+      .unionByName(probes.select((col("vec_id") + 1000001L).as("id"),
+        col("vec_id").as("label")))
+    Similarity.hardNegatives(emb.unionByName(copies), col("vec_id"),
+        col("embedding"), col("vec_id") % 50 === 0, clusters, k = 5)
+      .select(col("qid"), col("id"), r4(col("sim")).as("sim"))
+      .orderBy(col("qid"), r4(col("sim")).desc, col("id"))
+  }
+
+  private val hardNegativesSql: String =
+    s"""WITH hbase AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), hcand AS (
+       |  SELECT vec_id, v FROM hbase
+       |  UNION ALL
+       |  SELECT vec_id + 1000001, v FROM hbase WHERE vec_id % 50 = 0
+       |), hclus AS (
+       |  SELECT vec_id AS id, vec_id AS label FROM hbase WHERE vec_id % 50 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 1000001, vec_id FROM hbase WHERE vec_id % 50 = 0
+       |), hq AS (SELECT vec_id AS qid, v AS qv FROM hcand WHERE vec_id % 50 = 0),
+       |hd AS (
+       |  SELECT hq.qid, c.vec_id AS id,
+       |         list_dot_product(c.v, hq.qv)
+       |           / (sqrt(list_dot_product(c.v, c.v))
+       |              * sqrt(list_dot_product(hq.qv, hq.qv))) AS sim
+       |  FROM hcand c CROSS JOIN hq WHERE c.vec_id % 50 <> 0
+       |), hf AS (
+       |  SELECT hd.qid, hd.id, hd.sim FROM hd
+       |  LEFT JOIN hclus ql ON ql.id = hd.qid
+       |  LEFT JOIN hclus cl ON cl.id = hd.id
+       |  WHERE COALESCE(ql.label, hd.qid) <> COALESCE(cl.label, hd.id)
+       |), hr AS (
+       |  SELECT qid, id, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |  FROM hf
+       |)
+       |SELECT qid, id, ${r4Sql("sim")} AS sim FROM hr WHERE rn <= 5
+       |ORDER BY qid, ${r4Sql("sim")} DESC, id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_semantic_dedup" -> semanticDedupQ,
@@ -3575,6 +3628,7 @@ object LlmQueries {
     "llm_bpe_train"    -> bpeTrainQ,
     "llm_pca_top"      -> pcaTopQ,
     "llm_abtt_topk"    -> abttTopKQ,
+    "llm_hard_negatives" -> hardNegativesQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3650,5 +3704,6 @@ object LlmQueries {
     "llm_bpe_train"    -> bpeTrainSql,
     "llm_pca_top"      -> pcaTopSql,
     "llm_abtt_topk"    -> abttTopKSql,
+    "llm_hard_negatives" -> hardNegativesSql,
   )
 }

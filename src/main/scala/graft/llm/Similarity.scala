@@ -646,6 +646,37 @@ object Similarity {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** Hard-negative mining for retrieval-model training (the DPR /
+    * Contriever training-data shape, Karpukhin et al. EMNLP'20): per
+    * query, the top-k most SIMILAR candidates that are NOT the
+    * query's near-duplicates — high-cosine non-dup neighbors are the
+    * negatives that teach an encoder fine distinctions; unfiltered
+    * top-k would poison training with positives mislabeled negative.
+    *
+    * `clusters` is an (id, label) near-dup frame ([[Dedup.components]]
+    * output); ids absent from it are singletons (their own cluster, the
+    * coalesce default). A candidate is excluded iff its cluster equals
+    * the query's. Shape: [[knnJoin]]'s broadcast-query scan + two
+    * label joins keyed on the ids (AQE sizes them), then the same
+    * rank-limit-pushdown top-k — nothing pairwise beyond the
+    * bounded-query contract knnJoin already carries.
+    */
+  def hardNegatives(df: DataFrame, id: Column, vec: Column,
+                    queryPred: Column, clusters: DataFrame, k: Int): DataFrame = {
+    val q = df.filter(queryPred).select(id.as("qid"), vec.as("qv"))
+    val scored = df.filter(!queryPred)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), id.as("id"), cosine(vec, col("qv")).as("sim"))
+    val lab = clusters.select(col("id"), col("label"))
+    val filtered = scored
+      .join(lab.select(col("id").as("qid"), col("label").as("qlab")),
+        Seq("qid"), "left")
+      .join(lab.select(col("id"), col("label").as("clab")), Seq("id"), "left")
+      .filter(coalesce(col("qlab"), col("qid")) =!= coalesce(col("clab"), col("id")))
+      .select(col("qid"), col("id"), col("sim"))
+    Sampling.capPerGroup(filtered, col("qid"), -col("sim"), col("id"), k)
+  }
+
   /** Int8 scalar-quantized top-k with exact rerank — the FAISS
     * `SQ8`/`ScalarQuantizer` memory path (Jégou et al.'s baseline to
     * PQ; ~4x smaller than float32 vectors, no training step, unlike

@@ -22,7 +22,8 @@ object ExplainAudit {
         "llm_ann_recall", "llm_minhash_error", "llm_gram_novelty",
         "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk",
         "llm_cdc_dedup", "llm_pagerank", "llm_rrf_fusion",
-        "llm_bpe_train", "llm_pca_top", "llm_abtt_topk")
+        "llm_bpe_train", "llm_pca_top", "llm_abtt_topk",
+        "llm_hard_negatives")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")

@@ -123,7 +123,10 @@ object ScaleBench {
     "llm_bpe_train", "llm_pca_top",
     // abtt: pca_top's Gram pass + a broadcast-arrays projection map —
     // the composition must stay two corpus passes, no pairwise stage
-    "llm_abtt_topk")
+    "llm_abtt_topk",
+    // hard negatives: knnJoin's bounded-probe scan + two label joins;
+    // the probe set scales with the corpus by fixture construction
+    "llm_hard_negatives")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
