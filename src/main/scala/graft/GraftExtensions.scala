@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.winnowSetDescriptor)
     ext.injectFunction(GraftExtensions.cdcGearChunksDescriptor)
+    ext.injectFunction(GraftExtensions.acCountDescriptor)
   }
 }
 
@@ -127,9 +128,32 @@ object GraftExtensions {
         intLit(children(3), "maskBits"))
     })
 
+  /** ac_count(text, array('t1','t2',…)): Aho-Corasick dictionary match
+    * count. The dictionary must be a foldable STRING array — it sizes
+    * and builds the automaton at plan time.
+    */
+  val acCountDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ac_count"),
+    new ExpressionInfo(classOf[graft.functions.AcCount].getName, "ac_count"),
+    (children: Seq[Expression]) => {
+      if (children.size != 2) throw new IllegalArgumentException(
+        s"ac_count(text, dictionary) takes 2 arguments, got ${children.size}")
+      val pats = children(1) match {
+        case e if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+              org.apache.spark.sql.types.StringType =>
+          val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until arr.numElements()).map(i =>
+            arr.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"ac_count: dictionary must be a STRING array literal, got ${other.sql}")
+      }
+      graft.functions.AcCount(children.head, pats)
+    })
+
   private val all = Seq(timeBucketDescriptor, inflateDescriptor,
     charNgramSetDescriptor, nfcNormalizeDescriptor, vecDotDescriptor,
-    winnowSetDescriptor, cdcGearChunksDescriptor)
+    winnowSetDescriptor, cdcGearChunksDescriptor, acCountDescriptor)
 
   /** Register on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

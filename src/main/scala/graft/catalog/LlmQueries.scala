@@ -115,6 +115,124 @@ object LlmQueries {
        |WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- wordlist (dictionary) filter
+  /** C4-style banned-wordlist scan ([[graft.functions.AcCount]]): every
+    * document walks the Aho-Corasick automaton once, O(bytes+matches)
+    * whatever the dictionary size — at a real 10k-term blocklist a
+    * regex alternation degrades to per-position alternative scans.
+    * Counting is overlap-exact (every pattern × end position): the
+    * oracle certifies it with a literal position scan per term, which
+    * a `replace`-count formulation would fail on the fixture's
+    * "batch batch batch" runs. Per-source summary keeps the output
+    * compact: docs, flagged docs, total hits, worst document.
+    */
+  private val wordlistTerms =
+    Seq("scan", "table scan", "batch batch", "merge", "data line")
+
+  private def wordlistFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d)).filter(col("text").isNotNull)
+    docs.select(col("source"),
+        graft.functions.AcCount.acCount(col("text"), wordlistTerms).as("n_hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_hits")).as("total_hits"),
+        max(col("n_hits")).as("max_hits"))
+      .orderBy(col("source"))
+  }
+
+  private val wordlistFilterSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+       |), dict AS (
+       |  SELECT unnest(['scan','table scan','batch batch','merge','data line']) AS p
+       |), per AS (
+       |  SELECT doc_id, source,
+       |         len(list_filter(range(1, length(text) - length(p) + 2),
+       |             i -> substring(text, i, length(p)) = p)) AS c
+       |  FROM docs CROSS JOIN dict
+       |), perdoc AS (
+       |  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_hits
+       |  FROM per GROUP BY 1, 2
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       |       max(n_hits) AS max_hits
+       |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------ edit-distance-verified near-dup
+  /** Sequence-level near-dup verification ([[Dedup.editNearDups]]):
+    * MinHash-LSH candidates (same 8×2 geometry as `llm_minhash_lsh`)
+    * verified by normalized Levenshtein similarity ≥ 0.75 instead of
+    * set Jaccard — the verifier that catches what set overlap cannot
+    * (reordered text shares shingle bags; edit distance does not
+    * forgive the rearrangement). The perturbed corpus truncates the
+    * LAST 25 characters of every fifth document, so the expected sim
+    * of a (doc, copy) pair is exactly `1 − 25/len`: pairs pass iff
+    * len ≥ 100, giving the fixture both kept and boundary-rejected
+    * candidates. τ = 0.75 on purpose — 1−τ = 0.25 is a dyadic
+    * rational, so every threshold constant is the same IEEE double in
+    * both engines with no decimal-vs-binary literal drift.
+    */
+  private def editNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val pert = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        col("text").substr(lit(1), greatest(length(col("text")) - 25, lit(0))).as("text"))
+    val base = docs.unionByName(pert)
+      .withColumn("sh", TextOps.wordNgrams(TextOps.words(col("text")), 3))
+    Dedup.editNearDups(base, col("doc_id"), col("text"), col("sh"), 8, 2, 0.75d)
+      .select(col("id_a"), col("id_b"), col("dist"), r4(col("sim")).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val editNearDupSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |), base AS (
+       |  SELECT doc_id AS id, text AS t FROM docs
+       |  UNION ALL
+       |  SELECT doc_id + 100000, substring(text, 1, greatest(length(text) - 25, 0))
+       |  FROM docs WHERE doc_id % 5 = 0
+       |), w AS (
+       |  SELECT id, ${wordsSql("t")} AS w FROM base
+       |), sh AS (
+       |  SELECT id, unnest(list_distinct(
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END)) AS s
+       |  FROM w
+       |), mh AS (
+       |  SELECT id, seed, min(md5(seed::VARCHAR || '|' || s)) AS m
+       |  FROM sh CROSS JOIN (SELECT seed FROM range(8) t(seed)) GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT id, seed // 2 AS band, string_agg(m, '' ORDER BY seed) AS bk
+       |  FROM mh GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+       |), hyd AS (
+       |  SELECT c.id_a, c.id_b, x.t AS ta, y.t AS tb,
+       |         length(x.t) AS la, length(y.t) AS lb,
+       |         greatest(length(x.t), length(y.t)) AS maxlen
+       |  FROM cand c JOIN base x ON x.id = c.id_a JOIN base y ON y.id = c.id_b
+       |), v AS (
+       |  SELECT id_a, id_b, levenshtein(ta, tb) AS dist, maxlen
+       |  FROM hyd
+       |  WHERE CAST(abs(la - lb) AS DOUBLE) <= CAST(0.25 AS DOUBLE) * maxlen + 1.0
+       |), sims AS (
+       |  SELECT id_a, id_b, dist,
+       |         CASE WHEN maxlen = 0 THEN CAST(1.0 AS DOUBLE)
+       |              ELSE 1.0 - CAST(dist AS DOUBLE) / maxlen END AS sim_x
+       |  FROM v
+       |)
+       |SELECT id_a, id_b, dist, ${r4Sql("sim_x")} AS sim
+       |FROM sims WHERE sim_x >= CAST(0.75 AS DOUBLE)
+       |ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------- near-dup cluster resolution
   /** Cluster resolution over the MinHash near-dup pairs: connected
     * components via [[Dedup.components]] (4 min-label-propagation
@@ -3561,6 +3679,8 @@ object LlmQueries {
     "llm_embed_neardup" -> embedNearDup,
     "llm_exact_dedup"  -> exactDedup,
     "llm_minhash_lsh"  -> minhashLsh,
+    "llm_edit_neardup" -> editNearDup,
+    "llm_wordlist_filter" -> wordlistFilter,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_components_chain" -> componentsChain,
     "llm_pii_scrub"    -> piiScrub,
@@ -3637,6 +3757,8 @@ object LlmQueries {
     "llm_embed_neardup" -> embedNearDupSql,
     "llm_exact_dedup"  -> exactDedupSql,
     "llm_minhash_lsh"  -> minhashLshSql,
+    "llm_edit_neardup" -> editNearDupSql,
+    "llm_wordlist_filter" -> wordlistFilterSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_components_chain" -> componentsChainSql,
     "llm_pii_scrub"    -> piiScrubSql,

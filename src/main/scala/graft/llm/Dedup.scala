@@ -226,6 +226,63 @@ object Dedup {
     jaccard(cand, exploded).filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance-verified near-dup: the sequence-level verification
+    * stage fuzzy-dedup pipelines add where set-overlap over-admits —
+    * Jaccard is order-blind, so two documents with the same shingle
+    * bag in a different arrangement can clear a set threshold while
+    * reading as different text; normalized Levenshtein similarity
+    * `1 − lev(a,b)/max(|a|,|b|)` certifies the pair at the character-
+    * sequence level (the verifier CCNet/CodeParrot-style near-dedup
+    * runs on its candidate pairs). Candidates come from the same
+    * MinHash-LSH machinery as [[minHashNearDups]] — the O(|a|·|b|) DP
+    * runs ONLY on bucket-local candidates, never all-pairs.
+    *
+    * Length prefilter before the DP: `lev(a,b) ≥ |len_a − len_b|`
+    * always, so `sim ≤ 1 − Δlen/maxlen` — a pair whose lengths alone
+    * put it under `tau` is discarded from two already-carried integers
+    * without evaluating `levenshtein`. The prefilter threshold carries
+    * a +1 slack so it is a strict SUPERSET gate: a pair whose exact
+    * sim lands precisely on `tau` can never be lost to floating-point
+    * boundary rounding in the cheap gate — the exact sim filter is
+    * the only place a keep/drop decision is made. At 100 TB the DP cost is
+    * bounded by candidate count × document length; pipelines bound the
+    * latter by chunking upstream ([[graft.TextOps.tokenChunks]] /
+    * `cdc_gear_chunks`) — this operator deliberately does not truncate
+    * text itself, which would silently change the metric.
+    *
+    * Both `length` and `levenshtein` count CHARACTERS (not bytes) and
+    * are the classic integer DP in Spark and DuckDB alike, so `dist`
+    * is engine-exact; `sim` is one integer division in IEEE double.
+    * Returns (id_a, id_b, dist, sim) with sim ≥ tau.
+    */
+  def editNearDups(docs: DataFrame, id: Column, textCol: Column,
+                   shinglesCol: Column, k: Int, bandsOf: Int,
+                   tau: Double): DataFrame = {
+    val base = docs.select(id.as("id"), textCol.as("t"), shinglesCol.as("sh"))
+    val exploded = base.select(col("id"), explode(array_distinct(col("sh"))).as("s"))
+    val aggs = (0 until k).map { sd =>
+      min(md5(concat(lit(sd.toString), lit("|"), col("s")))).as(s"m$sd")
+    }
+    val sig = exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val cand = lshCandidates(lshBands(sig, k, bandsOf))
+    val ta = base.select(col("id").as("id_a"), col("t").as("ta"))
+    val tb = base.select(col("id").as("id_b"), col("t").as("tb"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("la", length(col("ta")))
+      .withColumn("lb", length(col("tb")))
+      .withColumn("maxlen", greatest(col("la"), col("lb")))
+      .filter(abs(col("la") - col("lb")).cast("double") <=
+        (lit(1.0d) - lit(tau)) * col("maxlen").cast("double") + lit(1.0d))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .withColumn("sim", when(col("maxlen") === 0, lit(1.0d))
+        .otherwise(lit(1.0d) - col("dist").cast("double") / col("maxlen").cast("double")))
+      .filter(col("sim") >= lit(tau))
+      // levenshtein is IntegerType; widen to long so the schema matches
+      // engines whose edit distance is 64-bit
+      .select(col("id_a"), col("id_b"),
+        col("dist").cast("long").as("dist"), col("sim"))
+  }
+
   /** MinHash-LSH candidate pairs from exploded distinct (id, s) rows,
     * using codegen'd xxhash64 min-aggregates (k per single pass) —
     * the recall-tunable candidate generator for thresholds where the
