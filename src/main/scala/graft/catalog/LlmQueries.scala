@@ -115,6 +115,45 @@ object LlmQueries {
        |WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- weighted sampling
+  /** Importance-weighted corpus selection ([[Sampling.weightedSample]],
+    * Efraimidis–Spirakis A-Res): top-50 documents by `ln(u)/w` with
+    * w = n_chars — longer documents get proportionally better odds,
+    * unlike the uniform `llm_hash_sample`. u is exact dyadic
+    * arithmetic from a 52-bit md5 prefix, so both engines compute the
+    * identical key and the identical ranking; the oracle replays the
+    * same formula with DuckDB's hex cast.
+    */
+  private def weightedSampleQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars"))
+    Sampling.weightedSample(docs, col("doc_id"), col("n_chars"), 50, "ws1")
+      // 50-row frame: the rank window is driver-trivial by construction
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__wkey").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("rank"))
+  }
+
+  private val weightedSampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, n_chars FROM documents
+       |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+       |), keyed AS (
+       |  SELECT doc_id, n_chars,
+       |         ln((CAST(('0x' || substring(md5('ws1|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+       |             + 0.5) / 4503599627370496.0) / n_chars AS k
+       |  FROM docs
+       |), ranked AS (
+       |  SELECT doc_id, n_chars,
+       |         row_number() OVER (ORDER BY k DESC, doc_id) AS rank
+       |  FROM keyed
+       |)
+       |SELECT rank, doc_id, n_chars FROM ranked
+       |WHERE rank <= 50 ORDER BY rank""".stripMargin
+
   // --------------------------------------------- wordlist (dictionary) filter
   /** C4-style banned-wordlist scan ([[graft.functions.AcCount]]): every
     * document walks the Aho-Corasick automaton once, O(bytes+matches)
@@ -3681,6 +3720,7 @@ object LlmQueries {
     "llm_minhash_lsh"  -> minhashLsh,
     "llm_edit_neardup" -> editNearDup,
     "llm_wordlist_filter" -> wordlistFilter,
+    "llm_weighted_sample" -> weightedSampleQ,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_components_chain" -> componentsChain,
     "llm_pii_scrub"    -> piiScrub,
@@ -3759,6 +3799,7 @@ object LlmQueries {
     "llm_minhash_lsh"  -> minhashLshSql,
     "llm_edit_neardup" -> editNearDupSql,
     "llm_wordlist_filter" -> wordlistFilterSql,
+    "llm_weighted_sample" -> weightedSampleSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_components_chain" -> componentsChainSql,
     "llm_pii_scrub"    -> piiScrubSql,

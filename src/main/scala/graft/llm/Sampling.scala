@@ -66,6 +66,44 @@ object Sampling {
     * exchange so a regression (or a window-function change that
     * breaks pushdown eligibility) fails loudly.
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006, A-Res):
+    * draw `n` rows with inclusion odds proportional to `weight` by
+    * ranking on `key_i = u_i^(1/w_i)` and keeping the top n — here in
+    * the equivalent log form `ln(u_i)/w_i` (monotone in the key,
+    * numerically tame for tiny u). The importance-sampling primitive
+    * quality-weighted corpus selection needs where [[hashSample]]'s
+    * uniform draw treats a high-quality and a boilerplate document
+    * identically.
+    *
+    * Deterministic like every sampler here: `u_i` derives from
+    * `md5(salt|id)` — the first 13 hex chars are a 52-bit integer v
+    * (exactly a double mantissa, so `(v + 0.5) / 2^52` is EXACT
+    * arithmetic in (0,1), no rounding and no ln(0) pole), never
+    * `rand()`. Same (salt, id) → same key across runs, retries, and
+    * engines; a new salt is a fresh independent draw.
+    *
+    * Scale shape: the key is a pure map expression; the top-n is a
+    * global `orderBy(key).limit(n)` — Spark plans
+    * TakeOrderedAndProject (per-partition heap of n + driver merge of
+    * partitions·n rows), never a full sort. Rows with weight ≤ 0 or
+    * null are excluded (they have no sampling odds). Appends the key
+    * as `__wkey` (callers drop or report it); ties break by id.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, n: Int,
+                     salt: String): DataFrame = {
+    require(n > 0)
+    require(!df.columns.contains("__wkey"),
+      "input already has a __wkey column — rename it first; weightedSample would clobber it")
+    val v = conv(substring(md5(concat_ws("|", lit(salt), id.cast("string"))), 1, 13), 16, 10)
+      .cast("double")
+    val u = (v + lit(0.5d)) / lit(4503599627370496.0d) // 2^52
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__wkey", log(u) / weight.cast("double"))
+      .orderBy(col("__wkey").desc, id)
+      .limit(n)
+  }
+
   def capPerGroup(df: DataFrame, group: Column, priority: Column,
                   tiebreak: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
