@@ -2298,6 +2298,89 @@ object LlmQueries {
        |       ${r4Sql("CAST(SUM(q) AS BIGINT) / CAST(count(*) AS DOUBLE) / 1000000")} AS avg_logp
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- CCNet perplexity bucketing
+  /** The CCNet head/middle/tail split (Wenzek et al., LREC 2020 §3.3):
+    * each language partitioned into perplexity thirds by the bigram-LM
+    * score — the labeling step that lets a pipeline train on "head",
+    * hold out "middle", and drop "tail" per language instead of using
+    * one global threshold. Composes `llm_lm_score`'s integer micro-nat
+    * scoring into [[Sampling.quantileBuckets]] (histogram-cumulative
+    * cutoffs — no corpus-sized sort window; integer cross-multiplied
+    * boundaries). Bucket 1 = lowest avg log-prob = highest perplexity
+    * = CCNet's "tail". `id_sum` pins exact per-bucket membership, not
+    * just counts.
+    */
+  private def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val docsFull = Tables.fanOut(Tables.documents(s, d))
+    val docs = docsFull.select(col("doc_id"), col("text"))
+    val bg = NgramLm.bigrams(docs, col("doc_id"), col("text"))
+    val m = NgramLm.model(bg)
+    val p = NgramLm.prefixCounts(m)
+    val scored = NgramLm.score(bg, m, p)
+      .select(col("id").as("doc_id"),
+        floor(col("q_sum").cast("double") / col("n_bigrams").cast("double"))
+          .cast("long").as("score_micro"))
+    val withLang = scored
+      .join(docsFull.select(col("doc_id"), col("lang")), "doc_id")
+    Sampling.quantileBuckets(withLang, "lang", "score_micro", 3)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        r4(sum(col("score_micro")).cast("double")
+          / count(lit(1)).cast("double") / 1e6).as("avg_logp"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val ccnetBucketsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, text AS t FROM documents WHERE length(text) >= 2
+       |), bg AS (
+       |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS g
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+       |        FROM docs)
+       |), model AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS cg FROM bg GROUP BY g
+       |), prefix AS (
+       |  SELECT substr(g, 1, 1) AS c1, CAST(SUM(cg) AS BIGINT) AS cp
+       |  FROM model GROUP BY 1
+       |), vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM prefix),
+       |qscored AS (
+       |  SELECT b.doc_id,
+       |         CAST(floor(ln(CAST(coalesce(m.cg, 0) + 1 AS DOUBLE)
+       |                       / CAST(coalesce(p.cp, 0) + vocab.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
+       |  FROM bg b
+       |  LEFT JOIN model m ON b.g = m.g
+       |  LEFT JOIN prefix p ON substr(b.g, 1, 1) = p.c1
+       |  CROSS JOIN vocab
+       |), perdoc AS (
+       |  SELECT doc_id,
+       |         CAST(floor(CAST(SUM(q) AS DOUBLE) / count(*)) AS BIGINT) AS score_micro
+       |  FROM qscored GROUP BY doc_id
+       |), sl AS (
+       |  SELECT p.doc_id, d.lang, p.score_micro
+       |  FROM perdoc p JOIN docs d USING (doc_id)
+       |), hist AS (
+       |  SELECT lang, score_micro, count(*) AS c FROM sl GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT lang, score_micro,
+       |         sum(c) OVER (PARTITION BY lang ORDER BY score_micro) AS cum,
+       |         sum(c) OVER (PARTITION BY lang) AS n
+       |  FROM hist
+       |), cuts AS (
+       |  SELECT lang,
+       |         min(CASE WHEN cum * 3 >= n * 1 THEN score_micro END) AS cut1,
+       |         min(CASE WHEN cum * 3 >= n * 2 THEN score_micro END) AS cut2
+       |  FROM cum GROUP BY 1
+       |), bucketed AS (
+       |  SELECT s.lang, s.doc_id, s.score_micro,
+       |         1 + (CASE WHEN s.score_micro > c.cut1 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN s.score_micro > c.cut2 THEN 1 ELSE 0 END) AS bucket
+       |  FROM sl s JOIN cuts c USING (lang)
+       |)
+       |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |       ${r4Sql("CAST(sum(score_micro) AS BIGINT) / CAST(count(*) AS DOUBLE) / 1000000")} AS avg_logp
+       |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- TF-IDF
   /** [[TfIdf]] top-3 terms per document. Integer tf · micro-nat-
     * quantized idf keeps scores and the rank order engine-exact
@@ -3721,6 +3804,7 @@ object LlmQueries {
     "llm_edit_neardup" -> editNearDup,
     "llm_wordlist_filter" -> wordlistFilter,
     "llm_weighted_sample" -> weightedSampleQ,
+    "llm_ccnet_buckets" -> ccnetBuckets,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_components_chain" -> componentsChain,
     "llm_pii_scrub"    -> piiScrub,
@@ -3800,6 +3884,7 @@ object LlmQueries {
     "llm_edit_neardup" -> editNearDupSql,
     "llm_wordlist_filter" -> wordlistFilterSql,
     "llm_weighted_sample" -> weightedSampleSql,
+    "llm_ccnet_buckets" -> ccnetBucketsSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_components_chain" -> componentsChainSql,
     "llm_pii_scrub"    -> piiScrubSql,

@@ -104,6 +104,53 @@ object Sampling {
       .limit(n)
   }
 
+  /** Value-based per-group quantile bucketing — the CCNet move
+    * (Wenzek et al., LREC 2020 §3.3: split each language by perplexity
+    * into head/middle/tail thirds) generalized to `q` buckets. Each
+    * row gets the bucket of its score VALUE relative to per-group
+    * cutoffs: `cut_k` = smallest score whose cumulative count reaches
+    * `k·n/q` (ties share a bucket — value-based, like bucketing by a
+    * published percentile table, NOT row-number ntile which splits
+    * equal scores arbitrarily). Bucket 1 holds the lowest scores.
+    *
+    * Scale shape, same discipline as [[dropBottomQuantile]]: the
+    * cumulative window runs over a compact (group, score) HISTOGRAM —
+    * map-side combined, reducers hold distinct scores only — never
+    * over the corpus, so a mega-language costs |distinct scores| window
+    * rows, not a corpus-sized sort. Cutoff comparison is integer
+    * cross-multiplication (`q·cum ≥ k·n`), no ceil, no float boundary.
+    * The q−1 per-group cutoff frames are group-cardinality-sized and
+    * broadcast into one map-side bucket assignment. `score` should be
+    * discrete/quantized (integer micro-nats, cents) for the histogram
+    * to stay compact.
+    *
+    * Appends `bucket` (1..q, long). Group cardinality and q are
+    * assumed small (languages × thirds, not millions).
+    */
+  def quantileBuckets(df: DataFrame, group: String, score: String,
+                      q: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q >= 2, s"quantileBuckets: q must be >= 2, got $q")
+    require(!df.columns.contains("bucket"),
+      "input already has a bucket column — rename it first; quantileBuckets would clobber it")
+    val hist = df.groupBy(col(group), col(score))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(group)).orderBy(col(score))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(group))))
+    val cuts = (1 until q).map { k =>
+      cum.filter(col("__cum") * q >= col("__n") * k)
+        .groupBy(col(group)).agg(min(col(score)).as(s"__cut$k"))
+    }
+    val withCuts = cuts.foldLeft(df)((acc, c) => acc.join(broadcast(c), Seq(group)))
+    val bucket = (1 until q)
+      .map(k => when(col(score) > col(s"__cut$k"), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    withCuts.withColumn("bucket", bucket)
+      .drop((1 until q).map(k => s"__cut$k"): _*)
+  }
+
   def capPerGroup(df: DataFrame, group: Column, priority: Column,
                   tiebreak: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
