@@ -3611,7 +3611,10 @@ object LlmQueries {
         .localCheckpoint(false),
       merges = 8)
 
-  private val bpeTrainSql: String = {
+  /** Shared BPE training CTE chain (bw0…bwN word frames, btK = step-K
+    * winning pair) — consumed by `llm_bpe_train` and `llm_bpe_encode`.
+    */
+  private def bpeTrainCtes(merges: Int): String = {
     def iter(k: Int): String =
       s"""bp$k AS (
          |  SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
@@ -3627,18 +3630,76 @@ object LlmQueries {
          |  SELECT wc, replace(s, t.a || '|' || t.b || '|', t.a || t.b || '|') AS s
          |  FROM bw${k - 1} CROSS JOIN bt$k t
          |)""".stripMargin
-    val finals = (1 to 8)
-      .map(k => s"SELECT $k AS step, a, b, a || b AS merged, cnt FROM bt$k")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH bw0 AS (
+    s"""bw0 AS (
        |  SELECT wc, regexp_replace(w, '(.)', '\\1|', 'g') AS s FROM (
        |    SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
        |      FROM documents) GROUP BY 1)
-       |), ${(1 to 8).map(iter).mkString(", ")}
+       |), ${(1 to merges).map(iter).mkString(", ")}""".stripMargin
+  }
+
+  private val bpeTrainSql: String = {
+    val finals = (1 to 8)
+      .map(k => s"SELECT $k AS step, a, b, a || b AS merged, cnt FROM bt$k")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bpeTrainCtes(8)}
        |SELECT * FROM (
        |  $finals
        |) ORDER BY step""".stripMargin
+  }
+
+  // ----------------------------------------------------- BPE encoding
+  /** [[Bpe.encodeWords]] — the corpus ENCODED with the 8 merges
+    * `llm_bpe_train` learns: per-source word/token/char totals and
+    * tokens-per-word fertility. The scale move this query pins:
+    * tokenization happens on the VOCABULARY frame (distinct words),
+    * and the corpus only joins usage counts against (w, n_tokens) —
+    * the oracle replays the same vocabulary fold (ew0…ew8 carrying
+    * the word key through the identical replace chain).
+    */
+  private def bpeEncodeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val wf = Bpe.wordFreq(docs, col("text")).localCheckpoint(false)
+    val mergeTable = Bpe.train(wf, merges = 8)
+    val tok = Bpe.encodeWords(wf.select(col("w")), mergeTable)
+    val usage = docs
+      .select(col("source"), explode(CorpusStats.alphaTokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    usage.join(tok, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_tokens")).as("n_tokens"),
+        sum(col("n") * length(col("w"))).as("n_chars"),
+        r4(sum(col("n") * col("n_tokens")).cast("double")
+          / sum(col("n")).cast("double")).as("fertility"))
+      .orderBy(col("source"))
+  }
+
+  private val bpeEncodeSql: String = {
+    def eiter(k: Int): String =
+      s"""ew$k AS (
+         |  SELECT w, replace(s, t.a || '|' || t.b || '|', t.a || t.b || '|') AS s
+         |  FROM ew${k - 1} CROSS JOIN bt$k t
+         |)""".stripMargin
+    s"""WITH ${bpeTrainCtes(8)}, ew0 AS (
+       |  SELECT DISTINCT w, regexp_replace(w, '(.)', '\\1|', 'g') AS s FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents)
+       |), ${(1 to 8).map(eiter).mkString(", ")},
+       |tokv AS (
+       |  SELECT w, CAST(length(regexp_replace(s, '[^|]', '', 'g')) AS BIGINT) AS n_tokens
+       |  FROM ew8
+       |), su AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) GROUP BY 1, 2
+       |)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS n_words,
+       |       CAST(sum(n * t.n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n * length(w)) AS BIGINT) AS n_chars,
+       |       ${r4Sql("CAST(sum(n * t.n_tokens) AS DOUBLE) / CAST(sum(n) AS DOUBLE)")} AS fertility
+       |FROM su JOIN tokv t USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   // ---------------------------------------------- PCA top component
@@ -3870,6 +3931,7 @@ object LlmQueries {
     "llm_pagerank"     -> pageRankQ,
     "llm_cdc_dedup"    -> cdcDedupQ,
     "llm_bpe_train"    -> bpeTrainQ,
+    "llm_bpe_encode"   -> bpeEncodeQ,
     "llm_pca_top"      -> pcaTopQ,
     "llm_abtt_topk"    -> abttTopKQ,
     "llm_hard_negatives" -> hardNegativesQ,
@@ -3950,6 +4012,7 @@ object LlmQueries {
     "llm_pagerank"     -> pageRankSql,
     "llm_cdc_dedup"    -> cdcDedupSql,
     "llm_bpe_train"    -> bpeTrainSql,
+    "llm_bpe_encode"   -> bpeEncodeSql,
     "llm_pca_top"      -> pcaTopSql,
     "llm_abtt_topk"    -> abttTopKSql,
     "llm_hard_negatives" -> hardNegativesSql,

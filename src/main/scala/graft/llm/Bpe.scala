@@ -79,6 +79,32 @@ object Bpe {
     out.orderBy(col("step"))
   }
 
+  /** Corpus ENCODING with a learned merge table — the deploy step
+    * after [[train]]: per-word token count once every merge is applied
+    * in learning order. Computed on the VOCABULARY (the distinct-word
+    * frame), never the corpus: tokenizing 100 TB of text is a join of
+    * per-source/per-doc word usage against this vocabulary-sized
+    * (w, n_tokens) frame, not a re-segmentation of every occurrence —
+    * the same move the paper's `{word: count}` learner makes, applied
+    * at inference. Merge application is the identical literal-replace
+    * fold as [[tokenStats]] (left-to-right non-overlapping = BPE's
+    * greedy order in every engine); the merge table is a learning
+    * artifact of bounded size, applied as broadcast literals.
+    */
+  def encodeWords(vocab: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val ms = mergeTable.orderBy(col("step"))
+    var cur = vocab.select(col("w"),
+      regexp_replace(col("w"), "(.)", "$1|").as("s"))
+    val steps = ms.select(col("a"), col("b")).collect()
+    steps.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      cur = cur.select(col("w"),
+        replace(col("s"), lit(s"$a|$b|"), lit(s"$a$b|")).as("s"))
+    }
+    cur.select(col("w"),
+      length(regexp_replace(col("s"), "[^|]", "")).cast("long").as("n_tokens"))
+  }
+
   /** Tokenize the (w, wc) table with a learned merge table: total
     * token count before/after — the compression the vocabulary buys.
     * Applies merges in learning order via the same replace form.

@@ -68,4 +68,34 @@ class BpeSpec extends SparkSpec {
     assert(stats.getLong(1) === chars.toLong)   // chars invariant
     assert(stats.getLong(0) < chars.toLong)     // tokens compressed
   }
+
+  test("encodeWords agrees with the reference segmentation per word") {
+    val wf = fixture.toSeq.toDF("w", "wc")
+    val mt = Bpe.train(wf, merges = 6)
+    val got = Bpe.encodeWords(wf.select(col("w")), mt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the reference merges over each word
+    var words = fixture.keys.map(w => w -> w.map(_.toString).toList).toMap
+    referenceBpe(fixture, 6).foreach { case (a, b, _) =>
+      words = words.map { case (w, sym) =>
+        val merged = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += sym(i); i += 1 }
+        }
+        w -> merged.toList
+      }
+    }
+    assert(got === words.map { case (w, sym) => w -> sym.length.toLong })
+  }
+
+  test("encodeWords with zero merges is character count") {
+    val wf = Seq(("abc", 1L), ("de", 1L)).toDF("w", "wc")
+    val empty = Bpe.train(wf, merges = 1).limit(0)
+    val got = Bpe.encodeWords(wf.select(col("w")), empty)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("abc" -> 3L, "de" -> 2L))
+  }
 }
