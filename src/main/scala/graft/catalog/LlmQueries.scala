@@ -1018,6 +1018,106 @@ object LlmQueries {
        |       least(en, (seq_id + 1) * 512) - greatest(strt, seq_id * 512) AS n_tok_in_seq
        |FROM seqs ORDER BY doc_id, seq_id""".stripMargin
 
+  // --------------------------------------------- semantic packing
+  /** [[Similarity.semanticOrder]] + [[Packing.packSequences]] — the
+    * in-context-pretraining layout (Shi et al. arXiv:2310.10638):
+    * documents ordered (k-means cell, cosine-to-centroid desc, id)
+    * BEFORE packing, so each 256-token training sequence spans
+    * topically-adjacent documents instead of random id-order splices.
+    * The global position is the two-level grouped rank (keyed window
+    * + |cells|-row base offsets — no corpus sort), and the rank then
+    * drives the same two-level prefix-sum packing `llm_pack_sequences`
+    * pins. Tokens come from the documents row sharing the embedding's
+    * id; embeddings without a token row rank but don't pack — holes
+    * in the rank sequence are part of the contract.
+    */
+  private def semanticPackQ(s: SparkSession, d: String): DataFrame = {
+    val ord = Similarity.semanticOrder(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"), k = 8, iters = 5)
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id").as("id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tok"))
+    val input = ord.join(toks, "id")
+    Packing.packSequences(input, col("rank"), col("n_tok"), seqLen = 256L)
+      .withColumnRenamed("doc_id", "rank")
+      .join(input.select(col("id").as("vec_id"), col("cell"), col("rank")), "rank")
+      .select(col("rank"), col("vec_id"), col("cell").cast("int").as("cell"),
+        col("seq_id"), col("doc_off"), col("n_tok_in_seq"))
+      .orderBy(col("rank"), col("seq_id"))
+  }
+
+  private val semanticPackSql: String = {
+    val k = 8; val iters = 5; val dimPlus1 = 65
+    def centsCte(i: Int, from: String): String =
+      s"""pkcomp$i AS (
+         |  SELECT cell, i, avg(v[i]) AS c
+         |  FROM $from CROSS JOIN (SELECT i FROM range(1, $dimPlus1) t(i))
+         |  GROUP BY 1, 2
+         |), pkcents$i AS (SELECT cell, list(c ORDER BY i) AS centroid FROM pkcomp$i GROUP BY 1)"""
+        .stripMargin
+    def d2Sql(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, $dimPlus1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def assignCte(i: Int, cents: String): String =
+      s"""pkassign$i AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT p.id, p.v, c.cell,
+         |           row_number() OVER (PARTITION BY p.id
+         |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
+         |    FROM pts p CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      assignCte(i, s"pkcents${i - 1}") + ",\n" + centsCte(i, s"pkassign$i")
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |),
+       |pkcents0 AS (
+       |  SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell, v AS centroid
+       |  FROM pts QUALIFY row_number() OVER (ORDER BY id) <= $k
+       |),
+       |$iterCtes,
+       |pkfinal AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT p.id, p.v, c.cell,
+       |           row_number() OVER (PARTITION BY p.id
+       |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
+       |    FROM pts p CROSS JOIN pkcents$iters c)
+       |  WHERE rn = 1
+       |), pkcs AS (
+       |  SELECT a.id, a.cell,
+       |         list_dot_product(a.v, c.centroid)
+       |           / (sqrt(list_dot_product(a.v, a.v))
+       |              * sqrt(list_dot_product(c.centroid, c.centroid))) AS csim
+       |  FROM pkfinal a JOIN pkcents$iters c USING (cell)
+       |), ranked AS (
+       |  SELECT id, cell,
+       |         row_number() OVER (ORDER BY cell, csim DESC, id) - 1 AS rank
+       |  FROM pkcs
+       |), toks AS (
+       |  SELECT doc_id AS id, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents WHERE text IS NOT NULL
+       |), withtok AS (
+       |  SELECT r.rank, r.id, r.cell, t.n_tok
+       |  FROM ranked r JOIN toks t USING (id)
+       |  WHERE t.n_tok > 0
+       |), pos AS (
+       |  SELECT rank, id, cell, n_tok, SUM(n_tok) OVER (ORDER BY rank) AS cum
+       |  FROM withtok
+       |), spans AS (
+       |  SELECT rank, id, cell, n_tok, CAST(cum - n_tok AS BIGINT) AS strt,
+       |         CAST(cum AS BIGINT) AS en
+       |  FROM pos
+       |), seqs AS (
+       |  SELECT rank, id, cell, strt, en,
+       |         unnest(generate_series(strt // 256, (en - 1) // 256)) AS seq_id
+       |  FROM spans
+       |)
+       |SELECT rank, id AS vec_id, CAST(cell AS INTEGER) AS cell, seq_id,
+       |       greatest(strt, seq_id * 256) - strt AS doc_off,
+       |       least(en, (seq_id + 1) * 256) - greatest(strt, seq_id * 256) AS n_tok_in_seq
+       |FROM seqs ORDER BY rank, seq_id""".stripMargin
+  }
+
   // -------------------------------------- audio-fingerprint near-dup
   /** [[Multimodal.audioHash]] (energy-delta fingerprint over the
     * stubbed sample slot) feeding the same pigeonhole Hamming
@@ -3904,6 +4004,7 @@ object LlmQueries {
     "llm_domain_cap"   -> domainCap,
     "llm_split_assign" -> splitAssign,
     "llm_pack_sequences" -> packSeqs,
+    "llm_semantic_pack" -> semanticPackQ,
     "llm_incremental_dedup" -> incrementalDedupQ,
     "llm_chunk"        -> chunk,
     "llm_decontaminate" -> decontaminate,
@@ -3985,6 +4086,7 @@ object LlmQueries {
     "llm_domain_cap"   -> domainCapSql,
     "llm_split_assign" -> splitAssignSql,
     "llm_pack_sequences" -> packSeqsSql,
+    "llm_semantic_pack" -> semanticPackSql,
     "llm_incremental_dedup" -> incrementalDedupSql,
     "llm_chunk"        -> chunkSql,
     "llm_decontaminate" -> decontaminateSql,

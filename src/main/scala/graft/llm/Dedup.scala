@@ -273,7 +273,17 @@ object Dedup {
       .withColumn("maxlen", greatest(col("la"), col("lb")))
       .filter(abs(col("la") - col("lb")).cast("double") <=
         (lit(1.0d) - lit(tau)) * col("maxlen").cast("double") + lit(1.0d))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      // banded DP: any pair that can still reach `tau` has
+      // dist ≤ (1−tau)·maxlen < __thr, so the thresholded form
+      // (band-limited inside Spark's levenshtein) computes those
+      // EXACTLY and returns −1 for pairs whose distance exceeds the
+      // band — pairs that could only fail the sim filter anyway.
+      // Worst-case per-pair work drops O(n·m) → O(n·(1−tau)·n).
+      .withColumn("__thr",
+        (floor((lit(1.0d) - lit(tau)) * col("maxlen").cast("double")) + lit(2L))
+          .cast("int"))
+      .withColumn("dist", expr("levenshtein(ta, tb, __thr)"))
+      .filter(col("dist") >= 0)
       .withColumn("sim", when(col("maxlen") === 0, lit(1.0d))
         .otherwise(lit(1.0d) - col("dist").cast("double") / col("maxlen").cast("double")))
       .filter(col("sim") >= lit(tau))

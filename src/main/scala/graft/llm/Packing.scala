@@ -24,6 +24,34 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Dense 0-based GLOBAL rank for a (group, within-group order) sort,
+    * built scale-clean: the within-group ranks come from an ordinary
+    * keyed window, and group base offsets from a cumulative sum over
+    * the |groups|-row count frame (broadcast back) — the same
+    * two-level trick as [[packSequences]]'s prefix sum, so no stage
+    * ever sorts the corpus in one partition. Groups are ordered by
+    * the group key itself. Appends `rank`.
+    *
+    * The canonical caller is semantic packing: rank = position in
+    * (cluster, similarity) order, which then serves as the packing id
+    * so related documents land in adjacent training sequences.
+    */
+  def groupedRank(df: DataFrame, group: String,
+                  orderCols: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("rank"),
+      "input already has a rank column — rename it first; groupedRank would clobber it")
+    val w = Window.partitionBy(col(group)).orderBy(orderCols: _*)
+    val ranked = df.withColumn("__r", row_number().over(w).cast("long"))
+    val bases = df.groupBy(col(group)).agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(
+        sum(col("__c")).over(Window.orderBy(col(group))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(group), col("__base"))
+    ranked.join(broadcast(bases), Seq(group))
+      .withColumn("rank", col("__base") + col("__r") - 1L)
+      .drop("__r", "__base")
+  }
+
   /** @param tokens per-doc token count column (must be > 0 to occupy
     *               space; empty docs are dropped)
     * @param seqLen tokens per packed training sequence

@@ -575,6 +575,32 @@ object Similarity {
       .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
   }
 
+  /** Semantic ordering for sequence packing (the in-context
+    * pretraining data layout — Shi et al., "In-Context Pretraining:
+    * Language Modeling Beyond Document Boundaries", arXiv:2310.10638:
+    * related documents adjacent in the token stream, so a context
+    * window spans topically-coherent text instead of random splices).
+    * K-means cells order the corpus coarsely; within a cell, documents
+    * sort by cosine-to-centroid (most central first, ties by id); the
+    * global position is [[Packing.groupedRank]]'s two-level rank —
+    * no corpus-sized sort anywhere. Feed `rank` to
+    * [[Packing.packSequences]] as the packing id.
+    *
+    * Returns (id, cell, csim, rank).
+    */
+  def semanticOrder(df: DataFrame, id: Column, vec: Column,
+                    k: Int, iters: Int): DataFrame = {
+    val pts = df.select(id.cast("long").as("id"), vec.as("v"))
+    val cents = kMeansFit(pts, col("id"), col("v"), k, iters)
+    val assigned = kMeansAssign(pts, cents)
+      .join(broadcast(cents), "cell")
+      .select(col("id"), col("cell"),
+        cosine(col("v"), col("centroid")).as("csim"))
+    Packing.groupedRank(assigned, "cell",
+        Seq(col("csim").desc, col("id")))
+      .select(col("id"), col("cell"), col("csim"), col("rank"))
+  }
+
   /** Pairwise cosine similarity between per-`group` embedding
     * centroids — the embedding-space counterpart of
     * [[CorpusStats.jsDivergence]]'s token-space drift audit: two

@@ -126,7 +126,23 @@ object ScaleBench {
     "llm_abtt_topk",
     // hard negatives: knnJoin's bounded-probe scan + two label joins;
     // the probe set scales with the corpus by fixture construction
-    "llm_hard_negatives")
+    "llm_hard_negatives",
+    // r11 additions. edit_neardup: the pairwise class again — LSH
+    // candidates verified by the Levenshtein DP; rotated replicas
+    // share no shingles, so candidates (and DP work) grow linearly.
+    // wordlist_filter: a pure automaton map pass + one source-keyed
+    // aggregation — must be exactly linear. weighted_sample: map keys
+    // + TakeOrderedAndProject — corpus-linear with a constant-size
+    // result. ccnet_buckets: the lm_score double pass + a histogram
+    // window — measures that the bucketing adds only histogram-sized
+    // work. bpe_encode: train's merge rounds + a vocab-frame fold +
+    // one usage join — the vocabulary grows sub-linearly.
+    "llm_edit_neardup", "llm_wordlist_filter", "llm_weighted_sample",
+    "llm_ccnet_buckets", "llm_bpe_encode",
+    // semantic_pack: k-means fit/assign + the two-level grouped rank
+    // + prefix-sum packing — every window runs over cell-count or
+    // shard-count frames, so the composition must stay corpus-linear
+    "llm_semantic_pack")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
