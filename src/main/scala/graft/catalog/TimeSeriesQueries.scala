@@ -658,8 +658,46 @@ object TimeSeriesQueries {
        |ORDER BY event_type, tus""".stripMargin
   }
 
+  // -------------------------------------- semi-structured projection
+  /** JSON path extraction from the `events.props` payload column — the
+    * semi-structured projection a crawl/event pipeline runs before any
+    * relational step (WARC metadata, client payloads). Spark side is a
+    * typed `from_json` with an explicit schema (codegen'd Jackson
+    * parse, nulls for malformed rows), NOT a string UDF; the schema
+    * declaration is what lets Catalyst prune the parse to the one
+    * field used. Aggregation over the extracted integer is exact.
+    */
+  private def jsonExtractQ(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val k = from_json(col("props"), schema).getField("k")
+    Tables.events(s, dir)
+      .select(col("event_type"), k.as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        r4(sum(col("k")).cast("double") / count(lit(1)).cast("double")).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val jsonExtractSql: String =
+    s"""WITH ex AS (
+       |  SELECT event_type,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events
+       |)
+       |SELECT event_type, count(*) AS n,
+       |       CAST(sum(k) AS BIGINT) AS sum_k,
+       |       min(k) AS min_k, max(k) AS max_k,
+       |       ${r4Sql("CAST(sum(k) AS BIGINT) / CAST(count(*) AS DOUBLE)")} AS avg_k
+       |FROM ex WHERE k IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_rank_dist"     -> rankDistQ,
+    "ts_json_extract"  -> jsonExtractQ,
     "ts_histogram"     -> histogramQ,
     "ts_corr"          -> corrQ,
     "ts_pivot"         -> pivotQ,
@@ -681,6 +719,7 @@ object TimeSeriesQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ts_rank_dist"     -> rankDistSql,
+    "ts_json_extract"  -> jsonExtractSql,
     "ts_histogram"     -> histogramSql,
     "ts_corr"          -> corrSql,
     "ts_pivot"         -> pivotSql,
