@@ -328,6 +328,108 @@ object LlmQueries {
        |SELECT label AS canon_id, count(*) AS n_members, max(id) AS max_member
        |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------- quality-aware survivor pick
+  /** [[Dedup.keepBest]] over the MinHash near-dup clusters: each
+    * cluster keeps its HIGHEST-quality member (stopword-ratio score,
+    * the `llm_quality_filter` formula) instead of the lowest id —
+    * the production dedup choice (keep the cleanest extraction of a
+    * page, not the first-crawled). Deterministic: DOUBLE score both
+    * engines, ties (q desc, id asc).
+    */
+  private def keepBestQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+    val pert = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        slice(col("w"), lit(1), greatest(size(col("w")) - 3, lit(0))).as("w"))
+    val base = docs.unionByName(pert)
+    val stop = TextOps.langStopwords.head._2
+    val scored = base.select(col("doc_id"),
+      when(size(col("w")) > 0,
+        lit(1.0d) / (lit(1.0d) +
+          TextOps.stopwordHits(col("w"), stop).cast("double")
+            / size(col("w")).cast("double")))
+        .otherwise(lit(0.0d)).as("q"))
+    val labels = Dedup.components(
+      minhashPairs(s, d), col("id_a"), col("id_b"), iters = 4)
+    Dedup.keepBest(labels, scored, col("doc_id"), col("q"))
+      .select(col("label").as("cluster"), col("id").as("kept_id"),
+        r4(col("q")).as("q"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  private val keepBestSql: String = {
+    val set = TextOps.langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH $mhPairsCtes, ${componentCtes("", 4)},
+       |qs AS (
+       |  SELECT doc_id AS id,
+       |         CASE WHEN len(w) > 0
+       |              THEN CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+       |                   + CAST(len(list_filter(w, x -> x IN ($set))) AS DOUBLE)
+       |                     / CAST(len(w) AS DOUBLE))
+       |              ELSE CAST(0.0 AS DOUBLE) END AS q
+       |  FROM base
+       |), m AS (
+       |  SELECT l.id, l.label, qs.q FROM l4 l JOIN qs USING (id)
+       |), mc AS (
+       |  SELECT label, count(*) AS n_members FROM m GROUP BY 1
+       |), mr AS (
+       |  SELECT id, label, q,
+       |         row_number() OVER (PARTITION BY label ORDER BY q DESC, id) AS rn
+       |  FROM m
+       |)
+       |SELECT r.label AS cluster, r.id AS kept_id, ${r4Sql("r.q")} AS q,
+       |       c.n_members
+       |FROM mr r JOIN mc c USING (label) WHERE rn = 1
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------ corpus snapshot diff
+  /** [[Dedup.snapshotDiff]] — the release-over-release audit: old =
+    * `documents`; new = the same corpus with every 7th doc removed,
+    * every 5th (surviving) doc's text edited, and 1-in-11 new ids
+    * appended. Per-status counts with id sums pin exact membership;
+    * fingerprints are [[TextOps.fingerprint]] digests, so the compare
+    * never ships text.
+    */
+  private def corpusDiffQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val newDocs = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    Dedup.snapshotDiff(docs, newDocs, col("doc_id"),
+        TextOps.fingerprint(col("text")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+
+  private val corpusDiffSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |), newdocs AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text
+       |  FROM docs WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM docs WHERE doc_id % 11 = 0
+       |), o AS (SELECT doc_id AS id, md5(${normSql("text")}) AS fp FROM docs),
+       |n AS (SELECT doc_id AS id, md5(${normSql("text")}) AS fp FROM newdocs),
+       |j AS (
+       |  SELECT coalesce(o.id, n.id) AS id,
+       |         CASE WHEN o.fp IS NULL THEN 'added'
+       |              WHEN n.fp IS NULL THEN 'removed'
+       |              WHEN o.fp = n.fp THEN 'unchanged'
+       |              ELSE 'changed' END AS status
+       |  FROM o FULL OUTER JOIN n ON o.id = n.id
+       |)
+       |SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------- leakage-safe split assign
   /** Cluster-consistent train/validation split — the leakage guard a
     * training pipeline needs BETWEEN splits: hashing each document
@@ -3967,6 +4069,8 @@ object LlmQueries {
     "llm_weighted_sample" -> weightedSampleQ,
     "llm_ccnet_buckets" -> ccnetBuckets,
     "llm_dedup_clusters" -> dedupClusters,
+    "llm_keep_best"    -> keepBestQ,
+    "llm_corpus_diff"  -> corpusDiffQ,
     "llm_components_chain" -> componentsChain,
     "llm_pii_scrub"    -> piiScrub,
     "llm_unicode_norm" -> unicodeNorm,
@@ -4049,6 +4153,8 @@ object LlmQueries {
     "llm_weighted_sample" -> weightedSampleSql,
     "llm_ccnet_buckets" -> ccnetBucketsSql,
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_keep_best"    -> keepBestSql,
+    "llm_corpus_diff"  -> corpusDiffSql,
     "llm_components_chain" -> componentsChainSql,
     "llm_pii_scrub"    -> piiScrubSql,
     "llm_unicode_norm" -> unicodeNormSql,

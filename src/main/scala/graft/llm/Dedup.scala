@@ -226,6 +226,57 @@ object Dedup {
     jaccard(cand, exploded).filter(col("jaccard") >= threshold)
   }
 
+  /** Quality-aware survivor selection over near-dup clusters: keep
+    * the HIGHEST-quality member of each component instead of the
+    * conventional lowest-id — the choice a production dedup actually
+    * wants (among near-duplicate crawls of a page, keep the cleanest
+    * extraction, not the one that happened to arrive first). Ties
+    * break (quality desc, id asc), so selection is deterministic for
+    * any float score.
+    *
+    * `labels` is [[components]]/[[componentsStar]] output (id, label);
+    * `quality` maps id → score. Shape: one keyed join, a per-label
+    * count aggregation, and a rank-1 window whose `row_number = 1`
+    * filter plans the map-side Partial WindowGroupLimit below the
+    * exchange (the [[Sampling.capPerGroup]] pushdown) — a mega-cluster
+    * costs k·partitions reducer rows, never its raw membership.
+    * Returns one row per cluster: (label, id, q, n_members).
+    */
+  def keepBest(labels: DataFrame, quality: DataFrame,
+               id: Column, q: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = labels.select(col("id"), col("label"))
+    val sc = quality.select(id.as("id"), q.as("q"))
+    val m = lab.join(sc, "id")
+    val counts = m.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy(col("label")).orderBy(col("q").desc, col("id"))
+    m.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(counts, "label")
+      .select(col("label"), col("id"), col("q"), col("n_members"))
+  }
+
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * releases: per-id status from a fingerprint compare. `added` =
+    * id only in `newDf`; `removed` = only in `oldDf`; `changed` =
+    * both, different fingerprint; `unchanged` otherwise. One
+    * id-keyed full-outer join of two narrow (id, fingerprint)
+    * frames — fingerprints (16-byte digests), never text, cross the
+    * shuffle, and at 100 TB both sides come off stored fingerprint
+    * state ([[IncrementalDedup]]'s), not a re-read of the corpora.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   id: Column, fingerprint: Column): DataFrame = {
+    val o = oldDf.select(id.as("id"), fingerprint.as("__fp_old"))
+    val n = newDf.select(id.as("id"), fingerprint.as("__fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Edit-distance-verified near-dup: the sequence-level verification
     * stage fuzzy-dedup pipelines add where set-overlap over-admits —
     * Jaccard is order-blind, so two documents with the same shingle
