@@ -333,15 +333,21 @@ object Dedup {
       .withColumn("__thr",
         (floor((lit(1.0d) - lit(tau)) * col("maxlen").cast("double")) + lit(2L))
           .cast("int"))
-      .withColumn("dist", expr("levenshtein(ta, tb, __thr)"))
+      // the DP result feeds three expression sites (the −1 early-exit
+      // filter, the sim filter, the output) — left as a plain column,
+      // predicate substitution through the projection re-inlines the
+      // levenshtein call at EVERY site (measured: 3 copies in the
+      // optimized plan, 3x the verify cost — the CollapseProject
+      // lesson from cdcChunks/unitNovelty). The single-element
+      // explode is a Generate barrier: references cannot substitute
+      // through it, so the DP runs exactly once per candidate.
+      .withColumn("dist",
+        explode(array(expr("levenshtein(ta, tb, __thr)").cast("long"))))
       .filter(col("dist") >= 0)
       .withColumn("sim", when(col("maxlen") === 0, lit(1.0d))
         .otherwise(lit(1.0d) - col("dist").cast("double") / col("maxlen").cast("double")))
       .filter(col("sim") >= lit(tau))
-      // levenshtein is IntegerType; widen to long so the schema matches
-      // engines whose edit distance is 64-bit
-      .select(col("id_a"), col("id_b"),
-        col("dist").cast("long").as("dist"), col("sim"))
+      .select(col("id_a"), col("id_b"), col("dist"), col("sim"))
   }
 
   /** MinHash-LSH candidate pairs from exploded distinct (id, s) rows,
