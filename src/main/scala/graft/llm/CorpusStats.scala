@@ -33,9 +33,18 @@ object CorpusStats {
     * broadcasts the pruned pair side of the joins when it is small.
     */
   def pmiTopK(docs: DataFrame, text: Column, minCount: Long, k: Int): DataFrame = {
+    // lazy-checkpointed: ts feeds FOUR planned subtrees (unigram agg,
+    // both join legs of it, totals, pairs), and the size(ts)>0 filter
+    // substitution doubles the extract within each — DupExprAudit
+    // counted the tokenize regex 11x in the optimized plan. One
+    // materialization caps it. Measured 1.68 -> 1.54 s at sf0.1 —
+    // modest locally (exchange reuse already deduped the join legs at
+    // execution), but the per-char regex now runs once per document
+    // instead of up to 11x, which is the term that scales with data.
     val toks = docs.filter(text.isNotNull)
       .select(alphaTokens(text).as("ts"))
       .filter(size(col("ts")) > 0)
+      .localCheckpoint(false)
     val uni = toks.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     // totals: one row (N tokens, B adjacent pairs) — B counts every
