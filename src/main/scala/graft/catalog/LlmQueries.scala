@@ -848,8 +848,15 @@ object LlmQueries {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
     docs
+      // Generate barrier (explode of a 1-element array): the filter's
+      // size(fps)>0 substitution otherwise re-inlines the winnow
+      // kernel — and the normalize inside it — for a 2x per-row run
+      // of the query's only expensive stage (DupExprAudit: winnowset=2
+      // regexp_replace=4 in the plan; no shuffle here for exchange
+      // reuse to dedup, unlike llm_char_jaccard's post-aggregation 4)
       .select(col("doc_id"),
-        graft.functions.WinnowSet.winnowSet(col("t"), 8, 4).as("fps"))
+        explode(array(
+          graft.functions.WinnowSet.winnowSet(col("t"), 8, 4))).as("fps"))
       .filter(size(col("fps")) > 0)
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))

@@ -137,9 +137,14 @@ object CorpusStats {
     * the (a,b)-keyed shuffle; the |groups|² pair frame is tiny.
     */
   def jsDivergence(docs: DataFrame, group: Column, text: Column): DataFrame = {
+    // lazy-checkpointed like pmiTopK's token frame: cnt feeds tot and
+    // both self-join legs of p, each re-planning the per-char tokenize
+    // (DupExprAudit: 6 copies); one materialization of the compact
+    // (src, w, c) frame caps the corpus scan at one.
     val cnt = docs.filter(text.isNotNull)
       .select(group.as("src"), explode(alphaTokens(text)).as("w"))
       .groupBy("src", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val tot = cnt.groupBy("src").agg(sum("c").as("ct"))
     val p = cnt.join(tot, "src").select(col("src"), col("w"),
       (col("c").cast("double") / col("ct").cast("double")).as("p"))

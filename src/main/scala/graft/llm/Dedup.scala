@@ -267,8 +267,14 @@ object Dedup {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    id: Column, fingerprint: Column): DataFrame = {
-    val o = oldDf.select(id.as("id"), fingerprint.as("__fp_old"))
-    val n = newDf.select(id.as("id"), fingerprint.as("__fp_new"))
+    // Generate barrier on each side: the status CASE references the
+    // fingerprint at three sites, and substitution would re-hash the
+    // text per site (the editNearDups/llm_winnow lesson); behind the
+    // explode each row fingerprints exactly once.
+    val o = oldDf.select(id.as("id"),
+      explode(array(fingerprint)).as("__fp_old"))
+    val n = newDf.select(id.as("id"),
+      explode(array(fingerprint)).as("__fp_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
         when(col("__fp_old").isNull, lit("added"))

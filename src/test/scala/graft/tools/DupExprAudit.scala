@@ -20,10 +20,16 @@ import org.apache.spark.sql.SparkSession
   * Usage: Test/runMain graft.tools.DupExprAudit [query...]
   */
 object DupExprAudit {
+  /** Function-CALL regexes matching how each expression renders in a
+    * plan string: native case classes print their lowercased class
+    * name (`WinnowSet` → `winnowset(...)`), not their SQL-registered
+    * name — matching `winnow_set` finds nothing.
+    */
   val ExpensiveTokens: Seq[String] = Seq(
-    "levenshtein", "winnow_set", "char_ngram_set", "cdc_gear_chunks",
-    "nfc_normalize", "ac_count", "regexp_replace", "regexp_extract_all",
-    "from_json", "inflate")
+    "levenshtein\\(", "winnowset\\(", "charngramset\\(",
+    "cdcgearchunks\\(", "nfcnormalize\\(", "account\\(",
+    "regexp_replace\\(", "regexp_extract_all\\(", "from_json\\(",
+    "inflate\\(")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -39,7 +45,7 @@ object DupExprAudit {
         val plan = graft.SparkEntry.queries(n)(spark, d)
           .queryExecution.optimizedPlan.toString.toLowerCase
         val counts = ExpensiveTokens
-          .map(t => t -> t.r.findAllIn(plan).length)
+          .map(t => t.stripSuffix("\\(") -> t.r.findAllIn(plan).length)
           .filter(_._2 > 0)
         if (counts.nonEmpty)
           println(f"$n%-26s " + counts.map { case (t, c) => s"$t=$c" }.mkString(" "))
