@@ -26,6 +26,8 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracleSql),
       (LlmQueries.queries, LlmQueries.oracleSql),
       (OhlcvQueries.queries, OhlcvQueries.oracleSql),
+      (IndicatorQueries.queries, IndicatorQueries.oracleSql),
+      (CurationQueries.queries, CurationQueries.oracleSql),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

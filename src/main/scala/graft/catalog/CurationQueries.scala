@@ -1,0 +1,142 @@
+package graft.catalog
+
+import graft.core.Tables
+import graft.llm.{QualityRules, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Oracle._
+
+/** Corpus-curation queries added in round 10: the Gopher rule filter
+  * and margin-based pair mining. Same conventions as the other catalog
+  * objects (column-name parity with the oracle, integer-exact cuts,
+  * total ORDER BY).
+  */
+object CurationQueries {
+
+  private def wordsSql(e: String): String =
+    s"list_filter(string_split(trim($e), ' '), x -> x <> '')"
+
+  // ------------------------------------------------ Gopher rule filter
+  /** Per-document Gopher/MassiveText rule flags (Rae et al.,
+    * arXiv:2112.11446 Table A1) over the full corpus, plus the
+    * conjunction verdict. Rules in [[QualityRules]]; every threshold is
+    * an integer cross-multiplication so the flags are engine-exact.
+    */
+  private def gopherRulesQ(s: SparkSession, d: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val ls = QualityRules.lines(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), ws.as("ws"), ls.as("ls"))
+      .select(col("doc_id"), col("text"), col("ws"), col("ls"),
+        size(col("ws")).cast("long").as("n_words"),
+        QualityRules.sumWordLen(col("ws")).as("sum_len"))
+      .select(col("doc_id"), col("n_words"),
+        QualityRules.okWordCount(col("n_words")).as("ok_words"),
+        QualityRules.okMeanWordLen(col("n_words"), col("sum_len")).as("ok_wordlen"),
+        QualityRules.okSymbolRatio(col("text"), col("n_words")).as("ok_symbol"),
+        QualityRules.okBulletLines(col("ls")).as("ok_bullet"),
+        QualityRules.okEllipsisLines(col("ls")).as("ok_ellipsis"),
+        QualityRules.okAlphaWords(col("ws"), col("n_words")).as("ok_alpha"),
+        QualityRules.okStopwords(col("ws")).as("ok_stop"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_wordlen") && col("ok_symbol") &&
+          col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") && col("ok_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val gopherRulesSql: String = {
+    val stop = QualityRules.requiredStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |         ${wordsSql("text")} AS ws,
+       |         list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, text, ws, ls,
+       |         len(ws) AS n_words,
+       |         CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_len,
+       |         len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+       |         len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bul,
+       |         len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}'))) AS n_ell,
+       |         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+       |         len(list_distinct(list_filter(ws, w -> lower(w) IN ($stop)))) AS n_stop,
+       |         greatest(len(ls), 1) AS n_lines
+       |  FROM base
+       |)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |       n_words >= 50 AND n_words <= 100000 AS ok_words,
+       |       n_words > 0 AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS ok_wordlen,
+       |       n_words > 0 AND 10 * n_sym < n_words AS ok_symbol,
+       |       10 * n_bul < 9 * n_lines AS ok_bullet,
+       |       10 * n_ell < 3 * n_lines AS ok_ellipsis,
+       |       n_words > 0 AND 5 * n_alpha >= 4 * n_words AS ok_alpha,
+       |       n_stop >= 2 AS ok_stop,
+       |       (n_words >= 50 AND n_words <= 100000)
+       |         AND (n_words > 0 AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+       |         AND (n_words > 0 AND 10 * n_sym < n_words)
+       |         AND (10 * n_bul < 9 * n_lines)
+       |         AND (10 * n_ell < 3 * n_lines)
+       |         AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+       |         AND (n_stop >= 2) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------- margin-based mining
+  /** [[Similarity.marginMine]] between the even- and odd-label halves
+    * of the embeddings table: best cross-set match per even-side
+    * vector, ratio-margin scored (Artetxe & Schwenk ACL 2019), top 40
+    * pairs.
+    */
+  private def marginMineQ(s: SparkSession, d: String): DataFrame =
+    Similarity.marginMine(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), col("label") % 2 === 0, k = 4, topN = 40)
+      .select(col("x"), col("y"), r4(col("cos_sim")).as("cos_sim"),
+        r4(col("margin")).as("margin"))
+      .orderBy(col("margin").desc, col("x"), col("y"))
+
+  private val marginMineSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), a AS (SELECT vec_id AS x, v AS va FROM e WHERE label % 2 = 0),
+       |b AS (SELECT vec_id AS y, v AS vb FROM e WHERE label % 2 <> 0),
+       |p AS (
+       |  SELECT x, y,
+       |         CAST(floor(list_dot_product(va, vb)
+       |             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+       |             * 1000000.0 + 0.5) AS BIGINT) AS c
+       |  FROM a, b
+       |), rx AS (
+       |  SELECT x, y, c,
+       |         row_number() OVER (PARTITION BY x ORDER BY c DESC, y) AS rx
+       |  FROM p
+       |), ry AS (
+       |  SELECT x, y, c,
+       |         row_number() OVER (PARTITION BY y ORDER BY c DESC, x) AS ry
+       |  FROM p
+       |), axf AS (
+       |  SELECT x, CAST(sum(c) AS BIGINT) AS ax, count(*) AS nx
+       |  FROM rx WHERE rx <= 4 GROUP BY 1
+       |), byf AS (
+       |  SELECT y, CAST(sum(c) AS BIGINT) AS bsum, count(*) AS ny
+       |  FROM ry WHERE ry <= 4 GROUP BY 1
+       |), best AS (SELECT x, y, c FROM rx WHERE rx = 1),
+       |scored AS (
+       |  SELECT best.x, best.y, c / 1000000.0 AS cos_sim,
+       |         (2.0 * c * nx * ny) / CAST(ax * ny + bsum * nx AS DOUBLE) AS margin
+       |  FROM best JOIN axf USING (x) JOIN byf USING (y)
+       |  WHERE ax * ny + bsum * nx <> 0
+       |  ORDER BY margin DESC, x, y LIMIT 40
+       |)
+       |SELECT x, y, ${r4Sql("cos_sim")} AS cos_sim, ${r4Sql("margin")} AS margin
+       |FROM scored ORDER BY ${r4Sql("margin")} DESC, x, y""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_gopher_rules" -> gopherRulesQ,
+    "llm_margin_mine"  -> marginMineQ,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "llm_gopher_rules" -> gopherRulesSql,
+    "llm_margin_mine"  -> marginMineSql,
+  )
+}

@@ -749,4 +749,52 @@ object Similarity {
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Margin-based pair mining between two embedding sets (Artetxe &
+    * Schwenk, "Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings", ACL 2019 §3: score a candidate pair by its
+    * cosine RELATIVE to each side's average top-k neighborhood —
+    * the ratio margin — instead of raw cosine, which over-selects
+    * hub vectors). For each x ∈ A its best y ∈ B is scored
+    * margin(x,y) = cos(x,y) / ((avgₖ(x→B) + avgₖ(y→A)) / 2).
+    *
+    * Engine-exact by integer quantization: cosines quantize to
+    * micro-units (floor(c·10⁶+0.5), one deterministic cut), both
+    * neighborhood sums accumulate exact Longs, and the margin is one
+    * float division of integer products — no float-sum order anywhere.
+    *
+    * Scale shape: the A×B pair frame here is the exact (correctness)
+    * form; both rank windows and the top-k sums run on the pair frame
+    * with rank-limit pushdown bounding each partition. At 100 TB the
+    * pair frame comes from [[ivfKnnJoin]] candidates (cells bound
+    * |pairs| ≈ |A|·k·probe) and every stage downstream of `pairs` is
+    * unchanged — the margin arithmetic never sees how candidates were
+    * generated.
+    */
+  def marginMine(df: DataFrame, id: Column, vec: Column, sideA: Column,
+                 k: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = df.filter(sideA).select(id.as("x"), vec.as("va"))
+    val b = df.filter(!sideA).select(id.as("y"), vec.as("vb"))
+    val pairs = a.crossJoin(b)
+      .select(col("x"), col("y"),
+        floor(cosine(col("va"), col("vb")) * lit(1000000.0d) + lit(0.5d)).as("c"))
+    val wx = Window.partitionBy(col("x")).orderBy(col("c").desc, col("y"))
+    val wy = Window.partitionBy(col("y")).orderBy(col("c").desc, col("x"))
+    val rx = pairs.withColumn("rx", row_number().over(wx))
+    val axf = rx.filter(col("rx") <= k).groupBy(col("x"))
+      .agg(sum(col("c")).as("ax"), count(lit(1)).as("nx"))
+    val byf = pairs.withColumn("ry", row_number().over(wy))
+      .filter(col("ry") <= k).groupBy(col("y"))
+      .agg(sum(col("c")).as("bsum"), count(lit(1)).as("ny"))
+    rx.filter(col("rx") === 1).drop("rx")
+      .join(axf, "x").join(byf, "y")
+      .filter(col("ax") * col("ny") + col("bsum") * col("nx") =!= 0L)
+      .select(col("x"), col("y"),
+        (col("c") / lit(1000000.0d)).as("cos_sim"),
+        ((lit(2.0d) * col("c") * col("nx") * col("ny")) /
+          (col("ax") * col("ny") + col("bsum") * col("nx")).cast("double")).as("margin"))
+      .orderBy(col("margin").desc, col("x"), col("y"))
+      .limit(topN)
+  }
 }

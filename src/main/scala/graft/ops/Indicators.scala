@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator operators over keyed time series — the analytics
+  * a user of the reference's OHLCV stack layers on the candle tables it
+  * serves (the reference stops at SMA, reference
+  * web/frontend/src/components/functions/chart.js:298-312; RSI /
+  * Bollinger / EMA / VWAP are the canonical next indicators on the same
+  * read path).
+  *
+  * Scale shape shared by all four: one window partitioned by the series
+  * key with a bounded ROWS frame — Spark plans a single hash exchange
+  * on the key followed by a streaming WindowExec; no self-joins, no
+  * per-row subqueries, state per partition is O(frame), so a series of
+  * any length streams. Value arithmetic follows the
+  * [[graft.catalog.Oracle]] discipline: exact 2-dp values are lifted to
+  * Long cents so every windowed SUM is integer-exact and
+  * order-independent, with one float division at the end.
+  */
+object Indicators {
+
+  /** Cutler's RSI over `periods` deltas (simple-average form — the
+    * SQL-expressible variant; Wilder's recursive smoothing is the
+    * [[emaTruncated]] fold applied to gains, not a different operator).
+    * `closeCents` must be an integer (cents-lifted) column.
+    *
+    * RSI = 100·ΣGain / (ΣGain + ΣLoss) over the trailing `periods`
+    * deltas; rows with fewer than `periods` deltas in frame emit null
+    * (warm-up), an all-flat frame (ΣG+ΣL = 0) emits 50 — both
+    * decisions on exact integers, so the cut is engine-deterministic.
+    */
+  def rsi(series: DataFrame, keys: Seq[Column], ts: Column,
+          closeCents: Column, periods: Int): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val frame = ord.rowsBetween(-(periods - 1), 0)
+    val delta = closeCents - lag(closeCents, 1).over(ord)
+    series
+      .withColumn("__delta", delta)
+      .withColumn("__gain", when(col("__delta") > 0, col("__delta")).otherwise(lit(0L)))
+      .withColumn("__loss", when(col("__delta") < 0, -col("__delta")).otherwise(lit(0L)))
+      .withColumn("__n", count(col("__delta")).over(frame))
+      .withColumn("__sg", sum(col("__gain")).over(frame))
+      .withColumn("__sl", sum(col("__loss")).over(frame))
+      .withColumn("rsi",
+        when(col("__n") < periods, lit(null).cast("double"))
+          .when(col("__sg") + col("__sl") === 0L, lit(50.0d))
+          .otherwise(lit(100.0d) * col("__sg") / (col("__sg") + col("__sl")).cast("double")))
+      .drop("__delta", "__gain", "__loss", "__n", "__sg", "__sl")
+  }
+
+  /** Bollinger bands: n-row trailing mean ± k population standard
+    * deviations. Moments accumulate as integer cents sums (Σc, Σc²) —
+    * exact and order-independent — and convert to doubles in one fixed
+    * expression: sd = √(n·Σc² − (Σc)²)/n, evaluated identically by any
+    * engine. Warm-up rows (frame < n) emit null bands.
+    */
+  def bollinger(series: DataFrame, keys: Seq[Column], ts: Column,
+                closeCents: Column, n: Int, k: Double): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(n - 1), 0)
+    val nn = lit(n.toDouble)
+    val mid = col("__sc").cast("double") / (lit(100.0d) * nn)
+    // n·Σc² − (Σc)² stays integer (exact, < 2^53 for 2-dp values) and
+    // converts to double once; sqrt is IEEE-correctly-rounded, so the
+    // whole band expression is engine-portable.
+    val sd = sqrt((lit(n.toLong) * col("__sc2") - col("__sc") * col("__sc")).cast("double")) /
+      (lit(100.0d) * nn)
+    series
+      .withColumn("__cnt", count(closeCents).over(frame))
+      .withColumn("__sc", sum(closeCents).over(frame))
+      .withColumn("__sc2", sum(closeCents * closeCents).over(frame))
+      .withColumn("mid", when(col("__cnt") < n, lit(null).cast("double")).otherwise(mid))
+      .withColumn("upper", when(col("__cnt") < n, lit(null).cast("double"))
+        .otherwise(mid + lit(k) * sd))
+      .withColumn("lower", when(col("__cnt") < n, lit(null).cast("double"))
+        .otherwise(mid - lit(k) * sd))
+      .drop("__cnt", "__sc", "__sc2")
+  }
+
+  /** EMA with the standard recursion ema ← α·x + (1−α)·ema, seeded at
+    * the first element, folded over a trailing `window`-row frame
+    * (collect_list over an ordered ROWS frame is frame-ordered, so the
+    * fold order is the series order). Truncation at `window` rows
+    * bounds state; the discarded tail carries weight (1−α)^window —
+    * ~2.6e-4 for span 10 / window 40 — and BOTH engines apply the
+    * same truncation, so results stay bit-identical (the determinism
+    * contract; an untruncated streaming EMA is
+    * [[graft.streaming.CandleStream]] territory, not a window query).
+    *
+    * α is passed as (num, den) and computed as num/den inside the
+    * expression so both engines derive the identical double. The fold
+    * is a fixed left-to-right chain of IEEE mul/adds — engine-portable,
+    * unlike pow()-based weights whose libm implementations differ.
+    */
+  def emaTruncated(series: DataFrame, keys: Seq[Column], ts: Column,
+                   closeCents: Column, alphaNum: Int, alphaDen: Int,
+                   window: Int): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(window - 1), 0)
+    val a = lit(alphaNum.toDouble) / lit(alphaDen.toDouble)
+    series
+      .withColumn("__arr", collect_list(closeCents.cast("double")).over(frame))
+      .withColumn("ema",
+        aggregate(col("__arr"), lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x).otherwise(a * x + (lit(1.0d) - a) * acc))
+          / lit(100.0d))
+      .drop("__arr")
+  }
+
+  /** Volume-weighted average price per (keys, bucket): Σ(price·qty) /
+    * Σqty with the numerator in exact cents·qty integers. Buckets with
+    * zero total quantity are dropped (no defined VWAP). One keyed
+    * aggregation — partial map-side combine, single shuffle on
+    * (keys, bucket).
+    */
+  def vwap(df: DataFrame, keys: Seq[Column], bucket: Column,
+           priceCents: Column, qty: Column): DataFrame = {
+    df.groupBy((keys :+ bucket): _*)
+      .agg(sum(priceCents * qty).as("__pv"), sum(qty).as("qty"))
+      .filter(col("qty") > 0L)
+      .withColumn("vwap", col("__pv").cast("double") / (lit(100.0d) * col("qty").cast("double")))
+      .drop("__pv")
+  }
+}
