@@ -114,6 +114,127 @@ object IndicatorQueries {
                        "(2.0/11.0) * x + (1.0 - 2.0/11.0) * acc) / 100.0")} AS ema
        |FROM arr ORDER BY 1, 2""".stripMargin
 
+  /** Hourly OHLC candle series in exact cents. */
+  private def hourlyOhlc(s: SparkSession, dir: String): DataFrame =
+    Tables.eventSeries(s, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy(col("event_type"),
+        (expr("tus div 3600000000") * 3600000000L).as("bus"))
+      .agg(
+        cents(max(col("value"))).as("h"),
+        cents(min(col("value"))).as("l"),
+        cents(max_by(col("value"), col("tus"))).as("c"))
+
+  private val hourlyOhlcCte: String =
+    s"""${TimeSeriesQueries.seriesCte}, hourly AS (
+       |  SELECT event_type, (tus // 3600000000) * 3600000000 AS bus,
+       |         ${centsSql("max(value)")} AS h,
+       |         ${centsSql("min(value)")} AS l,
+       |         ${centsSql("max_by(value, tus)")} AS c
+       |  FROM series GROUP BY 1, 2
+       |)""".stripMargin
+
+  // ------------------------------------------------------ Stochastic
+  private def stochasticQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.stochastic(hourlyOhlc(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), col("c"), n = 14)
+      .filter(col("pct_k").isNotNull)
+      .select(col("event_type"), col("bus"),
+        r4(col("pct_k")).as("pct_k"), r4(col("pct_d")).as("pct_d"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val stochasticSql: String =
+    s"""$hourlyOhlcCte, w AS (
+       |  SELECT event_type, bus, c,
+       |         count(c) OVER fr AS cnt,
+       |         min(l) OVER fr AS lo,
+       |         max(h) OVER fr AS hi
+       |  FROM hourly
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |), k AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN cnt < 14 THEN NULL
+       |              WHEN hi = lo THEN 50.0
+       |              ELSE 100.0 * (c - lo) / CAST(hi - lo AS DOUBLE) END AS pct_k
+       |  FROM w
+       |), d AS (
+       |  SELECT event_type, bus, pct_k,
+       |         list_filter(list(pct_k) OVER (
+       |           PARTITION BY event_type ORDER BY bus
+       |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       |           x -> x IS NOT NULL) AS ks
+       |  FROM k
+       |)
+       |SELECT event_type, bus, ${r4Sql("pct_k")} AS pct_k,
+       |       ${r4Sql("CASE WHEN len(ks) = 3 THEN " +
+                       "list_reduce(ks, (acc, x) -> acc + x) / 3.0 END")} AS pct_d
+       |FROM d WHERE pct_k IS NOT NULL ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- ATR
+  private def atrQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.atr(hourlyOhlc(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), col("c"), n = 14)
+      .filter(col("atr").isNotNull)
+      .select(col("event_type"), col("bus"), r4(col("atr")).as("atr"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val atrSql: String =
+    s"""$hourlyOhlcCte, t AS (
+       |  SELECT event_type, bus, h, l, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS pc
+       |  FROM hourly
+       |), tr AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN pc IS NULL THEN h - l
+       |              ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END AS tr
+       |  FROM t
+       |), w AS (
+       |  SELECT event_type, bus,
+       |         count(tr) OVER fr AS cnt,
+       |         CAST(sum(tr) OVER fr AS BIGINT) AS st
+       |  FROM tr
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("st / (100.0 * 14.0)")} AS atr
+       |FROM w WHERE cnt >= 14 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ MACD
+  private def macdQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.macd(hourly(s, dir), Seq(col("event_type")), col("bus"),
+        col("c"), window = 64)
+      .select(col("event_type"), col("bus"), r4(col("macd")).as("macd"),
+        r4(col("signal")).as("signal"), r4(col("hist")).as("hist"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val macdSql: String = {
+    def foldSql(l: String, num: Int, den: Int): String =
+      s"list_reduce($l, (acc, x) -> ($num.0/$den.0) * x + (1.0 - $num.0/$den.0) * acc)"
+    s"""$hourlyCte, arr AS (
+       |  SELECT event_type, bus,
+       |         list(CAST(c AS DOUBLE)) OVER (
+       |           PARTITION BY event_type ORDER BY bus
+       |           ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS l
+       |  FROM hourly
+       |), m AS (
+       |  SELECT event_type, bus,
+       |         (${foldSql("l", 2, 13)} - ${foldSql("l", 2, 27)}) / 100.0 AS macd
+       |  FROM arr
+       |), sm AS (
+       |  SELECT event_type, bus, macd,
+       |         list(macd) OVER (
+       |           PARTITION BY event_type ORDER BY bus
+       |           ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS ml
+       |  FROM m
+       |)
+       |SELECT event_type, bus, ${r4Sql("macd")} AS macd,
+       |       ${r4Sql(foldSql("ml", 2, 10))} AS signal,
+       |       ${r4Sql(s"macd - ${foldSql("ml", 2, 10)}")} AS hist
+       |FROM sm ORDER BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------------------ VWAP
   /** Hourly VWAP weighted by the `props.k` quantity — the
     * Σ(price·qty)/Σqty bucket aggregate of the reference's candle
@@ -151,16 +272,22 @@ object IndicatorQueries {
        |ORDER BY 1, 2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_rsi"       -> rsiQ,
-    "ts_bollinger" -> bollingerQ,
-    "ts_ema"       -> emaQ,
-    "ts_vwap"      -> vwapQ,
+    "ts_rsi"        -> rsiQ,
+    "ts_bollinger"  -> bollingerQ,
+    "ts_ema"        -> emaQ,
+    "ts_vwap"       -> vwapQ,
+    "ts_stochastic" -> stochasticQ,
+    "ts_atr"        -> atrQ,
+    "ts_macd"       -> macdQ,
   )
 
   def oracleSql: Map[String, String] = Map(
-    "ts_rsi"       -> rsiSql,
-    "ts_bollinger" -> bollingerSql,
-    "ts_ema"       -> emaSql,
-    "ts_vwap"      -> vwapSql,
+    "ts_rsi"        -> rsiSql,
+    "ts_bollinger"  -> bollingerSql,
+    "ts_ema"        -> emaSql,
+    "ts_vwap"       -> vwapSql,
+    "ts_stochastic" -> stochasticSql,
+    "ts_atr"        -> atrSql,
+    "ts_macd"       -> macdSql,
   )
 }

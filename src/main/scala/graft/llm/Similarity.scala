@@ -765,20 +765,50 @@ object Similarity {
     *
     * Scale shape: the A×B pair frame here is the exact (correctness)
     * form; both rank windows and the top-k sums run on the pair frame
-    * with rank-limit pushdown bounding each partition. At 100 TB the
-    * pair frame comes from [[ivfKnnJoin]] candidates (cells bound
-    * |pairs| ≈ |A|·k·probe) and every stage downstream of `pairs` is
-    * unchanged — the margin arithmetic never sees how candidates were
-    * generated.
+    * with rank-limit pushdown bounding each partition. At 100 TB use
+    * [[cellMarginMine]], which bounds the pair frame by IVF cells and
+    * reuses [[marginScore]] unchanged.
     */
   def marginMine(df: DataFrame, id: Column, vec: Column, sideA: Column,
                  k: Int, topN: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = df.filter(sideA).select(id.as("x"), vec.as("va"))
     val b = df.filter(!sideA).select(id.as("y"), vec.as("vb"))
-    val pairs = a.crossJoin(b)
-      .select(col("x"), col("y"),
-        floor(cosine(col("va"), col("vb")) * lit(1000000.0d) + lit(0.5d)).as("c"))
+    marginScore(
+      a.crossJoin(b).select(col("x"), col("y"),
+        floor(cosine(col("va"), col("vb")) * lit(1000000.0d) + lit(0.5d)).as("c")),
+      k, topN)
+  }
+
+  /** The IVF-candidate form of [[marginMine]] — the 100 TB path: both
+    * sides are k-means-assigned (fit on side A, `kCells` cells) and
+    * only same-cell pairs are scored, so |pairs| ≈ Σ|A_cell|·|B_cell|
+    * instead of |A|·|B|. With kCells ∝ corpus size the per-cell
+    * populations — and the pairwise work — stay constant per unit of
+    * data (the SemDeDup scaling discipline). Neighborhood averages are
+    * then cell-local approximations of the global top-k; the margin
+    * arithmetic itself is [[marginScore]], unchanged.
+    */
+  def cellMarginMine(df: DataFrame, id: Column, vec: Column, sideA: Column,
+                     kCells: Int, iters: Int, k: Int, topN: Int): DataFrame = {
+    val a = df.filter(sideA)
+    val cents = kMeansFit(a, id, vec, kCells, iters)
+    val aCell = kMeansAssign(a.select(id.as("id"), vec.as("v")), cents)
+      .select(col("id").as("x"), col("v").as("va"), col("cell"))
+    val bCell = kMeansAssign(df.filter(!sideA).select(id.as("id"), vec.as("v")), cents)
+      .select(col("id").as("y"), col("v").as("vb"), col("cell"))
+    marginScore(
+      aCell.join(bCell, "cell").select(col("x"), col("y"),
+        floor(cosine(col("va"), col("vb")) * lit(1000000.0d) + lit(0.5d)).as("c")),
+      k, topN)
+  }
+
+  /** Margin scoring over an (x, y, c) candidate-pair frame, `c` the
+    * micro-unit-quantized cosine. Shared by [[marginMine]] (exact A×B
+    * pairs) and [[cellMarginMine]] (IVF-bounded pairs) — the scoring
+    * never sees how candidates were generated.
+    */
+  def marginScore(pairs: DataFrame, k: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wx = Window.partitionBy(col("x")).orderBy(col("c").desc, col("y"))
     val wy = Window.partitionBy(col("y")).orderBy(col("c").desc, col("x"))
     val rx = pairs.withColumn("rx", row_number().over(wx))

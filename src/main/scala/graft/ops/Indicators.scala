@@ -108,6 +108,91 @@ object Indicators {
       .drop("__arr")
   }
 
+  /** Stochastic oscillator %K (with the %D signal line) over an OHLC
+    * candle series in cents: %K = 100·(close − minLow_n)/(maxHigh_n −
+    * minLow_n) on exact integer range sums (one division), %D = the
+    * 3-period simple average of %K folded left-to-right over an
+    * ordered window list (the [[emaTruncated]] determinism trick —
+    * a plain windowed SUM of doubles is association-order-dependent
+    * and not engine-portable). Warm-up rows (< n candles) emit null
+    * %K; %D needs 3 valid %K values. A flat n-candle range (den = 0)
+    * pins %K to 50 — decided on exact integers.
+    */
+  def stochastic(series: DataFrame, keys: Seq[Column], ts: Column,
+                 highCents: Column, lowCents: Column, closeCents: Column,
+                 n: Int): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(n - 1), 0)
+    val d3 = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-2, 0)
+    val base = series
+      .withColumn("__cnt", count(closeCents).over(frame))
+      .withColumn("__lo", min(lowCents).over(frame))
+      .withColumn("__hi", max(highCents).over(frame))
+      .withColumn("pct_k",
+        when(col("__cnt") < n, lit(null).cast("double"))
+          .when(col("__hi") === col("__lo"), lit(50.0d))
+          .otherwise(lit(100.0d) * (closeCents - col("__lo")) /
+            (col("__hi") - col("__lo")).cast("double")))
+    base
+      .withColumn("__ks", collect_list(col("pct_k")).over(d3))
+      .withColumn("pct_d",
+        when(size(col("__ks")) === 3,
+          aggregate(col("__ks"), lit(null).cast("double"),
+            (acc, x) => when(acc.isNull, x).otherwise(acc + x)) / lit(3.0d)))
+      .drop("__cnt", "__lo", "__hi", "__ks")
+  }
+
+  /** Average True Range (simple-average form) over an OHLC candle
+    * series in cents: TR = max(h−l, |h−prevClose|, |l−prevClose|) —
+    * exact integers — averaged over the trailing `n` candles with one
+    * float division. The first candle of a key has no previous close
+    * and uses TR = h−l (the standard seeding). Warm-up (< n candles)
+    * emits null.
+    */
+  def atr(series: DataFrame, keys: Seq[Column], ts: Column,
+          highCents: Column, lowCents: Column, closeCents: Column,
+          n: Int): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val frame = ord.rowsBetween(-(n - 1), 0)
+    val pc = lag(closeCents, 1).over(ord)
+    series
+      .withColumn("__tr",
+        when(pc.isNull, highCents - lowCents)
+          .otherwise(greatest(highCents - lowCents,
+            abs(highCents - pc), abs(lowCents - pc))))
+      .withColumn("__cnt", count(col("__tr")).over(frame))
+      .withColumn("atr",
+        when(col("__cnt") < n, lit(null).cast("double"))
+          .otherwise(sum(col("__tr")).over(frame).cast("double") /
+            (lit(100.0d) * lit(n.toDouble))))
+      .drop("__tr", "__cnt")
+  }
+
+  /** MACD(12, 26) with the 9-period signal line, all three EMAs as
+    * truncated left-to-right folds over ordered window lists (the
+    * [[emaTruncated]] recursion — fixed IEEE op order, engine
+    * portable). `window` bounds the close-price fold (residual weight
+    * (25/27)^window for the slow EMA); the signal folds over the last
+    * 40 MACD values. Emits macd, signal, hist (= macd − signal).
+    */
+  def macd(series: DataFrame, keys: Seq[Column], ts: Column,
+           closeCents: Column, window: Int = 64): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(window - 1), 0)
+    val sigFrame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-39, 0)
+    def fold(arr: Column, alphaNum: Int, alphaDen: Int): Column = {
+      val a = lit(alphaNum.toDouble) / lit(alphaDen.toDouble)
+      aggregate(arr, lit(null).cast("double"),
+        (acc, x) => when(acc.isNull, x).otherwise(a * x + (lit(1.0d) - a) * acc))
+    }
+    series
+      .withColumn("__arr", collect_list(closeCents.cast("double")).over(frame))
+      .withColumn("macd",
+        (fold(col("__arr"), 2, 13) - fold(col("__arr"), 2, 27)) / lit(100.0d))
+      .withColumn("__marr", collect_list(col("macd")).over(sigFrame))
+      .withColumn("signal", fold(col("__marr"), 2, 10))
+      .withColumn("hist", col("macd") - col("signal"))
+      .drop("__arr", "__marr")
+  }
+
   /** Volume-weighted average price per (keys, bucket): Σ(price·qty) /
     * Σqty with the numerator in exact cents·qty integers. Buckets with
     * zero total quantity are dropped (no defined VWAP). One keyed

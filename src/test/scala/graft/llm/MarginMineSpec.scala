@@ -45,4 +45,15 @@ class MarginMineSpec extends SparkSpec {
     assert(out.head._1 == 2L && out.head._2 == 3L,
       s"exclusive exact pair outranks the hub pair, got $out")
   }
+
+  test("cellMarginMine with one cell reproduces exact brute-force mining") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Similarity.marginMine(df, col("vec_id"), col("embedding"),
+      col("label") % 2 === 0, k = 4, topN = 20).collect().toSeq
+    val cell = Similarity.cellMarginMine(df, col("vec_id"), col("embedding"),
+      col("label") % 2 === 0, kCells = 1, iters = 2, k = 4, topN = 20)
+      .collect().toSeq
+    assert(cell == exact,
+      "one cell ⇒ same-cell pairs = A×B ⇒ bit-identical scores and order")
+  }
 }

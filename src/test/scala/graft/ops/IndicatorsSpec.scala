@@ -58,6 +58,64 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.head == 1.0, "seed = first close")
   }
 
+  private def ohlc(rows: Seq[(Long, Long, Long)]) =
+    rows.zipWithIndex.map { case ((h, l, c), i) => ("k", i.toLong, h, l, c) }
+      .toDF("key", "t", "h", "l", "c")
+
+  test("stochastic: %K range position, flat range pins 50, %D is the 3-avg") {
+    // 16 candles, high=200, low=100, close walks 100→250 in steps.
+    val rows = (0 until 16).map(i => (300L, 100L, 100L + 10L * i))
+    val out = Indicators.stochastic(ohlc(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), col("c"), n = 14)
+      .orderBy("t").select("pct_k", "pct_d")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out(12)._1.isEmpty, "warm-up")
+    // row 13: lo=100, hi=300, close=230 → %K = 100·130/200 = 65
+    assert(out(13)._1.contains(65.0))
+    assert(out(14)._1.contains(70.0) && out(15)._1.contains(75.0))
+    // %D at row 15 = (65+70+75)/3 = 70
+    assert(out(15)._2.contains(70.0))
+    assert(out(14)._2.isEmpty, "only 2 valid %K values in frame")
+
+    val flat = Indicators.stochastic(ohlc(Seq.fill(15)((100L, 100L, 100L))),
+      Seq(col("key")), col("t"), col("h"), col("l"), col("c"), n = 14)
+      .orderBy("t").select("pct_k").as[Option[Double]].collect()
+    assert(flat(14).contains(50.0))
+  }
+
+  test("atr: first-candle TR is h−l, gap candles dominate via |h − prevClose|") {
+    // 14 identical candles h=210,l=190,c=200 (TR=20c) then a gapped
+    // candle h=310,l=305,c=306 (TR = |310−200| = 110c).
+    val rows = Seq.fill(14)((210L, 190L, 200L)) :+ (310L, 305L, 306L)
+    val out = Indicators.atr(ohlc(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), col("c"), n = 14)
+      .orderBy("t").select("atr").as[Option[Double]].collect()
+    assert(out(12).isEmpty, "warm-up")
+    assert(out(13).contains(20.0 * 14 / (100.0 * 14)), "all-TR=20c frame")
+    // frame rows 1..14: 13×20 + 110 = 370 → 370/1400
+    assert(out(14).contains(370.0 / 1400.0))
+  }
+
+  test("macd: constant series is identically zero; fold matches driver-side EMAs") {
+    // fl(500·α) + fl(500·(1−α)) is not exactly 500, so a constant
+    // series yields MACD ~1e-15, not a hard 0 — r4 rounds it away in
+    // the oracle query; here assert the tolerance.
+    val flat = Indicators.macd(series(Seq.fill(30)(500L)), Seq(col("key")),
+      col("t"), col("c")).orderBy("t")
+      .select("macd", "signal", "hist").as[(Double, Double, Double)].collect()
+    assert(flat.forall(r => math.abs(r._1) < 1e-9 && math.abs(r._2) < 1e-9 &&
+      math.abs(r._3) < 1e-9))
+
+    val vals = Seq(100L, 150L, 300L, 250L, 275L)
+    val out = Indicators.macd(series(vals), Seq(col("key")), col("t"), col("c"))
+      .orderBy("t").select("macd").as[Double].collect()
+    def emaRef(xs: Seq[Double], a: Double) =
+      xs.reduceLeft((acc, x) => a * x + (1.0 - a) * acc)
+    val ds = vals.map(_.toDouble)
+    val exp = (emaRef(ds, 2.0 / 13.0) - emaRef(ds, 2.0 / 27.0)) / 100.0
+    assert(math.abs(out.last - exp) < 1e-12)
+  }
+
   test("vwap: hand-checked weighted means, zero-qty buckets dropped") {
     val df = Seq(
       ("k", 0L, 1000L, 2L), ("k", 0L, 2000L, 2L), // bucket 0: (2000+4000)/4c

@@ -23,7 +23,9 @@ object ExplainAudit {
         "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk",
         "llm_cdc_dedup", "llm_pagerank", "llm_rrf_fusion",
         "llm_bpe_train", "llm_pca_top", "llm_abtt_topk",
-        "llm_hard_negatives")
+        "llm_hard_negatives",
+        "ts_rsi", "ts_bollinger", "ts_ema", "ts_vwap",
+        "llm_gopher_rules", "llm_margin_mine")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")

@@ -142,7 +142,11 @@ object ScaleBench {
     // semantic_pack: k-means fit/assign + the two-level grouped rank
     // + prefix-sum packing — every window runs over cell-count or
     // shard-count frames, so the composition must stay corpus-linear
-    "llm_semantic_pack")
+    "llm_semantic_pack",
+    // r11 wave-2. gopher_rules: pure predicate map pass over the
+    // corpus (regex line/word scans) — must be exactly linear like
+    // wordlist_filter, measured to confirm no hidden shuffle
+    "llm_gopher_rules")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
@@ -155,6 +159,21 @@ object ScaleBench {
     * Runs under the name `llm_semantic_dedup(k~N)` with k = 8·(size
     * ratio), everything else identical to the catalog query.
     */
+  /** [[graft.llm.Similarity.cellMarginMine]] in its prescribed scaling
+    * regime — cells ∝ N so per-cell populations (and the pairwise
+    * margin work per unit of data) stay constant as the corpus grows.
+    * The catalog's `llm_margin_mine` is the exact A×B form: correct
+    * for the oracle fixture, designed-quadratic to scale-measure
+    * (both sides grow ⇒ pairs grow ×factor²) — same situation as
+    * `llm_semantic_dedup`, measured under the same k~N convention.
+    */
+  private def marginMineScaled(spark: SparkSession, dir: String, kCells: Int): DataFrame = {
+    import graft.llm.Similarity
+    Similarity.cellMarginMine(spark.read.parquet(s"$dir/embeddings.parquet"),
+      col("vec_id"), col("embedding"), col("label") % 2 === 0,
+      kCells = kCells, iters = 3, k = 4, topN = 40)
+  }
+
   private def semanticDedupScaled(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.llm.Similarity
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -199,8 +218,9 @@ object ScaleBench {
     // merge into SCALING.json by hand)
     val subset  = args.drop(2).toSeq
     val SemName = "llm_semantic_dedup(k~N)"
-    val queries = (if (subset.isEmpty) Heavy :+ SemName
-                   else (Heavy :+ SemName).filter(subset.contains))
+    val MarginName = "llm_margin_mine(cells~N)"
+    val all = Heavy ++ Seq(SemName, MarginName)
+    val queries = if (subset.isEmpty) all else all.filter(subset.contains)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val bigDir  = s"/tmp/graft_sfx$factor"
     val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -234,6 +254,8 @@ object ScaleBench {
       val t0 = System.nanoTime()
       (if (name == SemName)
          semanticDedupScaled(spark, dir, if (dir == bigDir) 8 * factor else 8)
+       else if (name == MarginName)
+         marginMineScaled(spark, dir, if (dir == bigDir) 4 * factor else 4)
        else SparkEntry.queries(name)(spark, dir))
         .write.format("noop").mode("overwrite").save()
       samples.updateWith(name -> dir)(s =>
