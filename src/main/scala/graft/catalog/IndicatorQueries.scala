@@ -17,11 +17,21 @@ import graft.catalog.Oracle._
   */
 object IndicatorQueries {
 
+  /** One early hash partition on the series key: hash(event_type)
+    * satisfies ClusteredDistribution for the (event_type, ts) dedup
+    * aggregation, the (event_type, bus) hourly rollup, AND the
+    * event_type-partitioned indicator window — so the whole pipeline
+    * runs on a single exchange (plus the output sort) instead of one
+    * per stage (4 → 2, ExplainAudit). Per-key locality is what the
+    * window requires anyway, so this adds no constraint at scale.
+    */
+  private def byKey(df: DataFrame): DataFrame = df.repartition(col("event_type"))
+
   /** Hourly close series in exact cents: one row per (event_type,
     * hour), latest-in-hour close.
     */
   private def hourly(s: SparkSession, dir: String): DataFrame =
-    Tables.eventSeries(s, dir)
+    Tables.eventSeriesOver(byKey(Tables.events(s, dir)))
       .withColumn("tus", unix_micros(col("ts")))
       .groupBy(col("event_type"),
         (expr("tus div 3600000000") * 3600000000L).as("bus"))
@@ -114,9 +124,11 @@ object IndicatorQueries {
                        "(2.0/11.0) * x + (1.0 - 2.0/11.0) * acc) / 100.0")} AS ema
        |FROM arr ORDER BY 1, 2""".stripMargin
 
-  /** Hourly OHLC candle series in exact cents. */
+  /** Hourly OHLC candle series in exact cents ([[byKey]] single-
+    * exchange plan, as [[hourly]]).
+    */
   private def hourlyOhlc(s: SparkSession, dir: String): DataFrame =
-    Tables.eventSeries(s, dir)
+    Tables.eventSeriesOver(byKey(Tables.events(s, dir)))
       .withColumn("tus", unix_micros(col("ts")))
       .groupBy(col("event_type"),
         (expr("tus div 3600000000") * 3600000000L).as("bus"))

@@ -121,8 +121,15 @@ object Tables {
     * like the reference WS updater fetchers/ws/bitfinex.py:202-217).
     */
   def eventSeries(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .groupBy(col("event_type"), col("ts"))
+    eventSeriesOver(events(s, d))
+
+  /** [[eventSeries]] over an already-loaded (possibly re-partitioned)
+    * events frame — callers that pre-partition on the series key pass
+    * `events(s, d).repartition($"event_type")` so this aggregation and
+    * every downstream keyed stage reuse one exchange.
+    */
+  def eventSeriesOver(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), col("ts"))
       .agg(
         max_by(col("value"), col("event_id")).as("value"),
         max_by(col("user_id"), col("event_id")).as("user_id"))
