@@ -247,6 +247,55 @@ object IndicatorQueries {
        |FROM sm ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------------- OBV
+  /** [[Indicators.obv]] over hourly closes with the hourly `props.k`
+    * quantity. The qty frame joins the close frame on (event_type,
+    * bus) — both sides already clustered by the [[byKey]] partition,
+    * so the join adds no exchange. No-op rounding: the output is an
+    * exact integer.
+    */
+  private def obvQ(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val qty = byKey(Tables.events(s, dir))
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy(col("event_type"),
+        (expr("tus div 3600000000") * 3600000000L).as("bus"))
+      .agg(sum(col("k")).as("qty"))
+    val px = hourly(s, dir)
+    Indicators.obv(
+        px.join(qty, Seq("event_type", "bus"), "left")
+          .withColumn("qty", coalesce(col("qty"), lit(0L))),
+        Seq(col("event_type")), col("bus"), col("c"), col("qty"))
+      .select(col("event_type"), col("bus"), col("obv"))
+      .orderBy(col("event_type"), col("bus"))
+  }
+
+  private val obvSql: String =
+    s"""$hourlyCte, q AS (
+       |  SELECT event_type,
+       |         ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000 AS bus,
+       |         CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS qty
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT event_type, bus, c, coalesce(qty, 0) AS qty
+       |  FROM hourly LEFT JOIN q USING (event_type, bus)
+       |), d AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN c - lag(c) OVER w > 0 THEN qty
+       |              WHEN c - lag(c) OVER w < 0 THEN -qty
+       |              ELSE 0 END AS signed
+       |  FROM j
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY bus)
+       |)
+       |SELECT event_type, bus,
+       |       CAST(sum(signed) OVER (PARTITION BY event_type ORDER BY bus
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+       |FROM d ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ VWAP
   /** Hourly VWAP weighted by the `props.k` quantity — the
     * Σ(price·qty)/Σqty bucket aggregate of the reference's candle
@@ -291,6 +340,7 @@ object IndicatorQueries {
     "ts_stochastic" -> stochasticQ,
     "ts_atr"        -> atrQ,
     "ts_macd"       -> macdQ,
+    "ts_obv"        -> obvQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -301,5 +351,6 @@ object IndicatorQueries {
     "ts_stochastic" -> stochasticSql,
     "ts_atr"        -> atrSql,
     "ts_macd"       -> macdSql,
+    "ts_obv"        -> obvSql,
   )
 }

@@ -193,6 +193,27 @@ object Indicators {
       .drop("__arr", "__marr")
   }
 
+  /** On-balance volume: the running Σ sign(Δclose)·qty per key —
+    * VWAP's companion volume-flow indicator. Entirely integer (cents
+    * deltas decide the sign, quantities sum as Longs, one cumulative
+    * window), so the result is engine-exact with no rounding step at
+    * all. The first candle contributes 0 (no delta). The cumulative
+    * frame is unbounded-preceding but runs per key inside the same
+    * single exchange as the other indicators — a streaming running
+    * sum, O(1) state per row.
+    */
+  def obv(series: DataFrame, keys: Seq[Column], ts: Column,
+          closeCents: Column, qty: Column): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val delta = closeCents - lag(closeCents, 1).over(ord)
+    series
+      .withColumn("__signed",
+        when(delta > 0, qty).when(delta < 0, -qty).otherwise(lit(0L)))
+      .withColumn("obv", sum(col("__signed")).over(cum))
+      .drop("__signed")
+  }
+
   /** Volume-weighted average price per (keys, bucket): Σ(price·qty) /
     * Σqty with the numerator in exact cents·qty integers. Buckets with
     * zero total quantity are dropped (no defined VWAP). One keyed

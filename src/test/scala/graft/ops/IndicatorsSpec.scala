@@ -116,6 +116,19 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(out.last - exp) < 1e-12)
   }
 
+  test("obv: signed cumulative flow, flat deltas contribute nothing") {
+    val df = Seq(
+      ("k", 0L, 100L, 5L),  // no delta → 0
+      ("k", 1L, 110L, 3L),  // up   → +3
+      ("k", 2L, 110L, 7L),  // flat → 0
+      ("k", 3L, 90L, 4L),   // down → −4
+      ("k", 4L, 95L, 2L)    // up   → +2
+    ).toDF("key", "t", "c", "q")
+    val out = Indicators.obv(df, Seq(col("key")), col("t"), col("c"), col("q"))
+      .orderBy("t").select("obv").as[Long].collect().toSeq
+    assert(out == Seq(0L, 3L, 3L, -1L, 1L))
+  }
+
   test("vwap: hand-checked weighted means, zero-qty buckets dropped") {
     val df = Seq(
       ("k", 0L, 1000L, 2L), ("k", 0L, 2000L, 2L), // bucket 0: (2000+4000)/4c
