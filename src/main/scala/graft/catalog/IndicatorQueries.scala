@@ -247,6 +247,78 @@ object IndicatorQueries {
        |FROM sm ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------- rolling correlation
+  /** [[Indicators.rollingCorr]] between the click and view hourly
+    * close series — the pairs-trading primitive, keyed by the symbol
+    * pair so it generalizes to many pairs under one window exchange.
+    */
+  private def rollingCorrQ(s: SparkSession, dir: String): DataFrame = {
+    val h = hourly(s, dir)
+    val x = h.filter(col("event_type") === "click")
+      .select(col("bus"), col("c").as("x"))
+    val y = h.filter(col("event_type") === "view")
+      .select(col("bus"), col("c").as("y"))
+    Indicators.rollingCorr(
+        x.join(y, "bus").withColumn("pair", lit("click_view")),
+        Seq(col("pair")), col("bus"), col("x"), col("y"), n = 20)
+      .filter(col("corr").isNotNull)
+      .select(col("pair"), col("bus"), r4(col("corr")).as("corr"))
+      .orderBy(col("bus"))
+  }
+
+  private val rollingCorrSql: String =
+    s"""$hourlyCte, x AS (
+       |  SELECT bus, c AS x FROM hourly WHERE event_type = 'click'
+       |), y AS (
+       |  SELECT bus, c AS y FROM hourly WHERE event_type = 'view'
+       |), j AS (SELECT bus, x, y FROM x JOIN y USING (bus)),
+       |w AS (
+       |  SELECT bus,
+       |         count(x) OVER fr AS cnt,
+       |         CAST(sum(x) OVER fr AS BIGINT) AS sx,
+       |         CAST(sum(y) OVER fr AS BIGINT) AS sy,
+       |         CAST(sum(x * y) OVER fr AS BIGINT) AS sxy,
+       |         CAST(sum(x * x) OVER fr AS BIGINT) AS sx2,
+       |         CAST(sum(y * y) OVER fr AS BIGINT) AS sy2
+       |  FROM j
+       |  WINDOW fr AS (ORDER BY bus ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT 'click_view' AS pair, bus,
+       |       ${r4Sql("CAST(20 * sxy - sx * sy AS DOUBLE) / " +
+                       "sqrt(CAST(20 * sx2 - sx * sx AS DOUBLE) * " +
+                            "CAST(20 * sy2 - sy * sy AS DOUBLE))")} AS corr
+       |FROM w
+       |WHERE cnt >= 20 AND 20 * sx2 - sx * sx <> 0 AND 20 * sy2 - sy * sy <> 0
+       |ORDER BY bus""".stripMargin
+
+  // ------------------------------------------- Parkinson volatility
+  /** [[Indicators.parkinson]] over the hourly OHLC candles, n = 20. */
+  private def parkinsonQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.parkinson(hourlyOhlc(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), n = 20)
+      .filter(col("parkinson").isNotNull)
+      .select(col("event_type"), col("bus"), r4(col("parkinson")).as("parkinson"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val parkinsonSql: String =
+    s"""$hourlyOhlcCte, q AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN l > 0 THEN CAST(floor(
+       |           ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * 1000000.0 + 0.5)
+       |           AS BIGINT) END AS q
+       |  FROM hourly
+       |), w AS (
+       |  SELECT event_type, bus,
+       |         count(q * q) OVER fr AS cnt,
+       |         CAST(sum(q * q) OVER fr AS BIGINT) AS sq
+       |  FROM q
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("sqrt(sq / (4.0 * 20.0 * ln(2.0) * 1000000000000.0))")} AS parkinson
+       |FROM w WHERE cnt >= 20 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- OBV
   /** [[Indicators.obv]] over hourly closes with the hourly `props.k`
     * quantity. The qty frame joins the close frame on (event_type,
@@ -341,6 +413,8 @@ object IndicatorQueries {
     "ts_atr"        -> atrQ,
     "ts_macd"       -> macdQ,
     "ts_obv"        -> obvQ,
+    "ts_rolling_corr" -> rollingCorrQ,
+    "ts_parkinson"  -> parkinsonQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,5 +426,7 @@ object IndicatorQueries {
     "ts_atr"        -> atrSql,
     "ts_macd"       -> macdSql,
     "ts_obv"        -> obvSql,
+    "ts_rolling_corr" -> rollingCorrSql,
+    "ts_parkinson"  -> parkinsonSql,
   )
 }

@@ -214,6 +214,63 @@ object Indicators {
       .drop("__signed")
   }
 
+  /** Rolling Pearson correlation between two aligned series (the
+    * pairs-trading / beta primitive): all five moments (Σx, Σy, Σxy,
+    * Σx², Σy²) accumulate as exact cents-integer window sums, and the
+    * correlation is one fixed expression over them — numerator and
+    * both variance terms stay integer (< 2^53) until a single double
+    * conversion, so the only rounding is the final IEEE multiply/
+    * sqrt/divide chain, identical in any engine. Degenerate frames
+    * (either variance 0, or < n rows) emit null on exact integer
+    * checks.
+    */
+  def rollingCorr(df: DataFrame, keys: Seq[Column], ts: Column,
+                  xCents: Column, yCents: Column, n: Int): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(n - 1), 0)
+    val nn = lit(n.toLong)
+    val num = nn * col("__sxy") - col("__sx") * col("__sy")
+    val dx = nn * col("__sx2") - col("__sx") * col("__sx")
+    val dy = nn * col("__sy2") - col("__sy") * col("__sy")
+    df
+      .withColumn("__cnt", count(xCents).over(frame))
+      .withColumn("__sx", sum(xCents).over(frame))
+      .withColumn("__sy", sum(yCents).over(frame))
+      .withColumn("__sxy", sum(xCents * yCents).over(frame))
+      .withColumn("__sx2", sum(xCents * xCents).over(frame))
+      .withColumn("__sy2", sum(yCents * yCents).over(frame))
+      .withColumn("corr",
+        when(col("__cnt") < n || dx === 0L || dy === 0L, lit(null).cast("double"))
+          .otherwise(num.cast("double") /
+            sqrt(dx.cast("double") * dy.cast("double"))))
+      .drop("__cnt", "__sx", "__sy", "__sxy", "__sx2", "__sy2")
+  }
+
+  /** Parkinson range volatility: σ = √(Σ ln(h/l)² / (4·n·ln 2))
+    * (Parkinson, J. Business 1980 — the high-low estimator that's
+    * ~5× more efficient than close-to-close). Each ln ratio is
+    * quantized to micro-units (floor(ln(h/l)·10⁶+0.5) as a Long) so
+    * the squared sum is an exact integer window aggregate — the
+    * engine-portability move, since a windowed SUM of raw doubles is
+    * association-order-dependent. Candles with l ≤ 0 are excluded;
+    * frames with < n valid candles emit null.
+    */
+  def parkinson(series: DataFrame, keys: Seq[Column], ts: Column,
+                highCents: Column, lowCents: Column, n: Int): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(n - 1), 0)
+    val q = when(lowCents > 0,
+      floor(log(highCents.cast("double") / lowCents.cast("double")) *
+        lit(1000000.0d) + lit(0.5d)))
+    series
+      .withColumn("__q2", q * q)
+      .withColumn("__cnt", count(col("__q2")).over(frame))
+      .withColumn("__sq", sum(col("__q2")).over(frame))
+      .withColumn("parkinson",
+        when(col("__cnt") < n, lit(null).cast("double"))
+          .otherwise(sqrt(col("__sq").cast("double") /
+            (lit(4.0d) * lit(n.toDouble) * log(lit(2.0d)) * lit(1.0e12d)))))
+      .drop("__q2", "__cnt", "__sq")
+  }
+
   /** Volume-weighted average price per (keys, bucket): Σ(price·qty) /
     * Σqty with the numerator in exact cents·qty integers. Buckets with
     * zero total quantity are dropped (no defined VWAP). One keyed

@@ -116,6 +116,43 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(out.last - exp) < 1e-12)
   }
 
+  test("rolling corr: perfect linear co-movement = ±1, constant side = null") {
+    def pairDf(xs: Seq[Long], ys: Seq[Long]) =
+      xs.zip(ys).zipWithIndex.map { case ((x, y), i) => ("p", i.toLong, x, y) }
+        .toDF("pair", "t", "x", "y")
+    val xs = (0 until 25).map(i => 100L + 7L * i)
+    // y = 3x + 40 → corr exactly 1 on every full frame
+    val up = Indicators.rollingCorr(pairDf(xs, xs.map(3 * _ + 40L)),
+        Seq(col("pair")), col("t"), col("x"), col("y"), n = 20)
+      .filter(col("corr").isNotNull).select("corr").as[Double].collect()
+    assert(up.nonEmpty && up.forall(c => math.abs(c - 1.0) < 1e-12))
+    val down = Indicators.rollingCorr(pairDf(xs, xs.map(-2 * _ + 9000L)),
+        Seq(col("pair")), col("t"), col("x"), col("y"), n = 20)
+      .filter(col("corr").isNotNull).select("corr").as[Double].collect()
+    assert(down.nonEmpty && down.forall(c => math.abs(c + 1.0) < 1e-12))
+    val flat = Indicators.rollingCorr(pairDf(xs, Seq.fill(25)(5L)),
+        Seq(col("pair")), col("t"), col("x"), col("y"), n = 20)
+      .filter(col("corr").isNotNull).count()
+    assert(flat == 0L, "zero variance side yields no correlation")
+  }
+
+  test("parkinson: constant h/l ratio gives the closed-form volatility; h=l gives 0") {
+    // h/l = e^0.2 exactly by construction of the quantized ln: pick
+    // h,l with ln(h/l)·1e6 rounding to 200000 → σ = √(n·q²/(4n ln2 e12))
+    val rows = Seq.fill(25)((12214L, 10000L, 11000L)) // ln(1.2214) ≈ 0.200000...
+    val out = Indicators.parkinson(ohlc(rows), Seq(col("key")), col("t"),
+        col("h"), col("l"), n = 20)
+      .filter(col("parkinson").isNotNull).select("parkinson").as[Double].collect()
+    val q = math.floor(math.log(12214.0 / 10000.0) * 1e6 + 0.5)
+    val exp = math.sqrt(20 * q * q / (4.0 * 20.0 * math.log(2.0) * 1e12))
+    assert(out.nonEmpty && out.forall(v => math.abs(v - exp) < 1e-12))
+
+    val flat = Indicators.parkinson(ohlc(Seq.fill(25)((500L, 500L, 500L))),
+        Seq(col("key")), col("t"), col("h"), col("l"), n = 20)
+      .filter(col("parkinson").isNotNull).select("parkinson").as[Double].collect()
+    assert(flat.nonEmpty && flat.forall(_ == 0.0))
+  }
+
   test("obv: signed cumulative flow, flat deltas contribute nothing") {
     val df = Seq(
       ("k", 0L, 100L, 5L),  // no delta → 0
