@@ -253,13 +253,18 @@ object IndicatorQueries {
     * pair so it generalizes to many pairs under one window exchange.
     */
   private def rollingCorrQ(s: SparkSession, dir: String): DataFrame = {
-    val h = hourly(s, dir)
-    val x = h.filter(col("event_type") === "click")
-      .select(col("bus"), col("c").as("x"))
-    val y = h.filter(col("event_type") === "view")
-      .select(col("bus"), col("c").as("y"))
-    Indicators.rollingCorr(
-        x.join(y, "bus").withColumn("pair", lit("click_view")),
+    // both series in ONE scan: conditional aggregation pivots the two
+    // event types into columns per bucket (a filter+self-join form
+    // reads the events table twice, ExplainAudit)
+    val both = hourly(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("bus"))
+      .agg(
+        max(when(col("event_type") === "click", col("c"))).as("x"),
+        max(when(col("event_type") === "view", col("c"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("pair", lit("click_view"))
+    Indicators.rollingCorr(both,
         Seq(col("pair")), col("bus"), col("x"), col("y"), n = 20)
       .filter(col("corr").isNotNull)
       .select(col("pair"), col("bus"), r4(col("corr")).as("corr"))
