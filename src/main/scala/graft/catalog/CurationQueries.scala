@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{QualityRules, Similarity, TextOps}
+import graft.llm.{QualityRules, Similarity, Sketches, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Oracle._
@@ -133,13 +133,130 @@ object CurationQueries {
        |SELECT x, y, ${r4Sql("cos_sim")} AS cos_sim, ${r4Sql("margin")} AS margin
        |FROM scored ORDER BY ${r4Sql("margin")} DESC, x, y""".stripMargin
 
+  // ------------------------------------- distinct-count sketches
+  /** Word-5-gram shingles per source — deliberately NOT deduped:
+    * both sketches absorb duplicates by construction, which is what
+    * makes them one-pass at 100 TB.
+    */
+  private def sourceGrams(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("source"),
+        explode(TextOps.wordNgrams(TextOps.words(col("text")), 5)).as("g"))
+
+  private val sourceGramsSql: String =
+    s"""WITH dd AS (
+       |  SELECT source, ${wordsSql("text")} AS w FROM documents
+       |), g AS (
+       |  SELECT source, unnest(CASE WHEN len(w) >= 5
+       |    THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS g
+       |  FROM dd
+       |)""".stripMargin
+
+  /** [[Sketches.hllEstimate]] vs the exact distinct count, per
+    * source — the estimate, the exact, and the relative error the
+    * deployment would size registers against.
+    */
+  private def hllDistinctQ(s: SparkSession, d: String): DataFrame = {
+    val grams = sourceGrams(s, d)
+    val exact = grams.groupBy(col("source"))
+      .agg(countDistinct(col("g")).as("n_exact"))
+    Sketches.hllEstimate(grams, col("source"), col("g"))
+      .withColumnRenamed("g", "source")
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), r4(col("est")).as("est"),
+        r4(abs(col("est") - col("n_exact")) / col("n_exact").cast("double")).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  private val hllDistinctSql: String = {
+    val lzCase =
+      """CASE WHEN substr(lt, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+        |      WHEN substr(lt, 1, 1) IN ('4','5','6','7') THEN 1
+        |      WHEN substr(lt, 1, 1) IN ('2','3') THEN 2
+        |      WHEN substr(lt, 1, 1) = '1' THEN 3
+        |      ELSE 4 END""".stripMargin
+    s"""$sourceGramsSql, hx AS (
+       |  SELECT source, md5(g) AS h,
+       |         ltrim(substr(md5(g), 3, 10), '0') AS lt
+       |  FROM g
+       |), r AS (
+       |  SELECT source, substr(h, 1, 2) AS bucket,
+       |         CASE WHEN length(lt) = 0 THEN 41
+       |              ELSE 4 * (10 - length(lt)) + $lzCase + 1 END AS rank
+       |  FROM hx
+       |), regs AS (
+       |  SELECT source, bucket, max(rank) AS m FROM r GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT source,
+       |         CAST(sum(CAST(1 AS BIGINT) << (41 - m)) AS BIGINT) AS sp,
+       |         count(*) AS present
+       |  FROM regs GROUP BY 1
+       |), est AS (
+       |  SELECT source, present,
+       |         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+       |           * CAST(CAST(1 AS BIGINT) << 41 AS DOUBLE)
+       |           / CAST(sp + (256 - present) * (CAST(1 AS BIGINT) << 41) AS DOUBLE) AS raw
+       |  FROM agg
+       |), corrected AS (
+       |  SELECT source,
+       |         CASE WHEN raw <= 640.0 AND 256 - present > 0
+       |              THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+       |              ELSE raw END AS est
+       |  FROM est
+       |), exact AS (
+       |  SELECT source, count(DISTINCT g) AS n_exact FROM g GROUP BY 1
+       |)
+       |SELECT source, n_exact, ${r4Sql("est")} AS est,
+       |       ${r4Sql("abs(est - n_exact) / CAST(n_exact AS DOUBLE)")} AS rel_err
+       |FROM corrected JOIN exact USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  /** [[Sketches.kmvKthMin]] (k = 256) vs the exact distinct count. */
+  private def kmvDistinctQ(s: SparkSession, d: String): DataFrame = {
+    val grams = sourceGrams(s, d)
+    val exact = grams.groupBy(col("source"))
+      .agg(countDistinct(col("g")).as("n_exact"))
+    Sketches.kmvKthMin(grams, col("source"), col("g"), 256)
+      .withColumnRenamed("g", "source")
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), r4(col("est")).as("est"),
+        r4(abs(col("est") - col("n_exact")) / col("n_exact").cast("double")).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  private val kmvDistinctSql: String =
+    s"""$sourceGramsSql, u AS (
+       |  SELECT source,
+       |         (CAST(('0x' || substring(md5(g), 1, 13)) AS UBIGINT) + 0.5)
+       |           / 4503599627370496.0 AS u
+       |  FROM g
+       |), ranked AS (
+       |  SELECT source, u,
+       |         dense_rank() OVER (PARTITION BY source ORDER BY u) AS dr
+       |  FROM u
+       |), kth AS (
+       |  SELECT source, min(u) AS u_k FROM ranked WHERE dr = 256 GROUP BY 1
+       |), exact AS (
+       |  SELECT source, count(DISTINCT g) AS n_exact FROM g GROUP BY 1
+       |)
+       |SELECT source, n_exact, ${r4Sql("255.0 / u_k")} AS est,
+       |       ${r4Sql("abs(255.0 / u_k - n_exact) / CAST(n_exact AS DOUBLE)")} AS rel_err
+       |FROM kth JOIN exact USING (source)
+       |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_gopher_rules" -> gopherRulesQ,
     "llm_margin_mine"  -> marginMineQ,
+    "llm_hll_distinct" -> hllDistinctQ,
+    "llm_kmv_distinct" -> kmvDistinctQ,
   )
 
   def oracleSql: Map[String, String] = Map(
     "llm_gopher_rules" -> gopherRulesSql,
     "llm_margin_mine"  -> marginMineSql,
+    "llm_hll_distinct" -> hllDistinctSql,
+    "llm_kmv_distinct" -> kmvDistinctSql,
   )
 }

@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distinct-count sketches — the cardinality primitives
+  * a 100 TB corpus profile runs where exact COUNT(DISTINCT) would
+  * shuffle every value: how many distinct n-grams / URLs / users per
+  * partition slice, at O(registers) state per group.
+  *
+  * Both sketches are built from md5, not xxhash/rand, so the SAME
+  * algorithm runs digit-for-digit in any engine (the DuckDB oracle
+  * replays it literally — unlike `approx_count_distinct`, whose
+  * HLL++ registers are engine-private). All register arithmetic is
+  * exact integers (bit shifts, never pow); the estimate is one float
+  * expression at the end.
+  *
+  *  - [[hllEstimate]]: Flajolet et al. 2007 HyperLogLog, m = 256
+  *    registers from the first 2 md5 hex chars, ranks from the next
+  *    40 bits. Duplicates need no pre-dedup (identical hash → same
+  *    register/rank; max absorbs them) — the property that makes the
+  *    aggregation ONE map-side-combined (group, register) pass with
+  *    256·|groups| reducer rows, corpus-size-independent state.
+  *  - [[kmvKthMin]]: the k-minimum-values estimator (Bar-Yossef et
+  *    al. 2002): distinct ≈ (k−1)/u_k with u_k the k-th smallest
+  *    distinct hash mapped into (0,1). Ties collapse via dense_rank
+  *    (k-th smallest DISTINCT value), so duplicates need no pre-dedup
+  *    here either, and the rank plans under WindowGroupLimit —
+  *    map-side partitions pre-trim to k rows per group.
+  */
+object Sketches {
+
+  /** Leading-zero count of one hex digit ('0' → 4). */
+  def hexDigitLz(d: Column): Column =
+    when(d.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+      .when(d.isin("4", "5", "6", "7"), 1)
+      .when(d.isin("2", "3"), 2)
+      .when(d === "1", 3)
+      .otherwise(4)
+
+  /** HLL rank (position of the first 1-bit, 1-based) of a hex-string
+    * tail: 4·(leading '0' digits) + lz(first non-zero digit) + 1;
+    * all-zero tails rank 4·len+1. Engine-portable: `ltrim(_, '0')`
+    * and the digit CASE exist verbatim in DuckDB.
+    */
+  def hexRank(tail: Column, len: Int): Column = {
+    val z = lit(len) - length(ltrim(tail, "0"))
+    when(z === len, lit(4 * len + 1))
+      .otherwise(lit(4) * z + hexDigitLz(substring(ltrim(tail, "0"), 1, 1)) + lit(1))
+  }
+
+  /** HLL m=256 estimate per group over a (group, value) frame.
+    * Returns (group, est, v_zero): est the corrected estimate, v_zero
+    * the empty-register count (diagnostic). Register sums are exact
+    * integers: Σ 2^(41−M) as Longs (M ≤ 41 ⇒ each term ≤ 2^40,
+    * 256 terms ≤ 2^48 — no overflow, no float sum order).
+    */
+  def hllEstimate(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val h = md5(value.cast("string"))
+    val regs = df
+      .select(group.as("g"),
+        substring(h, 1, 2).as("bucket"),
+        hexRank(substring(h, 3, 10), 10).as("rank"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rank")).as("m"))
+      .groupBy(col("g"))
+      .agg(
+        // 2^(41−M) as an exact Long (shiftleft with a column shift
+        // needs the SQL form; the Scala overload takes only Int)
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 41 - m)")).as("s_present"),
+        count(lit(1)).as("present"))
+    val alpha = lit(0.7213d) / (lit(1.0d) + lit(1.079d) / lit(256.0d))
+    val vZero = lit(256L) - col("present")
+    val s = col("s_present") + vZero * shiftleft(lit(1L), 41)
+    val raw = alpha * lit(65536.0d) * shiftleft(lit(1L), 41).cast("double") / s.cast("double")
+    regs.select(col("g"),
+      when(raw <= lit(640.0d) && vZero > 0L,
+        lit(256.0d) * log(lit(256.0d) / vZero.cast("double")))
+        .otherwise(raw).as("est"),
+      vZero.as("v_zero"))
+  }
+
+  /** (0,1) uniform from the first 13 md5 hex chars — exact dyadic
+    * arithmetic, the [[Sampling.weightedSample]] scheme.
+    */
+  def hashUniform(value: Column): Column = {
+    val v = conv(substring(md5(value.cast("string")), 1, 13), 16, 10).cast("double")
+    (v + lit(0.5d)) / lit(4503599627370496.0d) // 2^52
+  }
+
+  /** KMV: per group, the k-th smallest DISTINCT hash uniform and the
+    * estimate (k−1)/u_k. Groups with fewer than k distinct values get
+    * no row (the estimator is undefined there — callers fall back to
+    * the exact count, which is by definition small).
+    */
+  def kmvKthMin(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("u"))
+    df.select(group.as("g"), hashUniform(value).as("u"))
+      .withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") === k)
+      .groupBy(col("g"))
+      .agg(min(col("u")).as("u_k"))
+      .select(col("g"), (lit((k - 1).toDouble) / col("u_k")).as("est"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private def rankOf(tail: String): Int =
+    Seq(tail).toDF("t")
+      .select(Sketches.hexRank(col("t"), 10).as("r"))
+      .as[Int].head()
+
+  test("hexRank: first-1-bit positions from hex tails") {
+    assert(rankOf("8000000000") == 1, "top bit set")
+    assert(rankOf("f123abcdef") == 1)
+    assert(rankOf("4000000000") == 2)
+    assert(rankOf("2fffffffff") == 3)
+    assert(rankOf("1000000000") == 4)
+    assert(rankOf("0800000000") == 5, "one zero digit then top-of-digit")
+    assert(rankOf("00f1a2b3c4") == 9, "two zero digits, then 'f'")
+    assert(rankOf("0000000001") == 40)
+    assert(rankOf("0000000000") == 41, "all-zero tail")
+  }
+
+  test("HLL: within the m=256 error regime and exactly duplicate-invariant") {
+    val n = 20000
+    val vals = (0 until n).map(i => ("s", s"value_$i")).toDF("src", "v")
+    val est = Sketches.hllEstimate(vals, col("src"), col("v"))
+      .select("est").as[Double].head()
+    assert(math.abs(est - n) / n < 0.25,
+      s"HLL est $est vs $n — beyond 4 sigma of 1.04/sqrt(256)")
+
+    val dup = vals.unionByName(vals).unionByName(vals)
+    val estDup = Sketches.hllEstimate(dup, col("src"), col("v"))
+      .select("est").as[Double].head()
+    assert(estDup == est, "duplicates cannot move any register max")
+  }
+
+  test("HLL small-range correction engages for tiny sets") {
+    val vals = (0 until 30).map(i => ("s", s"x$i")).toDF("src", "v")
+    val out = Sketches.hllEstimate(vals, col("src"), col("v"))
+      .select("est", "v_zero").as[(Double, Long)].head()
+    assert(out._2 > 0L, "most registers empty")
+    // linear counting: 256·ln(256/V) — exact small-set estimates land
+    // within a few counts
+    assert(math.abs(out._1 - 30.0) < 5.0, s"linear-counting est ${out._1}")
+  }
+
+  test("KMV: duplicate-invariant, accurate at k=256, absent under k distinct") {
+    val n = 20000
+    val vals = (0 until n).map(i => ("s", s"value_$i")).toDF("src", "v")
+    val est = Sketches.kmvKthMin(vals, col("src"), col("v"), 256)
+      .select("est").as[Double].head()
+    assert(math.abs(est - n) / n < 0.25, s"KMV est $est vs $n")
+
+    val dup = vals.unionByName(vals)
+    val estDup = Sketches.kmvKthMin(dup, col("src"), col("v"), 256)
+      .select("est").as[Double].head()
+    assert(estDup == est, "dense_rank collapses equal hashes")
+
+    val tiny = (0 until 100).map(i => ("s", s"x$i")).toDF("src", "v")
+    assert(Sketches.kmvKthMin(tiny, col("src"), col("v"), 256).count() == 0L,
+      "fewer than k distinct values → estimator undefined → no row")
+  }
+}
