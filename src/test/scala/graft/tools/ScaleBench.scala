@@ -146,7 +146,11 @@ object ScaleBench {
     // r11 wave-2. gopher_rules: pure predicate map pass over the
     // corpus (regex line/word scans) — must be exactly linear like
     // wordlist_filter, measured to confirm no hidden shuffle
-    "llm_gopher_rules")
+    "llm_gopher_rules",
+    // distinct-count sketches: HLL must stay one map-side-combined
+    // register pass (reducer rows = 256·|groups|); KMV's dense_rank
+    // must keep its WindowGroupLimit pre-trim — both corpus-linear
+    "llm_hll_distinct", "llm_kmv_distinct")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
