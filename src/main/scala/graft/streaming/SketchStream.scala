@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Streaming HyperLogLog — [[graft.llm.Sketches.hllEstimate]] as a
+  * `transformWithState` register map. The reason a sketch (and not an
+  * exact distinct set) is the right streaming state: registers are
+  * MONOTONE MAXES, so updates commute, redeliveries are absorbed, and
+  * state per key is ≤ 256 small entries forever — the exact-set
+  * alternative grows with the stream and can't be bounded.
+  *
+  * The register algorithm is byte-for-byte the batch one (md5 hex,
+  * first 2 chars → bucket, next 10 → rank): SketchStreamSpec asserts
+  * the streaming estimate equals the batch estimate EXACTLY on the
+  * same rows — the mergeability property that lets a 100 TB profile
+  * combine per-partition, per-hour, or per-day sketches without ever
+  * re-reading data.
+  */
+object SketchStream {
+
+  case class Distinct(group: Long, value: String)
+  case class Estimate(group: Long, n_seen: Long, est: Double, v_zero: Long)
+
+  /** Batch-identical md5-hex of the value. */
+  private[streaming] def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** Batch-identical hex rank (graft.llm.Sketches.hexRank, len=10). */
+  private[streaming] def hexRank(tail: String): Int = {
+    val lt = tail.dropWhile(_ == '0')
+    if (lt.isEmpty) 41
+    else {
+      val lz = lt.head match {
+        case c if "89abcdef".contains(c) => 0
+        case c if "4567".contains(c)     => 1
+        case c if "23".contains(c)       => 2
+        case '1'                         => 3
+        case _                           => 4
+      }
+      4 * (tail.length - lt.length) + lz + 1
+    }
+  }
+
+  /** Batch-identical estimate from (register → max rank). */
+  private[streaming] def estimate(regs: Map[String, Int]): (Double, Long) = {
+    val vZero = 256L - regs.size
+    val s = regs.values.map(m => 1L << (41 - m)).sum + vZero * (1L << 41)
+    val alpha = 0.7213d / (1.0d + 1.079d / 256.0d)
+    val raw = alpha * 65536.0d * (1L << 41).toDouble / s.toDouble
+    val est =
+      // StrictMath, not math.log: Spark's Log expression evaluates via
+      // StrictMath and the Math.log intrinsic can differ by 1 ulp —
+      // enough to break the exact streaming ≡ batch parity contract.
+      if (raw <= 640.0d && vZero > 0L) 256.0d * StrictMath.log(256.0d / vZero)
+      else raw
+    (est, vZero)
+  }
+
+  class HllProcessor extends StatefulProcessor[Long, Distinct, Estimate] {
+    @transient private var regs: MapState[String, Int] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      regs = getHandle.getMapState[String, Int]("regs",
+        Encoders.STRING, Encoders.scalaInt, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Distinct],
+                                 timerValues: TimerValues): Iterator[Estimate] = {
+      var n = Option(seen.get()).getOrElse(0L)
+      rows.foreach { d =>
+        n += 1
+        val h = md5Hex(d.value)
+        val bucket = h.substring(0, 2)
+        val rank = hexRank(h.substring(2, 12))
+        if (!regs.containsKey(bucket) || regs.getValue(bucket) < rank)
+          regs.updateValue(bucket, rank)
+      }
+      seen.update(n)
+      val local = regs.iterator().map(p => p._1 -> p._2).toMap
+      val (est, vZero) = estimate(local)
+      Iterator.single(Estimate(key, n, est, vZero))
+    }
+  }
+
+  /** One estimate snapshot per (key, trigger) — the latest row per key
+    * is the live cardinality estimate.
+    */
+  def hllOf(ds: Dataset[Distinct]): Dataset[Estimate] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Estimate] = Encoders.product[Estimate]
+    ds.groupByKey(_.group)(Encoders.scalaLong)
+      .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Append())
+  }
+}

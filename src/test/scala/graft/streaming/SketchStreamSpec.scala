@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.Sketches
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** [[SketchStream]] — streaming HLL registers must merge to the SAME
+  * estimate as the batch sketch on the same rows, exactly: register
+  * updates are monotone maxes, so arrival order, batching, and
+  * duplication cannot move the result.
+  */
+class SketchStreamSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+  import SketchStream.{Distinct, Estimate}
+
+  test("kernel parity: JVM md5/rank equal the Column expressions") {
+    val vals = (0 until 500).map(i => s"value_$i")
+    val fromCols = vals.toDF("v")
+      .select(col("v"), md5(col("v")).as("h"))
+      .select(col("v"), substring(col("h"), 1, 2).as("b"),
+        Sketches.hexRank(substring(col("h"), 3, 10), 10).as("r"))
+      .as[(String, String, Int)].collect()
+      .map { case (v, b, r) => v -> ((b, r)) }.toMap
+    vals.foreach { v =>
+      val h = SketchStream.md5Hex(v)
+      assert((h.substring(0, 2), SketchStream.hexRank(h.substring(2, 12))) ==
+        fromCols(v), s"kernel mismatch for $v")
+    }
+  }
+
+  test("streaming estimate ≡ batch estimate, exactly, across batches and redelivery") {
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Distinct]
+    val q = SketchStream.hllOf(in.toDS())
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").start()
+    try {
+      // two groups, values drip-fed across three triggers with overlap
+      // (redelivered values) — registers must absorb all of it
+      val g0 = (0 until 3000).map(i => Distinct(0L, s"a_$i"))
+      val g1 = (0 until 120).map(i => Distinct(1L, s"b_$i"))
+      in.addData(g0.take(1200) ++ g1.take(50)); q.processAllAvailable()
+      in.addData(g0.slice(800, 2200) ++ g1)    ; q.processAllAvailable()
+      in.addData(g0.drop(2000) ++ g1.take(7))  ; q.processAllAvailable()
+
+      val streamEst = spark.table("hll_stream").as[Estimate].collect()
+        .groupBy(_.group).map { case (g, rs) =>
+          val fin = rs.maxBy(_.n_seen) // latest snapshot per key
+          g -> ((fin.est, fin.v_zero))
+        }
+
+      val batch = Sketches.hllEstimate(
+          (g0 ++ g1).toDF("group", "value"), col("group"), col("value"))
+        .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+      assert(streamEst == batch,
+        s"streaming registers must merge to the batch sketch: $streamEst vs $batch")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
