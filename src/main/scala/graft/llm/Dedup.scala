@@ -622,6 +622,53 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Partition-local union-find contraction — the narrow pre-pass in
+    * front of [[componentsStar]]'s shuffled rounds: each partition
+    * runs a min-root union-find over just its own edges and emits one
+    * (member → local root) star edge per non-root node it saw.
+    * Global connectivity survives the contraction because a node
+    * whose edges land in two partitions emits a star edge from EACH,
+    * and those edges share the node — the local roots stay connected
+    * through it. Determinism: min-root union makes every node's local
+    * root the minimum id of its partition-local component regardless
+    * of edge arrival order, and the downstream star rounds converge
+    * to the same global-min labels from any star decomposition.
+    *
+    * Why this is the 100 TB lever: the edge set the iterated rounds
+    * shuffle drops from O(edges) to O(nodes with edges in ≥1
+    * partition) — on a near-dup candidate graph (many short chains
+    * and cliques co-located by the band join that produced them)
+    * that is routinely a 10-100× cut — and each partition's subgraph
+    * starts the rounds at diameter ≤ 2, so the round COUNT (the
+    * scheduler round-trips an iterative operator pays at any scale)
+    * falls as well. Memory is O(distinct nodes per partition), which
+    * `maxPartitionBytes` already bounds.
+    */
+  private def localContract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path-compress the walk
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // every non-root node has a parent entry; roots surface as the
+        // dst of their members' star edges
+        val members = parent.keysIterator.toArray
+        members.iterator.map(m => (m, find(m)))
+      }.toDF("src", "dst")
+  }
+
   /** Large-star / small-star connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — the
     * long-chain fallback [[components]] documents: min-label
@@ -650,11 +697,15 @@ object Dedup {
     * component's minimum id), one row per non-isolated node. Throws
     * if `maxRounds` is hit first — under-convergence here would mean
     * silently wrong clusters, and with O(log²) growth a cap of 30
-    * covers any graph that fits on hardware.
+    * covers any graph that fits on hardware. `contract` (default on)
+    * runs the [[localContract]] union-find pre-pass so the rounds
+    * start from per-partition stars instead of raw edges; disable it
+    * only to exercise the pure star recursion.
     */
   def componentsStar(pairs: DataFrame, idA: Column, idB: Column,
                      maxRounds: Int = 30,
-                     reliable: Boolean = false): DataFrame = {
+                     reliable: Boolean = false,
+                     contract: Boolean = true): DataFrame = {
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
@@ -667,7 +718,10 @@ object Dedup {
       sym.join(mn, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), least(col("src"), col("mn")).as("dst"))
-        .distinct()
+      // no distinct here: small-star's groupBy(src) aggregates over
+      // duplicates unchanged and its own terminal distinct bounds the
+      // round's output — deduping twice per round costs a full
+      // exchange to remove rows the next stage absorbs for free
     }
 
     // small-star over larger→smaller edges: every strictly-smaller
@@ -696,8 +750,9 @@ object Dedup {
     def checkpointLazily(df: DataFrame): DataFrame =
       if (reliable) materialize(df) else df.localCheckpoint(false)
 
-    var edges = materialize(
-      pairs.select(idA.as("src"), idB.as("dst")).filter(col("src") =!= col("dst")))
+    val cleaned =
+      pairs.select(idA.as("src"), idB.as("dst")).filter(col("src") =!= col("dst"))
+    var edges = materialize(if (contract) localContract(cleaned) else cleaned)
     var prev: Option[(Long, String)] = None
     var round = 0
     var converged = false

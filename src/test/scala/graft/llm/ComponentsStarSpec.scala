@@ -48,6 +48,23 @@ class ComponentsStarSpec extends SparkSpec {
     assert(got === (0L to 20L).map(_ -> 0L).toMap)
   }
 
+  test("local contraction ≡ pure star recursion on random multi-partition graphs") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 4) {
+      val n = 60 + trial * 40
+      // random edges + a long chain crossing partitions, scattered so
+      // every partition's union-find sees an arbitrary slice
+      val raw = Seq.fill(n)((rnd.nextLong(80L), rnd.nextLong(80L))) ++
+        (100L until 160L).map(i => (i, i + 1)) ++ Seq((80L * trial % 79, 130L))
+      val edges = rnd.shuffle(raw).toDF("a", "b").repartition(7)
+      val contracted = labelsOf(
+        Dedup.componentsStar(edges, col("a"), col("b")))
+      val pure = labelsOf(
+        Dedup.componentsStar(edges, col("a"), col("b"), contract = false))
+      assert(contracted === pure, s"trial $trial")
+    }
+  }
+
   test("under-capped rounds throw instead of returning wrong clusters") {
     val edges = (0L until 64L).filter(_ != 63L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
