@@ -89,7 +89,7 @@ object LlmQueries {
        |  FROM base
        |), sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
        |mh AS (
-       |  SELECT id, seed, min(md5(seed::VARCHAR || '|' || s)) AS m
+       |  SELECT id, seed, min(substring(md5(CAST(seed // 4 AS VARCHAR) || '|' || s), 1 + 8 * (seed % 4), 8)) AS m
        |  FROM sh CROSS JOIN (SELECT seed FROM range(8) t(seed)) GROUP BY 1, 2
        |), bands AS (
        |  SELECT id, seed // 2 AS band, string_agg(m, '' ORDER BY seed) AS bk
@@ -245,7 +245,7 @@ object LlmQueries {
        |         ELSE CAST([] AS VARCHAR[]) END)) AS s
        |  FROM w
        |), mh AS (
-       |  SELECT id, seed, min(md5(seed::VARCHAR || '|' || s)) AS m
+       |  SELECT id, seed, min(substring(md5(CAST(seed // 4 AS VARCHAR) || '|' || s), 1 + 8 * (seed % 4), 8)) AS m
        |  FROM sh CROSS JOIN (SELECT seed FROM range(8) t(seed)) GROUP BY 1, 2
        |), bands AS (
        |  SELECT id, seed // 2 AS band, string_agg(m, '' ORDER BY seed) AS bk
@@ -999,7 +999,9 @@ object LlmQueries {
     * and the estimate threshold in one go.
     */
   private def incrementalDedupQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    // fanOut before admit: the minhash fingerprint kernel inside admit
+    // is the query's CPU center, and a small parquet scan is ONE split
+    val docs = Tables.fanOut(Tables.documents(s, d)).filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
     val b1 = docs.filter(col("doc_id") % 3 === 0)
     val ws = TextOps.words(col("text"))
@@ -1064,10 +1066,10 @@ object LlmQueries {
        |         ELSE CAST([] AS VARCHAR[]) END)) AS s
        |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM inoex)
        |), imh1 AS (
-       |  SELECT id, seed, min(md5(seed::VARCHAR || '|' || s)) AS m
+       |  SELECT id, seed, min(substring(md5(CAST(seed // 4 AS VARCHAR) || '|' || s), 1 + 8 * (seed % 4), 8)) AS m
        |  FROM ish1 CROSS JOIN (SELECT seed FROM range(8) t(seed)) GROUP BY 1, 2
        |), imh2 AS (
-       |  SELECT id, seed, min(md5(seed::VARCHAR || '|' || s)) AS m
+       |  SELECT id, seed, min(substring(md5(CAST(seed // 4 AS VARCHAR) || '|' || s), 1 + 8 * (seed % 4), 8)) AS m
        |  FROM ish2 CROSS JOIN (SELECT seed FROM range(8) t(seed)) GROUP BY 1, 2
        |), ibd1 AS (
        |  SELECT id, seed // 2 AS band, string_agg(m, '' ORDER BY seed) AS bk

@@ -39,10 +39,39 @@ object Dedup {
     * across engines. Output: (id, m0..m{k-1}).
     */
   def minHashSignature(exploded: DataFrame, id: Column, shingle: Column, k: Int): DataFrame = {
-    val aggs = (0 until k).map { s =>
-      min(md5(concat(lit(s.toString), lit("|"), shingle))).as(s"m$s")
+    val hashed = exploded.select(id.as("id") +: minHashDigests(shingle): _*)
+    hashed.groupBy(col("id")).agg(minHashAggs(k).head, minHashAggs(k).tail: _*)
+  }
+
+  /** The shared minhash hashing scheme: ONE md5 per shingle per FOUR
+    * seeds, sliced into disjoint 8-hex (32-bit) values — md5's 128
+    * bits carry four independent uniform orderings, so hashing once
+    * and slicing is the same hash family as four seeded digests at a
+    * quarter of the CPU (the dominant map cost of every minhash
+    * operator; the one-permutation-hashing observation of Li et al.,
+    * NIPS'12, applied conservatively — four slices, not one pass).
+    * The digests are PROJECTED below the aggregate ([[minHashDigests]])
+    * rather than repeated inside each min() so evaluation-once is plan
+    * structure, not a codegen-CSE hope (the DupExprAudit lesson).
+    * Slice width 32 bits: a cross-shingle slice collision needs 2^32
+    * agreement, immaterial to a min over ≤10^5-shingle documents,
+    * and the narrower values also shrink every signature row, band
+    * key, and estimate comparison downstream.
+    */
+  private[llm] def minHashDigests(shingle: Column): Seq[Column] =
+    Seq(shingle.as("__sh"),
+      md5(concat(lit("0|"), shingle)).as("__mh0"),
+      md5(concat(lit("1|"), shingle)).as("__mh1"))
+
+  /** The k min-aggregates over [[minHashDigests]]' projected columns:
+    * seed j reads slice j%4 of digest j/4. Supports k ≤ 8 (two
+    * digests); widen minHashDigests for larger k.
+    */
+  private[llm] def minHashAggs(k: Int): Seq[Column] = {
+    require(k <= 8, s"minhash scheme carries 2 digests = 8 slices, got k=$k")
+    (0 until k).map { j =>
+      min(substring(col(s"__mh${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"m$j")
     }
-    exploded.groupBy(id.as("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys from a signature row: `bandsOf` consecutive hashes
@@ -155,11 +184,9 @@ object Dedup {
                       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
     val exploded = docs
       .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
-    val aggs = (0 until k).map { s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("s")))).as(s"m$s")
-    }
-    val docsig = exploded.groupBy(col("id"))
-      .agg(collect_list(col("s")).as("gs"), aggs: _*)
+    val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
+    val docsig = hashed.groupBy(col("id"))
+      .agg(collect_list(col("__sh")).as("gs"), minHashAggs(k): _*)
     val cand = lshCandidates(lshBands(docsig, k, bandsOf))
     val a = docsig.select(col("id").as("id_a"), col("gs").as("ga"))
     val b = docsig.select(col("id").as("id_b"), col("gs").as("gb"))
@@ -187,11 +214,9 @@ object Dedup {
                        k: Int, bandsOf: Int): DataFrame = {
     val exploded = docs
       .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
-    val aggs = (0 until k).map { s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("s")))).as(s"m$s")
-    }
-    val docsig = exploded.groupBy(col("id"))
-      .agg(collect_list(col("s")).as("gs"), aggs: _*)
+    val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
+    val docsig = hashed.groupBy(col("id"))
+      .agg(collect_list(col("__sh")).as("gs"), minHashAggs(k): _*)
     val cand = lshCandidates(lshBands(docsig, k, bandsOf))
     val a = docsig.select(col("id").as("id_a") +: col("gs").as("ga") +:
       (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -317,10 +342,8 @@ object Dedup {
                    tau: Double): DataFrame = {
     val base = docs.select(id.as("id"), textCol.as("t"), shinglesCol.as("sh"))
     val exploded = base.select(col("id"), explode(array_distinct(col("sh"))).as("s"))
-    val aggs = (0 until k).map { sd =>
-      min(md5(concat(lit(sd.toString), lit("|"), col("s")))).as(s"m$sd")
-    }
-    val sig = exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
+    val sig = hashed.groupBy(col("id")).agg(minHashAggs(k).head, minHashAggs(k).tail: _*)
     val cand = lshCandidates(lshBands(sig, k, bandsOf))
     val ta = base.select(col("id").as("id_a"), col("t").as("ta"))
     val tb = base.select(col("id").as("id_b"), col("t").as("tb"))
