@@ -75,16 +75,19 @@ object IncrementalDedup {
     val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"))
     val fp = fingerprints(docs, k)
 
-    // in-batch exact dedup first: lowest id wins per digest. NOT
-    // checkpointed despite multiple downstream references: exchange
-    // reuse already shares the minhash aggregation within the single
-    // admitted-frame job, and materializing here measured a wash
-    // (6.1 s vs 6.8 s at sf0.1) — the checkpoint that pays is the
-    // admitted frame below, which crosses ACTION boundaries.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("digest")).orderBy(col("doc_id"))
-    val batchUnique = fp.withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1).drop("__r")
+    // in-batch exact dedup first: lowest id wins per digest, as a
+    // min_by aggregation rather than a row_number window — the
+    // partial aggregate combines map-side, so the digest exchange
+    // carries one row per (partition, digest) instead of every row
+    // plus a per-partition sort. NOT checkpointed despite multiple
+    // downstream references: exchange reuse already shares the
+    // minhash aggregation within the single admitted-frame job — the
+    // checkpoint that pays is the admitted frame below, which crosses
+    // ACTION boundaries.
+    val batchUnique = fp
+      .groupBy(col("digest"))
+      .agg(min_by(struct(fp.columns.map(col): _*), col("doc_id")).as("__w"))
+      .select(col("__w.*"))
 
     val admittedRaw =
       if (state.version < 0) batchUnique
