@@ -2102,11 +2102,12 @@ object LlmQueries {
     * passages however different the rest of the documents are.
     */
   private def spanDedupQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val docs = Tables.fanOut(Tables.documents(s, d)).filter(col("text").isNotNull)
     val grams = docs.select(col("doc_id"),
       explode(array_distinct(
         TextOps.wordNgrams(TextOps.words(col("text")), 10))).as("g"))
-    Dedup.sharedSpanPairs(grams, col("doc_id"), col("g"))
+    // array_distinct above already makes (doc_id, g) unique
+    Dedup.sharedSpanPairs(grams, col("doc_id"), col("g"), assumeDistinct = true)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -128,10 +128,17 @@ object Dedup {
     * / video shared-frame df-prune rule; dropped spans are the ones a
     * dedup decision should not be based on anyway. Shape: one distinct
     * + one df aggregation + a per-span bucket join — nothing all-pairs.
+    * `assumeDistinct` skips the (id, gram) dedup exchange when the
+    * caller already exploded a per-document-distinct gram set (the
+    * usual `explode(array_distinct(...))` shape) — that distinct is
+    * the widest shuffle in the operator (full n-gram strings), and
+    * re-running it on already-unique rows buys nothing.
     */
   def sharedSpanPairs(exploded: DataFrame, id: Column, gram: Column,
-                      minDf: Long = 2L, maxDf: Long = 32L): DataFrame = {
-    val g = exploded.select(id.as("id"), gram.as("g")).distinct()
+                      minDf: Long = 2L, maxDf: Long = 32L,
+                      assumeDistinct: Boolean = false): DataFrame = {
+    val raw = exploded.select(id.as("id"), gram.as("g"))
+    val g = if (assumeDistinct) raw else raw.distinct()
     val keep = g.groupBy(col("g")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf && col("__df") <= maxDf)
       .select(col("g"))
