@@ -2374,19 +2374,25 @@ object LlmQueries {
     * DuckDB `len(regexp_extract_all)`.
     */
   private def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val aug = Tables.documents(s, d).select(col("doc_id"),
+    val aug = Tables.fanOut(Tables.documents(s, d)).select(col("doc_id"),
       concat(col("text"),
         lit(" Contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com from 10."), (col("doc_id") % 250).cast("string"),
         lit(".0.7 or call +1-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" now.")).as("t"))
-    aug.select(col("doc_id"),
+    aug
+      // Generate barrier: scrubPii is 3 chained regexp_replace passes
+      // and two consumers (md5, length) — CollapseProject would
+      // re-inline it per consumer without the explode
+      .select(col("doc_id"), col("t"),
+        explode(array(TextOps.scrubPii(col("t")))).as("st"))
+      .select(col("doc_id"),
         regexp_count(col("t"), lit(TextOps.emailRe)).cast("bigint").as("n_email"),
         regexp_count(col("t"), lit(TextOps.ipv4Re)).cast("bigint").as("n_ip"),
         regexp_count(col("t"), lit(TextOps.phoneRe)).cast("bigint").as("n_phone"),
-        md5(TextOps.scrubPii(col("t"))).as("scrub_md5"),
-        length(TextOps.scrubPii(col("t"))).cast("bigint").as("scrub_len"))
+        md5(col("st")).as("scrub_md5"),
+        length(col("st")).cast("bigint").as("scrub_len"))
       .orderBy(col("doc_id"))
   }
 
