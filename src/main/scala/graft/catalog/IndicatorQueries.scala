@@ -409,7 +409,31 @@ object IndicatorQueries {
        |GROUP BY 1, 2 HAVING sum(k) > 0
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------- max drawdown
+  /** [[Indicators.maxDrawdown]] over the hourly close series: the
+    * deepest peak-to-trough loss per event_type, in percent of the
+    * running integer-cents peak. One keyed window + one aggregate;
+    * the per-row double exists only inside an order-independent max.
+    */
+  private def drawdownQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.maxDrawdown(hourly(s, dir), Seq(col("event_type")), col("bus"),
+        col("c"))
+      .select(col("event_type"), col("n"), r4(col("max_dd_pct")).as("max_dd_pct"))
+      .orderBy(col("event_type"))
+
+  private val drawdownSql: String =
+    s"""$hourlyCte, pk AS (
+       |  SELECT event_type, bus, c,
+       |         max(c) OVER (PARTITION BY event_type ORDER BY bus
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM hourly
+       |)
+       |SELECT event_type, count(*) AS n,
+       |       ${r4Sql("max((p - c) * 100.0 / CAST(p AS DOUBLE))")} AS max_dd_pct
+       |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_drawdown"   -> drawdownQ,
     "ts_rsi"        -> rsiQ,
     "ts_bollinger"  -> bollingerQ,
     "ts_ema"        -> emaQ,
@@ -423,6 +447,7 @@ object IndicatorQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_drawdown"   -> drawdownSql,
     "ts_rsi"        -> rsiSql,
     "ts_bollinger"  -> bollingerSql,
     "ts_ema"        -> emaSql,

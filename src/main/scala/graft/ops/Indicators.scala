@@ -285,4 +285,26 @@ object Indicators {
       .withColumn("vwap", col("__pv").cast("double") / (lit(100.0d) * col("qty").cast("double")))
       .drop("__pv")
   }
+
+  /** Maximum drawdown per key: the largest peak-to-trough loss of the
+    * series, in percent of the peak — the risk summary every OHLCV
+    * dashboard pairs with returns. Running peak is an integer cummax
+    * over the cents series (one keyed window, the same exchange every
+    * other indicator rides); each row's drawdown converts to double in
+    * ONE fixed expression `(peak − c) · 100.0 / peak`, and the per-key
+    * max over those doubles is order-independent (max, not sum), so
+    * the result is engine-exact under the [[graft.catalog.Oracle]]
+    * discipline. Returns one row per key: (keys..., n, max_dd_pct).
+    */
+  def maxDrawdown(series: DataFrame, keys: Seq[Column], ts: Column,
+                  closeCents: Column): DataFrame = {
+    val cum = Window.partitionBy(keys: _*).orderBy(ts)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("__peak", max(closeCents).over(cum))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        max((col("__peak") - closeCents) * lit(100.0d) /
+          col("__peak").cast("double")).as("max_dd_pct"))
+  }
 }

@@ -107,4 +107,25 @@ class IndicatorsPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("maxDrawdown equals the sequential peak-to-trough scan") {
+    for (seed <- 1L to 5L) {
+      // clamp to ≥1 cent: prices are positive by domain, and the
+      // percent-of-peak division needs a nonzero peak
+      val ws = walks(seed).view.mapValues(_.map(math.max(_, 1L))).toMap
+      val got = Indicators.maxDrawdown(toDf(ws),
+          Seq(col("key")), col("t"), col("c"))
+        .select("key", "n", "max_dd_pct").as[(String, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      for ((k, vs) <- ws) {
+        var peak = Long.MinValue
+        var dd = Double.MinValue
+        vs.foreach { c =>
+          peak = math.max(peak, c)
+          dd = math.max(dd, (peak - c) * 100.0 / peak.toDouble)
+        }
+        assert(got(k)._1 == vs.size && got(k)._2 == dd, s"key=$k seed=$seed")
+      }
+    }
+  }
 }
