@@ -246,11 +246,57 @@ object CurationQueries {
        |FROM kth JOIN exact USING (source)
        |ORDER BY source""".stripMargin
 
+  /** [[Sketches.countMin]] + [[Sketches.countMinLookup]]: the exact
+    * top-20 words vs their count-min estimates, with the overcount
+    * each collision adds. Everything is integer counts — no floats
+    * anywhere — and the CM upper-bound property (`n_est ≥ n_exact`)
+    * is visible row by row in the checked output.
+    */
+  private def countMinQ(s: SparkSession, d: String): DataFrame = {
+    val wd = Tables.fanOut(Tables.documents(s, d))
+      .select(explode(TextOps.words(col("text"))).as("w"))
+    val cm = Sketches.countMin(wd, lit(0L), col("w"))
+    // 20 rows: safe to materialize once for the two consumers below
+    val top = wd.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(20)
+      .localCheckpoint(false)
+    val est = Sketches.countMinLookup(cm, top.select(col("w")), lit(0L), col("w"))
+    top.join(est.select(col("key").as("w"), col("est")), Seq("w"))
+      .select(col("w"), col("n_exact"), col("est").as("n_est"),
+        (col("est") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("w"))
+  }
+
+  private val countMinSql: String =
+    s"""WITH wd AS (
+       |  SELECT unnest(${wordsSql("text")}) AS w FROM documents
+       |), probes AS (
+       |  SELECT w, r, substring(md5(w), 1 + 3 * CAST(r AS INTEGER), 3) AS b
+       |  FROM wd CROSS JOIN (SELECT unnest(range(4)) AS r)
+       |), cm AS (
+       |  SELECT r, b, count(*) AS c FROM probes GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT w, count(*) AS n_exact FROM wd GROUP BY 1
+       |), top AS (
+       |  SELECT w, n_exact FROM ex ORDER BY n_exact DESC, w LIMIT 20
+       |), keyprobes AS (
+       |  SELECT t.w, r, substring(md5(t.w), 1 + 3 * CAST(r AS INTEGER), 3) AS b
+       |  FROM top t CROSS JOIN (SELECT unnest(range(4)) AS r)
+       |), est AS (
+       |  SELECT k.w, min(c.c) AS n_est
+       |  FROM keyprobes k JOIN cm c ON c.r = k.r AND c.b = k.b GROUP BY 1
+       |)
+       |SELECT t.w, t.n_exact, CAST(e.n_est AS BIGINT) AS n_est,
+       |       CAST(e.n_est - t.n_exact AS BIGINT) AS overcount
+       |FROM top t JOIN est e ON e.w = t.w
+       |ORDER BY t.n_exact DESC, t.w""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_gopher_rules" -> gopherRulesQ,
     "llm_margin_mine"  -> marginMineQ,
     "llm_hll_distinct" -> hllDistinctQ,
     "llm_kmv_distinct" -> kmvDistinctQ,
+    "llm_count_min"    -> countMinQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -258,5 +304,6 @@ object CurationQueries {
     "llm_margin_mine"  -> marginMineSql,
     "llm_hll_distinct" -> hllDistinctSql,
     "llm_kmv_distinct" -> kmvDistinctSql,
+    "llm_count_min"    -> countMinSql,
   )
 }

@@ -103,4 +103,48 @@ object Sketches {
       .agg(min(col("u")).as("u_k"))
       .select(col("g"), (lit((k - 1).toDouble) / col("u_k")).as("est"))
   }
+
+  /** Count-min row/bucket probes for one value: depth 4 rows whose
+    * 12-bit bucket indexes are DISJOINT 3-hex slices of a single md5
+    * (the minhash slicing rationale — one digest carries all four
+    * independent hash functions). Shared by the sketch builder, the
+    * point-estimate lookup, and the streaming form, which must agree
+    * byte-for-byte.
+    */
+  def cmProbes(value: Column): Column = {
+    val h = md5(value.cast("string"))
+    array((0 until 4).map { r =>
+      struct(lit(r.toLong).as("r"), substring(h, 1 + 3 * r, 3).as("b"))
+    }: _*)
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan '05) per group: depth
+    * 4 × width 4096, counts summed per (group, row, bucket). Returns
+    * (g, r, b, c). The state is O(groups · 16384) regardless of
+    * corpus size, the aggregation is one map-side-combined pass, and
+    * sketches MERGE by adding counts — per-partition, per-hour, or
+    * per-day frequency sketches union without re-reading data, the
+    * property [[countMinLookup]] and the streaming form rely on.
+    * Estimates upper-bound true counts (hash collisions only ADD), so
+    * `est ≥ exact` always — the bound the spec pins.
+    */
+  def countMin(df: DataFrame, group: Column, value: Column,
+               weight: Column = lit(1L)): DataFrame =
+    df.select(group.as("g"), weight.as("w"), explode(cmProbes(value)).as("rb"))
+      .groupBy(col("g"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("w")).as("c"))
+
+  /** Point-frequency estimates from a [[countMin]] sketch: for each
+    * (g, key) row the min of its four bucket counts — the classic CM
+    * upper-bound estimate. Keys absent from the sketch's input simply
+    * have no colliding bucket rows and fall out of the inner join; by
+    * CM semantics a missing bucket means count 0.
+    */
+  def countMinLookup(sketch: DataFrame, keys: DataFrame,
+                     group: Column, key: Column): DataFrame =
+    keys.select(group.as("g"), key.as("key"), explode(cmProbes(key)).as("rb"))
+      .select(col("g"), col("key"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(sketch, Seq("g", "r", "b"))
+      .groupBy(col("g"), col("key"))
+      .agg(min(col("c")).as("est"))
 }

@@ -97,4 +97,55 @@ object SketchStream {
     ds.groupByKey(_.group)(Encoders.scalaLong)
       .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  // ------------------------------------------------------ count-min
+
+  case class Occur(group: Long, value: String)
+  case class CmCell(group: Long, r: Long, b: String, c: Long)
+
+  /** Streaming count-min — [[graft.llm.Sketches.countMin]]'s cells as
+    * a `transformWithState` counter map, byte-compatible with the
+    * batch scheme (3-hex slices of one md5). Counts are COMMUTATIVE
+    * SUMS, so arrival order and batching cannot move the final
+    * sketch, and state per key is bounded by 4·4096 cells forever —
+    * the live heavy-hitters feed a stream-side corpus profile wants.
+    * (Unlike the HLL registers, counts are not idempotent under
+    * input-level duplication: the stream contract is each occurrence
+    * delivered once, which Structured Streaming's exactly-once state
+    * guarantees provide across retries.)
+    */
+  class CmProcessor extends StatefulProcessor[Long, Occur, CmCell] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("cm",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Occur],
+                                 timerValues: TimerValues): Iterator[CmCell] = {
+      rows.foreach { o =>
+        val h = md5Hex(o.value)
+        var r = 0
+        while (r < 4) {
+          val cell = r.toString + "|" + h.substring(3 * r, 3 * r + 3)
+          val cur = if (counts.containsKey(cell)) counts.getValue(cell) else 0L
+          counts.updateValue(cell, cur + 1L)
+          r += 1
+        }
+      }
+      counts.iterator().map { case (cell, c) =>
+        val i = cell.indexOf('|')
+        CmCell(key, cell.substring(0, i).toLong, cell.substring(i + 1), c)
+      }
+    }
+  }
+
+  /** Full sketch snapshot per (key, trigger); cells only grow, so the
+    * max count per (group, r, b) is the live sketch.
+    */
+  def cmOf(ds: Dataset[Occur]): Dataset[CmCell] = {
+    implicit val enc: org.apache.spark.sql.Encoder[CmCell] = Encoders.product[CmCell]
+    ds.groupByKey(_.group)(Encoders.scalaLong)
+      .transformWithState(new CmProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -63,4 +63,33 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.kmvKthMin(tiny, col("src"), col("v"), 256).count() == 0L,
       "fewer than k distinct values → estimator undefined → no row")
   }
+
+  test("count-min: upper bound, exact for hot keys, and mergeable by addition") {
+    // zipf-ish: key i appears (200 - i) times → distinct counts, hot head
+    val rows = (0 until 200).flatMap(i => Seq.fill(200 - i)((0L, s"key_$i")))
+      .toDF("g", "v")
+    val cm = Sketches.countMin(rows, col("g"), col("v"))
+    val exact = rows.groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val est = Sketches.countMinLookup(cm, exact.select(col("v")), lit(0L), col("v"))
+    val both = exact.join(est.select(col("key").as("v"), col("est")), Seq("v"))
+      .select("v", "n", "est").as[(String, Long, Long)].collect()
+    assert(both.length == 200)
+    both.foreach { case (v, n, e) =>
+      assert(e >= n, s"CM must upper-bound: $v est=$e exact=$n") }
+    // 200 keys into 4096 buckets: the hottest keys are almost surely
+    // collision-free in at least one of 4 rows → exact estimates
+    assert(both.count { case (_, n, e) => e == n } > 150,
+      "most keys should estimate exactly at this load factor")
+
+    // mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), cell-exact
+    val a = rows.filter(md5(col("v")).startsWith("0") === false)
+    val b = rows.filter(md5(col("v")).startsWith("0"))
+    val merged = Sketches.countMin(a, col("g"), col("v"))
+      .unionByName(Sketches.countMin(b, col("g"), col("v")))
+      .groupBy("g", "r", "b").agg(sum("c").as("c"))
+      .select("g", "r", "b", "c").as[(Long, Long, String, Long)].collect().toSet
+    val whole = cm.select("g", "r", "b", "c")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(merged == whole, "per-part sketches must add to the whole")
+  }
 }

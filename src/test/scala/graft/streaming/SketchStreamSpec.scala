@@ -67,4 +67,41 @@ class SketchStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming count-min cells ≡ batch sketch across batches") {
+    import SketchStream.{CmCell, Occur}
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Occur]
+    val q = SketchStream.cmOf(in.toDS())
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("append").start()
+    try {
+      // two groups, occurrences with real duplicate values, split
+      // across three triggers at arbitrary cut points
+      val all = (0 until 2000).map(i => Occur(i % 2, s"tok_${i % 37}"))
+      in.addData(all.take(700));      q.processAllAvailable()
+      in.addData(all.slice(700, 1100)); q.processAllAvailable()
+      in.addData(all.drop(1100));     q.processAllAvailable()
+
+      // cells only grow → max per cell is the final sketch
+      val streamed = spark.table("cm_stream").as[CmCell].collect()
+        .groupBy(c => (c.group, c.r, c.b))
+        .map { case (k, cs) => k -> cs.map(_.c).max }
+      val batch = graft.llm.Sketches.countMin(
+          all.map(o => (o.group, o.value)).toDF("g", "v"), col("g"), col("v"))
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => ((r._1, r._2, r._3)) -> r._4).toMap
+      assert(streamed == batch,
+        "streaming cells must sum to the batch sketch exactly")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
