@@ -291,7 +291,87 @@ object CurationQueries {
        |FROM top t JOIN est e ON e.w = t.w
        |ORDER BY t.n_exact DESC, t.w""".stripMargin
 
+  /** [[Sketches.kmvSetOps]] — corpus-overlap set algebra on sketches
+    * alone: per source pair, the KMV union / intersection / Jaccard
+    * estimates (k = 256) next to the exact gram Jaccard they
+    * approximate. At 100 TB only the ≤ k-row sketches ever meet; the
+    * exact columns exist to pin the estimator and measure its error.
+    */
+  private def kmvSetOpsQ(s: SparkSession, d: String): DataFrame = {
+    val grams = sourceGrams(s, d)
+    val mins = Sketches.kmvMins(grams, col("source"), col("g"), 256)
+    val ops = Sketches.kmvSetOps(mins, 256)
+    val dg = grams.select(col("source"), col("g")).distinct()
+    val sizes = dg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = dg.select(col("source").as("sa"), col("g"))
+      .join(dg.select(col("source").as("sb"), col("g")), Seq("g"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("ni"))
+    ops.join(inter, Seq("sa", "sb"), "left")
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        r4(col("jac_est")).as("jac_est"),
+        r4(col("est_union")).as("est_union"),
+        r4(col("est_inter")).as("est_inter"),
+        r4(coalesce(col("ni"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).cast("double"))
+          .as("jac_exact"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val kmvSetOpsSql: String =
+    s"""$sourceGramsSql, du AS (
+       |  SELECT DISTINCT source,
+       |         (CAST(('0x' || substring(md5(g), 1, 13)) AS UBIGINT) + 0.5)
+       |           / 4503599627370496.0 AS u
+       |  FROM g
+       |), rk AS (
+       |  SELECT source, u,
+       |         dense_rank() OVER (PARTITION BY source ORDER BY u) AS dr
+       |  FROM du
+       |), mins AS (SELECT source, u FROM rk WHERE dr <= 256
+       |), srcs AS (SELECT DISTINCT source FROM mins
+       |), pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source
+       |), cu AS (
+       |  SELECT p.sa, p.sb, m.u,
+       |         max(CASE WHEN m.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |         max(CASE WHEN m.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM pairs p JOIN mins m ON m.source = p.sa OR m.source = p.sb
+       |  GROUP BY 1, 2, 3
+       |), agg AS (
+       |  SELECT sa, sb,
+       |         min(CASE WHEN dr = 256 THEN u END) AS u_k,
+       |         CAST(sum(CASE WHEN dr <= 256 AND ina = 1 AND inb = 1
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+       |  FROM (SELECT sa, sb, u, ina, inb,
+       |               dense_rank() OVER (PARTITION BY sa, sb ORDER BY u) AS dr
+       |        FROM cu)
+       |  GROUP BY 1, 2
+       |), dg AS (SELECT DISTINCT source, g FROM g
+       |), sizes AS (SELECT source, count(*) AS n FROM dg GROUP BY 1
+       |), inter AS (
+       |  SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+       |  FROM dg a JOIN dg b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT t.sa AS source_a, t.sb AS source_b,
+       |       ${r4Sql("CAST(cnt AS DOUBLE) / 256")} AS jac_est,
+       |       ${r4Sql("255.0 / u_k")} AS est_union,
+       |       ${r4Sql("(CAST(cnt AS DOUBLE) / 256) * (255.0 / u_k)")} AS est_inter,
+       |       ${r4Sql("CAST(COALESCE(ni, 0) AS DOUBLE) / " +
+                       "CAST(an.n + bn.n - COALESCE(ni, 0) AS DOUBLE)")} AS jac_exact
+       |FROM agg t
+       |LEFT JOIN inter i ON i.sa = t.sa AND i.sb = t.sb
+       |JOIN sizes an ON an.source = t.sa
+       |JOIN sizes bn ON bn.source = t.sb
+       |WHERE u_k IS NOT NULL
+       |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_kmv_setops"   -> kmvSetOpsQ,
     "llm_gopher_rules" -> gopherRulesQ,
     "llm_margin_mine"  -> marginMineQ,
     "llm_hll_distinct" -> hllDistinctQ,
@@ -300,6 +380,7 @@ object CurationQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "llm_kmv_setops"   -> kmvSetOpsSql,
     "llm_gopher_rules" -> gopherRulesSql,
     "llm_margin_mine"  -> marginMineSql,
     "llm_hll_distinct" -> hllDistinctSql,

@@ -104,6 +104,56 @@ object Sketches {
       .select(col("g"), (lit((k - 1).toDouble) / col("u_k")).as("est"))
   }
 
+  /** The KMV sketch itself: the k smallest DISTINCT hash uniforms per
+    * group, ≤ k rows per group — the mergeable form set algebra needs
+    * (union sketches by re-ranking the union of rows). The distinct
+    * runs BEFORE the rank so the window sorts each group's unique
+    * hashes once; WindowGroupLimit pre-trims map-side to k per group.
+    */
+  def kmvMins(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("u"))
+    df.select(group.as("g"), hashUniform(value).as("u")).distinct()
+      .withColumn("dr", dense_rank().over(w)).filter(col("dr") <= k).drop("dr")
+  }
+
+  /** KMV set algebra (Beyer et al. SIGMOD'07) over [[kmvMins]] rows:
+    * for every group pair (sa < sb), the union estimate from the k
+    * smallest hashes of K(sa) ∪ K(sb), the Jaccard estimate ρ = (how
+    * many of those appear in BOTH sketches)/k, and the intersection
+    * estimate ρ·est_union. Everything runs on the sketches alone —
+    * O(pairs · k) rows — never on the underlying sets: THE reason a
+    * 100 TB corpus-overlap matrix is computable at all. Pairs whose
+    * union carries fewer than k distinct hashes are dropped (the
+    * estimator is undefined; both sets are small enough to compare
+    * exactly). Estimates are single fixed float expressions over
+    * exact integers and one u_k — engine-portable.
+    */
+  def kmvSetOps(mins: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = mins.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("sa"))
+      .join(gs.select(col("g").as("sb")), col("sa") < col("sb"))
+    val ua = pairs.join(mins.select(col("g").as("sa"), col("u")), Seq("sa"))
+      .select(col("sa"), col("sb"), col("u"), lit(1).as("ina"), lit(0).as("inb"))
+    val ub = pairs.join(mins.select(col("g").as("sb"), col("u")), Seq("sb"))
+      .select(col("sa"), col("sb"), col("u"), lit(0).as("ina"), lit(1).as("inb"))
+    val cu = ua.unionByName(ub).groupBy(col("sa"), col("sb"), col("u"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("u"))
+    cu.withColumn("dr", dense_rank().over(w))
+      .groupBy(col("sa"), col("sb"))
+      .agg(min(when(col("dr") === k, col("u"))).as("u_k"),
+        sum(when(col("dr") <= k && col("ina") === 1 && col("inb") === 1, 1L)
+          .otherwise(0L)).as("cnt"))
+      .filter(col("u_k").isNotNull)
+      .select(col("sa"), col("sb"),
+        (col("cnt").cast("double") / lit(k)).as("jac_est"),
+        (lit((k - 1).toDouble) / col("u_k")).as("est_union"),
+        ((col("cnt").cast("double") / lit(k)) *
+          (lit((k - 1).toDouble) / col("u_k"))).as("est_inter"))
+  }
+
   /** Count-min row/bucket probes for one value: depth 4 rows whose
     * 12-bit bucket indexes are DISJOINT 3-hex slices of a single md5
     * (the minhash slicing rationale — one digest carries all four

@@ -64,6 +64,23 @@ class SketchesSpec extends SparkSpec {
       "fewer than k distinct values → estimator undefined → no row")
   }
 
+  test("KMV set ops: union/intersection/jaccard estimates near exact on overlapping sets") {
+    // A = 0..11999, B = 8000..19999 → |A∪B| = 20000, |A∩B| = 4000, J = 0.2
+    val a = (0 until 12000).map(i => ("a", s"v_$i"))
+    val b = (8000 until 20000).map(i => ("b", s"v_$i"))
+    val mins = Sketches.kmvMins((a ++ b).toDF("src", "v"), col("src"), col("v"), 256)
+    assert(mins.groupBy("g").count().as[(String, Long)].collect().toMap
+      .values.forall(_ == 256L), "k rows per group")
+    val ops = Sketches.kmvSetOps(mins, 256)
+      .select("sa", "sb", "jac_est", "est_union", "est_inter")
+      .as[(String, String, Double, Double, Double)].collect()
+    assert(ops.length == 1)
+    val (_, _, jac, un, in) = ops.head
+    assert(math.abs(un - 20000.0) / 20000.0 < 0.2, s"union est $un")
+    assert(math.abs(jac - 0.2) < 0.1, s"jaccard est $jac")
+    assert(math.abs(in - 4000.0) / 4000.0 < 0.5, s"intersection est $in")
+  }
+
   test("count-min: upper bound, exact for hot keys, and mergeable by addition") {
     // zipf-ish: key i appears (200 - i) times → distinct counts, hot head
     val rows = (0 until 200).flatMap(i => Seq.fill(200 - i)((0L, s"key_$i")))
