@@ -748,10 +748,11 @@ object Dedup {
       sym.join(mn, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), least(col("src"), col("mn")).as("dst"))
-      // no distinct here: small-star's groupBy(src) aggregates over
-      // duplicates unchanged and its own terminal distinct bounds the
-      // round's output — deduping twice per round costs a full
-      // exchange to remove rows the next stage absorbs for free
+        .distinct()
+      // the distinct is load-bearing AT SCALE: dropping it saved one
+      // exchange and ~0.3 s at sf0.1, but duplicate edges compound
+      // with neighborhood size and the 10x chain bench regressed
+      // 4.3 → 5.5 s (exponent 0.20 → 0.43) — measured both ways
     }
 
     // small-star over larger→smaller edges: every strictly-smaller

@@ -150,7 +150,15 @@ object ScaleBench {
     // distinct-count sketches: HLL must stay one map-side-combined
     // register pass (reducer rows = 256·|groups|); KMV's dense_rank
     // must keep its WindowGroupLimit pre-trim — both corpus-linear
-    "llm_hll_distinct", "llm_kmv_distinct")
+    "llm_hll_distinct", "llm_kmv_distinct",
+    // r12 additions. count_min: one explode(4)+map-combined cell
+    // aggregation (reducer rows ≤ 4·4096) + a 20-key lookup join —
+    // must be exactly linear. kmv_setops: the sketch algebra is
+    // O(pairs·k) and corpus-independent; the exact-Jaccard
+    // calibration columns carry the corpus cost (distinct grams +
+    // gram self-join, within-replica only under rotation) — the
+    // exponent watches that calibration stays linear
+    "llm_count_min", "llm_kmv_setops")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
