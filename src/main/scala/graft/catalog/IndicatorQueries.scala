@@ -432,8 +432,43 @@ object IndicatorQueries {
        |       ${r4Sql("max((p - c) * 100.0 / CAST(p AS DOUBLE))")} AS max_dd_pct
        |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------- Sharpe ratio
+  /** [[Indicators.sharpe]] over the hourly close series, annualized
+    * at 8760 hourly periods/year. Micro-nat integer moments, decimal
+    * products, one float expression — the ts_corr discipline.
+    */
+  private def sharpeQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.sharpe(hourly(s, dir), Seq(col("event_type")), col("bus"),
+        col("c"), periodsPerYear = 8760.0d)
+      .select(col("event_type"), col("n"), r4(col("sharpe")).as("sharpe"))
+      .orderBy(col("event_type"))
+
+  private val sharpeSql: String =
+    s"""$hourlyCte, d AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS prev
+       |  FROM hourly
+       |), r AS (
+       |  SELECT event_type,
+       |         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(prev AS DOUBLE))
+       |                    * 1000000.0 + 0.5) AS BIGINT) AS rq
+       |  FROM d WHERE prev > 0 AND c > 0
+       |), sums AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(rq AS HUGEINT)) AS s,
+       |         sum(CAST(rq AS HUGEINT) * rq) AS q
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT event_type, n,
+       |       ${r4Sql("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / " +
+                       "sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) / " +
+                       "CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) * sqrt(8760.0)")} AS sharpe
+       |FROM sums WHERE n >= 2 AND CAST(n AS HUGEINT) * q - s * s > 0
+       |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_drawdown"   -> drawdownQ,
+    "ts_sharpe"     -> sharpeQ,
     "ts_rsi"        -> rsiQ,
     "ts_bollinger"  -> bollingerQ,
     "ts_ema"        -> emaQ,
@@ -448,6 +483,7 @@ object IndicatorQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ts_drawdown"   -> drawdownSql,
+    "ts_sharpe"     -> sharpeSql,
     "ts_rsi"        -> rsiSql,
     "ts_bollinger"  -> bollingerSql,
     "ts_ema"        -> emaSql,

@@ -286,6 +286,38 @@ object Indicators {
       .drop("__pv")
   }
 
+  /** Annualized Sharpe ratio per key over the log-return series:
+    * mean(r)/sd(r) · √periodsPerYear (risk-free rate 0 — the crypto
+    * convention). Each return quantizes to integer micro-nats
+    * (`floor(ln(c/prev)·1e6 + 0.5)`, the [[parkinson]] scheme) so the
+    * two moment sums are exact order-independent integers; products
+    * run in decimal(38,0) (the ts_corr discipline — Σr² · n passes
+    * 2^63 long before a year of minutes), and only the final quotient
+    * drops to double in one fixed expression. Keys with < 2 returns
+    * or zero variance emit no row (Sharpe undefined).
+    */
+  def sharpe(series: DataFrame, keys: Seq[Column], ts: Column,
+             closeCents: Column, periodsPerYear: Double): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val prev = lag(closeCents, 1).over(ord)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rq = when(prev > 0L && closeCents > 0L,
+      floor(log(closeCents.cast("double") / prev.cast("double")) *
+        lit(1000000.0d) + lit(0.5d)).cast("long"))
+    val varNum = dec(col("n")) * col("q") - col("s") * col("s")
+    series.withColumn("__r", rq)
+      .filter(col("__r").isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(dec(col("__r"))).as("s"),
+        sum(dec(col("__r")) * dec(col("__r"))).as("q"))
+      .filter(col("n") >= 2L && varNum > 0)
+      .select((keys :+ col("n") :+
+        (col("s").cast("double") / col("n").cast("double") /
+          sqrt(varNum.cast("double") /
+            (dec(col("n")) * dec(col("n"))).cast("double")) *
+          sqrt(lit(periodsPerYear))).as("sharpe")): _*)
+  }
+
   /** Maximum drawdown per key: the largest peak-to-trough loss of the
     * series, in percent of the peak — the risk summary every OHLCV
     * dashboard pairs with returns. Running peak is an integer cummax
