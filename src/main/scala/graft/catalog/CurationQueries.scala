@@ -301,10 +301,14 @@ object CurationQueries {
     val grams = sourceGrams(s, d)
     val mins = Sketches.kmvMins(grams, col("source"), col("g"), 256)
     val ops = Sketches.kmvSetOps(mins, 256)
-    val dg = grams.select(col("source"), col("g")).distinct()
+    // exact calibration joins on the 16-byte md5 of the gram, not the
+    // gram text: set equality survives hashing (collisions 2^-128),
+    // and the distinct + self-join shuffles shrink to digest width —
+    // the llm_span_dedup lesson; the oracle hashes identically
+    val dg = grams.select(col("source"), md5(col("g")).as("h")).distinct()
     val sizes = dg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = dg.select(col("source").as("sa"), col("g"))
-      .join(dg.select(col("source").as("sb"), col("g")), Seq("g"))
+    val inter = dg.select(col("source").as("sa"), col("h"))
+      .join(dg.select(col("source").as("sb"), col("h")), Seq("h"))
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("ni"))
     ops.join(inter, Seq("sa", "sb"), "left")
@@ -350,11 +354,11 @@ object CurationQueries {
        |               dense_rank() OVER (PARTITION BY sa, sb ORDER BY u) AS dr
        |        FROM cu)
        |  GROUP BY 1, 2
-       |), dg AS (SELECT DISTINCT source, g FROM g
+       |), dg AS (SELECT DISTINCT source, md5(g) AS h FROM g
        |), sizes AS (SELECT source, count(*) AS n FROM dg GROUP BY 1
        |), inter AS (
        |  SELECT a.source AS sa, b.source AS sb, count(*) AS ni
-       |  FROM dg a JOIN dg b ON a.g = b.g AND a.source < b.source
+       |  FROM dg a JOIN dg b ON a.h = b.h AND a.source < b.source
        |  GROUP BY 1, 2
        |)
        |SELECT t.sa AS source_a, t.sb AS source_b,
