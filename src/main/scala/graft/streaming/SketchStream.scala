@@ -148,4 +148,68 @@ object SketchStream {
     ds.groupByKey(_.group)(Encoders.scalaLong)
       .transformWithState(new CmProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  // ------------------------------------------------------------ KMV
+
+  /** (group, n_mins, u_k, est): est = (k−1)/u_k once the group has
+    * accumulated k distinct hashes, 0.0 until then (estimator
+    * undefined — n_mins < k tells the consumer the exact count IS
+    * n_mins).
+    */
+  case class KmvEstimate(group: Long, n_mins: Long, u_k: Double, est: Double)
+
+  /** Batch-identical hash uniform: first 13 md5 hex chars as a 52-bit
+    * integer, dyadic-shifted into (0,1) — digit-for-digit the
+    * [[graft.llm.Sketches.hashUniform]] Column expression.
+    */
+  private[streaming] def hashUniform(s: String): Double =
+    (java.lang.Long.parseLong(md5Hex(s).substring(0, 13), 16) + 0.5d) /
+      4503599627370496.0d
+
+  /** Streaming KMV — [[graft.llm.Sketches.kmvKthMin]]'s k smallest
+    * DISTINCT hash uniforms as `transformWithState` list state. Like
+    * the HLL registers (and unlike count-min), the state is a
+    * MONOTONE MIN-SET: duplicate values hash identically and are
+    * dropped, so the operator is idempotent under input-level
+    * redelivery as well as arrival-order-free, with ≤ k doubles per
+    * key forever.
+    */
+  class KmvProcessor(k: Int) extends StatefulProcessor[Long, Distinct, KmvEstimate] {
+    @transient private var mins: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mins = getHandle.getListState[Double]("mins", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Distinct],
+                                 timerValues: TimerValues): Iterator[KmvEstimate] = {
+      val buf = scala.collection.mutable.ArrayBuffer[Double]()
+      mins.get().foreach(buf += _) // sorted ascending from the last write
+      rows.foreach { d =>
+        val u = hashUniform(d.value)
+        if (buf.length < k || u < buf.last) {
+          val i = buf.search(u)(Ordering.Double.TotalOrdering)
+          i match {
+            case scala.collection.Searching.InsertionPoint(p) =>
+              buf.insert(p, u)
+              if (buf.length > k) buf.remove(buf.length - 1)
+            case _ => () // already present: KMV is a distinct sketch
+          }
+        }
+      }
+      mins.put(buf.toArray)
+      val est =
+        if (buf.length == k) (k - 1).toDouble / buf.last else 0.0d
+      Iterator.single(KmvEstimate(key, buf.length.toLong,
+        if (buf.length == k) buf.last else 0.0d, est))
+    }
+  }
+
+  /** One estimate snapshot per (key, trigger) — latest row per key is
+    * the live distinct-count estimate.
+    */
+  def kmvOf(ds: Dataset[Distinct], k: Int = 256): Dataset[KmvEstimate] = {
+    implicit val enc: org.apache.spark.sql.Encoder[KmvEstimate] = Encoders.product[KmvEstimate]
+    ds.groupByKey(_.group)(Encoders.scalaLong)
+      .transformWithState(new KmvProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
 }

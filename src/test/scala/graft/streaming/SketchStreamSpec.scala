@@ -68,6 +68,47 @@ class SketchStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV ≡ batch estimate exactly, duplicate- and redelivery-invariant") {
+    import SketchStream.KmvEstimate
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Distinct]
+    val q = SketchStream.kmvOf(in.toDS(), k = 64)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("append").start()
+    try {
+      // group 0: 1500 distinct values (> k, estimator defined), with
+      // duplicated and redelivered slices; group 1: 20 (< k)
+      val g0 = (0 until 1500).map(i => Distinct(0L, s"a_$i"))
+      val g1 = (0 until 20).map(i => Distinct(1L, s"b_$i"))
+      in.addData(g0.take(600) ++ g1);          q.processAllAvailable()
+      in.addData(g0.slice(300, 1100) ++ g1)  ; q.processAllAvailable() // overlap redelivery
+      in.addData(g0.drop(1000) ++ g0.take(50)); q.processAllAvailable()
+
+      // the live snapshot: n_mins grows until it saturates at k, then
+      // u_k only shrinks — so max n_mins with min u_k is the latest
+      val last = spark.table("kmv_stream").as[KmvEstimate].collect()
+        .groupBy(_.group).map { case (g, rs) =>
+          g -> rs.maxBy(r => (r.n_mins, -r.u_k))
+        }
+      val batch = graft.llm.Sketches.kmvKthMin(
+          (g0 ++ g1).toDF("group", "value"), col("group"), col("value"), 64)
+        .as[(Long, Double)].collect().toMap
+      assert(last(0L).n_mins == 64 && last(0L).est == batch(0L),
+        s"streaming ${last(0L)} vs batch ${batch(0L)}")
+      assert(!batch.contains(1L) && last(1L).n_mins == 20 && last(1L).est == 0.0d,
+        "below-k group: batch emits nothing, streaming reports the exact count")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming count-min cells ≡ batch sketch across batches") {
     import SketchStream.{CmCell, Occur}
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
