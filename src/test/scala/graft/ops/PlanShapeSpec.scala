@@ -144,4 +144,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
       s"expected partial+final x2 stages:\n$p")
   }
+
+  test("countMin: ONE map-side-combined cell aggregation, no extra exchange") {
+    val df = (1L to 500L).map(i => (0L, s"tok_${i % 41}")).toDF("g", "v")
+    val out = graft.llm.Sketches.countMin(df, col("g"), col("v"))
+    val p = plan(out)
+    assert(shuffles(out) === 1, s"countMin should shuffle once:\n$p")
+    // partial_sum before the exchange = the map-side combine the
+    // 4·4096-cell bound depends on
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"expected a partial aggregate below the exchange:\n$p")
+  }
+
+  test("kmvMins: rank window pre-trims to k below its exchange") {
+    val df = (1L to 500L).map(i => ("s", s"v_$i")).toDF("src", "v")
+    val out = graft.llm.Sketches.kmvMins(df, col("src"), col("v"), 16)
+    val p = plan(out)
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the dense_rank filter to plan as WindowGroupLimit:\n$p")
+    assert(p.linesIterator.count(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")) >= 1,
+      s"expected a map-side (Partial) WindowGroupLimit pre-trim:\n$p")
+  }
 }
