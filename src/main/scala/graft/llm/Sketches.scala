@@ -55,14 +55,26 @@ object Sketches {
     * integers: Σ 2^(41−M) as Longs (M ≤ 41 ⇒ each term ≤ 2^40,
     * 256 terms ≤ 2^48 — no overflow, no float sum order).
     */
-  def hllEstimate(df: DataFrame, group: Column, value: Column): DataFrame = {
+  def hllEstimate(df: DataFrame, group: Column, value: Column): DataFrame =
+    hllFromRegisters(hllRegisters(df, group, value))
+
+  /** The register frame itself: (g, bucket, m = max rank). This is
+    * the MERGEABLE form — registers from any split of the data
+    * max-merge to the whole's registers exactly, which is what
+    * [[CorpusProfile]] folds into a persistent state per increment.
+    */
+  def hllRegisters(df: DataFrame, group: Column, value: Column): DataFrame = {
     val h = md5(value.cast("string"))
-    val regs = df
-      .select(group.as("g"),
+    df.select(group.as("g"),
         substring(h, 1, 2).as("bucket"),
         hexRank(substring(h, 3, 10), 10).as("rank"))
       .groupBy(col("g"), col("bucket"))
       .agg(max(col("rank")).as("m"))
+  }
+
+  /** (g, est, v_zero) from a register frame (merged or single-pass). */
+  def hllFromRegisters(registers: DataFrame): DataFrame = {
+    val regs = registers
       .groupBy(col("g"))
       .agg(
         // 2^(41−M) as an exact Long (shiftleft with a column shift
