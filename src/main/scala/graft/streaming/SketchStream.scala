@@ -149,6 +149,82 @@ object SketchStream {
       .transformWithState(new CmProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  // ----------------------------------------------------- SpaceSaving
+
+  /** One summary row per tracked value: `count` the SpaceSaving
+    * estimate (true count ≤ count ≤ true + err), `err` the
+    * overestimation bound inherited at insertion, `n_seen` the
+    * group's total arrivals so far — rows sharing the max n_seen ARE
+    * the live summary (and n_seen/m is the guaranteed-present
+    * threshold). The bracket applies to the live summary only: a
+    * value evicted after a snapshot can keep accumulating truth
+    * while its stale row stands still.
+    */
+  case class HeavyHitter(group: Long, value: String, count: Long, err: Long,
+                         n_seen: Long)
+
+  /** Streaming heavy hitters — SpaceSaving (Metwally et al. ICDT'05)
+    * as a `transformWithState` counter map of FIXED capacity m per
+    * key: a hit increments; a miss with a full map evicts the
+    * minimum counter and inherits its count as the new entry's error
+    * bound. Unlike the sketches, the summary is order-DEPENDENT — but
+    * its guarantees are not, and those are what the spec pins:
+    * every value with true count > n/m is present (it cannot be
+    * evicted: the min counter never exceeds n/m), and every estimate
+    * brackets truth as `count − err ≤ true ≤ count`. Eviction ties
+    * break on the smallest value string, so a given arrival order
+    * replays deterministically (exactly-once state makes retries
+    * replays, not re-orders). This is the live top-k feed; the exact
+    * batch twin is the `llm_count_min` top-20 aggregation.
+    */
+  class TopKProcessor(m: Int) extends StatefulProcessor[Long, Occur, HeavyHitter] {
+    @transient private var counters: MapState[String, (Long, Long)] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, (Long, Long)]("ss",
+        Encoders.STRING, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Occur],
+                                 timerValues: TimerValues): Iterator[HeavyHitter] = {
+      // work on a local map: SpaceSaving reads the minimum on every
+      // miss, which would be a full state scan per row through the
+      // store API; the summary is ≤ m entries, so one load + one
+      // write-back per batch is the right state-access shape
+      val local = scala.collection.mutable.HashMap[String, (Long, Long)]()
+      counters.iterator().foreach { case (v, ce) => local(v) = ce }
+      var n = Option(seen.get()).getOrElse(0L)
+      rows.foreach { o =>
+        n += 1L
+        local.get(o.value) match {
+          case Some((c, e)) => local(o.value) = (c + 1L, e)
+          case None if local.size < m => local(o.value) = (1L, 0L)
+          case None =>
+            val (evict, (minC, _)) = local.minBy { case (v, (c, _)) => (c, v) }
+            local.remove(evict)
+            local(o.value) = (minC + 1L, minC)
+        }
+      }
+      seen.update(n)
+      local.foreach { case (v, ce) => counters.updateValue(v, ce) }
+      counters.keys().filter(!local.contains(_)).toArray
+        .foreach(counters.removeKey)
+      local.iterator.map { case (v, (c, e)) => HeavyHitter(key, v, c, e, n) }
+    }
+  }
+
+  /** Full summary snapshot per (key, trigger); rows from the latest
+    * trigger are the live top-k candidates.
+    */
+  def topKOf(ds: Dataset[Occur], m: Int): Dataset[HeavyHitter] = {
+    implicit val enc: org.apache.spark.sql.Encoder[HeavyHitter] = Encoders.product[HeavyHitter]
+    ds.groupByKey(_.group)(Encoders.scalaLong)
+      .transformWithState(new TopKProcessor(m), TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------------------------------------------------ KMV
 
   /** (group, n_mins, u_k, est): est = (k−1)/u_k once the group has

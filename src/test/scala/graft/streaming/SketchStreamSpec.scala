@@ -68,6 +68,60 @@ class SketchStreamSpec extends SparkSpec {
     }
   }
 
+  test("SpaceSaving top-k: hot keys guaranteed present, estimates bracket truth") {
+    import SketchStream.{HeavyHitter, Occur}
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Occur]
+    val m = 20
+    val q = SketchStream.topKOf(in.toDS(), m)
+      .writeStream.format("memory").queryName("ss_stream")
+      .outputMode("append").start()
+    try {
+      // heavy head (k00 1000x, k01 500x, k02 300x) over a 77-key tail
+      // of 20x each: n = 3340, n/m = 167, so the head is GUARANTEED
+      // present while the tail churns through evictions — the
+      // interesting regime. Interleaved, split across three triggers.
+      val spec = Seq("k00" -> 1000, "k01" -> 500, "k02" -> 300) ++
+        (3 until 80).map(i => f"k$i%02d" -> 20)
+      val all = new scala.util.Random(7).shuffle(
+        spec.flatMap { case (v, c) => Seq.fill(c)(Occur(0L, v)) }.toList)
+      val n = all.size.toLong
+      in.addData(all.take(1000));          q.processAllAvailable()
+      in.addData(all.slice(1000, 2300));   q.processAllAvailable()
+      in.addData(all.drop(2300));          q.processAllAvailable()
+
+      // the live summary = the rows of the final trigger (max n_seen)
+      val rows = spark.table("ss_stream").as[HeavyHitter].collect()
+      assert(rows.map(_.n_seen).max == n, "final snapshot covers every arrival")
+      val live = rows.filter(_.n_seen == n).map(h => h.value -> h).toMap
+      assert(live.size == m, s"summary holds exactly m=$m entries")
+      val truth = all.groupBy(_.value).view.mapValues(_.size.toLong).toMap
+      // guarantee 1: every value with true count > n/m is in the live
+      // summary (its counter can never become the minimum)
+      val mustHave = truth.filter(_._2 > n / m).keySet
+      assert(mustHave == Set("k00", "k01", "k02"), "fixture sanity")
+      assert(mustHave.subsetOf(live.keySet),
+        s"missing hot keys: ${mustHave -- live.keySet} (n=$n, n/m=${n / m})")
+      // guarantee 2: count − err ≤ true ≤ count for every LIVE entry
+      live.values.foreach { h =>
+        val t = truth(h.value)
+        assert(h.count - h.err <= t && t <= h.count,
+          s"${h.value}: true=$t not in [${h.count - h.err}, ${h.count}]")
+      }
+      // the head estimates are exact: tracked from early, never evicted
+      assert(live("k00").count == 1000L && live("k00").err == 0L)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming KMV ≡ batch estimate exactly, duplicate- and redelivery-invariant") {
     import SketchStream.KmvEstimate
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
