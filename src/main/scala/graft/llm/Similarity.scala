@@ -194,7 +194,12 @@ object Similarity {
     // times. At 100 TB don't fit on the full corpus at all — fit on a
     // Sampling.hashSample subset (deterministic, so the fit is
     // reproducible) and let assignment stream the full data once.
-    val pts = df.select(id.as("id"), vec.as("v"))
+    // one canonical hash(id) exchange before iterating: the per-cell
+    // centroid averages are float folds, so their ulps must not
+    // depend on the CALLER's partitioning — the old crossJoin-based
+    // assign paid an id exchange EVERY iteration for this layout
+    // normalization; one explicit repartition buys it once
+    val pts = df.select(id.as("id"), vec.as("v")).repartition(col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Centroids are tiny (k x dim): materialize them to the driver
     // every iteration and rebuild a literal DataFrame. Without this,
@@ -210,7 +215,7 @@ object Similarity {
         .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cell"),
           transform(col("v"), x => x.cast("double")).as("centroid")))
     for (_ <- 1 to iters) {
-      val assigned = kMeansAssign(pts, toDF(local))
+      val assigned = kMeansAssignLocal(pts, local)
       local = toLocal(centroids(assigned, col("cell"), col("v")))
     }
     pts.unpersist(false)
@@ -218,15 +223,35 @@ object Similarity {
   }
 
   /** Assign each point to its nearest centroid (L2), ties to the
-    * lowest cell id. Returns (id, v, cell).
+    * lowest cell id. Returns (id, cell, v).
+    *
+    * Pure MAP, no join: the k centroids are collected (they are k
+    * rows by construction — a model, not data) and inlined as array
+    * literals, so each point computes its argmin as a `least` over k
+    * (distance, cell) structs inside the scan stage. The previous
+    * crossJoin+groupBy form moved k COPIES of every point through a
+    * full exchange PER CALL — k× the corpus through the shuffle, per
+    * Lloyd iteration, for work a projection does in place.
     */
-  def kMeansAssign(pts: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = graft.functions.VecExprs.vecL2Sq(col("v"), col("centroid"))
-    pts.crossJoin(broadcast(cents))
-      .groupBy(col("id"))
-      .agg(
-        min_by(col("cell"), struct(d2.as("d"), col("cell"))).as("cell"),
-        first(col("v")).as("v"))
+  def kMeansAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+    kMeansAssignLocal(pts,
+      cents.collect().map(r =>
+        (r.getAs[Number]("cell").intValue(), r.getSeq[Double](1))).toSeq)
+
+  private[llm] def kMeansAssignLocal(pts: DataFrame,
+                                     local: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(local.nonEmpty, "kMeansAssign needs at least one centroid")
+    val cands = local.sortBy(_._1).map { case (cell, c) =>
+      struct(
+        graft.functions.VecExprs.vecL2Sq(col("v"), typedLit(c)).as("d"),
+        lit(cell).as("cell"))
+    }
+    // least over (d, cell) structs ≡ min_by(cell, struct(d, cell)):
+    // distance first, lowest cell on ties (least needs ≥ 2 args)
+    val cell =
+      if (cands.size == 1) lit(local.head._1)
+      else least(cands: _*).getField("cell")
+    pts.select(col("id"), cell.as("cell"), col("v"))
   }
 
   /** IVF over k-means cells: fit, assign, probe the nearest cell to
@@ -654,7 +679,11 @@ object Similarity {
     */
   def embedOutliers(df: DataFrame, id: Column, vec: Column,
                     k: Int, iters: Int): DataFrame = {
+    // canonical layout: the per-cell distance moments below are float
+    // folds — hash(id) partitioning pins their order whatever the
+    // caller's scan looked like (the kMeansFit rationale)
     val pts = df.select(id.cast("long").as("id"), vec.as("v"))
+      .repartition(col("id"))
     val cents = kMeansFit(pts, col("id"), col("v"), k, iters)
     val assigned = kMeansAssign(pts, cents)
       .join(broadcast(cents), "cell")

@@ -145,6 +145,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial+final x2 stages:\n$p")
   }
 
+  test("kMeansAssign: a pure projection — zero exchanges, zero joins") {
+    val pts = (1L to 100L).map(i => (i, Seq(i * 1.0, i * 2.0))).toDF("id", "v")
+    val cents = Seq((0, Seq(1.0, 2.0)), (1, Seq(50.0, 100.0)))
+      .toDF("cell", "centroid")
+    val out = graft.llm.Similarity.kMeansAssign(pts, cents)
+    val p = plan(out)
+    assert(shuffles(out) === 0, s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+  }
+
   test("countMin: ONE map-side-combined cell aggregation, no extra exchange") {
     val df = (1L to 500L).map(i => (0L, s"tok_${i % 41}")).toDF("g", "v")
     val out = graft.llm.Sketches.countMin(df, col("g"), col("v"))
