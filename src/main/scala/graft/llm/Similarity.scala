@@ -229,9 +229,12 @@ object Similarity {
     * rows by construction — a model, not data) and inlined as array
     * literals, so each point computes its argmin as a `least` over k
     * (distance, cell) structs inside the scan stage. The previous
-    * crossJoin+groupBy form moved k COPIES of every point through a
-    * full exchange PER CALL — k× the corpus through the shuffle, per
-    * Lloyd iteration, for work a projection does in place.
+    * crossJoin+groupBy form paid an id exchange per call (the k×
+    * fan-out itself collapsed map-side in the partial min_by, so the
+    * exchange carried one row per point — but it carried it, per
+    * Lloyd iteration, plus a full hash-aggregate pass, for work a
+    * projection does in place). See [[pqAssign]] for the measured
+    * counter-case where the join form wins.
     */
   def kMeansAssign(pts: DataFrame, cents: DataFrame): DataFrame =
     kMeansAssignLocal(pts,
@@ -336,7 +339,10 @@ object Similarity {
   def pqFit(sub: DataFrame, ksub: Int, iters: Int): DataFrame = {
     val spark = sub.sparkSession
     import spark.implicits._
-    val pts = sub.select(col("id"), col("m"), col("subv"))
+    // canonical hash(id) layout before iterating — the codebook avg
+    // folds must not inherit the caller's partitioning (kMeansFit
+    // rationale)
+    val pts = sub.select(col("id"), col("m"), col("subv")).repartition(col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // codebooks collect to the driver each round (tiny) so iteration
     // i's plan doesn't nest all prior rounds — same discipline as
@@ -370,6 +376,16 @@ object Similarity {
   /** Assign each (id, m) sub-vector its nearest codeword (L2, ties to
     * the lowest code). Keeps every non-(m,subv) input column via the
     * grouping key; returns the input columns plus `code`.
+    *
+    * Deliberately the broadcast-join + regroup form, NOT the
+    * [[kMeansAssign]] inlined-model projection — measured both ways
+    * (sf0.1, shared session): the M·ksub-literal CASE the projection
+    * needs re-compiles per fit-iteration plan and cost +0.9 s on
+    * `llm_ivf_pq`, while the exchange here is harmless — the partial
+    * min_by collapses the ksub join fan-out map-side, so the shuffle
+    * carries one row per (id, m), the input's own cardinality. (The
+    * k-means case differs: one small `least` per row, no CASE, and
+    * the exchange there bought nothing.)
     */
   def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
     val d2 = graft.functions.VecExprs.vecL2Sq(col("subv"), col("centroid"))
