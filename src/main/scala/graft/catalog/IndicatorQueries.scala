@@ -466,9 +466,43 @@ object IndicatorQueries {
        |FROM sums WHERE n >= 2 AND CAST(n AS HUGEINT) * q - s * s > 0
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- Sortino ratio
+  /** [[Indicators.sortino]] — downside-deviation-denominated Sharpe;
+    * same hourly series, same micro-nat discipline.
+    */
+  private def sortinoQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.sortino(hourly(s, dir), Seq(col("event_type")), col("bus"),
+        col("c"), periodsPerYear = 8760.0d)
+      .select(col("event_type"), col("n"), r4(col("sortino")).as("sortino"))
+      .orderBy(col("event_type"))
+
+  private val sortinoSql: String =
+    s"""$hourlyCte, d AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS prev
+       |  FROM hourly
+       |), r AS (
+       |  SELECT event_type,
+       |         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(prev AS DOUBLE))
+       |                    * 1000000.0 + 0.5) AS BIGINT) AS rq
+       |  FROM d WHERE prev > 0 AND c > 0
+       |), sums AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(rq AS HUGEINT)) AS s,
+       |         sum(CASE WHEN rq < 0 THEN CAST(rq AS HUGEINT) * rq
+       |                  ELSE CAST(0 AS HUGEINT) END) AS qd
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT event_type, n,
+       |       ${r4Sql("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / " +
+                       "sqrt(CAST(qd AS DOUBLE) / CAST(n AS DOUBLE)) * sqrt(8760.0)")} AS sortino
+       |FROM sums WHERE n >= 2 AND qd > 0
+       |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_drawdown"   -> drawdownQ,
     "ts_sharpe"     -> sharpeQ,
+    "ts_sortino"    -> sortinoQ,
     "ts_rsi"        -> rsiQ,
     "ts_bollinger"  -> bollingerQ,
     "ts_ema"        -> emaQ,
@@ -484,6 +518,7 @@ object IndicatorQueries {
   def oracleSql: Map[String, String] = Map(
     "ts_drawdown"   -> drawdownSql,
     "ts_sharpe"     -> sharpeSql,
+    "ts_sortino"    -> sortinoSql,
     "ts_rsi"        -> rsiSql,
     "ts_bollinger"  -> bollingerSql,
     "ts_ema"        -> emaSql,

@@ -318,6 +318,35 @@ object Indicators {
           sqrt(lit(periodsPerYear))).as("sharpe")): _*)
   }
 
+  /** Annualized Sortino ratio per key: mean(r) / downside-deviation ·
+    * √periodsPerYear, where downside deviation is √(Σ_{r<0} r² / n)
+    * (target return 0). Same micro-nat/decimal discipline as
+    * [[sharpe]]; the negative-return filter is an exact integer
+    * compare, so which returns count as downside can never flip
+    * between engines. Keys with < 2 returns or no downside emit no
+    * row.
+    */
+  def sortino(series: DataFrame, keys: Seq[Column], ts: Column,
+              closeCents: Column, periodsPerYear: Double): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val prev = lag(closeCents, 1).over(ord)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rq = when(prev > 0L && closeCents > 0L,
+      floor(log(closeCents.cast("double") / prev.cast("double")) *
+        lit(1000000.0d) + lit(0.5d)).cast("long"))
+    series.withColumn("__r", rq)
+      .filter(col("__r").isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(dec(col("__r"))).as("s"),
+        sum(when(col("__r") < 0L, dec(col("__r")) * dec(col("__r")))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("qd"))
+      .filter(col("n") >= 2L && col("qd") > 0)
+      .select((keys :+ col("n") :+
+        (col("s").cast("double") / col("n").cast("double") /
+          sqrt(col("qd").cast("double") / col("n").cast("double")) *
+          sqrt(lit(periodsPerYear))).as("sortino")): _*)
+  }
+
   /** Maximum drawdown per key: the largest peak-to-trough loss of the
     * series, in percent of the peak — the risk summary every OHLCV
     * dashboard pairs with returns. Running peak is an integer cummax

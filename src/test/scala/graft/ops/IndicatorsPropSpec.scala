@@ -136,6 +136,31 @@ class IndicatorsPropSpec extends SparkSpec {
     }
   }
 
+  test("sortino equals the sequential downside-moment computation") {
+    for (seed <- 1L to 5L) {
+      val ws = walks(seed).view.mapValues(_.map(math.max(_, 1L))).toMap
+      val got = Indicators.sortino(toDf(ws), Seq(col("key")), col("t"), col("c"),
+          periodsPerYear = 8760.0d)
+        .select("key", "n", "sortino").as[(String, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      for ((k, vs) <- ws) {
+        val rq = vs.sliding(2).collect {
+          case Vector(p, c) if p > 0 && c > 0 =>
+            math.floor(math.log(c.toDouble / p.toDouble) * 1e6 + 0.5).toLong
+        }.toVector
+        val n = rq.size.toLong
+        val s = rq.map(BigInt(_)).sum
+        val qd = rq.filter(_ < 0).map(r => BigInt(r) * BigInt(r)).sum
+        if (n >= 2 && qd > 0) {
+          val want = s.toDouble / n.toDouble /
+            math.sqrt(qd.toDouble / n.toDouble) * math.sqrt(8760.0)
+          assert(got(k)._1 == n && math.abs(got(k)._2 - want) <= 1e-9 * math.abs(want),
+            s"key=$k seed=$seed")
+        } else assert(!got.contains(k), s"key=$k seed=$seed should be absent")
+      }
+    }
+  }
+
   test("maxDrawdown equals the sequential peak-to-trough scan") {
     for (seed <- 1L to 5L) {
       // clamp to ≥1 cent: prices are positive by domain, and the
