@@ -139,6 +139,13 @@ object Dedup {
                       assumeDistinct: Boolean = false): DataFrame = {
     val raw = exploded.select(id.as("id"), gram.as("g"))
     val g = if (assumeDistinct) raw else raw.distinct()
+    // measured and rejected (SpanAbProbe, 10x corpus, interleaved):
+    // keying the df-prune and pair-join on md5(g) instead of the span
+    // text is a WASH here (3.2 s text vs 3.3 s digest) — the witness
+    // gram must ride the a-leg for min(span) anyway, so the digest
+    // only narrows half the shuffle while paying a hash per row.
+    // (Contrast llm_kmv_setops, where NO text survives the join and
+    // the digest key won 4.4 → 2.6 s.)
     val keep = g.groupBy(col("g")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf && col("__df") <= maxDf)
       .select(col("g"))
