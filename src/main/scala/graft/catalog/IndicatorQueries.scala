@@ -499,10 +499,65 @@ object IndicatorQueries {
        |FROM sums WHERE n >= 2 AND qd > 0
        |ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------- correlation matrix
+  /** All-pairs Pearson correlation of the hourly close series — the
+    * screener view generalizing `ts_corr`'s fixed pair: one self-join
+    * on the hour bucket, every moment an exact decimal sum, the
+    * coefficient one fixed float expression (identical tree to
+    * ts_corr's). Degenerate pairs drop on exact integer variance
+    * checks. |series|² pairs of |hours| rows — the join is keyed on
+    * the bucket, so at scale it shuffles each series once, not per
+    * pair.
+    */
+  private def corrMatrixQ(s: SparkSession, dir: String): DataFrame = {
+    val h = hourly(s, dir)
+    val a = h.select(col("event_type").as("event_a"), col("bus"), col("c").as("x"))
+    val b = h.select(col("event_type").as("event_b"), col("bus"), col("c").as("y"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val sums = a.join(b, Seq("bus")).filter(col("event_a") < col("event_b"))
+      .groupBy(col("event_a"), col("event_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    val cov = (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+    val vy = (dec(col("n")) * col("syy") - col("sy") * col("sy"))
+    sums.filter(col("n") >= 2L && vx > 0 && vy > 0)
+      .select(col("event_a"), col("event_b"), col("n"),
+        r4(cov / (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("corr"))
+      .orderBy(col("event_a"), col("event_b"))
+  }
+
+  private val corrMatrixSql: String =
+    s"""$hourlyCte, j AS (
+       |  SELECT a.event_type AS event_a, b.event_type AS event_b,
+       |         a.c AS x, b.c AS y
+       |  FROM hourly a JOIN hourly b
+       |    ON a.bus = b.bus AND a.event_type < b.event_type
+       |), sums AS (
+       |  SELECT event_a, event_b, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM j GROUP BY 1, 2
+       |)
+       |SELECT event_a, event_b, n,
+       |       ${r4Sql("CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE) / " +
+                       "(sqrt(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE)) * " +
+                       "sqrt(CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE)))")} AS corr
+       |FROM sums
+       |WHERE n >= 2 AND CAST(n AS HUGEINT)*sxx - sx*sx > 0
+       |  AND CAST(n AS HUGEINT)*syy - sy*sy > 0
+       |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_drawdown"   -> drawdownQ,
     "ts_sharpe"     -> sharpeQ,
     "ts_sortino"    -> sortinoQ,
+    "ts_corr_matrix" -> corrMatrixQ,
     "ts_rsi"        -> rsiQ,
     "ts_bollinger"  -> bollingerQ,
     "ts_ema"        -> emaQ,
@@ -519,6 +574,7 @@ object IndicatorQueries {
     "ts_drawdown"   -> drawdownSql,
     "ts_sharpe"     -> sharpeSql,
     "ts_sortino"    -> sortinoSql,
+    "ts_corr_matrix" -> corrMatrixSql,
     "ts_rsi"        -> rsiSql,
     "ts_bollinger"  -> bollingerSql,
     "ts_ema"        -> emaSql,
