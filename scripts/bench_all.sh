@@ -9,8 +9,11 @@ cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.1}"
 OUT=/tmp/bench_all_out
 mkdir -p "$OUT"
-SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" \
-  | grep -o '{"metric".*}' | tail -1 > "$OUT/bench.json"
+# Bench prints the full per-query line first and a compact tail line
+# last (driver tail-capture hygiene); the full line is also persisted
+# via SPARK_GRAFT_BENCH_JSON — use that, not a grep over stdout.
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_JSON="$OUT/bench.json" \
+  sbt -batch "runMain graft.Bench" | tail -5
 sbt -batch "runMain graft.DumpOracle $OUT" > /dev/null
 python3 scripts/bench_compare.py "$SF" "$OUT" "$OUT/bench.json"
 echo "BENCH_COMPARE.md regenerated from $OUT/bench.json"

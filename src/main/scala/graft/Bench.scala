@@ -90,7 +90,24 @@ object Bench {
       else errors.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${jstr(v.take(300))}""" }
         .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds$errField}""")
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds$errField}"""
+    println(fullLine)
+    // The full per-query line outgrew the driver's tail capture at 136
+    // queries (the round-10 artifact recorded rc=0 but parsed=null), so
+    // ALSO: (a) persist the full line to a file for bench_compare.py and
+    // the round record, and (b) print a compact summary LAST — small
+    // enough that a truncated tail always ends with one parseable line.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "/tmp/graft_bench_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${rootLine(e)}")
+    }
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds,"nerrors":${errors.size},"slowest":$slowest,"full":"$outPath"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -63,6 +63,21 @@ object Dedup {
       md5(concat(lit("0|"), shingle)).as("__mh0"),
       md5(concat(lit("1|"), shingle)).as("__mh1"))
 
+  /** Version tag of the [[minHashDigests]] hash scheme. Persisted
+    * signatures (IncrementalDedup fingerprint state, [[BandIndex]]
+    * tables) are only comparable to signatures computed under the
+    * SAME scheme — a scheme change makes old m-values never equal new
+    * ones, silently degrading near-dup suppression to exact-only — so
+    * the tag is pinned into state props / index TBLPROPERTIES at
+    * first write and checked on every later use. Bump it whenever the
+    * hash family changes (it did once: per-seed full md5 → 8-hex
+    * slices of two md5s, which this tag names).
+    */
+  val MinHashScheme = "md5x2-slice32"
+
+  /** Property key [[MinHashScheme]] is pinned under. */
+  private[llm] val MinHashSchemeProp = "graft.minhash.scheme"
+
   /** The k min-aggregates over [[minHashDigests]]' projected columns:
     * seed j reads slice j%4 of digest j/4. Supports k ≤ 8 (two
     * digests); widen minHashDigests for larger k.

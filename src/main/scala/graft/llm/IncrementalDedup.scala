@@ -71,6 +71,22 @@ object IncrementalDedup {
             threshold: Double = 0.5,
             bands: Option[BandIndex] = None,
             digests: Option[DigestIndex] = None): DataFrame = {
+    // fail-loudly hash-scheme contract: stored signatures are only
+    // comparable to batch signatures computed under the SAME scheme
+    // (see [[Dedup.MinHashScheme]] — a scheme change would otherwise
+    // silently degrade near-dup suppression vs history to exact-only).
+    // Pinned into the state's props at first admit; checked on every
+    // later one. k rides along (a k change also invalidates bands,
+    // though that one at least fails visibly at column resolution).
+    val want = Map(Dedup.MinHashSchemeProp -> Dedup.MinHashScheme,
+      "graft.minhash.k" -> k.toString)
+    val pinned = state.setPropsIfAbsent(want)
+    want.foreach { case (pk, pv) =>
+      require(pinned.getOrElse(pk, pv) == pv,
+        s"fingerprint state ${state.root} was built with $pk=${pinned(pk)}; " +
+          s"this build uses $pv — rebuild the state (and any Band/Digest " +
+          "index) under the current scheme, or run a matching build")
+    }
     val sigCols = (0 until k).map(s => s"m$s")
     val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"))
     val fp = fingerprints(docs, k)
@@ -317,7 +333,8 @@ final class BandIndex(spark: SparkSession, table: String,
     */
   def view(state: TxTable, k: Int, bandsOf: Int): FoldIndex.View =
     viewWith(state,
-      Map(BandIndex.KProp -> k.toString, BandIndex.BandsOfProp -> bandsOf.toString),
+      Map(BandIndex.KProp -> k.toString, BandIndex.BandsOfProp -> bandsOf.toString,
+        Dedup.MinHashSchemeProp -> Dedup.MinHashScheme),
       { src =>
         val sig = src.filter(col("m0").isNotNull)
           .select((col("doc_id").as("id") +: (0 until k).map(i => col(s"m$i"))): _*)

@@ -238,8 +238,13 @@ object Similarity {
     */
   def kMeansAssign(pts: DataFrame, cents: DataFrame): DataFrame =
     kMeansAssignLocal(pts,
-      cents.collect().map(r =>
-        (r.getAs[Number]("cell").intValue(), r.getSeq[Double](1))).toSeq)
+      // resolve by NAME and cast: a caller-supplied cents frame with
+      // reordered columns or array<float> centroids must work (or fail
+      // at analysis with the column name), not ClassCastException on a
+      // positional getSeq
+      cents.select(col("cell").cast("int").as("cell"),
+          col("centroid").cast("array<double>").as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
 
   private[llm] def kMeansAssignLocal(pts: DataFrame,
                                      local: Seq[(Int, Seq[Double])]): DataFrame = {

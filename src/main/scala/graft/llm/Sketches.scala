@@ -198,15 +198,17 @@ object Sketches {
 
   /** Point-frequency estimates from a [[countMin]] sketch: for each
     * (g, key) row the min of its four bucket counts — the classic CM
-    * upper-bound estimate. Keys absent from the sketch's input simply
-    * have no colliding bucket rows and fall out of the inner join; by
-    * CM semantics a missing bucket means count 0.
+    * upper-bound estimate. The sketch is LEFT-joined from the probes
+    * with absent buckets counting 0: a key missing from the sketch's
+    * input but colliding in 1–3 of its 4 buckets must estimate 0 (the
+    * canonical CM semantics — any empty bucket proves count 0), not
+    * the min over only its colliding buckets.
     */
   def countMinLookup(sketch: DataFrame, keys: DataFrame,
                      group: Column, key: Column): DataFrame =
     keys.select(group.as("g"), key.as("key"), explode(cmProbes(key)).as("rb"))
       .select(col("g"), col("key"), col("rb.r").as("r"), col("rb.b").as("b"))
-      .join(sketch, Seq("g", "r", "b"))
+      .join(sketch, Seq("g", "r", "b"), "left")
       .groupBy(col("g"), col("key"))
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
 }

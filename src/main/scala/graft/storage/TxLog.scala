@@ -94,6 +94,35 @@ class TxTable(val spark: SparkSession, val root: String,
     text.split("\n", -1).toSeq
   }
 
+  private def propsPath = new org.apache.hadoop.fs.Path(logDir, "_props")
+
+  /** Small immutable table properties — consumer contracts a reader
+    * must be able to verify before trusting the data (e.g. the
+    * minhash hash-scheme version a fingerprint state was built
+    * under). One tiny tab-separated file beside the log, written
+    * create-exclusive ONCE ([[setPropsIfAbsent]]); `vacuum` never
+    * touches it (it prunes only version-named log files).
+    */
+  def props(): Map[String, String] =
+    if (!fs.exists(propsPath)) Map.empty
+    else readLogFile(propsPath).filter(_.contains('\t')).map { l =>
+      val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** Pin `p` as the table's properties iff none are pinned yet (the
+    * same create-exclusive CAS as commits — losing the race is fine),
+    * and return the properties that actually govern the table. The
+    * caller `require`s its expectations against the RETURN value, so
+    * a table built under a different contract fails loudly instead of
+    * silently mismatching.
+    */
+  def setPropsIfAbsent(p: Map[String, String]): Map[String, String] = {
+    if (p.nonEmpty && !fs.exists(propsPath))
+      casCreate(propsPath,
+        p.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
+    props()
+  }
+
   /** The file list of snapshot `v` (with the schema recorded at that
     * commit): the newest checkpoint ≤ v replayed forward through the
     * deltas (ckpt, v]. Log files are immutable — safe to read without

@@ -274,4 +274,30 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(bi.read().count() === 20, "8 backfilled + 12 folded tail bands")
     } finally spark.sql(s"DROP TABLE IF EXISTS ${bi.table}")
   }
+
+  test("hash-scheme contract: a state pinned under a different scheme fails loudly") {
+    val t = table()
+    IncrementalDedup.admit(t, Seq((1L, longA)).toDF("id", "text"),
+      col("id"), col("text"), "2021-01-01")
+    // first admit pins the current scheme + k into the state props
+    assert(t.props()(Dedup.MinHashSchemeProp) === Dedup.MinHashScheme)
+    assert(t.props()("graft.minhash.k") === "8")
+    // a state built under a DIFFERENT scheme (simulated via a fresh
+    // table whose props are pre-pinned) must be rejected, not silently
+    // degraded to exact-only suppression
+    val old = table()
+    old.setPropsIfAbsent(Map(Dedup.MinHashSchemeProp -> "md5-per-seed",
+      "graft.minhash.k" -> "8"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.admit(old, Seq((2L, longB)).toDF("id", "text"),
+        col("id"), col("text"), "2021-01-01")
+    }
+    assert(e.getMessage.contains("md5-per-seed"))
+    // a k mismatch against pinned props fails the same way
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.admit(t, Seq((3L, longB)).toDF("id", "text"),
+        col("id"), col("text"), "2021-01-02", k = 4)
+    }
+    assert(e2.getMessage.contains("graft.minhash.k"))
+  }
 }
