@@ -133,6 +133,90 @@ object CurationQueries {
        |SELECT x, y, ${r4Sql("cos_sim")} AS cos_sim, ${r4Sql("margin")} AS margin
        |FROM scored ORDER BY ${r4Sql("margin")} DESC, x, y""".stripMargin
 
+  /** [[Similarity.cellMarginMine]] — the 100 TB margin-mining path at
+    * a REAL cell count (kCells=4, 3 Lloyd iterations — not the
+    * kCells=1 ≡ brute degenerate the spec pins): k-means fit on side
+    * A, both sides assigned, only same-cell pairs scored. The oracle
+    * unrolls the SAME Lloyd fit in SQL (the llm_semantic_dedup
+    * pattern; kmeansIvfSql's fixture-stability caveat applies) and
+    * reproduces the cell-bounded candidate join + margin arithmetic
+    * verbatim, so the driver hash-checks the scale form itself, not a
+    * degenerate of it.
+    */
+  private def marginMineCellsQ(s: SparkSession, d: String): DataFrame =
+    Similarity.cellMarginMine(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), col("label") % 2 === 0,
+        kCells = 4, iters = 3, k = 4, topN = 40)
+      .select(col("x"), col("y"), r4(col("cos_sim")).as("cos_sim"),
+        r4(col("margin")).as("margin"))
+      .orderBy(col("margin").desc, col("x"), col("y"))
+
+  private val marginMineCellsSql: String = {
+    val kCells = 4; val iters = 3; val dimPlus1 = 65
+    def centsCte(i: Int, from: String): String =
+      s"""mcomp$i AS (
+         |  SELECT cell, i, avg(v[i]) AS c
+         |  FROM $from CROSS JOIN (SELECT i FROM range(1, $dimPlus1) t(i))
+         |  GROUP BY 1, 2
+         |), mcents$i AS (SELECT cell, list(c ORDER BY i) AS centroid FROM mcomp$i GROUP BY 1)"""
+        .stripMargin
+    def d2Sql(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, $dimPlus1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def assignCte(name: String, src: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT p.id, p.v, c.cell,
+         |           row_number() OVER (PARTITION BY p.id
+         |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
+         |    FROM $src p CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      assignCte(s"massign$i", "pa", s"mcents${i - 1}") + ",\n" +
+        centsCte(i, s"massign$i")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), pa AS (SELECT vec_id AS id, v FROM e WHERE label % 2 = 0),
+       |pb AS (SELECT vec_id AS id, v FROM e WHERE label % 2 <> 0),
+       |mcents0 AS (
+       |  SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell, v AS centroid
+       |  FROM pa QUALIFY row_number() OVER (ORDER BY id) <= $kCells
+       |),
+       |$iterCtes,
+       |${assignCte("acell", "pa", s"mcents$iters")},
+       |${assignCte("bcell", "pb", s"mcents$iters")},
+       |p AS (
+       |  SELECT a.id AS x, b.id AS y,
+       |         CAST(floor(list_dot_product(a.v, b.v)
+       |             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |             * 1000000.0 + 0.5) AS BIGINT) AS c
+       |  FROM acell a JOIN bcell b USING (cell)
+       |), rx AS (
+       |  SELECT x, y, c,
+       |         row_number() OVER (PARTITION BY x ORDER BY c DESC, y) AS rx
+       |  FROM p
+       |), ry AS (
+       |  SELECT x, y, c,
+       |         row_number() OVER (PARTITION BY y ORDER BY c DESC, x) AS ry
+       |  FROM p
+       |), axf AS (
+       |  SELECT x, CAST(sum(c) AS BIGINT) AS ax, count(*) AS nx
+       |  FROM rx WHERE rx <= 4 GROUP BY 1
+       |), byf AS (
+       |  SELECT y, CAST(sum(c) AS BIGINT) AS bsum, count(*) AS ny
+       |  FROM ry WHERE ry <= 4 GROUP BY 1
+       |), best AS (SELECT x, y, c FROM rx WHERE rx = 1),
+       |scored AS (
+       |  SELECT best.x, best.y, c / 1000000.0 AS cos_sim,
+       |         (2.0 * c * nx * ny) / CAST(ax * ny + bsum * nx AS DOUBLE) AS margin
+       |  FROM best JOIN axf USING (x) JOIN byf USING (y)
+       |  WHERE ax * ny + bsum * nx <> 0
+       |  ORDER BY margin DESC, x, y LIMIT 40
+       |)
+       |SELECT x, y, ${r4Sql("cos_sim")} AS cos_sim, ${r4Sql("margin")} AS margin
+       |FROM scored ORDER BY ${r4Sql("margin")} DESC, x, y""".stripMargin
+  }
+
   // ------------------------------------- distinct-count sketches
   /** Word-5-gram shingles per source — deliberately NOT deduped:
     * both sketches absorb duplicates by construction, which is what
@@ -378,6 +462,7 @@ object CurationQueries {
     "llm_kmv_setops"   -> kmvSetOpsQ,
     "llm_gopher_rules" -> gopherRulesQ,
     "llm_margin_mine"  -> marginMineQ,
+    "llm_margin_mine_cells" -> marginMineCellsQ,
     "llm_hll_distinct" -> hllDistinctQ,
     "llm_kmv_distinct" -> kmvDistinctQ,
     "llm_count_min"    -> countMinQ,
@@ -387,6 +472,7 @@ object CurationQueries {
     "llm_kmv_setops"   -> kmvSetOpsSql,
     "llm_gopher_rules" -> gopherRulesSql,
     "llm_margin_mine"  -> marginMineSql,
+    "llm_margin_mine_cells" -> marginMineCellsSql,
     "llm_hll_distinct" -> hllDistinctSql,
     "llm_kmv_distinct" -> kmvDistinctSql,
     "llm_count_min"    -> countMinSql,
