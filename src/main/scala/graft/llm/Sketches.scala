@@ -104,30 +104,35 @@ object Sketches {
     * estimate (k−1)/u_k. Groups with fewer than k distinct values get
     * no row (the estimator is undefined there — callers fall back to
     * the exact count, which is by definition small).
+    *
+    * One hash-aggregate over [[graft.functions.KmvAgg.kmvMins]]'s
+    * k-bounded buffer: the partial combines map-side, so the exchange
+    * carries one ≤k-element array per (group, partition) — the HLL
+    * register shape — instead of the k rows per (group × partition)
+    * the previous dense_rank window form shuffled (its
+    * WindowGroupLimit pre-trim bounded rows but still shipped and
+    * re-sorted k·partitions rows per group; the sketch family's
+    * highest 10x exponent, 0.54, in the round-10 SCALING table).
+    * Result-identical: min-k selection is order-free.
     */
-  def kmvKthMin(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("g")).orderBy(col("u"))
+  def kmvKthMin(df: DataFrame, group: Column, value: Column, k: Int): DataFrame =
     df.select(group.as("g"), hashUniform(value).as("u"))
-      .withColumn("dr", dense_rank().over(w))
-      .filter(col("dr") === k)
       .groupBy(col("g"))
-      .agg(min(col("u")).as("u_k"))
-      .select(col("g"), (lit((k - 1).toDouble) / col("u_k")).as("est"))
-  }
+      .agg(graft.functions.KmvAgg.kmvMins(col("u"), k).as("us"))
+      .filter(size(col("us")) === k)
+      .select(col("g"),
+        (lit((k - 1).toDouble) / element_at(col("us"), k)).as("est"))
 
   /** The KMV sketch itself: the k smallest DISTINCT hash uniforms per
     * group, ≤ k rows per group — the mergeable form set algebra needs
-    * (union sketches by re-ranking the union of rows). The distinct
-    * runs BEFORE the rank so the window sorts each group's unique
-    * hashes once; WindowGroupLimit pre-trims map-side to k per group.
+    * (union sketches by re-ranking the union of rows). Same k-bounded
+    * partial aggregate as [[kmvKthMin]], exploded back to rows.
     */
-  def kmvMins(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("g")).orderBy(col("u"))
-    df.select(group.as("g"), hashUniform(value).as("u")).distinct()
-      .withColumn("dr", dense_rank().over(w)).filter(col("dr") <= k).drop("dr")
-  }
+  def kmvMins(df: DataFrame, group: Column, value: Column, k: Int): DataFrame =
+    df.select(group.as("g"), hashUniform(value).as("u"))
+      .groupBy(col("g"))
+      .agg(graft.functions.KmvAgg.kmvMins(col("u"), k).as("us"))
+      .select(col("g"), explode(col("us")).as("u"))
 
   /** KMV set algebra (Beyer et al. SIGMOD'07) over [[kmvMins]] rows:
     * for every group pair (sa < sb), the union estimate from the k

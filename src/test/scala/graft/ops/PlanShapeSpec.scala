@@ -166,14 +166,15 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a partial aggregate below the exchange:\n$p")
   }
 
-  test("kmvMins: rank window pre-trims to k below its exchange") {
+  test("kmvMins: one exchange, k-bounded partial aggregate below it — no window") {
     val df = (1L to 500L).map(i => ("s", s"v_$i")).toDF("src", "v")
     val out = graft.llm.Sketches.kmvMins(df, col("src"), col("v"), 16)
     val p = plan(out)
-    assert(p.contains("WindowGroupLimit"),
-      s"expected the dense_rank filter to plan as WindowGroupLimit:\n$p")
-    assert(p.linesIterator.count(l =>
-        l.contains("WindowGroupLimit") && l.contains("Partial")) >= 1,
-      s"expected a map-side (Partial) WindowGroupLimit pre-trim:\n$p")
+    assert(shuffles(out) === 1, s"kmvMins should shuffle once:\n$p")
+    assert(!p.contains("Window"),
+      s"the dense_rank window form is gone — the exchange must carry the " +
+        s"k-bounded kmv_mins partial, not k rows per (group, partition):\n$p")
+    assert(p.contains("partial_kmv_mins") || p.contains("Partial"),
+      s"expected a map-side (Partial) kmv_mins aggregate below the exchange:\n$p")
   }
 }
