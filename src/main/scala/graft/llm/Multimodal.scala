@@ -93,11 +93,13 @@ object Multimodal {
     * error-isolation path with genuinely malformed media rather than
     * a stubbed failure.
     *
-    * As a [[SampleDecoder]] it serves PGM's decoded luminance plane
-    * into [[dHash]]/[[thumbnailBytes]] — the real-pixel path of the
-    * content ops, uncompressed so no codec library is needed; PNG and
-    * JPEG throw there (header parsing cannot produce pixels), taking
-    * the ok=false path.
+    * As a [[SampleDecoder]] it serves real luminance planes into
+    * [[dHash]]/[[thumbnailBytes]]: PGM's raw raster, and gray-8
+    * PNG's raster fully decoded — IDAT inflate (JDK `Inflater`) plus
+    * per-row filter reconstruction — so a genuinely COMPRESSED format
+    * runs on genuine pixels with zero codec dependencies. JPEG (and
+    * non-gray-8 PNG layouts) throw there (entropy-coded DCT needs a
+    * real codec library), taking the ok=false path.
     */
   class ImageHeaderDecoder extends MediaDecoder with SampleDecoder {
     private def u8(b: Byte): Int = b & 0xff
@@ -200,15 +202,104 @@ object Multimodal {
         w, h, ok = true, error = "")
     }
 
-    /** Decoded luminance plane (row-major) — PGM only; compressed
-      * formats throw into the callers' ok=false path.
+    /** Full pixel decode of an 8-bit grayscale non-interlaced PNG
+      * (RFC 2083: IHDR walk, concatenated IDAT zlib stream inflated
+      * with the JDK `Inflater`, then per-row filter reconstruction —
+      * None/Sub/Up/Average/Paeth, §6). Grayscale-only by design: the
+      * [[SampleDecoder]] contract is a luminance plane, and gray-8 is
+      * the one PNG layout whose raster IS that plane (bpp = 1); color
+      * types would smuggle an RGB→luma convention into the seam.
+      * Returns the w·h row-major plane.
+      */
+    private def decodePngGray(a: Array[Byte]): Array[Byte] = {
+      if (a.length < 33) // sig + IHDR len/type + 13 data + crc
+        throw new IllegalArgumentException("truncated PNG header")
+      val (w, h) = parsePng(a) // validates signature + IHDR placement
+      val bitDepth = u8(a(24)); val colorType = u8(a(25))
+      val interlace = u8(a(28))
+      if (bitDepth != 8 || colorType != 0)
+        throw new IllegalArgumentException(
+          s"unsupported PNG layout (bit depth $bitDepth, color type $colorType; gray-8 only)")
+      if (interlace != 0)
+        throw new IllegalArgumentException("interlaced PNG not supported")
+      // walk chunks, concatenating every IDAT payload (the zlib
+      // stream may be split across chunks at arbitrary byte offsets)
+      val zs = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var sawEnd = false
+      while (!sawEnd && i + 8 <= a.length) {
+        val len = be32(a, i)
+        val typ = new String(a, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (len < 0 || i + 12 + len > a.length)
+          throw new IllegalArgumentException(s"truncated PNG chunk $typ")
+        if (typ == "IDAT") zs.write(a, i + 8, len)
+        if (typ == "IEND") sawEnd = true
+        i += 12 + len
+      }
+      if (zs.size() == 0) throw new IllegalArgumentException("PNG has no IDAT data")
+      val raw = new Array[Byte](h * (w + 1)) // one filter byte + w samples per row
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(zs.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && inf.needsInput())
+            throw new IllegalArgumentException("truncated PNG IDAT stream")
+          got += n
+        }
+      } catch { case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt PNG deflate stream: ${e.getMessage}")
+      } finally inf.end()
+      if (got < raw.length)
+        throw new IllegalArgumentException("truncated PNG pixel data")
+      // per-row filter reconstruction, bpp = 1 (left neighbor is the
+      // previous byte in the row, up is the reconstructed row above)
+      val out = new Array[Byte](w * h)
+      var r = 0
+      while (r < h) {
+        val f = u8(raw(r * (w + 1)))
+        var c = 0
+        while (c < w) {
+          val x = u8(raw(r * (w + 1) + 1 + c))
+          val left = if (c > 0) u8(out(r * w + c - 1)) else 0
+          val up = if (r > 0) u8(out((r - 1) * w + c)) else 0
+          val ul = if (r > 0 && c > 0) u8(out((r - 1) * w + c - 1)) else 0
+          val rec = f match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + ((left + up) >> 1)
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case other =>
+              throw new IllegalArgumentException(s"bad PNG filter type $other in row $r")
+          }
+          out(r * w + c) = (rec & 0xff).toByte
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    /** Decoded luminance plane (row-major): PGM's raw raster, or a
+      * gray-8 PNG's inflated+unfiltered raster ([[decodePngGray]] —
+      * a genuinely compressed format decoded to real pixels with zero
+      * codec dependencies). JPEG (and non-gray-8 PNG layouts) still
+      * throw into the callers' ok=false path: entropy-coded DCT needs
+      * a real codec library.
       */
     override def samples(bytes: Array[Byte]): Array[Byte] = {
       if (bytes == null || bytes.length < 2)
         throw new IllegalArgumentException("empty or missing blob")
+      if (bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)))
+        return decodePngGray(bytes)
       if (!isPgm(bytes))
         throw new IllegalArgumentException(
-          "no pixel plane without a codec (PGM is the uncompressed path)")
+          "no pixel plane without a codec (PGM and gray-8 PNG are the decodable paths)")
       val (w, h, off) = parsePgmHeader(bytes)
       java.util.Arrays.copyOfRange(bytes, off, off + w * h)
     }

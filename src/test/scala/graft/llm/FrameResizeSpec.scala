@@ -163,4 +163,82 @@ class FrameResizeSpec extends SparkSpec {
     val expect = cell0.map(_._1 & 0xff).map(_.toLong).sum / cell0.length
     assert((thumb(0) & 0xff) === expect.toInt)
   }
+
+  test("decoder seam: a deflate-compressed gray-8 PNG decodes to exactly its pixel plane") {
+    // a REAL compressed format through the seam: build a PNG whose
+    // rows exercise every filter type (None/Sub/Up/Average/Paeth),
+    // deflate it with the JDK Deflater, wrap it in proper chunks, and
+    // require blob ≡ bare plane through samples/dHash/thumbnail —
+    // the PGM invariant, now on compressed input
+    val w = 8; val h = 5
+    val plane = (0 until w * h).map(i => ((i * 53 + 7) % 256).toByte).toArray
+    def u8(b: Byte): Int = b & 0xff
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    // filter each row r with type r % 5, from the ORIGINAL plane
+    val raw = new java.io.ByteArrayOutputStream()
+    for (r <- 0 until h) {
+      val f = r % 5
+      raw.write(f)
+      for (c <- 0 until w) {
+        val x = u8(plane(r * w + c))
+        val left = if (c > 0) u8(plane(r * w + c - 1)) else 0
+        val up = if (r > 0) u8(plane((r - 1) * w + c)) else 0
+        val ul = if (r > 0 && c > 0) u8(plane((r - 1) * w + c - 1)) else 0
+        val enc = f match {
+          case 0 => x
+          case 1 => x - left
+          case 2 => x - up
+          case 3 => x - ((left + up) >> 1)
+          case 4 => x - paeth(left, up, ul)
+        }
+        raw.write(enc & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val zbuf = new Array[Byte](256)
+    while (!defl.finished()) z.write(zbuf, 0, defl.deflate(zbuf))
+    defl.end()
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0) // gray-8
+    // split the IDAT stream across two chunks: decoders must
+    // concatenate payloads before inflating
+    val zb = z.toByteArray
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++
+      chunk("IDAT", zb.take(zb.length / 2)) ++
+      chunk("IDAT", zb.drop(zb.length / 2)) ++
+      chunk("IEND", Array.empty[Byte])
+
+    val dec = new Multimodal.ImageHeaderDecoder
+    assert(dec.decode(png).width === w)
+    assert(dec.decode(png).height === h)
+    assert(dec.samples(png).toSeq === plane.toSeq,
+      "inflate + filter reconstruction must reproduce the exact plane")
+    assert(Multimodal.dHash(png, dec) === Multimodal.dHash(plane))
+    assert(Multimodal.thumbnailBytes(png, 3, 2, dec).toSeq ===
+      Multimodal.thumbnailBytes(plane, 3, 2).toSeq)
+
+    // unsupported layouts still isolate as errors: truecolor (type 2)
+    val rgbIhdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    val rgbPng = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", rgbIhdr) ++ chunk("IEND", Array.empty[Byte])
+    val e = intercept[IllegalArgumentException] { dec.samples(rgbPng) }
+    assert(e.getMessage.contains("color type 2"))
+    // corrupt deflate stream fails loudly, not with garbage pixels
+    val badIdat = zb.clone(); badIdat(badIdat.length - 3) = (badIdat(badIdat.length - 3) ^ 0x5f).toByte
+    val badPng = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", badIdat) ++ chunk("IEND", Array.empty[Byte])
+    intercept[IllegalArgumentException] { dec.samples(badPng) }
+  }
 }
