@@ -553,7 +553,86 @@ object IndicatorQueries {
        |  AND CAST(n AS HUGEINT)*syy - sy*sy > 0
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- top-k corr screener
+  /** [[Indicators.topCorrelated]] — the screener form of
+    * `ts_corr_matrix` a large symbol universe runs: sign-of-return
+    * signatures (48 bits, slot = hour_index % 48), pigeonhole
+    * Hamming candidates (≤ 12 of 48 bits — far under the
+    * uncorrelated-pair mean of 24), exact integer-moment Pearson on
+    * candidates only, top 5. The universe doubles the real series
+    * with constructed echoes (c′ = 2c + hour%5 — corr ≈ 1 by
+    * construction, Hamming 0 measured at every SF because real hourly
+    * deltas dwarf the ±4-cent wiggle), so the screener's recall is
+    * provable on the fixture: the echo pairs ARE the exact all-pairs
+    * top 5 (natural pairs measure |corr| ≤ 0.07 at distance ≥ 21),
+    * and IndicatorsSpec pins pruned ≡ exact. The oracle replays the
+    * same radius semantics all-pairs (ground truth for the
+    * pigeonhole's recall-1 claim).
+    */
+  private def corrTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val h0 = hourly(s, dir)
+    val uni = h0.select(col("event_type"), col("bus"), col("c")).unionByName(
+      h0.select(concat(col("event_type"), lit("#echo")).as("event_type"),
+        col("bus"),
+        (col("c") * 2L + expr("(bus div 3600000000) % 5")).as("c")))
+    Indicators.topCorrelated(uni, col("event_type"), col("bus"), col("c"),
+        expr("(bus div 3600000000) % 48"), bits = 48, maxDist = 12, k = 5)
+      .select(col("key_a").as("event_a"), col("key_b").as("event_b"),
+        col("n"), r4(col("corr")).as("corr"))
+      .orderBy(col("corr").desc, col("event_a"), col("event_b"))
+  }
+
+  private val corrTopkSql: String =
+    s"""$hourlyCte, uni AS (
+       |  SELECT event_type, bus, c FROM hourly
+       |  UNION ALL
+       |  SELECT event_type || '#echo', bus, 2 * c + (bus // 3600000000) % 5
+       |  FROM hourly
+       |), d AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS prev
+       |  FROM uni
+       |), u AS (
+       |  SELECT event_type, CAST((bus // 3600000000) % 48 AS INTEGER) AS j,
+       |         CASE WHEN c > prev THEN 1 ELSE -1 END AS vote
+       |  FROM d WHERE prev IS NOT NULL
+       |), vj AS (
+       |  SELECT event_type, j, sum(vote) AS v FROM u GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT event_type,
+       |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM vj GROUP BY 1
+       |), cand AS (
+       |  SELECT a.event_type AS ea, b.event_type AS eb
+       |  FROM sig a JOIN sig b ON a.event_type < b.event_type
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 12
+       |), jj AS (
+       |  SELECT c.ea, c.eb, a.c AS x, b.c AS y
+       |  FROM cand c
+       |  JOIN uni a ON a.event_type = c.ea
+       |  JOIN uni b ON b.event_type = c.eb AND b.bus = a.bus
+       |), sums AS (
+       |  SELECT ea, eb, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM jj GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT ea, eb, n,
+       |         CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE) /
+       |         (sqrt(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE)) *
+       |          sqrt(CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE))) AS corr
+       |  FROM sums
+       |  WHERE n >= 2 AND CAST(n AS HUGEINT)*sxx - sx*sx > 0
+       |    AND CAST(n AS HUGEINT)*syy - sy*sy > 0
+       |  ORDER BY corr DESC, ea, eb LIMIT 5
+       |)
+       |SELECT ea AS event_a, eb AS event_b, n, ${r4Sql("corr")} AS corr
+       |FROM scored ORDER BY ${r4Sql("corr")} DESC, ea, eb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_corr_topk"  -> corrTopkQ,
     "ts_drawdown"   -> drawdownQ,
     "ts_sharpe"     -> sharpeQ,
     "ts_sortino"    -> sortinoQ,
@@ -571,6 +650,7 @@ object IndicatorQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_corr_topk"  -> corrTopkSql,
     "ts_drawdown"   -> drawdownSql,
     "ts_sharpe"     -> sharpeSql,
     "ts_sortino"    -> sortinoSql,

@@ -368,4 +368,78 @@ object Indicators {
         max((col("__peak") - closeCents) * lit(100.0d) /
           col("__peak").cast("double")).as("max_dd_pct"))
   }
+
+  /** Per-series sign-of-return signature: bit j is the MAJORITY sign
+    * of the series' bucket-to-bucket deltas over the buckets mapped
+    * to slot j (`slot` must be a shared bucket→[0,bits) mapping, e.g.
+    * `hour_index % bits`, so every series votes on the same slots).
+    * Pure integer arithmetic — votes are ±1 sums, the bit cut is
+    * `sum > 0`, the pack is exact shifts — so the signature is
+    * engine- and partitioning-exact. Correlated series agree on most
+    * delta signs, hence on most bits: Hamming distance is a O(1)-per-
+    * pair correlation proxy (sign agreement IS Kendall-style
+    * concordance against the time axis), while an uncorrelated pair
+    * sits at the binomial mean bits/2. One narrow groupBy pass;
+    * state is O(series · bits). Returns (k, sig).
+    */
+  def signSignatures(series: DataFrame, key: Column, bucket: Column,
+                     closeCents: Column, slot: Column): DataFrame = {
+    val h = series.select(key.as("k"), bucket.as("bus"),
+      closeCents.as("c"), slot.cast("int").as("j"))
+    val ord = Window.partitionBy(col("k")).orderBy(col("bus"))
+    h.select(col("k"), col("j"),
+        (col("c") > lag(col("c"), 1).over(ord)).as("u"))
+      .filter(col("u").isNotNull)
+      .groupBy(col("k"), col("j"))
+      .agg(sum(when(col("u"), 1L).otherwise(-1L)).as("v"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("sig"))
+  }
+
+  /** Top-k most-correlated series pairs, signature-pruned — the form
+    * of `ts_corr_matrix`'s screener a 1000-symbol universe actually
+    * runs: the all-pairs moment join is |series|²·|buckets| rows,
+    * quadratic in the universe; here candidates come from
+    * [[signSignatures]] + [[graft.llm.Dedup.simHashPairs]]' pigeonhole
+    * blocks (recall exactly 1 within Hamming `maxDist` — not an LSH
+    * curve), and the exact integer-moment join (same expression tree
+    * as the matrix) runs ONLY on candidate pairs, so the quadratic
+    * frame shrinks to |candidates|·|buckets|. The contract is
+    * deterministic and oracle-checkable: top `k` by exact Pearson
+    * corr among pairs whose signatures differ in ≤ `maxDist` of
+    * `bits` bits (an uncorrelated pair's expected distance is bits/2,
+    * so any radius meaningfully below that prunes the quadratic
+    * bulk). Final top-k is one TakeOrderedAndProject.
+    * Returns (key_a, key_b, n, corr), corr descending.
+    */
+  def topCorrelated(series: DataFrame, key: Column, bucket: Column,
+                    closeCents: Column, slot: Column, bits: Int,
+                    maxDist: Int, k: Int): DataFrame = {
+    val h = series.select(key.as("k"), bucket.as("bus"), closeCents.as("c"))
+    val sigs = signSignatures(series, key, bucket, closeCents, slot)
+    val cands = graft.llm.Dedup.simHashPairs(sigs, col("k"), col("sig"),
+        bits, maxDist)
+      .select(col("id_a").as("ka"), col("id_b").as("kb"))
+    val a = h.select(col("k").as("ka"), col("bus"), col("c").as("x"))
+    val b = h.select(col("k").as("kb"), col("bus"), col("c").as("y"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    cands.join(a, "ka").join(b, Seq("kb", "bus"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      .filter(col("n") >= 2L &&
+        (dec(col("n")) * col("sxx") - col("sx") * col("sx")) > 0 &&
+        (dec(col("n")) * col("syy") - col("sy") * col("sy")) > 0)
+      .select(col("ka").as("key_a"), col("kb").as("key_b"), col("n"),
+        ((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr"))
+      .orderBy(col("corr").desc, col("key_a"), col("key_b"))
+      .limit(k)
+  }
 }

@@ -178,4 +178,58 @@ class IndicatorsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(out.toSeq == Seq((0L, 4L, 15.0), (2L, 5L, 3.0)))
   }
+
+  test("topCorrelated: signature prune reproduces the exact all-pairs top-k") {
+    // a universe with REAL correlation structure: base random-walk
+    // series, strongly-correlated companions (2x + tiny wiggle), and
+    // independent walks. The screener (48-bit sign signatures,
+    // Hamming <= 12 candidates, exact moment verify) must return
+    // exactly the all-pairs top-k -- the recall-1-within-radius
+    // contract, demonstrated where the radius provably covers the
+    // true top pairs and excludes the uncorrelated bulk.
+    val rnd = new scala.util.Random(7)
+    def walk(n: Int): Seq[Long] =
+      Iterator.iterate(10000L)(_ + (rnd.nextInt(401) - 200L)).take(n).toSeq
+    val n = 96
+    val rows = (0 until 4).flatMap { s =>
+      val w = walk(n)
+      w.zipWithIndex.flatMap { case (c, t) =>
+        Seq((s"base_$s", t.toLong, c),
+          (s"twin_$s", t.toLong, 2L * c + t % 5))
+      }
+    }
+    val df = rows.toDF("key", "t", "c")
+    val slot = col("t") % 48
+    val got = Indicators.topCorrelated(df, col("key"), col("t"), col("c"),
+        slot, bits = 48, maxDist = 12, k = 4)
+      .select("key_a", "key_b").as[(String, String)].collect().toSet
+    assert(got === (0 until 4).map(s => (s"base_$s", s"twin_$s")).toSet,
+      "the 4 constructed (base, twin) pairs are the exact top-4")
+
+    // exact all-pairs top-4 agrees: compute corr without the prune
+    val h = df.select(col("key").as("k"), col("t").as("bus"), col("c"))
+    val a = h.select(col("k").as("ka"), col("bus"), col("c").as("x"))
+    val b = h.select(col("k").as("kb"), col("bus"), col("c").as("y"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val exact = a.join(b, "bus").filter(col("ka") < col("kb"))
+      .groupBy("ka", "kb")
+      .agg(count(lit(1)).as("nn"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      .select(col("ka"), col("kb"),
+        ((dec(col("nn")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((dec(col("nn")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((dec(col("nn")) * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr"))
+      .orderBy(col("corr").desc, col("ka"), col("kb")).limit(4)
+      .select("ka", "kb").as[(String, String)].collect().toSet
+    assert(got === exact, "pruned top-k must equal the exact all-pairs top-k")
+
+    // and the prune is real: candidate pairs are far fewer than all pairs
+    val sigs = Indicators.signSignatures(df, col("key"), col("t"), col("c"), slot)
+    val nCands = graft.llm.Dedup.simHashPairs(sigs, col("k"), col("sig"), 48, 12).count()
+    assert(nCands < 28L, s"8 series = 28 pairs all-pairs; prune kept $nCands")
+  }
 }
