@@ -237,6 +237,87 @@ object CurationQueries {
        |  FROM dd
        |)""".stripMargin
 
+  // --------------------------------------------------- Bloom filter
+  /** [[Sketches.bloomBuild]] + [[Sketches.bloomMightContain]] — the
+    * membership prefilter over the reference source's 5-gram set
+    * (the lexicographically-first source is the "blocklist"): every
+    * other source's distinct grams probe the sketch, and the output
+    * pins the two properties a deployment sizes by, per source:
+    * NO false negatives (n_maybe ≥ n_true row by row — every truly
+    * shared gram is maybe-present) and the measured false-positive
+    * rate among genuinely-absent grams. All integer counts; the only
+    * float is the final r4'd rate. At 100 TB the sketch (≤ 2^18 bits
+    * here) broadcasts and the probe is map-side — the exact join
+    * runs only on the maybe sliver.
+    */
+  private def bloomFilterQ(s: SparkSession, d: String): DataFrame = {
+    val grams = sourceGrams(s, d)
+    val refS = grams.groupBy().agg(min(col("source")).as("source"))
+    val refGrams = grams.join(broadcast(refS), "source").select(col("g"))
+    val bloom = Sketches.bloomBuild(refGrams, lit(0L), col("g"))
+    val probes = grams.join(broadcast(refS), Seq("source"), "left_anti")
+      .select(col("source"), col("g")).distinct()
+    val maybe = Sketches.bloomMightContain(bloom, probes, lit(0L), col("g"),
+      carry = Seq(col("source")))
+    val refSet = refGrams.distinct().select(col("g"), lit(1L).as("in_ref"))
+    maybe.select(col("source"), col("key").as("g"), col("maybe"))
+      .join(refSet, Seq("g"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+        sum(when(col("in_ref").isNotNull, 1L).otherwise(0L)).as("n_true"))
+      .select(col("source"), col("n_probes"), col("n_maybe"), col("n_true"),
+        (col("n_maybe") - col("n_true")).as("n_fp"),
+        r4(when(col("n_probes") > col("n_true"),
+          (col("n_maybe") - col("n_true")).cast("double") /
+            (col("n_probes") - col("n_true")).cast("double"))
+          .otherwise(lit(0.0d))).as("fp_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val bloomFilterSql: String =
+    s"""$sourceGramsSql, refs AS (
+       |  SELECT min(source) AS rs FROM g
+       |), ref AS (
+       |  SELECT DISTINCT g.g FROM g, refs WHERE g.source = rs
+       |), pos AS (
+       |  SELECT g, CAST(('0x' || substring(md5(g), 1 + 6 * CAST(i AS INTEGER), 6)) AS BIGINT)
+       |            % 262144 AS p
+       |  FROM ref CROSS JOIN (SELECT unnest(range(4)) AS i)
+       |), bloom AS (
+       |  SELECT p // 32 AS w,
+       |         bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+       |  FROM pos GROUP BY 1
+       |), probes AS (
+       |  SELECT DISTINCT source, g.g FROM g, refs WHERE g.source <> rs
+       |), pp AS (
+       |  SELECT source, g,
+       |         CAST(('0x' || substring(md5(g), 1 + 6 * CAST(i AS INTEGER), 6)) AS BIGINT)
+       |         % 262144 AS p
+       |  FROM probes CROSS JOIN (SELECT unnest(range(4)) AS i)
+       |), hit AS (
+       |  SELECT source, g,
+       |         min(CASE WHEN (coalesce(bits, 0) & (1::BIGINT << CAST(p % 32 AS INTEGER))) <> 0
+       |                  THEN 1 ELSE 0 END) AS all_hit
+       |  FROM pp LEFT JOIN bloom ON bloom.w = pp.p // 32
+       |  GROUP BY 1, 2
+       |), tagged AS (
+       |  SELECT h.source, h.g, h.all_hit,
+       |         CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END AS in_ref
+       |  FROM hit h LEFT JOIN ref r ON r.g = h.g
+       |), agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_probes,
+       |         CAST(sum(all_hit) AS BIGINT) AS n_maybe,
+       |         CAST(sum(in_ref) AS BIGINT) AS n_true
+       |  FROM tagged GROUP BY 1
+       |)
+       |SELECT source, n_probes, n_maybe, n_true,
+       |       CAST(n_maybe - n_true AS BIGINT) AS n_fp,
+       |       ${r4Sql("CASE WHEN n_probes > n_true THEN " +
+                       "CAST(n_maybe - n_true AS DOUBLE) / CAST(n_probes - n_true AS DOUBLE) " +
+                       "ELSE 0.0 END")} AS fp_rate
+       |FROM agg ORDER BY source""".stripMargin
+
   /** [[Sketches.hllEstimate]] vs the exact distinct count, per
     * source — the estimate, the exact, and the relative error the
     * deployment would size registers against.
@@ -466,6 +547,7 @@ object CurationQueries {
     "llm_hll_distinct" -> hllDistinctQ,
     "llm_kmv_distinct" -> kmvDistinctQ,
     "llm_count_min"    -> countMinQ,
+    "llm_bloom_filter" -> bloomFilterQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -476,5 +558,6 @@ object CurationQueries {
     "llm_hll_distinct" -> hllDistinctSql,
     "llm_kmv_distinct" -> kmvDistinctSql,
     "llm_count_min"    -> countMinSql,
+    "llm_bloom_filter" -> bloomFilterSql,
   )
 }

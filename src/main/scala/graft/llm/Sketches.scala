@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   *    256·|groups| reducer rows, corpus-size-independent state.
   *  - [[kmvKthMin]]: the k-minimum-values estimator (Bar-Yossef et
   *    al. 2002): distinct ≈ (k−1)/u_k with u_k the k-th smallest
-  *    distinct hash mapped into (0,1). Ties collapse via dense_rank
-  *    (k-th smallest DISTINCT value), so duplicates need no pre-dedup
-  *    here either, and the rank plans under WindowGroupLimit —
-  *    map-side partitions pre-trim to k rows per group.
+  *    distinct hash mapped into (0,1). The k smallest DISTINCT values
+  *    accumulate in [[graft.functions.KmvMinsAgg]]'s k-bounded buffer
+  *    (duplicates collapse in the set), combining map-side like the
+  *    HLL registers — one ≤k-array per (group, partition) crosses the
+  *    exchange.
+  *  - [[bloomBuild]]/[[bloomMightContain]]: a Bloom filter as (word,
+  *    bits) rows — the broadcastable membership prefilter (Bloom
+  *    CACM'70) that turns a 100 TB blocklist anti-join into a
+  *    map-side maybe-test, with the exact join left only the
+  *    maybe-present sliver.
   */
 object Sketches {
 
@@ -216,4 +222,62 @@ object Sketches {
       .join(sketch, Seq("g", "r", "b"), "left")
       .groupBy(col("g"), col("key"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  /** Bloom-filter bit positions for one value: `h` indexes into a
+    * 2^`bitsLog2`-bit array, DISJOINT 6-hex (24-bit) slices of one
+    * md5 reduced mod the array size — the md5-slicing discipline
+    * ([[cmProbes]], minhash): one digest per value carries all `h`
+    * independent hash functions, and the oracle replays the slices
+    * verbatim. h ≤ 5 (30 of 32 hex chars), bitsLog2 ≤ 24.
+    */
+  def bloomProbes(value: Column, h: Int, bitsLog2: Int): Column = {
+    require(h >= 1 && h <= 5, s"bloomProbes: h must be in [1,5], got $h")
+    require(bitsLog2 >= 6 && bitsLog2 <= 24,
+      s"bloomProbes: bitsLog2 must be in [6,24], got $bitsLog2")
+    val m = md5(value.cast("string"))
+    array((0 until h).map { i =>
+      (conv(substring(m, 1 + 6 * i, 6), 16, 10).cast("long") % (1L << bitsLog2))
+    }: _*)
+  }
+
+  /** Bloom filter per group over a (group, value) frame, as (g, w,
+    * bits) rows: 32-bit words (bit index < 32 keeps every shift
+    * engine-portable — no 1<<63 sign/overflow divergence), built in
+    * ONE map-side-combined bit_or pass. Words with no set bits have
+    * no row. State ≤ 2^bitsLog2/32 rows per group regardless of
+    * corpus size; words OR-merge across partitions/days like the HLL
+    * registers; the whole sketch broadcasts (2^24 bits = 2 MiB
+    * ceiling), which is what makes [[bloomMightContain]] a map-side
+    * prefilter at 100 TB.
+    */
+  def bloomBuild(df: DataFrame, group: Column, value: Column,
+                 h: Int = 4, bitsLog2: Int = 18): DataFrame =
+    df.select(group.as("g"), explode(bloomProbes(value, h, bitsLog2)).as("p"))
+      .select(col("g"), expr("p div 32").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
+      .groupBy(col("g"), col("w"))
+      .agg(bit_or(col("m")).as("bits"))
+
+  /** Membership probe against a [[bloomBuild]] sketch: (g, carry...,
+    * key, maybe) — `maybe` true iff ALL `h` probed bits are set. The
+    * sketch is LEFT-joined from the probes with absent words counting
+    * 0 (the [[countMinLookup]] discipline: a missing word row proves
+    * its bits are 0, so the key is definitively absent). No false
+    * negatives ever; false-positive rate is the standard
+    * (1−e^{−hn/m})^h. `carry` rides extra probe-side columns into the
+    * output for the caller's aggregation.
+    */
+  def bloomMightContain(sketch: DataFrame, keys: DataFrame,
+                        group: Column, key: Column,
+                        carry: Seq[Column] = Nil,
+                        h: Int = 4, bitsLog2: Int = 18): DataFrame =
+    keys.select((group.as("g") +: key.as("key") +: carry) :+
+        explode(bloomProbes(key, h, bitsLog2)).as("p"): _*)
+      .select((col("g") +: col("key") +: carry) :+
+        expr("p div 32").as("w") :+
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"): _*)
+      .join(sketch, Seq("g", "w"), "left")
+      .groupBy((col("g") +: col("key") +: carry): _*)
+      .agg((min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("m")) =!= 0L,
+        1L).otherwise(0L)) === 1L).as("maybe"))
 }

@@ -109,4 +109,39 @@ class SketchesSpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect().toSet
     assert(merged == whole, "per-part sketches must add to the whole")
   }
+
+  test("bloom: no false negatives, FP rate in regime, words OR-merge") {
+    // 4000 members, 4000 distinct probes half-overlapping; m = 2^18
+    // bits, h = 4, n = 4000 -> theoretical fp ~ (1-e^{-hn/m})^4 ~ 3e-5;
+    // the regime assert is a loose 100x ceiling, not a point estimate
+    val members = (0 until 4000).map(i => (0L, s"member_$i")).toDF("g", "v")
+    val bloom = Sketches.bloomBuild(members, col("g"), col("v"))
+    val probeRows = ((0 until 2000).map(i => s"member_$i") ++
+      (0 until 2000).map(i => s"absent_$i")).map((0L, _)).toDF("g", "v")
+    val got = Sketches.bloomMightContain(bloom, probeRows, col("g"), col("v"))
+      .select("key", "maybe").as[(String, Boolean)].collect().toMap
+    assert((0 until 2000).forall(i => got(s"member_$i")),
+      "a Bloom filter NEVER misses a member")
+    val fps = (0 until 2000).count(i => got(s"absent_$i"))
+    assert(fps <= 6, s"fp rate out of regime: $fps/2000 (expected ~0)")
+
+    // mergeability: bit_or of two half-corpus sketches == whole sketch
+    val h1 = Sketches.bloomBuild(members.filter(expr("CAST(substring(v, 8) AS INT) % 2 = 0")),
+      col("g"), col("v"))
+    val h2 = Sketches.bloomBuild(members.filter(expr("CAST(substring(v, 8) AS INT) % 2 = 1")),
+      col("g"), col("v"))
+    val merged = h1.unionByName(h2).groupBy("g", "w")
+      .agg(bit_or(col("bits")).as("bits"))
+      .select("g", "w", "bits").as[(Long, Long, Long)].collect().toSet
+    val whole = bloom.select("g", "w", "bits").as[(Long, Long, Long)].collect().toSet
+    assert(merged == whole, "per-part bloom words must OR to the whole")
+
+    // absent WORD (not just absent bits): a probe whose words are all
+    // missing from the sketch rows is definitively absent
+    val tiny = Sketches.bloomBuild(Seq((0L, "one")).toDF("g", "v"), col("g"), col("v"))
+    val miss = Sketches.bloomMightContain(tiny,
+        Seq((0L, "definitely_not_present_xyz")).toDF("g", "v"), col("g"), col("v"))
+      .select("maybe").as[Boolean].head()
+    assert(!miss, "missing word rows count as zero bits")
+  }
 }
