@@ -158,7 +158,13 @@ object ScaleBench {
     // calibration columns carry the corpus cost (distinct grams +
     // gram self-join, within-replica only under rotation) — the
     // exponent watches that calibration stays linear
-    "llm_count_min", "llm_kmv_setops")
+    "llm_count_min", "llm_kmv_setops",
+    // r11 late addition. bloom_filter: build is one map-side-combined
+    // bit_or pass over the reference source's grams (reducer state
+    // ≤ 2^18/32 word rows); probes explode(4) and LEFT-join the word
+    // rows + min-reduce — must stay corpus-linear with a
+    // sketch-bounded stored side
+    "llm_bloom_filter")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
