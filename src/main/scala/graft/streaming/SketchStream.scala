@@ -288,4 +288,73 @@ object SketchStream {
     ds.groupByKey(_.group)(Encoders.scalaLong)
       .transformWithState(new KmvProcessor(k), TimeMode.None(), OutputMode.Append())
   }
+
+  // ---------------------------------------------------------- bloom
+
+  case class FirstSeen(group: Long, value: String, emitted: Boolean)
+
+  /** Streaming Bloom first-occurrence gate —
+    * [[graft.llm.Sketches.bloomBuild]]'s word map as
+    * `transformWithState` state: a value whose `h` probed bits are
+    * all already set is suppressed (`emitted = false`), otherwise it
+    * is emitted and its bits fold in. This is the bounded-state
+    * approximate-dedup gate: state per key is ≤ 2^bitsLog2/32 word
+    * entries FOREVER (an exact first-seen set grows with the
+    * stream), every true duplicate occurrence after the first is
+    * suppressed (bits are monotone — once set, a duplicate can never
+    * re-emit), and the price is a small false-suppression rate of
+    * genuinely-new values at the standard Bloom FP rate.
+    *
+    * The probed positions are byte-identical to the batch
+    * [[graft.llm.Sketches.bloomProbes]] (6-hex md5 slices mod 2^b,
+    * 32-bit words), and setting bits for a suppressed value is a
+    * no-op by definition, so the FINAL word map equals the batch
+    * `bloomBuild` over all arrived values exactly — order-, batching-
+    * and redelivery-invariant (the mergeability the spec pins), even
+    * though which values got emitted is arrival-order-dependent like
+    * SpaceSaving's summary.
+    */
+  class BloomProcessor(h: Int = 4, bitsLog2: Int = 18)
+      extends StatefulProcessor[Long, Distinct, FirstSeen] {
+    @transient private var words: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      words = getHandle.getMapState[Long, Long]("bloom",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Distinct],
+                                 timerValues: TimerValues): Iterator[FirstSeen] = {
+      // lazy map is consumed sequentially by the engine, so each
+      // row's decision sees every earlier row's bits
+      rows.map { d =>
+        val hex = md5Hex(d.value)
+        val ps = (0 until h).map { i =>
+          java.lang.Long.parseLong(hex.substring(6 * i, 6 * i + 6), 16) %
+            (1L << bitsLog2)
+        }
+        def bit(p: Long): (Long, Long) = (p / 32L, 1L << (p % 32L).toInt)
+        val allSet = ps.forall { p =>
+          val (w, m) = bit(p)
+          words.containsKey(w) && (words.getValue(w) & m) != 0L
+        }
+        if (!allSet) ps.foreach { p =>
+          val (w, m) = bit(p)
+          val cur = if (words.containsKey(w)) words.getValue(w) else 0L
+          words.updateValue(w, cur | m)
+        }
+        FirstSeen(key, d.value, !allSet)
+      }
+    }
+  }
+
+  /** One row per arrival; `emitted` rows are the gate's pass-through
+    * stream (at-most-one per distinct value, minus Bloom FPs).
+    */
+  def bloomFirstSeen(ds: Dataset[Distinct], h: Int = 4,
+                     bitsLog2: Int = 18): Dataset[FirstSeen] = {
+    implicit val enc: org.apache.spark.sql.Encoder[FirstSeen] = Encoders.product[FirstSeen]
+    ds.groupByKey(_.group)(Encoders.scalaLong)
+      .transformWithState(new BloomProcessor(h, bitsLog2), TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -199,4 +199,46 @@ class SketchStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming bloom gate: duplicates suppressed, word map ≡ batch build") {
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Distinct]
+    val q = SketchStream.bloomFirstSeen(in.toDS())
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    try {
+      // 2000 distinct values arriving with heavy cross-trigger
+      // duplication; every post-first occurrence must be suppressed
+      val vals = (0 until 2000).map(i => Distinct(0L, s"v_$i"))
+      in.addData(vals.take(900));                       q.processAllAvailable()
+      in.addData(vals.slice(500, 1500) ++ vals.take(100)); q.processAllAvailable()
+      in.addData(vals.drop(1400) ++ vals.slice(200, 300)); q.processAllAvailable()
+
+      val out = spark.table("bloom_stream").as[SketchStream.FirstSeen].collect()
+      val emitted = out.filter(_.emitted).map(_.value)
+      assert(emitted.length == emitted.distinct.length,
+        "a value must never be emitted twice (bits are monotone)")
+      // FP-suppression is the only allowed loss, and at n=2000,
+      // m=2^18 it is deterministic-and-tiny for this fixture
+      assert(emitted.length >= 1990 && emitted.length <= 2000,
+        s"emitted ${emitted.length} of 2000 distinct values")
+
+      // mergeability: because a suppressed value's bits are already
+      // covered, bloomBuild(emitted) must equal bloomBuild(all)
+      def words(vs: Seq[String]) = graft.llm.Sketches.bloomBuild(
+          vs.map((0L, _)).toDF("g", "v"), col("g"), col("v"))
+        .select("w", "bits").as[(Long, Long)].collect().toSet
+      assert(words(emitted.toSeq) == words(vals.map(_.value)),
+        "streaming word state must merge to the batch sketch")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
