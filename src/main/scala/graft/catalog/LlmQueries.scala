@@ -2130,6 +2130,83 @@ object LlmQueries {
        |WHERE a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** [[Dedup.containmentPairs]] — excerpt/quote detection by the
+    * asymmetric containment coefficient, where symmetric Jaccard
+    * structurally fails: every 10th document (≥ 15 words)
+    * contributes an EXCERPT — its middle third by words, under
+    * doc_id + 3,000,000 — whose 5-gram set is a strict subset of its
+    * source's, so C(excerpt ⊆ source) = 1.0 exactly while their
+    * Jaccard is only ≈ 1/3 (far under any dedup threshold). The 0.8
+    * cut is an integer cross-multiplication; boilerplate (df > 32)
+    * is excluded from numerator AND denominator while df-1 grams
+    * stay in the denominator — unique content argues against
+    * containment, so a source never scores as contained in its own
+    * excerpt. The
+    * oracle rebuilds the excerpts (word-slice → join → re-split is
+    * exact) and replays the digest-keyed posting join verbatim.
+    */
+  private def containmentQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val exc = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .filter(col("doc_id") % 10 === 0 && size(col("ws")) >= 15)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        expr("array_join(slice(ws, size(ws) div 3 + 1, size(ws) div 3), ' ')")
+          .as("text"))
+    val uni = docs.unionByName(exc)
+    val grams = uni.select(col("doc_id"),
+      explode(array_distinct(
+        TextOps.wordNgrams(TextOps.words(col("text")), 5))).as("g"))
+    Dedup.containmentPairs(grams, col("doc_id"), col("g"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("shared"),
+        r4(col("containment")).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val containmentSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |), exw AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM base
+       |  WHERE doc_id % 10 = 0
+       |), exc AS (
+       |  SELECT doc_id + 3000000 AS doc_id,
+       |         array_to_string(ws[(len(ws) // 3 + 1):(len(ws) // 3 + len(ws) // 3)], ' ') AS text
+       |  FROM exw WHERE len(ws) >= 15
+       |), uni AS (
+       |  SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM exc
+       |), w AS (
+       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM uni
+       |), g AS (
+       |  SELECT DISTINCT doc_id, md5(unnest(
+       |    CASE WHEN len(ws) >= 5
+       |         THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END)) AS dd
+       |  FROM w
+       |), dfs AS (
+       |  SELECT dd, count(*) AS df FROM g GROUP BY dd
+       |), informative AS (
+       |  SELECT doc_id, dd, df FROM g JOIN dfs USING (dd) WHERE df <= 32
+       |), na AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
+       |  FROM informative GROUP BY 1
+       |), pruned AS (
+       |  SELECT doc_id, dd FROM informative WHERE df >= 2
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(count(*) AS BIGINT) AS shared
+       |  FROM pruned a JOIN pruned b USING (dd)
+       |  WHERE a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, n_a, shared,
+       |       ${r4Sql("CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE)")} AS containment
+       |FROM pairs JOIN na ON na.doc_id = pairs.id_a
+       |WHERE shared * 100 >= 80 * n_a
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------- quantile filtering
   /** Adaptive quality filtering ([[Sampling.dropBottomQuantile]]):
     * drop each language's worst quarter by quality score — the cutoff
@@ -4121,6 +4198,7 @@ object LlmQueries {
     "llm_mix_sources"  -> mixSources,
     "llm_quality_filter" -> qualityFilterQ,
     "llm_span_dedup"   -> spanDedupQ,
+    "llm_containment"  -> containmentQ,
     "llm_domain_cap"   -> domainCap,
     "llm_split_assign" -> splitAssign,
     "llm_pack_sequences" -> packSeqs,
@@ -4205,6 +4283,7 @@ object LlmQueries {
     "llm_mix_sources"  -> mixSourcesSql,
     "llm_quality_filter" -> qualityFilterSql,
     "llm_span_dedup"   -> spanDedupSql,
+    "llm_containment"  -> containmentSql,
     "llm_domain_cap"   -> domainCapSql,
     "llm_split_assign" -> splitAssignSql,
     "llm_pack_sequences" -> packSeqsSql,

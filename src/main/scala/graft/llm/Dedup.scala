@@ -172,6 +172,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"), min(col("g")).as("span"))
   }
 
+  /** Asymmetric containment pairs over informative grams — the
+    * quote/excerpt detector the Jaccard family misses: containment
+    * C(A ⊆ B) = |grams(A) ∩ grams(B)| / |grams(A)| (Broder's
+    * containment coefficient, "On the resemblance and containment of
+    * documents", SEQUENCES'97) is ≈ 1 for an excerpt inside a much
+    * larger source while their Jaccard is only ≈ |A|/|B|.
+    * Gram roles differ by document frequency: boilerplate (df >
+    * maxDf, the [[sharedSpanPairs]] bound) is excluded from BOTH the
+    * shared count and the |grams(A)| denominator — template text is
+    * evidence of nothing, and pruning it must not deflate a true
+    * excerpt's score; df-1 grams stay in the DENOMINATOR (unique
+    * content is evidence AGAINST being contained) but skip the pair
+    * join, where minDf ≥ 2 is purely an optimization (a df-1 gram
+    * cannot form a pair). Pairs come from that posting join keyed on
+    * md5(g): no
+    * gram text survives the join, so the 16-byte digest key narrows
+    * the whole shuffle (the llm_kmv_setops precedent; contrast
+    * sharedSpanPairs, where the witness span must ride anyway).
+    * Emitted in BOTH directions (containment is asymmetric), cut by
+    * integer cross-multiplication (shared·100 ≥ pct·n_a). Returns
+    * (id_a, id_b, n_a, shared, containment): A = the contained side.
+    */
+  def containmentPairs(exploded: DataFrame, id: Column, gram: Column,
+                       minDf: Long = 2L, maxDf: Long = 32L,
+                       minContainPct: Int = 80): DataFrame = {
+    val g = exploded.select(id.as("id"), md5(gram.cast("string")).as("d")).distinct()
+    val dfs = g.groupBy(col("d")).agg(count(lit(1)).as("__df"))
+    val informative = g.join(dfs.filter(col("__df") <= maxDf), Seq("d"))
+    val nA = informative.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
+    val pruned = informative.filter(col("__df") >= minDf)
+    pruned.select(col("d"), col("id").as("id_a"))
+      .join(pruned.select(col("d"), col("id").as("id_b")), Seq("d"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nA.select(col("id").as("id_a"), col("n_a")), "id_a")
+      .filter(col("shared") * lit(100L) >= lit(minContainPct.toLong) * col("n_a"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("shared"),
+        (col("shared").cast("double") / col("n_a").cast("double")).as("containment"))
+  }
+
   /** Exact Jaccard over candidate pairs given the exploded distinct
     * shingle table (id, s). Joins run per-bucket, not all-pairs.
     */

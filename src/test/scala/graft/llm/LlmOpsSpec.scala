@@ -309,6 +309,32 @@ class LlmOpsSpec extends SparkSpec {
       "the witness is the exact copied text, not a hash")
   }
 
+  test("containmentPairs: excerpt scores 1.0 one-way; unique content blocks the reverse") {
+    // doc 1 = source (18 words), doc 2 = its middle third verbatim
+    // (a PURE excerpt), doc 3 = unrelated; docs 10..45 share a
+    // boilerplate run (df 36 > maxDf -> out of numerator AND
+    // denominator, so the 630 quadratic pairs never materialize)
+    val src18 = (1 to 18).map(i => s"w$i").mkString(" ")
+    val excerpt = (7 to 12).map(i => s"w$i").mkString(" ")
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      (1L, src18),
+      (2L, excerpt),
+      (3L, (1 to 12).map(i => s"q$i").mkString(" "))) ++
+      (10 to 45).map(i => (i.toLong, s"pre$i $boiler post$i"))
+    val grams = rows.toDF("id", "text").select(col("id"),
+      explode(array_distinct(TextOps.wordNgrams(TextOps.words(col("text")), 5))).as("g"))
+    val got = Dedup.containmentPairs(grams, col("id"), col("g"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"))).toSet
+    // doc 2's 2 five-grams both sit inside doc 1 => C(2 in 1) = 1.0.
+    // Doc 1's 12 OTHER grams are df-1: they skip the pair join but
+    // stay in its denominator, so C(1 in 2) = 2/14 -- unique content
+    // is evidence against containment, and the direction is excluded.
+    assert(got === Set((2L, 1L, 1.0d)),
+      s"expected only (2 in 1)=1.0, got $got")
+  }
+
   test("dropBottomQuantile: equals the percent_rank window on grouped data with ties") {
     import graft.llm.Sampling
     val rnd = new scala.util.Random(42)
