@@ -159,7 +159,12 @@ object ScaleBench {
     // gram self-join, within-replica only under rotation) — the
     // exponent watches that calibration stays linear
     "llm_count_min", "llm_kmv_setops",
-    // r11 late addition. bloom_filter: build is one map-side-combined
+    // r11 late additions. containment: the posting-join class (span
+    // dedup's shape with a digest key and a df≤32 bound on both
+    // sides); rotated replicas share no grams, so pair growth is
+    // linear like genuinely new documents.
+    "llm_containment",
+    // bloom_filter: build is one map-side-combined
     // bit_or pass over the reference source's grams (reducer state
     // ≤ 2^18/32 word rows); probes explode(4) and LEFT-join the word
     // rows + min-reduce — must stay corpus-linear with a
