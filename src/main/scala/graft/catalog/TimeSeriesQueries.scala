@@ -449,6 +449,89 @@ object TimeSeriesQueries {
        |       SUM(${centsSql("value")}) / CAST(100 AS DOUBLE) AS total_value
        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- funnel
+  /** Ordered conversion funnel view → click → purchase over 30-min
+    * gap sessions ([[Analytics.funnel]] over [[Analytics.sessionize]]):
+    * per-stage session reach with STRICT ordering (each stage's first
+    * hit must come strictly after the previous stage's), plus r4'd
+    * conversion rates. One row per funnel stage; all reach decisions
+    * are integer-µs comparisons, so the compare is exact.
+    */
+  private def funnelQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+    val sess = Analytics.sessionize(ev, Seq(col("user_id")), col("tus"),
+      col("event_id"), 1800L * 1000000L)
+    val stages = Seq("view", "click", "purchase")
+    val f = Analytics.funnel(sess, Seq("user_id", "session_id"),
+      col("tus"), col("event_type"), stages)
+    val tot = f.agg(
+      count(lit(1)).as("n_sessions"),
+      count(col("t0")).as("n0"), count(col("t1")).as("n1"),
+      count(col("t2")).as("n2"))
+    tot.select(explode(array(
+        struct(lit(1L).as("stage"), lit("view").as("event_type"),
+          col("n0").as("n_reached"), col("n_sessions")),
+        struct(lit(2L).as("stage"), lit("click").as("event_type"),
+          col("n1").as("n_reached"), col("n_sessions")),
+        struct(lit(3L).as("stage"), lit("purchase").as("event_type"),
+          col("n2").as("n_reached"), col("n_sessions")))).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.n_reached"),
+        col("r.n_sessions"),
+        r4(col("r.n_reached").cast("double") /
+          col("r.n_sessions").cast("double")).as("reach_rate"))
+      .orderBy(col("stage"))
+  }
+
+  private val funnelSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus
+       |  FROM events
+       |), b AS (
+       |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+       |                   OR tus - lag(tus) OVER w > 1800000000
+       |                 THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |), sess AS (
+       |  SELECT *, CAST(sum(brk) OVER (
+       |      PARTITION BY user_id ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM b
+       |), s0 AS (
+       |  SELECT user_id, session_id,
+       |         min(CASE WHEN event_type = 'view' THEN tus END) AS t0
+       |  FROM sess GROUP BY 1, 2
+       |), s1 AS (
+       |  SELECT e.user_id, e.session_id, max(s0.t0) AS t0,
+       |         min(CASE WHEN e.event_type = 'click' AND e.tus > s0.t0
+       |                  THEN e.tus END) AS t1
+       |  FROM sess e JOIN s0 ON e.user_id = s0.user_id
+       |                     AND e.session_id = s0.session_id
+       |  GROUP BY 1, 2
+       |), s2 AS (
+       |  SELECT e.user_id, e.session_id, max(s1.t1) AS t1,
+       |         min(CASE WHEN e.event_type = 'purchase' AND e.tus > s1.t1
+       |                  THEN e.tus END) AS t2
+       |  FROM sess e JOIN s1 ON e.user_id = s1.user_id
+       |                     AND e.session_id = s1.session_id
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       |         CAST(count(s0.t0) AS BIGINT) AS n0,
+       |         CAST(count(s1.t1) AS BIGINT) AS n1,
+       |         CAST(count(s2.t2) AS BIGINT) AS n2
+       |  FROM s0
+       |  JOIN s1 USING (user_id, session_id)
+       |  JOIN s2 USING (user_id, session_id)
+       |), stages(stage, event_type) AS (
+       |  VALUES (1, 'view'), (2, 'click'), (3, 'purchase')
+       |)
+       |SELECT CAST(stage AS BIGINT) AS stage, event_type,
+       |       CASE stage WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS n_reached,
+       |       n_sessions,
+       |       ${r4Sql("CAST(CASE stage WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS DOUBLE)" +
+                       " / CAST(n_sessions AS DOUBLE)")} AS reach_rate
+       |FROM stages, tot ORDER BY stage""".stripMargin
+
   // ------------------------------------------------- exact quantiles
   /** Exact interpolated quantiles per event_type. Both engines use the
     * h = p·(n−1) linear-interpolation definition (Spark `percentile` ↔
@@ -703,6 +786,7 @@ object TimeSeriesQueries {
     "ts_pivot"         -> pivotQ,
     "ts_asof_join"     -> asofJoinQ,
     "ts_sessionize"    -> sessionizeQ,
+    "ts_funnel"        -> funnelQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
     "ts_sql_candle_1h" -> sqlCandle1h,
@@ -725,6 +809,7 @@ object TimeSeriesQueries {
     "ts_pivot"         -> pivotSql,
     "ts_asof_join"     -> asofJoinSql,
     "ts_sessionize"    -> sessionizeSql,
+    "ts_funnel"        -> funnelSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_candle_1h"     -> rollupSql(3600L),
     "ts_sql_candle_1h" -> rollupSql(3600L),

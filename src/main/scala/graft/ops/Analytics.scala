@@ -139,6 +139,43 @@ object Analytics {
       sum(break).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Ordered funnel over keyed event groups (typically
+    * [[sessionize]]d sessions): for each key, the first time each
+    * stage is reached STRICTLY AFTER the previous stage —
+    * t₀ = min t over stage-0 rows, tₖ = min t over stage-k rows with
+    * t > tₖ₋₁ — the classic ordered-funnel semantics (a purchase
+    * before any view does not count as conversion). A key that never
+    * reaches stage k has null tₖ, and the null propagates through
+    * every later stage.
+    *
+    * Shape: one conditional-min aggregation per stage, all keyed by
+    * the same columns — |stages| passes, each a hash aggregate whose
+    * partial combines map-side, with no window and no per-key event
+    * sort (the events-ordered alternative needs a full sort per key).
+    * Stage count is a constant of the analysis (3–6), not of the
+    * data, so the cost is |stages| keyed scans at any corpus size.
+    * All comparisons are on the integer `order` column —
+    * engine-exact. Returns (keys..., t0..t{n−1}).
+    */
+  def funnel(events: DataFrame, keys: Seq[String], order: Column,
+             stage: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events.select(
+      keys.map(col) :+ order.as("__t") :+ stage.cast("string").as("__s"): _*)
+    var acc = base.groupBy(keys.map(col): _*)
+      .agg(min(when(col("__s") === stages.head, col("__t"))).as("t0"))
+    for (((st, i)) <- stages.zipWithIndex.drop(1)) {
+      val carried = (0 until i).map(j => max(col(s"t$j")).as(s"t$j"))
+      val next = min(when(col("__s") === st && col("__t") > col(s"t${i - 1}"),
+        col("__t"))).as(s"t$i")
+      val aggs = carried :+ next
+      acc = base.join(acc, keys)
+        .groupBy(keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    acc
+  }
+
   /** Salted two-stage sum for skewed keys (hot symbols at 100 TB):
     * stage 1 aggregates on (keys, salt) spreading a hot key over
     * `saltBuckets` reducers; stage 2 merges the partials on the true

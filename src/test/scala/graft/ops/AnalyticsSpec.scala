@@ -54,4 +54,30 @@ class AnalyticsSpec extends SparkSpec {
       .collect()
     assert(r.length == 1) // no SparkArithmeticException from sequence()
   }
+
+  test("funnel: strict stage ordering, null propagation, out-of-order rejected") {
+    // session A: view(10) -> click(20) -> purchase(30): full funnel.
+    // session B: click(5) BEFORE view(10), purchase(20) after view:
+    //   t0=10, click-after-view never happens -> t1 null -> t2 null
+    //   even though a purchase exists (strict ordered-funnel).
+    // session C: view only. session D: same-timestamp view+click
+    //   (strict > rejects the tie).
+    val rows = Seq(
+      ("a", 10L, "view"), ("a", 20L, "click"), ("a", 30L, "purchase"),
+      ("b", 5L, "click"), ("b", 10L, "view"), ("b", 20L, "purchase"),
+      ("c", 10L, "view"),
+      ("d", 10L, "view"), ("d", 10L, "click"))
+      .toDF("sess", "t", "et")
+    val f = Analytics.funnel(rows, Seq("sess"), col("t"), col("et"),
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[String]("sess") ->
+        ((Option(r.get(r.fieldIndex("t0"))), Option(r.get(r.fieldIndex("t1"))),
+          Option(r.get(r.fieldIndex("t2")))))).toMap
+    assert(f("a") === ((Some(10L), Some(20L), Some(30L))))
+    assert(f("b") === ((Some(10L), None, None)),
+      "a click before the view must not count; null must propagate past the purchase")
+    assert(f("c") === ((Some(10L), None, None)))
+    assert(f("d") === ((Some(10L), None, None)),
+      "same-timestamp stages are not strictly ordered")
+  }
 }
