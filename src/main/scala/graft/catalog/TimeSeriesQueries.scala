@@ -532,6 +532,53 @@ object TimeSeriesQueries {
                        " / CAST(n_sessions AS DOUBLE)")} AS reach_rate
        |FROM stages, tot ORDER BY stage""".stripMargin
 
+  // ----------------------------------------------------- retention
+  /** Daily cohort retention — the companion view to [[funnelQ]] every
+    * events store serves: users cohorted by first-active day, and for
+    * offsets 0..7 the fraction of each cohort active again k days
+    * later. Everything is integer epoch-day arithmetic over a
+    * DISTINCT (user, day) activity frame — one distinct, two keyed
+    * aggregations, one broadcast-size cohort join; counts are exact
+    * in both engines and only the rate is r4'd.
+    */
+  private def retentionQ(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val coh = act.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+    val sizes = coh.groupBy(col("c")).agg(count(lit(1)).as("n_cohort"))
+    act.join(coh, "user_id")
+      .select(col("c"), (col("d") - col("c")).as("k"))
+      .filter(col("k") <= 7L)
+      .groupBy(col("c"), col("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "c")
+      .select(col("c").as("cohort_day"), col("k").as("day_offset"),
+        col("n_active"), col("n_cohort"),
+        r4(col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val retentionSql: String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d
+       |  FROM events
+       |), coh AS (
+       |  SELECT user_id, min(d) AS c FROM act GROUP BY 1
+       |), sizes AS (
+       |  SELECT c, CAST(count(*) AS BIGINT) AS n_cohort FROM coh GROUP BY 1
+       |), ret AS (
+       |  SELECT coh.c, act.d - coh.c AS k, CAST(count(*) AS BIGINT) AS n_active
+       |  FROM act JOIN coh USING (user_id)
+       |  WHERE act.d - coh.c <= 7
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c AS cohort_day, k AS day_offset, n_active, n_cohort,
+       |       ${r4Sql("CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)")} AS retention
+       |FROM ret JOIN sizes USING (c)
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------- exact quantiles
   /** Exact interpolated quantiles per event_type. Both engines use the
     * h = p·(n−1) linear-interpolation definition (Spark `percentile` ↔
@@ -787,6 +834,7 @@ object TimeSeriesQueries {
     "ts_asof_join"     -> asofJoinQ,
     "ts_sessionize"    -> sessionizeQ,
     "ts_funnel"        -> funnelQ,
+    "ts_retention"     -> retentionQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
     "ts_sql_candle_1h" -> sqlCandle1h,
@@ -810,6 +858,7 @@ object TimeSeriesQueries {
     "ts_asof_join"     -> asofJoinSql,
     "ts_sessionize"    -> sessionizeSql,
     "ts_funnel"        -> funnelSql,
+    "ts_retention"     -> retentionSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_candle_1h"     -> rollupSql(3600L),
     "ts_sql_candle_1h" -> rollupSql(3600L),
