@@ -579,6 +579,99 @@ object TimeSeriesQueries {
        |FROM ret JOIN sizes USING (c)
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------- sliding distinct (HLL)
+  /** Trailing-24h distinct users per hour by HLL register ALGEBRA —
+    * the query shape that shows why the sketch (and not an exact set)
+    * is the right windowed state: hourly register frames
+    * ([[graft.llm.Sketches.hllRegisters]], 256·|hours| rows total)
+    * max-merge into every trailing window they touch — each hourly
+    * register row explodes into its 24 covered hours and a keyed max
+    * re-aggregates — so the sliding distinct count costs O(24·256)
+    * rows per hour HOWEVER many events the hours hold, where the
+    * exact form re-touches every (user, hour) row per window. The
+    * exact count rides along to pin the estimator's error, and the
+    * register/estimate arithmetic is digit-for-digit the
+    * `llm_hll_distinct` scheme, so the oracle replays it literally.
+    */
+  private def slidingDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Sketches
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct()
+    val contrib = Sketches.hllRegisters(ev, col("h"), col("user_id"))
+      .select(explode(sequence(col("g"), col("g") + 23L)).as("g"),
+        col("bucket"), col("m"))
+      .groupBy(col("g"), col("bucket")).agg(max(col("m")).as("m"))
+    val est = Sketches.hllFromRegisters(contrib)
+    val exact = ev
+      .select(explode(sequence(col("h"), col("h") + 23L)).as("g"), col("user_id"))
+      .groupBy(col("g")).agg(countDistinct(col("user_id")).as("n_exact"))
+    val hours = ev.select(col("h").as("g")).distinct()
+    est.join(exact, "g").join(hours, "g")
+      .select(col("g").as("hour"), col("n_exact"), r4(col("est")).as("est"),
+        r4(abs(col("est") - col("n_exact")) / col("n_exact").cast("double"))
+          .as("rel_err"))
+      .orderBy(col("hour"))
+  }
+
+  private val slidingDistinctSql: String = {
+    val lzCase =
+      """CASE WHEN substr(lt, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+        |      WHEN substr(lt, 1, 1) IN ('4','5','6','7') THEN 1
+        |      WHEN substr(lt, 1, 1) IN ('2','3') THEN 2
+        |      WHEN substr(lt, 1, 1) = '1' THEN 3
+        |      ELSE 4 END""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id,
+       |         ((epoch_ns(ts) // 1000) // 3600000000) AS h
+       |  FROM events
+       |), hours AS (
+       |  SELECT DISTINCT h FROM ev
+       |), hx AS (
+       |  SELECT h, md5(CAST(user_id AS VARCHAR)) AS hh,
+       |         ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 10), '0') AS lt
+       |  FROM ev
+       |), r AS (
+       |  SELECT h, substr(hh, 1, 2) AS bucket,
+       |         CASE WHEN length(lt) = 0 THEN 41
+       |              ELSE 4 * (10 - length(lt)) + $lzCase + 1 END AS rank
+       |  FROM hx
+       |), regs AS (
+       |  SELECT h, bucket, max(rank) AS m FROM r GROUP BY 1, 2
+       |), contrib AS (
+       |  SELECT h + i AS h2, bucket, max(m) AS m
+       |  FROM regs CROSS JOIN (SELECT unnest(range(24)) AS i)
+       |  GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT h2,
+       |         CAST(sum(CAST(1 AS BIGINT) << (41 - m)) AS BIGINT) AS sp,
+       |         count(*) AS present
+       |  FROM contrib GROUP BY 1
+       |), raws AS (
+       |  SELECT h2, present,
+       |         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+       |           * CAST(CAST(1 AS BIGINT) << 41 AS DOUBLE)
+       |           / CAST(sp + (256 - present) * (CAST(1 AS BIGINT) << 41) AS DOUBLE) AS raw
+       |  FROM agg
+       |), corrected AS (
+       |  SELECT h2,
+       |         CASE WHEN raw <= 640.0 AND 256 - present > 0
+       |              THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+       |              ELSE raw END AS est
+       |  FROM raws
+       |), exact AS (
+       |  SELECT h + i AS h2, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM ev CROSS JOIN (SELECT unnest(range(24)) AS i)
+       |  GROUP BY 1
+       |)
+       |SELECT h2 AS hour, n_exact, ${r4Sql("est")} AS est,
+       |       ${r4Sql("abs(est - n_exact) / CAST(n_exact AS DOUBLE)")} AS rel_err
+       |FROM corrected
+       |JOIN exact USING (h2)
+       |JOIN hours ON hours.h = h2
+       |ORDER BY hour""".stripMargin
+  }
+
   // ------------------------------------------------- exact quantiles
   /** Exact interpolated quantiles per event_type. Both engines use the
     * h = p·(n−1) linear-interpolation definition (Spark `percentile` ↔
@@ -835,6 +928,7 @@ object TimeSeriesQueries {
     "ts_sessionize"    -> sessionizeQ,
     "ts_funnel"        -> funnelQ,
     "ts_retention"     -> retentionQ,
+    "ts_sliding_distinct" -> slidingDistinctQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
     "ts_sql_candle_1h" -> sqlCandle1h,
@@ -859,6 +953,7 @@ object TimeSeriesQueries {
     "ts_sessionize"    -> sessionizeSql,
     "ts_funnel"        -> funnelSql,
     "ts_retention"     -> retentionSql,
+    "ts_sliding_distinct" -> slidingDistinctSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_candle_1h"     -> rollupSql(3600L),
     "ts_sql_candle_1h" -> rollupSql(3600L),
