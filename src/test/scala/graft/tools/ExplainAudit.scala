@@ -25,7 +25,9 @@ object ExplainAudit {
         "llm_bpe_train", "llm_pca_top", "llm_abtt_topk",
         "llm_hard_negatives",
         "ts_rsi", "ts_bollinger", "ts_ema", "ts_vwap",
-        "llm_gopher_rules", "llm_margin_mine")
+        "llm_gopher_rules", "llm_margin_mine",
+        "llm_margin_mine_cells", "llm_bloom_filter", "llm_containment",
+        "ts_corr_topk", "ts_funnel", "ts_retention", "ts_sliding_distinct")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")
