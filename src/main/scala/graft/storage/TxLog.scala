@@ -60,8 +60,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class TxTable(val spark: SparkSession, val root: String,
               val partitionCol: String = "p_date",
-              val checkpointInterval: Int = 10) extends Serializable {
+              val checkpointInterval: Int = 10,
+              val statsCols: Seq[String] = Nil) extends Serializable {
   import TxTable._
+
+  // staged-but-not-yet-committed per-file stats (path → line); drained
+  // into a vN.stats sidecar by the commit that publishes the files
+  @transient private lazy val stagedStats =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val hconf = new org.apache.hadoop.conf.Configuration(
     spark.sparkContext.hadoopConfiguration)
@@ -253,6 +259,105 @@ class TxTable(val spark: SparkSession, val root: String,
     parts.toSet
   }
 
+  // ------------------------------------------------- file-stat skipping
+
+  private def statsPath(v: Long) =
+    new org.apache.hadoop.fs.Path(logDir, f"v$v%020d.stats")
+  private def statsCkPath(v: Long) =
+    new org.apache.hadoop.fs.Path(logDir, f"v$v%020d.statsck")
+
+  /** Per-file min/max of `statsCols` over freshly staged files — ONE
+    * bounded job over the batch just written (O(batch), never
+    * O(table)); results wait in [[stagedStats]] for the commit that
+    * publishes the files. Columns are cast to Long (the stat contract
+    * covers integral columns: epoch-µs, ids, bucket/z dimensions);
+    * an all-null column in a file records no bound for it.
+    */
+  private def computeStagedStats(files: Seq[TxFile]): Unit = {
+    if (statsCols.isEmpty || files.isEmpty) return
+    import org.apache.spark.sql.{functions => F}
+    val paths = files.map(f => s"$root/${f.path}")
+    val aggCols = statsCols.flatMap(c => Seq(
+      F.min(F.col(c).cast("long")).as(s"mn_$c"),
+      F.max(F.col(c).cast("long")).as(s"mx_$c")))
+    val rows = spark.read.option("basePath", root).parquet(paths: _*)
+      .groupBy(F.input_file_name().as("__file"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    files.foreach { f =>
+      rows.find(_.getString(0).endsWith("/" + f.path)).foreach { r =>
+        val cols = statsCols.flatMap { c =>
+          val mn = r.getAs[Any](s"mn_$c"); val mx = r.getAs[Any](s"mx_$c")
+          if (mn == null || mx == null) Nil else Seq(s"$c\t$mn\t$mx")
+        }
+        if (cols.nonEmpty)
+          stagedStats.put(f.path, (f.path +: cols).mkString("\t"))
+      }
+    }
+  }
+
+  /** Publish the staged stats of a commit's files as the `vN.stats`
+    * sidecar — derived data beside the delta, written AFTER the CAS
+    * wins (a crash in between merely loses pruning for those files;
+    * correctness never depends on a sidecar existing).
+    */
+  private def writeStatsSidecar(v: Long, committed: Seq[TxFile]): Unit = {
+    val lines = committed.flatMap(f => stagedStats.get(f.path))
+    if (lines.isEmpty) return
+    casCreate(statsPath(v), lines.mkString("\n") + "\n")
+    committed.foreach(f => stagedStats.remove(f.path))
+  }
+
+  /** path → column → [min, max] from every stats sidecar (per-commit
+    * `vN.stats` + vacuum-consolidated `vN.statsck`). O(sidecars)
+    * small log reads, no data I/O.
+    */
+  private def fileStats(): Map[String, Map[String, (Long, Long)]] = {
+    if (!fs.exists(logDir)) return Map.empty
+    fs.listStatus(logDir).iterator.map(_.getPath)
+      .filter(p => p.getName.endsWith(".stats") || p.getName.endsWith(".statsck"))
+      .flatMap(p => readLogFile(p).filter(_.contains('\t')).map { l =>
+        val parts = l.split("\t")
+        val m = parts.drop(1).grouped(3).collect {
+          case Array(c, mn, mx) => c -> ((mn.toLong, mx.toLong))
+        }.toMap
+        parts(0) -> m
+      }).toMap
+  }
+
+  /** The live files that can SURVIVE an inclusive-range predicate:
+    * a file is kept unless its recorded [min, max] for some bounded
+    * column misses [lo, hi] entirely. Files without stats (pre-stats
+    * history, crashed sidecar, vacuumed sidecar) are always kept —
+    * stats are an optimization input, never a correctness one.
+    */
+  private[storage] def pruneFiles(files: Seq[TxFile],
+                                  bounds: Map[String, (Long, Long)]): Seq[TxFile] = {
+    if (bounds.isEmpty) return files
+    val st = fileStats()
+    files.filter { f =>
+      st.get(f.path).forall { m =>
+        bounds.forall { case (c, (lo, hi)) =>
+          m.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        }
+      }
+    }
+  }
+
+  /** Snapshot read with FILE-LEVEL stat pruning — the query-time
+    * consumer of the [[statsCols]] layout investment (the public
+    * Delta/Iceberg data-skipping design at minimum viable size):
+    * `bounds` maps stat columns to inclusive [lo, hi] ranges, and
+    * only files whose recorded ranges intersect every bound are
+    * scanned. The caller still applies its exact row filter — the
+    * prune is a superset guarantee. With appends pre-sorted on a
+    * [[ZOrder.zValue]] curve, several columns prune at once.
+    */
+  def readPruned(bounds: Map[String, (Long, Long)]): DataFrame = {
+    val s = snapshot(version)
+    readSnapshot(Snapshot(s.version, s.schema, pruneFiles(s.files, bounds)))
+  }
+
   /** Stage `df` (must carry `partitionCol`) as immutable parquet files
     * under a fresh commit directory; returns the file list for a
     * commit. The files are invisible to readers until committed.
@@ -284,6 +389,7 @@ class TxTable(val spark: SparkSession, val root: String,
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    computeStagedStats(out.toSeq)
     out.toSeq
   }
 
@@ -528,12 +634,34 @@ class TxTable(val spark: SparkSession, val root: String,
       }
       doomed.foreach { f => if (fs.delete(f, false)) deleted += 1 }
     }
-    // Prune log files strictly below the horizon — both kinds. Log
+    // Consolidate the LIVE files' stats into one horizon sidecar
+    // before pruning the per-commit ones (the checkpoint pattern —
+    // derived data, CAS-created, a lost race or partial content only
+    // weakens pruning, never correctness).
+    if (statsCols.nonEmpty) {
+      val liveStats = fileStats().filter { case (p, _) => live.contains(p) }
+      if (liveStats.nonEmpty && !fs.exists(statsCkPath(keepFrom)))
+        casCreate(statsCkPath(keepFrom),
+          liveStats.toSeq.sortBy(_._1).map { case (p, m) =>
+            (p +: m.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+              s"$c\t$mn\t$mx" }).mkString("\t")
+          }.mkString("\n") + "\n")
+    }
+    // Prune log files strictly below the horizon — all kinds. Log
     // storage (and the listing cost of `version`) is thereafter
     // bounded by the retention window, not the table's age.
     val (deltas, ckpts) = logVersions()
     deltas.filter(_ < keepFrom).foreach(i => fs.delete(deltaPath(i), false))
     ckpts.filter(_ < keepFrom).foreach(i => fs.delete(checkpointPath(i), false))
+    if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      val ver = n match {
+        case TxTable.StatsName(x) => Some(x.toLong)
+        case TxTable.StatsCkName(x) => Some(x.toLong)
+        case _ => None
+      }
+      if (ver.exists(_ < keepFrom)) fs.delete(st.getPath, false)
+    }
     deleted
   }
 
@@ -574,6 +702,7 @@ class TxTable(val spark: SparkSession, val root: String,
       val body = ((schema.json +: ops) :+ s"#kind\t$kind").mkString("\n")
       val nv = v + 1
       if (casCreate(deltaPath(nv), body)) {
+        writeStatsSidecar(nv, reshaped ++ fresh)
         if (nv > 0 && nv % checkpointInterval == 0) {
           val removed = removes.toSet
           casCreate(checkpointPath(nv),
@@ -643,6 +772,8 @@ object TxTable {
   val DefaultVacuumRetainAgeMillis: Long = 7L * 24 * 60 * 60 * 1000
   private val DeltaName = """v(\d+)\.delta""".r
   private val CheckpointName = """v(\d+)\.checkpoint""".r
+  private[storage] val StatsName = """v(\d+)\.stats""".r
+  private[storage] val StatsCkName = """v(\d+)\.statsck""".r
   private val PartitionDirName = """([^=]+)=(.*)""".r
 
   /** One live data file: path relative to the table root + its

@@ -1,0 +1,94 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TxTable file-stat skipping: per-commit sidecars, range pruning as
+  * a superset guarantee, graceful degradation without stats, vacuum
+  * consolidation, and the rewrite path.
+  */
+class TxStatsSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private def table() = new TxTable(spark,
+    java.nio.file.Files.createTempDirectory("txstats").toString,
+    statsCols = Seq("ts"))
+
+  private def batch(part: String, ts0: Long, n: Int) =
+    (0 until n).map(i => (ts0 + i, s"v$i", part)).toDF("ts", "v", "p_date")
+      .coalesce(1) // one file per commit: deterministic prune counts
+
+  test("range pruning reads only intersecting files; answers stay exact") {
+    val t = table()
+    t.append(batch("a", 0L, 100))      // ts 0..99
+    t.append(batch("a", 1000L, 100))   // ts 1000..1099
+    t.append(batch("b", 2000L, 100))   // ts 2000..2099
+
+    val snap = t.read()
+    val all = snap.count()
+    assert(all === 300L)
+
+    // bounds hitting only the middle commit
+    val pruned = t.pruneFiles(
+      t.snapshot(t.version).files, Map("ts" -> ((1050L, 1060L))))
+    assert(pruned.nonEmpty &&
+      pruned.size < t.snapshot(t.version).files.size,
+      s"pruning must drop the non-intersecting files: kept ${pruned.size}")
+
+    val got = t.readPruned(Map("ts" -> ((1050L, 1060L))))
+      .filter(col("ts") >= 1050L && col("ts") <= 1060L)
+    val want = t.read().filter(col("ts") >= 1050L && col("ts") <= 1060L)
+    assert(got.count() === want.count() && got.count() === 11L)
+
+    // a range matching nothing prunes everything
+    assert(t.pruneFiles(t.snapshot(t.version).files,
+      Map("ts" -> ((50000L, 60000L)))).isEmpty)
+  }
+
+  test("files without stats are always read — stats are never a correctness input") {
+    val t = table()
+    t.append(batch("a", 0L, 10))
+    t.append(batch("a", 1000L, 10))
+    // simulate a crash between delta CAS and sidecar write: delete
+    // one commit's sidecar
+    val logDir = new java.io.File(t.root, TxTable.LogDirName)
+    val sidecars = logDir.listFiles().filter(_.getName.endsWith(".stats"))
+    assert(sidecars.length === 2, "each append must publish a sidecar")
+    assert(sidecars.minBy(_.getName).delete())
+    // the stats-less file survives every bound — degrade, don't drop
+    val files = t.snapshot(t.version).files
+    val kept = t.pruneFiles(files, Map("ts" -> ((5000L, 6000L))))
+    assert(kept.size === 1 && files.size === 2,
+      "only the file WITH stats may be pruned; the stats-less one must be kept")
+    assert(t.readPruned(Map("ts" -> ((0L, 5L)))).filter(col("ts") <= 5L).count() === 6L)
+  }
+
+  test("vacuum consolidates live stats and pruning survives sidecar GC") {
+    val t = table()
+    (0 until 6).foreach(i => t.append(batch("a", i * 1000L, 10)))
+    val before = t.pruneFiles(t.snapshot(t.version).files,
+      Map("ts" -> ((3000L, 3009L))))
+    t.vacuum(retainVersions = 2, retainAgeMillis = 0L)
+    val logDir = new java.io.File(t.root, TxTable.LogDirName)
+    assert(logDir.listFiles().exists(_.getName.endsWith(".statsck")),
+      "vacuum must consolidate live-file stats at the horizon")
+    val after = t.pruneFiles(t.snapshot(t.version).files,
+      Map("ts" -> ((3000L, 3009L))))
+    assert(after.map(_.path).toSet === before.map(_.path).toSet,
+      "pruning must be unchanged across vacuum's sidecar GC")
+    assert(t.readPruned(Map("ts" -> ((3000L, 3009L))))
+      .filter(col("ts").between(3000L, 3009L)).count() === 10L)
+  }
+
+  test("rewritten partitions re-publish stats for their reshaped files") {
+    val t = table()
+    t.append(batch("a", 0L, 50))
+    t.rewritePartitions(Set("a")) { cur => cur.filter(col("ts") >= 25L) }
+    val files = t.snapshot(t.version).files
+    // the rewrite replaced partition a's file; its new file must be
+    // prunable by the post-rewrite range
+    assert(t.pruneFiles(files, Map("ts" -> ((0L, 10L)))).isEmpty,
+      "rows 0..24 are gone; the reshaped file's stats must reflect that")
+    assert(t.pruneFiles(files, Map("ts" -> ((30L, 40L)))).size === files.size)
+  }
+}
