@@ -91,4 +91,35 @@ class TxStatsSpec extends SparkSpec {
       "rows 0..24 are gone; the reshaped file's stats must reflect that")
     assert(t.pruneFiles(files, Map("ts" -> ((30L, 40L)))).size === files.size)
   }
+
+  test("z-ordered appends make SEVERAL columns prunable at once") {
+    val t = new TxTable(spark,
+      java.nio.file.Files.createTempDirectory("txz").toString,
+      statsCols = Seq("x", "y"))
+    val pts = spark.range(100000).select(
+      (col("id") % 1024L).as("x"),
+      ((col("id") * 2654435761L) % 1024L).as("y"),
+      lit("a").as("p_date"))
+    val z = ZOrder.zValue(Seq(
+      ZOrder.rangeBucket(col("x"), 0L, 1023L, 10),
+      ZOrder.rangeBucket(col("y"), 0L, 1023L, 10)), 10)
+    t.append(pts.withColumn("__z", z)
+      .repartitionByRange(16, col("__z"))
+      .sortWithinPartitions(col("__z")).drop("__z"))
+
+    val files = t.snapshot(t.version).files
+    assert(files.size === 16)
+    // a 1/4 y-slice with x unconstrained: impossible to prune under a
+    // single-column x sort, <= half the files under the z layout
+    val ySlice = t.pruneFiles(files, Map("y" -> ((0L, 255L))))
+    assert(ySlice.size <= 8, s"y-slice should prune z-ordered files: ${ySlice.size}/16")
+    // a 2-D box touches a corner of the grid
+    val box = t.pruneFiles(files, Map("x" -> ((0L, 255L)), "y" -> ((0L, 255L))))
+    assert(box.size <= 4, s"quarter-box should touch few files: ${box.size}/16")
+    // and the pruned read answers exactly
+    val got = t.readPruned(Map("x" -> ((0L, 255L)), "y" -> ((0L, 255L))))
+      .filter(col("x") < 256L && col("y") < 256L).count()
+    val want = t.read().filter(col("x") < 256L && col("y") < 256L).count()
+    assert(got === want)
+  }
 }
