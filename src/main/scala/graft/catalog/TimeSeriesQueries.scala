@@ -672,6 +672,93 @@ object TimeSeriesQueries {
        |ORDER BY hour""".stripMargin
   }
 
+  // ------------------------------------ sliding heavy hitters (CM)
+  /** Trailing-24h top-3 users per hour with count-min estimates
+    * alongside the exact counts — the SUM-merge counterpart of
+    * [[slidingDistinctQ]]'s max-merge: hourly CM cells
+    * ([[graft.llm.Sketches.countMin]], ≤ 4·4096 cells per hour
+    * however many events) explode into their 24 covered hours and
+    * ADD, so the windowed sketch costs O(24·cells) rows per hour;
+    * the estimate lookup is [[graft.llm.Sketches.countMinLookup]]
+    * against the windowed cells (canonical absent-bucket-is-zero
+    * semantics), and est ≥ exact is visible row by row. Top-3 ranking
+    * runs on the exact trailing counts (rank-limit pushdown bounds
+    * the window) with the estimate as the sketch-side audit column.
+    */
+  private def slidingHeavyQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Sketches
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
+    val cmHourly = Sketches.countMin(ev, col("h"), col("user_id"))
+    val cmWin = cmHourly
+      .select(explode(sequence(col("g"), col("g") + 23L)).as("g"),
+        col("r"), col("b"), col("c"))
+      .groupBy(col("g"), col("r"), col("b")).agg(sum(col("c")).as("c"))
+    val exact = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
+      .select(explode(sequence(col("h"), col("h") + 23L)).as("h2"),
+        col("user_id"), col("nh"))
+      .groupBy(col("h2"), col("user_id")).agg(sum(col("nh")).as("n_exact"))
+    val hours = ev.select(col("h").as("h2")).distinct()
+    val top = exact.join(hours, "h2")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h2"))
+          .orderBy(col("n_exact").desc, col("user_id"))))
+      .filter(col("rk") <= 3)
+    val est = Sketches.countMinLookup(cmWin,
+      top.select(col("h2"), col("user_id")), col("h2"), col("user_id"))
+    top.join(est.select(col("g").as("h2"), col("key").as("user_id"), col("est")),
+        Seq("h2", "user_id"))
+      .select(col("h2").as("hour"), col("rk").cast("long").as("rk"),
+        col("user_id"), col("n_exact"), col("est").as("n_est"),
+        (col("est") - col("n_exact")).as("overcount"))
+      .orderBy(col("hour"), col("rk"))
+  }
+
+  private val slidingHeavySql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, (epoch_ns(ts) // 1000) // 3600000000 AS h FROM events
+       |), hours AS (
+       |  SELECT DISTINCT h AS h2 FROM ev
+       |), probes AS (
+       |  SELECT h, user_id, r,
+       |         substring(md5(CAST(user_id AS VARCHAR)),
+       |                   1 + 3 * CAST(r AS INTEGER), 3) AS b
+       |  FROM ev CROSS JOIN (SELECT unnest(range(4)) AS r)
+       |), cmh AS (
+       |  SELECT h, r, b, CAST(count(*) AS BIGINT) AS c FROM probes GROUP BY 1, 2, 3
+       |), cmwin AS (
+       |  SELECT h + i AS h2, r, b, CAST(sum(c) AS BIGINT) AS c
+       |  FROM cmh CROSS JOIN (SELECT unnest(range(24)) AS i)
+       |  GROUP BY 1, 2, 3
+       |), exh AS (
+       |  SELECT h, user_id, CAST(count(*) AS BIGINT) AS nh FROM ev GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT h + i AS h2, user_id, CAST(sum(nh) AS BIGINT) AS n_exact
+       |  FROM exh CROSS JOIN (SELECT unnest(range(24)) AS i)
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT exact.h2, user_id, n_exact,
+       |         row_number() OVER (PARTITION BY exact.h2
+       |                            ORDER BY n_exact DESC, user_id) AS rk
+       |  FROM exact JOIN hours ON hours.h2 = exact.h2
+       |  QUALIFY rk <= 3
+       |), keyprobes AS (
+       |  SELECT t.h2, t.user_id, t.n_exact, t.rk, r,
+       |         substring(md5(CAST(t.user_id AS VARCHAR)),
+       |                   1 + 3 * CAST(r AS INTEGER), 3) AS b
+       |  FROM top t CROSS JOIN (SELECT unnest(range(4)) AS r)
+       |), est AS (
+       |  SELECT k.h2, k.user_id, k.n_exact, k.rk,
+       |         min(coalesce(c.c, 0)) AS n_est
+       |  FROM keyprobes k
+       |  LEFT JOIN cmwin c ON c.h2 = k.h2 AND c.r = k.r AND c.b = k.b
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT h2 AS hour, rk, user_id, n_exact,
+       |       CAST(n_est AS BIGINT) AS n_est,
+       |       CAST(n_est - n_exact AS BIGINT) AS overcount
+       |FROM est ORDER BY hour, rk""".stripMargin
+
   // ------------------------------------------------- exact quantiles
   /** Exact interpolated quantiles per event_type. Both engines use the
     * h = p·(n−1) linear-interpolation definition (Spark `percentile` ↔
@@ -929,6 +1016,7 @@ object TimeSeriesQueries {
     "ts_funnel"        -> funnelQ,
     "ts_retention"     -> retentionQ,
     "ts_sliding_distinct" -> slidingDistinctQ,
+    "ts_sliding_heavy" -> slidingHeavyQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
     "ts_sql_candle_1h" -> sqlCandle1h,
@@ -954,6 +1042,7 @@ object TimeSeriesQueries {
     "ts_funnel"        -> funnelSql,
     "ts_retention"     -> retentionSql,
     "ts_sliding_distinct" -> slidingDistinctSql,
+    "ts_sliding_heavy" -> slidingHeavySql,
     "ts_quantiles"     -> quantilesSql,
     "ts_candle_1h"     -> rollupSql(3600L),
     "ts_sql_candle_1h" -> rollupSql(3600L),
