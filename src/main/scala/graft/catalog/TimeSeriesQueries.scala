@@ -690,10 +690,6 @@ object TimeSeriesQueries {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
     val cmHourly = Sketches.countMin(ev, col("h"), col("user_id"))
-    val cmWin = cmHourly
-      .select(explode(sequence(col("g"), col("g") + 23L)).as("g"),
-        col("r"), col("b"), col("c"))
-      .groupBy(col("g"), col("r"), col("b")).agg(sum(col("c")).as("c"))
     val exact = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
       .select(explode(sequence(col("h"), col("h") + 23L)).as("h2"),
         col("user_id"), col("nh"))
@@ -704,10 +700,27 @@ object TimeSeriesQueries {
         Window.partitionBy(col("h2"))
           .orderBy(col("n_exact").desc, col("user_id"))))
       .filter(col("rk") <= 3)
-    val est = Sketches.countMinLookup(cmWin,
-      top.select(col("h2"), col("user_id")), col("h2"), col("user_id"))
-    top.join(est.select(col("g").as("h2"), col("key").as("user_id"), col("est")),
-        Seq("h2", "user_id"))
+      .localCheckpoint(false) // consumed by the probe explode AND the final join
+    // windowed cells ONLY for the probed keys — explode the SMALL side
+    // (top-3 probes → (window hour, r, b, h2), ≤ hours·3·4·24 rows,
+    // broadcastable) and keep the hourly cell frame LINEAR: the naive
+    // form exploded every hourly cell 24× into a windowed-cell shuffle
+    // (~24·cells·hours rows — measured 7.3 s at sf0.1; this shape cut
+    // it to the cell scan + one tiny aggregate). Missing cells count 0
+    // (canonical CM semantics, the countMinLookup discipline).
+    val needed = top
+      .select(col("h2"), col("user_id"),
+        explode(Sketches.cmProbes(col("user_id"))).as("rb"))
+      .select(col("h2"), col("user_id"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val srcKeys = needed.select(col("h2"), col("r"), col("b")).distinct()
+      .select(col("h2"), col("r"), col("b"),
+        explode(sequence(col("h2") - 23L, col("h2"))).as("g"))
+    val winCells = cmHourly.join(broadcast(srcKeys), Seq("g", "r", "b"))
+      .groupBy(col("h2"), col("r"), col("b")).agg(sum(col("c")).as("c"))
+    val est = needed.join(winCells, Seq("h2", "r", "b"), "left")
+      .groupBy(col("h2"), col("user_id"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+    top.join(est, Seq("h2", "user_id"))
       .select(col("h2").as("hour"), col("rk").cast("long").as("rk"),
         col("user_id"), col("n_exact"), col("est").as("n_est"),
         (col("est") - col("n_exact")).as("overcount"))
