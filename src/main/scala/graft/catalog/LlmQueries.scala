@@ -2159,7 +2159,7 @@ object LlmQueries {
     val grams = uni.select(col("doc_id"),
       explode(array_distinct(
         TextOps.wordNgrams(TextOps.words(col("text")), 5))).as("g"))
-    Dedup.containmentPairs(grams, col("doc_id"), col("g"))
+    Dedup.containmentPairs(grams, col("doc_id"), col("g"), assumeDistinct = true)
       .select(col("id_a"), col("id_b"), col("n_a"), col("shared"),
         r4(col("containment")).as("containment"))
       .orderBy(col("id_a"), col("id_b"))

@@ -196,8 +196,12 @@ object Dedup {
     */
   def containmentPairs(exploded: DataFrame, id: Column, gram: Column,
                        minDf: Long = 2L, maxDf: Long = 32L,
-                       minContainPct: Int = 80): DataFrame = {
-    val g = exploded.select(id.as("id"), md5(gram.cast("string")).as("d")).distinct()
+                       minContainPct: Int = 80,
+                       assumeDistinct: Boolean = false): DataFrame = {
+    val raw = exploded.select(id.as("id"), md5(gram.cast("string")).as("d"))
+    // callers exploding array_distinct'd gram sets skip the exchange
+    // (the sharedSpanPairs contract)
+    val g = if (assumeDistinct) raw else raw.distinct()
     val dfs = g.groupBy(col("d")).agg(count(lit(1)).as("__df"))
     val informative = g.join(dfs.filter(col("__df") <= maxDf), Seq("d"))
     val nA = informative.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
