@@ -459,8 +459,15 @@ object TimeSeriesQueries {
     */
   private def funnelQ(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+    // checkpoint-after-window: funnel references the sessionized frame
+    // once per stage (1 seed aggregate + 2 join legs), and the
+    // user-keyed window (exchange + sort) is not an Exchange node, so
+    // plan reuse cannot share it — without this the sessionization
+    // recomputes per stage
     val sess = Analytics.sessionize(ev, Seq(col("user_id")), col("tus"),
-      col("event_id"), 1800L * 1000000L)
+        col("event_id"), 1800L * 1000000L)
+      .select(col("user_id"), col("session_id"), col("tus"), col("event_type"))
+      .localCheckpoint(false)
     val stages = Seq("view", "click", "purchase")
     val f = Analytics.funnel(sess, Seq("user_id", "session_id"),
       col("tus"), col("event_type"), stages)
