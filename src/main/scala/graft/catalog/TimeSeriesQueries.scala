@@ -779,6 +779,69 @@ object TimeSeriesQueries {
        |       CAST(n_est - n_exact AS BIGINT) AS overcount
        |FROM est ORDER BY hour, rk""".stripMargin
 
+  // ------------------------------------------------ interval join
+  /** [[Analytics.intervalJoin]] — purchases attributed to the click
+    * session they fall inside: click-only gap sessions (30 min)
+    * become [lo, hi] intervals per (user, session), purchase events
+    * band-join into them (1-hour buckets ≈ the median session
+    * length; the exact BETWEEN filters), and the output aggregates
+    * purchases per session. The banding is the Spark plan's
+    * scale shape; the oracle states the same semantics as a plain
+    * range join — identical rows certify the decomposition. Counts
+    * and cents sums are integer-exact; total ORDER BY.
+    */
+  private def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+    val sessions = Analytics.sessionize(clicks, Seq(col("user_id")),
+        col("tus"), col("event_id"), 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg((min(col("tus")) - 1800000000L).as("lo"),
+        (max(col("tus")) + 1800000000L).as("hi"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), cents(col("value")).as("vc"))
+    Analytics.intervalJoin(purchases, sessions, Seq("user_id"),
+        col("tus"), col("lo"), col("hi"), bandUs = 3600L * 1000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        count(lit(1)).as("n_purchases"),
+        (sum(col("vc")) / 100.0d).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val intervalJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |         epoch_ns(ts) // 1000 AS tus
+       |  FROM events
+       |), c AS (
+       |  SELECT * FROM e WHERE event_type = 'click'
+       |), b AS (
+       |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+       |                   OR tus - lag(tus) OVER w > 1800000000
+       |                 THEN 1 ELSE 0 END AS brk
+       |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |), sess AS (
+       |  SELECT *, CAST(sum(brk) OVER (
+       |      PARTITION BY user_id ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM b
+       |), iv AS (
+       |  SELECT user_id, session_id,
+       |         min(tus) - 1800000000 AS lo, max(tus) + 1800000000 AS hi
+       |  FROM sess GROUP BY 1, 2
+       |), p AS (
+       |  SELECT user_id, tus, ${centsSql("value")} AS vc
+       |  FROM e WHERE event_type = 'purchase'
+       |)
+       |SELECT iv.user_id, iv.session_id, iv.lo, iv.hi,
+       |       CAST(count(*) AS BIGINT) AS n_purchases,
+       |       SUM(vc) / CAST(100 AS DOUBLE) AS total_value
+       |FROM p JOIN iv ON p.user_id = iv.user_id
+       |               AND p.tus BETWEEN iv.lo AND iv.hi
+       |GROUP BY 1, 2, iv.lo, iv.hi
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------- exact quantiles
   /** Exact interpolated quantiles per event_type. Both engines use the
     * h = p·(n−1) linear-interpolation definition (Spark `percentile` ↔
@@ -1037,6 +1100,7 @@ object TimeSeriesQueries {
     "ts_retention"     -> retentionQ,
     "ts_sliding_distinct" -> slidingDistinctQ,
     "ts_sliding_heavy" -> slidingHeavyQ,
+    "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
     "ts_sql_candle_1h" -> sqlCandle1h,
@@ -1063,6 +1127,7 @@ object TimeSeriesQueries {
     "ts_retention"     -> retentionSql,
     "ts_sliding_distinct" -> slidingDistinctSql,
     "ts_sliding_heavy" -> slidingHeavySql,
+    "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_candle_1h"     -> rollupSql(3600L),
     "ts_sql_candle_1h" -> rollupSql(3600L),

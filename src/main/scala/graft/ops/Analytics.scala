@@ -176,6 +176,35 @@ object Analytics {
     acc
   }
 
+  /** Banded interval join: points (keys, t) ⋈ intervals (keys, lo,
+    * hi) where lo ≤ t ≤ hi, WITHOUT the range-theta join Spark would
+    * otherwise plan as a broadcast nested loop (quadratic per key):
+    * each interval explodes into its covered fixed-width band buckets
+    * (`⌊lo/w⌋..⌊hi/w⌋`), each point lives in exactly ONE bucket, and
+    * the equi-join on (keys, bucket) + the exact range filter
+    * reproduces the predicate — the standard banding decomposition
+    * (the same shape as the LSH/pigeonhole joins and public interval
+    * libraries). A (point, interval) match joins in exactly one
+    * bucket, so no dedup pass is needed. `bandUs` is a layout
+    * constant: pick ≈ the median interval length — too small
+    * explodes long intervals into many bucket rows, too large packs
+    * unrelated rows into shared buckets; both ends degrade cost,
+    * never correctness. All bucket arithmetic is integral division
+    * (engine-exact). Returns point columns + the interval's columns.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   keys: Seq[String], t: Column, lo: Column, hi: Column,
+                   bandUs: Long): DataFrame = {
+    require(bandUs > 0, "intervalJoin: bandUs must be positive")
+    def bucket(c: Column) = call_function("div", c.cast("long"), lit(bandUs))
+    val iv = intervals.withColumn("__b",
+      explode(sequence(bucket(lo), bucket(hi))))
+    val pt = points.withColumn("__b", bucket(t))
+    pt.join(iv, keys :+ "__b")
+      .filter(t.between(lo, hi))
+      .drop("__b")
+  }
+
   /** Salted two-stage sum for skewed keys (hot symbols at 100 TB):
     * stage 1 aggregates on (keys, salt) spreading a hot key over
     * `saltBuckets` reducers; stage 2 merges the partials on the true

@@ -80,4 +80,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(f("d") === ((Some(10L), None, None)),
       "same-timestamp stages are not strictly ordered")
   }
+
+  test("intervalJoin: banding reproduces BETWEEN exactly, one row per match") {
+    // intervals spanning multiple band buckets, point intervals,
+    // boundary-inclusive matches, cross-key isolation
+    val iv = Seq(
+      ("u1", 0L, 100L, 250L),   // spans buckets 1..2 at w=100
+      ("u1", 1L, 400L, 400L),   // point interval
+      ("u2", 0L, 0L, 1000L))    // long interval, another key
+      .toDF("k", "iid", "lo", "hi")
+    val pts = Seq(
+      ("u1", 100L), ("u1", 250L),  // boundary-inclusive both ends
+      ("u1", 175L),                 // interior, bucket 1
+      ("u1", 399L), ("u1", 400L), ("u1", 401L), // around the point interval
+      ("u1", 999L),                 // matches nothing for u1
+      ("u2", 999L))                 // long-interval match on u2
+      .toDF("k", "t")
+    val got = Analytics.intervalJoin(pts, iv, Seq("k"),
+        col("t"), col("lo"), col("hi"), bandUs = 100L)
+      .select("k", "t", "iid").as[(String, Long, Long)].collect().sorted.toSeq
+    val naive = pts.join(iv, Seq("k")).filter(col("t").between(col("lo"), col("hi")))
+      .select("k", "t", "iid").as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got === naive, "banded join must equal the naive range join")
+    assert(got === Seq(("u1", 100L, 0L), ("u1", 175L, 0L), ("u1", 250L, 0L),
+      ("u1", 400L, 1L), ("u2", 999L, 0L)))
+    assert(got.size === got.distinct.size, "exactly one row per (point, interval) match")
+  }
 }
