@@ -8,7 +8,13 @@ import org.apache.spark.sql.SparkSession
   * and prints ONE JSON line.
   */
 object Bench {
+  // Guards double-emission between the normal path and the shutdown
+  // hook (round-11 lesson: the driver SIGTERM'd the JVM mid-round and
+  // the round shipped with NO parseable bench artifact at all).
+  private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -19,6 +25,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // Static conf, default 100: at 145 catalog queries x several
+      // generated classes each, a 100-entry codegen cache evicts the
+      // whole working set every round and re-Janino-compiles the entire
+      // catalog per round (the round-11 "+25-40% drift on trivial
+      // queries" as the catalog grew). Size it to hold the catalog.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -36,12 +48,20 @@ object Bench {
 
     // Noise hygiene (round-2 verdict: a shared box inflated untouched
     // sub-second queries 2-3x between rounds): run the whole catalog
-    // `rounds` times INTERLEAVED — a load spike lands on one round of
-    // many queries instead of one query's only sample — and report the
-    // per-query MEDIAN. Measured at sf0.1: 3 rounds left 12/38 queries
-    // >10% apart across two invocations; 5 rounds leaves 3/38, all
-    // within 0.14s absolute (the box's scheduler floor).
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    // up to `maxRounds` times INTERLEAVED — a load spike lands on one
+    // round of many queries instead of one query's only sample — and
+    // report the per-query MEDIAN.
+    //
+    // Round-11 lesson: 145 queries x 5 rounds outgrew the driver's
+    // kill window (rc=124, SparkContext shut down mid-round, zero
+    // output). So rounds are now BUDGET-AWARE: after each completed
+    // round, the next one only runs if its projected cost fits inside
+    // SPARK_GRAFT_BENCH_BUDGET_S (floor 2 rounds to keep the
+    // interleaved-median discipline, cap SPARK_GRAFT_BENCH_ROUNDS),
+    // and a JVM shutdown hook emits medians-of-completed-samples so
+    // even a SIGTERM leaves one parseable line.
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
     // Local-iteration escape hatch: bench a comma-separated subset.
     // The driver never sets it, so round benches always run the full
     // catalog.
@@ -49,55 +69,102 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    val errors  = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to rounds; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${rootLine(e)}")
-        errors(name) = rootLine(e)
+    // Mutated by the main thread only; read concurrently by the
+    // shutdown hook — ConcurrentHashMap gives the hook a consistent
+    // snapshot without locking the hot loop.
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
+    val errors  = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val roundsDone = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val hook = new Thread(() =>
+      emit(samples, errors, roundsDone.get(), floor = 0.0, sfDir,
+        partial = true, elapsedS = (System.nanoTime() - tStart) / 1e9))
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    var r = 0
+    var go = true
+    while (go) {
+      r += 1
+      val r0 = System.nanoTime()
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${rootLine(e)}")
+          errors.put(name, rootLine(e))
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples.compute(name, (_, s) => dt :: Option(s).getOrElse(Nil))
       }
-      samples.updateWith(name)(s => Some((System.nanoTime() - t0) / 1e9 :: s.getOrElse(Nil)))
+      roundsDone.set(r)
+      val roundS = (System.nanoTime() - r0) / 1e9
+      val elapsedS = (System.nanoTime() - tStart) / 1e9
+      // 1.15 headroom: rounds speed UP as the codegen cache warms, but
+      // a box-load spike mid-projection must not blow the budget.
+      go = r < maxRounds && (r < 2 || elapsedS + roundS * 1.15 < budgetS)
+      System.err.println(f"[bench] round $r done in $roundS%.1fs (elapsed $elapsedS%.1fs of budget $budgetS%.0fs, continue=$go)")
     }
-    def median(xs: List[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val results = names.map(n => n -> median(samples(n)))
+
     // The per-query session floor — plan + job scheduling through the
     // same noop sink on a trivial input — measured with the same
     // median-of-rounds discipline. BENCH_COMPARE nets it out so
     // sub-second queries' plan ratios aren't drowned by fixed cost.
-    val floor = median((1 to rounds).map { _ =>
+    val floor = median((1 to roundsDone.get()).map { _ =>
       val t0 = System.nanoTime()
       spark.range(32).repartition(2).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.toList)
+
+    emit(samples, errors, roundsDone.get(), floor, sfDir,
+      partial = false, elapsedS = (System.nanoTime() - tStart) / 1e9)
+    try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => }
+    spark.stop()
+    if (!errors.isEmpty) sys.exit(1)
+  }
+
+  private def median(xs: List[Double]): Double = xs match {
+    case Nil => 0.0
+    case _ =>
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Emits the bench artifact: the full per-query line to
+    * SPARK_GRAFT_BENCH_JSON (the full line outgrew the driver's tail
+    * capture at 136 queries) and a compact summary printed LAST on
+    * stdout — small enough that a truncated tail always ends with one
+    * parseable line. Runs at most once (normal completion or shutdown
+    * hook, whichever fires first).
+    */
+  private def emit(
+      samples: java.util.concurrent.ConcurrentHashMap[String, List[Double]],
+      errors: java.util.concurrent.ConcurrentHashMap[String, String],
+      rounds: Int, floor: Double, sfDir: String,
+      partial: Boolean, elapsedS: Double): Unit = {
+    if (!emitted.compareAndSet(false, true)) return
+    import scala.jdk.CollectionConverters._
+    val results = samples.asScala.toSeq
+      .map { case (k, v) => k -> median(v) }.sortBy(_._1)
     // Locale.ROOT: %.3f under a comma-decimal default locale would
     // emit malformed JSON.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Failed queries are called out IN the artifact (name → root-cause
     // first line) — a bench with errors must not read as a clean run.
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
     val errField =
       if (errors.isEmpty) ""
-      else errors.toSeq.sortBy(_._1)
+      else errors.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${jstr(v.take(300))}""" }
         .mkString(""","errors":{""", ",", "}")
+    val partField = if (partial) s""","partial":true,"elapsed":${f3(elapsedS)}""" else ""
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds$errField}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds$errField$partField}"""
     println(fullLine)
-    // The full per-query line outgrew the driver's tail capture at 136
-    // queries (the round-10 artifact recorded rc=0 but parsed=null), so
-    // ALSO: (a) persist the full line to a file for bench_compare.py and
-    // the round record, and (b) print a compact summary LAST — small
-    // enough that a truncated tail always ends with one parseable line.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "/tmp/graft_bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
@@ -107,9 +174,8 @@ object Bench {
     }
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds,"nerrors":${errors.size},"slowest":$slowest,"full":"$outPath"}""")
-    spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds,"nerrors":${errors.size}$partField,"slowest":$slowest,"full":"$outPath"}""")
+    System.out.flush()
   }
 
   /** First line of the ROOT cause — the `DATATYPE_MISMATCH ...` line,

@@ -80,7 +80,26 @@ object IncrementalDedup {
     // though that one at least fails visibly at column resolution).
     val want = Map(Dedup.MinHashSchemeProp -> Dedup.MinHashScheme,
       "graft.minhash.k" -> k.toString)
-    val pinned = state.setPropsIfAbsent(want)
+    // Pin only while the state is EMPTY: a non-empty state with no
+    // _props predates the pinning contract — its signatures may have
+    // been computed under an older scheme, and stamping it with the
+    // CURRENT scheme here would legitimize exactly the silent
+    // exact-only degradation the check exists to prevent. Such a
+    // state is unverifiable: fail and demand a rebuild (or an
+    // explicit operator-supplied setPropsIfAbsent acknowledging the
+    // scheme really is current).
+    val pinned =
+      if (state.version < 0) state.setPropsIfAbsent(want)
+      else {
+        val existing = state.props()
+        require(existing.contains(Dedup.MinHashSchemeProp),
+          s"fingerprint state ${state.root} is non-empty but has no pinned " +
+            s"minhash scheme (predates the pinning contract) — its stored " +
+            s"signatures are unverifiable against the current scheme " +
+            s"'${Dedup.MinHashScheme}'. Rebuild the state, or pin the known " +
+            "scheme explicitly with setPropsIfAbsent before admitting")
+        existing
+      }
     want.foreach { case (pk, pv) =>
       require(pinned.getOrElse(pk, pv) == pv,
         s"fingerprint state ${state.root} was built with $pk=${pinned(pk)}; " +

@@ -237,7 +237,20 @@ object Multimodal {
         i += 12 + len
       }
       if (zs.size() == 0) throw new IllegalArgumentException("PNG has no IDAT data")
-      val raw = new Array[Byte](h * (w + 1)) // one filter byte + w samples per row
+      // Bound the decode allocation BEFORE trusting IHDR dimensions: a
+      // hostile header claiming e.g. 40000x40000 would otherwise force
+      // a multi-GB allocation whose OutOfMemoryError (an Error, not an
+      // Exception) escapes the per-row ok=false isolation upstream and
+      // kills the task. Sizes computed in Long (h*(w+1) overflows Int
+      // near 2^31); the deflate stream can expand at most 1032:1
+      // (RFC 1951 — one bit per symbol, 258-byte matches), so a raster
+      // larger than zs.size()*1032 cannot be backed by real data.
+      val rawLen = h.toLong * (w.toLong + 1L)
+      val maxInflated = zs.size().toLong * 1032L + 64L
+      if (rawLen > maxInflated || rawLen > Int.MaxValue - 8)
+        throw new IllegalArgumentException(
+          s"implausible PNG dimensions ${w}x$h for ${zs.size()} compressed bytes")
+      val raw = new Array[Byte](rawLen.toInt) // one filter byte + w samples per row
       val inf = new java.util.zip.Inflater()
       inf.setInput(zs.toByteArray)
       var got = 0

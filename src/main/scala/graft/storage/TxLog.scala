@@ -284,8 +284,17 @@ class TxTable(val spark: SparkSession, val root: String,
       .groupBy(F.input_file_name().as("__file"))
       .agg(aggCols.head, aggCols.tail: _*)
       .collect()
+    // input_file_name() yields a URL-encoded URI; a relative path whose
+    // segments contain space/%/#/non-ASCII would never raw-endsWith
+    // match, silently dropping the file's stats row (pruning loss, not
+    // a correctness loss). Decode each URI back to a plain path first.
+    def decoded(name: String): String =
+      try new java.net.URI(name).getPath catch { case _: Exception => name }
     files.foreach { f =>
-      rows.find(_.getString(0).endsWith("/" + f.path)).foreach { r =>
+      val row = rows.find(r => decoded(r.getString(0)).endsWith("/" + f.path))
+      if (row.isEmpty)
+        System.err.println(s"[txlog] computeStagedStats: no stats row matched staged file ${f.path}")
+      row.foreach { r =>
         val cols = statsCols.flatMap { c =>
           val mn = r.getAs[Any](s"mn_$c"); val mx = r.getAs[Any](s"mx_$c")
           if (mn == null || mx == null) Nil else Seq(s"$c\t$mn\t$mx")
@@ -637,8 +646,12 @@ class TxTable(val spark: SparkSession, val root: String,
     // Consolidate the LIVE files' stats into one horizon sidecar
     // before pruning the per-commit ones (the checkpoint pattern —
     // derived data, CAS-created, a lost race or partial content only
-    // weakens pruning, never correctness).
-    if (statsCols.nonEmpty) {
+    // weakens pruning, never correctness). Unconditional on statsCols:
+    // the param is per-handle, not persisted, so a vacuum through a
+    // handle opened WITHOUT statsCols must still carry forward stats
+    // other handles wrote — gating on this handle's statsCols would
+    // silently discard live files' pruning metadata below.
+    locally {
       val liveStats = fileStats().filter { case (p, _) => live.contains(p) }
       if (liveStats.nonEmpty && !fs.exists(statsCkPath(keepFrom)))
         casCreate(statsCkPath(keepFrom),

@@ -241,4 +241,38 @@ class FrameResizeSpec extends SparkSpec {
       chunk("IHDR", ihdr) ++ chunk("IDAT", badIdat) ++ chunk("IEND", Array.empty[Byte])
     intercept[IllegalArgumentException] { dec.samples(badPng) }
   }
+
+  test("hostile IHDR dimensions are rejected before allocation (no OOM escape)") {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    // tiny real deflate payload, but an IHDR claiming 40000x40000
+    // (1.6 GB raster) — an OutOfMemoryError is an Error, not an
+    // Exception, and would escape the callers' ok=false isolation;
+    // the decoder must reject the header against the actual
+    // compressed size instead of trusting it
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(Array.fill[Byte](64)(0)); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val zbuf = new Array[Byte](256)
+    while (!defl.finished()) z.write(zbuf, 0, defl.deflate(zbuf))
+    defl.end()
+    val hostileIhdr = be32(40000) ++ be32(40000) ++ Array[Byte](8, 0, 0, 0, 0)
+    val hostile = sig ++ chunk("IHDR", hostileIhdr) ++
+      chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+    val dec = new Multimodal.ImageHeaderDecoder
+    val e = intercept[IllegalArgumentException] { dec.samples(hostile) }
+    assert(e.getMessage.contains("implausible"))
+    // near-2^31 dims: h*(w+1) Int overflow must also land in the
+    // same guarded rejection, not a NegativeArraySizeException
+    val hugeIhdr = be32(Int.MaxValue - 1) ++ be32(Int.MaxValue - 1) ++ Array[Byte](8, 0, 0, 0, 0)
+    val huge = sig ++ chunk("IHDR", hugeIhdr) ++
+      chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+    val e2 = intercept[IllegalArgumentException] { dec.samples(huge) }
+    assert(e2.getMessage.contains("implausible"))
+  }
 }

@@ -300,4 +300,24 @@ class IncrementalDedupSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("graft.minhash.k"))
   }
+
+  test("hash-scheme contract: a NON-EMPTY state with no pinned scheme is unverifiable") {
+    // a fingerprint state populated before the pinning contract
+    // existed has rows but no _props; stamping it with the CURRENT
+    // scheme at next admit would legitimize silently-degraded
+    // (exact-only) suppression — it must fail and demand a rebuild
+    val t = table()
+    IncrementalDedup.admit(t, Seq((1L, longA)).toDF("id", "text"),
+      col("id"), col("text"), "2021-01-01")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t.root, graft.storage.TxTable.LogDirName, "_props"))
+    assert(t.props().isEmpty && t.version >= 0)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.admit(t, Seq((2L, longB)).toDF("id", "text"),
+        col("id"), col("text"), "2021-01-02")
+    }
+    assert(e.getMessage.contains("unverifiable"))
+    // and crucially: the failed admit did NOT stamp props after the fact
+    assert(t.props().isEmpty)
+  }
 }

@@ -80,6 +80,26 @@ class TxStatsSpec extends SparkSpec {
       .filter(col("ts").between(3000L, 3009L)).count() === 10L)
   }
 
+  test("vacuum through a statsCols-less handle still consolidates live stats") {
+    // statsCols is a per-HANDLE param, not persisted table state: a
+    // maintenance job opening the table without it must carry the
+    // existing sidecars' stats across its sidecar GC, not discard
+    // live files' pruning metadata
+    val t = table()
+    (0 until 6).foreach(i => t.append(batch("a", i * 1000L, 10)))
+    val before = t.pruneFiles(t.snapshot(t.version).files,
+      Map("ts" -> ((3000L, 3009L))))
+    val bare = new TxTable(spark, t.root) // no statsCols
+    bare.vacuum(retainVersions = 2, retainAgeMillis = 0L)
+    val logDir = new java.io.File(t.root, TxTable.LogDirName)
+    assert(logDir.listFiles().exists(_.getName.endsWith(".statsck")),
+      "consolidation must run whenever sidecars exist, regardless of the handle's statsCols")
+    val after = t.pruneFiles(t.snapshot(t.version).files,
+      Map("ts" -> ((3000L, 3009L))))
+    assert(after.map(_.path).toSet === before.map(_.path).toSet,
+      "pruning must survive a vacuum run through a statsCols-less handle")
+  }
+
   test("rewritten partitions re-publish stats for their reshaped files") {
     val t = table()
     t.append(batch("a", 0L, 50))
