@@ -148,32 +148,40 @@ object Analytics {
     * reaches stage k has null tₖ, and the null propagates through
     * every later stage.
     *
-    * Shape: one conditional-min aggregation per stage, all keyed by
-    * the same columns — |stages| passes, each a hash aggregate whose
-    * partial combines map-side, with no window and no per-key event
-    * sort (the events-ordered alternative needs a full sort per key).
-    * Stage count is a constant of the analysis (3–6), not of the
-    * data, so the cost is |stages| keyed scans at any corpus size.
-    * All comparisons are on the integer `order` column —
-    * engine-exact. Returns (keys..., t0..t{n−1}).
+    * Shape: ONE keyed aggregation collecting, per stage, the sorted
+    * list of that stage's times (collect_list's partial combines
+    * map-side), then one projection walking the chain with
+    * higher-order array functions — tₖ = first element of list k
+    * strictly greater than tₖ₋₁. One scan of the events and one
+    * shuffle regardless of stage count (the previous shape re-joined
+    * and re-aggregated the events once per stage — s scans and s
+    * shuffles). Per-key state is the key's stage-event times — the
+    * same contract as ClickHouse's windowFunnel; feed sessionized
+    * keys (bounded event counts), not raw unbounded entities, at
+    * corpus scale. All comparisons are on the integer `order`
+    * column — engine-exact. Returns (keys..., t0..t{n−1}).
     */
   def funnel(events: DataFrame, keys: Seq[String], order: Column,
              stage: Column, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val base = events.select(
       keys.map(col) :+ order.as("__t") :+ stage.cast("string").as("__s"): _*)
-    var acc = base.groupBy(keys.map(col): _*)
-      .agg(min(when(col("__s") === stages.head, col("__t"))).as("t0"))
-    for (((st, i)) <- stages.zipWithIndex.drop(1)) {
-      val carried = (0 until i).map(j => max(col(s"t$j")).as(s"t$j"))
-      val next = min(when(col("__s") === st && col("__t") > col(s"t${i - 1}"),
-        col("__t"))).as(s"t$i")
-      val aggs = carried :+ next
-      acc = base.join(acc, keys)
-        .groupBy(keys.map(col): _*)
-        .agg(aggs.head, aggs.tail: _*)
+    // when() with no otherwise yields null for non-matching rows, and
+    // collect_list drops nulls — each list holds exactly its stage's
+    // times, ascending.
+    val listAggs = stages.zipWithIndex.map { case (st, i) =>
+      sort_array(collect_list(when(col("__s") === st, col("__t")))).as(s"__l$i")
     }
-    acc
+    var acc = base.groupBy(keys.map(col): _*)
+      .agg(listAggs.head, listAggs.tail: _*)
+      .withColumn("t0", get(col("__l0"), lit(0))) // null on empty list
+    for (i <- 1 until stages.size) {
+      val prev = col(s"t${i - 1}")
+      acc = acc.withColumn(s"t$i",
+        when(prev.isNotNull,
+          get(filter(col(s"__l$i"), x => x > prev), lit(0))))
+    }
+    acc.select(keys.map(col) ++ stages.indices.map(i => col(s"t$i")): _*)
   }
 
   /** Banded interval join: points (keys, t) ⋈ intervals (keys, lo,
