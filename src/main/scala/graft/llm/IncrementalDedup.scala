@@ -62,6 +62,16 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** Daemon pool for concurrent index-fold kickoff inside [[admit]]
+    * — at most two short-lived tasks per admit, so a small cached
+    * pool is right-sized; daemon threads never pin JVM shutdown.
+    */
+  private lazy val foldEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-index-fold"); t.setDaemon(true); t
+      }))
+
   /** Admit `batch` against `state`, fold admissions in, and return
     * the admitted rows (original columns). `k` minhash components,
     * bands of `bandsOf`, estimate threshold `threshold`.
@@ -128,20 +138,37 @@ object IncrementalDedup {
       if (state.version < 0) batchUnique
       else {
         val stored = state.read()
+        // Kick BOTH index views off concurrently before either is
+        // consumed: each view may trigger an independent fold job
+        // (bucketed write + catalog ops) against its own table, and
+        // those protocol floors (~0.6 s each at sf0.1, measured by
+        // IncDedupProbe2) otherwise run back-to-back on the admit
+        // path. Concurrent Spark job submission from separate threads
+        // is the supported scheduler pattern; failures propagate
+        // through Await.result, preserving the fail-loudly contracts.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val diViewF = digests.map(di => Future(di.view(state))(foldEc))
+        val biViewF = bands.map(bi => Future(bi.view(state, k, bandsOf))(foldEc))
+        // ... and the batch-side minhash kernel (the admit's CPU
+        // center) materializes concurrently with them, so the fold
+        // floors hide entirely under it instead of preceding it.
+        val batchUniqueCk = Await.result(
+          Future(batchUnique.localCheckpoint(true))(foldEc), Duration.Inf)
         // exact: digest seen before. With a DigestIndex the stored
         // side is the bucketed digest table — zero Exchange, only the
         // batch side shuffles, and the un-folded tail anti-joins as
         // its own small leg; without one this is a full-state digest
         // scan AND shuffle per increment
-        val noExact = digests match {
-          case Some(di) =>
-            val v = di.view(state)
-            val afterMain = batchUnique.join(v.main, Seq("digest"), "left_anti")
+        val noExact = diViewF match {
+          case Some(vf) =>
+            val v = Await.result(vf, Duration.Inf)
+            val afterMain = batchUniqueCk.join(v.main, Seq("digest"), "left_anti")
             v.tail match {
               case Some(t) => afterMain.join(t, Seq("digest"), "left_anti")
               case None => afterMain
             }
-          case None => batchUnique.join(
+          case None => batchUniqueCk.join(
             stored.select(col("digest")), Seq("digest"), "left_anti")
         }
         // near: candidates from shared LSH band buckets, verified by
@@ -156,13 +183,13 @@ object IncrementalDedup {
         // bucket-locally off the index rows themselves — verification
         // touches no state at all; the derive path hydrates it from
         // the state read it already makes
-        val candSig = (bands match {
-          case Some(bi) =>
+        val candSig = (biViewF match {
+          case Some(vf) =>
             // bucket-local path: the folded main reads with zero
             // Exchange; an un-folded tail (recent admissions below
             // the fold threshold) joins as its own tiny O(new) leg so
             // the union never breaks the main scan's bucketing
-            val v = bi.view(state, k, bandsOf)
+            val v = Await.result(vf, Duration.Inf)
             val nb = newBands
               .select(BandIndex.bkey.as("bkey"), col("id").as("new_id"))
             def leg(stored: DataFrame) = stored.join(nb, Seq("bkey"))
@@ -283,6 +310,12 @@ object IncrementalDedup {
     * docs too short to shingle (< 3 words).
     */
   private def fingerprints(docs: DataFrame, k: Int): DataFrame = {
+    // NOTE (measured, round 12): carrying the digest through the
+    // shingle explode as a second group key looks like it saves this
+    // join, but the 32-char md5 string then rides EVERY shingle row
+    // through the aggregation exchange and widens its hash key —
+    // measured 2.3x slower on llm_incremental_dedup. Keep the
+    // doc-sized digest join; it is the cheaper side.
     val sh = docs.select(col("doc_id"),
       explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("sh"))
     val sig = Dedup.minHashSignature(sh, col("doc_id"), col("sh"), k)
