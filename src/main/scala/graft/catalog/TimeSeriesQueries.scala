@@ -779,6 +779,160 @@ object TimeSeriesQueries {
        |       CAST(n_est - n_exact AS BIGINT) AS overcount
        |FROM est ORDER BY hour, rk""".stripMargin
 
+  // --------------------- sliding heavy hitters (SpaceSaving-driven)
+  /** Trailing-24h top-3 users per hour with the candidate set coming
+    * from BOUNDED per-hour summaries instead of the full
+    * (user, hour)×24 fold — the 100 TB path [[slidingHeavyQ]]'s
+    * coverage note promises. Each hour keeps only its top-`m`
+    * (m = 64) users by count plus one residual bound (the kept
+    * minimum when anything was dropped, 0 otherwise) — the
+    * deterministic batch equivalent of a SpaceSaving m-counter
+    * summary (Metwally et al., ICDT'05; mergeability per Agarwal et
+    * al., PODS'12): any user absent from an hour's summary has at
+    * most `bound_h` occurrences there. Summaries merge across the 24
+    * window hours into per-candidate lower/upper bounds
+    * (`lb = Σ present counts`, `ub = lb + Σ absent hours' bounds`),
+    * candidates prune against the 3rd-highest lb, and EXACT counts
+    * are then computed ONLY for surviving candidates (candidates×24
+    * joined back to the hourly counts — bounded, never all users).
+    * Output carries lb/ub as the audit columns beside n_exact; the
+    * superset property (candidates ⊇ true top-3) is spec'd in
+    * SlidingHeavySsSpec. All arithmetic is integer — engine-exact.
+    * Scale: summary rows are m·hours; the ×24 explode touches only
+    * them, so the windowed shuffle is corpus-size-independent per
+    * hour — vs [[slidingHeavyQ]]'s exact (user,hour)×24 fold. On the
+    * near-uniform test corpus (1500 users, hourly counts 0–2) the
+    * candidate set degenerates to almost every user — the known
+    * worst case for heavy-hitter pruning, costing ~1.4× the exact
+    * fold at sf0.1; the shape pays off exactly when the exact fold
+    * cannot run — skewed corpora where users ≫ m·24 and the heavy
+    * tail is short.
+    */
+  private def slidingHeavySsQ(s: SparkSession, dir: String): DataFrame = {
+    val m = 64
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
+    val exh = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
+    // one window pass carries BOTH the rank and the per-hour user
+    // count (identical partition+ordering spec → a single WindowExec
+    // and one sort), so the summary, the residual bound, and the
+    // hour list all come off one exchange instead of three
+    // aggregation paths over exh
+    val wSpec = Window.partitionBy(col("h")).orderBy(col("nh").desc, col("user_id"))
+    val ranked = exh.select(col("h"), col("user_id"), col("nh"),
+      row_number().over(wSpec).as("srk"),
+      count(lit(1)).over(wSpec.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)).as("nu"))
+      .filter(col("srk") <= m)
+      // the m-th row IS the bound carrier: kept-minimum when anything
+      // was dropped (nu > m), zero otherwise; hours with < m users
+      // have no srk = m row and contribute bound 0 by absence
+      .withColumn("bound",
+        when(col("srk") === m && col("nu") > m, col("nh")).otherwise(lit(0L)))
+      // ≤ m·hours rows; materialized ONCE — summ/bounds/hours/cand all
+      // branch off it, and without the checkpoint each branch re-runs
+      // the events scan + hourly aggregate + window (4 copies in the
+      // physical plan, measured)
+      .localCheckpoint(false)
+    val summ = ranked.select(col("h"), col("user_id"), col("nh"))
+    val bounds = ranked.filter(col("srk") === m)
+      .select(col("h"), col("bound"))
+    // any hour with events has a rank-1 summary row, so the hour list
+    // reads the checkpoint, not the events again
+    val hours = ranked.select(col("h").as("h2")).distinct()
+    val bWin = bounds
+      .select(explode(sequence(col("h"), col("h") + 23L)).as("h2"), col("bound"))
+      .groupBy(col("h2")).agg(sum(col("bound")).as("btot"))
+    val cand = summ.join(bounds, Seq("h"), "left")
+      .select(explode(sequence(col("h"), col("h") + 23L)).as("h2"),
+        col("user_id"), col("nh"), coalesce(col("bound"), lit(0L)).as("bound"))
+      .groupBy(col("h2"), col("user_id"))
+      .agg(sum(col("nh")).as("lb"), sum(col("bound")).as("sb"))
+    val wub = cand.join(bWin, Seq("h2"), "left").join(hours, "h2")
+      .select(col("h2"), col("user_id"), col("lb"),
+        (col("lb") + coalesce(col("btot"), lit(0L)) - col("sb")).as("ub"))
+    val thr = wub
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("h2")).orderBy(col("lb").desc, col("user_id"))))
+      .filter(col("lrk") === 3).select(col("h2"), col("lb").as("lb3"))
+    val kept = wub.join(thr, Seq("h2"), "left")
+      .filter(col("lb3").isNull || col("ub") >= col("lb3"))
+      .select(col("h2"), col("user_id"), col("lb"), col("ub"))
+    // Exact windowed counts for CANDIDATE USERS only: semi-restrict
+    // the hourly counts to the (bounded, ≤ m·hours distinct) user set
+    // the summaries nominated, then explode those rows ×24 once —
+    // NOT each (h2, candidate) pair ×24, which is a 24× larger frame
+    // (measured 5.1 s vs 3.6 s at sf0.1 for the whole query).
+    val candUsers = kept.select(col("user_id")).distinct()
+    val wex = exh.join(broadcast(candUsers), Seq("user_id"))
+      .select(explode(sequence(col("h"), col("h") + 23L)).as("h2"),
+        col("user_id"), col("nh"))
+      .groupBy(col("h2"), col("user_id")).agg(sum(col("nh")).as("n_exact"))
+    val nEx = kept.join(wex, Seq("h2", "user_id"))
+      .select(col("h2"), col("user_id"), col("lb"), col("ub"), col("n_exact"))
+    nEx
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h2")).orderBy(col("n_exact").desc, col("user_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("h2").as("hour"), col("rk").cast("long").as("rk"),
+        col("user_id"), col("n_exact"), col("lb"), col("ub"))
+      .orderBy(col("hour"), col("rk"))
+  }
+
+  private val slidingHeavySsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, (epoch_ns(ts) // 1000) // 3600000000 AS h FROM events
+       |), hours AS (
+       |  SELECT DISTINCT h AS h2 FROM ev
+       |), exh AS (
+       |  SELECT h, user_id, CAST(count(*) AS BIGINT) AS nh FROM ev GROUP BY 1, 2
+       |), summ AS (
+       |  SELECT h, user_id, nh FROM (
+       |    SELECT h, user_id, nh,
+       |           row_number() OVER (PARTITION BY h ORDER BY nh DESC, user_id) AS srk
+       |    FROM exh) WHERE srk <= 64
+       |), tot AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS nu FROM exh GROUP BY 1
+       |), bounds AS (
+       |  SELECT k.h, CASE WHEN t.nu > 64 THEN k.kmin ELSE 0 END AS bound
+       |  FROM (SELECT h, min(nh) AS kmin FROM summ GROUP BY 1) k
+       |  JOIN tot t USING (h)
+       |), bwin AS (
+       |  SELECT h + i AS h2, CAST(sum(bound) AS BIGINT) AS btot
+       |  FROM bounds CROSS JOIN (SELECT unnest(range(24)) AS i) GROUP BY 1
+       |), cand AS (
+       |  SELECT s.h + i AS h2, s.user_id,
+       |         CAST(sum(s.nh) AS BIGINT) AS lb,
+       |         CAST(sum(b.bound) AS BIGINT) AS sb
+       |  FROM summ s JOIN bounds b USING (h)
+       |  CROSS JOIN (SELECT unnest(range(24)) AS i)
+       |  GROUP BY 1, 2
+       |), wub AS (
+       |  SELECT c.h2, c.user_id, c.lb, c.lb + w.btot - c.sb AS ub
+       |  FROM cand c JOIN bwin w USING (h2) JOIN hours ON hours.h2 = c.h2
+       |), thr AS (
+       |  SELECT h2, lb AS lb3 FROM (
+       |    SELECT h2, lb,
+       |           row_number() OVER (PARTITION BY h2 ORDER BY lb DESC, user_id) AS lrk
+       |    FROM wub) WHERE lrk = 3
+       |), kept AS (
+       |  SELECT w.h2, w.user_id, w.lb, w.ub
+       |  FROM wub w LEFT JOIN thr USING (h2)
+       |  WHERE thr.lb3 IS NULL OR w.ub >= thr.lb3
+       |), nex AS (
+       |  SELECT k.h2, k.user_id,
+       |         CAST(min(k.lb) AS BIGINT) AS lb, CAST(min(k.ub) AS BIGINT) AS ub,
+       |         CAST(sum(e.nh) AS BIGINT) AS n_exact
+       |  FROM (SELECT h2, user_id, lb, ub, h2 - 23 + i AS h
+       |        FROM kept CROSS JOIN (SELECT unnest(range(24)) AS i)) k
+       |  JOIN exh e ON e.h = k.h AND e.user_id = k.user_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT h2 AS hour, CAST(rk AS BIGINT) AS rk, user_id, n_exact, lb, ub
+       |FROM (SELECT *, row_number() OVER (PARTITION BY h2
+       |        ORDER BY n_exact DESC, user_id) AS rk FROM nex)
+       |WHERE rk <= 3 ORDER BY hour, rk""".stripMargin
+
   // ------------------------------------------------ interval join
   /** [[Analytics.intervalJoin]] — purchases attributed to the click
     * session they fall inside: click-only gap sessions (30 min)
@@ -1100,6 +1254,7 @@ object TimeSeriesQueries {
     "ts_retention"     -> retentionQ,
     "ts_sliding_distinct" -> slidingDistinctQ,
     "ts_sliding_heavy" -> slidingHeavyQ,
+    "ts_sliding_heavy_ss" -> slidingHeavySsQ,
     "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
@@ -1127,6 +1282,7 @@ object TimeSeriesQueries {
     "ts_retention"     -> retentionSql,
     "ts_sliding_distinct" -> slidingDistinctSql,
     "ts_sliding_heavy" -> slidingHeavySql,
+    "ts_sliding_heavy_ss" -> slidingHeavySsSql,
     "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_candle_1h"     -> rollupSql(3600L),

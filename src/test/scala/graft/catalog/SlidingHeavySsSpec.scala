@@ -1,0 +1,39 @@
+package graft.catalog
+
+import graft.SparkSpec
+
+/** `ts_sliding_heavy_ss` — the SpaceSaving-driven sliding heavy
+  * hitters: the candidate set from bounded per-hour summaries must
+  * contain the true trailing-24h top-3 on the test corpus (so the
+  * candidate-ranked output EQUALS the exact fold's output), and the
+  * per-candidate lower/upper bounds must bracket the exact count on
+  * every output row — the summary-merge invariant that makes the
+  * pruning sound.
+  */
+class SlidingHeavySsSpec extends SparkSpec {
+
+  private def rows(name: String) =
+    TimeSeriesQueries.queries(name)(spark, sfDir).collect()
+
+  test("candidate-ranked top-3 equals the exact fold's top-3 (superset held)") {
+    val ss = rows("ts_sliding_heavy_ss")
+      .map(r => (r.getAs[Long]("hour"), r.getAs[Long]("rk"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_exact"))).toSet
+    val exact = rows("ts_sliding_heavy")
+      .map(r => (r.getAs[Long]("hour"), r.getAs[Long]("rk"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_exact"))).toSet
+    assert(ss.nonEmpty)
+    assert(ss === exact,
+      "every true top-3 row must be reproduced from the bounded-summary candidates")
+  }
+
+  test("summary-merge bounds bracket the exact windowed count row by row") {
+    rows("ts_sliding_heavy_ss").foreach { r =>
+      val lb = r.getAs[Long]("lb"); val ub = r.getAs[Long]("ub")
+      val ex = r.getAs[Long]("n_exact")
+      assert(lb <= ex && ex <= ub,
+        s"hour=${r.getAs[Long]("hour")} user=${r.getAs[Long]("user_id")}: " +
+          s"lb=$lb n_exact=$ex ub=$ub")
+    }
+  }
+}
