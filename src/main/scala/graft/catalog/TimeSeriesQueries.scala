@@ -933,6 +933,78 @@ object TimeSeriesQueries {
        |        ORDER BY n_exact DESC, user_id) AS rk FROM nex)
        |WHERE rk <= 3 ORDER BY hour, rk""".stripMargin
 
+  // ------------------------------- z-ordered pruned scan (storage)
+  /** The events table laid out as a Z-ordered [[graft.storage.TxTable]]
+    * (Morton curve over (tus, user_id), 16 range-partitioned sorted
+    * files, per-file min/max stats sidecars) and read back through
+    * [[graft.storage.TxTable.readPruned]] with a quarter-range
+    * time+key box — the storage layer's data-skipping path under the
+    * oracle hash gate: the pruned scan + exact residual filter must
+    * aggregate to EXACTLY what an unpruned scan of the raw parquet
+    * gives (pruning is a superset guarantee, never a row filter).
+    * ZOrderPrunedQuerySpec pins the physical claim the hash cannot
+    * see: the box touches a strict subset of the 16 files. Layout
+    * bounds come from one 1-row bounds collect (a layout constant at
+    * a real deployment). Scale: stat pruning is O(files) metadata
+    * work — a 100 TB table's quarter-box scan reads only the curve
+    * cells the box intersects.
+    */
+  private[graft] def zorderedEvents(s: SparkSession, dir: String)
+      : (graft.storage.TxTable, Long, Long, Long, Long) = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+    val r = ev.agg(min(col("tus")), max(col("tus")),
+      min(col("user_id")), max(col("user_id"))).head()
+    val (mn, mx, uMn, uMx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val t = new graft.storage.TxTable(s,
+      java.nio.file.Files.createTempDirectory("zq").toString,
+      statsCols = Seq("tus", "user_id"))
+    val z = graft.storage.ZOrder.zValue(Seq(
+      graft.storage.ZOrder.rangeBucket(col("tus"), mn, mx, 8),
+      graft.storage.ZOrder.rangeBucket(col("user_id"), uMn, uMx, 8)), 8)
+    t.append(ev.withColumn("p_date", lit("a")).withColumn("__z", z)
+      .repartitionByRange(16, col("__z"))
+      .sortWithinPartitions(col("__z")).drop("__z"))
+    (t, mn, mx, uMn, uMx)
+  }
+
+  /** The quarter-range box bounds [tLo,tHi]×[uLo,uHi] used by both
+    * the query and its spec (integer arithmetic, engine-exact).
+    */
+  private[graft] def zorderBox(mn: Long, mx: Long, uMn: Long, uMx: Long)
+      : (Long, Long, Long, Long) =
+    (mn + (mx - mn) / 4, mn + (mx - mn) / 2,
+      uMn + (uMx - uMn) / 4, uMn + (uMx - uMn) / 2)
+
+  private def zorderPrunedQ(s: SparkSession, dir: String): DataFrame = {
+    val (t, mn, mx, uMn, uMx) = zorderedEvents(s, dir)
+    val (tLo, tHi, uLo, uHi) = zorderBox(mn, mx, uMn, uMx)
+    t.readPruned(Map("tus" -> ((tLo, tHi)), "user_id" -> ((uLo, uHi))))
+      .filter(col("tus").between(tLo, tHi) && col("user_id").between(uLo, uHi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("vc"))
+      .orderBy(col("event_type"))
+  }
+
+  private val zorderPrunedSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, (epoch_ns(ts) // 1000) AS tus, event_type, value
+       |  FROM events
+       |), b AS (
+       |  SELECT min(tus) AS mn, max(tus) AS mx,
+       |         min(user_id) AS umn, max(user_id) AS umx
+       |  FROM ev
+       |), f AS (
+       |  SELECT e.event_type, e.value FROM ev e, b
+       |  WHERE e.tus BETWEEN b.mn + (b.mx - b.mn) // 4
+       |                  AND b.mn + (b.mx - b.mn) // 2
+       |    AND e.user_id BETWEEN b.umn + (b.umx - b.umn) // 4
+       |                      AND b.umn + (b.umx - b.umn) // 2
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ interval join
   /** [[Analytics.intervalJoin]] — purchases attributed to the click
     * session they fall inside: click-only gap sessions (30 min)
@@ -1255,6 +1327,7 @@ object TimeSeriesQueries {
     "ts_sliding_distinct" -> slidingDistinctQ,
     "ts_sliding_heavy" -> slidingHeavyQ,
     "ts_sliding_heavy_ss" -> slidingHeavySsQ,
+    "ts_zorder_pruned" -> zorderPrunedQ,
     "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
@@ -1283,6 +1356,7 @@ object TimeSeriesQueries {
     "ts_sliding_distinct" -> slidingDistinctSql,
     "ts_sliding_heavy" -> slidingHeavySql,
     "ts_sliding_heavy_ss" -> slidingHeavySsSql,
+    "ts_zorder_pruned" -> zorderPrunedSql,
     "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_candle_1h"     -> rollupSql(3600L),
