@@ -65,4 +65,69 @@ object IndicatorStream {
       .transformWithState(new EmaProcessor(alphaNum, alphaDen),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Last-`nRows` (bucket, close) ring per key — bounded state. */
+  case class SmaState(bucketsMs: List[Long], closes: List[Double])
+
+  /** `n` = bars actually averaged (< nRows while warming up, the
+    * batch partial-frame convention).
+    */
+  case class SmaPoint(time_ms: Long, exchange: String, base_id: String,
+                      quote_id: String, close: Double, sma: Double, n: Int)
+
+  /** Live-bar SMA(nRows) — the client-side incremental SMA of
+    * reference `web/src/chart.js:694-719` as a stateful operator: a
+    * bar for a NEW bucket appends to the ring (evicting beyond
+    * `nRows`) and emits the rolling mean; a bar for the CURRENT
+    * bucket REPLACES the last close and re-emits a revised point for
+    * the same bucket (the chart's pop/push pair — downstream treats
+    * the latest row per bucket as current, like [[CadenceSender]]);
+    * older buckets are stale redeliveries and fold nothing. The
+    * rolling mean is over min(bars, nRows) bars — the same partial-
+    * frame convention as the batch [[graft.ops.Analytics.smaRows]]
+    * (`rowsBetween(-(nRows-1), 0)`), so on closed candles the two
+    * agree point-for-point (IndicatorStreamSpec parity test).
+    */
+  class SmaProcessor(nRows: Int)
+      extends StatefulProcessor[(String, String, String), Closed, SmaPoint] {
+    @transient private var st: ValueState[SmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SmaState]("sma",
+        Encoders.product[SmaState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String, String),
+                                 rows: Iterator[Closed],
+                                 timerValues: TimerValues): Iterator[SmaPoint] = {
+      val out = Seq.newBuilder[SmaPoint]
+      // stable sort: same-bucket revisions keep arrival order, so the
+      // LAST live update of a bucket is the one that sticks
+      rows.toSeq.sortBy(_.time_ms).foreach { c =>
+        val cur = Option(st.get()).getOrElse(SmaState(Nil, Nil))
+        val last = cur.bucketsMs.lastOption.getOrElse(Long.MinValue)
+        val next =
+          if (c.time_ms > last)
+            Some(SmaState((cur.bucketsMs :+ c.time_ms).takeRight(nRows),
+              (cur.closes :+ c.close).takeRight(nRows)))
+          else if (c.time_ms == last)
+            Some(cur.copy(closes = cur.closes.init :+ c.close))
+          else None // stale bucket: nothing to revise
+        next.foreach { s =>
+          st.update(s)
+          out += SmaPoint(c.time_ms, key._1, key._2, key._3, c.close,
+            s.closes.sum / s.closes.size, s.closes.size)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** One SMA point per bar update (revisions re-emit their bucket). */
+  def smaOf(ds: Dataset[Closed], nRows: Int): Dataset[SmaPoint] = {
+    implicit val enc: org.apache.spark.sql.Encoder[SmaPoint] = Encoders.product[SmaPoint]
+    ds.groupByKey(c => (c.exchange, c.base_id, c.quote_id))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING))
+      .transformWithState(new SmaProcessor(nRows),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -90,4 +90,66 @@ class IndicatorStreamSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming SMA(10) on closed candles ≡ batch smaRows (partial frames included)") {
+    withRocks {
+      implicit val sc = spark.sqlContext
+      val closes = Seq(100.0, 140.0, 90.0, 210.0, 180.0, 160.0, 120.0,
+        170.0, 130.0, 150.0, 190.0, 110.0) // 12 bars > window 10
+      val in = MemoryStream[Closed]
+      val q = IndicatorStream.smaOf(in.toDS(), 10)
+        .writeStream.format("memory").queryName("sma_vs_batch")
+        .outputMode("append").start()
+      try {
+        closes.zipWithIndex.foreach { case (c, i) => in.addData(closed(i * 60000L, c)) }
+        q.processAllAvailable()
+        val stream = spark.table("sma_vs_batch")
+          .orderBy("time_ms").select("sma", "n")
+          .as[(Double, Int)].collect().toSeq
+        val batch = closes.zipWithIndex.map { case (c, i) => ("k", i.toLong, c) }
+          .toDF("key", "t", "c")
+          .withColumn("sma", graft.ops.Analytics.smaRows(
+            closes.zipWithIndex.map { case (c, i) => ("k", i.toLong, c) }
+              .toDF("key", "t", "c"),
+            Seq(col("key")), col("t"), col("c"), 10))
+          .orderBy("t").select("sma").as[Double].collect().toSeq
+        assert(stream.size == closes.size)
+        stream.map(_._1).zip(batch).foreach { case (s, b) =>
+          assert(math.abs(s - b) < 1e-9, s"stream $s vs batch $b")
+        }
+        // warm-up n: 1,2,...,10 then capped at the window
+        assert(stream.map(_._2) == (1 to 10) ++ Seq(10, 10))
+      } finally q.stop()
+    }
+  }
+
+  test("live-bar SMA: same-bucket updates revise, stale buckets fold nothing") {
+    withRocks {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Closed]
+      val q = IndicatorStream.smaOf(in.toDS(), 3)
+        .writeStream.format("memory").queryName("sma_live")
+        .outputMode("append").start()
+      try {
+        in.addData(closed(0, 100.0), closed(60000, 200.0))
+        q.processAllAvailable()
+        // live revision of the open bucket (chart.js pop/push), then a
+        // stale bucket that must not re-fold, then genuine progress
+        in.addData(closed(60000, 260.0))
+        q.processAllAvailable()
+        in.addData(closed(0, 999.0), closed(120000, 300.0))
+        q.processAllAvailable()
+        val pts = spark.table("sma_live")
+          .orderBy("time_ms", "sma").select("time_ms", "close", "sma")
+          .as[(Long, Double, Double)].collect().toSeq
+        val t = pts.map(p => (p._1 - t0, p._2, p._3))
+        assert(t == Seq(
+          (0L, 100.0, 100.0),
+          (60000L, 200.0, 150.0),          // first live value of the bucket
+          (60000L, 260.0, 180.0),          // revision: replaced, not appended
+          (120000L, 300.0, (100.0 + 260.0 + 300.0) / 3)), // revision stuck
+          s"got $t")
+      } finally q.stop()
+    }
+  }
 }
