@@ -1,0 +1,295 @@
+package graft.api
+
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledFuture, TimeUnit}
+
+/** The reference's serving processes — FastAPI REST
+  * (`web/routes/api/rest/ohlcvs.py:12-60`) and WebSocket
+  * (`web/routes/api/ws/ohlcvs.py:17-57`) — on JDK-only plumbing
+  * (`com.sun.net.httpserver` for REST, a minimal RFC 6455 server for
+  * WS), so a reference user can exercise the reader end-to-end over
+  * real sockets:
+  *
+  *  - `GET /api/rest/ohlcvs?exchange=&base_id=&quote_id=&interval=`
+  *    (+ `start`, `end`, `limit`, `empty_ts`, `results_mls`) returns
+  *    the [[OhlcvReader]] rows as the reference's JSON list of
+  *    `{time, open, high, low, close, volume}`; missing params → 422
+  *    `{"detail": ...}`, domain errors → 400 — the FastAPI shapes.
+  *  - WS `/api/ws/ohlcvs` speaks the reference's subscribe protocol:
+  *    `{"event_type":"subscribe","data_type":"ohlcv","exchange":...,
+  *    "base_id":...,"quote_id":...,"interval":...,"mls":...}` starts
+  *    pushes of the latest candle at the interval's cadence
+  *    ([[graft.streaming.CadenceSender.cadenceSecs]]);
+  *    `unsubscribe` cancels and acks with the reference's
+  *    `successfully unsubscribed from e_b_q_i` detail; a bad
+  *    event_type gets the reference's error detail verbatim.
+  *
+  * The data plane is injected as `fetch: Params => rows`, so the
+  * server composes with [[OhlcvReader.read]]/`readCached` (see
+  * [[OhlcvHttpServer.forSpark]]) and specs drive real sockets
+  * without a cluster. Results are ≤ `maxLimit` rows by reader
+  * contract — the collect is bounded, never corpus-sized. One
+  * scheduler thread pool drives all subscriptions; per-connection
+  * reader threads are daemons.
+  */
+object OhlcvHttpServer {
+
+  /** One output candle row, pre-rendered field order. */
+  case class Candle(time: Long, open: Double, high: Double, low: Double,
+                    close: Double, volume: Double) {
+    def json: String =
+      s"""{"time":$time,"open":$open,"high":$high,"low":$low,"close":$close,"volume":$volume}"""
+  }
+
+  /** Spark wiring: reader → bounded collect → rows. */
+  def forSpark(spark: org.apache.spark.sql.SparkSession,
+               base: org.apache.spark.sql.DataFrame,
+               rollups: Map[String, org.apache.spark.sql.DataFrame],
+               asOf: java.sql.Timestamp): OhlcvReader.Params => Seq[Candle] =
+    p => OhlcvReader.read(base, rollups, p.copy(asOf = asOf)).collect().toSeq.map { r =>
+      Candle(r.getLong(r.fieldIndex("time")),
+        r.getDouble(r.fieldIndex("open")), r.getDouble(r.fieldIndex("high")),
+        r.getDouble(r.fieldIndex("low")), r.getDouble(r.fieldIndex("close")),
+        r.getDouble(r.fieldIndex("volume")))
+    }
+
+  /** Minimal flat-object JSON field extraction (string/number/bool) —
+    * enough for the reference's subscribe messages; no JSON library
+    * on the serving path.
+    */
+  private[api] def jsonField(s: String, key: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(key) +
+        "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|[^,}\\s]+)")
+      .matcher(s)
+    if (m.find()) Option(m.group(2)).orElse(Option(m.group(1))) else None
+  }
+}
+
+final class OhlcvHttpServer(
+    fetch: OhlcvReader.Params => Seq[OhlcvHttpServer.Candle],
+    restPort: Int = 0, wsPort: Int = 0,
+    cadenceMsOverride: Option[Long] = None) {
+  import OhlcvHttpServer._
+
+  private val rest = com.sun.net.httpserver.HttpServer.create(
+    new InetSocketAddress("127.0.0.1", restPort), 0)
+  private val wsSocket = new ServerSocket(wsPort, 16,
+    java.net.InetAddress.getByName("127.0.0.1"))
+  private val sched = Executors.newScheduledThreadPool(2, r => {
+    val t = new Thread(r, "graft-ohlcv-push"); t.setDaemon(true); t
+  })
+  @volatile private var running = true
+
+  def restAddress: String = s"http://127.0.0.1:${rest.getAddress.getPort}"
+  def wsAddress: String = s"ws://127.0.0.1:${wsSocket.getLocalPort}"
+
+  def start(): this.type = {
+    rest.createContext("/api/rest/ohlcvs", exchangeHandler)
+    rest.setExecutor(Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-ohlcv-rest"); t.setDaemon(true); t
+    }))
+    rest.start()
+    val acceptor = new Thread(() => {
+      while (running)
+        try { val s = wsSocket.accept(); serveWs(s) }
+        catch { case _: Exception if !running => case _: Exception => }
+    }, "graft-ohlcv-ws-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    rest.stop(0)
+    try wsSocket.close() catch { case _: Exception => }
+    sched.shutdownNow()
+  }
+
+  // ------------------------------------------------------------ REST
+
+  private def exchangeHandler: com.sun.net.httpserver.HttpHandler = ex => {
+    def respond(code: Int, body: String): Unit = {
+      val b = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    try {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('=')
+        java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      }.toMap
+      val missing = Seq("exchange", "base_id", "quote_id", "interval")
+        .filterNot(params.contains)
+      if (missing.nonEmpty)
+        respond(422, s"""{"detail":"missing required parameters: ${missing.mkString(", ")}"}""")
+      else {
+        val p = OhlcvReader.Params(
+          exchange = params("exchange"), baseId = params("base_id"),
+          quoteId = params("quote_id"), interval = params("interval"),
+          startMs = params.get("start").map(_.toLong),
+          endMs = params.get("end").map(_.toLong),
+          limit = params.get("limit").map(_.toInt).getOrElse(500),
+          emptyTs = params.get("empty_ts").exists(_.toBoolean),
+          mls = params.get("results_mls").forall(_.toBoolean))
+        respond(200, fetch(p).map(_.json).mkString("[", ",", "]"))
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(400, s"""{"detail":${quote(e.getMessage)}}""")
+      case e: Exception =>
+        respond(500, s"""{"detail":${quote(String.valueOf(e.getMessage))}}""")
+    }
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+
+  // -------------------------------------------------------------- WS
+
+  /** Per-connection subscription registry keyed like the reference's
+    * `exchange_base_quote_interval`.
+    */
+  private def serveWs(sock: Socket): Unit = {
+    val t = new Thread(() => {
+      val subs = new ConcurrentHashMap[String, ScheduledFuture[_]]()
+      try {
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        // no non-local return here: this body runs on its own thread
+        if (handshake(in, out)) {
+          var open = true
+          while (open && running) readFrame(in) match {
+            case None => open = false
+            case Some((0x8, _)) => // close
+              out.synchronized { writeFrame(out, 0x8, Array.emptyByteArray) }
+              open = false
+            case Some((0x9, payload)) => // ping→pong; sync vs push thread
+              out.synchronized { writeFrame(out, 0xA, payload) }
+            case Some((0x1, payload)) =>
+              handleWsMessage(new String(payload, UTF_8), out, subs)
+            case Some(_) => // binary/continuation: not part of the protocol
+          }
+        }
+      } catch { case _: Exception => }
+      finally {
+        subs.values().forEach(f => f.cancel(false))
+        try sock.close() catch { case _: Exception => }
+      }
+    }, "graft-ohlcv-ws-conn")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  private def handleWsMessage(msg: String, out: java.io.OutputStream,
+                              subs: ConcurrentHashMap[String, ScheduledFuture[_]]): Unit = {
+    def send(s: String): Unit = out.synchronized { writeFrame(out, 0x1, s.getBytes(UTF_8)) }
+    val eventType = jsonField(msg, "event_type")
+    val dataType = jsonField(msg, "data_type")
+    (eventType, dataType) match {
+      case (Some("subscribe"), Some("ohlcv")) =>
+        (for {
+          e <- jsonField(msg, "exchange"); b <- jsonField(msg, "base_id")
+          q <- jsonField(msg, "quote_id"); i <- jsonField(msg, "interval")
+        } yield (e, b, q, i)) match {
+          case None => send("""{"detail":"subscribe requires exchange, base_id, quote_id, interval"}""")
+          case Some((e, b, q, i)) =>
+            val mls = jsonField(msg, "mls").forall(_.toBoolean)
+            val key = s"${e}_${b}_${q}_$i"
+            val cadenceMs = cadenceMsOverride.getOrElse(
+              graft.streaming.CadenceSender.cadenceSecs(i) * 1000L)
+            val task: Runnable = () =>
+              try fetch(OhlcvReader.Params(e, b, q, i, limit = 1, mls = mls))
+                .lastOption.foreach(c => send(c.json))
+              catch { case ex: Exception => send(s"""{"detail":${quote(String.valueOf(ex.getMessage))}}""") }
+            val f = sched.scheduleAtFixedRate(task, 0L, cadenceMs, TimeUnit.MILLISECONDS)
+            Option(subs.put(key, f)).foreach(_.cancel(false)) // re-subscribe replaces
+        }
+      case (Some("unsubscribe"), Some("ohlcv")) =>
+        (for {
+          e <- jsonField(msg, "exchange"); b <- jsonField(msg, "base_id")
+          q <- jsonField(msg, "quote_id"); i <- jsonField(msg, "interval")
+        } yield s"${e}_${b}_${q}_$i").foreach { key =>
+          Option(subs.remove(key)).foreach(_.cancel(false))
+          send(s"""{"detail":"successfully unsubscribed from $key"}""")
+        }
+      case _ =>
+        // reference detail verbatim (ws/ohlcvs.py:38-40)
+        send("""{"detail":"event_type must be subscribe or unsubscribe"}""")
+    }
+  }
+
+  // RFC 6455 plumbing ------------------------------------------------
+
+  private def handshake(in: java.io.InputStream, out: java.io.OutputStream): Boolean = {
+    val sb = new java.lang.StringBuilder
+    var headerDone = false
+    while (!headerDone) {
+      val c = in.read()
+      if (c == -1) return false
+      sb.append(c.toChar)
+      val n = sb.length()
+      headerDone = n >= 4 && sb.charAt(n - 4) == '\r' && sb.charAt(n - 3) == '\n' &&
+        sb.charAt(n - 2) == '\r' && sb.charAt(n - 1) == '\n'
+    }
+    val req = sb.toString
+    val key = req.linesIterator
+      .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+      .map(_.split(":", 2)(1).trim)
+    key match {
+      case None => false
+      case Some(k) =>
+        val accept = java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("SHA-1")
+            .digest((k + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(UTF_8)))
+        out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
+        out.flush()
+        true
+    }
+  }
+
+  /** One frame: (opcode, unmasked payload); None on EOF. */
+  private def readFrame(in: java.io.InputStream): Option[(Int, Array[Byte])] = {
+    val b0 = in.read(); if (b0 == -1) return None
+    val b1 = in.read(); if (b1 == -1) return None
+    val opcode = b0 & 0x0f
+    val masked = (b1 & 0x80) != 0
+    var len: Long = b1 & 0x7f
+    if (len == 126) len = (in.read() << 8 | in.read()).toLong
+    else if (len == 127) { len = 0; (0 until 8).foreach(_ => len = (len << 8) | in.read()) }
+    if (len > (1L << 20)) return None // protocol messages are tiny; refuse abuse
+    val mask = if (masked) Array.fill(4)(in.read().toByte) else Array.emptyByteArray
+    val payload = new Array[Byte](len.toInt)
+    var got = 0
+    while (got < len) {
+      val n = in.read(payload, got, len.toInt - got)
+      if (n == -1) return None
+      got += n
+    }
+    if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+    Some((opcode, payload))
+  }
+
+  private def writeFrame(out: java.io.OutputStream, opcode: Int,
+                         payload: Array[Byte]): Unit = {
+    out.write(0x80 | opcode)
+    if (payload.length < 126) out.write(payload.length)
+    else if (payload.length < (1 << 16)) {
+      out.write(126); out.write(payload.length >> 8); out.write(payload.length & 0xff)
+    } else {
+      out.write(127)
+      (7 to 0 by -1).foreach(i => out.write(((payload.length.toLong >> (8 * i)) & 0xff).toInt))
+    }
+    out.write(payload)
+    out.flush()
+  }
+}

@@ -1,0 +1,125 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.net.http.{HttpClient, HttpRequest, HttpResponse, WebSocket}
+import java.time.Duration
+import java.util.concurrent.{CompletionStage, CountDownLatch, LinkedBlockingQueue, TimeUnit}
+
+/** [[OhlcvHttpServer]] over real sockets: the REST endpoint returns
+  * exactly the reader's rows in the reference JSON shape with the
+  * FastAPI error contracts, and the WS endpoint speaks the
+  * subscribe/unsubscribe protocol with cadence pushes — driven by the
+  * JDK HttpClient and its RFC 6455 WebSocket client.
+  */
+class OhlcvHttpServerSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+  import OhlcvHttpServer.Candle
+
+  private val t0 = 1629294300000L // 2021-08-18 13:45:00 UTC, minute-aligned
+
+  private def base() = (0 until 30).map { i =>
+    (new java.sql.Timestamp(t0 + i * 60000L), "bitfinex", "BTC", "USD",
+      100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 2.0)
+  }.toDF("time", "exchange", "base_id", "quote_id",
+    "open", "high", "low", "close", "volume")
+
+  private def withServer(body: OhlcvHttpServer => Unit): Unit = {
+    val asOf = new java.sql.Timestamp(t0 + 3600000L)
+    val srv = new OhlcvHttpServer(
+      OhlcvHttpServer.forSpark(spark, base(), Map.empty, asOf),
+      cadenceMsOverride = Some(150L)).start()
+    try body(srv) finally srv.stop()
+  }
+
+  private def get(url: String): (Int, String) = {
+    val c = HttpClient.newHttpClient()
+    val r = c.send(HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("REST /api/rest/ohlcvs returns the reader's rows as the reference JSON") {
+    withServer { srv =>
+      val (code, body) = get(s"${srv.restAddress}/api/rest/ohlcvs" +
+        "?exchange=bitfinex&base_id=BTC&quote_id=USD&interval=5m&limit=3")
+      assert(code === 200, body)
+      // exactly the reader rows, rendered field-for-field
+      val expect = OhlcvHttpServer.forSpark(spark, base(), Map.empty,
+        new java.sql.Timestamp(t0 + 3600000L))(
+        OhlcvReader.Params("bitfinex", "BTC", "USD", "5m", limit = 3))
+      assert(expect.nonEmpty)
+      assert(body === expect.map(_.json).mkString("[", ",", "]"))
+    }
+  }
+
+  test("REST error contracts: 422 missing params, 400 domain errors") {
+    withServer { srv =>
+      val (c1, b1) = get(s"${srv.restAddress}/api/rest/ohlcvs?exchange=bitfinex")
+      assert(c1 === 422 && b1.contains("base_id"), b1)
+      val (c2, b2) = get(s"${srv.restAddress}/api/rest/ohlcvs" +
+        "?exchange=bitfinex&base_id=BTC&quote_id=USD&interval=2h")
+      assert(c2 === 400 && b2.contains("interval"), b2)
+    }
+  }
+
+  private def wsConnect(url: String, sink: String => Unit): WebSocket = {
+    val listener = new WebSocket.Listener {
+      private val buf = new StringBuilder
+      override def onText(ws: WebSocket, data: CharSequence,
+                          last: Boolean): CompletionStage[_] = {
+        buf.append(data)
+        if (last) { sink(buf.toString); buf.clear() }
+        ws.request(1)
+        null
+      }
+    }
+    HttpClient.newHttpClient().newWebSocketBuilder()
+      .connectTimeout(Duration.ofSeconds(5))
+      .buildAsync(java.net.URI.create(url + "/api/ws/ohlcvs"), listener)
+      .get(10, TimeUnit.SECONDS)
+  }
+
+  test("WS subscribe pushes latest candle at cadence; unsubscribe acks and stops") {
+    withServer { srv =>
+      val msgs = new LinkedBlockingQueue[String]()
+      val ws = wsConnect(srv.wsAddress, msgs.put)
+      ws.sendText(
+        """{"event_type":"subscribe","data_type":"ohlcv","exchange":"bitfinex",
+          |"base_id":"BTC","quote_id":"USD","interval":"1m","mls":true}""".stripMargin,
+        true)
+      // at least two cadence pushes of the latest candle
+      val p1 = msgs.poll(5, TimeUnit.SECONDS)
+      val p2 = msgs.poll(5, TimeUnit.SECONDS)
+      assert(p1 != null && p2 != null, s"expected pushes, got $p1 / $p2")
+      val latest = Candle(t0 + 29 * 60000L, 129.0, 130.0, 128.0, 129.5, 2.0)
+      assert(p1 === latest.json && p2 === latest.json)
+      ws.sendText(
+        """{"event_type":"unsubscribe","data_type":"ohlcv","exchange":"bitfinex",
+          |"base_id":"BTC","quote_id":"USD","interval":"1m"}""".stripMargin, true)
+      var ack: String = null
+      val deadline = System.nanoTime() + 5L * 1000000000L
+      while (ack == null && System.nanoTime() < deadline) {
+        val m = msgs.poll(1, TimeUnit.SECONDS)
+        if (m != null && m.contains("unsubscribed")) ack = m
+      }
+      assert(ack != null && ack.contains(
+        "successfully unsubscribed from bitfinex_BTC_USD_1m"))
+      // pushes stop: drain then require silence for > 3 cadences
+      Thread.sleep(300); msgs.clear(); Thread.sleep(500)
+      assert(msgs.isEmpty, "pushes must stop after unsubscribe")
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    }
+  }
+
+  test("WS rejects unknown event types with the reference detail") {
+    withServer { srv =>
+      val msgs = new LinkedBlockingQueue[String]()
+      val ws = wsConnect(srv.wsAddress, msgs.put)
+      ws.sendText("""{"event_type":"resubscribe","data_type":"ohlcv"}""", true)
+      val m = msgs.poll(5, TimeUnit.SECONDS)
+      assert(m != null && m.contains("event_type must be subscribe or unsubscribe"))
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    }
+  }
+}
