@@ -109,6 +109,12 @@ object ScaleBench {
     // top-k. sq8_topk: codes+scales map pass, TakeOrdered cut, 50-row
     // rerank — the memory-bounded scan path
     "llm_kn_lm", "llm_dirichlet_ql", "llm_log_odds", "llm_sq8_topk",
+    // r12 additions — events grow along the USER axis (replicateEvents):
+    // ts_sliding_heavy's exact (user,hour)x24 fold must grow ~linearly
+    // while ts_sliding_heavy_ss's bounded-summary candidates stay
+    // m-hours-shaped (the pair IS the measurement); ts_zorder_pruned
+    // prices the Z-ordered TxTable write + stat-pruned read round-trip.
+    "ts_sliding_heavy", "ts_sliding_heavy_ss", "ts_zorder_pruned",
     // cdc_dedup: per-position window hashing is the map cost, then one
     // digest-keyed unit shuffle (unitNovelty); rotated replicas share
     // no chunks, so df structure grows linearly. pagerank: per-replica
@@ -225,6 +231,21 @@ object ScaleBench {
     }.reduce(_ unionByName _)
   }
 
+  /** Events grow along the USER axis: each replica re-keys user_id
+    * (+r·1e6) and event_id, keeping timestamps — same hours, factor×
+    * the users per hour. That is exactly the users ≫ m·24 regime the
+    * SpaceSaving candidate path exists for (the exact fold's
+    * (user,hour)×24 frame grows ∝ factor; the bounded summaries stay
+    * m·hours), and it leaves per-user hourly count structure intact
+    * so top-k answers stay non-degenerate.
+    */
+  def replicateEvents(ev: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      ev.select((col("event_id") + r * 100000000L).as("event_id"), col("ts"),
+        (col("user_id") + r * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+
   def replicateEmbeddings(emb: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { r =>
       val v = if (r == 0) col("embedding")
@@ -267,6 +288,10 @@ object ScaleBench {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
     }
+    if (!new java.io.File(s"$bigDir/events.parquet").exists())
+      replicateEvents(spark.read.parquet(s"$baseDir/events.parquet"), factor)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
 
     // warmup (classloading/codegen) outside the timings
     SparkEntry.queries("llm_simhash")(spark, baseDir)
