@@ -54,6 +54,29 @@ object OhlcvHttpServer {
         r.getDouble(r.fieldIndex("volume")))
     }
 
+  /** Serve a [[graft.streaming.CandleStream.latestServeView]] memory
+    * sink (complete mode, one row per key): the latest 1-minute
+    * candle for the requested key, whatever interval the client
+    * asked for — the reference WS sender's Redis latest-candle read
+    * (`web/routes/api/ws/utils/senders.py`). This is the
+    * streaming→serving wiring: the stream keeps the table current,
+    * the WS cadence pushes read it.
+    */
+  def forLatestView(spark: org.apache.spark.sql.SparkSession,
+                    table: String): OhlcvReader.Params => Seq[Candle] = {
+    import org.apache.spark.sql.functions.col
+    p => spark.table(table)
+      .filter(col("exchange") === p.exchange &&
+        col("base_id") === p.baseId && col("quote_id") === p.quoteId)
+      .collect().toSeq.map { r =>
+      val t = r.getAs[Long]("ts_ms")
+      Candle(if (p.mls) t else t / 1000L,
+        r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Double]("volume"))
+    }
+  }
+
   /** Minimal flat-object JSON field extraction (string/number/bool) —
     * enough for the reference's subscribe messages; no JSON library
     * on the serving path.
