@@ -77,6 +77,44 @@ object OhlcvHttpServer {
     }
   }
 
+  /** Bounded collect → ordered rows for the [[OhlcvHttpServer]]
+    * `routes` plane (callers own the limit semantics — readers cap
+    * at 500 / -1-unlimited per the reference).
+    */
+  def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[(String, Any)]] = {
+    val names = df.schema.fieldNames.toSeq
+    df.collect().toSeq.map(r => names.map(n => n -> r.getAs[Any](n)))
+  }
+
+  /** The reference's remaining REST surface (`rest/analytics.py`,
+    * `rest/symexch.py`) over caller-supplied analytics views:
+    * `analytics/geodr` and `analytics/wr` take `cutoff_upper_pct` /
+    * `cutoff_lower_pct` / `limit` (-1 = all rows, T2) through
+    * [[AnalyticsReader]]; `analytics/top20qvlm` orders by
+    * total_volume desc; `symbol-exchange` serves trading symbols
+    * exchange-ascending (readers.py:23-30, 118-124).
+    */
+  def analyticsRoutes(geoDr: => org.apache.spark.sql.DataFrame,
+                      wr: => org.apache.spark.sql.DataFrame,
+                      top20Qvlm: => org.apache.spark.sql.DataFrame,
+                      symExch: => org.apache.spark.sql.DataFrame)
+      : Map[String, Map[String, String] => Seq[Seq[(String, Any)]]] = {
+    import org.apache.spark.sql.functions.col
+    def cut(p: Map[String, String], k: String, dflt: Double): Option[Double] =
+      p.get(k).map(_.toDouble).orElse(Some(dflt))
+    def lim(p: Map[String, String]): Int =
+      p.get("limit").map(_.toInt).getOrElse(500)
+    Map(
+      "analytics/geodr" -> (p => rowsOf(AnalyticsReader.readGeoDr(geoDr,
+        cut(p, "cutoff_upper_pct", 10000d), cut(p, "cutoff_lower_pct", 0d), lim(p)))),
+      "analytics/wr" -> (p => rowsOf(AnalyticsReader.readWr(wr,
+        cut(p, "cutoff_upper_pct", 10000d), cut(p, "cutoff_lower_pct", 0d), lim(p)))),
+      "analytics/top20qvlm" -> (_ => rowsOf(
+        top20Qvlm.orderBy(col("total_volume").desc))),
+      "symbol-exchange" -> (_ => rowsOf(
+        symExch.filter(col("is_trading")).orderBy(col("exchange")))))
+  }
+
   /** Minimal flat-object JSON field extraction (string/number/bool) —
     * enough for the reference's subscribe messages; no JSON library
     * on the serving path.
@@ -93,7 +131,11 @@ object OhlcvHttpServer {
 final class OhlcvHttpServer(
     fetch: OhlcvReader.Params => Seq[OhlcvHttpServer.Candle],
     restPort: Int = 0, wsPort: Int = 0,
-    cadenceMsOverride: Option[Long] = None) {
+    cadenceMsOverride: Option[Long] = None,
+    // additional REST routes under /api/rest/ — the reference's
+    // analytics + symbol-exchange endpoints (`rest/analytics.py`,
+    // `rest/symexch.py`): path suffix → (query params → ordered rows)
+    routes: Map[String, Map[String, String] => Seq[Seq[(String, Any)]]] = Map.empty) {
   import OhlcvHttpServer._
 
   private val rest = com.sun.net.httpserver.HttpServer.create(
@@ -110,6 +152,7 @@ final class OhlcvHttpServer(
 
   def start(): this.type = {
     rest.createContext("/api/rest/ohlcvs", exchangeHandler)
+    rest.createContext("/api/rest/", routesHandler) // longest prefix wins
     rest.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-ohlcv-rest"); t.setDaemon(true); t
     }))
@@ -169,6 +212,52 @@ final class OhlcvHttpServer(
       case e: Exception =>
         respond(500, s"""{"detail":${quote(String.valueOf(e.getMessage))}}""")
     }
+  }
+
+  /** Registered-route dispatch: `/api/rest/<suffix>` → rows rendered
+    * as a JSON object list in column order (the FastAPI model-list
+    * shape); unknown suffixes 404 with FastAPI's detail.
+    */
+  private def routesHandler: com.sun.net.httpserver.HttpHandler = ex => {
+    def respond(code: Int, body: String): Unit = {
+      val b = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    val suffix = ex.getRequestURI.getPath.stripPrefix("/api/rest/")
+    routes.get(suffix) match {
+      case None => respond(404, """{"detail":"Not Found"}""")
+      case Some(route) =>
+        try {
+          val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          val params = q.split("&").filter(_.contains("=")).map { kv =>
+            val i = kv.indexOf('=')
+            java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+              java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+          }.toMap
+          val body = route(params).map(row =>
+            row.map { case (k, v) => s"${quote(k)}:${jsonValue(v)}" }
+              .mkString("{", ",", "}")).mkString("[", ",", "]")
+          respond(200, body)
+        } catch {
+          case e: IllegalArgumentException =>
+            respond(400, s"""{"detail":${quote(String.valueOf(e.getMessage))}}""")
+          case e: Exception =>
+            respond(500, s"""{"detail":${quote(String.valueOf(e.getMessage))}}""")
+        }
+    }
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => quote(s)
+    case b: Boolean => b.toString
+    case b: java.lang.Boolean => b.toString
+    case t: java.sql.Timestamp => t.getTime.toString // epoch ms
+    case n: java.lang.Number => n.toString
+    case other => quote(String.valueOf(other))
   }
 
   private def quote(s: String): String =

@@ -112,6 +112,38 @@ class OhlcvHttpServerSpec extends SparkSpec {
     }
   }
 
+  test("analytics + symbol-exchange routes serve the reference's remaining REST surface") {
+    val geoDr = Seq(("BTCUSD", 5.0), ("ETHUSD", 12.0), ("DOGEUSD", 20000.0),
+      ("FLATUSD", -1.0)).toDF("symbol", "daily_return_pct")
+    val wr = Seq(("BTCUSD", 3.0), ("ETHUSD", 8.0)).toDF("symbol", "weekly_return_pct")
+    val top20 = Seq(("ETHUSD", 900.0), ("BTCUSD", 1000.0)).toDF("symbol", "total_volume")
+    val symExch = Seq(("bitfinex", "BTC", "USD", true), ("binance", "ETH", "USD", true),
+      ("bittrex", "LTC", "USD", false)).toDF("exchange", "base_id", "quote_id", "is_trading")
+    val asOf = new java.sql.Timestamp(t0 + 3600000L)
+    val srv = new OhlcvHttpServer(
+      OhlcvHttpServer.forSpark(spark, base(), Map.empty, asOf),
+      routes = OhlcvHttpServer.analyticsRoutes(geoDr, wr, top20, symExch)).start()
+    try {
+      // default cutoffs (upper 10000, lower 0) drop DOGE and FLAT;
+      // metric-descending order
+      val (c1, b1) = get(s"${srv.restAddress}/api/rest/analytics/geodr")
+      assert(c1 === 200 &&
+        b1 === """[{"symbol":"ETHUSD","daily_return_pct":12.0},{"symbol":"BTCUSD","daily_return_pct":5.0}]""", b1)
+      val (c2, b2) = get(s"${srv.restAddress}/api/rest/analytics/wr?limit=1")
+      assert(c2 === 200 &&
+        b2 === """[{"symbol":"ETHUSD","weekly_return_pct":8.0}]""", b2)
+      val (c3, b3) = get(s"${srv.restAddress}/api/rest/analytics/top20qvlm")
+      assert(c3 === 200 && b3.indexOf("BTCUSD") < b3.indexOf("ETHUSD"),
+        s"total_volume desc: $b3")
+      val (c4, b4) = get(s"${srv.restAddress}/api/rest/symbol-exchange")
+      assert(c4 === 200 && b4.contains("binance") && b4.contains("bitfinex") &&
+        !b4.contains("bittrex"), s"trading-only, exchange asc: $b4")
+      assert(b4.indexOf("binance") < b4.indexOf("bitfinex"))
+      val (c5, _) = get(s"${srv.restAddress}/api/rest/nope")
+      assert(c5 === 404)
+    } finally srv.stop()
+  }
+
   test("WS rejects unknown event types with the reference detail") {
     withServer { srv =>
       val msgs = new LinkedBlockingQueue[String]()
