@@ -457,7 +457,18 @@ object TimeSeriesQueries {
     * conversion rates. One row per funnel stage; all reach decisions
     * are integer-µs comparisons, so the compare is exact.
     */
-  private def funnelQ(s: SparkSession, dir: String): DataFrame = {
+  private def funnelQ(s: SparkSession, dir: String): DataFrame =
+    funnelQWithin(s, dir, within = None)
+
+  /** `ts_funnel_window` = the same session funnel with the
+    * ClickHouse-windowFunnel conversion bound: later stages count
+    * only within 10 minutes of the session's first view.
+    */
+  private def funnelWindowQ(s: SparkSession, dir: String): DataFrame =
+    funnelQWithin(s, dir, within = Some(600000000L))
+
+  private def funnelQWithin(s: SparkSession, dir: String,
+                            within: Option[Long]): DataFrame = {
     val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
     // checkpoint-after-window: funnel references the sessionized frame
     // once per stage (1 seed aggregate + 2 join legs), and the
@@ -470,7 +481,7 @@ object TimeSeriesQueries {
       .localCheckpoint(false)
     val stages = Seq("view", "click", "purchase")
     val f = Analytics.funnel(sess, Seq("user_id", "session_id"),
-      col("tus"), col("event_type"), stages)
+      col("tus"), col("event_type"), stages, within)
     val tot = f.agg(
       count(lit(1)).as("n_sessions"),
       count(col("t0")).as("n0"), count(col("t1")).as("n1"),
@@ -517,6 +528,58 @@ object TimeSeriesQueries {
        |), s2 AS (
        |  SELECT e.user_id, e.session_id, max(s1.t1) AS t1,
        |         min(CASE WHEN e.event_type = 'purchase' AND e.tus > s1.t1
+       |                  THEN e.tus END) AS t2
+       |  FROM sess e JOIN s1 ON e.user_id = s1.user_id
+       |                     AND e.session_id = s1.session_id
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       |         CAST(count(s0.t0) AS BIGINT) AS n0,
+       |         CAST(count(s1.t1) AS BIGINT) AS n1,
+       |         CAST(count(s2.t2) AS BIGINT) AS n2
+       |  FROM s0
+       |  JOIN s1 USING (user_id, session_id)
+       |  JOIN s2 USING (user_id, session_id)
+       |), stages(stage, event_type) AS (
+       |  VALUES (1, 'view'), (2, 'click'), (3, 'purchase')
+       |)
+       |SELECT CAST(stage AS BIGINT) AS stage, event_type,
+       |       CASE stage WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS n_reached,
+       |       n_sessions,
+       |       ${r4Sql("CAST(CASE stage WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS DOUBLE)" +
+                       " / CAST(n_sessions AS DOUBLE)")} AS reach_rate
+       |FROM stages, tot ORDER BY stage""".stripMargin
+
+  private val funnelWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus
+       |  FROM events
+       |), b AS (
+       |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+       |                   OR tus - lag(tus) OVER w > 1800000000
+       |                 THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |), sess AS (
+       |  SELECT *, CAST(sum(brk) OVER (
+       |      PARTITION BY user_id ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM b
+       |), s0 AS (
+       |  SELECT user_id, session_id,
+       |         min(CASE WHEN event_type = 'view' THEN tus END) AS t0
+       |  FROM sess GROUP BY 1, 2
+       |), s1 AS (
+       |  SELECT e.user_id, e.session_id, max(s0.t0) AS t0,
+       |         min(CASE WHEN e.event_type = 'click' AND e.tus > s0.t0
+       |                   AND e.tus <= s0.t0 + 600000000
+       |                  THEN e.tus END) AS t1
+       |  FROM sess e JOIN s0 ON e.user_id = s0.user_id
+       |                     AND e.session_id = s0.session_id
+       |  GROUP BY 1, 2
+       |), s2 AS (
+       |  SELECT e.user_id, e.session_id, max(s1.t1) AS t1,
+       |         min(CASE WHEN e.event_type = 'purchase' AND e.tus > s1.t1
+       |                   AND e.tus <= s1.t0 + 600000000
        |                  THEN e.tus END) AS t2
        |  FROM sess e JOIN s1 ON e.user_id = s1.user_id
        |                     AND e.session_id = s1.session_id
@@ -1323,6 +1386,7 @@ object TimeSeriesQueries {
     "ts_asof_join"     -> asofJoinQ,
     "ts_sessionize"    -> sessionizeQ,
     "ts_funnel"        -> funnelQ,
+    "ts_funnel_window" -> funnelWindowQ,
     "ts_retention"     -> retentionQ,
     "ts_sliding_distinct" -> slidingDistinctQ,
     "ts_sliding_heavy" -> slidingHeavyQ,
@@ -1352,6 +1416,7 @@ object TimeSeriesQueries {
     "ts_asof_join"     -> asofJoinSql,
     "ts_sessionize"    -> sessionizeSql,
     "ts_funnel"        -> funnelSql,
+    "ts_funnel_window" -> funnelWindowSql,
     "ts_retention"     -> retentionSql,
     "ts_sliding_distinct" -> slidingDistinctSql,
     "ts_sliding_heavy" -> slidingHeavySql,

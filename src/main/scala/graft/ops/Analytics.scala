@@ -162,7 +162,18 @@ object Analytics {
     * column — engine-exact. Returns (keys..., t0..t{n−1}).
     */
   def funnel(events: DataFrame, keys: Seq[String], order: Column,
-             stage: Column, stages: Seq[String]): DataFrame = {
+             stage: Column, stages: Seq[String]): DataFrame =
+    funnel(events, keys, order, stage, stages, within = None)
+
+  /** [[funnel]] with a conversion window (ClickHouse `windowFunnel`
+    * semantics): every later stage must land within `within` of the
+    * FIRST stage's time — tₖ also requires tₖ ≤ t₀ + within. Same
+    * single-scan plan; the bound is one more integer predicate in the
+    * array walk.
+    */
+  def funnel(events: DataFrame, keys: Seq[String], order: Column,
+             stage: Column, stages: Seq[String],
+             within: Option[Long]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val base = events.select(
       keys.map(col) :+ order.as("__t") :+ stage.cast("string").as("__s"): _*)
@@ -177,9 +188,13 @@ object Analytics {
       .withColumn("t0", get(col("__l0"), lit(0))) // null on empty list
     for (i <- 1 until stages.size) {
       val prev = col(s"t${i - 1}")
+      val eligible = within match {
+        case None => filter(col(s"__l$i"), x => x > prev)
+        case Some(w) =>
+          filter(col(s"__l$i"), x => x > prev && x <= col("t0") + lit(w))
+      }
       acc = acc.withColumn(s"t$i",
-        when(prev.isNotNull,
-          get(filter(col(s"__l$i"), x => x > prev), lit(0))))
+        when(prev.isNotNull, get(eligible, lit(0))))
     }
     acc.select(keys.map(col) ++ stages.indices.map(i => col(s"t$i")): _*)
   }

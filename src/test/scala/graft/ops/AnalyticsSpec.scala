@@ -81,6 +81,28 @@ class AnalyticsSpec extends SparkSpec {
       "same-timestamp stages are not strictly ordered")
   }
 
+  test("windowed funnel: later stages only count within `within` of t0") {
+    val rows = Seq(
+      // a: click at t0+15 inside the 20-window; purchase outside it
+      ("a", 10L, "view"), ("a", 25L, "click"), ("a", 100L, "purchase"),
+      // b: first click beyond the window, a LATER in-window click
+      //    cannot exist (times only grow) -> t1 null, t2 null
+      ("b", 10L, "view"), ("b", 40L, "click"), ("b", 45L, "purchase"),
+      // c: full chain inside the window
+      ("c", 10L, "view"), ("c", 12L, "click"), ("c", 20L, "purchase"))
+      .toDF("sess", "t", "et")
+    val f = Analytics.funnel(rows, Seq("sess"), col("t"), col("et"),
+        Seq("view", "click", "purchase"), within = Some(20L))
+      .collect().map(r => r.getAs[String]("sess") ->
+        ((Option(r.get(r.fieldIndex("t0"))), Option(r.get(r.fieldIndex("t1"))),
+          Option(r.get(r.fieldIndex("t2")))))).toMap
+    assert(f("a") === ((Some(10L), Some(25L), None)),
+      "the purchase at t0+90 must fall outside the 20-tick window")
+    assert(f("b") === ((Some(10L), None, None)))
+    assert(f("c") === ((Some(10L), Some(12L), Some(20L))),
+      "t = t0 + within is inclusive")
+  }
+
   test("intervalJoin: banding reproduces BETWEEN exactly, one row per match") {
     // intervals spanning multiple band buckets, point intervals,
     // boundary-inclusive matches, cross-key isolation
