@@ -642,6 +642,46 @@ object LlmQueries {
       .select(col("id"), r4(col("sim")).as("sim"))
       .orderBy(r4(col("sim")).desc, col("id"))
 
+  // ------------------------------------------- binary-quantized ANN
+  /** [[Similarity.signBitTopK]]: 1-bit sign signatures (two 32-bit
+    * words per vector, the cross-engine bit discipline), Hamming
+    * top-50 candidates, exact cosine rerank to top-10 — the
+    * memory-floor ANN path (8 signature bytes scanned per vector).
+    */
+  private def binaryQuantQ(s: SparkSession, d: String): DataFrame =
+    Similarity.signBitTopK(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        col("vec_id") === 0L, candidates = 50, k = 10)
+      .select(col("id"), col("ham"), r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
+
+  private val binaryQuantSql: String =
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |         (SELECT CAST(sum(CASE WHEN embedding[i + 1] > 0
+       |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+       |          FROM range(0, 32) t(i)) AS w0,
+       |         (SELECT CAST(sum(CASE WHEN embedding[i + 33] > 0
+       |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+       |          FROM range(0, 32) t(i)) AS w1
+       |  FROM embeddings
+       |), q AS (SELECT embedding::DOUBLE[] AS qv, w0 AS q0, w1 AS q1
+       |         FROM sig WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT s.vec_id AS id, s.embedding::DOUBLE[] AS v, q.qv,
+       |         CAST(bit_count(xor(s.w0, q.q0)) + bit_count(xor(s.w1, q.q1)) AS BIGINT) AS ham
+       |  FROM sig s, q WHERE s.vec_id <> 0
+       |  ORDER BY ham ASC, id ASC LIMIT 50
+       |), rer AS (
+       |  SELECT id, ham,
+       |         list_dot_product(v, qv)
+       |           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM cand
+       |  ORDER BY sim DESC, id ASC LIMIT 10
+       |)
+       |SELECT id, ham, ${r4Sql("sim")} AS sim FROM rer
+       |ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
+
   private val cosineTopKSql: String =
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |d AS (
@@ -4176,6 +4216,7 @@ object LlmQueries {
     "llm_simhash_pairs" -> simhashPairs,
     "llm_char_jaccard" -> charJaccard,
     "llm_cosine_topk"  -> cosineTopK,
+    "llm_binary_quant" -> binaryQuantQ,
     "llm_ivf_topk"     -> ivfTopK,
     "llm_ivf_multiprobe" -> ivfMultiProbe,
     "llm_ivf_pq"       -> ivfPq,
@@ -4261,6 +4302,7 @@ object LlmQueries {
     "llm_simhash_pairs" -> simhashPairsSql,
     "llm_char_jaccard" -> charJaccardSql,
     "llm_cosine_topk"  -> cosineTopKSql,
+    "llm_binary_quant" -> binaryQuantSql,
     "llm_ivf_topk"     -> ivfTopKSql,
     "llm_ivf_multiprobe" -> ivfMultiProbeSql,
     "llm_ivf_pq"       -> ivfPqSql,

@@ -47,6 +47,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sign-bit signature of a 64-dim vector as TWO 32-bit words
+    * (bit i of word j = sign of component 32j+i) — the 1-bit
+    * quantization of Charikar's hyperplane LSH with coordinate
+    * hyperplanes. Words stay below 2^32 so every downstream shift and
+    * xor is engine-portable (the cross-engine bit-op discipline:
+    * DuckDB errors on 64-bit shifts); disjoint bits make `+` exactly
+    * `or`, keeping the fold associative.
+    */
+  def signBits64(v: Column): (Column, Column) = {
+    def word(off: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + CASE WHEN ${v}[i + $off] > CAST(0 AS FLOAT)
+         |    THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+    (word(0), word(32))
+  }
+
+  /** Binary-quantized ANN: Hamming distance on 128-bit sign
+    * signatures picks `candidates` (ascending Hamming, id
+    * tie-break), exact cosine reranks them to the final `k` — the
+    * memory-floor scale path (8 bytes + id per vector scanned vs 256
+    * bytes of float32), the standard binary-quantization recall
+    * recipe. Both stages are TakeOrdered cuts, never a full sort;
+    * only the ≤ `candidates` survivors touch their float vectors
+    * again. Returns (id, ham, sim).
+    */
+  def signBitTopK(df: DataFrame, id: Column, vec: Column,
+                  queryPred: Column, candidates: Int, k: Int): DataFrame = {
+    val (w0, w1) = signBits64(vec)
+    val q = df.filter(queryPred)
+      .select(vec.as("qv"), w0.as("q0"), w1.as("q1")).limit(1)
+    val ham = call_function("bit_count", col("w0").bitwiseXOR(col("q0"))) +
+      call_function("bit_count", col("w1").bitwiseXOR(col("q1")))
+    val cand = df.filter(!queryPred)
+      .select(id.as("id"), vec.as("v"), w0.as("w0"), w1.as("w1"))
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("v"), col("qv"), ham.cast("long").as("ham"))
+      .orderBy(col("ham").asc, col("id").asc)
+      .limit(candidates)
+    cand
+      .select(col("id"), col("ham"), cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Filtered (metadata-constrained) top-k — the RAG-retrieval shape
     * "nearest neighbors among documents WHERE <predicate>". The
     * predicate is applied BEFORE any distance is computed, so it
