@@ -146,6 +146,58 @@ object IndicatorQueries {
        |  FROM series GROUP BY 1, 2
        |)""".stripMargin
 
+  // ----------------------------------------------------- Heikin-Ashi
+  /** [[Indicators.heikinAshi]] over the hourly OHLC series (open =
+    * first-in-hour value rides along for this query; the recursion
+    * needs it only at the seed).
+    */
+  private def heikinAshiQ(s: SparkSession, dir: String): DataFrame = {
+    val ohlc = Tables.eventSeriesOver(byKey(Tables.events(s, dir)))
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy(col("event_type"),
+        (expr("tus div 3600000000") * 3600000000L).as("bus"))
+      .agg(
+        cents(min_by(col("value"), col("tus"))).as("o"),
+        cents(max(col("value"))).as("h"),
+        cents(min(col("value"))).as("l"),
+        cents(max_by(col("value"), col("tus"))).as("c"))
+    Indicators.heikinAshi(ohlc, Seq(col("event_type")), col("bus"),
+        col("o"), col("h"), col("l"), col("c"))
+      .select(col("event_type"), col("bus"),
+        r4(col("ha_open")).as("ha_open"), r4(col("ha_high")).as("ha_high"),
+        r4(col("ha_low")).as("ha_low"), r4(col("ha_close")).as("ha_close"))
+      .orderBy(col("event_type"), col("bus"))
+  }
+
+  private val heikinAshiSql: String =
+    s"""${TimeSeriesQueries.seriesCte}, ohlc AS (
+       |  SELECT event_type, (tus // 3600000000) * 3600000000 AS bus,
+       |         ${centsSql("min_by(value, tus)")} AS o,
+       |         ${centsSql("max(value)")} AS h,
+       |         ${centsSql("min(value)")} AS l,
+       |         ${centsSql("max_by(value, tus)")} AS c
+       |  FROM series GROUP BY 1, 2
+       |), g AS (
+       |  SELECT event_type, bus, o, h, l, c,
+       |         CAST(o + h + l + c AS BIGINT) AS hacq,
+       |         CASE WHEN row_number() OVER w = 1
+       |              THEN CAST(o + c AS DOUBLE) / 2.0
+       |              ELSE CAST(lag(o + h + l + c) OVER w AS DOUBLE) / 4.0 END AS gv
+       |  FROM ohlc WINDOW w AS (PARTITION BY event_type ORDER BY bus)
+       |), f AS (
+       |  SELECT event_type, bus, h, l, hacq,
+       |         list_reduce(list(gv) OVER fr, (acc, x) -> (x + acc) / 2.0) / 100.0 AS ha_open,
+       |         CAST(hacq AS DOUBLE) / 400.0 AS ha_close
+       |  FROM g WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                       ROWS BETWEEN 40 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("ha_open")} AS ha_open,
+       |       ${r4Sql("greatest(CAST(h AS DOUBLE) / 100.0, ha_open, ha_close)")} AS ha_high,
+       |       ${r4Sql("least(CAST(l AS DOUBLE) / 100.0, ha_open, ha_close)")} AS ha_low,
+       |       ${r4Sql("ha_close")} AS ha_close
+       |FROM f ORDER BY event_type, bus""".stripMargin
+
   // ------------------------------------------------------ Stochastic
   private def stochasticQ(s: SparkSession, dir: String): DataFrame =
     Indicators.stochastic(hourlyOhlc(s, dir), Seq(col("event_type")),
@@ -634,6 +686,7 @@ object IndicatorQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_corr_topk"  -> corrTopkQ,
     "ts_drawdown"   -> drawdownQ,
+    "ts_heikin_ashi" -> heikinAshiQ,
     "ts_sharpe"     -> sharpeQ,
     "ts_sortino"    -> sortinoQ,
     "ts_corr_matrix" -> corrMatrixQ,
@@ -652,6 +705,7 @@ object IndicatorQueries {
   def oracleSql: Map[String, String] = Map(
     "ts_corr_topk"  -> corrTopkSql,
     "ts_drawdown"   -> drawdownSql,
+    "ts_heikin_ashi" -> heikinAshiSql,
     "ts_sharpe"     -> sharpeSql,
     "ts_sortino"    -> sortinoSql,
     "ts_corr_matrix" -> corrMatrixSql,

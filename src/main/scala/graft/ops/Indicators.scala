@@ -347,6 +347,45 @@ object Indicators {
           sqrt(lit(periodsPerYear))).as("sortino")): _*)
   }
 
+  /** Heikin-Ashi candle transform per key — the smoothed-candle view
+    * every charting surface offers beside raw OHLC:
+    * ha_close = (o+h+l+c)/4 (an exact integer quarter-cents sum,
+    * ONE division), ha_high/ha_low = max/min of (h, ha_open,
+    * ha_close), and the recursive
+    * ha_open_t = (ha_open_{t-1} + ha_close_{t-1})/2 — which is
+    * precisely the α=½ EMA recursion over the shifted series
+    * g_0 = (o_0+c_0)/2, g_t = ha_close_{t-1}, so the
+    * [[emaTruncated]] portability discipline applies verbatim: fold
+    * g left-to-right over a `window`-row ordered frame (fixed IEEE
+    * op order ⇒ engine-portable), truncation weight (½)^40 ≈ 9e-13 —
+    * invisible at 4 dp, and applied identically by both engines
+    * because the frame is identical. Emits dollars.
+    */
+  def heikinAshi(series: DataFrame, keys: Seq[Column], ts: Column,
+                 openCents: Column, highCents: Column, lowCents: Column,
+                 closeCents: Column, window: Int = 41): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val frame = ord.rowsBetween(-(window - 1), 0)
+    series
+      .withColumn("__hacq",
+        (openCents + highCents + lowCents + closeCents).cast("long"))
+      .withColumn("__g",
+        when(row_number().over(ord) === 1,
+          (openCents + closeCents).cast("double") / lit(2.0d))
+          .otherwise(lag(col("__hacq"), 1).over(ord).cast("double") / lit(4.0d)))
+      .withColumn("__garr", collect_list(col("__g")).over(frame))
+      .withColumn("ha_open",
+        aggregate(col("__garr"), lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x).otherwise((x + acc) / lit(2.0d)))
+          / lit(100.0d))
+      .withColumn("ha_close", col("__hacq").cast("double") / lit(400.0d))
+      .withColumn("ha_high",
+        greatest(highCents.cast("double") / lit(100.0d), col("ha_open"), col("ha_close")))
+      .withColumn("ha_low",
+        least(lowCents.cast("double") / lit(100.0d), col("ha_open"), col("ha_close")))
+      .drop("__hacq", "__g", "__garr")
+  }
+
   /** Maximum drawdown per key: the largest peak-to-trough loss of the
     * series, in percent of the peak — the risk summary every OHLCV
     * dashboard pairs with returns. Running peak is an integer cummax

@@ -232,4 +232,36 @@ class IndicatorsSpec extends SparkSpec {
     val nCands = graft.llm.Dedup.simHashPairs(sigs, col("k"), col("sig"), 48, 12).count()
     assert(nCands < 28L, s"8 series = 28 pairs all-pairs; prune kept $nCands")
   }
+
+  test("heikinAshi ≡ the sequential recursion; high/low envelope holds") {
+    // (o,h,l,c) cents walking series with gaps and reversals
+    val candles = Seq(
+      (0L, 100L, 130L, 90L, 120L), (1L, 120L, 140L, 110L, 115L),
+      (2L, 115L, 160L, 100L, 150L), (3L, 150L, 155L, 120L, 125L),
+      (4L, 125L, 135L, 105L, 110L))
+    val df = candles.map { case (t, o, h, l, c) => ("k", t, o, h, l, c) }
+      .toDF("key", "t", "o", "h", "l", "c")
+    val got = Indicators.heikinAshi(df, Seq(col("key")), col("t"),
+        col("o"), col("h"), col("l"), col("c"))
+      .orderBy("t")
+      .select("ha_open", "ha_high", "ha_low", "ha_close")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    // driver-side reference: the textbook recursion in dollars
+    var haoC = (candles.head._2 + candles.head._5) / 2.0 // cents
+    val expect = candles.map { case (_, o, h, l, c) =>
+      val hacC = (o + h + l + c) / 4.0
+      val row = (haoC / 100.0, math.max(h / 100.0, math.max(haoC, hacC) / 100.0),
+        math.min(l / 100.0, math.min(haoC, hacC) / 100.0), hacC / 100.0)
+      haoC = (haoC + hacC) / 2.0
+      row
+    }
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._1 - e._1) < 1e-12 && math.abs(g._4 - e._4) < 1e-12,
+        s"open/close recursion: $g vs $e")
+      assert(math.abs(g._2 - e._2) < 1e-12 && math.abs(g._3 - e._3) < 1e-12,
+        s"high/low envelope: $g vs $e")
+      assert(g._2 >= g._1 && g._2 >= g._4 && g._3 <= g._1 && g._3 <= g._4,
+        "ha_high/ha_low must envelope ha_open/ha_close")
+    }
+  }
 }
