@@ -177,4 +177,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_kmv_mins") || p.contains("Partial"),
       s"expected a map-side (Partial) kmv_mins aggregate below the exchange:\n$p")
   }
+
+  test("sliding-heavy summaries: the top-m rank trims under WindowGroupLimit") {
+    // ts_sliding_heavy_ss's whole scale story rests on the per-hour
+    // summary being a TRIMMED window (map-side group-limit before the
+    // sort), not a full per-hour sort — assert the physical operator
+    val out = graft.catalog.TimeSeriesQueries.queries("ts_sliding_heavy_ss")(
+      spark, sfDir)
+    val p = plan(out)
+    assert(p.contains("WindowGroupLimit"),
+      s"summary rank must trim via WindowGroupLimit:\n${p.take(4000)}")
+  }
+
+  test("binary-quant ANN: both cuts plan as TakeOrderedAndProject, never a full sort") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val out = graft.llm.Similarity.signBitTopK(emb, col("vec_id"),
+      col("embedding"), col("vec_id") === 0L, candidates = 50, k = 10)
+    val p = plan(out)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must fuse into TakeOrderedAndProject:\n${p.take(4000)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range-partitioned global sort means the limit pushdown was lost:\n${p.take(4000)}")
+  }
 }
