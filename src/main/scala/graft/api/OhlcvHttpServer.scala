@@ -278,16 +278,28 @@ final class OhlcvHttpServer(
         // no non-local return here: this body runs on its own thread
         if (handshake(in, out)) {
           var open = true
+          // RFC 6455 §5.4 fragmentation: a text message may arrive as
+          // 0x1(FIN=0) + 0x0* + 0x0(FIN=1); accumulate until FIN
+          val partial = new java.io.ByteArrayOutputStream()
+          var inText = false
           while (open && running) readFrame(in) match {
             case None => open = false
-            case Some((0x8, _)) => // close
+            case Some((fin, 0x8, _)) => // close
               out.synchronized { writeFrame(out, 0x8, Array.emptyByteArray) }
               open = false
-            case Some((0x9, payload)) => // ping→pong; sync vs push thread
+            case Some((_, 0x9, payload)) => // ping→pong; sync vs push thread
               out.synchronized { writeFrame(out, 0xA, payload) }
-            case Some((0x1, payload)) =>
-              handleWsMessage(new String(payload, UTF_8), out, subs)
-            case Some(_) => // binary/continuation: not part of the protocol
+            case Some((fin, 0x1, payload)) =>
+              if (fin) handleWsMessage(new String(payload, UTF_8), out, subs)
+              else { partial.reset(); partial.write(payload); inText = true }
+            case Some((fin, 0x0, payload)) if inText =>
+              partial.write(payload)
+              if (fin) {
+                inText = false
+                handleWsMessage(partial.toString("UTF-8"), out, subs)
+                partial.reset()
+              }
+            case Some(_) => // binary / stray continuation: not part of the protocol
           }
         }
       } catch { case _: Exception => }
@@ -369,10 +381,11 @@ final class OhlcvHttpServer(
     }
   }
 
-  /** One frame: (opcode, unmasked payload); None on EOF. */
-  private def readFrame(in: java.io.InputStream): Option[(Int, Array[Byte])] = {
+  /** One frame: (fin, opcode, unmasked payload); None on EOF. */
+  private def readFrame(in: java.io.InputStream): Option[(Boolean, Int, Array[Byte])] = {
     val b0 = in.read(); if (b0 == -1) return None
     val b1 = in.read(); if (b1 == -1) return None
+    val fin = (b0 & 0x80) != 0
     val opcode = b0 & 0x0f
     val masked = (b1 & 0x80) != 0
     var len: Long = b1 & 0x7f
@@ -388,7 +401,7 @@ final class OhlcvHttpServer(
       got += n
     }
     if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
-    Some((opcode, payload))
+    Some((fin, opcode, payload))
   }
 
   private def writeFrame(out: java.io.OutputStream, opcode: Int,

@@ -154,4 +154,22 @@ class OhlcvHttpServerSpec extends SparkSpec {
       ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
     }
   }
+
+  test("WS reassembles fragmented text messages (RFC 6455 §5.4)") {
+    withServer { srv =>
+      val msgs = new LinkedBlockingQueue[String]()
+      val ws = wsConnect(srv.wsAddress, msgs.put)
+      val full = """{"event_type":"subscribe","data_type":"ohlcv","exchange":"bitfinex",""" +
+        """"base_id":"BTC","quote_id":"USD","interval":"1m","mls":true}"""
+      val (a, b) = full.splitAt(full.length / 2)
+      // sendText(..., last = false) emits a FIN=0 text frame + a
+      // continuation — the server must reassemble before parsing
+      ws.sendText(a, false).get(5, TimeUnit.SECONDS)
+      ws.sendText(b, true).get(5, TimeUnit.SECONDS)
+      val p = msgs.poll(5, TimeUnit.SECONDS)
+      assert(p != null && p.contains(""""close":129.5"""),
+        s"fragmented subscribe must still start pushes: $p")
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    }
+  }
 }
