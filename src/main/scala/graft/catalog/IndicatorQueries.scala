@@ -265,6 +265,99 @@ object IndicatorQueries {
        |       ${r4Sql("st / (100.0 * 14.0)")} AS atr
        |FROM w WHERE cnt >= 14 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- Keltner channels
+  /** [[Indicators.keltner]]: EMA(20) mid ± 2·ATR(10) over the hourly
+    * OHLC series — the volatility envelope composing the two portable
+    * kernels on one shared exchange.
+    */
+  private def keltnerQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.keltner(hourlyOhlc(s, dir), Seq(col("event_type")), col("bus"),
+        col("h"), col("l"), col("c"), emaN = 20, atrN = 10, mult = 2.0d)
+      .filter(col("atr").isNotNull)
+      .select(col("event_type"), col("bus"),
+        r4(col("mid")).as("mid"), r4(col("upper")).as("upper"),
+        r4(col("lower")).as("lower"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val keltnerSql: String =
+    s"""$hourlyOhlcCte, base AS (
+       |  SELECT event_type, bus, h, l, c,
+       |         lag(c) OVER wk AS pc,
+       |         list(CAST(c AS DOUBLE)) OVER fe AS cl
+       |  FROM hourly
+       |  WINDOW wk AS (PARTITION BY event_type ORDER BY bus),
+       |         fe AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 39 PRECEDING AND CURRENT ROW)
+       |), tr AS (
+       |  SELECT event_type, bus, cl,
+       |         CASE WHEN pc IS NULL THEN h - l
+       |              ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END AS tr
+       |  FROM base
+       |), w AS (
+       |  SELECT event_type, bus, cl,
+       |         count(tr) OVER fr AS cnt,
+       |         CAST(sum(tr) OVER fr AS BIGINT) AS st
+       |  FROM tr
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+       |), e AS (
+       |  SELECT event_type, bus, cnt, st,
+       |         list_reduce(cl, (acc, x) ->
+       |           (2.0/21.0) * x + (1.0 - 2.0/21.0) * acc) / 100.0 AS ema
+       |  FROM w
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("ema")} AS mid,
+       |       ${r4Sql("ema + 2.0 * (st / (100.0 * 10.0))")} AS upper,
+       |       ${r4Sql("ema - 2.0 * (st / (100.0 * 10.0))")} AS lower
+       |FROM e WHERE cnt >= 10 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------- Ichimoku
+  /** [[Indicators.ichimoku]] over the hourly OHLC series, standard
+    * (9, 26, 52) periods; output restricted to fully-defined cloud
+    * rows (complete 52-lookback at the −26 displacement AND a +26
+    * forward close for chikou).
+    */
+  private def ichimokuQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.ichimoku(hourlyOhlc(s, dir), Seq(col("event_type")), col("bus"),
+        col("h"), col("l"), col("c"))
+      .filter(col("senkou_b").isNotNull && col("chikou").isNotNull)
+      .select(col("event_type"), col("bus"),
+        r4(col("tenkan")).as("tenkan"), r4(col("kijun")).as("kijun"),
+        r4(col("senkou_a")).as("senkou_a"), r4(col("senkou_b")).as("senkou_b"),
+        r4(col("chikou")).as("chikou"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val ichimokuSql: String =
+    s"""$hourlyOhlcCte, m AS (
+       |  SELECT event_type, bus, c,
+       |         CASE WHEN count(c) OVER f9 >= 9
+       |              THEN CAST(max(h) OVER f9 + min(l) OVER f9 AS DOUBLE) / 2.0 / 100.0 END AS tenkan,
+       |         CASE WHEN count(c) OVER f26 >= 26
+       |              THEN CAST(max(h) OVER f26 + min(l) OVER f26 AS DOUBLE) / 2.0 / 100.0 END AS kijun,
+       |         CASE WHEN count(c) OVER f52 >= 52
+       |              THEN CAST(max(h) OVER f52 + min(l) OVER f52 AS DOUBLE) / 2.0 / 100.0 END AS sb0
+       |  FROM hourly
+       |  WINDOW f9 AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+       |         f26 AS (PARTITION BY event_type ORDER BY bus
+       |                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+       |         f52 AS (PARTITION BY event_type ORDER BY bus
+       |                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+       |), sh AS (
+       |  SELECT event_type, bus, tenkan, kijun,
+       |         lag((tenkan + kijun) / 2.0, 26) OVER wk AS senkou_a,
+       |         lag(sb0, 26) OVER wk AS senkou_b,
+       |         CAST(lead(c, 26) OVER wk AS DOUBLE) / 100.0 AS chikou
+       |  FROM m WINDOW wk AS (PARTITION BY event_type ORDER BY bus)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("tenkan")} AS tenkan, ${r4Sql("kijun")} AS kijun,
+       |       ${r4Sql("senkou_a")} AS senkou_a, ${r4Sql("senkou_b")} AS senkou_b,
+       |       ${r4Sql("chikou")} AS chikou
+       |FROM sh WHERE senkou_b IS NOT NULL AND chikou IS NOT NULL
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ MACD
   private def macdQ(s: SparkSession, dir: String): DataFrame =
     Indicators.macd(hourly(s, dir), Seq(col("event_type")), col("bus"),
@@ -687,6 +780,8 @@ object IndicatorQueries {
     "ts_corr_topk"  -> corrTopkQ,
     "ts_drawdown"   -> drawdownQ,
     "ts_heikin_ashi" -> heikinAshiQ,
+    "ts_keltner"    -> keltnerQ,
+    "ts_ichimoku"   -> ichimokuQ,
     "ts_sharpe"     -> sharpeQ,
     "ts_sortino"    -> sortinoQ,
     "ts_corr_matrix" -> corrMatrixQ,
@@ -706,6 +801,8 @@ object IndicatorQueries {
     "ts_corr_topk"  -> corrTopkSql,
     "ts_drawdown"   -> drawdownSql,
     "ts_heikin_ashi" -> heikinAshiSql,
+    "ts_keltner"    -> keltnerSql,
+    "ts_ichimoku"   -> ichimokuSql,
     "ts_sharpe"     -> sharpeSql,
     "ts_sortino"    -> sortinoSql,
     "ts_corr_matrix" -> corrMatrixSql,

@@ -167,6 +167,60 @@ object Indicators {
       .drop("__tr", "__cnt")
   }
 
+  /** Keltner channels — the volatility envelope pairing [[emaTruncated]]
+    * with [[atr]]: mid = EMA(emaN) of close (2/(n+1) smoothing, the
+    * standard), upper/lower = mid ± mult·ATR(atrN). Pure composition
+    * of the two portable kernels; both windows share the one keyed
+    * exchange (same partition + order), and the band arithmetic is
+    * three IEEE ops in fixed order. Warm-up rows (ATR undefined)
+    * carry null bands; `mult` must be exactly representable (e.g.
+    * 2.0) for engine-portability.
+    */
+  def keltner(series: DataFrame, keys: Seq[Column], ts: Column,
+              highCents: Column, lowCents: Column, closeCents: Column,
+              emaN: Int, atrN: Int, mult: Double, window: Int = 40): DataFrame = {
+    val withEma = emaTruncated(series, keys, ts, closeCents,
+      alphaNum = 2, alphaDen = emaN + 1, window = window)
+    atr(withEma, keys, ts, highCents, lowCents, closeCents, atrN)
+      .withColumn("mid", col("ema"))
+      .withColumn("upper", col("ema") + lit(mult) * col("atr"))
+      .withColumn("lower", col("ema") - lit(mult) * col("atr"))
+      .drop("ema")
+  }
+
+  /** Ichimoku Kinkō Hyō over an OHLC cents series — every component
+    * an integer window extreme + ONE exactly-dyadic halving (the sum
+    * of two Longs divided by 2.0 — IEEE exact), so the whole cloud is
+    * engine-portable with no fold at all:
+    * tenkan = (max₉ h + min₉ l)/2, kijun = (max₂₆ h + min₂₆ l)/2,
+    * senkou A = (tenkan + kijun)/2 shifted +26, senkou B =
+    * (max₅₂ h + min₅₂ l)/2 shifted +26, chikou = close shifted −26.
+    * Rows whose lookback window is incomplete emit null (exact
+    * integer count checks); the displacements are row-based lead/lag
+    * (the charting convention on a gapless bucket series). Emits
+    * dollars.
+    */
+  def ichimoku(series: DataFrame, keys: Seq[Column], ts: Column,
+               highCents: Column, lowCents: Column, closeCents: Column,
+               pTenkan: Int = 9, pKijun: Int = 26, pSenkouB: Int = 52)
+      : DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    def mids(n: Int): Column = {
+      val fr = ord.rowsBetween(-(n - 1), 0)
+      when(count(closeCents).over(fr) >= n,
+        (max(highCents).over(fr) + min(lowCents).over(fr)).cast("double")
+          / lit(2.0d) / lit(100.0d))
+    }
+    series
+      .withColumn("tenkan", mids(pTenkan))
+      .withColumn("kijun", mids(pKijun))
+      .withColumn("senkou_a",
+        lag((col("tenkan") + col("kijun")) / lit(2.0d), pKijun).over(ord))
+      .withColumn("senkou_b", lag(mids(pSenkouB), pKijun).over(ord))
+      .withColumn("chikou",
+        lead(closeCents, pKijun).over(ord).cast("double") / lit(100.0d))
+  }
+
   /** MACD(12, 26) with the 9-period signal line, all three EMAs as
     * truncated left-to-right folds over ordered window lists (the
     * [[emaTruncated]] recursion — fixed IEEE op order, engine

@@ -233,6 +233,45 @@ class IndicatorsSpec extends SparkSpec {
     assert(nCands < 28L, s"8 series = 28 pairs all-pairs; prune kept $nCands")
   }
 
+  test("keltner: bands are EMA mid ± mult·ATR, symmetric, null during ATR warm-up") {
+    val df = (0 until 15).map(i =>
+      ("k", i.toLong, 1000L + i * 10L, 980L - i * 2L, 990L + i * 5L))
+      .toDF("key", "t", "h", "l", "c")
+    val out = Indicators.keltner(df, Seq(col("key")), col("t"),
+        col("h"), col("l"), col("c"), emaN = 20, atrN = 10, mult = 2.0d)
+      .orderBy("t").select("mid", "upper", "lower", "atr")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.take(9).forall(_._4.isEmpty), "ATR(10) needs 10 candles")
+    out.drop(9).foreach { case (Some(mid), Some(up), Some(lo), atr) =>
+      assert(atr.nonEmpty && atr.get > 0)
+      assert(math.abs((up - mid) - (mid - lo)) < 1e-9, "bands must be symmetric")
+      assert(math.abs((up - mid) - 2.0 * atr.get) < 1e-9, "width = mult * ATR")
+    }
+  }
+
+  test("ichimoku: window midpoints, displacements, and warm-up nulls") {
+    // constant series: every midpoint = (maxH+minL)/2 = (120+80)/2 = 1.0
+    val n = 90
+    val df = (0 until n).map(i => ("k", i.toLong, 120L, 80L, 100L))
+      .toDF("key", "t", "h", "l", "c")
+    val out = Indicators.ichimoku(df, Seq(col("key")), col("t"),
+        col("h"), col("l"), col("c"))
+      .orderBy("t")
+      .select("tenkan", "kijun", "senkou_a", "senkou_b", "chikou")
+      .collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      Option(r.get(i)).map(_.asInstanceOf[Double])
+    // warm-ups: tenkan from row 8, kijun from 25, senkou_b from 77 (52-window at t-26)
+    assert(d(out(7), 0).isEmpty && d(out(8), 0).contains(1.0))
+    assert(d(out(24), 1).isEmpty && d(out(25), 1).contains(1.0))
+    assert(d(out(76), 3).isEmpty && d(out(77), 3).contains(1.0))
+    // senkou_a appears once kijun existed at t-26: row 25+26 = 51
+    assert(d(out(50), 2).isEmpty && d(out(51), 2).contains(1.0))
+    // chikou is the +26 close: defined until row n-27, then null
+    assert(d(out(n - 27), 4).contains(1.0) && d(out(n - 26), 4).isEmpty)
+  }
+
   test("heikinAshi ≡ the sequential recursion; high/low envelope holds") {
     // (o,h,l,c) cents walking series with gaps and reversals
     val candles = Seq(
