@@ -32,7 +32,19 @@ object FunnelStream {
     */
   def closedFunnels(df: DataFrame, key: Column, tsCol: String,
                     stage: Column, stages: Seq[String],
-                    gap: String, delay: String): DataFrame = {
+                    gap: String, delay: String): DataFrame =
+    closedFunnels(df, key, tsCol, stage, stages, gap, delay, within = None)
+
+  /** [[closedFunnels]] with the conversion-window bound of
+    * [[graft.ops.Analytics.funnel]]'s `within` form (windowFunnel
+    * semantics): stage k ≥ 1 must also land within `within` of t₀.
+    * The bound is one more predicate in the same event-time fold, so
+    * batch/stream parity holds clause for clause.
+    */
+  def closedFunnels(df: DataFrame, key: Column, tsCol: String,
+                    stage: Column, stages: Seq[String],
+                    gap: String, delay: String,
+                    within: Option[Column]): DataFrame = {
     require(stages.nonEmpty, "closedFunnels needs at least one stage")
     val evs = sort_array(collect_list(struct(col(tsCol).as("t"),
       stage.cast("string").as("s"))))
@@ -47,7 +59,9 @@ object FunnelStream {
             acc.getField(s"t$i").isNull &&
               acc.getField(s"t${i - 1}").isNotNull &&
               e.getField("s") === st &&
-              e.getField("t") > acc.getField(s"t${i - 1}")
+              e.getField("t") > acc.getField(s"t${i - 1}") &&
+              within.map(w => e.getField("t") <= acc.getField("t0") + w)
+                .getOrElse(lit(true))
         when(hit, e.getField("t")).otherwise(acc.getField(s"t$i")).as(s"t$i")
       }: _*)
     val folded = aggregate(evs, init, step)

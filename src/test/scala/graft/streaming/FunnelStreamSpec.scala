@@ -107,4 +107,60 @@ class FunnelStreamSpec extends SparkSpec {
         s"streaming closed-session funnels must equal the batch operator's")
     } finally q.stop()
   }
+
+  test("windowed streaming funnel ≡ windowed batch funnel on the same sessions") {
+    val stages = Seq("view", "click", "purchase")
+    val rnd = new scala.util.Random(11)
+    val all = (0 until 6).flatMap { u =>
+      var t = u * 1000L
+      (0 until 40).map { _ =>
+        t += (if (rnd.nextInt(10) == 0) 400000L else rnd.nextInt(60000).toLong)
+        (u.toLong, new java.sql.Timestamp(t0 + t),
+          stages(rnd.nextInt(stages.size)))
+      }
+    }
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("user_id", "ts", "et")
+    val q = FunnelStream.closedFunnels(df, col("user_id"), "ts", col("et"),
+        stages, gap = "5 minutes", delay = "2 hours",
+        within = Some(expr("INTERVAL 90 SECONDS")))
+      .writeStream.format("memory").queryName("funnels_win").outputMode("append").start()
+    try {
+      val (a, b) = rnd.shuffle(all).splitAt(all.size / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      in.addData((99L, new java.sql.Timestamp(t0 + 100000000L), "view"))
+      q.processAllAvailable()
+      val stream = spark.table("funnels_win")
+        .filter(col("key") =!= 99L)
+        .select(col("key"), col("session_start"), col("t0"), col("t1"), col("t2"))
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4)))
+        .toSet
+      val batch = all.toDF("user_id", "ts", "et")
+        .withColumn("tus", unix_micros(col("ts")))
+      val sess = Analytics.sessionize(batch, Seq(col("user_id")), col("tus"),
+        col("et"), 300L * 1000000L)
+      val f = Analytics.funnel(sess, Seq("user_id", "session_id"),
+        col("tus"), col("et"), stages, within = Some(90L * 1000000L))
+      val starts = sess.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("tus")).as("start_us"))
+      def tsOf(c: org.apache.spark.sql.Column) =
+        (c / 1000000L).cast("timestamp")
+      val batchSet = f.join(starts, Seq("user_id", "session_id"))
+        .select(col("user_id"), tsOf(col("start_us")),
+          tsOf(col("t0")), tsOf(col("t1")), tsOf(col("t2")))
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4)))
+        .toSet
+      assert(stream === batchSet,
+        "windowed streaming funnels must equal the windowed batch operator")
+      // the bound is live: at least one session converts unbounded but
+      // not within 90s (otherwise this test proves nothing)
+      val unbounded = Analytics.funnel(sess, Seq("user_id", "session_id"),
+        col("tus"), col("et"), stages)
+      assert(unbounded.filter(col("t1").isNotNull).count() >
+        f.filter(col("t1").isNotNull).count(),
+        "fixture must contain conversions outside the window")
+    } finally q.stop()
+  }
 }
