@@ -148,6 +148,12 @@ object JdbcCandleSink {
   /** Write `df`'s `columns` to `table`, one JDBC connection per
     * partition, fast-path pages with conflict fallback. Blocking —
     * call from the driver or a `foreachBatch` body.
+    *
+    * Ordering contract: first/latest-wins is row-ordered WITHIN a
+    * partition; across partitions commit order is undefined (they
+    * run concurrently). A batch that can contain duplicate keys
+    * should `repartition` on the key columns first so all versions
+    * of a key land in one partition's ordered pages.
     */
   def write(df: DataFrame, url: String, table: String,
             columns: Seq[(String, String)], keys: Seq[String], mode: Mode,
