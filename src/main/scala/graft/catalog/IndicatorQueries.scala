@@ -265,6 +265,158 @@ object IndicatorQueries {
        |       ${r4Sql("st / (100.0 * 14.0)")} AS atr
        |FROM w WHERE cnt >= 14 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- Williams %R
+  /** [[Indicators.williamsR]] (n = 14) over the hourly OHLC series —
+    * the inverted stochastic %K on the same single keyed exchange.
+    */
+  private def williamsQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.williamsR(hourlyOhlc(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), col("c"), n = 14)
+      .filter(col("wr").isNotNull)
+      .select(col("event_type"), col("bus"), r4(col("wr")).as("wr"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val williamsSql: String =
+    s"""$hourlyOhlcCte, w AS (
+       |  SELECT event_type, bus, c,
+       |         count(c) OVER fr AS cnt,
+       |         min(l) OVER fr AS lo,
+       |         max(h) OVER fr AS hi
+       |  FROM hourly
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("CASE WHEN hi = lo THEN -50.0 " +
+                       "ELSE -100.0 * (hi - c) / CAST(hi - lo AS DOUBLE) END")} AS wr
+       |FROM w WHERE cnt >= 14 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- CCI
+  /** [[Indicators.cci]] (n = 20) over the hourly OHLC series. The
+    * frame-mean-dependent MAD means a bounded 20-element list fold
+    * per row — integer throughout (D = Σ|n·tp3 − S|), one float
+    * division, so both engines agree bit-for-bit.
+    */
+  private def cciQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.cci(hourlyOhlc(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), col("c"), n = 20)
+      .filter(col("cci").isNotNull)
+      .select(col("event_type"), col("bus"), r4(col("cci")).as("cci"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val cciSql: String =
+    s"""$hourlyOhlcCte, w AS (
+       |  SELECT event_type, bus, h + l + c AS tp3,
+       |         count(*) OVER fr AS cnt,
+       |         CAST(sum(h + l + c) OVER fr AS BIGINT) AS s,
+       |         list(h + l + c) OVER fr AS arr
+       |  FROM hourly
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+       |), dd AS (
+       |  SELECT event_type, bus, tp3, cnt, s,
+       |         CAST(list_sum(list_transform(arr, x -> abs(20 * x - s))) AS BIGINT) AS d
+       |  FROM w
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("CASE WHEN d = 0 THEN 0.0 " +
+                       "ELSE 200.0 * 20.0 * (20 * tp3 - s) / (3.0 * d) END")} AS cci
+       |FROM dd WHERE cnt >= 20 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- Aroon
+  /** [[Indicators.aroon]] (n = 25) over the hourly OHLC series —
+    * recency-of-extreme via the integer index-packing trick (no list
+    * fold at all; max/min window extremes carry their own argmax).
+    */
+  private def aroonQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.aroon(hourlyOhlc(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), n = 25)
+      .filter(col("aroon_up").isNotNull)
+      .select(col("event_type"), col("bus"),
+        r4(col("aroon_up")).as("aroon_up"),
+        r4(col("aroon_down")).as("aroon_down"),
+        r4(col("aroon_osc")).as("aroon_osc"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val aroonSql: String = {
+    val up = "100.0 * (24 - dh) / 24.0"
+    val dn = "100.0 * (24 - dl) / 24.0"
+    s"""$hourlyOhlcCte, ix AS (
+       |  SELECT event_type, bus, h, l,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY bus) - 1 AS idx
+       |  FROM hourly
+       |), w AS (
+       |  SELECT event_type, bus, idx,
+       |         count(*) OVER fr AS cnt,
+       |         CAST(max(h * 1048576 + idx) OVER fr AS BIGINT) AS mh,
+       |         CAST(min(l * 1048576 + (1048575 - idx)) OVER fr AS BIGINT) AS ml
+       |  FROM ix
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+       |), d AS (
+       |  SELECT event_type, bus, cnt,
+       |         idx - (mh % 1048576) AS dh,
+       |         idx - (1048575 - (ml % 1048576)) AS dl
+       |  FROM w
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql(up)} AS aroon_up,
+       |       ${r4Sql(dn)} AS aroon_down,
+       |       ${r4Sql(s"($up) - ($dn)")} AS aroon_osc
+       |FROM d WHERE cnt >= 25 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------------------- ADX
+  /** [[Indicators.adx]] (n = 14) over the hourly OHLC series — DX on
+    * exact integer ±DM sums (the ΣTR denominators cancel), ADX as the
+    * 14-value ordered fold (the %D determinism discipline).
+    */
+  private def adxQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.adx(hourlyOhlc(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), n = 14)
+      .filter(col("adx").isNotNull)
+      .select(col("event_type"), col("bus"),
+        r4(col("dx")).as("dx"), r4(col("adx")).as("adx"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val adxSql: String =
+    s"""$hourlyOhlcCte, d AS (
+       |  SELECT event_type, bus,
+       |         h - lag(h) OVER w AS up,
+       |         lag(l) OVER w - l AS dn
+       |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bus)
+       |), dm AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN up IS NULL THEN NULL
+       |              WHEN up > dn AND up > 0 THEN up ELSE 0 END AS pdm,
+       |         CASE WHEN dn IS NULL THEN NULL
+       |              WHEN dn > up AND dn > 0 THEN dn ELSE 0 END AS mdm
+       |  FROM d
+       |), s AS (
+       |  SELECT event_type, bus,
+       |         count(pdm) OVER fr AS nd,
+       |         CAST(sum(pdm) OVER fr AS BIGINT) AS sp,
+       |         CAST(sum(mdm) OVER fr AS BIGINT) AS sm
+       |  FROM dm
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |), x AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN nd < 14 THEN NULL
+       |              WHEN sp + sm = 0 THEN 0.0
+       |              ELSE 100.0 * abs(sp - sm) / CAST(sp + sm AS DOUBLE) END AS dx
+       |  FROM s
+       |), f AS (
+       |  SELECT event_type, bus, dx,
+       |         list_filter(list(dx) OVER fr2, v -> v IS NOT NULL) AS ds
+       |  FROM x
+       |  WINDOW fr2 AS (PARTITION BY event_type ORDER BY bus
+       |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus, ${r4Sql("dx")} AS dx,
+       |       ${r4Sql("list_reduce(ds, (acc, v) -> acc + v) / 14.0")} AS adx
+       |FROM f WHERE len(ds) = 14 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------- Keltner channels
   /** [[Indicators.keltner]]: EMA(20) mid ± 2·ATR(10) over the hourly
     * OHLC series — the volatility envelope composing the two portable
@@ -554,6 +706,106 @@ object IndicatorQueries {
        |GROUP BY 1, 2 HAVING sum(k) > 0
        |ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------- hourly OHLC + volume
+  /** [[hourlyOhlc]] joined with the hourly `props.k` volume (the
+    * [[obvQ]] quantity path) — both sides clustered by [[byKey]], so
+    * the join adds no exchange; missing volume coalesces to 0.
+    */
+  private def hourlyOhlcQty(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val qty = byKey(Tables.events(s, dir))
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy(col("event_type"),
+        (expr("tus div 3600000000") * 3600000000L).as("bus"))
+      .agg(sum(col("k")).as("qty"))
+    hourlyOhlc(s, dir).join(qty, Seq("event_type", "bus"), "left")
+      .withColumn("qty", coalesce(col("qty"), lit(0L)))
+  }
+
+  private val hourlyOhlcQtyCte: String =
+    s"""$hourlyOhlcCte, q AS (
+       |  SELECT event_type,
+       |         ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000 AS bus,
+       |         CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS qty
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2
+       |), hq AS (
+       |  SELECT event_type, bus, h, l, c, coalesce(qty, 0) AS qty
+       |  FROM hourly LEFT JOIN q USING (event_type, bus)
+       |)""".stripMargin
+
+  // ------------------------------------------------------------- MFI
+  /** [[Indicators.mfi]] (n = 14) over hourly OHLC + volume — the
+    * volume-weighted RSI on exact integer money-flow sums.
+    */
+  private def mfiQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.mfi(hourlyOhlcQty(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), col("c"), col("qty"), n = 14)
+      .filter(col("mfi").isNotNull)
+      .select(col("event_type"), col("bus"), r4(col("mfi")).as("mfi"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val mfiSql: String =
+    s"""$hourlyOhlcQtyCte, d AS (
+       |  SELECT event_type, bus, h + l + c AS tp3, qty,
+       |         h + l + c - lag(h + l + c) OVER w AS dd
+       |  FROM hq WINDOW w AS (PARTITION BY event_type ORDER BY bus)
+       |), mf AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN dd IS NULL THEN NULL
+       |              WHEN dd > 0 THEN tp3 * qty ELSE 0 END AS pmf,
+       |         CASE WHEN dd IS NULL THEN NULL
+       |              WHEN dd < 0 THEN tp3 * qty ELSE 0 END AS nmf
+       |  FROM d
+       |), w2 AS (
+       |  SELECT event_type, bus,
+       |         count(pmf) OVER fr AS nd,
+       |         CAST(sum(pmf) OVER fr AS BIGINT) AS sp,
+       |         CAST(sum(nmf) OVER fr AS BIGINT) AS sn
+       |  FROM mf
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("CASE WHEN sp + sn = 0 THEN 50.0 " +
+                       "ELSE 100.0 * sp / CAST(sp + sn AS DOUBLE) END")} AS mfi
+       |FROM w2 WHERE nd >= 14 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- CMF
+  /** [[Indicators.chaikinMoneyFlow]] (n = 20) over hourly OHLC +
+    * volume — the money-flow multiplier quantized once to exact
+    * micro-units so the window sums stay integer.
+    */
+  private def cmfQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.chaikinMoneyFlow(hourlyOhlcQty(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), col("c"), col("qty"), n = 20)
+      .filter(col("cmf").isNotNull)
+      .select(col("event_type"), col("bus"), r4(col("cmf")).as("cmf"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val cmfSql: String =
+    s"""$hourlyOhlcQtyCte, m AS (
+       |  SELECT event_type, bus, qty,
+       |         CASE WHEN h = l THEN 0
+       |              ELSE CAST(floor((2 * c - h - l) / CAST(h - l AS DOUBLE)
+       |                              * 1000000.0 + 0.5) AS BIGINT) END AS mq
+       |  FROM hq
+       |), w2 AS (
+       |  SELECT event_type, bus,
+       |         count(mq) OVER fr AS cnt,
+       |         CAST(sum(mq * qty) OVER fr AS BIGINT) AS sq,
+       |         CAST(sum(qty) OVER fr AS BIGINT) AS sv
+       |  FROM m
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("sq / (1000000.0 * sv)")} AS cmf
+       |FROM w2 WHERE cnt >= 20 AND sv <> 0 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------- max drawdown
   /** [[Indicators.maxDrawdown]] over the hourly close series: the
     * deepest peak-to-trough loss per event_type, in percent of the
@@ -790,8 +1042,14 @@ object IndicatorQueries {
     "ts_ema"        -> emaQ,
     "ts_vwap"       -> vwapQ,
     "ts_stochastic" -> stochasticQ,
+    "ts_williams_r" -> williamsQ,
+    "ts_cci"        -> cciQ,
+    "ts_aroon"      -> aroonQ,
+    "ts_adx"        -> adxQ,
     "ts_atr"        -> atrQ,
     "ts_macd"       -> macdQ,
+    "ts_mfi"        -> mfiQ,
+    "ts_cmf"        -> cmfQ,
     "ts_obv"        -> obvQ,
     "ts_rolling_corr" -> rollingCorrQ,
     "ts_parkinson"  -> parkinsonQ,
@@ -811,8 +1069,14 @@ object IndicatorQueries {
     "ts_ema"        -> emaSql,
     "ts_vwap"       -> vwapSql,
     "ts_stochastic" -> stochasticSql,
+    "ts_williams_r" -> williamsSql,
+    "ts_cci"        -> cciSql,
+    "ts_aroon"      -> aroonSql,
+    "ts_adx"        -> adxSql,
     "ts_atr"        -> atrSql,
     "ts_macd"       -> macdSql,
+    "ts_mfi"        -> mfiSql,
+    "ts_cmf"        -> cmfSql,
     "ts_obv"        -> obvSql,
     "ts_rolling_corr" -> rollingCorrSql,
     "ts_parkinson"  -> parkinsonSql,

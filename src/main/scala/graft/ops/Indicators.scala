@@ -462,6 +462,212 @@ object Indicators {
           col("__peak").cast("double")).as("max_dd_pct"))
   }
 
+  /** Williams %R over an OHLC cents series: −100·(maxHigh_n − close)/
+    * (maxHigh_n − minLow_n) — the inverted [[stochastic]] %K, on the
+    * same exact-integer window extremes with one float division.
+    * Warm-up rows (< n candles) emit null; a flat n-candle range
+    * pins %R to −50 (decided on exact integers, the %K=50 twin).
+    */
+  def williamsR(series: DataFrame, keys: Seq[Column], ts: Column,
+                highCents: Column, lowCents: Column, closeCents: Column,
+                n: Int): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(n - 1), 0)
+    series
+      .withColumn("__cnt", count(closeCents).over(frame))
+      .withColumn("__lo", min(lowCents).over(frame))
+      .withColumn("__hi", max(highCents).over(frame))
+      .withColumn("wr",
+        when(col("__cnt") < n, lit(null).cast("double"))
+          .when(col("__hi") === col("__lo"), lit(-50.0d))
+          .otherwise(lit(-100.0d) * (col("__hi") - closeCents) /
+            (col("__hi") - col("__lo")).cast("double")))
+      .drop("__cnt", "__lo", "__hi")
+  }
+
+  /** Commodity Channel Index (Lambert) over an OHLC cents series:
+    * CCI = (tp − SMA_n(tp)) / (0.015 · MD_n), tp = (h+l+c)/3, MD the
+    * mean absolute deviation of tp from the FRAME'S OWN mean. The
+    * frame-dependent MD makes a plain windowed sum impossible, so the
+    * kernel folds the frame's tp3 = h+l+c list (bounded, n elements):
+    * with S = Σtp3 the identity n²·300·(tp − mean) = n·(n·tp3 − S)
+    * and D = Σ|n·tp3_j − S| give CCI = 200·n·(n·tp3 − S)/(3·D) —
+    * every term an exact integer (|n·tp3| < 2^53 for 2-dp cents), one
+    * float division at the end, so the result is engine-portable.
+    * Warm-up (< n) emits null; an all-flat frame (D = 0) pins 0.
+    */
+  def cci(series: DataFrame, keys: Seq[Column], ts: Column,
+          highCents: Column, lowCents: Column, closeCents: Column,
+          n: Int): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(n - 1), 0)
+    val nn = lit(n.toLong)
+    series
+      .withColumn("__tp3", highCents + lowCents + closeCents)
+      .withColumn("__cnt", count(col("__tp3")).over(frame))
+      .withColumn("__s", sum(col("__tp3")).over(frame))
+      .withColumn("__d",
+        aggregate(collect_list(col("__tp3")).over(frame), lit(0L),
+          (acc, x) => acc + abs(nn * x - col("__s"))))
+      .withColumn("cci",
+        when(col("__cnt") < n, lit(null).cast("double"))
+          .when(col("__d") === 0L, lit(0.0d))
+          .otherwise(lit(200.0d) * lit(n.toDouble) *
+            (nn * col("__tp3") - col("__s")).cast("double") /
+            (lit(3.0d) * col("__d").cast("double"))))
+      .drop("__tp3", "__cnt", "__s", "__d")
+  }
+
+  /** Aroon oscillator over an OHLC cents series: periods since the
+    * trailing-n highest high / lowest low, scaled to [0, 100].
+    * Recency is resolved without any fold: each row's position index
+    * (row_number within the key) packs into the low 20 bits of an
+    * integer m = h·2^20 + idx, so max(m) over the frame IS (highest
+    * high, most recent on ties) and m % 2^20 recovers its index —
+    * exact integer window max/min, no lists. Requires cents < 2^33
+    * and < 2^20 rows per key (document: re-block longer series).
+    * aroon_up = 100·(n−1−sinceHigh)/(n−1), likewise down with the
+    * low (ties → most recent via the complemented index). Warm-up
+    * (< n) emits null. Emits aroon_up, aroon_down, aroon_osc (up −
+    * down, the oscillator).
+    */
+  def aroon(series: DataFrame, keys: Seq[Column], ts: Column,
+            highCents: Column, lowCents: Column, n: Int): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val frame = ord.rowsBetween(-(n - 1), 0)
+    val B = 1L << 20
+    val up = (lit(100.0d) * (lit((n - 1).toLong) - col("__dh")).cast("double")) /
+      lit((n - 1).toDouble)
+    val dn = (lit(100.0d) * (lit((n - 1).toLong) - col("__dl")).cast("double")) /
+      lit((n - 1).toDouble)
+    series
+      .withColumn("__idx", row_number().over(ord).cast("long") - 1L)
+      .withColumn("__cnt", count(col("__idx")).over(frame))
+      .withColumn("__dh",
+        col("__idx") - pmod(max(highCents * B + col("__idx")).over(frame), lit(B)))
+      .withColumn("__dl",
+        col("__idx") - (lit(B - 1) -
+          pmod(min(lowCents * B + (lit(B - 1) - col("__idx"))).over(frame), lit(B))))
+      .withColumn("aroon_up", when(col("__cnt") < n, lit(null).cast("double")).otherwise(up))
+      .withColumn("aroon_down", when(col("__cnt") < n, lit(null).cast("double")).otherwise(dn))
+      .withColumn("aroon_osc", col("aroon_up") - col("aroon_down"))
+      .drop("__idx", "__cnt", "__dh", "__dl")
+  }
+
+  /** ADX (simple-average form, the Cutler-style SQL-expressible
+    * variant of Wilder's recursion — same reading as [[rsi]]'s): from
+    * integer directional moves up = h−prevH, down = prevL−l,
+    * +DM = up·[up>down ∧ up>0], −DM = down·[down>up ∧ down>0],
+    * DX = 100·|Σ₊DM − Σ₋DM| / (Σ₊DM + Σ₋DM) over the trailing n
+    * deltas (the ΣTR denominators of ±DI cancel — DX is exact
+    * integers + one float division), and ADX = the n-value mean of
+    * DX folded left-to-right over an ordered frame list (windowed
+    * double sums are association-order-dependent; the fold is not —
+    * the [[stochastic]] %D discipline). Rows emit once n DX values
+    * exist (2n−1 deltas); an n-frame with no directional movement
+    * (den = 0) pins DX to 0.
+    */
+  def adx(series: DataFrame, keys: Seq[Column], ts: Column,
+          highCents: Column, lowCents: Column, n: Int): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val frame = ord.rowsBetween(-(n - 1), 0)
+    val up = highCents - lag(highCents, 1).over(ord)
+    val dn = lag(lowCents, 1).over(ord) - lowCents
+    val base = series
+      .withColumn("__up", up)
+      .withColumn("__dn", dn)
+      .withColumn("__pdm",
+        when(col("__up").isNull, lit(null).cast("long"))
+          .when(col("__up") > col("__dn") && col("__up") > 0L, col("__up"))
+          .otherwise(lit(0L)))
+      .withColumn("__mdm",
+        when(col("__dn").isNull, lit(null).cast("long"))
+          .when(col("__dn") > col("__up") && col("__dn") > 0L, col("__dn"))
+          .otherwise(lit(0L)))
+      .withColumn("__nd", count(col("__pdm")).over(frame))
+      .withColumn("__sp", sum(col("__pdm")).over(frame))
+      .withColumn("__sm", sum(col("__mdm")).over(frame))
+      .withColumn("dx",
+        when(col("__nd") < n, lit(null).cast("double"))
+          .when(col("__sp") + col("__sm") === 0L, lit(0.0d))
+          .otherwise(lit(100.0d) * abs(col("__sp") - col("__sm")).cast("double") /
+            (col("__sp") + col("__sm")).cast("double")))
+    base
+      .withColumn("__dxs", filter(collect_list(col("dx")).over(frame), _.isNotNull))
+      .withColumn("adx",
+        when(size(col("__dxs")) === n,
+          aggregate(col("__dxs"), lit(null).cast("double"),
+            (acc, x) => when(acc.isNull, x).otherwise(acc + x)) / lit(n.toDouble)))
+      .drop("__up", "__dn", "__pdm", "__mdm", "__nd", "__sp", "__sm", "__dxs")
+  }
+
+  /** Money Flow Index (n-period, simple-sum form): the volume-weighted
+    * RSI. Raw money flow mf = tp3·qty with tp3 = h+l+c (integer cents
+    * ×3 — the /3 and /100 scale factors cancel in the ratio), signed
+    * by the tp3 delta; unchanged typical price joins neither side
+    * (the standard convention). MFI = 100·Σ₊mf / (Σ₊mf + Σ₋mf) —
+    * exact integer sums, one float division (100 − 100/(1+MR)
+    * algebraically simplified). Warm-up (< n deltas) emits null; a
+    * frame with zero signed flow pins 50 (the RSI twin). Caller
+    * guarantees Σ|tp3·qty| < 2^63 per frame (cents ≤ 2^33, qty sums
+    * well below 2^28 at any real bucket width).
+    */
+  def mfi(series: DataFrame, keys: Seq[Column], ts: Column,
+          highCents: Column, lowCents: Column, closeCents: Column,
+          qty: Column, n: Int): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val frame = ord.rowsBetween(-(n - 1), 0)
+    series
+      .withColumn("__tp3", highCents + lowCents + closeCents)
+      .withColumn("__q", qty)
+      .withColumn("__d", col("__tp3") - lag(col("__tp3"), 1).over(ord))
+      .withColumn("__pmf",
+        when(col("__d").isNull, lit(null).cast("long"))
+          .when(col("__d") > 0L, col("__tp3") * col("__q")).otherwise(lit(0L)))
+      .withColumn("__nmf",
+        when(col("__d").isNull, lit(null).cast("long"))
+          .when(col("__d") < 0L, col("__tp3") * col("__q")).otherwise(lit(0L)))
+      .withColumn("__nd", count(col("__pmf")).over(frame))
+      .withColumn("__sp", sum(col("__pmf")).over(frame))
+      .withColumn("__sn", sum(col("__nmf")).over(frame))
+      .withColumn("mfi",
+        when(col("__nd") < n, lit(null).cast("double"))
+          .when(col("__sp") + col("__sn") === 0L, lit(50.0d))
+          .otherwise(lit(100.0d) * col("__sp").cast("double") /
+            (col("__sp") + col("__sn")).cast("double")))
+      .drop("__tp3", "__q", "__d", "__pmf", "__nmf", "__nd", "__sp", "__sn")
+  }
+
+  /** Chaikin Money Flow (n-period): CMF = Σ(mfm·vol) / Σvol with the
+    * money-flow multiplier mfm = ((c−l)−(h−c))/(h−l) ∈ [−1, 1]. A
+    * per-row double mfm would make the windowed sum association-
+    * order-dependent, so mfm is quantized ONCE to exact micro-units —
+    * mq = floor((2c−h−l)/(h−l)·10⁶ + 0.5), an IEEE expression over
+    * integer-valued doubles both engines evaluate identically — and
+    * the frame sums Σ(mq·vol), Σvol stay integer; one float division
+    * recovers CMF at 1e-6 mfm resolution. h = l (doji with zero
+    * range) contributes mfm = 0 (the convention that avoids 0/0).
+    * Warm-up (< n) and zero-volume frames emit null.
+    */
+  def chaikinMoneyFlow(series: DataFrame, keys: Seq[Column], ts: Column,
+                       highCents: Column, lowCents: Column, closeCents: Column,
+                       qty: Column, n: Int): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(n - 1), 0)
+    val mq = when(highCents === lowCents, lit(0L))
+      .otherwise(floor(
+        (lit(2L) * closeCents - highCents - lowCents).cast("double") /
+          (highCents - lowCents).cast("double") * lit(1000000.0d) + lit(0.5d)))
+    series
+      .withColumn("__mq", mq)
+      .withColumn("__qv", qty)
+      .withColumn("__cnt", count(col("__mq")).over(frame))
+      .withColumn("__sq", sum(col("__mq") * col("__qv")).over(frame))
+      .withColumn("__sv", sum(col("__qv")).over(frame))
+      .withColumn("cmf",
+        when(col("__cnt") < n || col("__sv") === 0L, lit(null).cast("double"))
+          .otherwise(col("__sq").cast("double") /
+            (lit(1000000.0d) * col("__sv").cast("double"))))
+      .drop("__mq", "__qv", "__cnt", "__sq", "__sv")
+  }
+
   /** Per-series sign-of-return signature: bit j is the MAJORITY sign
     * of the series' bucket-to-bucket deltas over the buckets mapped
     * to slot j (`slot` must be a shared bucket→[0,bits) mapping, e.g.

@@ -303,4 +303,126 @@ class IndicatorsSpec extends SparkSpec {
         "ha_high/ha_low must envelope ha_open/ha_close")
     }
   }
+
+  private def ohlcq(rows: Seq[(Long, Long, Long, Long)]) =
+    rows.zipWithIndex.map { case ((h, l, c, q), i) => ("k", i.toLong, h, l, c, q) }
+      .toDF("key", "t", "h", "l", "c", "q")
+
+  test("mfi: hand-checked signed-flow ratio; all-up pins 100, flat pins 50") {
+    // n=3: deltas +100c, −50c, +150c with qty 2/3/4 →
+    // sp = 600·2 + 900·4 = 4800, sn = 450·3 = 1350.
+    val rows = Seq((100L, 100L, 100L, 1L), (200L, 200L, 200L, 2L),
+      (150L, 150L, 150L, 3L), (300L, 300L, 300L, 4L))
+    val out = Indicators.mfi(ohlcq(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), col("c"), col("q"), n = 3)
+      .orderBy("t").select("mfi").as[Option[Double]].collect()
+    assert(out(2).isEmpty, "warm-up: only 2 deltas in frame")
+    assert(math.abs(out(3).get - 100.0 * 4800 / 6150.0) < 1e-12)
+
+    val up = Indicators.mfi(ohlcq((0 until 16).map(i =>
+        (100L + 10 * i, 100L + 10 * i, 100L + 10 * i, i + 1L))),
+      Seq(col("key")), col("t"), col("h"), col("l"), col("c"), col("q"), n = 14)
+      .orderBy("t").select("mfi").as[Option[Double]].collect()
+    assert(up(14).contains(100.0) && up(15).contains(100.0))
+
+    val flat = Indicators.mfi(ohlcq(Seq.fill(16)((100L, 100L, 100L, 7L))),
+      Seq(col("key")), col("t"), col("h"), col("l"), col("c"), col("q"), n = 14)
+      .orderBy("t").select("mfi").as[Option[Double]].collect()
+    assert(flat(14).contains(50.0), "zero signed flow pins 50")
+  }
+
+  test("cmf: hand-checked quantized multiplier; doji mfm=0; zero volume null") {
+    // n=2: mfm +0.5 on qty 5, −0.5 on qty 3 → (0.5·5 − 0.5·3)/8 = 0.125
+    val rows = Seq((200L, 100L, 175L, 5L), (300L, 100L, 150L, 3L))
+    val out = Indicators.chaikinMoneyFlow(ohlcq(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), col("c"), col("q"), n = 2)
+      .orderBy("t").select("cmf").as[Option[Double]].collect()
+    assert(out(0).isEmpty, "warm-up")
+    assert(out(1).contains(0.125))
+
+    // doji rows (h=l) contribute mfm 0 but their volume still counts:
+    // frame = mfm −0.5·qty3 + 0·qty5 → −1.5/8
+    val doji = Seq((300L, 100L, 150L, 3L), (100L, 100L, 100L, 5L))
+    val out2 = Indicators.chaikinMoneyFlow(ohlcq(doji), Seq(col("key")), col("t"),
+      col("h"), col("l"), col("c"), col("q"), n = 2)
+      .orderBy("t").select("cmf").as[Option[Double]].collect()
+    assert(out2(1).contains(-1.5 / 8.0))
+
+    val zerov = Indicators.chaikinMoneyFlow(ohlcq(Seq.fill(3)((200L, 100L, 150L, 0L))),
+      Seq(col("key")), col("t"), col("h"), col("l"), col("c"), col("q"), n = 2)
+      .orderBy("t").select("cmf").as[Option[Double]].collect()
+    assert(zerov(2).isEmpty, "zero-volume frame emits null")
+  }
+
+  test("williamsR: range position is the inverted %K; flat range pins -50") {
+    val rows = (0 until 16).map(i => (300L, 100L, 100L + 10L * i))
+    val out = Indicators.williamsR(ohlc(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), col("c"), n = 14)
+      .orderBy("t").select("wr").as[Option[Double]].collect()
+    assert(out(12).isEmpty, "warm-up")
+    // row 13: hi=300, lo=100, close=230 → %R = −100·70/200 = −35
+    assert(out(13).contains(-35.0))
+    assert(out(14).contains(-30.0) && out(15).contains(-25.0))
+
+    val flat = Indicators.williamsR(ohlc(Seq.fill(15)((100L, 100L, 100L))),
+      Seq(col("key")), col("t"), col("h"), col("l"), col("c"), n = 14)
+      .orderBy("t").select("wr").as[Option[Double]].collect()
+    assert(flat(14).contains(-50.0))
+  }
+
+  test("cci: alternating series matches the closed form; flat frame pins 0") {
+    // h=l=c alternating 100/200 cents: tp = 1.0 / 2.0, frame mean 1.5,
+    // MAD 0.5 → CCI = ±0.5 / (0.015·0.5) = ±66.66…
+    val rows = (0 until 20).map(i => { val c = if (i % 2 == 0) 100L else 200L; (c, c, c) })
+    val out = Indicators.cci(ohlc(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), col("c"), n = 20)
+      .orderBy("t").select("cci").as[Option[Double]].collect()
+    assert(out(18).isEmpty, "warm-up")
+    assert(math.abs(out(19).get - 0.5 / (0.015 * 0.5)) < 1e-9)
+
+    val flat = Indicators.cci(ohlc(Seq.fill(22)((300L, 300L, 300L))),
+      Seq(col("key")), col("t"), col("h"), col("l"), col("c"), n = 20)
+      .orderBy("t").select("cci").as[Option[Double]].collect()
+    assert(flat(21).contains(0.0), "zero deviation pins CCI to 0")
+  }
+
+  test("aroon: monotonic trend pins up=100/down=0; ties resolve most-recent") {
+    // strictly rising h and l: newest high is always current (dh=0),
+    // lowest low is always the oldest frame row (dl=n−1).
+    val rows = (0 until 30).map(i => (100L + i, 50L + i, 75L + i))
+    val out = Indicators.aroon(ohlc(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), n = 25)
+      .orderBy("t").select("aroon_up", "aroon_down", "aroon_osc")
+      .as[(Option[Double], Option[Double], Option[Double])].collect()
+    assert(out(23)._1.isEmpty, "warm-up")
+    assert(out(24) == ((Some(100.0), Some(0.0), Some(100.0))))
+    assert(out(29) == ((Some(100.0), Some(0.0), Some(100.0))))
+
+    // constant series: every row ties; most-recent wins for BOTH
+    // extremes → up = down = 100, osc = 0.
+    val flat = Indicators.aroon(ohlc(Seq.fill(26)((100L, 100L, 100L))),
+      Seq(col("key")), col("t"), col("h"), col("l"), n = 25)
+      .orderBy("t").select("aroon_up", "aroon_down", "aroon_osc")
+      .as[(Option[Double], Option[Double], Option[Double])].collect()
+    assert(flat(25) == ((Some(100.0), Some(100.0), Some(0.0))))
+  }
+
+  test("adx: pure uptrend pins DX=ADX=100; flat series pins 0") {
+    val rows = (0 until 30).map(i => (200L + 10L * i, 100L + 10L * i, 150L + 10L * i))
+    val out = Indicators.adx(ohlc(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), n = 14)
+      .orderBy("t").select("dx", "adx")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out(13)._1.isEmpty, "DX warm-up needs 14 deltas")
+    assert(out(14)._1.contains(100.0), "all-up frame: DX = 100")
+    assert(out(26)._2.isEmpty, "ADX warm-up needs 14 DX values")
+    assert(out(27)._2.contains(100.0) && out(29)._2.contains(100.0))
+
+    val flat = Indicators.adx(ohlc(Seq.fill(30)((100L, 50L, 75L))),
+      Seq(col("key")), col("t"), col("h"), col("l"), n = 14)
+      .orderBy("t").select("dx", "adx")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(flat(14)._1.contains(0.0), "no directional movement: DX = 0")
+    assert(flat(27)._2.contains(0.0))
+  }
 }
