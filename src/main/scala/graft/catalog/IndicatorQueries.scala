@@ -896,6 +896,48 @@ object IndicatorQueries {
        |FROM sums WHERE n >= 2 AND qd > 0
        |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------- lag-1 autocorrelation
+  /** [[Indicators.autocorr]] (lag 1) over the hourly close series —
+    * the mean-reversion diagnostic beside [[sharpeQ]], same micro-nat
+    * integer returns, decimal(38,0) moments, one float expression.
+    */
+  private def autocorrQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.autocorr(hourly(s, dir), Seq(col("event_type")), col("bus"),
+        col("c"), lagK = 1)
+      .select(col("event_type"), col("n"), r4(col("ac")).as("ac"))
+      .orderBy(col("event_type"))
+
+  private val autocorrSql: String =
+    s"""$hourlyCte, d AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS prev
+       |  FROM hourly
+       |), r AS (
+       |  SELECT event_type, bus,
+       |         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(prev AS DOUBLE))
+       |                    * 1000000.0 + 0.5) AS BIGINT) AS rq
+       |  FROM d WHERE prev > 0 AND c > 0
+       |), pr AS (
+       |  SELECT event_type, rq AS y,
+       |         lag(rq) OVER (PARTITION BY event_type ORDER BY bus) AS x
+       |  FROM r
+       |), sums AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM pr WHERE x IS NOT NULL GROUP BY 1
+       |)
+       |SELECT event_type, n,
+       |       ${r4Sql("CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE) / " +
+                       "(sqrt(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE)) * " +
+                       "sqrt(CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE)))")} AS ac
+       |FROM sums
+       |WHERE n >= 2 AND CAST(n AS HUGEINT)*sxx - sx*sx > 0
+       |  AND CAST(n AS HUGEINT)*syy - sy*sy > 0
+       |ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------- correlation matrix
   /** All-pairs Pearson correlation of the hourly close series — the
     * screener view generalizing `ts_corr`'s fixed pair: one self-join
@@ -1037,6 +1079,7 @@ object IndicatorQueries {
     "ts_sharpe"     -> sharpeQ,
     "ts_sortino"    -> sortinoQ,
     "ts_corr_matrix" -> corrMatrixQ,
+    "ts_autocorr"   -> autocorrQ,
     "ts_rsi"        -> rsiQ,
     "ts_bollinger"  -> bollingerQ,
     "ts_ema"        -> emaQ,
@@ -1064,6 +1107,7 @@ object IndicatorQueries {
     "ts_sharpe"     -> sharpeSql,
     "ts_sortino"    -> sortinoSql,
     "ts_corr_matrix" -> corrMatrixSql,
+    "ts_autocorr"   -> autocorrSql,
     "ts_rsi"        -> rsiSql,
     "ts_bollinger"  -> bollingerSql,
     "ts_ema"        -> emaSql,

@@ -1166,6 +1166,61 @@ object TimeSeriesQueries {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------- sampled quantile estimates
+  /** KMV-sampled approximate quantiles — `ts_quantiles`' 100 TB form.
+    * The exact query sorts every value per key; here the k = 256
+    * lexicographically-smallest (md5, cents) pairs per key — a
+    * deterministic uniform-without-replacement sample, selected by
+    * [[graft.functions.KmvAgg.kmvPairs]]'s k-bounded map-side-
+    * combining buffer — stand in for the key's distribution, and the
+    * p50/p90/p99 order statistics are exact integer-index picks from
+    * the sorted sample (idx = ⌊(n−1)·q⌋, all integer arithmetic). At
+    * scale the shuffle carries one ≤256-pair buffer per (key,
+    * partition) instead of the key's whole value set, and the sample
+    * error is the classic √(q(1−q)/k) quantile bound. The hash ranks
+    * on the prefix-tagged row key (event_type, tus) — unique by
+    * [[Tables.eventSeries]]'s dedup — so both engines select the
+    * IDENTICAL sample (md5 replay, no RNG), and keys smaller than k
+    * degrade to their exact quantiles (sample ≡ population).
+    */
+  private def sampleQuantilesQ(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("sq|"), col("event_type"),
+      lit("|"), col("tus").cast("string"))), 1, 13), 16, 10).cast("long")
+    series(s, dir)
+      .select(col("event_type"), h.as("h"), cents(col("value")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvAgg.kmvPairs(col("h"), col("c"), 256).as("vs"))
+      .select(col("event_type"), size(col("vs")).cast("long").as("n_sample"),
+        sort_array(col("vs")).as("sv"))
+      .select(col("event_type"), col("n_sample"),
+        element_at(col("sv"), expr("CAST((n_sample - 1) div 2 AS INT) + 1")).as("p50c"),
+        element_at(col("sv"), expr("CAST(((n_sample - 1) * 9) div 10 AS INT) + 1")).as("p90c"),
+        element_at(col("sv"), expr("CAST(((n_sample - 1) * 99) div 100 AS INT) + 1")).as("p99c"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sampleQuantilesSql: String =
+    s"""$seriesCte, hs AS (
+       |  SELECT event_type,
+       |         CAST(('0x' || substring(md5('sq|' || event_type || '|' ||
+       |           CAST(tus AS VARCHAR)), 1, 13)) AS UBIGINT) AS h,
+       |         ${centsSql("value")} AS c
+       |  FROM series
+       |), rk AS (
+       |  SELECT event_type, c,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h, c) AS rn
+       |  FROM hs
+       |), sm AS (
+       |  SELECT event_type, list_sort(list(c)) AS sv,
+       |         CAST(count(*) AS BIGINT) AS n_sample
+       |  FROM rk WHERE rn <= 256 GROUP BY 1
+       |)
+       |SELECT event_type, n_sample,
+       |       sv[CAST((n_sample - 1) // 2 AS INTEGER) + 1] AS p50c,
+       |       sv[CAST(((n_sample - 1) * 9) // 10 AS INTEGER) + 1] AS p90c,
+       |       sv[CAST(((n_sample - 1) * 99) // 100 AS INTEGER) + 1] AS p99c
+       |FROM sm ORDER BY event_type""".stripMargin
+
   // --------------------------------------- correlation / regression
   /** Pearson correlation + OLS slope between the hourly close series
     * of two event types, computed from exact integer sums: x/y are
@@ -1394,6 +1449,7 @@ object TimeSeriesQueries {
     "ts_zorder_pruned" -> zorderPrunedQ,
     "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
+    "ts_sample_quantiles" -> sampleQuantilesQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
     "ts_sql_candle_1h" -> sqlCandle1h,
     "ts_candle_1d"     -> rollupQuery(86400L),
@@ -1424,6 +1480,7 @@ object TimeSeriesQueries {
     "ts_zorder_pruned" -> zorderPrunedSql,
     "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
+    "ts_sample_quantiles" -> sampleQuantilesSql,
     "ts_candle_1h"     -> rollupSql(3600L),
     "ts_sql_candle_1h" -> rollupSql(3600L),
     "ts_candle_1d"     -> rollupSql(86400L),

@@ -401,6 +401,45 @@ object Indicators {
           sqrt(lit(periodsPerYear))).as("sortino")): _*)
   }
 
+  /** Lag-k autocorrelation of log returns per key — the
+    * mean-reversion / momentum diagnostic (significantly negative ⇒
+    * reverting at the bucket scale, positive ⇒ trending). Returns are
+    * quantized to exact micro-nat integers (the [[sharpe]]
+    * discipline), the lag pairs (r_{t−k}, r_t) form over the FILTERED
+    * return series (gaps close up — standard practice), and the
+    * Pearson coefficient is the [[rollingCorr]] expression tree over
+    * whole-series decimal(38,0) moments: every sum exact, one float
+    * expression at the end. Keys with < 2 pairs or a degenerate
+    * variance emit no row. One keyed window + one aggregate — the
+    * shuffle carries six numbers per key.
+    */
+  def autocorr(series: DataFrame, keys: Seq[Column], ts: Column,
+               closeCents: Column, lagK: Int): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val prev = lag(closeCents, 1).over(ord)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rq = when(prev > 0L && closeCents > 0L,
+      floor(log(closeCents.cast("double") / prev.cast("double")) *
+        lit(1000000.0d) + lit(0.5d)).cast("long"))
+    val num = dec(col("n")) * col("sxy") - col("sx") * col("sy")
+    val vx = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+    val vy = dec(col("n")) * col("syy") - col("sy") * col("sy")
+    series.withColumn("__r", rq)
+      .filter(col("__r").isNotNull)
+      .withColumn("__x", lag(col("__r"), lagK).over(ord))
+      .filter(col("__x").isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__x"))).as("sx"), sum(dec(col("__r"))).as("sy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+        sum(dec(col("__r")) * dec(col("__r"))).as("syy"),
+        sum(dec(col("__x")) * dec(col("__r"))).as("sxy"))
+      .filter(col("n") >= 2L && vx > 0 && vy > 0)
+      .select((keys :+ col("n") :+
+        (num.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("ac")): _*)
+  }
+
   /** Heikin-Ashi candle transform per key — the smoothed-candle view
     * every charting surface offers beside raw OHLC:
     * ha_close = (o+h+l+c)/4 (an exact integer quarter-cents sum,

@@ -304,6 +304,22 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("autocorr: exact sign-alternating returns give ac = -1; flat gives no row") {
+    // closes alternate 100/200: every log return is ±ln 2, and each
+    // lag-1 pair satisfies y = -x exactly → Pearson -1.
+    val vals = Seq.tabulate(12)(i => if (i % 2 == 0) 100L else 200L)
+    val out = Indicators.autocorr(series(vals), Seq(col("key")), col("t"),
+      col("c"), lagK = 1)
+      .select("n", "ac").as[(Long, Double)].collect()
+    assert(out.length == 1)
+    assert(out.head._1 == 10L, "11 returns form 10 lag-1 pairs")
+    assert(math.abs(out.head._2 + 1.0) < 1e-12)
+
+    val flat = Indicators.autocorr(series(Seq.fill(12)(100L)), Seq(col("key")),
+      col("t"), col("c"), lagK = 1).collect()
+    assert(flat.isEmpty, "zero-variance returns emit no row")
+  }
+
   private def ohlcq(rows: Seq[(Long, Long, Long, Long)]) =
     rows.zipWithIndex.map { case ((h, l, c, q), i) => ("k", i.toLong, h, l, c, q) }
       .toDF("key", "t", "h", "l", "c", "q")
