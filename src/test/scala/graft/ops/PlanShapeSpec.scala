@@ -189,6 +189,48 @@ class PlanShapeSpec extends SparkSpec {
       s"summary rank must trim via WindowGroupLimit:\n${p.take(4000)}")
   }
 
+  test("round-12 price indicators: ONE keyed window exchange each") {
+    val df = (0 until 60).map(i =>
+        ("k", i.toLong, 200L + i % 7, 100L + i % 5, 150L + (i * 13) % 41))
+      .toDF("key", "t", "h", "l", "c")
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "williamsR" -> Indicators.williamsR(df, Seq(col("key")), col("t"),
+        col("h"), col("l"), col("c"), 14),
+      "cci" -> Indicators.cci(df, Seq(col("key")), col("t"),
+        col("h"), col("l"), col("c"), 20),
+      "aroon" -> Indicators.aroon(df, Seq(col("key")), col("t"),
+        col("h"), col("l"), 25),
+      "adx" -> Indicators.adx(df, Seq(col("key")), col("t"),
+        col("h"), col("l"), 14))
+    ops.foreach { case (name, out) =>
+      assert(shuffles(out) === 1,
+        s"$name must run on one keyed window exchange:\n${plan(out)}")
+    }
+  }
+
+  test("autocorr: window lag and moment aggregate share one keyed exchange") {
+    val df = (0 until 60).map(i => ("k", i.toLong, 100L + (i * 13) % 41))
+      .toDF("key", "t", "c")
+    val out = Indicators.autocorr(df, Seq(col("key")), col("t"), col("c"), 1)
+    // the groupBy keys equal the window partition keys, so the moment
+    // aggregation must reuse the window's hash exchange
+    assert(shuffles(out) === 1,
+      s"autocorr should shuffle once (window + reused agg):\n${plan(out)}")
+  }
+
+  test("kmvPairs: one exchange, k-bounded partial sample below it — no window") {
+    val df = (1L to 500L).map(i => ("s", i * 31 % 997, i)).toDF("g", "h", "v")
+    val out = df.groupBy("g")
+      .agg(graft.functions.KmvAgg.kmvPairs(col("h"), col("v"), 16).as("vs"))
+    val p = plan(out)
+    assert(shuffles(out) === 1, s"kmvPairs should shuffle once:\n$p")
+    assert(!p.contains("Window"),
+      s"the row_number-window sample form would ship k rows per (group, " +
+        s"partition); the exchange must carry the k-bounded pairs partial:\n$p")
+    assert(p.contains("partial_kmv_pairs") || p.contains("Partial"),
+      s"expected a map-side (Partial) kmv_pairs aggregate below the exchange:\n$p")
+  }
+
   test("binary-quant ANN: both cuts plan as TakeOrderedAndProject, never a full sort") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val out = graft.llm.Similarity.signBitTopK(emb, col("vec_id"),
