@@ -593,6 +593,47 @@ class TxTable(val spark: SparkSession, val root: String,
     fat
   }
 
+  /** [[compact]]'s layout-aware form — the public Delta
+    * `OPTIMIZE ZORDER BY` trade: fat partitions (> maxFilesPerPartition
+    * files) are rewritten as `filesPerPartition` files range-
+    * partitioned and sorted by the Morton code of `cols` (each
+    * (name, lo, hi) a FIXED layout bound, [[ZOrder.rangeBucket]] /
+    * [[ZOrder.zValue]] — layout constants, so successive compactions
+    * interleave identically without rescanning history). After the
+    * rewrite each file covers one compact hyper-rectangle of the
+    * value space, so the stats sidecars the rewrite's staging pass
+    * re-publishes (computeStagedStats) carry [min,max] ranges tight
+    * on EVERY layout column at once — [[readPruned]] gets multi-
+    * column skipping and the table gets small-file GC in one
+    * optimistic partition rewrite. Appends between compactions
+    * degrade gracefully: new small files are unpruned-until-
+    * compacted, never wrong (stats remain an optimization input
+    * only). `filesPerPartition` is the layout's file-count constant —
+    * pick ≈ partition size / target file size at the largest
+    * expected partition.
+    */
+  def compactZOrdered(cols: Seq[(String, Long, Long)], bitsPer: Int = 10,
+                      maxFilesPerPartition: Int = 8,
+                      filesPerPartition: Int = 4): Set[String] = {
+    val v = version
+    if (v < 0) return Set.empty
+    import org.apache.spark.sql.functions.col
+    val byPart = snapshot(v).files.groupBy(_.partition)
+    val fat = byPart.collect { case (p, fs) if fs.size > maxFilesPerPartition => p }.toSet
+    fat.foreach { p =>
+      rewritePartitions(Set(p)) { cur =>
+        val z = ZOrder.zValue(
+          cols.map { case (c, lo, hi) => ZOrder.rangeBucket(col(c), lo, hi, bitsPer) },
+          bitsPer)
+        cur.withColumn("__z", z)
+          .repartitionByRange(filesPerPartition, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
+    }
+    fat
+  }
+
   /** Physically delete data files no snapshot within the last
     * `retainVersions` references, plus manifests older than that
     * horizon. Readers are snapshot-pinned, so retention must exceed

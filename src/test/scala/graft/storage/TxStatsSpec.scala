@@ -142,4 +142,45 @@ class TxStatsSpec extends SparkSpec {
     val want = t.read().filter(col("x") < 256L && col("y") < 256L).count()
     assert(got === want)
   }
+
+  test("compactZOrdered: fragmented appends become few multi-column-prunable files") {
+    val t = new TxTable(spark,
+      java.nio.file.Files.createTempDirectory("txzc").toString,
+      statsCols = Seq("x", "y"))
+    // 24 small unordered appends — the streaming-ingest fragmentation
+    // pattern: every file spans the whole (x, y) space, so NOTHING
+    // prunes before compaction
+    (0 until 24).foreach { r =>
+      t.append(spark.range(r * 2000L, (r + 1) * 2000L).select(
+        (col("id") % 1024L).as("x"),
+        ((col("id") * 2654435761L) % 1024L).as("y"),
+        lit("a").as("p_date")).coalesce(1))
+    }
+    val before = t.snapshot(t.version).files
+    assert(before.size === 24)
+    val beforeBox = t.pruneFiles(before, Map("x" -> ((0L, 255L)), "y" -> ((0L, 255L))))
+    assert(beforeBox.size === 24, "unordered small files span the space — no pruning")
+    val wantBox = t.read().filter(col("x") < 256L && col("y") < 256L).count()
+
+    val rewrote = t.compactZOrdered(
+      Seq(("x", 0L, 1023L), ("y", 0L, 1023L)), bitsPer = 10,
+      maxFilesPerPartition = 8, filesPerPartition = 16)
+    assert(rewrote === Set("a"))
+    val after = t.snapshot(t.version).files
+    assert(after.size === 16, s"compaction must hit the file-count constant: ${after.size}")
+    // the SAME box now touches a corner of the Morton grid
+    val afterBox = t.pruneFiles(after, Map("x" -> ((0L, 255L)), "y" -> ((0L, 255L))))
+    assert(afterBox.size <= 4,
+      s"quarter-box should touch few z-compacted files: ${afterBox.size}/16")
+    // content identical, pruned read exact
+    assert(t.read().count() === 48000L)
+    val got = t.readPruned(Map("x" -> ((0L, 255L)), "y" -> ((0L, 255L))))
+      .filter(col("x") < 256L && col("y") < 256L).count()
+    assert(got === wantBox)
+
+    // idempotent below the threshold: already-compacted partitions
+    // are left alone
+    assert(t.compactZOrdered(Seq(("x", 0L, 1023L), ("y", 0L, 1023L)),
+      bitsPer = 10, maxFilesPerPartition = 16, filesPerPartition = 4).isEmpty)
+  }
 }
