@@ -289,6 +289,78 @@ object SketchStream {
       .transformWithState(new KmvProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
+  // --------------------------------------------- sampled quantiles
+
+  /** One observation: `rowKey` a row-unique string (hashes into the
+    * sample rank), `v` the integer payload (cents) whose quantiles
+    * are estimated.
+    */
+  case class Obs(group: Long, rowKey: String, v: Long)
+
+  /** `h_k` is the sample's largest retained hash — monotone DECREASING
+    * once the sample is full (a new pair only enters by evicting it),
+    * so (n_sample asc, h_k desc) orders snapshots by recency and the
+    * max of that pair over emitted rows IS the live estimate.
+    */
+  case class QuantileEst(group: Long, n_sample: Long, h_k: Long,
+                         p50c: Long, p90c: Long, p99c: Long)
+
+  /** Streaming sampled quantiles — the
+    * [[graft.functions.KmvPairsAgg]] min-k (hash, payload) sample as
+    * `transformWithState` list state, emitting a p50/p90/p99 snapshot
+    * per (key, trigger). The state is a monotone min-set of pairs
+    * (≤ k·16 bytes per key forever): duplicate row keys hash
+    * identically and dedup, so the operator is idempotent under
+    * redelivery and arrival-order-free — the SAME sample (and hence
+    * the bit-identical estimate) as the batch `ts_sample_quantiles`
+    * aggregate over whatever rows have arrived. Quantile picks are
+    * the batch query's integer-index rule over the value-sorted
+    * sample, error √(q(1−q)/k).
+    */
+  class QuantileProcessor(k: Int) extends StatefulProcessor[Long, Obs, QuantileEst] {
+    @transient private var sample: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sample = getHandle.getListState[(Long, Long)]("kmvpairs",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Obs],
+                                 timerValues: TimerValues): Iterator[QuantileEst] = {
+      val ord = implicitly[Ordering[(Long, Long)]]
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      sample.get().foreach(buf += _) // (h, v) ascending from the last write
+      rows.foreach { o =>
+        val p = (java.lang.Long.parseLong(md5Hex(o.rowKey).substring(0, 13), 16), o.v)
+        if (buf.length < k || ord.lt(p, buf.last)) {
+          buf.search(p)(ord) match {
+            case scala.collection.Searching.InsertionPoint(i) =>
+              buf.insert(i, p)
+              if (buf.length > k) buf.remove(buf.length - 1)
+            case _ => () // identical (hash, payload) pair: dedup
+          }
+        }
+      }
+      sample.put(buf.toArray)
+      val sv = buf.map(_._2).toArray.sorted
+      val n = sv.length
+      if (n == 0) Iterator.empty
+      else {
+        def pick(num: Long, den: Long): Long = sv((((n - 1) * num) / den).toInt)
+        Iterator.single(QuantileEst(key, n.toLong, buf.last._1,
+          pick(1L, 2L), pick(9L, 10L), pick(99L, 100L)))
+      }
+    }
+  }
+
+  /** One quantile snapshot per (key, trigger) — the latest row per
+    * key is the live estimate.
+    */
+  def quantilesOf(ds: Dataset[Obs], k: Int = 256): Dataset[QuantileEst] = {
+    implicit val enc: org.apache.spark.sql.Encoder[QuantileEst] = Encoders.product[QuantileEst]
+    ds.groupByKey(_.group)(Encoders.scalaLong)
+      .transformWithState(new QuantileProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
   // ---------------------------------------------------------- bloom
 
   case class FirstSeen(group: Long, value: String, emitted: Boolean)

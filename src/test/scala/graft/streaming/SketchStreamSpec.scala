@@ -241,4 +241,59 @@ class SketchStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming sampled quantiles ≡ the batch KmvPairsAgg sample, redelivery-invariant") {
+    import SketchStream.{Obs, QuantileEst}
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val q = SketchStream.quantilesOf(in.toDS(), k = 64)
+      .writeStream.format("memory").queryName("q_stream")
+      .outputMode("append").start()
+    try {
+      // group 0: 1000 rows (> k — real sampling); group 1: 30 (< k —
+      // degrades to exact quantiles of everything seen)
+      val g0 = (0 until 1000).map(i => Obs(0L, s"r_$i", (i * 37L) % 10007L))
+      val g1 = (0 until 30).map(i => Obs(1L, s"s_$i", i * 100L))
+      in.addData(scala.util.Random.shuffle(g0.take(400) ++ g1)); q.processAllAvailable()
+      in.addData(g0.slice(200, 800) ++ g1.take(10));             q.processAllAvailable()
+      in.addData(scala.util.Random.shuffle(g0.drop(700) ++ g0.take(100)))
+      q.processAllAvailable()
+
+      val live = spark.table("q_stream").as[QuantileEst].collect()
+        .groupBy(_.group).map { case (g, rs) =>
+          g -> rs.maxBy(r => (r.n_sample, -r.h_k))
+        }
+
+      // batch twin through the ACTUAL KmvPairsAgg Column on all rows
+      val batch = (g0 ++ g1).toDF("group", "rowKey", "v")
+        .withColumn("h",
+          conv(substring(md5(col("rowKey")), 1, 13), 16, 10).cast("long"))
+        .groupBy("group")
+        .agg(graft.functions.KmvAgg.kmvPairs(col("h"), col("v"), 64).as("vs"))
+        .select(col("group"), col("vs")).as[(Long, Seq[Long])].collect()
+        .map { case (g, vs) =>
+          val sv = vs.sorted
+          val n = sv.length
+          def pick(num: Long, den: Long) = sv((((n - 1) * num) / den).toInt)
+          g -> ((n.toLong, pick(1, 2), pick(9, 10), pick(99, 100)))
+        }.toMap
+
+      assert(live(0L).n_sample == 64L)
+      assert((live(0L).n_sample, live(0L).p50c, live(0L).p90c, live(0L).p99c) == batch(0L),
+        s"streaming ${live(0L)} vs batch ${batch(0L)}")
+      assert(live(1L).n_sample == 30L)
+      assert((live(1L).n_sample, live(1L).p50c, live(1L).p90c, live(1L).p99c) == batch(1L))
+      // below-k group: the sample IS the population — exact quantiles
+      assert(live(1L).p50c == ((30 - 1) / 2) * 100L)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
