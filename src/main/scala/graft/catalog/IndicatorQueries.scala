@@ -706,6 +706,142 @@ object IndicatorQueries {
        |GROUP BY 1, 2 HAVING sum(k) > 0
        |ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------- Donchian channels
+  /** [[Indicators.donchian]] (n = 20): integer window extremes + one
+    * dyadic halving — no fold anywhere.
+    */
+  private def donchianQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.donchian(hourlyOhlc(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), n = 20)
+      .filter(col("upper").isNotNull)
+      .select(col("event_type"), col("bus"),
+        r4(col("upper")).as("upper"), r4(col("lower")).as("lower"),
+        r4(col("mid")).as("mid"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val donchianSql: String =
+    s"""$hourlyOhlcCte, w AS (
+       |  SELECT event_type, bus,
+       |         count(c) OVER fr AS cnt,
+       |         max(h) OVER fr AS hi,
+       |         min(l) OVER fr AS lo
+       |  FROM hourly
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("CAST(hi AS DOUBLE) / 100.0")} AS upper,
+       |       ${r4Sql("CAST(lo AS DOUBLE) / 100.0")} AS lower,
+       |       ${r4Sql("CAST(hi + lo AS DOUBLE) / 2.0 / 100.0")} AS mid
+       |FROM w WHERE cnt >= 20 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------- ROC / momentum
+  /** [[Indicators.roc]] (n = 12): integer momentum rides beside the
+    * single-division percent change.
+    */
+  private def rocQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.roc(hourly(s, dir), Seq(col("event_type")),
+        col("bus"), col("c"), n = 12)
+      .filter(col("momentum").isNotNull)
+      .select(col("event_type"), col("bus"), col("momentum"),
+        r4(col("roc")).as("roc"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val rocSql: String =
+    s"""$hourlyCte, b AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c, 12) OVER (PARTITION BY event_type ORDER BY bus) AS back
+       |  FROM hourly
+       |)
+       |SELECT event_type, bus,
+       |       CAST(c - back AS BIGINT) AS momentum,
+       |       ${r4Sql("CASE WHEN back > 0 " +
+                       "THEN 100.0 * (c - back) / CAST(back AS DOUBLE) END")} AS roc
+       |FROM b WHERE back IS NOT NULL ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ TRIX
+  /** [[Indicators.trix]] (n = 15 → α = 2/16, an exactly-dyadic
+    * smoothing constant): three composed window-list EMA folds, then
+    * the 1-period percent change.
+    */
+  private def trixQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.trix(hourly(s, dir), Seq(col("event_type")),
+        col("bus"), col("c"), n = 15)
+      .filter(col("trix").isNotNull)
+      .select(col("event_type"), col("bus"), r4(col("trix")).as("trix"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val trixSql: String = {
+    val fold = "(acc, x) -> (2.0/16.0) * x + (1.0 - 2.0/16.0) * acc"
+    s"""$hourlyCte, a1 AS (
+       |  SELECT event_type, bus,
+       |         list_reduce(list(CAST(c AS DOUBLE)) OVER fr, $fold) AS e1
+       |  FROM hourly
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 39 PRECEDING AND CURRENT ROW)
+       |), a2 AS (
+       |  SELECT event_type, bus,
+       |         list_reduce(list(e1) OVER fr, $fold) AS e2
+       |  FROM a1
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 39 PRECEDING AND CURRENT ROW)
+       |), a3 AS (
+       |  SELECT event_type, bus,
+       |         list_reduce(list(e2) OVER fr, $fold) AS e3
+       |  FROM a2
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 39 PRECEDING AND CURRENT ROW)
+       |), lg AS (
+       |  SELECT event_type, bus, e3,
+       |         lag(e3) OVER (PARTITION BY event_type ORDER BY bus) AS pe
+       |  FROM a3
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("100.0 * (e3 - pe) / pe")} AS trix
+       |FROM lg WHERE pe IS NOT NULL AND pe <> 0 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------- Vortex
+  /** [[Indicators.vortex]] (n = 14): ΣVM± / ΣTR on exact integer
+    * sums, two divisions; zero-TR frame pins both VIs to 1.
+    */
+  private def vortexQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.vortex(hourlyOhlc(s, dir), Seq(col("event_type")),
+        col("bus"), col("h"), col("l"), col("c"), n = 14)
+      .filter(col("vi_plus").isNotNull)
+      .select(col("event_type"), col("bus"),
+        r4(col("vi_plus")).as("vi_plus"), r4(col("vi_minus")).as("vi_minus"))
+      .orderBy(col("event_type"), col("bus"))
+
+  private val vortexSql: String =
+    s"""$hourlyOhlcCte, d AS (
+       |  SELECT event_type, bus, h, l, c,
+       |         lag(h) OVER w AS ph, lag(l) OVER w AS pl, lag(c) OVER w AS pc
+       |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bus)
+       |), t AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN pl IS NOT NULL THEN abs(h - pl) END AS vp,
+       |         CASE WHEN ph IS NOT NULL THEN abs(l - ph) END AS vm,
+       |         CASE WHEN pc IS NOT NULL
+       |              THEN greatest(h - l, abs(h - pc), abs(l - pc)) END AS tr
+       |  FROM d
+       |), w2 AS (
+       |  SELECT event_type, bus,
+       |         count(tr) OVER fr AS nd,
+       |         CAST(sum(vp) OVER fr AS BIGINT) AS sp,
+       |         CAST(sum(vm) OVER fr AS BIGINT) AS sm,
+       |         CAST(sum(tr) OVER fr AS BIGINT) AS st
+       |  FROM t
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("CASE WHEN st = 0 THEN 1.0 " +
+                       "ELSE sp / CAST(st AS DOUBLE) END")} AS vi_plus,
+       |       ${r4Sql("CASE WHEN st = 0 THEN 1.0 " +
+                       "ELSE sm / CAST(st AS DOUBLE) END")} AS vi_minus
+       |FROM w2 WHERE nd >= 14 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------- hourly OHLC + volume
   /** [[hourlyOhlc]] joined with the hourly `props.k` volume (the
     * [[obvQ]] quantity path) — both sides clustered by [[byKey]], so
@@ -1090,6 +1226,10 @@ object IndicatorQueries {
     "ts_aroon"      -> aroonQ,
     "ts_adx"        -> adxQ,
     "ts_atr"        -> atrQ,
+    "ts_donchian"   -> donchianQ,
+    "ts_roc"        -> rocQ,
+    "ts_trix"       -> trixQ,
+    "ts_vortex"     -> vortexQ,
     "ts_macd"       -> macdQ,
     "ts_mfi"        -> mfiQ,
     "ts_cmf"        -> cmfQ,
@@ -1118,6 +1258,10 @@ object IndicatorQueries {
     "ts_aroon"      -> aroonSql,
     "ts_adx"        -> adxSql,
     "ts_atr"        -> atrSql,
+    "ts_donchian"   -> donchianSql,
+    "ts_roc"        -> rocSql,
+    "ts_trix"       -> trixSql,
+    "ts_vortex"     -> vortexSql,
     "ts_macd"       -> macdSql,
     "ts_mfi"        -> mfiSql,
     "ts_cmf"        -> cmfSql,

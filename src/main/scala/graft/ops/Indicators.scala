@@ -638,6 +638,106 @@ object Indicators {
       .drop("__up", "__dn", "__pdm", "__mdm", "__nd", "__sp", "__sm", "__dxs")
   }
 
+  /** Donchian channels: trailing-n highest high / lowest low envelope
+    * with the midline — pure integer window extremes plus ONE
+    * exactly-dyadic halving (the [[ichimoku]] discipline; no fold,
+    * no float accumulation anywhere). Warm-up (< n) emits null.
+    * Emits dollars.
+    */
+  def donchian(series: DataFrame, keys: Seq[Column], ts: Column,
+               highCents: Column, lowCents: Column, n: Int): DataFrame = {
+    val frame = Window.partitionBy(keys: _*).orderBy(ts).rowsBetween(-(n - 1), 0)
+    val ok = count(highCents).over(frame) >= n
+    series
+      .withColumn("upper",
+        when(ok, max(highCents).over(frame).cast("double") / lit(100.0d)))
+      .withColumn("lower",
+        when(ok, min(lowCents).over(frame).cast("double") / lit(100.0d)))
+      .withColumn("mid",
+        when(ok, (max(highCents).over(frame) + min(lowCents).over(frame))
+          .cast("double") / lit(2.0d) / lit(100.0d)))
+  }
+
+  /** Rate of change + momentum over `n` periods: ROC = 100·(c −
+    * c₋ₙ)/c₋ₙ (integer numerator, one float division), momentum =
+    * the raw integer cents delta (no rounding at all). Rows without
+    * an n-back close (or a non-positive one) emit null.
+    */
+  def roc(series: DataFrame, keys: Seq[Column], ts: Column,
+          closeCents: Column, n: Int): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val back = lag(closeCents, n).over(ord)
+    series
+      .withColumn("momentum",
+        when(back.isNotNull, closeCents - back))
+      .withColumn("roc",
+        when(back > 0L, lit(100.0d) * (closeCents - back).cast("double") /
+          back.cast("double")))
+  }
+
+  /** TRIX: the 1-period percent change of a triple-smoothed EMA —
+    * three [[emaTruncated]] folds composed (each a fixed left-to-
+    * right IEEE chain over an ordered `window`-row list, engine-
+    * portable; the middle folds list the PREVIOUS stage's windowed
+    * value, so truncation compounds identically in both engines),
+    * then TRIX = 100·(e₃ − lag e₃)/lag e₃. α = 2/(n+1). The first
+    * row of a key has no lag and emits null.
+    */
+  def trix(series: DataFrame, keys: Seq[Column], ts: Column,
+           closeCents: Column, n: Int, window: Int = 40): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val frame = ord.rowsBetween(-(window - 1), 0)
+    val a = lit(2.0d) / lit((n + 1).toDouble)
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(null).cast("double"),
+        (acc, x) => when(acc.isNull, x).otherwise(a * x + (lit(1.0d) - a) * acc))
+    val withE3 = series
+      .withColumn("__e1", fold(collect_list(closeCents.cast("double")).over(frame)))
+      .withColumn("__e2", fold(collect_list(col("__e1")).over(frame)))
+      .withColumn("__e3", fold(collect_list(col("__e2")).over(frame)))
+    val prev = lag(col("__e3"), 1).over(ord)
+    withE3
+      .withColumn("trix",
+        when(prev.isNotNull && prev =!= 0.0d,
+          lit(100.0d) * (col("__e3") - prev) / prev))
+      .drop("__e1", "__e2", "__e3")
+  }
+
+  /** Vortex indicator: VI± = ΣVM± / ΣTR over the trailing n deltas,
+    * VM+ = |h − prevL|, VM− = |l − prevH| — every sum an exact
+    * integer (the [[atr]] TR definition), each VI one float
+    * division. Warm-up (< n deltas) emits null; a zero-TR frame
+    * (all candles identical) pins both VIs to 1 (direction-neutral,
+    * decided on exact integers).
+    */
+  def vortex(series: DataFrame, keys: Seq[Column], ts: Column,
+             highCents: Column, lowCents: Column, closeCents: Column,
+             n: Int): DataFrame = {
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val frame = ord.rowsBetween(-(n - 1), 0)
+    val ph = lag(highCents, 1).over(ord)
+    val pl = lag(lowCents, 1).over(ord)
+    val pc = lag(closeCents, 1).over(ord)
+    series
+      .withColumn("__vp", when(pl.isNotNull, abs(highCents - pl)))
+      .withColumn("__vm", when(ph.isNotNull, abs(lowCents - ph)))
+      .withColumn("__tr", when(pc.isNotNull,
+        greatest(highCents - lowCents, abs(highCents - pc), abs(lowCents - pc))))
+      .withColumn("__nd", count(col("__tr")).over(frame))
+      .withColumn("__sp", sum(col("__vp")).over(frame))
+      .withColumn("__sm", sum(col("__vm")).over(frame))
+      .withColumn("__st", sum(col("__tr")).over(frame))
+      .withColumn("vi_plus",
+        when(col("__nd") < n, lit(null).cast("double"))
+          .when(col("__st") === 0L, lit(1.0d))
+          .otherwise(col("__sp").cast("double") / col("__st").cast("double")))
+      .withColumn("vi_minus",
+        when(col("__nd") < n, lit(null).cast("double"))
+          .when(col("__st") === 0L, lit(1.0d))
+          .otherwise(col("__sm").cast("double") / col("__st").cast("double")))
+      .drop("__vp", "__vm", "__tr", "__nd", "__sp", "__sm", "__st")
+  }
+
   /** Money Flow Index (n-period, simple-sum form): the volume-weighted
     * RSI. Raw money flow mf = tp3·qty with tp3 = h+l+c (integer cents
     * ×3 — the /3 and /100 scale factors cancel in the ratio), signed

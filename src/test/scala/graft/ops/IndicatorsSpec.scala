@@ -324,6 +324,69 @@ class IndicatorsSpec extends SparkSpec {
     rows.zipWithIndex.map { case ((h, l, c, q), i) => ("k", i.toLong, h, l, c, q) }
       .toDF("key", "t", "h", "l", "c", "q")
 
+  test("donchian: extremes envelope with dyadic mid; warm-up null") {
+    val rows = (0 until 25).map(i => (200L + 10L * i, 100L + 10L * i, 150L))
+    val out = Indicators.donchian(ohlc(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), n = 20)
+      .orderBy("t").select("upper", "lower", "mid")
+      .as[(Option[Double], Option[Double], Option[Double])].collect()
+    assert(out(18)._1.isEmpty, "warm-up")
+    // row 19: hi = h19 = 390c, lo = l0 = 100c, mid = 245c
+    assert(out(19) == ((Some(3.9), Some(1.0), Some(2.45))))
+    // row 24: hi = h24 = 440c, lo = l5 = 150c
+    assert(out(24) == ((Some(4.4), Some(1.5), Some(2.95))))
+  }
+
+  test("roc: integer momentum and the hand-checked percent change") {
+    val vals = (0 until 15).map(i => 100L + 10L * i)
+    val out = Indicators.roc(series(vals), Seq(col("key")), col("t"),
+      col("c"), n = 12)
+      .orderBy("t").select("momentum", "roc")
+      .as[(Option[Long], Option[Double])].collect()
+    assert(out(11)._1.isEmpty, "no 12-back close yet")
+    assert(out(12) == ((Some(120L), Some(120.0))), "220 vs 100 → +120c, +120%")
+    assert(out(14) == ((Some(120L), Some(100.0))), "240 vs 120 → +120c, +100%")
+  }
+
+  test("trix: constant series is identically zero; fold matches driver-side triple EMA") {
+    val flat = Indicators.trix(series(Seq.fill(10)(500L)), Seq(col("key")),
+      col("t"), col("c"), n = 15)
+      .orderBy("t").select("trix").as[Option[Double]].collect()
+    assert(flat(0).isEmpty, "first row has no lag")
+    assert(flat.drop(1).forall(_.contains(0.0)))
+
+    val vals = Seq(100L, 200L, 300L, 250L, 150L, 400L)
+    val out = Indicators.trix(series(vals), Seq(col("key")), col("t"),
+      col("c"), n = 15)
+      .orderBy("t").select("trix").as[Option[Double]].collect()
+    val a = 2.0 / 16.0
+    def fold(xs: Seq[Double]): Double =
+      xs.reduceLeft((acc, x) => a * x + (1.0 - a) * acc)
+    def stage(xs: Seq[Double]): Seq[Double] =
+      xs.indices.map(i => fold(xs.take(i + 1)))
+    val e3 = stage(stage(stage(vals.map(_.toDouble))))
+    val exp = 100.0 * (e3(5) - e3(4)) / e3(4)
+    assert(math.abs(out(5).get - exp) < 1e-12)
+  }
+
+  test("vortex: steady uptrend gives the closed-form VI pair; zero-TR pins 1") {
+    // h,l,c all +10c/candle: VM+ = h−prevL = 110, VM- = |l−prevH| = 90,
+    // TR = 100 per delta
+    val rows = (0 until 16).map(i => (200L + 10L * i, 100L + 10L * i, 150L + 10L * i))
+    val out = Indicators.vortex(ohlc(rows), Seq(col("key")), col("t"),
+      col("h"), col("l"), col("c"), n = 14)
+      .orderBy("t").select("vi_plus", "vi_minus")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out(13)._1.isEmpty, "warm-up: 13 deltas")
+    assert(out(14) == ((Some(1.1), Some(0.9))))
+
+    val flat = Indicators.vortex(ohlc(Seq.fill(16)((100L, 100L, 100L))),
+      Seq(col("key")), col("t"), col("h"), col("l"), col("c"), n = 14)
+      .orderBy("t").select("vi_plus", "vi_minus")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(flat(14) == ((Some(1.0), Some(1.0))), "zero-TR frame pins both to 1")
+  }
+
   test("mfi: hand-checked signed-flow ratio; all-up pins 100, flat pins 50") {
     // n=3: deltas +100c, −50c, +150c with qty 2/3/4 →
     // sp = 600·2 + 900·4 = 4800, sn = 450·3 = 1350.
