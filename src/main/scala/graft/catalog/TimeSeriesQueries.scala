@@ -1166,6 +1166,73 @@ object TimeSeriesQueries {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------- M4 chart downsampling
+  /** [[graft.ops.TimeSeries.m4Downsample]] over the event series at
+    * 6-hour pixel columns — the serving-side reduction a chart
+    * endpoint returns instead of raw rows (1–4 exact integer points
+    * per bucket; output bounded by 4·buckets·keys at any input
+    * scale).
+    */
+  private def m4DownsampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.m4Downsample(
+        series(s, dir).withColumn("c", cents(col("value"))),
+        col("event_type"), col("tus"), col("c"), widthUs = 21600000000L)
+      .select(col("k").as("event_type"), col("b").as("bus"),
+        col("t").as("tus"), col("c"))
+      .orderBy(col("event_type"), col("bus"), col("tus"), col("c"))
+
+  private val m4DownsampleSql: String =
+    s"""$seriesCte, base AS (
+       |  SELECT event_type, tus, ${centsSql("value")} AS c,
+       |         (tus // 21600000000) * 21600000000 AS b
+       |  FROM series
+       |), w AS (
+       |  SELECT event_type, b, tus, c,
+       |         min(c) OVER pb AS vmin, max(c) OVER pb AS vmax,
+       |         min(tus) OVER pb AS tf, max(tus) OVER pb AS tl
+       |  FROM base WINDOW pb AS (PARTITION BY event_type, b)
+       |), pts AS (
+       |  SELECT event_type, b, vmin, vmax, tf, tl,
+       |         min(CASE WHEN tus = tf THEN c END) AS c_first,
+       |         min(CASE WHEN tus = tl THEN c END) AS c_last,
+       |         min(CASE WHEN c = vmin THEN tus END) AS t_min,
+       |         min(CASE WHEN c = vmax THEN tus END) AS t_max
+       |  FROM w GROUP BY 1, 2, 3, 4, 5, 6
+       |), u AS (
+       |  SELECT event_type, b, tf AS tus, c_first AS c FROM pts
+       |  UNION SELECT event_type, b, t_min, vmin FROM pts
+       |  UNION SELECT event_type, b, t_max, vmax FROM pts
+       |  UNION SELECT event_type, b, tl, c_last FROM pts
+       |)
+       |SELECT event_type, b AS bus, tus, c FROM u
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  // --------------------------------------- hour-of-day seasonality
+  /** Calendar seasonality profile: mean value and row count per
+    * (event_type, hour-of-day) — integer-exact cents sums, one float
+    * division per cell; 24·keys output rows at any scale.
+    */
+  private def hodProfileQ(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .withColumn("hod", expr("(tus div 3600000000) % 24"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("s"))
+      .select(col("event_type"), col("hod"), col("n"),
+        r4(col("s").cast("double") /
+          (lit(100.0d) * col("n").cast("double"))).as("avg_v"))
+      .orderBy(col("event_type"), col("hod"))
+
+  private val hodProfileSql: String =
+    s"""$seriesCte, g AS (
+       |  SELECT event_type, (tus // 3600000000) % 24 AS hod,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(${centsSql("value")}) AS BIGINT) AS s
+       |  FROM series GROUP BY 1, 2
+       |)
+       |SELECT event_type, hod, n,
+       |       ${r4Sql("s / (100.0 * n)")} AS avg_v
+       |FROM g ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------- sampled quantile estimates
   /** KMV-sampled approximate quantiles — `ts_quantiles`' 100 TB form.
     * The exact query sorts every value per key; here the k = 256
@@ -1450,6 +1517,8 @@ object TimeSeriesQueries {
     "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_sample_quantiles" -> sampleQuantilesQ,
+    "ts_m4_downsample" -> m4DownsampleQ,
+    "ts_hod_profile"   -> hodProfileQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
     "ts_sql_candle_1h" -> sqlCandle1h,
     "ts_candle_1d"     -> rollupQuery(86400L),
@@ -1481,6 +1550,8 @@ object TimeSeriesQueries {
     "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_sample_quantiles" -> sampleQuantilesSql,
+    "ts_m4_downsample" -> m4DownsampleSql,
+    "ts_hod_profile"   -> hodProfileSql,
     "ts_candle_1h"     -> rollupSql(3600L),
     "ts_sql_candle_1h" -> rollupSql(3600L),
     "ts_candle_1d"     -> rollupSql(86400L),

@@ -118,4 +118,51 @@ object TimeSeries {
       .select((leftCols.map(c => col(s"__lrow.$c").as(c)) ++
         (rightVals :+ asofTime).map(col)): _*)
   }
+
+  /** M4 visual downsampling (Jugel, Markl et al., VLDB'14): per
+    * (key, `widthUs` bucket) keep only the first, last, lowest, and
+    * highest points — the 4-point-per-pixel-column reduction that
+    * renders a line chart pixel-identically to the full series, the
+    * standard server-side cut a chart endpoint (the reference's
+    * ohlcvs read path feeding web/src/chart.js) serves instead of
+    * raw rows. Input must be unique per (key, tus)
+    * ([[graft.core.Tables.eventSeries]]-style dedup first).
+    *
+    * Two stages over ONE keyed exchange: a whole-bucket window pins
+    * the four integer extremes (vmin/vmax/tf/tl), then an aggregate
+    * on the same keys recovers each extreme's companion coordinate
+    * with deterministic tie rules — a tied min/max VALUE yields its
+    * EARLIEST point (min tus over c = vmin/vmax); the time extremes
+    * are unique by the input contract. The result is the distinct
+    * union of the four points (1–4 rows per bucket), every value an
+    * exact integer — no floats anywhere, so the reduction is engine-
+    * exact and composes with any downstream rounding. At 100 TB this
+    * is a single partial-aggregable pass whose output is bounded by
+    * 4·buckets·keys, independent of input row count.
+    */
+  def m4Downsample(df: DataFrame, key: Column, tus: Column,
+                   valueCents: Column, widthUs: Long): DataFrame = {
+    require(widthUs > 0, s"m4Downsample: width must be positive: $widthUs")
+    val base = df.select(key.as("k"), tus.as("t"), valueCents.as("c"))
+      .withColumn("b", col("t") - pmod(col("t"), lit(widthUs)))
+    val pb = org.apache.spark.sql.expressions.Window.partitionBy(col("k"), col("b"))
+    val w = base
+      .withColumn("vmin", min(col("c")).over(pb))
+      .withColumn("vmax", max(col("c")).over(pb))
+      .withColumn("tf", min(col("t")).over(pb))
+      .withColumn("tl", max(col("t")).over(pb))
+    w.groupBy(col("k"), col("b"), col("vmin"), col("vmax"), col("tf"), col("tl"))
+      .agg(
+        min(when(col("t") === col("tf"), col("c"))).as("c_first"),
+        min(when(col("t") === col("tl"), col("c"))).as("c_last"),
+        min(when(col("c") === col("vmin"), col("t"))).as("t_min"),
+        min(when(col("c") === col("vmax"), col("t"))).as("t_max"))
+      .select(col("k"), col("b"),
+        explode(array_distinct(array(
+          struct(col("tf").as("t"), col("c_first").as("c")),
+          struct(col("t_min").as("t"), col("vmin").as("c")),
+          struct(col("t_max").as("t"), col("vmax").as("c")),
+          struct(col("tl").as("t"), col("c_last").as("c"))))).as("p"))
+      .select(col("k"), col("b"), col("p.t").as("t"), col("p.c").as("c"))
+  }
 }
