@@ -1233,6 +1233,60 @@ object TimeSeriesQueries {
        |       ${r4Sql("s / (100.0 * n)")} AS avg_v
        |FROM g ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------ MAD anomaly detection
+  /** Robust outlier detection on the hourly close series: flag hours
+    * whose |close − median| exceeds 3 robust standard deviations,
+    * σ̂ = 1.4826·MAD (the classic consistency constant). Two tiny
+    * per-key aggregates (median, then the median of absolute
+    * deviations — both interpolated percentiles over exact integer
+    * cents, which both engines evaluate as the same dyadic (a+b)/2
+    * forms) broadcast back onto the series; the score is one fixed
+    * float expression, so the >3 cut can never flip between engines.
+    * At scale: two aggregation passes + a keys-sized broadcast join —
+    * no sort of the full series, output only the anomalies.
+    */
+  private def madOutliersQ(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventSeriesOver(
+        Tables.events(s, dir).repartition(col("event_type")))
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy(col("event_type"),
+        (expr("tus div 3600000000") * 3600000000L).as("bus"))
+      .agg(cents(max_by(col("value"), col("tus"))).as("c"))
+    val med = hourly.groupBy(col("event_type"))
+      .agg(percentile(col("c"), lit(0.5)).as("med"))
+    val mad = hourly.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(percentile(abs(col("c") - col("med")), lit(0.5)).as("mad"),
+        first(col("med")).as("med"))
+    hourly.join(broadcast(mad), "event_type")
+      .withColumn("score",
+        abs(col("c") - col("med")) / (lit(1.4826d) * col("mad")))
+      .filter(col("mad") > 0.0d && col("score") > 3.0d)
+      .select(col("event_type"), col("bus"), col("c"), r4(col("score")).as("score"))
+      .orderBy(col("event_type"), col("bus"))
+  }
+
+  private val madOutliersSql: String =
+    s"""${seriesCte}, hourly AS (
+       |  SELECT event_type, (tus // 3600000000) * 3600000000 AS bus,
+       |         ${centsSql("max_by(value, tus)")} AS c
+       |  FROM series GROUP BY 1, 2
+       |), med AS (
+       |  SELECT event_type, quantile_cont(c, 0.5) AS med
+       |  FROM hourly GROUP BY 1
+       |), mad AS (
+       |  SELECT h.event_type, quantile_cont(abs(h.c - m.med), 0.5) AS mad,
+       |         any_value(m.med) AS med
+       |  FROM hourly h JOIN med m USING (event_type) GROUP BY 1
+       |), sc AS (
+       |  SELECT h.event_type, h.bus, h.c,
+       |         abs(h.c - a.med) / (1.4826 * a.mad) AS score
+       |  FROM hourly h JOIN mad a ON h.event_type = a.event_type
+       |  WHERE a.mad > 0
+       |)
+       |SELECT event_type, bus, c, ${r4Sql("score")} AS score
+       |FROM sc WHERE score > 3.0 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------- sampled quantile estimates
   /** KMV-sampled approximate quantiles — `ts_quantiles`' 100 TB form.
     * The exact query sorts every value per key; here the k = 256
@@ -1518,6 +1572,7 @@ object TimeSeriesQueries {
     "ts_quantiles"     -> quantilesQ,
     "ts_sample_quantiles" -> sampleQuantilesQ,
     "ts_m4_downsample" -> m4DownsampleQ,
+    "ts_mad_outliers"  -> madOutliersQ,
     "ts_hod_profile"   -> hodProfileQ,
     "ts_candle_1h"     -> rollupQuery(3600L),
     "ts_sql_candle_1h" -> sqlCandle1h,
@@ -1551,6 +1606,7 @@ object TimeSeriesQueries {
     "ts_quantiles"     -> quantilesSql,
     "ts_sample_quantiles" -> sampleQuantilesSql,
     "ts_m4_downsample" -> m4DownsampleSql,
+    "ts_mad_outliers"  -> madOutliersSql,
     "ts_hod_profile"   -> hodProfileSql,
     "ts_candle_1h"     -> rollupSql(3600L),
     "ts_sql_candle_1h" -> rollupSql(3600L),

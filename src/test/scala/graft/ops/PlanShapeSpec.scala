@@ -231,6 +231,14 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side (Partial) kmv_pairs aggregate below the exchange:\n$p")
   }
 
+  test("m4Downsample: whole-bucket window and point aggregate share one exchange") {
+    val df = (0 until 500).map(i => ("k", i.toLong, (i * 13L) % 97L))
+      .toDF("key", "t", "c")
+    val out = TimeSeries.m4Downsample(df, col("key"), col("t"), col("c"), 50L)
+    assert(shuffles(out) === 1,
+      s"m4 must reduce on one (key, bucket) exchange:\n${plan(out)}")
+  }
+
   test("binary-quant ANN: both cuts plan as TakeOrderedAndProject, never a full sort") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val out = graft.llm.Similarity.signBitTopK(emb, col("vec_id"),
