@@ -1074,6 +1074,58 @@ object IndicatorQueries {
        |  AND CAST(n AS HUGEINT)*syy - sy*sy > 0
        |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- SMA-cross backtest
+  /** [[Indicators.smaCrossBacktest]] (10/40) over the hourly close
+    * series — the strategy-evaluation composite: integer cross
+    * decisions, integer equity sums, one exp at the end.
+    */
+  private def smaCrossQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.smaCrossBacktest(hourly(s, dir), Seq(col("event_type")),
+        col("bus"), col("c"), fastN = 10, slowN = 40)
+      .select(col("event_type"), col("n"), col("trades"),
+        r4(col("strat_ret_pct")).as("strat_ret_pct"))
+      .orderBy(col("event_type"))
+
+  private val smaCrossSql: String =
+    s"""$hourlyCte, w AS (
+       |  SELECT event_type, bus, c,
+       |         count(c) OVER fs AS cs,
+       |         CAST(sum(c) OVER ff AS BIGINT) AS sf,
+       |         CAST(sum(c) OVER fs AS BIGINT) AS ss,
+       |         lag(c) OVER wk AS prev
+       |  FROM hourly
+       |  WINDOW ff AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       |         fs AS (PARTITION BY event_type ORDER BY bus
+       |                ROWS BETWEEN 39 PRECEDING AND CURRENT ROW),
+       |         wk AS (PARTITION BY event_type ORDER BY bus)
+       |), p AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN cs < 40 THEN NULL
+       |              WHEN 40 * sf - 10 * ss > 0 THEN 1
+       |              WHEN 40 * sf - 10 * ss < 0 THEN -1 ELSE 0 END AS pos,
+       |         CASE WHEN prev > 0 AND c > 0
+       |              THEN CAST(floor(ln(CAST(c AS DOUBLE) / CAST(prev AS DOUBLE))
+       |                               * 1000000.0 + 0.5) AS BIGINT) END AS rq
+       |  FROM w
+       |), x AS (
+       |  SELECT event_type, bus, pos, rq,
+       |         lag(pos) OVER (PARTITION BY event_type ORDER BY bus) AS spos
+       |  FROM p
+       |), agg AS (
+       |  SELECT event_type,
+       |         CAST(count(CASE WHEN spos IS NOT NULL AND rq IS NOT NULL
+       |                         THEN 1 END) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN pos IS NOT NULL AND spos IS NOT NULL
+       |                            AND pos <> spos THEN 1 ELSE 0 END) AS BIGINT) AS trades,
+       |         CAST(sum(CASE WHEN spos IS NOT NULL AND rq IS NOT NULL
+       |                       THEN spos * rq END) AS BIGINT) AS s
+       |  FROM x GROUP BY 1
+       |)
+       |SELECT event_type, n, trades,
+       |       ${r4Sql("(exp(s / 1000000.0) - 1.0) * 100.0")} AS strat_ret_pct
+       |FROM agg WHERE n >= 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------- correlation matrix
   /** All-pairs Pearson correlation of the hourly close series — the
     * screener view generalizing `ts_corr`'s fixed pair: one self-join
@@ -1216,6 +1268,7 @@ object IndicatorQueries {
     "ts_sortino"    -> sortinoQ,
     "ts_corr_matrix" -> corrMatrixQ,
     "ts_autocorr"   -> autocorrQ,
+    "ts_sma_cross"  -> smaCrossQ,
     "ts_rsi"        -> rsiQ,
     "ts_bollinger"  -> bollingerQ,
     "ts_ema"        -> emaQ,
@@ -1248,6 +1301,7 @@ object IndicatorQueries {
     "ts_sortino"    -> sortinoSql,
     "ts_corr_matrix" -> corrMatrixSql,
     "ts_autocorr"   -> autocorrSql,
+    "ts_sma_cross"  -> smaCrossSql,
     "ts_rsi"        -> rsiSql,
     "ts_bollinger"  -> bollingerSql,
     "ts_ema"        -> emaSql,

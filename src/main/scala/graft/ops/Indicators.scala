@@ -807,6 +807,57 @@ object Indicators {
       .drop("__mq", "__qv", "__cnt", "__sq", "__sv")
   }
 
+  /** Vectorized SMA-crossover backtest — the strategy-evaluation
+    * query a user runs on top of the indicator layer: hold +1 when
+    * SMA(fast) > SMA(slow), −1 when below, flat on exact equality,
+    * with the position applied to the NEXT period's return (no
+    * look-ahead). Everything that decides anything is integer: the
+    * cross is the cross-multiplied compare slowN·Σfast vs
+    * fastN·Σslow (no division, can't drift), returns are the
+    * micro-nat integers of the [[sharpe]] discipline, the equity sum
+    * S = Σ pos·rq and the position-flip trade count are exact Long
+    * sums (order-free), and the only float ops are the final
+    * exp(S/10⁶) compounding — one call on an identical double in
+    * both engines. Emits per key: n (applied periods), trades
+    * (position changes), strat_ret_pct (compounded strategy return).
+    * One keyed window exchange + one same-key aggregate.
+    */
+  def smaCrossBacktest(series: DataFrame, keys: Seq[Column], ts: Column,
+                       closeCents: Column, fastN: Int, slowN: Int): DataFrame = {
+    require(fastN > 0 && slowN > fastN, s"need 0 < fastN < slowN: $fastN, $slowN")
+    val ord = Window.partitionBy(keys: _*).orderBy(ts)
+    val ff = ord.rowsBetween(-(fastN - 1), 0)
+    val fs = ord.rowsBetween(-(slowN - 1), 0)
+    val prev = lag(closeCents, 1).over(ord)
+    val rq = when(prev > 0L && closeCents > 0L,
+      floor(log(closeCents.cast("double") / prev.cast("double")) *
+        lit(1000000.0d) + lit(0.5d)).cast("long"))
+    val cross = lit(slowN.toLong) * col("__sf") - lit(fastN.toLong) * col("__ss")
+    val base = series
+      .withColumn("__cs", count(closeCents).over(fs))
+      .withColumn("__sf", sum(closeCents).over(ff))
+      .withColumn("__ss", sum(closeCents).over(fs))
+      .withColumn("__rq", rq)
+      .withColumn("__pos",
+        when(col("__cs") < slowN, lit(null).cast("long"))
+          .when(cross > 0L, lit(1L)).when(cross < 0L, lit(-1L))
+          .otherwise(lit(0L)))
+      .withColumn("__spos", lag(col("__pos"), 1).over(ord))
+    base.groupBy(keys: _*)
+      .agg(
+        count(when(col("__spos").isNotNull && col("__rq").isNotNull, lit(1)))
+          .as("n"),
+        sum(when(col("__pos").isNotNull && col("__spos").isNotNull &&
+          col("__pos") =!= col("__spos"), lit(1L)).otherwise(lit(0L)))
+          .as("trades"),
+        sum(when(col("__spos").isNotNull && col("__rq").isNotNull,
+          col("__spos") * col("__rq"))).as("__s"))
+      .filter(col("n") >= 1L)
+      .select((keys :+ col("n") :+ col("trades") :+
+        ((exp(col("__s").cast("double") / lit(1000000.0d)) - lit(1.0d)) *
+          lit(100.0d)).as("strat_ret_pct")): _*)
+  }
+
   /** Per-series sign-of-return signature: bit j is the MAJORITY sign
     * of the series' bucket-to-bucket deltas over the buckets mapped
     * to slot j (`slot` must be a shared bucket→[0,bits) mapping, e.g.

@@ -320,6 +320,36 @@ class IndicatorsSpec extends SparkSpec {
     assert(flat.isEmpty, "zero-variance returns emit no row")
   }
 
+  test("smaCrossBacktest: trend capture matches driver compounding; flat holds 0") {
+    def rqs(c: Seq[Long]): Seq[Long] = c.sliding(2).map { w =>
+      math.floor(math.log(w(1).toDouble / w(0).toDouble) * 1e6 + 0.5).toLong
+    }.toSeq
+    // strictly rising: pos=+1 from the first warm row (3); applied to
+    // the returns INTO rows 4..11 (no look-ahead)
+    val up = (0 until 12).map(i => 100L + 10L * i)
+    val out = Indicators.smaCrossBacktest(series(up), Seq(col("key")), col("t"),
+      col("c"), fastN = 2, slowN = 4)
+      .select("n", "trades", "strat_ret_pct").as[(Long, Long, Double)].head()
+    val s = rqs(up).drop(3).sum
+    assert(out._1 == 8L && out._2 == 0L)
+    assert(math.abs(out._3 - (math.exp(s / 1e6) - 1.0) * 100.0) < 1e-9)
+
+    // flat series: exact-equality cross → pos 0 throughout, zero return
+    val flat = Indicators.smaCrossBacktest(series(Seq.fill(8)(500L)),
+      Seq(col("key")), col("t"), col("c"), fastN = 2, slowN = 4)
+      .select("n", "trades", "strat_ret_pct").as[(Long, Long, Double)].head()
+    assert(flat == ((4L, 0L, 0.0)))
+
+    // reversal: the fast average crosses under → at least one trade,
+    // and the short leg profits from the fall
+    val rev = (0 until 10).map(i => 1000L + 100L * i) ++
+      (1 to 10).map(i => 1900L - 150L * i)
+    val r = Indicators.smaCrossBacktest(series(rev), Seq(col("key")), col("t"),
+      col("c"), fastN = 2, slowN = 4)
+      .select("n", "trades", "strat_ret_pct").as[(Long, Long, Double)].head()
+    assert(r._2 >= 1L, "crossover must register a position flip")
+  }
+
   private def ohlcq(rows: Seq[(Long, Long, Long, Long)]) =
     rows.zipWithIndex.map { case ((h, l, c, q), i) => ("k", i.toLong, h, l, c, q) }
       .toDF("key", "t", "h", "l", "c", "q")
