@@ -17,11 +17,11 @@ object OhlcvQueries {
   private val N_PAIRS = 4
   private val ROWS = 1500
 
-  /** DuckDB twin of [[OhlcvFixture.ohlcvs]]. */
-  private val fixtureCte: String =
+  /** DuckDB twin of [[OhlcvFixture.ohlcvs]] at `rows` minutes. */
+  private def fixtureCteFor(rows: Int): String =
     s"""WITH ids AS (
-       |  SELECT i % $ROWS AS minute, i // $ROWS AS pair
-       |  FROM range(${N_PAIRS.toLong * ROWS}) t(i)
+       |  SELECT i % $rows AS minute, i // $rows AS pair
+       |  FROM range(${N_PAIRS.toLong * rows}) t(i)
        |), expanded AS (
        |  SELECT minute, pair, unnest(range(pair % 3 + 1)) AS exi
        |  FROM ids WHERE minute % 97 <> 0
@@ -38,6 +38,13 @@ object OhlcvQueries {
        |  FROM (SELECT *, (minute * 7919 + pair * 104729 + exi * 1299709) % 10000 AS s
        |        FROM expanded)
        |)""".stripMargin
+
+  private val fixtureCte: String = fixtureCteFor(ROWS)
+
+  /** Minutes for the calendar-rollup fixture: ~34.7 days, so the
+    * month truncation genuinely splits (Aug/Sep 2021 buckets).
+    */
+  private val MONTH_ROWS = 50000
 
   /** The flagship chart read path (SURVEY §3.1) end-to-end through
     * OhlcvReader: interval dispatch to the 1h rollup, key filter, end
@@ -91,6 +98,17 @@ object OhlcvQueries {
         .select(col("exchange"), col("base_id"), col("quote_id"), col("bucket"),
           col("open"), col("close"))
         .orderBy(col("exchange"), col("base_id"), col("quote_id"), col("bucket"))),
+    // the reference's declared 1M interval (create.sql's calendar
+    // aggregate; SURVEY §7.4 risk 6) — real calendar months via
+    // date_trunc, on a ~35-day fixture so the truncation splits.
+    // open/high/low/close are exact min/max/first/last selections;
+    // the float volume SUM stays out (its month-long association
+    // error is the one non-exact term — OhlcvSpec covers it).
+    "ohlcv_rollup_1mo" -> ((s, _) =>
+      CandleOps.rollupCalendar(OhlcvFixture.ohlcvs(s, N_PAIRS, MONTH_ROWS), "month")
+        .select(col("exchange"), col("base_id"), col("quote_id"), col("bucket"),
+          col("open"), col("high"), col("low"), col("close"))
+        .orderBy(col("exchange"), col("base_id"), col("quote_id"), col("bucket"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -111,6 +129,15 @@ object OhlcvQueries {
          |       make_timestamp(((epoch(time)::BIGINT - 946857600) // 604800) * 604800 * 1000000
          |                      + 946857600000000::BIGINT) AS bucket,
          |       min_by(open, time) AS open,
+         |       max_by(close, time) AS close
+         |FROM fx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "ohlcv_rollup_1mo" ->
+      s"""${fixtureCteFor(50000)}
+         |SELECT exchange, base_id, quote_id,
+         |       date_trunc('month', time) AS bucket,
+         |       min_by(open, time) AS open,
+         |       max(high) AS high,
+         |       min(low) AS low,
          |       max_by(close, time) AS close
          |FROM fx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
   )
