@@ -168,12 +168,21 @@ class TxTable(val spark: SparkSession, val root: String,
     */
   def read(): DataFrame = readSnapshot(snapshot(version))
 
+  /** Reads apply the SNAPSHOT'S schema explicitly (never footer
+    * inference): files written before an additive evolution simply
+    * lack the new columns and read as null (parquet matches fields by
+    * name), files from dropped-column eras have their extras ignored,
+    * and time travel reads each version under the schema it committed.
+    * Also saves the footer-sampling job plain `spark.read.parquet`
+    * pays per read.
+    */
   def readSnapshot(s: Snapshot): DataFrame =
     if (s.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     else
       spark.read
         .option("basePath", root)
+        .schema(s.schema)
         .parquet(s.files.map(f => s"$root/${f.path}"): _*)
 
   /** Change feed: the rows APPENDED after version `sinceV`, up to
@@ -407,6 +416,28 @@ class TxTable(val spark: SparkSession, val root: String,
     * just cost a re-read of the manifest, and no committed file is
     * ever removed by an append.
     */
+  /** Additive schema evolution on append (the public Delta
+    * `mergeSchema` contract): the committed schema is the prior
+    * snapshot's fields (order preserved) plus any NEW fields the
+    * batch introduces — so an old-schema append can never drop
+    * columns other writers added, and a widened batch makes earlier
+    * files read their missing columns as null. Same-name fields must
+    * agree on dataType exactly; a type change is a rewrite decision,
+    * never an implicit cast, and fails loudly here.
+    */
+  private[storage] def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    val byName = next.fields.map(f => f.name -> f).toMap
+    prev.fields.foreach { p =>
+      byName.get(p.name).foreach { n =>
+        require(n.dataType == p.dataType,
+          s"append schema conflict on '${p.name}': table has ${p.dataType}, " +
+            s"batch has ${n.dataType} — evolve types via an explicit rewrite")
+      }
+    }
+    val prevNames = prev.fieldNames.toSet
+    StructType(prev.fields ++ next.fields.filterNot(f => prevNames.contains(f.name)))
+  }
+
   def append(df: DataFrame): Long = commitAppend(stage(df), df.schema)
 
   /** Append-commit of already-staged [[TxFile]]s — the log half of
@@ -415,7 +446,12 @@ class TxTable(val spark: SparkSession, val root: String,
     * Spark write per commit.
     */
   private[storage] def commitAppend(files: Seq[TxFile], schema: StructType): Long =
-    retryCas("append") { (_, _) => (Seq.empty, files, Seq.empty, schema) }
+    retryCas("append") { (v, _) =>
+      // merge against the schema AT CAS TIME (re-run on every lost
+      // race), so a concurrent writer's added column can't be dropped
+      val merged = if (v < 0) schema else mergeSchemas(snapshot(v).schema, schema)
+      (Seq.empty, files, Seq.empty, merged)
+    }
 
   /** Rewrite the given partitions with `compute(current content of
     * those partitions)`, under optimistic concurrency: if another
