@@ -1068,6 +1068,40 @@ object TimeSeriesQueries {
        |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------- merge-on-read deletion
+  /** The events table through a [[graft.storage.TxTable]] with a
+    * [[graft.storage.TxTable.deleteWhere]] erasure (every user_id ≡ 3
+    * mod 7 — the GDPR-shaped surgical delete) and read back
+    * merge-on-read: the deletion-vector anti-join must aggregate to
+    * EXACTLY the filtered answer DuckDB computes from raw parquet.
+    * TxDeleteVectorSpec pins the physical claims the hash cannot see
+    * (vectors in the atomic delta, rewrite materialization, vacuum
+    * survival); this row pins end-to-end correctness. Scale: the
+    * delete is O(matched) metadata — no partition rewrite — and the
+    * read adds one broadcast anti-join against the vector set.
+    */
+  private def deleteVectorQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+    val t = new graft.storage.TxTable(s,
+      java.nio.file.Files.createTempDirectory("dvq").toString)
+    t.append(ev.withColumn("p_date", lit("a")))
+    t.deleteWhere(pmod(col("user_id"), lit(7L)) === 3L)
+    t.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("vc"))
+      .orderBy(col("event_type"))
+  }
+
+  private val deleteVectorSql: String =
+    s"""WITH kept AS (
+       |  SELECT event_type, value FROM events
+       |  WHERE user_id % 7 <> 3
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc
+       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ interval join
   /** [[Analytics.intervalJoin]] — purchases attributed to the click
     * session they fall inside: click-only gap sessions (30 min)
@@ -1568,6 +1602,7 @@ object TimeSeriesQueries {
     "ts_sliding_heavy" -> slidingHeavyQ,
     "ts_sliding_heavy_ss" -> slidingHeavySsQ,
     "ts_zorder_pruned" -> zorderPrunedQ,
+    "ts_delete_vector" -> deleteVectorQ,
     "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_sample_quantiles" -> sampleQuantilesQ,
@@ -1602,6 +1637,7 @@ object TimeSeriesQueries {
     "ts_sliding_heavy" -> slidingHeavySql,
     "ts_sliding_heavy_ss" -> slidingHeavySsSql,
     "ts_zorder_pruned" -> zorderPrunedSql,
+    "ts_delete_vector" -> deleteVectorSql,
     "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_sample_quantiles" -> sampleQuantilesSql,

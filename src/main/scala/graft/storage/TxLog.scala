@@ -140,26 +140,43 @@ class TxTable(val spark: SparkSession, val root: String,
     val ckptV = ckpts.filter(_ <= v).foldLeft(-1L)(math.max)
     var schema: StructType = null
     val files = scala.collection.mutable.LinkedHashSet.empty[TxFile]
+    val dv = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    def mergeDv(l: String): Unit = {
+      val Array(_, path, idxs) = l.split("\t", 3)
+      val add = idxs.split(",").map(_.toLong)
+      dv.updateWith(path) {
+        case Some(cur) => Some((cur ++ add).distinct.sorted.toSeq)
+        case None => Some(add.toSeq.sorted)
+      }
+      ()
+    }
     if (ckptV >= 0) {
       val lines = readLogFile(checkpointPath(ckptV))
       schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
       lines.tail.filter(_.nonEmpty).foreach { l =>
-        val Array(part, path) = l.split("\t", 2)
-        files += TxFile(path, part)
+        if (l.startsWith("#dv\t")) mergeDv(l)
+        else if (!l.startsWith("#")) {
+          val Array(part, path) = l.split("\t", 2)
+          files += TxFile(path, part)
+        }
       }
     }
     ((ckptV + 1) to v).foreach { i =>
       val lines = readLogFile(deltaPath(i))
       schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
-      lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
-        val Array(op, part, path) = l.split("\t", 3)
-        // `+` reshaped-content add, `n` net-new-content add (the
-        // change feed cares about the distinction; a snapshot does not)
-        if (op == "+" || op == "n") files += TxFile(path, part)
-        else files -= TxFile(path, part)
+      lines.tail.filter(_.nonEmpty).foreach { l =>
+        if (l.startsWith("#dv\t")) mergeDv(l)
+        else if (!l.startsWith("#")) {
+          val Array(op, part, path) = l.split("\t", 3)
+          // `+` reshaped-content add, `n` net-new-content add (the
+          // change feed cares about the distinction; a snapshot does not)
+          if (op == "+" || op == "n") files += TxFile(path, part)
+          else { files -= TxFile(path, part); dv -= path }
+        }
       }
     }
-    Snapshot(v, schema, files.toSeq)
+    val live = files.map(_.path).toSet
+    Snapshot(v, schema, files.toSeq, dv.filter { case (p, _) => live.contains(p) }.toMap)
   }
 
   /** DataFrame over the latest snapshot (partition column recovered
@@ -179,11 +196,36 @@ class TxTable(val spark: SparkSession, val root: String,
   def readSnapshot(s: Snapshot): DataFrame =
     if (s.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    else
-      spark.read
+    else {
+      val raw = spark.read
         .option("basePath", root)
         .schema(s.schema)
         .parquet(s.files.map(f => s"$root/${f.path}"): _*)
+      if (s.dv.isEmpty) raw
+      else {
+        // merge-on-read: anti-join the deleted (file, row-index) pairs
+        // via the parquet `_metadata` columns. Keys are the staged
+        // files' UUID-prefixed NAMES — unique forever by construction
+        // and free of URL-encoding hazards (hex + digits only), unlike
+        // full paths. The DV set is bounded by what deleteWhere
+        // matched (bulk deletes belong to rewritePartitions), so the
+        // broadcast is small by contract.
+        import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+        import spark.implicits._
+        val pairs = s.dv.toSeq.flatMap { case (p, idxs) =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          idxs.map(i => (name, i))
+        }
+        val dvDf = pairs.toDF("__dv_name", "__dv_idx")
+        raw
+          .withColumn("__f", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__i", col("_metadata.row_index"))
+          .join(broadcast(dvDf),
+            col("__f") === col("__dv_name") && col("__i") === col("__dv_idx"),
+            "left_anti")
+          .drop("__f", "__i")
+      }
+    }
 
   /** Change feed: the rows APPENDED after version `sinceV`, up to
     * `untilV` (default: current) — read from only the delta-log's `+`
@@ -262,6 +304,11 @@ class TxTable(val spark: SparkSession, val root: String,
         lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
           val Array(op, part, _) = l.split("\t", 3)
           if (op == "+" || op == "-") parts += part
+        }
+        // delete commits touch no files but change prior content —
+        // their partitions arrive via #touch meta lines
+        lines.tail.filter(_.startsWith("#touch\t")).foreach { l =>
+          parts += l.split("\t", 2)(1)
         }
       }
     }
@@ -373,7 +420,7 @@ class TxTable(val spark: SparkSession, val root: String,
     */
   def readPruned(bounds: Map[String, (Long, Long)]): DataFrame = {
     val s = snapshot(version)
-    readSnapshot(Snapshot(s.version, s.schema, pruneFiles(s.files, bounds)))
+    readSnapshot(Snapshot(s.version, s.schema, pruneFiles(s.files, bounds), s.dv))
   }
 
   /** Stage `df` (must carry `partitionCol`) as immutable parquet files
@@ -502,7 +549,7 @@ class TxTable(val spark: SparkSession, val root: String,
     val current = snap.files.filter(f => parts.contains(f.partition))
     if (current.isEmpty && snap.schema == null)
       throw new IllegalStateException(s"$op on uncommitted table $root")
-    (v, readSnapshot(Snapshot(v, snap.schema, current)))
+    (v, readSnapshot(Snapshot(v, snap.schema, current, snap.dv)))
   }
 
   /** [[stage]] + the partition-containment guard every partition-
@@ -524,12 +571,29 @@ class TxTable(val spark: SparkSession, val root: String,
   private def conflictCheck(readVersion: Long, v: Long, parts: Set[String],
                             base: Seq[TxFile]): Unit =
     if (v != readVersion) {
-      val before = if (readVersion < 0) Set.empty[TxFile] else snapshot(readVersion).files.toSet
+      val beforeSnap =
+        if (readVersion < 0) Snapshot(-1, null, Seq.empty) else snapshot(readVersion)
+      val before = beforeSnap.files.toSet
       val after = base.toSet
       val changed = (before diff after) ++ (after diff before)
       changed.find(f => parts.contains(f.partition)).foreach { f =>
         throw new TxConflictException(
           s"partition ${f.partition} changed by a commit after v$readVersion (saw v$v)")
+      }
+      // a deleteWhere commit changes CONTENT without touching files —
+      // a rewrite computed from the pre-delete snapshot would
+      // materialize the resurrected rows, so vector changes inside
+      // `parts` conflict exactly like file changes
+      val dvAfter = snapshot(v).dv
+      if (beforeSnap.dv != dvAfter) {
+        val partByPath = (before ++ after).map(f => f.path -> f.partition).toMap
+        (beforeSnap.dv.keySet ++ dvAfter.keySet)
+          .filter(p => beforeSnap.dv.get(p) != dvAfter.get(p))
+          .find(p => partByPath.get(p).exists(parts.contains))
+          .foreach { p =>
+            throw new TxConflictException(
+              s"deletion vectors on $p changed by a commit after v$readVersion (saw v$v)")
+          }
       }
     }
 
@@ -629,6 +693,83 @@ class TxTable(val spark: SparkSession, val root: String,
     fat
   }
 
+  /** Merge-on-read row deletion — the public Delta deletion-vector
+    * design: matching rows are marked dead by (file, row-index) pairs
+    * committed INSIDE the atomic delta (`#dv` lines, as durable as
+    * the commit itself), and every subsequent read anti-joins them
+    * out via the parquet `_metadata.row_index` column. Cost is
+    * O(matched rows) metadata — no partition rewrite, no data I/O
+    * beyond the matching scan — so deleting a few rows from a 100 TB
+    * partition (GDPR erasure, bad-record surgery) is a metadata
+    * commit. The vectors ride checkpoints cumulatively, rewrites/
+    * compactions MATERIALIZE them (the rewrite reads through
+    * [[readSnapshot]], which already filters, and replaces the files
+    * — the new files carry no vectors), vacuum's horizon checkpoint
+    * carries them forward, and time travel reads each version under
+    * its own vector set. Deletes conflict-check like rewrites: a
+    * commit that touched the matched partitions after our snapshot
+    * read invalidates the match and the whole read-match-commit
+    * re-runs. The row-insert change feed does not re-deliver deletes
+    * (its contract is inserts); delete commits mark their partitions
+    * in [[changedPartitionsSince]] via `#touch` lines instead.
+    * Bulk deletes (a large fraction of a partition) belong to
+    * [[rewritePartitions]] — the vector set is broadcast at read
+    * time and sized for surgical deletes.
+    *
+    * Returns the new version, or the current one if nothing matched.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column, maxAttempts: Int = 20): Long =
+    withConflictRetry(maxAttempts) { () =>
+      import org.apache.spark.sql.functions.{col, collect_list, element_at, sort_array, split}
+      val v = version
+      require(v >= 0, s"deleteWhere on uncommitted table $root")
+      val snap = snapshot(v)
+      val matched = readSnapshot(snap)
+        .filter(cond)
+        .select(
+          element_at(split(col("_metadata.file_path"), "/"), -1).as("f"),
+          col("_metadata.row_index").as("i"))
+        .groupBy(col("f")).agg(sort_array(collect_list(col("i"))).as("is"))
+        .collect()
+      if (matched.isEmpty) v
+      else {
+        val byName = snap.files.map(f =>
+          f.path.substring(f.path.lastIndexOf('/') + 1) -> f).toMap
+        val adds = matched.toSeq.map { r =>
+          val f = byName(r.getString(0))
+          (f, r.getSeq[Long](1))
+        }
+        commitDelete(v, adds)
+      }
+    }
+
+  /** CAS-commit a delete delta: no file ops, `#dv` lines carry the
+    * new (file, indexes) marks, `#touch` lines name the partitions
+    * for update-aware consumers. Conflict-checked like a rewrite.
+    */
+  private def commitDelete(readVersion: Long,
+                           adds: Seq[(TxFile, Seq[Long])]): Long = {
+    val parts = adds.map(_._1.partition).toSet
+    while (true) {
+      val v = version
+      val snap = snapshot(v)
+      conflictCheck(readVersion, v, parts, snap.files)
+      val body = ((snap.schema.json +:
+        adds.map { case (f, idxs) => s"#dv\t${f.path}\t${idxs.mkString(",")}" }) ++
+        parts.toSeq.sorted.map(p => s"#touch\t$p") :+ "#kind\tdelete")
+        .mkString("\n")
+      val nv = v + 1
+      if (casCreate(deltaPath(nv), body)) {
+        if (nv > 0 && nv % checkpointInterval == 0) {
+          val s2 = snapshot(nv)
+          casCreate(checkpointPath(nv), checkpointBody(s2.files, s2.schema, s2.dv))
+        }
+        return nv
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** [[compact]]'s layout-aware form — the public Delta
     * `OPTIMIZE ZORDER BY` trade: fat partitions (> maxFilesPerPartition
     * files) are rewritten as `filesPerPartition` files range-
@@ -701,7 +842,7 @@ class TxTable(val spark: SparkSession, val root: String,
     // making all older log files redundant and safe to prune.
     val horizon = snapshot(keepFrom)
     casCreate(checkpointPath(keepFrom),
-      checkpointBody(horizon.files, horizon.schema))
+      checkpointBody(horizon.files, horizon.schema, horizon.dv))
     val live: Set[String] =
       (keepFrom to v).flatMap(i => snapshot(i).files.map(_.path)).toSet
     var deleted = 0
@@ -763,8 +904,15 @@ class TxTable(val spark: SparkSession, val root: String,
   private def checkpointPath(v: Long) =
     new org.apache.hadoop.fs.Path(logDir, f"v$v%020d.checkpoint")
 
-  private def checkpointBody(files: Seq[TxFile], schema: StructType): String =
-    (schema.json +: files.map(f => s"${f.partition}\t${f.path}")).mkString("\n")
+  private def checkpointBody(files: Seq[TxFile], schema: StructType,
+                             dv: Map[String, Seq[Long]] = Map.empty): String = {
+    val live = files.map(_.path).toSet
+    val dvLines = dv.toSeq.filter { case (p, _) => live.contains(p) }
+      .sortBy(_._1)
+      .map { case (p, idxs) => s"#dv\t$p\t${idxs.mkString(",")}" }
+    ((schema.json +: files.map(f => s"${f.partition}\t${f.path}")) ++ dvLines)
+      .mkString("\n")
+  }
 
   /** Run `build(latestVersion, itsFiles)` to produce the next
     * commit's (adds, removes, schema) and CAS-publish the delta as
@@ -794,9 +942,13 @@ class TxTable(val spark: SparkSession, val root: String,
       if (casCreate(deltaPath(nv), body)) {
         writeStatsSidecar(nv, reshaped ++ fresh)
         if (nv > 0 && nv % checkpointInterval == 0) {
-          val removed = removes.toSet
+          // full replay (not base±this commit) so the checkpoint
+          // carries the cumulative deletion vectors at nv — a
+          // checkpoint that lost them would resurrect deleted rows
+          // once older deltas are vacuumed
+          val snap = snapshot(nv)
           casCreate(checkpointPath(nv),
-            checkpointBody(base.filterNot(removed) ++ reshaped ++ fresh, schema))
+            checkpointBody(snap.files, schema, snap.dv))
         }
         return nv
       }
@@ -871,7 +1023,15 @@ object TxTable {
     */
   final case class TxFile(path: String, partition: String)
 
-  final case class Snapshot(version: Long, schema: StructType, files: Seq[TxFile])
+  /** `dv`: the snapshot's deletion vectors — per live data file (by
+    * rel path), the ascending row indexes deleted by
+    * [[TxTable.deleteWhere]] commits up to this version. Committed
+    * inside the atomic delta/checkpoint bodies (`#dv` lines), never
+    * as best-effort sidecars: unlike stats, a lost deletion vector
+    * would resurrect rows.
+    */
+  final case class Snapshot(version: Long, schema: StructType, files: Seq[TxFile],
+                            dv: Map[String, Seq[Long]] = Map.empty)
 }
 
 /** A rewrite lost an optimistic-concurrency race: another commit

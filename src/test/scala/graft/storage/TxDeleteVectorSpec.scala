@@ -1,0 +1,93 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read row deletion ([[TxTable.deleteWhere]]) — deletion
+  * vectors committed inside the atomic delta, applied by every read,
+  * materialized by rewrites, carried across checkpoints and vacuum.
+  */
+class TxDeleteVectorSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private def table(ck: Int = 10) = new TxTable(spark,
+    java.nio.file.Files.createTempDirectory("txdv").toString,
+    checkpointInterval = ck)
+
+  test("deleteWhere removes matching rows from every read form; no-op keeps the version") {
+    val t = table()
+    t.append((1L to 100L).map(i => (i, s"v$i", "a")).toDF("id", "v", "p_date"))
+    val v1 = t.deleteWhere(col("id") % 10L === 0L)
+    assert(v1 === 1L)
+    val got = t.read()
+    assert(got.count() === 90L)
+    assert(got.filter(col("id") % 10L === 0L).count() === 0L)
+    // union with a second delete on the SAME file
+    t.deleteWhere(col("id") === 7L)
+    assert(t.read().count() === 89L)
+    // matching nothing commits nothing
+    val v = t.version
+    assert(t.deleteWhere(col("id") === 99999L) === v)
+    assert(t.version === v)
+  }
+
+  test("time travel: the pre-delete snapshot still sees every row") {
+    val t = table()
+    val v0 = t.append((1L to 20L).map(i => (i, "a")).toDF("id", "p_date"))
+    t.deleteWhere(col("id") <= 5L)
+    assert(t.readSnapshot(t.snapshot(v0)).count() === 20L)
+    assert(t.read().count() === 15L)
+  }
+
+  test("rewrites materialize the vectors; deleted rows never resurrect") {
+    val t = table()
+    t.append((1L to 50L).map(i => (i, "a")).toDF("id", "p_date"))
+    t.deleteWhere(col("id") > 40L)
+    t.rewritePartitions(Set("a"))(cur => cur.coalesce(1))
+    assert(t.snapshot(t.version).dv.isEmpty,
+      "the rewrite's new files carry no vectors")
+    assert(t.read().count() === 40L)
+    assert(t.read().agg(max(col("id"))).as[Long].head() === 40L)
+  }
+
+  test("a rewrite computed before a concurrent delete conflicts instead of resurrecting") {
+    val t = table()
+    t.append((1L to 30L).map(i => (i, "a")).toDF("id", "p_date"))
+    val staleV = t.version
+    val staleFiles = t.snapshot(staleV).files // rewrite planned pre-delete
+    t.deleteWhere(col("id") === 1L)
+    intercept[TxConflictException] {
+      t.commitRewrite(staleV, Set("a"), staleFiles, t.read().schema)
+    }
+  }
+
+  test("vectors survive checkpoints and vacuum via the horizon checkpoint") {
+    val t = table(ck = 3)
+    t.append((1L to 60L).map(i => (i, "a")).toDF("id", "p_date"))
+    t.deleteWhere(col("id") <= 10L)
+    // push the log across checkpoint boundaries and past the horizon
+    (1 to 5).foreach(k =>
+      t.append(Seq((1000L + k, "b")).toDF("id", "p_date")))
+    t.vacuum(retainVersions = 2, retainAgeMillis = 0L)
+    val got = t.read()
+    assert(got.filter(col("p_date") === "a").count() === 50L)
+    assert(got.filter(col("id") <= 10L).count() === 0L,
+      "the horizon checkpoint must carry the vectors forward")
+  }
+
+  test("deletes compose with stats pruning and insertIgnore re-insertion") {
+    val t = new TxTable(spark,
+      java.nio.file.Files.createTempDirectory("txdv2").toString,
+      statsCols = Seq("id"))
+    t.append((1L to 50L).map(i => (i, s"v$i", "a")).toDF("id", "v", "p_date")
+      .coalesce(1))
+    t.append((100L to 150L).map(i => (i, s"v$i", "a")).toDF("id", "v", "p_date")
+      .coalesce(1))
+    t.deleteWhere(col("id").between(120L, 130L))
+    val pruned = t.readPruned(Map("id" -> ((100L, 150L))))
+    assert(pruned.count() === 40L, "pruned reads apply the vectors too")
+    // a deleted key can be re-inserted: the anti-join sees it as gone
+    t.insertIgnore(Seq((125L, "fresh", "a")).toDF("id", "v", "p_date"), Seq("id"))
+    assert(t.read().filter(col("id") === 125L).select("v").as[String].head() === "fresh")
+  }
+}
