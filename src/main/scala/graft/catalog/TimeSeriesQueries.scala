@@ -1102,6 +1102,40 @@ object TimeSeriesQueries {
        |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------ merge-on-read update
+  /** [[graft.storage.TxTable.updateWhere]] end-to-end: a surgical
+    * value correction (value + 1.00 for every user_id ≡ 2 mod 5 —
+    * deliberately NOT aligned with the output grouping, so the
+    * update is genuinely row-level) lands as ONE atomic commit of
+    * deletion-vector marks plus replacement rows, and the
+    * merge-on-read aggregate must equal DuckDB's CASE-rewritten
+    * answer over raw parquet. The +1.00 adjustment is exact in
+    * doubles (2-dp value + integer), so cents stay integer-exact.
+    */
+  private def updateVectorQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+    val t = new graft.storage.TxTable(s,
+      java.nio.file.Files.createTempDirectory("uvq").toString)
+    t.append(ev.withColumn("p_date", lit("a")))
+    t.updateWhere(pmod(col("user_id"), lit(5L)) === 2L,
+      Map("value" -> (col("value") + lit(1.0d))))
+    t.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("vc"))
+      .orderBy(col("event_type"))
+  }
+
+  private val updateVectorSql: String =
+    s"""WITH adj AS (
+       |  SELECT event_type,
+       |         CASE WHEN user_id % 5 = 2 THEN value + 1.0 ELSE value END AS value
+       |  FROM events
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc
+       |FROM adj GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ interval join
   /** [[Analytics.intervalJoin]] — purchases attributed to the click
     * session they fall inside: click-only gap sessions (30 min)
@@ -1603,6 +1637,7 @@ object TimeSeriesQueries {
     "ts_sliding_heavy_ss" -> slidingHeavySsQ,
     "ts_zorder_pruned" -> zorderPrunedQ,
     "ts_delete_vector" -> deleteVectorQ,
+    "ts_update_vector" -> updateVectorQ,
     "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_sample_quantiles" -> sampleQuantilesQ,
@@ -1638,6 +1673,7 @@ object TimeSeriesQueries {
     "ts_sliding_heavy_ss" -> slidingHeavySsSql,
     "ts_zorder_pruned" -> zorderPrunedSql,
     "ts_delete_vector" -> deleteVectorSql,
+    "ts_update_vector" -> updateVectorSql,
     "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_sample_quantiles" -> sampleQuantilesSql,

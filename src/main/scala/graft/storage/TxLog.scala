@@ -739,27 +739,76 @@ class TxTable(val spark: SparkSession, val root: String,
           val f = byName(r.getString(0))
           (f, r.getSeq[Long](1))
         }
-        commitDelete(v, adds)
+        commitDvOps(v, adds)
       }
     }
 
-  /** CAS-commit a delete delta: no file ops, `#dv` lines carry the
-    * new (file, indexes) marks, `#touch` lines name the partitions
-    * for update-aware consumers. Conflict-checked like a rewrite.
+  /** Atomic UPDATE, merge-on-read: matching rows are vector-marked
+    * dead AND their updated replacements committed as reshaped `+`
+    * files in the SAME delta — one CAS, so readers see either the old
+    * rows or the new ones, never both or neither. `sets` may not
+    * touch the partition column (a partition move is a rewrite
+    * decision). Replacements are reshaped prior content, so the
+    * row-insert change feed skips them and
+    * [[changedPartitionsSince]] flags their partitions — the same
+    * contract as an upserting rewrite. Cost: the matching scan plus
+    * O(matched) staged rows — never an O(partition) rewrite.
     */
-  private def commitDelete(readVersion: Long,
-                           adds: Seq[(TxFile, Seq[Long])]): Long = {
-    val parts = adds.map(_._1.partition).toSet
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  sets: Map[String, org.apache.spark.sql.Column],
+                  maxAttempts: Int = 20): Long = {
+    require(!sets.contains(partitionCol),
+      s"updateWhere may not modify the partition column '$partitionCol' — " +
+        "moving rows between partitions is a rewritePartitions job")
+    withConflictRetry(maxAttempts) { () =>
+      import org.apache.spark.sql.functions.{col, collect_list, element_at, sort_array, split}
+      val v = version
+      require(v >= 0, s"updateWhere on uncommitted table $root")
+      val snap = snapshot(v)
+      val matched = readSnapshot(snap).filter(cond)
+      val marks = matched
+        .select(
+          element_at(split(col("_metadata.file_path"), "/"), -1).as("f"),
+          col("_metadata.row_index").as("i"))
+        .groupBy(col("f")).agg(sort_array(collect_list(col("i"))).as("is"))
+        .collect()
+      if (marks.isEmpty) v
+      else {
+        val byName = snap.files.map(f =>
+          f.path.substring(f.path.lastIndexOf('/') + 1) -> f).toMap
+        val dvAdds = marks.toSeq.map(r => (byName(r.getString(0)), r.getSeq[Long](1)))
+        val parts = dvAdds.map(_._1.partition).toSet
+        val updated = sets.foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
+          .select(snap.schema.fieldNames.map(col): _*)
+        val staged = stageInto(parts, updated, "updateWhere")
+        commitDvOps(v, dvAdds, staged, "update")
+      }
+    }
+  }
+
+  /** CAS-commit a deletion-vector delta: `#dv` lines carry the new
+    * (file, indexes) marks, optional `reshaped` files land as `+`
+    * ops (updated replacement rows — skipped by the insert feed),
+    * `#touch` lines name the partitions for update-aware consumers.
+    * Conflict-checked like a rewrite.
+    */
+  private def commitDvOps(readVersion: Long,
+                          adds: Seq[(TxFile, Seq[Long])],
+                          reshaped: Seq[TxFile] = Seq.empty,
+                          kind: String = "delete"): Long = {
+    val parts = adds.map(_._1.partition).toSet ++ reshaped.map(_.partition)
     while (true) {
       val v = version
       val snap = snapshot(v)
       conflictCheck(readVersion, v, parts, snap.files)
       val body = ((snap.schema.json +:
-        adds.map { case (f, idxs) => s"#dv\t${f.path}\t${idxs.mkString(",")}" }) ++
-        parts.toSeq.sorted.map(p => s"#touch\t$p") :+ "#kind\tdelete")
+        reshaped.map(f => s"+\t${f.partition}\t${f.path}")) ++
+        adds.map { case (f, idxs) => s"#dv\t${f.path}\t${idxs.mkString(",")}" } ++
+        parts.toSeq.sorted.map(p => s"#touch\t$p") :+ s"#kind\t$kind")
         .mkString("\n")
       val nv = v + 1
       if (casCreate(deltaPath(nv), body)) {
+        if (reshaped.nonEmpty) writeStatsSidecar(nv, reshaped)
         if (nv > 0 && nv % checkpointInterval == 0) {
           val s2 = snapshot(nv)
           casCreate(checkpointPath(nv), checkpointBody(s2.files, s2.schema, s2.dv))

@@ -75,6 +75,50 @@ class TxDeleteVectorSpec extends SparkSpec {
       "the horizon checkpoint must carry the vectors forward")
   }
 
+  test("updateWhere: one atomic commit swaps old rows for updated ones") {
+    val t = table()
+    t.append((1L to 40L).map(i => (i, i * 10L, "a")).toDF("id", "amt", "p_date"))
+    val v = t.updateWhere(col("id") <= 4L, Map("amt" -> (col("amt") + 1L)))
+    assert(v === t.version && v === 1L, "update is ONE commit")
+    val got = t.read()
+    assert(got.count() === 40L, "updates never change cardinality")
+    assert(got.filter(col("id") <= 4L).select(sum(col("amt"))).as[Long].head()
+      === (10L + 20L + 30L + 40L) + 4L)
+    assert(got.filter(col("id") > 4L).select(sum(col("amt"))).as[Long].head()
+      === (5L to 40L).map(_ * 10L).sum)
+    // time travel: pre-update snapshot has the old values
+    assert(t.readSnapshot(t.snapshot(0L)).filter(col("id") === 1L)
+      .select("amt").as[Long].head() === 10L)
+    // the change feed does NOT re-deliver updated rows; the partition
+    // marker does flag them
+    assert(t.readChangesSince(0L).count() === 0L)
+    assert(t.changedPartitionsSince(0L) === Set("a"))
+    // no match → no commit
+    assert(t.updateWhere(col("id") === 999L, Map("amt" -> lit(0L))) === t.version)
+    // partition-column updates are refused
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1L, Map("p_date" -> lit("b")))
+    }
+  }
+
+  test("updateWhere composes with deletes, rewrites, and repeated updates") {
+    val t = table()
+    t.append((1L to 30L).map(i => (i, 0L, "a")).toDF("id", "n", "p_date"))
+    t.updateWhere(col("id") <= 10L, Map("n" -> lit(1L)))
+    t.updateWhere(col("id") <= 5L, Map("n" -> (col("n") + 1L)))
+    t.deleteWhere(col("id") === 1L)
+    val got = t.read().select("id", "n").as[(Long, Long)].collect().toMap
+    assert(got.size === 29)
+    assert(!got.contains(1L))
+    assert((2L to 5L).forall(got(_) == 2L))
+    assert((6L to 10L).forall(got(_) == 1L))
+    assert((11L to 30L).forall(got(_) == 0L))
+    // a compaction materializes everything and preserves content
+    t.rewritePartitions(Set("a"))(cur => cur.coalesce(1))
+    assert(t.snapshot(t.version).dv.isEmpty)
+    assert(t.read().select("id", "n").as[(Long, Long)].collect().toMap === got)
+  }
+
   test("deletes compose with stats pruning and insertIgnore re-insertion") {
     val t = new TxTable(spark,
       java.nio.file.Files.createTempDirectory("txdv2").toString,
