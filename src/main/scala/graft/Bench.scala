@@ -144,8 +144,17 @@ object Bench {
       partial: Boolean, elapsedS: Double): Unit = {
     if (!emitted.compareAndSet(false, true)) return
     import scala.jdk.CollectionConverters._
+    // Warm-up exclusion (round-12 lesson): round 1 pays JIT/codegen/
+    // page-cache warming for the whole catalog (~235 s vs ~155 s warm
+    // at 171 queries), and with a 600 s budget only TWO rounds fit —
+    // a median over both is the MEAN of (cold, warm), which misread
+    // the same HEAD as 240 s vs its true 173 s. Each query's round-1
+    // sample (the LAST element — samples prepend) is dropped whenever
+    // a warm sample exists, so the artifact reports steady-state at
+    // any round count.
+    def dropCold(v: List[Double]): List[Double] = if (v.size >= 2) v.init else v
     val results = samples.asScala.toSeq
-      .map { case (k, v) => k -> median(v) }.sortBy(_._1)
+      .map { case (k, v) => k -> median(dropCold(v)) }.sortBy(_._1)
     // Locale.ROOT: %.3f under a comma-decimal default locale would
     // emit malformed JSON.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
