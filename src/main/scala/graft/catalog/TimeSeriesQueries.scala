@@ -1136,6 +1136,51 @@ object TimeSeriesQueries {
        |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc
        |FROM adj GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- merge-on-read MERGE
+  /** [[graft.storage.TxTable.mergeInto]] end-to-end: one atomic
+    * commit replaces every (event_type, tus) key with user_id ≡ 5
+    * mod 11 (a value correction) AND inserts 100 synthetic rows under
+    * a new event_type — updates as vector-marks + reshaped files, the
+    * inserts as feed-delivered fresh files, one CAS delta. The
+    * merge-on-read aggregate must equal DuckDB's CASE+UNION answer
+    * over raw parquet. Scale: O(batch + matched), never an
+    * O(partition) rewrite — the surgical upsert against a 100 TB
+    * table.
+    */
+  private def mergeUpsertQ(s: SparkSession, dir: String): DataFrame = {
+    val base = series(s, dir)
+      .select(col("event_type"), col("tus"), col("user_id"), col("value"))
+    val t = new graft.storage.TxTable(s,
+      java.nio.file.Files.createTempDirectory("mrg").toString)
+    t.append(base.withColumn("p_date", lit("a")))
+    val corrections = base.filter(pmod(col("user_id"), lit(11L)) === 5L)
+      .withColumn("value", col("value") + lit(2.0d))
+    val additions = s.range(100).select(
+      lit("merged").as("event_type"),
+      (lit(1000000000000000L) + col("id") * 1000000L).as("tus"),
+      col("id").as("user_id"),
+      (col("id").cast("double") / lit(10.0d)).as("value"))
+    t.mergeInto(
+      corrections.unionByName(additions).withColumn("p_date", lit("a")),
+      Seq("event_type", "tus"))
+    t.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("vc"))
+      .orderBy(col("event_type"))
+  }
+
+  private val mergeUpsertSql: String =
+    s"""$seriesCte, adj AS (
+       |  SELECT event_type,
+       |         CASE WHEN user_id % 11 = 5 THEN value + 2.0 ELSE value END AS value
+       |  FROM series
+       |  UNION ALL
+       |  SELECT 'merged' AS event_type, i / 10.0 AS value FROM range(100) t(i)
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc
+       |FROM adj GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ interval join
   /** [[Analytics.intervalJoin]] — purchases attributed to the click
     * session they fall inside: click-only gap sessions (30 min)
@@ -1638,6 +1683,7 @@ object TimeSeriesQueries {
     "ts_zorder_pruned" -> zorderPrunedQ,
     "ts_delete_vector" -> deleteVectorQ,
     "ts_update_vector" -> updateVectorQ,
+    "ts_merge_upsert"  -> mergeUpsertQ,
     "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_sample_quantiles" -> sampleQuantilesQ,
@@ -1674,6 +1720,7 @@ object TimeSeriesQueries {
     "ts_zorder_pruned" -> zorderPrunedSql,
     "ts_delete_vector" -> deleteVectorSql,
     "ts_update_vector" -> updateVectorSql,
+    "ts_merge_upsert"  -> mergeUpsertSql,
     "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_sample_quantiles" -> sampleQuantilesSql,

@@ -795,20 +795,23 @@ class TxTable(val spark: SparkSession, val root: String,
   private def commitDvOps(readVersion: Long,
                           adds: Seq[(TxFile, Seq[Long])],
                           reshaped: Seq[TxFile] = Seq.empty,
-                          kind: String = "delete"): Long = {
-    val parts = adds.map(_._1.partition).toSet ++ reshaped.map(_.partition)
+                          kind: String = "delete",
+                          fresh: Seq[TxFile] = Seq.empty): Long = {
+    val parts = adds.map(_._1.partition).toSet ++ reshaped.map(_.partition) ++
+      fresh.map(_.partition)
     while (true) {
       val v = version
       val snap = snapshot(v)
       conflictCheck(readVersion, v, parts, snap.files)
       val body = ((snap.schema.json +:
-        reshaped.map(f => s"+\t${f.partition}\t${f.path}")) ++
+        (reshaped.map(f => s"+\t${f.partition}\t${f.path}") ++
+          fresh.map(f => s"n\t${f.partition}\t${f.path}"))) ++
         adds.map { case (f, idxs) => s"#dv\t${f.path}\t${idxs.mkString(",")}" } ++
         parts.toSeq.sorted.map(p => s"#touch\t$p") :+ s"#kind\t$kind")
         .mkString("\n")
       val nv = v + 1
       if (casCreate(deltaPath(nv), body)) {
-        if (reshaped.nonEmpty) writeStatsSidecar(nv, reshaped)
+        if (reshaped.nonEmpty || fresh.nonEmpty) writeStatsSidecar(nv, reshaped ++ fresh)
         if (nv > 0 && nv % checkpointInterval == 0) {
           val s2 = snapshot(nv)
           casCreate(checkpointPath(nv), checkpointBody(s2.files, s2.schema, s2.dv))
@@ -818,6 +821,54 @@ class TxTable(val spark: SparkSession, val root: String,
     }
     sys.error("unreachable")
   }
+
+  /** Atomic MERGE (the public Delta `MERGE INTO` contract, merge-on-
+    * read form): batch rows whose `keys` match an existing row
+    * REPLACE it — the old row is vector-marked dead and the new one
+    * lands in a reshaped `+` file (skipped by the insert feed, like
+    * any update) — while new-key rows land in `n` files the change
+    * feed delivers; ONE CAS delta carries all three, so readers see
+    * the pre-merge or post-merge table, never a mix. `batch` must be
+    * unique per `keys` (the reference's one-row-per-key ON CONFLICT
+    * contract) and must carry the partition column. Cost is
+    * O(batch + matched) — contrast [[upsertRewritePartitions]],
+    * which rewrites whole partitions and is the right tool when the
+    * batch is a large fraction of them; this is the surgical form
+    * for a small batch against a 100 TB table. Deletes of matched
+    * rows may touch partitions outside the batch's own (a key that
+    * moved partitions gets its OLD row killed wherever it lives) —
+    * all touched partitions conflict-check.
+    */
+  def mergeInto(batch: DataFrame, keys: Seq[String], maxAttempts: Int = 20): Long =
+    withConflictRetry(maxAttempts) { () =>
+      import org.apache.spark.sql.functions.{broadcast, col, collect_list, element_at, sort_array, split}
+      val v = version
+      require(v >= 0, s"mergeInto on uncommitted table $root")
+      val snap = snapshot(v)
+      val existing = readSnapshot(snap)
+      val bkeys = batch.select(keys.map(col): _*).distinct()
+      // `_metadata` resolves only on the file-source relation (it does
+      // not survive a join) — materialize the coordinates first
+      val deadMarks = existing
+        .withColumn("__f", element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__i", col("_metadata.row_index"))
+        .join(broadcast(bkeys), keys, "left_semi")
+        .select(col("__f").as("f"), col("__i").as("i"))
+        .groupBy(col("f")).agg(sort_array(collect_list(col("i"))).as("is"))
+        .collect()
+      val byName = snap.files.map(f =>
+        f.path.substring(f.path.lastIndexOf('/') + 1) -> f).toMap
+      val dvAdds = deadMarks.toSeq.map(r => (byName(r.getString(0)), r.getSeq[Long](1)))
+      val matched = batch.join(existing.select(keys.map(col): _*).distinct(),
+        keys, "left_semi")
+      val freshRows = batch.join(existing.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+      val parts = touchedPartitions(batch) ++ dvAdds.map(_._1.partition)
+      val stagedUpd = stageInto(parts, matched, "mergeInto")
+      val stagedNew = stageInto(parts, freshRows, "mergeInto")
+      if (dvAdds.isEmpty && stagedUpd.isEmpty && stagedNew.isEmpty) v
+      else commitDvOps(v, dvAdds, stagedUpd, "merge", stagedNew)
+    }
 
   /** [[compact]]'s layout-aware form — the public Delta
     * `OPTIMIZE ZORDER BY` trade: fat partitions (> maxFilesPerPartition

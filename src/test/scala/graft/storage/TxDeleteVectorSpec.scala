@@ -119,6 +119,43 @@ class TxDeleteVectorSpec extends SparkSpec {
     assert(t.read().select("id", "n").as[(Long, Long)].collect().toMap === got)
   }
 
+  test("mergeInto: one atomic commit updates matched keys and inserts new ones") {
+    val t = table()
+    t.append((1L to 20L).map(i => (i, i * 10L, "a")).toDF("id", "amt", "p_date"))
+    val batch = Seq((3L, 999L, "a"), (7L, 777L, "a"), // matched → replace
+      (100L, 1L, "a"), (101L, 2L, "b"))               // new keys → insert
+      .toDF("id", "amt", "p_date")
+    val v = t.mergeInto(batch, Seq("id"))
+    assert(v === 1L && v === t.version, "merge is ONE commit")
+    val got = t.read().select("id", "amt").as[(Long, Long)].collect().toMap
+    assert(got.size === 22)
+    assert(got(3L) === 999L && got(7L) === 777L, "matched keys replaced")
+    assert(got(100L) === 1L && got(101L) === 2L, "new keys inserted")
+    assert(got(4L) === 40L, "untouched rows intact")
+    // the insert feed delivers ONLY the new-key rows
+    val fed = t.readChangesSince(0L).select("id").as[Long].collect().toSet
+    assert(fed === Set(100L, 101L))
+    assert(t.changedPartitionsSince(0L).contains("a"))
+    // time travel: pre-merge values intact
+    assert(t.readSnapshot(t.snapshot(0L)).filter(col("id") === 3L)
+      .select("amt").as[Long].head() === 30L)
+    // re-merge of the same batch replaces again (idempotent content)
+    t.mergeInto(batch, Seq("id"))
+    assert(t.read().count() === 22L)
+    assert(t.read().filter(col("id") === 3L).select("amt").as[Long].head() === 999L)
+  }
+
+  test("mergeInto kills a moved key's old row in its OLD partition") {
+    val t = table()
+    t.append(Seq((1L, 10L, "a"), (2L, 20L, "a")).toDF("id", "amt", "p_date"))
+    // key 1 re-arrives under partition b: the merge must bury the
+    // partition-a row and land the new one in b
+    t.mergeInto(Seq((1L, 11L, "b")).toDF("id", "amt", "p_date"), Seq("id"))
+    val got = t.read().select("id", "amt", "p_date").as[(Long, Long, String)]
+      .collect().toSet
+    assert(got === Set((1L, 11L, "b"), (2L, 20L, "a")))
+  }
+
   test("deletes compose with stats pruning and insertIgnore re-insertion") {
     val t = new TxTable(spark,
       java.nio.file.Files.createTempDirectory("txdv2").toString,
