@@ -361,6 +361,67 @@ object SketchStream {
       .transformWithState(new QuantileProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
+  /** Live robust-statistics snapshot per (key, trigger): `med_c` the
+    * sample median, `mad_c` the median absolute deviation — both
+    * exact integer picks from the min-k sample (no interpolation), so
+    * the pair is a pure order-free function of the sample set. This
+    * is the streaming side of the batch `ts_mad_outliers` family: a
+    * consumer scores live bars as |c − med| / (1.4826·mad) against
+    * the latest snapshot (the control-chart pattern — bounds update
+    * per trigger, scoring stays stateless).
+    */
+  case class MadEst(group: Long, n_sample: Long, h_k: Long,
+                    med_c: Long, mad_c: Long)
+
+  /** [[quantilesOf]]' robust-moments sibling: same KmvPairsAgg min-k
+    * (hash, payload) list state, emitting median + MAD instead of the
+    * quantile trio. Identical determinism contract — idempotent under
+    * redelivery, arrival-order-free, ≤ k·16 bytes state per key.
+    */
+  class MadProcessor(k: Int) extends StatefulProcessor[Long, Obs, MadEst] {
+    @transient private var sample: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sample = getHandle.getListState[(Long, Long)]("kmvpairs",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Obs],
+                                 timerValues: TimerValues): Iterator[MadEst] = {
+      val ord = implicitly[Ordering[(Long, Long)]]
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      sample.get().foreach(buf += _)
+      rows.foreach { o =>
+        val p = (java.lang.Long.parseLong(md5Hex(o.rowKey).substring(0, 13), 16), o.v)
+        if (buf.length < k || ord.lt(p, buf.last)) {
+          buf.search(p)(ord) match {
+            case scala.collection.Searching.InsertionPoint(i) =>
+              buf.insert(i, p)
+              if (buf.length > k) buf.remove(buf.length - 1)
+            case _ => ()
+          }
+        }
+      }
+      sample.put(buf.toArray)
+      val sv = buf.map(_._2).toArray.sorted
+      val n = sv.length
+      if (n == 0) Iterator.empty
+      else {
+        val med = sv((n - 1) / 2)
+        val devs = sv.map(v => math.abs(v - med)).sorted
+        Iterator.single(MadEst(key, n.toLong, buf.last._1, med, devs((n - 1) / 2)))
+      }
+    }
+  }
+
+  /** One robust-moments snapshot per (key, trigger); latest row per
+    * key (max (n_sample, −h_k)) is the live estimate.
+    */
+  def madOf(ds: Dataset[Obs], k: Int = 256): Dataset[MadEst] = {
+    implicit val enc: org.apache.spark.sql.Encoder[MadEst] = Encoders.product[MadEst]
+    ds.groupByKey(_.group)(Encoders.scalaLong)
+      .transformWithState(new MadProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
   // ---------------------------------------------------------- bloom
 
   case class FirstSeen(group: Long, value: String, emitted: Boolean)

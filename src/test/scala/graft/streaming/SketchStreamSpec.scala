@@ -242,6 +242,43 @@ class SketchStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming MAD estimator ≡ driver med/mad of the batch sample, order-free") {
+    import SketchStream.{MadEst, Obs}
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val q = SketchStream.madOf(in.toDS(), k = 64)
+      .writeStream.format("memory").queryName("mad_stream")
+      .outputMode("append").start()
+    try {
+      val g0 = (0 until 500).map(i => Obs(0L, s"m_$i", (i * 97L) % 3001L))
+      in.addData(scala.util.Random.shuffle(g0.take(300))); q.processAllAvailable()
+      in.addData(g0.drop(200) ++ g0.take(50));             q.processAllAvailable()
+
+      val live = spark.table("mad_stream").as[MadEst].collect()
+        .maxBy(r => (r.n_sample, -r.h_k))
+      // the expected sample, through the SAME batch aggregate
+      val sv = g0.toDF("group", "rowKey", "v")
+        .withColumn("h",
+          conv(substring(md5(col("rowKey")), 1, 13), 16, 10).cast("long"))
+        .groupBy("group")
+        .agg(graft.functions.KmvAgg.kmvPairs(col("h"), col("v"), 64).as("vs"))
+        .select("vs").as[Seq[Long]].head().sorted
+      val med = sv((sv.size - 1) / 2)
+      val mad = sv.map(v => math.abs(v - med)).sorted.apply((sv.size - 1) / 2)
+      assert(live.n_sample == 64L && live.med_c == med && live.mad_c == mad,
+        s"streaming $live vs batch (med=$med, mad=$mad)")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sampled quantiles ≡ the batch KmvPairsAgg sample, redelivery-invariant") {
     import SketchStream.{Obs, QuantileEst}
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
