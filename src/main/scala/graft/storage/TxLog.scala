@@ -765,6 +765,11 @@ class TxTable(val spark: SparkSession, val root: String,
       val v = version
       require(v >= 0, s"updateWhere on uncommitted table $root")
       val snap = snapshot(v)
+      val unknown = sets.keySet.diff(snap.schema.fieldNames.toSet)
+      require(unknown.isEmpty,
+        s"updateWhere: $unknown are not table columns " +
+          s"(have ${snap.schema.fieldNames.mkString(", ")}) — " +
+          "adding columns is an append-schema-evolution or rewrite job")
       val matched = readSnapshot(snap).filter(cond)
       val marks = matched
         .select(
@@ -796,12 +801,18 @@ class TxTable(val spark: SparkSession, val root: String,
                           adds: Seq[(TxFile, Seq[Long])],
                           reshaped: Seq[TxFile] = Seq.empty,
                           kind: String = "delete",
-                          fresh: Seq[TxFile] = Seq.empty): Long = {
+                          fresh: Seq[TxFile] = Seq.empty,
+                          batchSchema: Option[StructType] = None): Long = {
     val parts = adds.map(_._1.partition).toSet ++ reshaped.map(_.partition) ++
       fresh.map(_.partition)
     while (true) {
       val v = version
-      val snap = snapshot(v)
+      val snap0 = snapshot(v)
+      // a widened merge batch evolves the schema additively, exactly
+      // like append (a silently-narrowed batch would drop its columns)
+      val snap = batchSchema
+        .map(b => snap0.copy(schema = mergeSchemas(snap0.schema, b)))
+        .getOrElse(snap0)
       conflictCheck(readVersion, v, parts, snap.files)
       val body = ((snap.schema.json +:
         (reshaped.map(f => s"+\t${f.partition}\t${f.path}") ++
@@ -867,7 +878,8 @@ class TxTable(val spark: SparkSession, val root: String,
       val stagedUpd = stageInto(parts, matched, "mergeInto")
       val stagedNew = stageInto(parts, freshRows, "mergeInto")
       if (dvAdds.isEmpty && stagedUpd.isEmpty && stagedNew.isEmpty) v
-      else commitDvOps(v, dvAdds, stagedUpd, "merge", stagedNew)
+      else commitDvOps(v, dvAdds, stagedUpd, "merge", stagedNew,
+        batchSchema = Some(batch.schema))
     }
 
   /** [[compact]]'s layout-aware form — the public Delta

@@ -145,6 +145,23 @@ class TxDeleteVectorSpec extends SparkSpec {
     assert(t.read().filter(col("id") === 3L).select("amt").as[Long].head() === 999L)
   }
 
+  test("mergeInto evolves the schema additively; updateWhere rejects unknown columns") {
+    val t = table()
+    t.append(Seq((1L, 10L, "a")).toDF("id", "amt", "p_date"))
+    // widened batch: the new column must survive the merge
+    t.mergeInto(Seq((1L, 11L, 99L, "a"), (2L, 20L, 88L, "a"))
+      .toDF("id", "amt", "extra", "p_date"), Seq("id"))
+    val got = t.read()
+    assert(got.schema.fieldNames.contains("extra"))
+    assert(got.select("id", "extra").as[(Long, Option[Long])].collect().toMap
+      === Map(1L -> Some(99L), 2L -> Some(88L)))
+
+    val e = intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1L, Map("nope" -> lit(1L)))
+    }
+    assert(e.getMessage.contains("not table columns"))
+  }
+
   test("mergeInto kills a moved key's old row in its OLD partition") {
     val t = table()
     t.append(Seq((1L, 10L, "a"), (2L, 20L, "a")).toDF("id", "amt", "p_date"))
