@@ -458,6 +458,52 @@ class TxTable(val spark: SparkSession, val root: String,
     out.toSeq
   }
 
+  /** [[stage]]'s fused two-way form: `df` carries `tagCol` (string)
+    * alongside `partitionCol`, ONE write job lands partitioned by
+    * both, and the staged files come back grouped by tag value — so a
+    * commit needing two file classes (mergeInto's reshaped `+` vs
+    * fresh `n`) pays one Spark job instead of two. The tag is a
+    * staging-directory level only: it is stripped during the move into
+    * `data/<part>=<v>/`, never part of the table layout or schema.
+    * The tag value is baked into the destination name because dynamic
+    * partitioning lets one task write same-named files under both tag
+    * directories of one partition.
+    */
+  private[storage] def stageSplit(df: DataFrame, tagCol: String)
+      : Map[String, Seq[TxFile]] = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val staging = s"$root/_staging/$uuid"
+    df.write.partitionBy(partitionCol, tagCol).mode("overwrite").parquet(staging)
+    val out = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[TxFile]]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(staging), true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val tag = f.getParent.getName match {
+          case PartitionDirName(_, t) => t
+          case _ => ""
+        }
+        val partDir = f.getParent.getParent.getName
+        val part = partDir match {
+          case PartitionDirName(_, v) => v
+          case _ => ""
+        }
+        val rel = s"data/$partDir/$uuid-$tag-${f.getName}"
+        val dest = new org.apache.hadoop.fs.Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(s"failed to move staged file $f -> $dest")
+        out.getOrElseUpdate(tag, scala.collection.mutable.ArrayBuffer.empty) +=
+          TxFile(rel, part)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val all = out.valuesIterator.flatten.toSeq
+    computeStagedStats(all)
+    out.view.mapValues(_.toSeq).toMap
+  }
+
   /** Append-commit: stage `df`'s files, then CAS them onto whatever
     * the latest snapshot is. Never conflicts — concurrent commits
     * just cost a re-read of the manifest, and no committed file is
@@ -714,11 +760,15 @@ class TxTable(val spark: SparkSession, val root: String,
     * in [[changedPartitionsSince]] via `#touch` lines instead.
     * Bulk deletes (a large fraction of a partition) belong to
     * [[rewritePartitions]] — the vector set is broadcast at read
-    * time and sized for surgical deletes.
+    * time and sized for surgical deletes, and `maxMarks`
+    * (default [[TxTable.DefaultDvMarkBudget]]) ENFORCES that sizing:
+    * a predicate matching past it fails loudly instead of silently
+    * bloating every later delta, checkpoint, and read.
     *
     * Returns the new version, or the current one if nothing matched.
     */
-  def deleteWhere(cond: org.apache.spark.sql.Column, maxAttempts: Int = 20): Long =
+  def deleteWhere(cond: org.apache.spark.sql.Column, maxAttempts: Int = 20,
+                  maxMarks: Long = TxTable.DefaultDvMarkBudget): Long =
     withConflictRetry(maxAttempts) { () =>
       import org.apache.spark.sql.functions.{col, collect_list, element_at, sort_array, split}
       val v = version
@@ -731,6 +781,19 @@ class TxTable(val spark: SparkSession, val root: String,
           col("_metadata.row_index").as("i"))
         .groupBy(col("f")).agg(sort_array(collect_list(col("i"))).as("is"))
         .collect()
+      // the durable hazard is the mark SET: it rides every subsequent
+      // delta/checkpoint and broadcasts into every read, so a broad
+      // predicate degrades the table long after the commit. (The
+      // transient collect above is already bounded by Spark's own
+      // spark.driver.maxResultSize guard.) Past the budget this is a
+      // bulk delete wearing merge-on-read clothes — fail loudly.
+      val nMarks = matched.iterator.map(_.getSeq[Long](1).size.toLong).sum
+      require(nMarks <= maxMarks,
+        s"deleteWhere matched $nMarks rows — past the $maxMarks deletion-" +
+          "vector mark budget (marks ride every delta/checkpoint and " +
+          "broadcast into every read). Bulk deletes belong to " +
+          "rewritePartitions(parts)(_.filter(!cond)); or raise maxMarks " +
+          "deliberately")
       if (matched.isEmpty) v
       else {
         val byName = snap.files.map(f =>
@@ -756,7 +819,8 @@ class TxTable(val spark: SparkSession, val root: String,
     */
   def updateWhere(cond: org.apache.spark.sql.Column,
                   sets: Map[String, org.apache.spark.sql.Column],
-                  maxAttempts: Int = 20): Long = {
+                  maxAttempts: Int = 20,
+                  maxMarks: Long = TxTable.DefaultDvMarkBudget): Long = {
     require(!sets.contains(partitionCol),
       s"updateWhere may not modify the partition column '$partitionCol' — " +
         "moving rows between partitions is a rewritePartitions job")
@@ -777,6 +841,12 @@ class TxTable(val spark: SparkSession, val root: String,
           col("_metadata.row_index").as("i"))
         .groupBy(col("f")).agg(sort_array(collect_list(col("i"))).as("is"))
         .collect()
+      val nMarks = marks.iterator.map(_.getSeq[Long](1).size.toLong).sum
+      require(nMarks <= maxMarks,
+        s"updateWhere matched $nMarks rows — past the $maxMarks deletion-" +
+          "vector mark budget (marks ride every delta/checkpoint and " +
+          "broadcast into every read). Bulk updates belong to " +
+          "rewritePartitions; or raise maxMarks deliberately")
       if (marks.isEmpty) v
       else {
         val byName = snap.files.map(f =>
@@ -850,33 +920,87 @@ class TxTable(val spark: SparkSession, val root: String,
     * moved partitions gets its OLD row killed wherever it lives) —
     * all touched partitions conflict-check.
     */
-  def mergeInto(batch: DataFrame, keys: Seq[String], maxAttempts: Int = 20): Long =
+  def mergeInto(batch: DataFrame, keys: Seq[String], maxAttempts: Int = 20,
+                maxMatchedMarks: Long = TxTable.DefaultDvMarkBudget): Long =
     withConflictRetry(maxAttempts) { () =>
-      import org.apache.spark.sql.functions.{broadcast, col, collect_list, element_at, sort_array, split}
+      import org.apache.spark.sql.functions.{broadcast, col, collect_list, lit, sort_array, split, when, element_at}
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
       val v = version
       require(v >= 0, s"mergeInto on uncommitted table $root")
       val snap = snapshot(v)
+      // A batch NARROWER than the table would silently null every
+      // omitted column of its matched rows: the old row is DV-killed
+      // and the reshaped replacement carries only the batch's columns,
+      // which read as null under the snapshot schema — data loss, not
+      // evolution. Delta's MERGE errors the same way; the reference's
+      // ON CONFLICT DO UPDATE always carries full-width rows
+      // (fetchers/config/queries.py:6-18). Widened batches still
+      // evolve additively via commitDvOps.
+      val omitted = snap.schema.fieldNames.toSet.diff(batch.columns.toSet)
+      require(omitted.isEmpty,
+        s"mergeInto: batch omits table columns ${omitted.toSeq.sorted.mkString(", ")} — " +
+          "matched rows would read null there (silent data loss). Carry " +
+          "full-width rows (hydrate missing columns from the current " +
+          "table), or use updateWhere for column-scoped changes")
       val existing = readSnapshot(snap)
       val bkeys = batch.select(keys.map(col): _*).distinct()
-      // `_metadata` resolves only on the file-source relation (it does
-      // not survive a join) — materialize the coordinates first
-      val deadMarks = existing
+      // ONE scan of the table yields BOTH the dead coordinates and the
+      // matched key set (formerly three scans: the mark scan plus two
+      // key-distinct probes for the matched/fresh splits). `_metadata`
+      // resolves only on the file-source relation (it does not survive
+      // a join), so the coordinates are projected before the semi-join;
+      // the result is ≤ |batch| rows (unique-key contract), and the
+      // eager localCheckpoint materializes it once for the three tiny
+      // consumers below. The batch materializes CONCURRENTLY — its
+      // lineage may itself be a query, and everything downstream
+      // (keys, split, staging, touched partitions) re-reads it.
+      val markedF = Future(existing
         .withColumn("__f", element_at(split(col("_metadata.file_path"), "/"), -1))
         .withColumn("__i", col("_metadata.row_index"))
         .join(broadcast(bkeys), keys, "left_semi")
+        .select(keys.map(col) :+ col("__f") :+ col("__i"): _*)
+        .localCheckpoint(true))(TxTable.dmlEc)
+      val batchCkF = Future(batch.localCheckpoint(true))(TxTable.dmlEc)
+      val marked = Await.result(markedF, Duration.Inf)
+      val batchCk = Await.result(batchCkF, Duration.Inf)
+      val nMarks = marked.count()
+      require(nMarks <= maxMatchedMarks,
+        s"mergeInto matched $nMarks existing rows — past the $maxMatchedMarks " +
+          "mark budget for a merge-on-read commit (the mark set is driver-" +
+          "collected, rides every delta/checkpoint, and broadcasts into every " +
+          "read). A batch replacing this fraction of the table is a bulk " +
+          "upsert: use upsertRewritePartitions, or raise maxMatchedMarks " +
+          "deliberately")
+      val matchedKeys = marked.select(keys.map(col): _*).distinct()
+      // The matched/fresh split, the staging write, the mark grouping,
+      // and the touched-partition probe are four independent jobs over
+      // checkpointed (or tiny) inputs — submit them concurrently. The
+      // split is ONE tagged write job ([[stageSplit]]) instead of two
+      // per-half writes: a left join against the ≤|batch|-row matched
+      // key set tags each batch row `u` (reshaped `+` file, feed-
+      // skipped) or `n` (fresh file, feed-delivered).
+      val mTag = matchedKeys.withColumn("__m", lit(true))
+      val tagged = batchCk.join(broadcast(mTag), keys, "left")
+        .withColumn("__tag", when(col("__m").isNotNull, lit("u")).otherwise(lit("n")))
+        .drop("__m")
+      val stagedF = Future(stageSplit(tagged, "__tag"))(TxTable.dmlEc)
+      val touchedF = Future(touchedPartitions(batchCk))(TxTable.dmlEc)
+      val deadMarks = marked
         .select(col("__f").as("f"), col("__i").as("i"))
         .groupBy(col("f")).agg(sort_array(collect_list(col("i"))).as("is"))
         .collect()
       val byName = snap.files.map(f =>
         f.path.substring(f.path.lastIndexOf('/') + 1) -> f).toMap
       val dvAdds = deadMarks.toSeq.map(r => (byName(r.getString(0)), r.getSeq[Long](1)))
-      val matched = batch.join(existing.select(keys.map(col): _*).distinct(),
-        keys, "left_semi")
-      val freshRows = batch.join(existing.select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
-      val parts = touchedPartitions(batch) ++ dvAdds.map(_._1.partition)
-      val stagedUpd = stageInto(parts, matched, "mergeInto")
-      val stagedNew = stageInto(parts, freshRows, "mergeInto")
+      val staged = Await.result(stagedF, Duration.Inf)
+      val stagedUpd = staged.getOrElse("u", Seq.empty)
+      val stagedNew = staged.getOrElse("n", Seq.empty)
+      val parts = Await.result(touchedF, Duration.Inf) ++ dvAdds.map(_._1.partition)
+      val outside = (stagedUpd ++ stagedNew).filterNot(f => parts.contains(f.partition))
+      require(outside.isEmpty,
+        s"mergeInto staged rows outside the touched partitions: " +
+          s"${outside.map(_.partition).distinct}")
       if (dvAdds.isEmpty && stagedUpd.isEmpty && stagedNew.isEmpty) v
       else commitDvOps(v, dvAdds, stagedUpd, "merge", stagedNew,
         batchSchema = Some(batch.schema))
@@ -1124,6 +1248,30 @@ object TxTable {
     * unreferenced — they may be a concurrent writer's staged batch.
     */
   val DefaultVacuumRetainAgeMillis: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Default cap on (file, row-index) deletion-vector marks a single
+    * [[TxTable.deleteWhere]] / [[TxTable.updateWhere]] /
+    * [[TxTable.mergeInto]] commit may collect. The mark set is
+    * driver-collected, rides every subsequent delta/checkpoint, and is
+    * broadcast into every read — sized for SURGICAL mutations. A
+    * predicate matching past this budget is a bulk rewrite wearing a
+    * delete's clothes; the guard fails loudly with the
+    * rewritePartitions / upsertRewritePartitions pointer instead of
+    * silently degrading (or OOMing) a 100 TB deployment.
+    */
+  val DefaultDvMarkBudget: Long = 5000000L
+
+  /** Daemon pool for overlapping a DML commit's independent Spark
+    * jobs (mark scan, batch materialization, staging writes) — short-
+    * lived tasks, so a cached pool is right-sized; daemon threads
+    * never pin JVM shutdown. Concurrent job submission from separate
+    * threads is the supported scheduler pattern.
+    */
+  private[storage] lazy val dmlEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-tx-dml"); t.setDaemon(true); t
+      }))
   private val DeltaName = """v(\d+)\.delta""".r
   private val CheckpointName = """v(\d+)\.checkpoint""".r
   private[storage] val StatsName = """v(\d+)\.stats""".r

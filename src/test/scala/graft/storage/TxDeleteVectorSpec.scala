@@ -173,6 +173,44 @@ class TxDeleteVectorSpec extends SparkSpec {
     assert(got === Set((1L, 11L, "b"), (2L, 20L, "a")))
   }
 
+  test("mergeInto refuses a batch narrower than the table (silent null-out)") {
+    val t = table()
+    t.append(Seq((1L, 10L, "x", "a")).toDF("id", "amt", "note", "p_date"))
+    // batch omits `note`: the matched row's replacement would read
+    // null there — data loss, not evolution. Must fail loudly.
+    val e = intercept[IllegalArgumentException] {
+      t.mergeInto(Seq((1L, 11L, "a")).toDF("id", "amt", "p_date"), Seq("id"))
+    }
+    assert(e.getMessage.contains("note"))
+    assert(e.getMessage.contains("updateWhere"))
+    // nothing committed, content intact
+    assert(t.version === 0L)
+    assert(t.read().select("note").as[String].head() === "x")
+  }
+
+  test("DML mark budgets: broad predicates fail loudly with the rewrite pointer") {
+    val t = table()
+    t.append((1L to 100L).map(i => (i, i, "a")).toDF("id", "amt", "p_date"))
+    val e1 = intercept[IllegalArgumentException] {
+      t.deleteWhere(col("id") <= 50L, maxMarks = 10L)
+    }
+    assert(e1.getMessage.contains("rewritePartitions"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") <= 50L, Map("amt" -> lit(0L)), maxMarks = 10L)
+    }
+    assert(e2.getMessage.contains("rewritePartitions"))
+    val e3 = intercept[IllegalArgumentException] {
+      t.mergeInto((1L to 50L).map(i => (i, 0L, "a")).toDF("id", "amt", "p_date"),
+        Seq("id"), maxMatchedMarks = 10L)
+    }
+    assert(e3.getMessage.contains("upsertRewritePartitions"))
+    // no refused op committed anything; within-budget ops still work
+    assert(t.version === 0L)
+    assert(t.read().count() === 100L)
+    t.deleteWhere(col("id") === 1L, maxMarks = 10L)
+    assert(t.read().count() === 99L)
+  }
+
   test("deletes compose with stats pruning and insertIgnore re-insertion") {
     val t = new TxTable(spark,
       java.nio.file.Files.createTempDirectory("txdv2").toString,
