@@ -35,11 +35,16 @@ import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledFuture, Time
   */
 object OhlcvHttpServer {
 
-  /** One output candle row, pre-rendered field order. */
+  /** One output candle row, pre-rendered field order. Non-finite
+    * doubles render as `null` — bare `NaN`/`Infinity` tokens are not
+    * JSON and would break every strict client parser.
+    */
   case class Candle(time: Long, open: Double, high: Double, low: Double,
                     close: Double, volume: Double) {
+    private def num(d: Double): String =
+      if (java.lang.Double.isFinite(d)) d.toString else "null"
     def json: String =
-      s"""{"time":$time,"open":$open,"high":$high,"low":$low,"close":$close,"volume":$volume}"""
+      s"""{"time":$time,"open":${num(open)},"high":${num(high)},"low":${num(low)},"close":${num(close)},"volume":${num(volume)}}"""
   }
 
   /** Spark wiring: reader → bounded collect → rows. */
@@ -113,6 +118,19 @@ object OhlcvHttpServer {
         top20Qvlm.orderBy(col("total_volume").desc))),
       "symbol-exchange" -> (_ => rowsOf(
         symExch.filter(col("is_trading")).orderBy(col("exchange")))))
+  }
+
+  /** The reference's scratch REST route (`web/routes/api/rest/test.py:11`
+    * → `readers.read_test`, readers.py:15-21): the first row of the
+    * `test` table ordered by id, as a one-element model list — the
+    * API-liveness probe. Served through the generic [[OhlcvHttpServer]]
+    * `routes` plane like every other model-list endpoint; compose with
+    * [[analyticsRoutes]]: `analyticsRoutes(...) ++ testRoute(testDf)`.
+    */
+  def testRoute(test: => org.apache.spark.sql.DataFrame)
+      : Map[String, Map[String, String] => Seq[Seq[(String, Any)]]] = {
+    import org.apache.spark.sql.functions.col
+    Map("test" -> (_ => rowsOf(test.orderBy(col("id")).limit(1))))
   }
 
   /** Minimal flat-object JSON field extraction (string/number/bool) —
@@ -256,13 +274,32 @@ final class OhlcvHttpServer(
     case b: Boolean => b.toString
     case b: java.lang.Boolean => b.toString
     case t: java.sql.Timestamp => t.getTime.toString // epoch ms
+    // non-finite floats are not JSON (bare NaN/Infinity tokens) — null
+    case d: java.lang.Double if !java.lang.Double.isFinite(d) => "null"
+    case f: java.lang.Float if !java.lang.Float.isFinite(f) => "null"
     case n: java.lang.Number => n.toString
     case other => quote(String.valueOf(other))
   }
 
-  private def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+  /** JSON string escape covering backslash, quote, and ALL control
+    * chars (<0x20) — data or exception messages carrying a stray
+    * control byte must not yield invalid JSON.
+    */
+  private def quote(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 2)
+    b.append('"')
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"')
+    b.toString
+  }
 
   // -------------------------------------------------------------- WS
 
@@ -276,7 +313,16 @@ final class OhlcvHttpServer(
         val in = new java.io.BufferedInputStream(sock.getInputStream)
         val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         // no non-local return here: this body runs on its own thread
-        if (handshake(in, out)) {
+        handshake(in, out) match {
+          case None =>
+          case Some(path) if path.stripSuffix("/").endsWith("/test") =>
+            // the reference's scratch WS route (ws/test.py:19-27):
+            // greet and close — the WS-liveness probe
+            out.synchronized {
+              writeFrame(out, 0x1, """{"detail": "Hello WebSocket"}""".getBytes(UTF_8))
+              writeFrame(out, 0x8, Array.emptyByteArray)
+            }
+          case Some(_) =>
           var open = true
           // RFC 6455 §5.4 fragmentation: a text message may arrive as
           // 0x1(FIN=0) + 0x0* + 0x0(FIN=1); accumulate until FIN
@@ -352,23 +398,31 @@ final class OhlcvHttpServer(
 
   // RFC 6455 plumbing ------------------------------------------------
 
-  private def handshake(in: java.io.InputStream, out: java.io.OutputStream): Boolean = {
+  /** RFC 6455 opening handshake; returns the GET request path on
+    * success (the route selector — `/api/ws/ohlcvs` vs the scratch
+    * `/api/ws/test`), None on a malformed upgrade.
+    */
+  private def handshake(in: java.io.InputStream, out: java.io.OutputStream): Option[String] = {
     val sb = new java.lang.StringBuilder
     var headerDone = false
     while (!headerDone) {
       val c = in.read()
-      if (c == -1) return false
+      if (c == -1) return None
       sb.append(c.toChar)
       val n = sb.length()
       headerDone = n >= 4 && sb.charAt(n - 4) == '\r' && sb.charAt(n - 3) == '\n' &&
         sb.charAt(n - 2) == '\r' && sb.charAt(n - 1) == '\n'
     }
     val req = sb.toString
+    val path = req.linesIterator.nextOption()
+      .collect { case l if l.startsWith("GET ") =>
+        l.split(" ")(1).takeWhile(_ != '?') }
+      .getOrElse("")
     val key = req.linesIterator
       .find(_.toLowerCase.startsWith("sec-websocket-key:"))
       .map(_.split(":", 2)(1).trim)
     key match {
-      case None => false
+      case None => None
       case Some(k) =>
         val accept = java.util.Base64.getEncoder.encodeToString(
           java.security.MessageDigest.getInstance("SHA-1")
@@ -377,7 +431,7 @@ final class OhlcvHttpServer(
           "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
           s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
         out.flush()
-        true
+        Some(path)
     }
   }
 

@@ -208,6 +208,14 @@ object JdbcCandleSink {
         case e: java.sql.SQLException if dialect.isIntegrityViolation(e) =>
           conn.rollback() // reference: rollback then conflict-handling replay
           false
+        case e: Throwable =>
+          // any OTHER mid-batch failure (timeout, serialization error,
+          // connection fault) must also release the open transaction —
+          // relying on driver rollback-on-close semantics would leave a
+          // partially-applied batch pinned until the pool reaps it. The
+          // rollback's own failure must not mask the root cause.
+          try conn.rollback() catch { case _: Throwable => }
+          throw e
       } finally fast.close()
     if (!fastOk) {
       val fb = conn.prepareStatement(

@@ -63,7 +63,8 @@ class OhlcvHttpServerSpec extends SparkSpec {
     }
   }
 
-  private def wsConnect(url: String, sink: String => Unit): WebSocket = {
+  private def wsConnect(url: String, sink: String => Unit,
+                        path: String = "/api/ws/ohlcvs"): WebSocket = {
     val listener = new WebSocket.Listener {
       private val buf = new StringBuilder
       override def onText(ws: WebSocket, data: CharSequence,
@@ -76,7 +77,7 @@ class OhlcvHttpServerSpec extends SparkSpec {
     }
     HttpClient.newHttpClient().newWebSocketBuilder()
       .connectTimeout(Duration.ofSeconds(5))
-      .buildAsync(java.net.URI.create(url + "/api/ws/ohlcvs"), listener)
+      .buildAsync(java.net.URI.create(url + path), listener)
       .get(10, TimeUnit.SECONDS)
   }
 
@@ -141,6 +142,65 @@ class OhlcvHttpServerSpec extends SparkSpec {
       assert(b4.indexOf("binance") < b4.indexOf("bitfinex"))
       val (c5, _) = get(s"${srv.restAddress}/api/rest/nope")
       assert(c5 === 404)
+    } finally srv.stop()
+  }
+
+  test("scratch test routes: REST first-row probe + WS hello-and-close") {
+    // REST: rest/test.py:11 → readers.read_test — first row of the
+    // `test` table ordered by id, as a one-element model list
+    val testDf = Seq((2L, "ETH", "USD", 1.0, 2.0), (1L, "BTC", "USD", 3.0, 4.0))
+      .toDF("id", "b", "q", "o", "c")
+    val asOf = new java.sql.Timestamp(t0 + 3600000L)
+    val srv = new OhlcvHttpServer(
+      OhlcvHttpServer.forSpark(spark, base(), Map.empty, asOf),
+      routes = OhlcvHttpServer.testRoute(testDf)).start()
+    try {
+      val (code, body) = get(s"${srv.restAddress}/api/rest/test")
+      assert(code === 200, body)
+      assert(body === """[{"id":1,"b":"BTC","q":"USD","o":3.0,"c":4.0}]""", body)
+      // unknown routes still 404 with the FastAPI detail
+      val (c404, b404) = get(s"${srv.restAddress}/api/rest/nada")
+      assert(c404 === 404 && b404 === """{"detail":"Not Found"}""")
+      // WS: ws/test.py:19-27 — greet then close, the liveness probe
+      val msgs = new LinkedBlockingQueue[String]()
+      val closed = new CountDownLatch(1)
+      val listener = new WebSocket.Listener {
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): CompletionStage[_] = {
+          msgs.put(data.toString); ws.request(1); null
+        }
+        override def onClose(ws: WebSocket, code: Int,
+                             reason: String): CompletionStage[_] = {
+          closed.countDown(); null
+        }
+      }
+      HttpClient.newHttpClient().newWebSocketBuilder()
+        .connectTimeout(Duration.ofSeconds(5))
+        .buildAsync(java.net.URI.create(srv.wsAddress + "/api/ws/test"), listener)
+        .get(10, TimeUnit.SECONDS)
+      assert(msgs.poll(5, TimeUnit.SECONDS) === """{"detail": "Hello WebSocket"}""")
+      assert(closed.await(5, TimeUnit.SECONDS), "server must close after the greeting")
+    } finally srv.stop()
+  }
+
+  test("JSON rendering stays valid on control chars and non-finite doubles") {
+    // routesHandler path: a string value carrying control bytes must
+    // escape to \u00XX, and NaN/Infinity must render null (bare tokens
+    // are not JSON)
+    val weird = Seq(("a\u0001b\u001fc", Double.NaN, Double.PositiveInfinity, 1.5))
+      .toDF("s", "nan", "inf", "ok")
+    val asOf = new java.sql.Timestamp(t0 + 3600000L)
+    val srv = new OhlcvHttpServer(
+      OhlcvHttpServer.forSpark(spark, base(), Map.empty, asOf),
+      routes = Map("weird" -> (_ => OhlcvHttpServer.rowsOf(weird)))).start()
+    try {
+      val (code, body) = get(s"${srv.restAddress}/api/rest/weird")
+      assert(code === 200, body)
+      assert(body === "[{\"s\":\"a\\u0001b\\u001fc\",\"nan\":null,\"inf\":null,\"ok\":1.5}]", body)
+      // Candle.json under non-finite inputs is still parseable JSON
+      assert(OhlcvHttpServer.Candle(1L, Double.NaN, 2.0, 1.0,
+        Double.NegativeInfinity, 3.0).json ===
+        """{"time":1,"open":null,"high":2.0,"low":1.0,"close":null,"volume":3.0}""")
     } finally srv.stop()
   }
 

@@ -117,6 +117,56 @@ class JdbcCandleSinkSpec extends SparkSpec {
     assert(CountingDialect.conflictCalls.get() > 0)
   }
 
+  test("PostgresDialect golden SQL: the reference's literal conflict statements") {
+    // The PG branch can't execute in-sandbox (no embedded Postgres, zero
+    // egress) — pin the generated statement TEXT instead, against the
+    // reference contract: PSQL_INSERT_IGNOREDUP_QUERY appends
+    // `ON CONFLICT DO NOTHING` (queries.py:4) and
+    // PSQL_INSERT_UPDATE_QUERY appends
+    // `ON CONFLICT (<keys>) DO UPDATE SET <col> = <excluded>` (queries.py:13).
+    import JdbcCandleSink.PostgresDialect
+    assert(PostgresDialect.insertSql("ohlcvs", columns) ===
+      """INSERT INTO "ohlcvs" ("time", "exchange", "base_id", "quote_id", """ +
+        """"open", "high", "low", "close", "volume") """ +
+        "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)")
+    assert(PostgresDialect.conflictSql("ohlcvs", columns, keys, Mode.InsertIgnore) ===
+      """INSERT INTO "ohlcvs" ("time", "exchange", "base_id", "quote_id", """ +
+        """"open", "high", "low", "close", "volume") """ +
+        "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?) ON CONFLICT DO NOTHING")
+    assert(PostgresDialect.conflictSql("ohlcvs", columns, keys, Mode.InsertUpdate) ===
+      """INSERT INTO "ohlcvs" ("time", "exchange", "base_id", "quote_id", """ +
+        """"open", "high", "low", "close", "volume") """ +
+        "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?) " +
+        """ON CONFLICT ("exchange", "base_id", "quote_id", "time") """ +
+        """DO UPDATE SET "open" = EXCLUDED."open", "high" = EXCLUDED."high", """ +
+        """"low" = EXCLUDED."low", "close" = EXCLUDED."close", """ +
+        """"volume" = EXCLUDED."volume"""")
+    // PG binds one marker per column in column order, both modes — the
+    // multi-marker reorder is Derby MERGE's quirk, never Postgres's
+    assert(PostgresDialect.conflictBindOrder(columns, keys, Mode.InsertIgnore)
+      === columns.indices)
+    assert(PostgresDialect.conflictBindOrder(columns, keys, Mode.InsertUpdate)
+      === columns.indices)
+  }
+
+  test("a non-integrity fast-path failure rolls back and propagates, never half-commits") {
+    val url = freshDb("strlen")
+    // second row's exchange overflows VARCHAR(64): SQLState 22001 (data
+    // exception, NOT the integrity class 23) — must propagate with the
+    // open transaction rolled back, and no partial page may commit
+    val bad = candles(Seq(
+      ("2021-01-04 00:00:00", "bitfinex", "BTC", "USD", 1.0),
+      ("2021-01-04 01:00:00", "x" * 100, "BTC", "USD", 2.0))).coalesce(1)
+    intercept[org.apache.spark.SparkException] {
+      write(bad, url, "candles", columns, keys, Mode.InsertIgnore, DerbyDialect)
+    }
+    assert(tableRows(url).isEmpty, "the failed page must not half-commit")
+    // the same URL still accepts a clean write afterwards
+    val ok = candles(Seq(("2021-01-04 00:00:00", "bitfinex", "BTC", "USD", 1.0)))
+    write(ok, url, "candles", columns, keys, Mode.InsertIgnore, DerbyDialect)
+    assert(tableRows(url).size === 1)
+  }
+
   test("in-batch duplicate keys resolve in row order, not as an error") {
     val url = freshDb("dup")
     // ONE partition: row order is defined within a partition's pages;
