@@ -56,10 +56,16 @@ object Similarity {
     * `or`, keeping the fold associative.
     */
   def signBits64(v: Column): (Column, Column) = {
-    def word(off: Int): Column = expr(
-      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-         |  (acc, i) -> acc + CASE WHEN ${v}[i + $off] > CAST(0 AS FLOAT)
-         |    THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+    // typed DSL, not expr() interpolation: Column.toString only
+    // round-trips for plain attribute references, so a derived or
+    // aliased vector column would parse wrong (or not at all) inside
+    // an interpolated SQL string. call_function("shiftleft", ...)
+    // because the functions.shiftleft overload takes a literal Int
+    // shift, and the lambda variable is a Column.
+    def word(off: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, i) => acc + when(get(v, i + lit(off)) > lit(0f),
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
     (word(0), word(32))
   }
 

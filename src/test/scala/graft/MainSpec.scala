@@ -1,0 +1,134 @@
+package graft
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Main]] — the CLI face of the two production jobs (reference
+  * scripts/fetchers/rest.py:8-66): a fixture-backed end-to-end
+  * backfill driven through `main(args)` must land exactly the range's
+  * candles first-write-wins in the TxTable (idempotent on re-run),
+  * the Bittrex action must day-slice, the JDBC flag must route
+  * through the sink, and the stream action must run the
+  * transactional pipeline from files to table.
+  */
+class MainSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private val t0 = 1609459200000L // 2021-01-01T00:00:00Z
+
+  /** 120 one-minute candles per symbol, the page source's fixture. */
+  private def writeFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("mainfix").toString
+    val rows = for {
+      (b, q) <- Seq(("BTC", "USD"), ("ETH", "USD"))
+      i <- 0 until 120
+    } yield (new java.sql.Timestamp(t0 + i * 60000L), b, q,
+      100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 2.0)
+    rows.toDF("time", "base_id", "quote_id",
+      "open", "high", "low", "close", "volume")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("backfill from main(args): fixture pages -> cursor walk -> TxTable, idempotent") {
+    val fix = writeFixture()
+    val table = java.nio.file.Files.createTempDirectory("maintbl").toString + "/t"
+    val errs = java.nio.file.Files.createTempDirectory("mainerr").toString + "/e"
+    val args = Array("backfill", "--exchange", "bitfinex",
+      "--symbols", "BTC-USD,ETH-USD",
+      "--start", "2021-01-01T00:00:00", "--end", "2021-01-01T01:00:00",
+      "--table", table, "--errors", errs, "--source", fix)
+    Main.main(args)
+    val t = new graft.storage.TxTable(spark, table)
+    val got = t.read()
+    // exactly the first 60 minutes of both symbols, no more
+    assert(got.count() === 120L)
+    assert(got.groupBy(col("base_id")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("BTC" -> 60L, "ETH" -> 60L))
+    assert(got.agg(min(unix_millis(col("time"))), max(unix_millis(col("time"))))
+      .as[(Long, Long)].head() === ((t0, t0 + 59 * 60000L)))
+    // re-running the same backfill is first-write-wins: nothing doubles
+    Main.main(args)
+    assert(new graft.storage.TxTable(spark, table).read().count() === 120L)
+  }
+
+  test("bittrex backfill day-slices; a multi-day range lands each day's candles once") {
+    val fix = writeFixture()
+    val table = java.nio.file.Files.createTempDirectory("maintbl2").toString + "/t"
+    Main.main(Array("backfill", "--exchange", "bittrex",
+      "--symbols", "BTC-USD",
+      "--start", "2021-01-01T00:00:00", "--end", "2021-01-03T00:00:00",
+      "--table", table, "--errors",
+      java.nio.file.Files.createTempDirectory("mainerr2").toString + "/e",
+      "--source", fix))
+    // the fixture only covers 120 minutes of day 1
+    val got = new graft.storage.TxTable(spark, table).read()
+    assert(got.count() === 120L)
+  }
+
+  test("jdbc-url routes the backfill through JdbcCandleSink") {
+    val fix = writeFixture()
+    val url = "jdbc:derby:memory:mainjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE "ohlcvs" (
+          |  "time" TIMESTAMP NOT NULL, "exchange" VARCHAR(100) NOT NULL,
+          |  "base_id" VARCHAR(20) NOT NULL, "quote_id" VARCHAR(20) NOT NULL,
+          |  "open" DOUBLE, "high" DOUBLE, "low" DOUBLE, "close" DOUBLE,
+          |  "volume" DOUBLE,
+          |  PRIMARY KEY ("exchange", "base_id", "quote_id", "time"))""".stripMargin)
+    } finally conn.close()
+    Main.main(Array("backfill", "--exchange", "bitfinex",
+      "--symbols", "BTC-USD",
+      "--start", "2021-01-01T00:00:00", "--end", "2021-01-01T00:30:00",
+      "--jdbc-url", url, "--errors",
+      java.nio.file.Files.createTempDirectory("mainerr3").toString + "/e",
+      "--source", fix))
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery("""SELECT COUNT(*) FROM "ohlcvs"""")
+      rs.next()
+      assert(rs.getInt(1) === 30)
+    } finally c2.close()
+  }
+
+  test("stream from main(args): file source -> closed candles -> TxTable") {
+    // canonical candle-message rows: two updates of one closed minute
+    // plus a newer message that advances the watermark past it
+    val srcDir = java.nio.file.Files.createTempDirectory("mainstream").toString
+    Seq(
+      (t0 + 1000L, "bitfinex", "BTC", "USD", 100.0, 101.0, 99.0, 100.2, 1.0),
+      (t0 + 2000L, "bitfinex", "BTC", "USD", 100.0, 102.0, 99.0, 100.7, 2.0),
+      (t0 + 2 * 3600000L, "bitfinex", "BTC", "USD", 1.0, 1.0, 1.0, 1.0, 1.0))
+      .toDF("ts_ms", "exchange", "base_id", "quote_id",
+        "open", "high", "low", "close", "volume")
+      .write.mode("overwrite").parquet(srcDir)
+    val table = java.nio.file.Files.createTempDirectory("maintbl3").toString + "/t"
+    Main.main(Array("stream",
+      "--checkpoint", java.nio.file.Files.createTempDirectory("mainck").toString,
+      "--table", table, "--input", s"parquet:$srcDir",
+      "--trigger-secs", "1", "--duration-secs", "8"))
+    val t = new graft.storage.TxTable(spark, table)
+    assert(t.version >= 0, "the stream must have committed")
+    val closed = t.read().filter(unix_millis(col("time")) === t0)
+    // latest message per closed bucket wins (max_by ts_ms)
+    assert(closed.count() === 1L)
+    assert(closed.select("close", "volume").as[(Double, Double)].head() === ((100.7, 2.0)))
+  }
+
+  test("arg parsing fails loudly: bad action, bad flag shape, bad symbol") {
+    intercept[IllegalArgumentException] { Main.parse(Array.empty) }
+    intercept[IllegalArgumentException] { Main.parse(Array("backfill", "oops")) }
+    intercept[IllegalArgumentException] { Main.parse(Array("backfill", "--start")) }
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "nonsense", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "backfill", Map("exchange" -> "bitfinex",
+        "start" -> "2021-01-01T00:00:00", "end" -> "2021-01-02T00:00:00",
+        "symbols" -> "BTCUSD", "table" -> "/tmp/x"))
+    }
+    assert(Main.parseTs("2021-01-01T00:00:00") === t0)
+  }
+}
