@@ -2267,7 +2267,14 @@ object LlmQueries {
           lit(1.0d) / (lit(1.0d) +
             TextOps.stopwordHits(w, stop).cast("double") / size(w).cast("double")))
           .otherwise(lit(0.0d)).as("q"))
-    Sampling.dropBottomQuantile(scored, "lang", "q", "doc_id", 1L, 4L)
+    // Score ONCE: dropBottomQuantile references its input three times
+    // (histogram, keep-outright, tie branch), which would re-run the
+    // tokenize+stopword scoring pass per reference. The checkpointed
+    // frame is the narrow (doc_id, lang, q) projection — at 100 TB
+    // the same move is writing the scored projection to a table
+    // before filtering (score-once/filter-many).
+    Sampling.dropBottomQuantile(scored.localCheckpoint(true),
+        "lang", "q", "doc_id", 1L, 4L)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), r4(min(col("q"))).as("min_q"),
         sum(col("doc_id")).as("id_sum"))

@@ -118,15 +118,17 @@ object Similarity {
   }
 
   /** Per-cell mean centroids from (cell, vec) — elementwise average
-    * via posexplode + re-assemble (sorted by position).
+    * as ONE map-side-combined aggregate ([[graft.functions.VecAgg
+    * .vecMean]]). The previous posexplode → per-(cell,pos) avg →
+    * re-assemble form paid a dim× row explosion and two exchanges per
+    * call — per Lloyd iteration in [[kMeansFit]]; the vector buffer
+    * folds in the same per-partition row order (same fixture-stability
+    * class), and the exchange carries k dim-length partials.
     */
   def centroids(df: DataFrame, cell: Column, vec: Column): DataFrame =
-    df.select(cell.as("cell"), posexplode(vec).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v").cast("double")).as("c"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+    df.groupBy(cell.as("cell"))
+      .agg(graft.functions.VecAgg.vecMean(
+        transform(vec, x => x.cast("double"))).as("centroid"))
 
   /** Deterministic ±1 random-hyperplane signs for SRP-LSH: entry
     * (p, j) is the parity of md5("p|j")'s first byte — well-mixed,
