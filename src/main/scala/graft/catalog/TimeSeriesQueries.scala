@@ -1208,6 +1208,140 @@ object TimeSeriesQueries {
        |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc
        |FROM adj GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- time travel + feed
+  /** Shared 3-version fixture for the log-history queries: v0 appends
+    * the events projection, v1 surgically deletes user_id ≡ 3 mod 7
+    * (deletion vectors, no rewrite), v2 appends a deterministic
+    * "restated" batch derived from the purchase rows. Each query
+    * reads a different slice of the same log, so the trio certifies
+    * the whole history contract — snapshot isolation across versions,
+    * O(new data) change feeds, and that v1's vectors do NOT leak into
+    * the v0 read or mark the later-appended v2 files.
+    */
+  private[graft] def versionedEvents(s: SparkSession, dir: String)
+      : graft.storage.TxTable =
+    fixture(dir, "timetravel") {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+      val t = new graft.storage.TxTable(s,
+        java.nio.file.Files.createTempDirectory("ttq").toString)
+      t.append(ev.withColumn("p_date", lit("a")))                  // v0
+      t.deleteWhere(pmod(col("user_id"), lit(7L)) === 3L)          // v1
+      t.append(ev.filter(col("event_type") === "purchase")        // v2
+        .withColumn("event_type", lit("restated"))
+        .withColumn("p_date", lit("b")))
+      t
+    }
+
+  /** [[graft.storage.TxTable.readSnapshot]] time travel under the
+    * oracle hash gate: the same aggregate over versions 0/1/2 of
+    * [[versionedEvents]] must reproduce, from ONE log, the full
+    * history DuckDB recomputes from raw parquet (v0 = everything —
+    * v1's vectors must not apply retroactively; v1 = the GDPR-shaped
+    * delete; v2 = delete survivors plus the restated batch). Scale:
+    * each snapshot read is O(that version's live files) metadata —
+    * history costs nothing until a version is read, and vacuum
+    * horizon permitting, a 100 TB table serves any as-of audit this
+    * way.
+    */
+  private def timeTravelQ(s: SparkSession, dir: String): DataFrame = {
+    val t = versionedEvents(s, dir)
+    (0L to 2L).map { v =>
+      t.readSnapshot(t.snapshot(v))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("vc"))
+        .select(lit(v).as("version"), col("event_type"), col("n"), col("vc"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("version"), col("event_type"))
+  }
+
+  private val timeTravelSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id, event_type, value FROM events
+       |), kept AS (
+       |  SELECT event_type, value FROM base WHERE user_id % 7 <> 3
+       |), restated AS (
+       |  SELECT 'restated' AS event_type, value FROM base
+       |  WHERE event_type = 'purchase'
+       |), v0 AS (SELECT event_type, value FROM base),
+       |v1 AS (SELECT * FROM kept),
+       |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM restated),
+       |hist AS (
+       |  SELECT CAST(0 AS BIGINT) AS version, event_type, value FROM v0
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), event_type, value FROM v1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), event_type, value FROM v2
+       |)
+       |SELECT version, event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc
+       |FROM hist GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** [[graft.storage.TxTable.readChangesSince]] under the oracle hash
+    * gate: the feed over (v1, v2] of [[versionedEvents]] must deliver
+    * EXACTLY the restated batch — not the v0 bulk, not the delete's
+    * marks, no reshaped re-delivery — certifying the O(new data)
+    * incremental-consumer contract end-to-end (the spec-level pins
+    * live in FeedRefreshSpec; this row hashes the delivered rows
+    * themselves against DuckDB).
+    */
+  private def changeFeedQ(s: SparkSession, dir: String): DataFrame = {
+    val t = versionedEvents(s, dir)
+    t.readChangesSince(sinceV = 1L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("vc"),
+        sum(col("user_id")).as("uid_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val changeFeedSql: String =
+    s"""SELECT 'restated' AS event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${centsSql("value")}) AS BIGINT) AS vc,
+       |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+       |FROM events WHERE event_type = 'purchase'
+       |ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- schema evolution
+  /** Additive schema evolution under the oracle hash gate: a widened
+    * batch (integer `score` column) appends to a table whose earlier
+    * files lack the column, and the merged-snapshot read must show
+    * the old rows as NULL-scored and the new rows exactly
+    * (TxSchemaEvolutionSpec pins the log mechanics; this row hashes
+    * the merged read against DuckDB's UNION-with-NULL restatement).
+    * Scale: evolution is a log-schema change only — zero data files
+    * rewritten, the reader reconciles per file.
+    */
+  private def schemaEvolveQ(s: SparkSession, dir: String): DataFrame = {
+    val t = fixture(dir, "evolve") {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+      val t = new graft.storage.TxTable(s,
+        java.nio.file.Files.createTempDirectory("sev").toString)
+      t.append(ev.withColumn("p_date", lit("a")))
+      t.append(ev.filter(col("event_type") === "click")
+        .withColumn("score", pmod(col("user_id"), lit(100L)))
+        .withColumn("p_date", lit("b")))
+      t
+    }
+    t.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("score")).as("n_scored"),
+        sum(col("score")).as("score_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val schemaEvolveSql: String =
+    s"""WITH all_rows AS (
+       |  SELECT event_type, CAST(NULL AS BIGINT) AS score FROM events
+       |  UNION ALL
+       |  SELECT event_type, user_id % 100 AS score FROM events
+       |  WHERE event_type = 'click'
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(count(score) AS BIGINT) AS n_scored,
+       |       CAST(sum(score) AS BIGINT) AS score_sum
+       |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ interval join
   /** [[Analytics.intervalJoin]] — purchases attributed to the click
     * session they fall inside: click-only gap sessions (30 min)
@@ -1730,6 +1864,9 @@ object TimeSeriesQueries {
     "ts_delete_vector" -> deleteVectorQ,
     "ts_update_vector" -> updateVectorQ,
     "ts_merge_upsert"  -> mergeUpsertQ,
+    "ts_time_travel"   -> timeTravelQ,
+    "ts_change_feed"   -> changeFeedQ,
+    "ts_schema_evolve" -> schemaEvolveQ,
     "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
     "ts_sample_quantiles" -> sampleQuantilesQ,
@@ -1767,6 +1904,9 @@ object TimeSeriesQueries {
     "ts_delete_vector" -> deleteVectorSql,
     "ts_update_vector" -> updateVectorSql,
     "ts_merge_upsert"  -> mergeUpsertSql,
+    "ts_time_travel"   -> timeTravelSql,
+    "ts_change_feed"   -> changeFeedSql,
+    "ts_schema_evolve" -> schemaEvolveSql,
     "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
     "ts_sample_quantiles" -> sampleQuantilesSql,
