@@ -1661,6 +1661,48 @@ object LlmQueries {
        |FROM topk ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
   }
 
+  /** [[Similarity.kCenterSample]] — greedy farthest-point diversity
+    * selection (Gonzalez 1985), k=5 over the embeddings table. The
+    * oracle unrolls the same greedy chain: seed = smallest id, then
+    * each step takes the argmax of the running min-L2² to the selected
+    * set (ties to the lowest id), with the distance folded in explicit
+    * ascending-index order on both sides (the kmeansIvf d2Sql
+    * discipline — min/least over exact doubles has no fold hazard, so
+    * the chain is engine-exact; only the emitted radius is r4).
+    */
+  private def kcenterQ(s: SparkSession, d: String): DataFrame =
+    Similarity.kCenterSample(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"), 5)
+      .select(col("rank"), col("id"), r4(col("d")).as("d"))
+      .orderBy(col("rank"))
+
+  private val kcenterSql: String = {
+    val k = 5; val dimPlus1 = 65
+    def l2(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, $dimPlus1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    val steps = (2 to k).map { t =>
+      val prev = if (t == 2) "pts" else s"d${t - 2}"
+      val dExpr = if (t == 2) l2("p.v", "s.v")
+        else s"least(p.d, ${l2("p.v", "s.v")})"
+      s"""d${t - 1} AS (
+         |  SELECT p.id, p.v, $dExpr AS d
+         |  FROM $prev p, s${t - 1} s WHERE p.id <> s.id
+         |), s$t AS (SELECT id, v, d FROM d${t - 1} ORDER BY d DESC, id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { t =>
+      if (t == 1)
+        s"SELECT CAST(1 AS INTEGER) AS rank, id, CAST(NULL AS DOUBLE) AS d FROM s1"
+      else s"SELECT CAST($t AS INTEGER), id, ${r4Sql("d")} FROM s$t"
+    }.mkString("\nUNION ALL ")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |), s1 AS (SELECT id, v FROM pts ORDER BY id LIMIT 1),
+       |$steps
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   /** [[Similarity.semanticDedup]] — SemDeDup (Abbas et al.,
     * arXiv:2303.09540) over the embeddings table: k-means (k=8, 5
     * Lloyd iterations, same deterministic fit as llm_kmeans_ivf),
@@ -4200,6 +4242,7 @@ object LlmQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
+    "llm_kcenter"      -> kcenterQ,
     "llm_semantic_dedup" -> semanticDedupQ,
     "llm_embed_neardup" -> embedNearDup,
     "llm_exact_dedup"  -> exactDedup,
@@ -4286,6 +4329,7 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "llm_kmeans_ivf"   -> kmeansIvfSql,
+    "llm_kcenter"      -> kcenterSql,
     "llm_semantic_dedup" -> semanticDedupSql,
     "llm_embed_neardup" -> embedNearDupSql,
     "llm_exact_dedup"  -> exactDedupSql,

@@ -361,6 +361,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Greedy k-center / farthest-point traversal (Gonzalez, TCS 1985)
+    * — the diversity-coreset selector of a curation pipeline: pick the
+    * smallest-id point, then k−1 times the point maximizing its
+    * min-L2²-distance to everything selected so far (ties to the
+    * lowest id). A 2-approximation to the k-center objective, and the
+    * standard "select a maximally diverse subset" pass (data pruning /
+    * active-learning seeding).
+    *
+    * Returns (rank, id, d): selection order, point id, and the
+    * min-distance² to the previously selected set at selection time
+    * (null for the seed) — d is the coverage radius curve, the knob a
+    * curation run reads to pick k.
+    *
+    * Execution shape = [[kMeansFit]]'s driver loop: the selected set
+    * is a MODEL (k × dim doubles), so each step is one scan of the
+    * persisted points computing `least` over k inlined distances —
+    * min is exact over doubles (no fold hazard), and the per-step
+    * argmax is an orderBy(d DESC, id) LIMIT 1. k sequential jobs by
+    * construction (each pick conditions the next); at 100 TB run it
+    * on a [[graft.llm.Sampling]].hashSample like any other fit.
+    */
+  def kCenterSample(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    require(k >= 1, s"kCenterSample: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(id.cast("long").as("id"),
+        transform(vec, x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = pts.orderBy(col("id")).limit(1).collect().head
+    var selected = Vector[(Long, Seq[Double], java.lang.Double)](
+      (seed.getLong(0), seed.getSeq[Double](1), null))
+    var done = false
+    while (selected.size < k && !done) {
+      val dmin = {
+        val ds = selected.map { case (_, c, _) =>
+          graft.functions.VecExprs.vecL2Sq(col("v"), typedLit(c)) }
+        if (ds.size == 1) ds.head else least(ds: _*)
+      }
+      val next = pts
+        .filter(!col("id").isInCollection(selected.map(_._1)))
+        .select(col("id"), col("v"), dmin.as("d"))
+        .orderBy(col("d").desc, col("id").asc)
+        .limit(1).collect()
+      if (next.isEmpty) done = true
+      else selected :+= ((next.head.getLong(0), next.head.getSeq[Double](1),
+        java.lang.Double.valueOf(next.head.getDouble(2))))
+    }
+    pts.unpersist(false)
+    selected.zipWithIndex
+      .map { case ((i, _, d), r) => (r + 1, i, Option(d).map(_.doubleValue)) }
+      .toDF("rank", "id", "d")
+  }
+
   // ------------------------------------------- product quantization
 
   /** Explode a double-array column into (mSub) sub-vectors:
