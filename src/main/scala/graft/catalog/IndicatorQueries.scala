@@ -629,18 +629,23 @@ object IndicatorQueries {
     * exact integer.
     */
   private def obvQ(s: SparkSession, dir: String): DataFrame = {
+    // Same one-scan fusion as [[hourlyOhlcQty]]: the close dedup and
+    // the raw-row volume sum share the per-(event_type, ts) stage,
+    // replacing the former two-scan + left-join plan (sum(k) is a
+    // long — per-ts then per-bucket partial sums are exact, so the
+    // fused total equals the old branch bit-for-bit).
     val schema = StructType(Seq(StructField("k", LongType)))
-    val qty = byKey(Tables.events(s, dir))
+    val pxQty = byKey(Tables.events(s, dir))
       .withColumn("k", from_json(col("props"), schema).getField("k"))
-      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"),
+        sum(col("k")).as("ksum"))
       .withColumn("tus", unix_micros(col("ts")))
       .groupBy(col("event_type"),
         (expr("tus div 3600000000") * 3600000000L).as("bus"))
-      .agg(sum(col("k")).as("qty"))
-    val px = hourly(s, dir)
-    Indicators.obv(
-        px.join(qty, Seq("event_type", "bus"), "left")
-          .withColumn("qty", coalesce(col("qty"), lit(0L))),
+      .agg(cents(max_by(col("value"), col("tus"))).as("c"),
+        coalesce(sum(col("ksum")), lit(0L)).as("qty"))
+    Indicators.obv(pxQty,
         Seq(col("event_type")), col("bus"), col("c"), col("qty"))
       .select(col("event_type"), col("bus"), col("obv"))
       .orderBy(col("event_type"), col("bus"))
@@ -848,16 +853,27 @@ object IndicatorQueries {
     * the join adds no exchange; missing volume coalesces to 0.
     */
   private def hourlyOhlcQty(s: SparkSession, dir: String): DataFrame = {
+    // ONE scan, ONE exchange, NO join: the per-(event_type, ts) dedup
+    // stage that [[Tables.eventSeriesOver]] runs for the OHLC side
+    // also sums the RAW rows' props.k (the volume side sums over all
+    // events, not the deduped series — sum(k) per ts then per bucket
+    // is the same exact long total as the old separate branch), so
+    // the former two-scan + left-join plan collapses. The oracle CTE
+    // keeps the two-branch form — identical rows certify the fusion.
     val schema = StructType(Seq(StructField("k", LongType)))
-    val qty = byKey(Tables.events(s, dir))
+    byKey(Tables.events(s, dir))
       .withColumn("k", from_json(col("props"), schema).getField("k"))
-      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"),
+        sum(col("k")).as("ksum"))
       .withColumn("tus", unix_micros(col("ts")))
       .groupBy(col("event_type"),
         (expr("tus div 3600000000") * 3600000000L).as("bus"))
-      .agg(sum(col("k")).as("qty"))
-    hourlyOhlc(s, dir).join(qty, Seq("event_type", "bus"), "left")
-      .withColumn("qty", coalesce(col("qty"), lit(0L)))
+      .agg(
+        cents(max(col("value"))).as("h"),
+        cents(min(col("value"))).as("l"),
+        cents(max_by(col("value"), col("tus"))).as("c"),
+        coalesce(sum(col("ksum")), lit(0L)).as("qty"))
   }
 
   private val hourlyOhlcQtyCte: String =
