@@ -852,7 +852,7 @@ object IndicatorQueries {
     * [[obvQ]] quantity path) — both sides clustered by [[byKey]], so
     * the join adds no exchange; missing volume coalesces to 0.
     */
-  private def hourlyOhlcQty(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def hourlyOhlcQty(s: SparkSession, dir: String): DataFrame = {
     // ONE scan, ONE exchange, NO join: the per-(event_type, ts) dedup
     // stage that [[Tables.eventSeriesOver]] runs for the OHLC side
     // also sums the RAW rows' props.k (the volume side sums over all

@@ -1188,7 +1188,13 @@ object LlmQueries {
     val toks = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id").as("id"),
         size(TextOps.words(col("text"))).cast("long").as("n_tok"))
-    val input = ord.join(toks, "id")
+    // Materialize the packing manifest ONCE: packSequences evaluates
+    // its input three times (bounds action + local/prefix branches)
+    // and the rank re-join below adds a fourth — without this, each
+    // re-runs the tokenize + assign + rank pipeline. The checkpointed
+    // frame is the narrow (id, cell, csim, rank, n_tok) manifest a
+    // real layout pass would write to a table before packing.
+    val input = ord.join(toks, "id").localCheckpoint(true)
     Packing.packSequences(input, col("rank"), col("n_tok"), seqLen = 256L)
       .withColumnRenamed("doc_id", "rank")
       .join(input.select(col("id").as("vec_id"), col("cell"), col("rank")), "rank")

@@ -239,6 +239,18 @@ class PlanShapeSpec extends SparkSpec {
       s"m4 must reduce on one (key, bucket) exchange:\n${plan(out)}")
   }
 
+  test("hourlyOhlcQty: ONE events scan, ONE exchange, NO join (fused volume)") {
+    val out = graft.catalog.IndicatorQueries.hourlyOhlcQty(spark, sfDir)
+    val p = plan(out)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans === 1, s"OHLC+volume must read events ONCE:\n${p.take(4000)}")
+    assert(!p.contains("Join"),
+      s"the volume sum rides the dedup stage, not a join:\n${p.take(4000)}")
+    assert(shuffles(out) === 1,
+      s"per-ts dedup and hourly bucket agg share the byKey exchange:\n${p.take(4000)}")
+  }
+
   test("binary-quant ANN: both cuts plan as TakeOrderedAndProject, never a full sort") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val out = graft.llm.Similarity.signBitTopK(emb, col("vec_id"),
