@@ -1580,6 +1580,51 @@ object TimeSeriesQueries {
        |SELECT event_type, bus, c, ${r4Sql("score")} AS score
        |FROM sc WHERE score > 3.0 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- interquartile mean
+  /** Trimmed (interquartile) mean per event_type — the robust central
+    * tendency a monitoring pass wants when tails are fat or corrupt:
+    * mean of the values inside [p25, p75]. Quarter-valued cut points
+    * over integer cents keep the bounds exact in doubles (the
+    * `ts_quantiles` discipline), the in-range sum is an exact integer,
+    * and the bounds frame is one tiny broadcast — two passes over the
+    * data by necessity (the cuts are data-derived order statistics),
+    * each a plain map-side-combined aggregate at any scale.
+    */
+  private def trimmedMeanQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(percentile(col("vc"), array(lit(0.25), lit(0.75))).as("pq"))
+      .select(col("event_type"),
+        element_at(col("pq"), 1).as("lo"), element_at(col("pq"), 2).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .filter(col("vc") >= col("lo") && col("vc") <= col("hi"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_in"), sum(col("vc")).as("__s"),
+        first(col("lo")).as("__lo"), first(col("hi")).as("__hi"))
+      .select(col("event_type"), col("n_in"),
+        r4(col("__s") / (lit(100.0d) * col("n_in"))).as("iq_mean"),
+        (col("__lo") / 100.0d).as("p25"), (col("__hi") / 100.0d).as("p75"))
+      .orderBy(col("event_type"))
+  }
+
+  private val trimmedMeanSql: String = {
+    val c = centsSql("value")
+    s"""WITH ev AS (
+       |  SELECT event_type, $c AS vc FROM events
+       |), q AS (
+       |  SELECT event_type, quantile_cont(vc, 0.25) AS lo,
+       |         quantile_cont(vc, 0.75) AS hi
+       |  FROM ev GROUP BY 1
+       |)
+       |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n_in,
+       |       ${r4Sql("CAST(sum(vc) AS BIGINT) / (100.0 * count(*))")} AS iq_mean,
+       |       any_value(lo) / 100.0 AS p25, any_value(hi) / 100.0 AS p75
+       |FROM ev JOIN q USING (event_type)
+       |WHERE vc >= lo AND vc <= hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // -------------------------------------- sampled quantile estimates
   /** KMV-sampled approximate quantiles — `ts_quantiles`' 100 TB form.
     * The exact query sorts every value per key; here the k = 256
@@ -1869,6 +1914,7 @@ object TimeSeriesQueries {
     "ts_schema_evolve" -> schemaEvolveQ,
     "ts_interval_join" -> intervalJoinQ,
     "ts_quantiles"     -> quantilesQ,
+    "ts_trimmed_mean"  -> trimmedMeanQ,
     "ts_sample_quantiles" -> sampleQuantilesQ,
     "ts_m4_downsample" -> m4DownsampleQ,
     "ts_mad_outliers"  -> madOutliersQ,
@@ -1909,6 +1955,7 @@ object TimeSeriesQueries {
     "ts_schema_evolve" -> schemaEvolveSql,
     "ts_interval_join" -> intervalJoinSql,
     "ts_quantiles"     -> quantilesSql,
+    "ts_trimmed_mean"  -> trimmedMeanSql,
     "ts_sample_quantiles" -> sampleQuantilesSql,
     "ts_m4_downsample" -> m4DownsampleSql,
     "ts_mad_outliers"  -> madOutliersSql,
