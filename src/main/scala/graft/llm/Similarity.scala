@@ -961,6 +961,18 @@ object Similarity {
     * micro-unit-quantized cosine. Shared by [[marginMine]] (exact A×B
     * pairs) and [[cellMarginMine]] (IVF-bounded pairs) — the scoring
     * never sees how candidates were generated.
+    *
+    * Deliberately TWO independent rank branches (x-window and
+    * y-window each re-derive `pairs`), not one chained
+    * rx-then-ry plan: the counter-measurement (2026-08-15, sf0.1,
+    * same-session A/B) put the chained single-evaluation form at
+    * 2.78 s vs 2.08 s for this one — regenerating the pair frame from
+    * a broadcast cross join is cheaper than pushing the FULL pair
+    * frame through a second chained exchange+sort, and ReuseExchange
+    * already dedupes each branch's own re-reads. Revisit only if the
+    * candidate generator stops being a cheap re-evaluation (e.g.
+    * pairs arriving from an expensive upstream — checkpoint at the
+    * CALLER in that case).
     */
   def marginScore(pairs: DataFrame, k: Int, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
