@@ -1,0 +1,72 @@
+package graft.llm
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+
+/** [[CorpusIo]] — JSONL corpus edge. Pins: lossless round-trip of the
+  * documents table, declared-schema parsing (no inference pass),
+  * corrupt lines to the error side-channel (not an abort, not a
+  * silent drop), missing fields parse as nulls, and type violations
+  * count as corrupt.
+  */
+class CorpusIoSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("corpusio").toString
+
+  test("documents round-trip: write JSONL, read back, values identical") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = tmp()
+    CorpusIo.writeJsonl(docs, dir)
+    val (rows, errors) = CorpusIo.readJsonl(spark, dir)
+    assert(errors.count() == 0)
+    val a = docs.orderBy($"doc_id").collect().toSeq
+    val b = rows.select(docs.columns.map(col): _*).orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("corrupt and type-violating lines land in the error channel with raw text") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""",
+        """{"doc_id": oops not json""",
+        """{"doc_id": "not-a-number", "text": "bad type"}""",
+        """{"doc_id": 2, "text": "missing fields ok"}"""
+      ).mkString("\n"))
+    val (rows, errors) = CorpusIo.readJsonl(spark, dir)
+    val got = rows.orderBy($"doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // missing fields parse as nulls (presence, not completeness)
+    assert(got(1).isNullAt(got(1).fieldIndex("lang")))
+    val errs = errors.collect().map(_.getString(0)).toSeq
+    assert(errs.size == 2)
+    assert(errs.exists(_.contains("oops not json")))
+    assert(errs.exists(_.contains("not-a-number")))
+  }
+
+  test("declared schema is required shape: corrupt column name collision refused") {
+    intercept[IllegalArgumentException] {
+      CorpusIo.readJsonl(spark, "/nonexistent",
+        new org.apache.spark.sql.types.StructType()
+          .add("__corrupt_record", org.apache.spark.sql.types.StringType))
+    }
+  }
+
+  test("writeJsonl emits one JSON object per line, shard count = partitions") {
+    val dir = tmp()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .repartition(2)
+    CorpusIo.writeJsonl(df, dir)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).toSeq
+    assert(shards.size == 2)
+    val lines = shards.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(lines.size == 3)
+    lines.foreach(l => assert(l.startsWith("{") && l.endsWith("}")))
+  }
+}
