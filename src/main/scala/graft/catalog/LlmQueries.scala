@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.core.Tables
-import graft.llm.{Bpe, CorpusStats, Dedup, Dsir, GraphOps, IncrementalDedup, Multimodal, NbClassifier, NgramLm, Packing, Pca, Retrieval, Sampling, Similarity, TextOps, TfIdf}
+import graft.llm.{Bpe, CorpusIo, CorpusStats, Dedup, Dsir, GraphOps, IncrementalDedup, Multimodal, NbClassifier, NgramLm, Packing, Pca, Retrieval, Sampling, Similarity, TextOps, TfIdf}
 import graft.catalog.Oracle._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1666,6 +1666,40 @@ object LlmQueries {
        |SELECT id, CAST(picked_cell AS INTEGER) AS picked_cell, ${r4Sql("sim")} AS sim
        |FROM topk ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
   }
+
+  /** [[graft.llm.CorpusIo]] round-trip under the oracle hash gate:
+    * the documents table is exported as JSONL shards ONCE per dir
+    * (build-once fixture — a corpus lands on disk once, is ingested
+    * many times), re-ingested through the declared-schema
+    * text+from_json path, and aggregated per lang; DuckDB computes
+    * the same aggregate from the ORIGINAL parquet, so a hash match
+    * certifies the edge is lossless (every doc_id, every n_chars,
+    * zero error-channel rows — asserted inside the query via the
+    * errors count folded into a guard column).
+    */
+  private val jsonlDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = jsonlDirs.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("jsonl").toString
+      CorpusIo.writeJsonl(Tables.documents(s, d), out)
+      out
+    })
+    val (rows, errors) = CorpusIo.readJsonl(s, dir)
+    rows.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
+      // n_err rides every row: a single corrupt line flips the hash
+      .crossJoin(broadcast(errors.agg(count(lit(1)).as("n_err"))))
+      .orderBy(col("lang"))
+  }
+
+  private val jsonlRoundtripSql: String =
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |       CAST(0 AS BIGINT) AS n_err
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** [[Similarity.kCenterSample]] — greedy farthest-point diversity
     * selection (Gonzalez 1985), k=5 over the embeddings table. The
@@ -4249,6 +4283,7 @@ object LlmQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans_ivf"   -> kmeansIvf,
     "llm_kcenter"      -> kcenterQ,
+    "llm_jsonl_roundtrip" -> jsonlRoundtrip,
     "llm_semantic_dedup" -> semanticDedupQ,
     "llm_embed_neardup" -> embedNearDup,
     "llm_exact_dedup"  -> exactDedup,
@@ -4336,6 +4371,7 @@ object LlmQueries {
   def oracleSql: Map[String, String] = Map(
     "llm_kmeans_ivf"   -> kmeansIvfSql,
     "llm_kcenter"      -> kcenterSql,
+    "llm_jsonl_roundtrip" -> jsonlRoundtripSql,
     "llm_semantic_dedup" -> semanticDedupSql,
     "llm_embed_neardup" -> embedNearDupSql,
     "llm_exact_dedup"  -> exactDedupSql,
