@@ -635,10 +635,9 @@ object IndicatorQueries {
     // long — per-ts then per-bucket partial sums are exact, so the
     // fused total equals the old branch bit-for-bit).
     val schema = StructType(Seq(StructField("k", LongType)))
-    val pxQty = byKey(Tables.events(s, dir))
-      .withColumn("k", from_json(col("props"), schema).getField("k"))
-      .groupBy(col("event_type"), col("ts"))
-      .agg(max_by(col("value"), col("event_id")).as("value"),
+    val pxQty = Tables.eventSeriesOverWith(
+        byKey(Tables.events(s, dir))
+          .withColumn("k", from_json(col("props"), schema).getField("k")),
         sum(col("k")).as("ksum"))
       .withColumn("tus", unix_micros(col("ts")))
       .groupBy(col("event_type"),
@@ -861,10 +860,9 @@ object IndicatorQueries {
     // the former two-scan + left-join plan collapses. The oracle CTE
     // keeps the two-branch form — identical rows certify the fusion.
     val schema = StructType(Seq(StructField("k", LongType)))
-    byKey(Tables.events(s, dir))
-      .withColumn("k", from_json(col("props"), schema).getField("k"))
-      .groupBy(col("event_type"), col("ts"))
-      .agg(max_by(col("value"), col("event_id")).as("value"),
+    Tables.eventSeriesOverWith(
+        byKey(Tables.events(s, dir))
+          .withColumn("k", from_json(col("props"), schema).getField("k")),
         sum(col("k")).as("ksum"))
       .withColumn("tus", unix_micros(col("ts")))
       .groupBy(col("event_type"),

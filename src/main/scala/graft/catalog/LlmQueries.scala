@@ -1194,7 +1194,7 @@ object LlmQueries {
     // re-runs the tokenize + assign + rank pipeline. The checkpointed
     // frame is the narrow (id, cell, csim, rank, n_tok) manifest a
     // real layout pass would write to a table before packing.
-    val input = ord.join(toks, "id").localCheckpoint(true)
+    val input = ord.join(toks, "id").localCheckpoint(false)
     Packing.packSequences(input, col("rank"), col("n_tok"), seqLen = 256L)
       .withColumnRenamed("doc_id", "rank")
       .join(input.select(col("id").as("vec_id"), col("cell"), col("rank")), "rank")
@@ -2355,7 +2355,7 @@ object LlmQueries {
     // frame is the narrow (doc_id, lang, q) projection — at 100 TB
     // the same move is writing the scored projection to a table
     // before filtering (score-once/filter-many).
-    Sampling.dropBottomQuantile(scored.localCheckpoint(true),
+    Sampling.dropBottomQuantile(scored.localCheckpoint(false),
         "lang", "q", "doc_id", 1L, 4L)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), r4(min(col("q"))).as("min_q"),

@@ -1544,7 +1544,7 @@ object TimeSeriesQueries {
       .groupBy(col("event_type"),
         (expr("tus div 3600000000") * 3600000000L).as("bus"))
       .agg(cents(max_by(col("value"), col("tus"))).as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val med = hourly.groupBy(col("event_type"))
       .agg(percentile(col("c"), lit(0.5)).as("med"))
     val mad = hourly.join(broadcast(med), "event_type")

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 
@@ -128,9 +128,17 @@ object Tables {
     * `events(s, d).repartition($"event_type")` so this aggregation and
     * every downstream keyed stage reuse one exchange.
     */
-  def eventSeriesOver(ev: DataFrame): DataFrame =
+  def eventSeriesOver(ev: DataFrame): DataFrame = eventSeriesOverWith(ev)
+
+  /** [[eventSeriesOver]] with extra aggregates riding the SAME
+    * per-(event_type, ts) dedup stage — the one-scan fusion hook for
+    * callers that also need raw-row aggregates (e.g. the indicator
+    * volume sum): the latest-write-wins tiebreak lives HERE, once,
+    * however many aggregates share the pass.
+    */
+  def eventSeriesOverWith(ev: DataFrame, extra: Column*): DataFrame =
     ev.groupBy(col("event_type"), col("ts"))
       .agg(
         max_by(col("value"), col("event_id")).as("value"),
-        max_by(col("user_id"), col("event_id")).as("user_id"))
+        (max_by(col("user_id"), col("event_id")).as("user_id") +: extra): _*)
 }

@@ -47,6 +47,19 @@ case class VecMeanAgg(child: Expression,
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = false
 
+  // getDouble(i) on a 4-byte-stride float array reads garbage, not an
+  // error — refuse anything but array<double> at analysis (callers
+  // cast; the VecDot/VecL2Sq checkVec discipline).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_mean: argument must be ARRAY<DOUBLE> (cast first), got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): VecMeanAgg.Buf = new VecMeanAgg.Buf
 
   override def update(buf: VecMeanAgg.Buf, input: InternalRow): VecMeanAgg.Buf = {

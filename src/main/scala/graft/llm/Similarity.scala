@@ -389,7 +389,13 @@ object Similarity {
     val pts = df.select(id.cast("long").as("id"),
         transform(vec, x => x.cast("double")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seed = pts.orderBy(col("id")).limit(1).collect().head
+    val seedRows = pts.filter(col("id").isNotNull).orderBy(col("id")).limit(1).collect()
+    if (seedRows.isEmpty) {
+      pts.unpersist(false)
+      throw new IllegalArgumentException(
+        "kCenterSample: input has no rows with a non-null id")
+    }
+    val seed = seedRows.head
     var selected = Vector[(Long, Seq[Double], java.lang.Double)](
       (seed.getLong(0), seed.getSeq[Double](1), null))
     var done = false
