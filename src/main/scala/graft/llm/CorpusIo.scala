@@ -72,6 +72,32 @@ object CorpusIo {
     (rows, errors)
   }
 
+  /** Streaming twin of [[readJsonl]] for incremental corpus drops
+    * (new .jsonl shards landing in a directory, feeding e.g.
+    * [[IncrementalDedup]].admit): same declared-schema parse, same
+    * error contract, one frame — streaming sources can't fan out to
+    * two cheap frames, so corrupt routing is a `is_corrupt` flag plus
+    * the raw line, and callers split inside their sink (foreachBatch)
+    * where both halves share the micro-batch read. `maxFilesPerTrigger`
+    * is the caller's backpressure knob via options.
+    */
+  def readJsonlStream(spark: SparkSession, path: String,
+                      schema: StructType = documentSchema,
+                      options: Map[String, String] = Map.empty): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema may not contain $corruptCol")
+    val withCorrupt = schema.add(StructField(corruptCol, StringType))
+    spark.readStream.options(options).text(path)
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), withCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
+      .select(
+        (schema.fieldNames.map(f => col(s"j.$f").as(f)) :+
+          col(s"j.$corruptCol").isNotNull.as("is_corrupt") :+
+          col("raw_line")): _*)
+  }
+
   /** Write a frame as JSONL shards (one JSON object per line, one
     * file per partition — the sharded layout downstream tokenizers
     * expect). Column order follows the frame; nulls are omitted by

@@ -56,6 +56,24 @@ class CorpusIoSpec extends SparkSpec {
     }
   }
 
+  test("readJsonlStream: file-arrival ingest parses and flags corrupt lines") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "drop-0.jsonl"),
+      Seq(
+        """{"doc_id": 10, "text": "t", "lang": "en", "source": "s", "n_chars": 1}""",
+        """garbage line"""
+      ).mkString("\n"))
+    val q = CorpusIo.readJsonlStream(spark, dir)
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("jsonl_stream").orderBy($"is_corrupt").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 10L && !got(0).getBoolean(got(0).fieldIndex("is_corrupt")))
+    assert(got(1).getBoolean(got(1).fieldIndex("is_corrupt")) &&
+      got(1).getString(got(1).fieldIndex("raw_line")) == "garbage line")
+  }
+
   test("writeJsonl emits one JSON object per line, shard count = partitions") {
     val dir = tmp()
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
