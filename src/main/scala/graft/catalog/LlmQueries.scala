@@ -3280,6 +3280,54 @@ object LlmQueries {
     * form on BOTH sides so the expression trees match; r4 absorbs
     * fold-order ulps in the ln/product sums.
     */
+  /** [[CorpusStats.heapsCurve]] — vocabulary growth at 10 doc-id
+    * checkpoints plus the Heaps exponent β. Counts are exact longs
+    * (first-occurrence aggregation, one corpus read for all
+    * checkpoints — never a distinct-per-prefix rescan); β folds ≤10
+    * doubles, r4 on both sides (the zipf-slope precedent).
+    */
+  private def heapsQ(s: SparkSession, d: String): DataFrame =
+    CorpusStats.heapsCurve(Tables.fanOut(Tables.documents(s, d)),
+        col("doc_id"), col("text"), buckets = 10)
+      .select(col("b"), col("cum_toks"), col("cum_types"),
+        r4(col("beta")).as("beta"))
+      .orderBy(col("b"))
+
+  private val heapsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         regexp_extract_all(lower(text), '[a-z]+') AS w
+       |  FROM documents WHERE text IS NOT NULL
+       |), mx AS (SELECT max(doc_id) // 10 + 1 AS bw FROM base),
+       |bt AS (
+       |  SELECT doc_id // bw AS b, CAST(sum(len(w)) AS BIGINT) AS toks
+       |  FROM base, mx GROUP BY 1
+       |), fo AS (
+       |  SELECT t, min(doc_id) AS fd
+       |  FROM (SELECT doc_id, unnest(w) AS t FROM base) GROUP BY 1
+       |), ty AS (
+       |  SELECT fd // bw AS b, CAST(count(*) AS BIGINT) AS types
+       |  FROM fo, mx GROUP BY 1
+       |), cum AS (
+       |  SELECT bt.b,
+       |         CAST(sum(bt.toks) OVER w AS BIGINT) AS cum_toks,
+       |         CAST(sum(coalesce(ty.types, 0)) OVER w AS BIGINT) AS cum_types
+       |  FROM bt LEFT JOIN ty USING (b)
+       |  WINDOW w AS (ORDER BY bt.b
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), pts AS (
+       |  SELECT ln(CAST(cum_toks AS DOUBLE)) AS x,
+       |         ln(CAST(cum_types AS DOUBLE)) AS y
+       |  FROM cum WHERE cum_toks > 0 AND cum_types > 0
+       |), m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM pts
+       |)
+       |SELECT cum.b, cum.cum_toks, cum.cum_types,
+       |       ${r4Sql("(m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx)")} AS beta
+       |FROM cum, m ORDER BY cum.b""".stripMargin
+
   private def zipfQ(s: SparkSession, d: String): DataFrame =
     CorpusStats.zipfFit(Tables.fanOut(Tables.documents(s, d)), col("source"),
         col("text"), topN = 200)
@@ -4345,6 +4393,7 @@ object LlmQueries {
     "llm_dsir"         -> dsirQ,
     "llm_embed_outliers" -> embedOutliersQ,
     "llm_zipf"         -> zipfQ,
+    "llm_heaps_law"    -> heapsQ,
     "llm_centroid_sim" -> centroidSimQ,
     "llm_unimax"       -> uniMaxQ,
     "llm_nb_classify"  -> nbClassify,
@@ -4433,6 +4482,7 @@ object LlmQueries {
     "llm_dsir"         -> dsirSql,
     "llm_embed_outliers" -> embedOutliersSql,
     "llm_zipf"         -> zipfSql,
+    "llm_heaps_law"    -> heapsSql,
     "llm_centroid_sim" -> centroidSimSql,
     "llm_unimax"       -> uniMaxSql,
     "llm_nb_classify"  -> nbClassifySql,

@@ -211,6 +211,68 @@ object CorpusStats {
           col("n")).as("intercept"))
   }
 
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978; Herdan): distinct
+    * alphabetic types vs cumulative tokens, sampled at `buckets`
+    * doc-id checkpoints, plus the log-log least-squares exponent β
+    * (V ≈ K·nᵝ, typically 0.4–0.6 for natural text) — the statistic
+    * tokenizer-vocabulary sizing and dedup-health monitoring read
+    * (a corpus whose β collapses toward 0 has stopped contributing
+    * new vocabulary; near 1 it is likely noise/garbage).
+    *
+    * Scale shape: cumulative TYPES need each type counted once at its
+    * FIRST occurrence — computed as min(doc_id) per type (one
+    * map-side-combined aggregate over the exploded tokens, shuffle
+    * keyed by type), bucketed, then prefix-summed over ≤`buckets`
+    * rows. No distinct-per-prefix rescans: the scan count is a small
+    * constant however many checkpoints are asked for (the checkpoint
+    * on the ≤`buckets`-row curve keeps the β fit from re-deriving
+    * it). Buckets are fixed-width
+    * doc-id ranges (width = max_id div buckets + 1, one broadcast
+    * scalar), so both engines derive identical checkpoint boundaries
+    * from the data. The fit folds ≤`buckets` doubles (the zipfFit
+    * discipline; r4 at the caller).
+    *
+    * Returns (bucket, cum_toks, cum_types, beta) — integers plus one
+    * corpus-constant slope; buckets with docs but zero alphabetic
+    * tokens carry their token count with zero new types.
+    */
+  def heapsCurve(docs: DataFrame, id: Column, text: Column,
+                 buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"heapsCurve needs >= 2 checkpoints, got $buckets")
+    val base = docs.filter(text.isNotNull)
+      .select(id.cast("long").as("doc_id"), alphaTokens(text).as("w"))
+    val mx = base.agg(max(col("doc_id")).as("__m"))
+    val withB = base.crossJoin(broadcast(mx))
+      .withColumn("b", expr(s"doc_id div (__m div $buckets + 1)"))
+    val bukToks = withB.groupBy(col("b"))
+      .agg(sum(size(col("w")).cast("long")).as("toks"))
+    val firstOcc = withB
+      .select(col("b"), col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy(expr(s"fd div (__m div $buckets + 1)").as("b"))
+      .agg(count(lit(1)).as("types"))
+    val cum = bukToks.join(firstOcc, Seq("b"), "left")
+      .na.fill(0L, Seq("types"))
+      .select(col("b"),
+        sum(col("toks")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum_toks"),
+        sum(col("types")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum_types"))
+      .localCheckpoint(false)
+    val pts = cum.filter(col("cum_toks") > 0L && col("cum_types") > 0L)
+      .select(log(col("cum_toks").cast("double")).as("x"),
+        log(col("cum_types").cast("double")).as("y"))
+    val beta = pts.agg(
+        count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"))
+    cum.crossJoin(broadcast(beta)).orderBy(col("b"))
+  }
+
   /** Per-document Shannon entropy of the UTF-8 byte distribution —
     * the gibberish/low-diversity quality signal (binary junk and
     * single-char spam score near 0, natural text ~4.2 bits·ln2).
