@@ -175,7 +175,20 @@ object ScaleBench {
     // ≤ 2^18/32 word rows); probes explode(4) and LEFT-join the word
     // rows + min-reduce — must stay corpus-linear with a
     // sketch-bounded stored side
-    "llm_bloom_filter")
+    "llm_bloom_filter",
+    // r13 additions. kcenter: k sequential scans of the persisted
+    // corpus (selection model is k×dim) — must be exactly linear.
+    // heaps_law: one first-occurrence aggregation keyed by type
+    // (rotated replicas grow vocabulary linearly) + ≤10-row curve —
+    // the exponent watches that no distinct-per-prefix rescan hides.
+    // jsonl_roundtrip: the corpus edge priced at 10× (fixture writes
+    // the replica as JSONL once; rounds median the re-ingest path).
+    "llm_kcenter", "llm_heaps_law", "llm_jsonl_roundtrip",
+    // ts_mfi: the fused one-scan OHLC+volume stage (events grow on
+    // the user axis, so the per-ts dedup input grows 10× while hourly
+    // buckets stay time-bounded — the fusion's partial aggs must
+    // absorb it linearly)
+    "ts_mfi")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
