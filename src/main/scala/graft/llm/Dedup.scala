@@ -203,7 +203,16 @@ object Dedup {
     // (the sharedSpanPairs contract)
     val g = if (assumeDistinct) raw else raw.distinct()
     val dfs = g.groupBy(col("d")).agg(count(lit(1)).as("__df"))
+    // Materialize the df-pruned posting frame ONCE: it is consumed
+    // three times below (sizes, both pair-join sides), and unlike the
+    // marginScore counter-case its upstream (tokenize + n-gram + md5
+    // + distinct + df join) is far heavier than the narrow
+    // (digest, id, df) rows it produces. Measured (ContainProbe,
+    // sf0.1, same-session A/B): 2.75 s → 1.71 s. At cluster scale the
+    // same move is persist(DISK) or a staging table if executor-loss
+    // recomputability matters — localCheckpoint truncates lineage.
     val informative = g.join(dfs.filter(col("__df") <= maxDf), Seq("d"))
+      .localCheckpoint(false)
     val nA = informative.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
     val pruned = informative.filter(col("__df") >= minDf)
     pruned.select(col("d"), col("id").as("id_a"))
