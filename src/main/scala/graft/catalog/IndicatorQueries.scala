@@ -956,6 +956,61 @@ object IndicatorQueries {
        |       ${r4Sql("sq / (1000000.0 * sv)")} AS cmf
        |FROM w2 WHERE cnt >= 20 AND sv <> 0 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------------- CUSUM
+  /** [[Indicators.cusumPeaks]] over the hourly close series — the
+    * Page-1954 level-shift detector in its exact closed form (cumsum
+    * minus running extreme over n-scaled integer deviations; the
+    * whole statistic is BIGINT until one final division). The oracle
+    * replays the same two window passes and picks the same
+    * (peak DESC, bus ASC) argmax.
+    */
+  private def cusumQ(s: SparkSession, dir: String): DataFrame =
+    Indicators.cusumPeaks(hourly(s, dir), Seq(col("event_type")),
+        col("bus"), col("c"))
+      .select(col("event_type"), col("n"),
+        col("peak_up_ts").as("peak_up_bus"), r4(col("peak_up")).as("peak_up"),
+        col("peak_down_ts").as("peak_down_bus"), r4(col("peak_down")).as("peak_down"))
+      .orderBy(col("event_type"))
+
+  private val cusumSql: String =
+    s"""$hourlyCte, st AS (
+       |  SELECT event_type, bus, c,
+       |         count(*) OVER (PARTITION BY event_type) AS n,
+       |         sum(c) OVER (PARTITION BY event_type) AS s
+       |  FROM hourly
+       |), cs AS (
+       |  SELECT event_type, bus, n,
+       |         sum(c * n - s) OVER w AS cum
+       |  FROM st
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY bus
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), ud AS (
+       |  SELECT event_type, bus, n,
+       |         cum - least(0, min(cum) OVER w) AS up,
+       |         greatest(0, max(cum) OVER w) - cum AS dn
+       |  FROM cs
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY bus
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), pu AS (
+       |  SELECT event_type, n, bus, up,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY up DESC, bus) AS r
+       |  FROM ud
+       |), pd AS (
+       |  SELECT event_type, bus, dn,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY dn DESC, bus) AS r
+       |  FROM ud
+       |)
+       |SELECT pu.event_type, CAST(pu.n AS BIGINT) AS n,
+       |       pu.bus AS peak_up_bus,
+       |       ${r4Sql("pu.up / (pu.n * 100.0)")} AS peak_up,
+       |       pd.bus AS peak_down_bus,
+       |       ${r4Sql("pd.dn / (pu.n * 100.0)")} AS peak_down
+       |FROM pu JOIN pd ON pu.event_type = pd.event_type
+       |WHERE pu.r = 1 AND pd.r = 1
+       |ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------- max drawdown
   /** [[Indicators.maxDrawdown]] over the hourly close series: the
     * deepest peak-to-trough loss per event_type, in percent of the
@@ -1275,6 +1330,7 @@ object IndicatorQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_corr_topk"  -> corrTopkQ,
     "ts_drawdown"   -> drawdownQ,
+    "ts_cusum"      -> cusumQ,
     "ts_heikin_ashi" -> heikinAshiQ,
     "ts_keltner"    -> keltnerQ,
     "ts_ichimoku"   -> ichimokuQ,
@@ -1308,6 +1364,7 @@ object IndicatorQueries {
   def oracleSql: Map[String, String] = Map(
     "ts_corr_topk"  -> corrTopkSql,
     "ts_drawdown"   -> drawdownSql,
+    "ts_cusum"      -> cusumSql,
     "ts_heikin_ashi" -> heikinAshiSql,
     "ts_keltner"    -> keltnerSql,
     "ts_ichimoku"   -> ichimokuSql,

@@ -501,6 +501,56 @@ object Indicators {
           col("__peak").cast("double")).as("max_dd_pct"))
   }
 
+  /** CUSUM change-point statistic (Page 1954) over a cents series —
+    * the level-shift detector a monitoring pass runs on a price/metric
+    * stream: cusum⁺_t = max(0, cusum⁺_{t−1} + (x_t − μ)) measures
+    * accumulated upward drift from the series mean, cusum⁻ the
+    * downward twin. The recursion has the closed form
+    * cusum⁺_t = S_t − min_{j≤t} S_j over the cumulative deviation sum
+    * S, so it is TWO window passes (cumsum + running extreme) sharing
+    * one keyed exchange — no per-row recursion, no UDAF.
+    *
+    * Exactness: deviations are scaled by n (δ'_t = n·x_t − Σx, an
+    * integer), so the cumulative sums, running extremes, and argmax
+    * are exact BIGINT arithmetic in any engine and any partitioning;
+    * the single division by n (and cents→price) happens once at the
+    * end. Returns per-key (n, peak_up_ts, peak_up, peak_down_ts,
+    * peak_down) — the strongest upward/downward level-shift evidence
+    * and when it peaked (ties → earliest), in price units.
+    *
+    * Range: the scaled cumsum is bounded by n²·maxCents — fine for
+    * any per-key series that fits a realistic monitoring window
+    * (n = 10⁶ hourly rows × 10⁸ cents ≈ 10²⁰ overflows; beyond ~10⁵
+    * rows per key, window the series or drop to the unscaled
+    * double-μ form).
+    */
+  def cusumPeaks(series: DataFrame, keys: Seq[Column], ts: Column,
+                 closeCents: Column): DataFrame = {
+    val wAll = Window.partitionBy(keys: _*)
+    val cum = Window.partitionBy(keys: _*).orderBy(ts)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("__n", count(closeCents).over(wAll))
+      .withColumn("__sum", sum(closeCents).over(wAll))
+      .withColumn("__s", sum(closeCents * col("__n") - col("__sum")).over(cum))
+      // the running extreme must include the EMPTY prefix (S = 0):
+      // max(0, ...) clamps the recursion at zero, and without the
+      // least/greatest-with-0 the first rows would measure drift
+      // against S_0 instead of 0
+      .withColumn("__up", col("__s") - least(lit(0L), min(col("__s")).over(cum)))
+      .withColumn("__dn", greatest(lit(0L), max(col("__s")).over(cum)) - col("__s"))
+      .groupBy(keys: _*)
+      .agg(
+        first(col("__n")).as("n"),
+        min(struct((-col("__up")).as("v"), ts.as("t"))).as("__bu"),
+        min(struct((-col("__dn")).as("v"), ts.as("t"))).as("__bd"))
+      .select((keys :+ col("n") :+
+        col("__bu.t").as("peak_up_ts") :+
+        (-col("__bu.v") / (col("n") * lit(100.0d))).as("peak_up") :+
+        col("__bd.t").as("peak_down_ts") :+
+        (-col("__bd.v") / (col("n") * lit(100.0d))).as("peak_down")): _*)
+  }
+
   /** Williams %R over an OHLC cents series: −100·(maxHigh_n − close)/
     * (maxHigh_n − minLow_n) — the inverted [[stochastic]] %K, on the
     * same exact-integer window extremes with one float division.
