@@ -5,6 +5,7 @@ import graft.ops.Indicators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.expressions.Window
 import graft.catalog.Oracle._
 
 /** Technical-indicator queries over the hourly close series — the
@@ -956,6 +957,55 @@ object IndicatorQueries {
        |       ${r4Sql("sq / (1000000.0 * sv)")} AS cmf
        |FROM w2 WHERE cnt >= 20 AND sv <> 0 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- seasonal decomposition
+  /** Classical-decomposition seasonal profile over the hourly closes:
+    * a centered 24-hour moving average removes the trend, and the
+    * hour-of-day means of the DETRENDED series are the seasonal
+    * component — unlike `ts_hod_profile` (raw per-hour means), a
+    * multi-day drift cannot masquerade as seasonality here. Exactness
+    * discipline: the trend is an exact 24-integer sum divided by 24
+    * once (one IEEE op, identical in both engines — stated as
+    * sum/24.0, NOT avg(), so neither engine's aggregate internals
+    * participate), the detrended value is quantized once to exact
+    * micro-cents (the cmf mq discipline), and the per-hod sums stay
+    * BIGINT; one final division recovers price units. Edge hours
+    * (< 24-row centered window) carry no trend and are excluded on
+    * both sides.
+    */
+  private def seasonalQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+      .rowsBetween(-12, 11)
+    hourly(s, dir)
+      .withColumn("__cnt", count(col("c")).over(w))
+      .withColumn("__tr", sum(col("c")).over(w) / lit(24.0d))
+      .filter(col("__cnt") === 24)
+      .withColumn("__mq",
+        floor((col("c") - col("__tr")) * lit(1000000.0d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"),
+        (expr("bus div 3600000000") % 24).as("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("__mq")).as("__sq"))
+      .select(col("event_type"), col("hod"), col("n"),
+        r4(col("__sq") / (col("n") * lit(100000000.0d))).as("seasonal"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  private val seasonalSql: String =
+    s"""$hourlyCte, tr AS (
+       |  SELECT event_type, bus, c,
+       |         count(c) OVER w AS cnt,
+       |         sum(c) OVER w / 24.0 AS t
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY bus
+       |               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+       |), mq AS (
+       |  SELECT event_type, (bus // 3600000000) % 24 AS hod,
+       |         CAST(floor((c - t) * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM tr WHERE cnt = 24
+       |)
+       |SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+       |       ${r4Sql("CAST(sum(q) AS BIGINT) / (count(*) * 100000000.0)")} AS seasonal
+       |FROM mq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------- CUSUM
   /** [[Indicators.cusumPeaks]] over the hourly close series — the
     * Page-1954 level-shift detector in its exact closed form (cumsum
@@ -1331,6 +1381,7 @@ object IndicatorQueries {
     "ts_corr_topk"  -> corrTopkQ,
     "ts_drawdown"   -> drawdownQ,
     "ts_cusum"      -> cusumQ,
+    "ts_seasonal"   -> seasonalQ,
     "ts_heikin_ashi" -> heikinAshiQ,
     "ts_keltner"    -> keltnerQ,
     "ts_ichimoku"   -> ichimokuQ,
@@ -1365,6 +1416,7 @@ object IndicatorQueries {
     "ts_corr_topk"  -> corrTopkSql,
     "ts_drawdown"   -> drawdownSql,
     "ts_cusum"      -> cusumSql,
+    "ts_seasonal"   -> seasonalSql,
     "ts_heikin_ashi" -> heikinAshiSql,
     "ts_keltner"    -> keltnerSql,
     "ts_ichimoku"   -> ichimokuSql,
