@@ -957,6 +957,69 @@ object IndicatorQueries {
        |       ${r4Sql("sq / (1000000.0 * sv)")} AS cmf
        |FROM w2 WHERE cnt >= 20 AND sv <> 0 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------- VaR / ES
+  /** Historical 95% Value-at-Risk and Expected Shortfall per series —
+    * the tail-risk pair a monitoring desk reads off a return
+    * distribution. Returns are hourly log-returns quantized ONCE to
+    * integer micro-nats (the NgramLm discipline), so the order
+    * statistic is an exact integer-index pick (k = (n−1)·5 div 100
+    * + 1 on the (q, bus)-ranked returns — no interpolation, no
+    * engine convention), and the tail mean (all returns ≤ the VaR
+    * value, boundary ties included by exact integer compare) is an
+    * exact BIGINT sum with one final division. One keyed window pass
+    * + one broadcast-joined tail aggregate.
+    */
+  private def varEsQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    val ret = hourly(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .filter(col("__p").isNotNull && col("__p") > 0L && col("c") > 0L)
+      .withColumn("q", floor(
+        log(col("c").cast("double") / col("__p").cast("double"))
+          * lit(1000000.0d)).cast("long"))
+    val ranked = ret
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("q"), col("bus"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val cut = ranked
+      .filter(col("rn") === expr("((n - 1) * 5) div 100 + 1"))
+      .select(col("event_type"), col("q").as("vq"), col("n"))
+    ret.join(broadcast(cut), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_ret"),
+        r4(first(col("vq")) / lit(1000000.0d)).as("var95"),
+        r4(sum(when(col("q") <= col("vq"), col("q"))) /
+          (count(when(col("q") <= col("vq"), 1)) * lit(1000000.0d))).as("es95"),
+        count(when(col("q") <= col("vq"), 1)).as("n_tail"))
+      .orderBy(col("event_type"))
+  }
+
+  private val varEsSql: String =
+    s"""$hourlyCte, r AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS p
+       |  FROM hourly
+       |), qr AS (
+       |  SELECT event_type, bus,
+       |         CAST(floor(ln(c / CAST(p AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+       |  FROM r WHERE p IS NOT NULL AND p > 0 AND c > 0
+       |), rk AS (
+       |  SELECT event_type, bus, q,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY q, bus) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM qr
+       |), cut AS (
+       |  SELECT event_type, q AS vq, n FROM rk
+       |  WHERE rn = ((n - 1) * 5) // 100 + 1
+       |)
+       |SELECT qr.event_type, CAST(any_value(cut.n) AS BIGINT) AS n_ret,
+       |       ${r4Sql("any_value(vq) / 1000000.0")} AS var95,
+       |       ${r4Sql("CAST(sum(CASE WHEN qr.q <= vq THEN qr.q END) AS BIGINT)" +
+                       " / (count(CASE WHEN qr.q <= vq THEN 1 END) * 1000000.0)")} AS es95,
+       |       CAST(count(CASE WHEN qr.q <= vq THEN 1 END) AS BIGINT) AS n_tail
+       |FROM qr JOIN cut USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------- seasonal decomposition
   /** Classical-decomposition seasonal profile over the hourly closes:
     * a centered 24-hour moving average removes the trend, and the
@@ -1382,6 +1445,7 @@ object IndicatorQueries {
     "ts_drawdown"   -> drawdownQ,
     "ts_cusum"      -> cusumQ,
     "ts_seasonal"   -> seasonalQ,
+    "ts_var_es"     -> varEsQ,
     "ts_heikin_ashi" -> heikinAshiQ,
     "ts_keltner"    -> keltnerQ,
     "ts_ichimoku"   -> ichimokuQ,
@@ -1417,6 +1481,7 @@ object IndicatorQueries {
     "ts_drawdown"   -> drawdownSql,
     "ts_cusum"      -> cusumSql,
     "ts_seasonal"   -> seasonalSql,
+    "ts_var_es"     -> varEsSql,
     "ts_heikin_ashi" -> heikinAshiSql,
     "ts_keltner"    -> keltnerSql,
     "ts_ichimoku"   -> ichimokuSql,
