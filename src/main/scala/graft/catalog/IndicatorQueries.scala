@@ -957,6 +957,70 @@ object IndicatorQueries {
        |       ${r4Sql("sq / (1000000.0 * sv)")} AS cmf
        |FROM w2 WHERE cnt >= 20 AND sv <> 0 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ beta
+  /** Systematic-risk beta of each series vs the equal-weight market
+    * composite: β_i = cov(cᵢ, m)/var(m) over the hours where the full
+    * panel is present (m = the cross-sectional SUM of closes — a
+    * positive scaling of the equal-weight index that keeps every
+    * moment an exact BIGINT; β is scale-invariant in m up to the one
+    * final division). Covariance is shift-invariant, so both sides are
+    * first shifted by exact integer minima (per-series min c, global
+    * min m) — the moment products then carry price RANGES, not
+    * levels, which keeps n·Σmm far under 2⁶³ for any realistic panel
+    * (unshifted, a $10k-level series overflows Spark's wrapping
+    * BIGINT sum while DuckDB silently promotes to HUGEINT — the
+    * engines would diverge instead of erroring). The OLS moments are
+    * then exact integer sums, engine-identical under any
+    * partitioning; the full-panel filter (hours whose series count
+    * equals the panel's) is data-derived the same way on both sides.
+    */
+  private def betaQ(s: SparkSession, dir: String): DataFrame = {
+    val h = hourly(s, dir)
+    val nSeries = h.select(countDistinct(col("event_type")).as("__k"))
+    val market = h.groupBy(col("bus"))
+      .agg(sum(col("c")).as("m"), count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(nSeries))
+      .filter(col("__cnt") === col("__k"))
+      .select(col("bus"), col("m"))
+    val mMin = market.select(min(col("m")).as("__mmin"))
+    val cMin = h.groupBy(col("event_type")).agg(min(col("c")).as("__cmin"))
+    h.join(broadcast(market), "bus")
+      .join(broadcast(cMin), "event_type")
+      .crossJoin(broadcast(mMin))
+      .select(col("event_type"),
+        (col("c") - col("__cmin")).as("dc"), (col("m") - col("__mmin")).as("dm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dc")).as("__sc"), sum(col("dm")).as("__sm"),
+        sum(col("dc") * col("dm")).as("__scm"),
+        sum(col("dm") * col("dm")).as("__smm"))
+      .select(col("event_type"), col("n"),
+        r4((col("n") * col("__scm") - col("__sc") * col("__sm")).cast("double") /
+          (col("n") * col("__smm") - col("__sm") * col("__sm")).cast("double"))
+          .as("beta"))
+      .orderBy(col("event_type"))
+  }
+
+  private val betaSql: String =
+    s"""$hourlyCte, k AS (
+       |  SELECT count(DISTINCT event_type) AS k FROM hourly
+       |), mkt AS (
+       |  SELECT bus, CAST(sum(c) AS BIGINT) AS m
+       |  FROM hourly, k GROUP BY bus, k.k HAVING count(*) = k.k
+       |), mm AS (SELECT min(m) AS mmin FROM mkt),
+       |cm AS (SELECT event_type, min(c) AS cmin FROM hourly GROUP BY 1),
+       |d AS (
+       |  SELECT h.event_type,
+       |         CAST(h.c - cm.cmin AS BIGINT) AS dc,
+       |         CAST(m.m - mm.mmin AS BIGINT) AS dm
+       |  FROM hourly h JOIN mkt m USING (bus)
+       |       JOIN cm ON cm.event_type = h.event_type, mm
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       ${r4Sql("CAST(count(*) * sum(dc * dm) - sum(dc) * sum(dm) AS DOUBLE)" +
+                       " / CAST(count(*) * sum(dm * dm) - sum(dm) * sum(dm) AS DOUBLE)")} AS beta
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------- VaR / ES
   /** Historical 95% Value-at-Risk and Expected Shortfall per series —
     * the tail-risk pair a monitoring desk reads off a return
@@ -1446,6 +1510,7 @@ object IndicatorQueries {
     "ts_cusum"      -> cusumQ,
     "ts_seasonal"   -> seasonalQ,
     "ts_var_es"     -> varEsQ,
+    "ts_beta"       -> betaQ,
     "ts_heikin_ashi" -> heikinAshiQ,
     "ts_keltner"    -> keltnerQ,
     "ts_ichimoku"   -> ichimokuQ,
@@ -1482,6 +1547,7 @@ object IndicatorQueries {
     "ts_cusum"      -> cusumSql,
     "ts_seasonal"   -> seasonalSql,
     "ts_var_es"     -> varEsSql,
+    "ts_beta"       -> betaSql,
     "ts_heikin_ashi" -> heikinAshiSql,
     "ts_keltner"    -> keltnerSql,
     "ts_ichimoku"   -> ichimokuSql,
