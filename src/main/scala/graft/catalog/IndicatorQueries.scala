@@ -965,14 +965,17 @@ object IndicatorQueries {
     * moment an exact BIGINT; β is scale-invariant in m up to the one
     * final division). Covariance is shift-invariant, so both sides are
     * first shifted by exact integer minima (per-series min c, global
-    * min m) — the moment products then carry price RANGES, not
-    * levels, which keeps n·Σmm far under 2⁶³ for any realistic panel
-    * (unshifted, a $10k-level series overflows Spark's wrapping
-    * BIGINT sum while DuckDB silently promotes to HUGEINT — the
-    * engines would diverge instead of erroring). The OLS moments are
-    * then exact integer sums, engine-identical under any
-    * partitioning; the full-panel filter (hours whose series count
-    * equals the panel's) is data-derived the same way on both sides.
+    * min m) — the moment products carry price RANGES, not levels —
+    * and the final n·Σcm − Σc·Σm / n·Σmm − Σm² combination runs in
+    * exact 38-digit decimal (Spark) ↔ HUGEINT (DuckDB): a multi-year
+    * panel's n·Σmm clears 2⁶³ even after shifting, and Spark's
+    * wrapping BIGINT multiply would silently diverge from DuckDB's
+    * auto-promoted 128-bit sums instead of erroring. Both engines
+    * round the same exact integer to the nearest double once, at the
+    * division. The per-row products feeding the SUMS stay BIGINT
+    * (range² × one row can't clear 2⁶³ for any price that fits
+    * cents); the full-panel filter (hours whose series count equals
+    * the panel's) is data-derived the same way on both sides.
     */
   private def betaQ(s: SparkSession, dir: String): DataFrame = {
     val h = hourly(s, dir)
@@ -995,8 +998,12 @@ object IndicatorQueries {
         sum(col("dc") * col("dm")).as("__scm"),
         sum(col("dm") * col("dm")).as("__smm"))
       .select(col("event_type"), col("n"),
-        r4((col("n") * col("__scm") - col("__sc") * col("__sm")).cast("double") /
-          (col("n") * col("__smm") - col("__sm") * col("__sm")).cast("double"))
+        r4(((col("n").cast("decimal(10,0)") * col("__scm").cast("decimal(28,0)")
+              - col("__sc").cast("decimal(19,0)") * col("__sm").cast("decimal(19,0)"))
+            .cast("double")) /
+          ((col("n").cast("decimal(10,0)") * col("__smm").cast("decimal(28,0)")
+              - col("__sm").cast("decimal(19,0)") * col("__sm").cast("decimal(19,0)"))
+            .cast("double")))
           .as("beta"))
       .orderBy(col("event_type"))
   }
@@ -1017,8 +1024,10 @@ object IndicatorQueries {
        |       JOIN cm ON cm.event_type = h.event_type, mm
        |)
        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       |       ${r4Sql("CAST(count(*) * sum(dc * dm) - sum(dc) * sum(dm) AS DOUBLE)" +
-                       " / CAST(count(*) * sum(dm * dm) - sum(dm) * sum(dm) AS DOUBLE)")} AS beta
+       |       ${r4Sql("CAST(CAST(count(*) AS HUGEINT) * sum(dc * dm)" +
+                       " - sum(dc) * sum(dm) AS DOUBLE)" +
+                       " / CAST(CAST(count(*) AS HUGEINT) * sum(dm * dm)" +
+                       " - sum(dm) * sum(dm) AS DOUBLE)")} AS beta
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------- VaR / ES

@@ -3274,17 +3274,12 @@ object LlmQueries {
        |ORDER BY d.id""".stripMargin
   }
 
-  /** [[CorpusStats.zipfFit]] — per-source Zipf slope/intercept over
-    * the top-200 word types. Ranks are exact (integer counts, word
-    * tiebreak); the OLS moments are the explicit `(nΣxy−ΣxΣy)/…`
-    * form on BOTH sides so the expression trees match; r4 absorbs
-    * fold-order ulps in the ln/product sums.
-    */
   /** [[CorpusStats.heapsCurve]] — vocabulary growth at 10 doc-id
     * checkpoints plus the Heaps exponent β. Counts are exact longs
-    * (first-occurrence aggregation, one corpus read for all
-    * checkpoints — never a distinct-per-prefix rescan); β folds ≤10
-    * doubles, r4 on both sides (the zipf-slope precedent).
+    * (first-occurrence aggregation — never a distinct-per-prefix
+    * rescan, and the tokenized frame is materialized once inside the
+    * op); β folds ≤10 doubles, r4 on both sides (the zipf-slope
+    * precedent).
     */
   private def heapsQ(s: SparkSession, d: String): DataFrame =
     CorpusStats.heapsCurve(Tables.fanOut(Tables.documents(s, d)),
@@ -3328,6 +3323,12 @@ object LlmQueries {
        |       ${r4Sql("(m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx)")} AS beta
        |FROM cum, m ORDER BY cum.b""".stripMargin
 
+  /** [[CorpusStats.zipfFit]] — per-source Zipf slope/intercept over
+    * the top-200 word types. Ranks are exact (integer counts, word
+    * tiebreak); the OLS moments are the explicit `(nΣxy−ΣxΣy)/…`
+    * form on BOTH sides so the expression trees match; r4 absorbs
+    * fold-order ulps in the ln/product sums.
+    */
   private def zipfQ(s: SparkSession, d: String): DataFrame =
     CorpusStats.zipfFit(Tables.fanOut(Tables.documents(s, d)), col("source"),
         col("text"), topN = 200)

@@ -243,12 +243,19 @@ object CorpusStats {
     val base = docs.filter(text.isNotNull)
       .select(id.cast("long").as("doc_id"), alphaTokens(text).as("w"))
     val mx = base.agg(max(col("doc_id")).as("__m"))
+    // Tokenize ONCE: the token-count and first-occurrence aggregates
+    // sit under DIFFERENT exchanges (ReuseExchange can't share them),
+    // so without this the per-document regexp runs twice per action —
+    // the pmiTopK checkpoint discipline (the term that scales with
+    // data is the tokenization, not the ≤buckets-row curve).
     val withB = base.crossJoin(broadcast(mx))
       .withColumn("b", expr(s"doc_id div (__m div $buckets + 1)"))
+      .select(col("doc_id"), col("b"), col("w"))
+      .localCheckpoint(false)
     val bukToks = withB.groupBy(col("b"))
       .agg(sum(size(col("w")).cast("long")).as("toks"))
     val firstOcc = withB
-      .select(col("b"), col("doc_id"), explode(col("w")).as("t"))
+      .select(col("doc_id"), explode(col("w")).as("t"))
       .groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
       .crossJoin(broadcast(mx))
       .groupBy(expr(s"fd div (__m div $buckets + 1)").as("b"))

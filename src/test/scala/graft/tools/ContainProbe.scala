@@ -32,12 +32,17 @@ object ContainProbe {
         explode(array_distinct(TextOps.wordNgrams(TextOps.words(col("text")), 5))).as("g"))
     }
 
-    // variant B: checkpoint the informative frame, then the op's tail
-    def withCkpt(): Long = {
+    // variant B: the shipped op (which materializes `informative`)
+    def withCkpt(): Long =
+      Dedup.containmentPairs(grams(), col("doc_id"), col("g"),
+        assumeDistinct = true).count()
+    // the PRE-change pipeline, inlined WITHOUT the checkpoint: the op
+    // itself now materializes `informative`, so calling it would
+    // compare checkpoint vs checkpoint and always print a wash
+    def plain(): Long = {
       val raw = grams().select(col("doc_id").as("id"), md5(col("g").cast("string")).as("d"))
       val dfs = raw.groupBy(col("d")).agg(count(lit(1)).as("__df"))
       val informative = raw.join(dfs.filter(col("__df") <= 32L), Seq("d"))
-        .localCheckpoint(false)
       val nA = informative.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
       val pruned = informative.filter(col("__df") >= 2L)
       pruned.select(col("d"), col("id").as("id_a"))
@@ -48,8 +53,6 @@ object ContainProbe {
         .filter(col("shared") * lit(100L) >= lit(80L) * col("n_a"))
         .count()
     }
-    def plain(): Long =
-      Dedup.containmentPairs(grams(), col("doc_id"), col("g"), assumeDistinct = true).count()
 
     def time(f: () => Long): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
