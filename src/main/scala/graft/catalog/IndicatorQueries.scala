@@ -1030,6 +1030,79 @@ object IndicatorQueries {
                        " - sum(dm) * sum(dm) AS DOUBLE)")} AS beta
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------- rolling beta
+  /** Time-varying systematic risk: [[betaQ]]'s OLS moments inside a
+    * trailing 24-hour window, one beta per (series, hour) once the
+    * window is full. Same exactness scheme — minima-shifted integer
+    * values (ranges, not levels), window moment sums exact BIGINT
+    * (24-row frames bound every product), the n·Σcm − Σc·Σm /
+    * n·Σmm − Σm² combination exact in longs (24² × range² can't
+    * clear 2⁶³), one final double division, r4. Degenerate windows
+    * (flat market, var = 0) emit null. One bus-keyed panel aggregate
+    * + one keyed window pass.
+    */
+  private def rollingBetaQ(s: SparkSession, dir: String): DataFrame = {
+    val h = hourly(s, dir)
+    val nSeries = h.select(countDistinct(col("event_type")).as("__k"))
+    val market = h.groupBy(col("bus"))
+      .agg(sum(col("c")).as("m"), count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(nSeries))
+      .filter(col("__cnt") === col("__k"))
+      .select(col("bus"), col("m"))
+    val mMin = market.select(min(col("m")).as("__mmin"))
+    val cMin = h.groupBy(col("event_type")).agg(min(col("c")).as("__cmin"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+      .rowsBetween(-23, 0)
+    h.join(broadcast(market), "bus")
+      .join(broadcast(cMin), "event_type")
+      .crossJoin(broadcast(mMin))
+      .select(col("event_type"), col("bus"),
+        (col("c") - col("__cmin")).as("dc"), (col("m") - col("__mmin")).as("dm"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sc", sum(col("dc")).over(w))
+      .withColumn("__sm", sum(col("dm")).over(w))
+      .withColumn("__scm", sum(col("dc") * col("dm")).over(w))
+      .withColumn("__smm", sum(col("dm") * col("dm")).over(w))
+      .filter(col("__n") === 24L)
+      .withColumn("__den", col("__n") * col("__smm") - col("__sm") * col("__sm"))
+      .select(col("event_type"), col("bus"),
+        r4(when(col("__den") =!= 0L,
+          (col("__n") * col("__scm") - col("__sc") * col("__sm")).cast("double") /
+            col("__den").cast("double"))).as("beta24"))
+      .orderBy(col("event_type"), col("bus"))
+  }
+
+  private val rollingBetaSql: String =
+    s"""$hourlyCte, k AS (
+       |  SELECT count(DISTINCT event_type) AS k FROM hourly
+       |), mkt AS (
+       |  SELECT bus, CAST(sum(c) AS BIGINT) AS m
+       |  FROM hourly, k GROUP BY bus, k.k HAVING count(*) = k.k
+       |), mm AS (SELECT min(m) AS mmin FROM mkt),
+       |cm AS (SELECT event_type, min(c) AS cmin FROM hourly GROUP BY 1),
+       |d AS (
+       |  SELECT h.event_type, h.bus,
+       |         CAST(h.c - cm.cmin AS BIGINT) AS dc,
+       |         CAST(m.m - mm.mmin AS BIGINT) AS dm
+       |  FROM hourly h JOIN mkt m USING (bus)
+       |       JOIN cm ON cm.event_type = h.event_type, mm
+       |), mo AS (
+       |  SELECT event_type, bus,
+       |         CAST(count(*) OVER w AS BIGINT) AS n,
+       |         CAST(sum(dc) OVER w AS BIGINT) AS sc,
+       |         CAST(sum(dm) OVER w AS BIGINT) AS sm,
+       |         CAST(sum(dc * dm) OVER w AS BIGINT) AS scm,
+       |         CAST(sum(dm * dm) OVER w AS BIGINT) AS smm
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY bus
+       |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, bus,
+       |       ${r4Sql("CASE WHEN n * smm - sm * sm <> 0" +
+                       " THEN CAST(n * scm - sc * sm AS DOUBLE)" +
+                       " / CAST(n * smm - sm * sm AS DOUBLE) END")} AS beta24
+       |FROM mo WHERE n = 24 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------- VaR / ES
   /** Historical 95% Value-at-Risk and Expected Shortfall per series —
     * the tail-risk pair a monitoring desk reads off a return
@@ -1520,6 +1593,7 @@ object IndicatorQueries {
     "ts_seasonal"   -> seasonalQ,
     "ts_var_es"     -> varEsQ,
     "ts_beta"       -> betaQ,
+    "ts_rolling_beta" -> rollingBetaQ,
     "ts_heikin_ashi" -> heikinAshiQ,
     "ts_keltner"    -> keltnerQ,
     "ts_ichimoku"   -> ichimokuQ,
@@ -1557,6 +1631,7 @@ object IndicatorQueries {
     "ts_seasonal"   -> seasonalSql,
     "ts_var_es"     -> varEsSql,
     "ts_beta"       -> betaSql,
+    "ts_rolling_beta" -> rollingBetaSql,
     "ts_heikin_ashi" -> heikinAshiSql,
     "ts_keltner"    -> keltnerSql,
     "ts_ichimoku"   -> ichimokuSql,
