@@ -1030,6 +1030,73 @@ object IndicatorQueries {
                        " - sum(dm) * sum(dm) AS DOUBLE)")} AS beta
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- mean-reversion half-life
+  /** AR(1) mean-reversion half-life per series: regress c_t on
+    * c_{t−1} (OLS slope φ over minima-shifted exact integer moments —
+    * shift-invariant, the [[betaQ]] scheme with the lag pair as the
+    * two variables), then half-life = −ln 2 / ln φ for 0 < φ < 1
+    * (a random-walk-or-trending series, φ ≥ 1, and an oscillating
+    * one, φ ≤ 0, have no mean-reversion half-life → null). The only
+    * float steps are the final division and the two lns, r4'd; the
+    * moment combination runs in the same wide-decimal ↔ HUGEINT form
+    * as [[betaQ]] (n·Σxx clears 2⁶³ on multi-year series).
+    */
+  private def halfLifeQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    val h = hourly(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .filter(col("__p").isNotNull)
+    val cMin = h.groupBy(col("event_type")).agg(
+      least(min(col("c")), min(col("__p"))).as("__cmin"))
+    val moments = h.join(broadcast(cMin), "event_type")
+      .select(col("event_type"),
+        (col("c") - col("__cmin")).as("y"), (col("__p") - col("__cmin")).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+    val phi =
+      ((col("n").cast("decimal(10,0)") * col("__sxy").cast("decimal(28,0)")
+          - col("__sx").cast("decimal(19,0)") * col("__sy").cast("decimal(19,0)"))
+        .cast("double")) /
+      ((col("n").cast("decimal(10,0)") * col("__sxx").cast("decimal(28,0)")
+          - col("__sx").cast("decimal(19,0)") * col("__sx").cast("decimal(19,0)"))
+        .cast("double"))
+    moments
+      .withColumn("__phi", phi)
+      .select(col("event_type"), col("n"), r4(col("__phi")).as("phi"),
+        r4(when(col("__phi") > 0.0d && col("__phi") < 1.0d,
+          -log(lit(2.0d)) / log(col("__phi")))).as("half_life_hours"))
+      .orderBy(col("event_type"))
+  }
+
+  private val halfLifeSql: String =
+    s"""$hourlyCte, r AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS p
+       |  FROM hourly
+       |), f AS (SELECT event_type, c, p FROM r WHERE p IS NOT NULL),
+       |cm AS (
+       |  SELECT event_type, least(min(c), min(p)) AS cmin FROM f GROUP BY 1
+       |), d AS (
+       |  SELECT f.event_type,
+       |         CAST(f.c - cm.cmin AS BIGINT) AS y,
+       |         CAST(f.p - cm.cmin AS BIGINT) AS x
+       |  FROM f JOIN cm USING (event_type)
+       |), mo AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(CAST(count(*) AS HUGEINT) * sum(x * y)
+       |              - sum(x) * sum(y) AS DOUBLE)
+       |           / CAST(CAST(count(*) AS HUGEINT) * sum(x * x)
+       |              - sum(x) * sum(x) AS DOUBLE) AS phi
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT event_type, n, ${r4Sql("phi")} AS phi,
+       |       ${r4Sql("CASE WHEN phi > 0 AND phi < 1" +
+                       " THEN -ln(2.0) / ln(phi) END")} AS half_life_hours
+       |FROM mo ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------- rolling beta
   /** Time-varying systematic risk: [[betaQ]]'s OLS moments inside a
     * trailing 24-hour window, one beta per (series, hour) once the
@@ -1594,6 +1661,7 @@ object IndicatorQueries {
     "ts_var_es"     -> varEsQ,
     "ts_beta"       -> betaQ,
     "ts_rolling_beta" -> rollingBetaQ,
+    "ts_half_life"  -> halfLifeQ,
     "ts_heikin_ashi" -> heikinAshiQ,
     "ts_keltner"    -> keltnerQ,
     "ts_ichimoku"   -> ichimokuQ,
@@ -1632,6 +1700,7 @@ object IndicatorQueries {
     "ts_var_es"     -> varEsSql,
     "ts_beta"       -> betaSql,
     "ts_rolling_beta" -> rollingBetaSql,
+    "ts_half_life"  -> halfLifeSql,
     "ts_heikin_ashi" -> heikinAshiSql,
     "ts_keltner"    -> keltnerSql,
     "ts_ichimoku"   -> ichimokuSql,
