@@ -972,10 +972,15 @@ object IndicatorQueries {
     * wrapping BIGINT multiply would silently diverge from DuckDB's
     * auto-promoted 128-bit sums instead of erroring. Both engines
     * round the same exact integer to the nearest double once, at the
-    * division. The per-row products feeding the SUMS stay BIGINT
-    * (range² × one row can't clear 2⁶³ for any price that fits
-    * cents); the full-panel filter (hours whose series count equals
-    * the panel's) is data-derived the same way on both sides.
+    * division. The per-row moment products are cast to decimal BEFORE
+    * the SUM (and to HUGEINT on the DuckDB side): a single product
+    * fits BIGINT, but the accumulated Σ(dc·dm)/Σ(dm·dm) clears 2⁶³
+    * once n × range_c × range_m does — plausible for multi-year
+    * panels since dm is a cross-sectional SUM of closes — and Spark's
+    * BIGINT sum wraps silently where DuckDB auto-promotes to 128-bit.
+    * Decimal(38) overflow yields null, never a wrong number. The
+    * full-panel filter (hours whose series count equals the panel's)
+    * is data-derived the same way on both sides.
     */
   private def betaQ(s: SparkSession, dir: String): DataFrame = {
     val h = hourly(s, dir)
@@ -995,13 +1000,15 @@ object IndicatorQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("dc")).as("__sc"), sum(col("dm")).as("__sm"),
-        sum(col("dc") * col("dm")).as("__scm"),
-        sum(col("dm") * col("dm")).as("__smm"))
+        sum(col("dc").cast("decimal(19,0)") * col("dm").cast("decimal(19,0)"))
+          .as("__scm"),
+        sum(col("dm").cast("decimal(19,0)") * col("dm").cast("decimal(19,0)"))
+          .as("__smm"))
       .select(col("event_type"), col("n"),
-        r4(((col("n").cast("decimal(10,0)") * col("__scm").cast("decimal(28,0)")
+        r4(((col("n").cast("decimal(10,0)") * col("__scm")
               - col("__sc").cast("decimal(19,0)") * col("__sm").cast("decimal(19,0)"))
             .cast("double")) /
-          ((col("n").cast("decimal(10,0)") * col("__smm").cast("decimal(28,0)")
+          ((col("n").cast("decimal(10,0)") * col("__smm")
               - col("__sm").cast("decimal(19,0)") * col("__sm").cast("decimal(19,0)"))
             .cast("double")))
           .as("beta"))
@@ -1024,9 +1031,9 @@ object IndicatorQueries {
        |       JOIN cm ON cm.event_type = h.event_type, mm
        |)
        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       |       ${r4Sql("CAST(CAST(count(*) AS HUGEINT) * sum(dc * dm)" +
+       |       ${r4Sql("CAST(CAST(count(*) AS HUGEINT) * sum(CAST(dc AS HUGEINT) * dm)" +
                        " - sum(dc) * sum(dm) AS DOUBLE)" +
-                       " / CAST(CAST(count(*) AS HUGEINT) * sum(dm * dm)" +
+                       " / CAST(CAST(count(*) AS HUGEINT) * sum(CAST(dm AS HUGEINT) * dm)" +
                        " - sum(dm) * sum(dm) AS DOUBLE)")} AS beta
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1054,13 +1061,15 @@ object IndicatorQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
-        sum(col("x") * col("y")).as("__sxy"),
-        sum(col("x") * col("x")).as("__sxx"))
+        sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .as("__sxy"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          .as("__sxx"))
     val phi =
-      ((col("n").cast("decimal(10,0)") * col("__sxy").cast("decimal(28,0)")
+      ((col("n").cast("decimal(10,0)") * col("__sxy")
           - col("__sx").cast("decimal(19,0)") * col("__sy").cast("decimal(19,0)"))
         .cast("double")) /
-      ((col("n").cast("decimal(10,0)") * col("__sxx").cast("decimal(28,0)")
+      ((col("n").cast("decimal(10,0)") * col("__sxx")
           - col("__sx").cast("decimal(19,0)") * col("__sx").cast("decimal(19,0)"))
         .cast("double"))
     moments
@@ -1086,9 +1095,9 @@ object IndicatorQueries {
        |  FROM f JOIN cm USING (event_type)
        |), mo AS (
        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       |         CAST(CAST(count(*) AS HUGEINT) * sum(x * y)
+       |         CAST(CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
        |              - sum(x) * sum(y) AS DOUBLE)
-       |           / CAST(CAST(count(*) AS HUGEINT) * sum(x * x)
+       |           / CAST(CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
        |              - sum(x) * sum(x) AS DOUBLE) AS phi
        |  FROM d GROUP BY 1
        |)
@@ -1101,10 +1110,12 @@ object IndicatorQueries {
   /** Time-varying systematic risk: [[betaQ]]'s OLS moments inside a
     * trailing 24-hour window, one beta per (series, hour) once the
     * window is full. Same exactness scheme — minima-shifted integer
-    * values (ranges, not levels), window moment sums exact BIGINT
-    * (24-row frames bound every product), the n·Σcm − Σc·Σm /
-    * n·Σmm − Σm² combination exact in longs (24² × range² can't
-    * clear 2⁶³), one final double division, r4. Degenerate windows
+    * values (ranges, not levels), window moment sums and the
+    * n·Σcm − Σc·Σm / n·Σmm − Σm² combination in exact wide decimal
+    * (dm is a cross-sectional SUM of closes, so even a 24-row
+    * Σ(dm·dm) can clear 2⁶³ on a wide panel — BIGINT would wrap
+    * silently where DuckDB promotes to HUGEINT), one final double
+    * division, r4. Degenerate windows
     * (flat market, var = 0) emit null. One bus-keyed panel aggregate
     * + one keyed window pass.
     */
@@ -1128,13 +1139,21 @@ object IndicatorQueries {
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__sc", sum(col("dc")).over(w))
       .withColumn("__sm", sum(col("dm")).over(w))
-      .withColumn("__scm", sum(col("dc") * col("dm")).over(w))
-      .withColumn("__smm", sum(col("dm") * col("dm")).over(w))
+      .withColumn("__scm",
+        sum(col("dc").cast("decimal(19,0)") * col("dm").cast("decimal(19,0)"))
+          .over(w))
+      .withColumn("__smm",
+        sum(col("dm").cast("decimal(19,0)") * col("dm").cast("decimal(19,0)"))
+          .over(w))
       .filter(col("__n") === 24L)
-      .withColumn("__den", col("__n") * col("__smm") - col("__sm") * col("__sm"))
+      .withColumn("__den",
+        col("__n").cast("decimal(10,0)") * col("__smm")
+          - col("__sm").cast("decimal(19,0)") * col("__sm").cast("decimal(19,0)"))
       .select(col("event_type"), col("bus"),
-        r4(when(col("__den") =!= 0L,
-          (col("__n") * col("__scm") - col("__sc") * col("__sm")).cast("double") /
+        r4(when(col("__den") =!= lit(0),
+          (col("__n").cast("decimal(10,0)") * col("__scm")
+            - col("__sc").cast("decimal(19,0)") * col("__sm").cast("decimal(19,0)"))
+            .cast("double") /
             col("__den").cast("double"))).as("beta24"))
       .orderBy(col("event_type"), col("bus"))
   }
@@ -1158,16 +1177,16 @@ object IndicatorQueries {
        |         CAST(count(*) OVER w AS BIGINT) AS n,
        |         CAST(sum(dc) OVER w AS BIGINT) AS sc,
        |         CAST(sum(dm) OVER w AS BIGINT) AS sm,
-       |         CAST(sum(dc * dm) OVER w AS BIGINT) AS scm,
-       |         CAST(sum(dm * dm) OVER w AS BIGINT) AS smm
+       |         sum(CAST(dc AS HUGEINT) * dm) OVER w AS scm,
+       |         sum(CAST(dm AS HUGEINT) * dm) OVER w AS smm
        |  FROM d
        |  WINDOW w AS (PARTITION BY event_type ORDER BY bus
        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
        |)
        |SELECT event_type, bus,
-       |       ${r4Sql("CASE WHEN n * smm - sm * sm <> 0" +
-                       " THEN CAST(n * scm - sc * sm AS DOUBLE)" +
-                       " / CAST(n * smm - sm * sm AS DOUBLE) END")} AS beta24
+       |       ${r4Sql("CASE WHEN n * smm - CAST(sm AS HUGEINT) * sm <> 0" +
+                       " THEN CAST(n * scm - CAST(sc AS HUGEINT) * sm AS DOUBLE)" +
+                       " / CAST(n * smm - CAST(sm AS HUGEINT) * sm AS DOUBLE) END")} AS beta24
        |FROM mo WHERE n = 24 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------- VaR / ES

@@ -65,9 +65,14 @@ object CorpusIo {
         from_json(col("raw_line"), withCorrupt,
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
-    val rows = parsed.filter(col(s"j.$corruptCol").isNull)
+    // A blank/whitespace-only line parses to a NULL struct (the
+    // JacksonParser emits no row, so the corrupt column is null too):
+    // it must route to errors, not become an all-null phantom row —
+    // "malformed lines are countable errors, never a silent drop".
+    val wellFormed = col("j").isNotNull && col(s"j.$corruptCol").isNull
+    val rows = parsed.filter(wellFormed)
       .select(schema.fieldNames.map(f => col(s"j.$f").as(f)): _*)
-    val errors = parsed.filter(col(s"j.$corruptCol").isNotNull)
+    val errors = parsed.filter(!wellFormed)
       .select(col("raw_line"))
     (rows, errors)
   }
@@ -94,7 +99,9 @@ object CorpusIo {
             "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
       .select(
         (schema.fieldNames.map(f => col(s"j.$f").as(f)) :+
-          col(s"j.$corruptCol").isNotNull.as("is_corrupt") :+
+          // NULL struct (blank line) is corrupt too — see readJsonl.
+          (col("j").isNull || col(s"j.$corruptCol").isNotNull)
+            .as("is_corrupt") :+
           col("raw_line")): _*)
   }
 

@@ -48,6 +48,30 @@ class CorpusIoSpec extends SparkSpec {
     assert(errs.exists(_.contains("not-a-number")))
   }
 
+  test("blank and whitespace-only lines are countable errors, not phantom null rows") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""",
+        "",
+        "   \t ",
+        """{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}"""
+      ).mkString("\n"))
+    val (rows, errors) = CorpusIo.readJsonl(spark, dir)
+    // no all-null phantom rows leak through
+    assert(rows.orderBy($"doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val errs = errors.collect().map(_.getString(0)).toSeq
+    assert(errs.size == 2 && errs.forall(_.trim.isEmpty))
+    // the streaming twin flags them the same way
+    val q = CorpusIo.readJsonlStream(spark, dir)
+      .writeStream.format("memory").queryName("jsonl_blank_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val s = spark.table("jsonl_blank_stream")
+    assert(s.filter($"is_corrupt").count() == 2)
+    assert(s.filter(!$"is_corrupt").count() == 2)
+  }
+
   test("declared schema is required shape: corrupt column name collision refused") {
     intercept[IllegalArgumentException] {
       CorpusIo.readJsonl(spark, "/nonexistent",
