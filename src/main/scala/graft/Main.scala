@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * graft.Main stream --checkpoint /ckpt --table /data/ohlcvs \
   *   [--input rate | --input parquet:/dir] [--duration-secs 60]
+  *
+  * graft.Main repair --exchange bitfinex --symbols BTC-USD \
+  *   --table /data/ohlcvs [--interval-secs 60] [--iterations N] \
+  *   [--now-ms <epoch-ms>] [--source /fixtures/candles.parquet]
   * }}}
   *
   * `backfill` fans (symbol × range) tasks across partitions through
@@ -66,10 +70,50 @@ object Main {
     action match {
       case "backfill" => backfill(spark, flags)
       case "stream" => stream(spark, flags)
-      case other => fail(s"unknown action '$other' (expected backfill or stream)")
+      case "repair" => repair(spark, flags)
+      case other => fail(s"unknown action '$other' (expected backfill, stream or repair)")
     }
 
   // ------------------------------------------------------- backfill
+
+  /** `BASE-QUOTE,BASE-QUOTE,...` → (exchange, base, quote) keys. */
+  private def parseKeys(exchange: String, symbols: String): Seq[(String, String, String)] =
+    symbols.split(",").toSeq.map { s =>
+      s.split("-") match {
+        case Array(b, q) => (exchange, b, q)
+        case _ => fail(s"symbol '$s' is not BASE-QUOTE")
+      }
+    }
+
+  private def pageFor(spark: SparkSession, exchange: String,
+      flags: Map[String, String]): RestCursors.PageFetcher =
+    flags.get("source") match {
+      case Some(path) => new ParquetPageFetcher(spark, path)
+      case None => new HttpPageFetcher(exchange)
+    }
+
+  private def fetcherFor(exchange: String, page: RestCursors.PageFetcher,
+      asOfMs: Long): Backfill.Fetcher = exchange match {
+    case "bitfinex" => RestCursors.bitfinex(page, asOfMs = asOfMs)
+    case "binance" => RestCursors.binance(page,
+      new RestCursors.WeightBudget(RestCursors.BinanceWeightLimit))
+    case "bittrex" => RestCursors.throttled(
+      pageAsFetcher(page), new RestCursors.Gcra(RestCursors.BittrexRatePerMin))
+  }
+
+  /** Bitfinex/Binance walk a row-limit cursor INSIDE one (symbol ×
+    * range) task; Bittrex's endpoint is addressed by calendar day, so
+    * its tasks are day-sliced up front (reference bittrex.py day tasks).
+    */
+  private def tasksFor(spark: SparkSession, exchange: String,
+      keys: Seq[(String, String, String)], startMs: Long,
+      endMs: Long): DataFrame = exchange match {
+    case "bittrex" => Backfill.dayTasks(spark, keys, startMs, endMs)
+    case _ =>
+      import spark.implicits._
+      keys.map { case (e, b, q) => (e, b, q, startMs, endMs) }
+        .toDF("exchange", "base_id", "quote_id", "start_ms", "end_ms")
+  }
 
   private def backfill(spark: SparkSession, flags: Map[String, String]): Unit = {
     val exchange = req(flags, "exchange")
@@ -78,33 +122,10 @@ object Main {
     val startMs = parseTs(req(flags, "start"))
     val endMs = parseTs(req(flags, "end"))
     require(startMs < endMs, s"--start must precede --end")
-    val keys = req(flags, "symbols").split(",").toSeq.map { s =>
-      s.split("-") match {
-        case Array(b, q) => (exchange, b, q)
-        case _ => fail(s"symbol '$s' is not BASE-QUOTE")
-      }
-    }
-    val page: RestCursors.PageFetcher = flags.get("source") match {
-      case Some(path) => new ParquetPageFetcher(spark, path)
-      case None => new HttpPageFetcher(exchange)
-    }
-    val fetcher = exchange match {
-      case "bitfinex" => RestCursors.bitfinex(page, asOfMs = endMs)
-      case "binance" => RestCursors.binance(page,
-        new RestCursors.WeightBudget(RestCursors.BinanceWeightLimit))
-      case "bittrex" => RestCursors.throttled(
-        pageAsFetcher(page), new RestCursors.Gcra(RestCursors.BittrexRatePerMin))
-    }
-    // Bitfinex/Binance walk a row-limit cursor INSIDE one (symbol ×
-    // range) task; Bittrex's endpoint is addressed by calendar day, so
-    // its tasks are day-sliced up front (reference bittrex.py day tasks)
-    val tasks = exchange match {
-      case "bittrex" => Backfill.dayTasks(spark, keys, startMs, endMs)
-      case _ =>
-        import spark.implicits._
-        keys.map { case (e, b, q) => (e, b, q, startMs, endMs) }
-          .toDF("exchange", "base_id", "quote_id", "start_ms", "end_ms")
-    }
+    val keys = parseKeys(exchange, req(flags, "symbols"))
+    val page = pageFor(spark, exchange, flags)
+    val fetcher = fetcherFor(exchange, page, asOfMs = endMs)
+    val tasks = tasksFor(spark, exchange, keys, startMs, endMs)
     val (candles, errors) = Backfill.run(tasks, fetcher)
     (flags.get("jdbc-url"), flags.get("table")) match {
       case (Some(url), _) =>
@@ -180,6 +201,59 @@ object Main {
     flags.get("duration-secs") match {
       case Some(d) => q.awaitTermination(d.toLong * 1000L); q.stop()
       case None => q.awaitTermination()
+    }
+  }
+
+  // --------------------------------------------------------- repair
+
+  /** ST5's cadence as a runnable job — the reference's scheduled
+    * `*_fetch_ohlcvs_mutual_basequote_1min` Celery beat task
+    * (celery_app/celery_tasks.py:73-84: end = now − 1 min, start =
+    * end − 4 min, update=True): every `--interval-secs` it re-fetches
+    * the trailing five COMPLETE minutes [floor(now)−5m, floor(now))
+    * and upserts them DO-UPDATE-style into the TxTable via the
+    * surgical [[TxTable.mergeInto]] — the transactional form of
+    * [[graft.streaming.CandleStream.reconcile]]'s batch MERGE, so a
+    * re-fetched minute overwrites o/h/l/c/v exactly once and an
+    * unchanged refetch is idempotent.
+    *
+    * The clock is injectable for tests: `--now-ms` pins the first
+    * tick and advances it virtually by the interval each iteration
+    * (no wall sleep); without it the loop sleeps the interval and
+    * reads the wall clock. `--iterations` bounds the loop (0 =
+    * forever, the production cadence).
+    */
+  private def repair(spark: SparkSession, flags: Map[String, String]): Unit = {
+    val exchange = req(flags, "exchange")
+    require(Seq("bitfinex", "binance", "bittrex").contains(exchange),
+      s"unknown exchange '$exchange'")
+    val keys = parseKeys(exchange, req(flags, "symbols"))
+    val tableRoot = req(flags, "table")
+    val intervalMs = flags.getOrElse("interval-secs", "60").toLong * 1000L
+    val iterations = flags.getOrElse("iterations", "0").toLong
+    val page = pageFor(spark, exchange, flags)
+    val pinnedClock = flags.contains("now-ms")
+    var nowMs = flags.get("now-ms").map(_.toLong)
+      .getOrElse(System.currentTimeMillis())
+    var i = 0L
+    while (iterations == 0L || i < iterations) {
+      val endMs = nowMs - nowMs % 60000L        // floor(now), exclusive
+      val startMs = endMs - 5L * 60000L
+      val fetcher = fetcherFor(exchange, page, asOfMs = endMs)
+      val tasks = tasksFor(spark, exchange, keys, startMs, endMs)
+      val (candles, errors) = Backfill.run(tasks, fetcher)
+      val t = new TxTable(spark, tableRoot)
+      val withDate = graft.ops.CandleOps.dedup(candles)
+        .withColumn("p_date", to_date(col("time")))
+      if (t.version < 0) t.append(withDate)
+      else t.mergeInto(withDate, Seq("exchange", "base_id", "quote_id", "time"))
+      val errDir = flags.getOrElse("errors", tableRoot + "_errors")
+      errors.write.mode("append").parquet(errDir)
+      i += 1
+      if (iterations == 0L || i < iterations) {
+        if (pinnedClock) nowMs += intervalMs
+        else { Thread.sleep(intervalMs); nowMs = System.currentTimeMillis() }
+      }
     }
   }
 

@@ -925,8 +925,8 @@ object Dedup {
     * nothing); callers that must preserve them can left-join back.
     *
     * Scale shape: posexplode is narrow; document frequency is ONE
-    * line-keyed aggregation (map-side combined); the verdict join is
-    * line-keyed; reassembly is one doc-keyed aggregation whose
+    * digest-keyed aggregation (map-side combined); the verdict join is
+    * digest-keyed; reassembly is one doc-keyed aggregation whose
     * collect_list is bounded by the doc's own line count. No driver
     * actions, nothing all-pairs — partitions like every per-doc op at
     * 100 TB.
@@ -942,25 +942,33 @@ object Dedup {
     // like the bigram frame in llm_lm_score, the exploded line frame
     // is corpus-sized and materializing it measured a wash (2.60 s vs
     // 2.52 s at sf0.1) — the checkpoint-after-aggregation rule holds.
+    // Every exchange and compare downstream keys on the line's md5
+    // digest, never the line text (the llm_kmv_distinct lesson): the
+    // text rides as payload into the verdict join only because the
+    // reassembly needs it, while the frequency side and both shuffle
+    // keys are fixed-width 16-byte binaries — boilerplate lines are
+    // routinely hundreds of bytes, and hashing them once beats
+    // sorting/comparing them at every exchange.
     val ex = docs.select(id.as("doc_id"), posexplode(linesCol).as(Seq("pos", "line")))
       .filter(col("line").isNotNull)
+      .withColumn("dg", unhex(md5(col("line"))))
     // document frequency as an EXPLICIT two-level aggregation instead
     // of countDistinct: Spark plans a single distinct aggregate with
     // its exchange on the grouping key alone, so a boilerplate line
     // present in 10⁸ documents sends every surviving (line, doc_id)
     // pair to ONE reducer. distinct() keys the exchange on the full
     // pair — the hot line spreads across the cluster by doc_id — and
-    // the count then map-side-combines to ≤ one row per (line,
-    // partition) before the line-keyed exchange — the hot reducer's
+    // the count then map-side-combines to ≤ one row per (digest,
+    // partition) before the digest-keyed exchange — the hot reducer's
     // input drops from 10⁸ pair rows to #partitions partial counts.
     // Measured (HotLineProbe, 2026-08-13, 20M docs all sharing one
     // line, local[32]): 10.8 s → 8.1 s; the in-memory single-JVM
     // shuffle compresses the straggler, a networked cluster does not.
-    val freq = ex.select(col("line"), col("doc_id")).distinct()
-      .groupBy(col("line"))
+    val freq = ex.select(col("dg"), col("doc_id")).distinct()
+      .groupBy(col("dg"))
       .agg(count(lit(1)).as("df"))
     val keep = col("df") < minDocs
-    ex.join(freq, Seq("line"))
+    ex.join(freq, Seq("dg"))
       .groupBy(col("doc_id"))
       .agg(
         // collect_list drops nulls, so the `when` with no otherwise

@@ -42,18 +42,34 @@ object NbClassifier {
   /** One-pass fit over a labeled slice: `docs` rows carry `label` and
     * a tokenized `words` array (empty-token docs still count toward
     * priors — a labeled empty document is evidence for its class).
+    *
+    * Literally one pass: a null marker token is appended to EVERY
+    * doc's array before the explode, so the single (label, token)
+    * aggregation yields both the token counts (non-null rows) and the
+    * per-class doc counts (the null row's count) — no second corpus
+    * scan for priors, no third for the total. Everything downstream
+    * (class totals, vocabulary size, priors) aggregates the
+    * |vocab|·|classes|-bounded model frame, never the corpus.
     */
   def fit(docs: DataFrame, label: Column, words: Column): Model = {
-    val toks = docs.select(label.as("label"), explode(words).as("w"))
-    val tokenCounts = toks.groupBy(col("label"), col("w"))
+    val counts = docs
+      .select(label.as("label"),
+        explode(concat(words, array(lit(null).cast("string")))).as("w"))
+      .groupBy(col("label"), col("w"))
       .agg(count(lit(1)).as("c"))
-    val nTotal = docs.select(count(lit(1)).as("n_total"))
-    val classStats = docs.groupBy(label.as("label"))
-      .agg(count(lit(1)).as("n_docs"))
-      .join(tokenCounts.groupBy(col("label")).agg(sum(col("c")).as("tot")),
-        Seq("label"), "left")
-      .na.fill(0L, Seq("tot"))
-      .crossJoin(nTotal)
+      .localCheckpoint(false)
+    val tokenCounts = counts.filter(col("w").isNotNull)
+    // class totals, doc counts AND priors off ONE aggregation of the
+    // model frame — no join, no separate n_total subtree: the global
+    // doc count is an unpartitioned window over the |classes|-row
+    // aggregate (model-sized by definition, so the single-partition
+    // window is free — this is the one place that shape is correct).
+    val classStats = counts
+      .groupBy(col("label"))
+      .agg(sum(when(col("w").isNotNull, col("c")).otherwise(0L)).as("tot"),
+        sum(when(col("w").isNull, col("c")).otherwise(0L)).as("n_docs"))
+      .withColumn("n_total", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("label"), col("tot"), col("n_docs"),
         floor(log(col("n_docs").cast("double") / col("n_total").cast("double"))
           * 1000000d).cast("long").as("q_prior"))
@@ -70,8 +86,8 @@ object NbClassifier {
     * — dropping it (inner join) would silently favor classes that
     * happen to share rare tokens with the doc. Documents with zero
     * tokens score prior-only (classified to the majority class), not
-    * dropped: the per-doc token profile is built with a left-join
-    * explode so empty docs keep one null-token row contributing 0.
+    * dropped: a null marker token appended to every doc keeps one
+    * row per doc alive, contributing 0 to the likelihood sum.
     *
     * `carry` rides id-functionally-dependent columns (the true label,
     * a source tag) through the aggregations as extra group keys, so a
@@ -82,15 +98,18 @@ object NbClassifier {
   def predict(model: Model, docs: DataFrame, id: Column, words: Column,
       carry: Seq[(String, Column)] = Nil): DataFrame = {
     val carryKeys = carry.map { case (n, _) => col(n) }
-    // (id, carry..., w, m): token multiplicity per doc; empty docs
-    // keep a null row (m=0) so they survive to the prior-only score.
-    val profile = docs
+    // (id, carry..., w) per token OCCURRENCE, plus one null marker
+    // row per doc so empty docs survive to the prior-only score.
+    // Deliberately NOT pre-aggregated to a (doc, token, multiplicity)
+    // profile: the model lookup is a broadcast join either way (the
+    // model is |vocab|·|classes|-bounded whatever the corpus size),
+    // so scoring per occurrence feeds the per-(doc, class) partial
+    // aggregation map-side and saves the profile's own corpus-sized
+    // shuffle — one fewer Exchange, Σ_occurrences q ≡ Σ_distinct m·q
+    // exactly (integer micro-nats both ways).
+    val toks = docs
       .select((id.as("id") +: carry.map { case (n, c) => c.as(n) }) :+
-        explode(concat(words,
-          when(size(words) === 0, array(lit(null).cast("string")))
-            .otherwise(array().cast("array<string>")))).as("w"): _*)
-      .groupBy(col("id") +: carryKeys :+ col("w"): _*)
-      .agg(count(when(col("w").isNotNull, 1)).as("m"))
+        explode(concat(words, array(lit(null).cast("string")))).as("w"): _*)
     // |classes|-way expansion × model lookup. classStats/vocab are
     // tiny (class count) and broadcast; tokenCounts is vocab-bounded
     // — plain join, AQE picks broadcast when it fits.
@@ -98,12 +117,13 @@ object NbClassifier {
       log((coalesce(col("c"), lit(0L)) + 1L).cast("double")
           / (col("tot") + col("v")).cast("double")) * 1000000d)
       .cast("long")
-    profile
+    toks
       .crossJoin(broadcast(model.classStats))
       .join(model.tokenCounts, Seq("label", "w"), "left")
       .crossJoin(broadcast(model.vocabSize))
       .groupBy(col("id") +: carryKeys :+ col("label"): _*)
-      .agg((first(col("q_prior")) + sum(col("m") * q)).as("q_sum"))
+      .agg((first(col("q_prior")) +
+        sum(when(col("w").isNotNull, q).otherwise(lit(0L)))).as("q_sum"))
       // argmax by (q desc, label asc): min over struct(-q, label)
       // orders lexicographically — no window, one aggregation.
       .groupBy(col("id") +: carryKeys: _*)

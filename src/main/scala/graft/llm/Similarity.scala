@@ -374,21 +374,29 @@ object Similarity {
     * (null for the seed) — d is the coverage radius curve, the knob a
     * curation run reads to pick k.
     *
-    * Execution shape = [[kMeansFit]]'s driver loop: the selected set
-    * is a MODEL (k × dim doubles), so each step is one scan of the
-    * persisted points computing `least` over k inlined distances —
-    * min is exact over doubles (no fold hazard), and the per-step
-    * argmax is an orderBy(d DESC, id) LIMIT 1. k sequential jobs by
-    * construction (each pick conditions the next); at 100 TB run it
-    * on a [[graft.llm.Sampling]].hashSample like any other fit.
+    * Execution shape = [[kMeansFit]]'s driver loop, INCREMENTAL form:
+    * the candidate frame carries a running min-distance column `d`,
+    * and each step computes the distance to the NEWLY selected center
+    * only, folding it in with `least(d, dist_new)` — O(k) distance
+    * evaluations per point total, versus the textbook re-scan of all
+    * selected centers per step (O(k²), a latent large-k cost). The
+    * running min over doubles is exactly the batch `least` over all
+    * centers (min is associative, no fold hazard), so the argmax picks
+    * — orderBy(d DESC, id) LIMIT 1 — are identical. k sequential jobs
+    * by construction (each pick conditions the next); every candidate
+    * generation is persisted and the lineage is severed by a local
+    * checkpoint every 8 steps so the plan stays O(1) per step; at
+    * 100 TB run it on a [[graft.llm.Sampling]].hashSample like any
+    * other fit.
     */
   def kCenterSample(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
     require(k >= 1, s"kCenterSample: k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pts = df.select(id.cast("long").as("id"),
         transform(vec, x => x.cast("double")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     val seedRows = pts.filter(col("id").isNotNull).orderBy(col("id")).limit(1).collect()
     if (seedRows.isEmpty) {
       pts.unpersist(false)
@@ -396,27 +404,44 @@ object Similarity {
         "kCenterSample: input has no rows with a non-null id")
     }
     val seed = seedRows.head
-    var selected = Vector[(Long, Seq[Double], java.lang.Double)](
-      (seed.getLong(0), seed.getSeq[Double](1), null))
+    val seedId = seed.getLong(0)
+    var selected = Vector[(Long, java.lang.Double)]((seedId, null))
+    // candidates with the running min-L2² to the selected set
+    var cur = pts
+      .filter(col("id").isNotNull && col("id") =!= seedId)
+      .select(col("id"), col("v"),
+        graft.functions.VecExprs.vecL2Sq(col("v"),
+          typedLit(seed.getSeq[Double](1))).as("d"))
+      .persist(lvl)
+    var sinceCheckpoint = List[DataFrame](cur)
     var done = false
     while (selected.size < k && !done) {
-      val dmin = {
-        val ds = selected.map { case (_, c, _) =>
-          graft.functions.VecExprs.vecL2Sq(col("v"), typedLit(c)) }
-        if (ds.size == 1) ds.head else least(ds: _*)
-      }
-      val next = pts
-        .filter(!col("id").isInCollection(selected.map(_._1)))
-        .select(col("id"), col("v"), dmin.as("d"))
-        .orderBy(col("d").desc, col("id").asc)
-        .limit(1).collect()
+      val next = cur.orderBy(col("d").desc, col("id").asc).limit(1).collect()
       if (next.isEmpty) done = true
-      else selected :+= ((next.head.getLong(0), next.head.getSeq[Double](1),
-        java.lang.Double.valueOf(next.head.getDouble(2))))
+      else {
+        val nId = next.head.getLong(0)
+        val nVec = next.head.getSeq[Double](1)
+        selected :+= ((nId, java.lang.Double.valueOf(next.head.getDouble(2))))
+        val upd = cur.filter(col("id") =!= nId)
+          .select(col("id"), col("v"),
+            least(col("d"),
+              graft.functions.VecExprs.vecL2Sq(col("v"), typedLit(nVec)))
+              .as("d"))
+        if (selected.size % 8 == 0) {
+          // sever lineage + release every generation since the last cut
+          cur = upd.localCheckpoint(true)
+          sinceCheckpoint.foreach(_.unpersist(false))
+          sinceCheckpoint = Nil
+        } else {
+          cur = upd.persist(lvl)
+          sinceCheckpoint ::= cur
+        }
+      }
     }
+    sinceCheckpoint.foreach(_.unpersist(false))
     pts.unpersist(false)
     selected.zipWithIndex
-      .map { case ((i, _, d), r) => (r + 1, i, Option(d).map(_.doubleValue)) }
+      .map { case ((i, d), r) => (r + 1, i, Option(d).map(_.doubleValue)) }
       .toDF("rank", "id", "d")
   }
 

@@ -117,6 +117,56 @@ class MainSpec extends SparkSpec {
     assert(closed.select("close", "volume").as[(Double, Double)].head() === ((100.7, 2.0)))
   }
 
+  test("repair from main(args): trailing-window refetch upserts o/h/l/c/v exactly once") {
+    // seed the table from fixture A (backfill over the first hour)
+    val fixA = writeFixture()
+    val table = java.nio.file.Files.createTempDirectory("maintbl4").toString + "/t"
+    Main.main(Array("backfill", "--exchange", "bitfinex",
+      "--symbols", "BTC-USD",
+      "--start", "2021-01-01T00:00:00", "--end", "2021-01-01T01:00:00",
+      "--table", table, "--errors",
+      java.nio.file.Files.createTempDirectory("mainerr4").toString + "/e",
+      "--source", fixA))
+    // fixture B: the exchange revised the candles (different values)
+    val fixB = java.nio.file.Files.createTempDirectory("mainfixb").toString
+    (0 until 120).map(i => (new java.sql.Timestamp(t0 + i * 60000L), "BTC", "USD",
+        500.0 + i, 501.0 + i, 499.0 + i, 500.5 + i, 9.0))
+      .toDF("time", "base_id", "quote_id",
+        "open", "high", "low", "close", "volume")
+      .write.mode("overwrite").parquet(fixB)
+    // pinned clock at 01:00:00 → repair window = the five complete
+    // minutes [00:55, 01:00) (reference: end = now−1m, start = end−4m)
+    val repairArgs = Array("repair", "--exchange", "bitfinex",
+      "--symbols", "BTC-USD", "--table", table,
+      "--iterations", "1", "--now-ms", (t0 + 3600000L).toString,
+      "--errors",
+      java.nio.file.Files.createTempDirectory("mainerr5").toString + "/e",
+      "--source", fixB)
+    Main.main(repairArgs)
+    val got = new graft.storage.TxTable(spark, table).read()
+    // still one row per minute — the upsert replaced, never duplicated
+    assert(got.count() === 60L)
+    val repaired = got.filter(unix_millis(col("time")) >= t0 + 55 * 60000L)
+      .orderBy(col("time"))
+      .select("open", "high", "low", "close", "volume")
+      .as[(Double, Double, Double, Double, Double)].collect()
+    assert(repaired.length === 5)
+    repaired.zipWithIndex.foreach { case ((o, h, l, c, v), j) =>
+      val i = 55 + j
+      assert((o, h, l, c, v) === ((500.0 + i, 501.0 + i, 499.0 + i, 500.5 + i, 9.0)))
+    }
+    // the untouched head keeps fixture A's values
+    val head = got.filter(unix_millis(col("time")) === t0)
+      .select("open").as[Double].head()
+    assert(head === 100.0)
+    // a second identical repair is idempotent: same count, same values
+    Main.main(repairArgs)
+    val again = new graft.storage.TxTable(spark, table).read()
+    assert(again.count() === 60L)
+    assert(again.filter(unix_millis(col("time")) === t0 + 55 * 60000L)
+      .select("open").as[Double].head() === 555.0)
+  }
+
   test("arg parsing fails loudly: bad action, bad flag shape, bad symbol") {
     intercept[IllegalArgumentException] { Main.parse(Array.empty) }
     intercept[IllegalArgumentException] { Main.parse(Array("backfill", "oops")) }

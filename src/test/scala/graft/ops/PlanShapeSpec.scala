@@ -57,16 +57,20 @@ class PlanShapeSpec extends SparkSpec {
       s"vocabulary aggregate is broadcast-hinted:\n${out.queryExecution.analyzed}")
   }
 
-  test("scrubFrequentLines: df aggregation spreads hot lines by (line, doc_id)") {
+  test("scrubFrequentLines: df aggregation spreads hot lines by (digest, doc_id)") {
     val docs = (1L to 50L).map(i => (i, Seq("BOILER", s"u$i"))).toDF("doc_id", "lines")
     val out = graft.llm.Dedup.scrubFrequentLines(docs, col("doc_id"), col("lines"), 10L)
     val p = plan(out)
     // the document-frequency dedup must exchange on the FULL pair —
-    // a line-only exchange funnels a mega-frequent line's pairs into
-    // one reducer (r7 verdict hot-key finding)
+    // a digest-only exchange funnels a mega-frequent line's pairs into
+    // one reducer (r7 verdict hot-key finding) — and on the line's
+    // fixed-width md5 DIGEST, never the line text (r13 verdict item 4)
     assert(p.linesIterator.exists(l => l.contains("Exchange hashpartitioning") &&
-      l.contains("line") && l.contains("doc_id")),
+      l.contains("dg") && l.contains("doc_id")),
       s"no pair-keyed exchange in:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange hashpartitioning") &&
+      l.contains("line#")),
+      s"an exchange still keys on raw line text in:\n$p")
     assert(!p.contains("distinct_"), // no planAggregateWithOneDistinct artifacts
       s"countDistinct plan resurfaced:\n$p")
   }
