@@ -316,6 +316,14 @@ object IncrementalDedup {
     // through the aggregation exchange and widens its hash key —
     // measured 2.3x slower on llm_incremental_dedup. Keep the
     // doc-sized digest join; it is the cheaper side.
+    // NOTE (measured, round 14, FpAbProbe): the first()-PAYLOAD form
+    // (digest aggregated, not grouped) fares no better: CollapseProject
+    // merges the digest projection back above the Generate, so the
+    // full-text md5 runs once per SHINGLE row — 2.5-10.7 s vs 0.8 s.
+    // A localCheckpoint barrier below the explode fixes that and wins
+    // 0.64 vs 0.75 s, but only by adding a second materialization the
+    // admit path would pay twice (batchUnique already checkpoints
+    // eagerly right after). Join kept.
     val sh = docs.select(col("doc_id"),
       explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("sh"))
     val sig = Dedup.minHashSignature(sh, col("doc_id"), col("sh"), k)
