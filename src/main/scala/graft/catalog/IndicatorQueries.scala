@@ -1672,7 +1672,117 @@ object IndicatorQueries {
        |SELECT ea AS event_a, eb AS event_b, n, ${r4Sql("corr")} AS corr
        |FROM scored ORDER BY ${r4Sql("corr")} DESC, ea, eb""".stripMargin
 
+  // --------------------------------------------- Amihud illiquidity
+  /** Amihud (2002) price-impact illiquidity per series: the mean over
+    * hours of |hourly return| / hourly volume — the standard "how
+    * many price basis points does a unit of flow move" screen a
+    * liquidity desk ranks venues by. Scaled by 1e15 and floored to an
+    * exact integer PER HOUR before the mean (the micro-nat
+    * discipline): the only floats are the per-hour ratio — one
+    * double expression evaluated identically by both engines — and
+    * the final r4'd mean of exact integer hour-values. Hours without
+    * volume or a previous close are skipped (count carried for
+    * honesty). One keyed window pass over [[hourlyOhlcQty]].
+    */
+  private def amihudQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    hourlyOhlcQty(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .filter(col("__p").isNotNull && col("__p") > 0L && col("qty") > 0L)
+      .withColumn("__q", floor(
+        abs(col("c").cast("double") / col("__p").cast("double") - 1.0d)
+          / col("qty").cast("double") * 1000000000000000.0d).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("__q")).as("__sq"))
+      .select(col("event_type"), col("n_hours"),
+        r4(col("__sq").cast("double") / col("n_hours").cast("double"))
+          .as("illiq_e15"))
+      .orderBy(col("event_type"))
+  }
+
+  private val amihudSql: String =
+    s"""$hourlyOhlcQtyCte, r AS (
+       |  SELECT event_type, bus, c, qty,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS p
+       |  FROM hq
+       |), f AS (
+       |  SELECT event_type,
+       |         CAST(floor(abs(CAST(c AS DOUBLE) / CAST(p AS DOUBLE) - 1.0)
+       |              / CAST(qty AS DOUBLE) * 1000000000000000.0) AS BIGINT) AS q
+       |  FROM r WHERE p IS NOT NULL AND p > 0 AND qty > 0
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       |       ${r4Sql("CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS illiq_e15
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- Kyle's lambda
+  /** Kyle (1985) lambda per series — the OLS slope of hourly price
+    * change on signed hourly volume (sign of the change × quantity,
+    * the net-flow proxy): cents of impact per unit of signed flow.
+    * Same exactness scheme as [[betaQ]]: x = sign(Δc)·qty and y = Δc
+    * are exact integers, the per-row moment products are cast to
+    * decimal BEFORE the sums (Spark) ↔ HUGEINT (DuckDB) so nothing
+    * wraps, and the n·Σxy − Σx·Σy / n·Σxx − Σx² combination rounds
+    * to double exactly once at the division. The slope is emitted
+    * ×1e6 (micro-cents per unit flow) so r4 keeps resolution.
+    * Degenerate series (no signed flow variance) emit null.
+    */
+  private def kyleLambdaQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    hourlyOhlcQty(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .filter(col("__p").isNotNull)
+      .select(col("event_type"),
+        (col("c") - col("__p")).as("y"),
+        (signum((col("c") - col("__p")).cast("double")).cast("long")
+          * col("qty")).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .as("__sxy"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          .as("__sxx"))
+      .withColumn("__den",
+        col("n").cast("decimal(10,0)") * col("__sxx")
+          - col("__sx").cast("decimal(19,0)") * col("__sx").cast("decimal(19,0)"))
+      .select(col("event_type"), col("n"),
+        r4(when(col("__den") =!= lit(0),
+          (col("n").cast("decimal(10,0)") * col("__sxy")
+            - col("__sx").cast("decimal(19,0)") * col("__sy").cast("decimal(19,0)"))
+            .cast("double") / col("__den").cast("double") * 1000000.0d))
+          .as("lambda_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val kyleLambdaSql: String =
+    s"""$hourlyOhlcQtyCte, r AS (
+       |  SELECT event_type, bus, c, qty,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS p
+       |  FROM hq
+       |), d AS (
+       |  SELECT event_type,
+       |         CAST(c - p AS BIGINT) AS y,
+       |         CAST(CASE WHEN c > p THEN 1 WHEN c < p THEN -1 ELSE 0 END
+       |              * qty AS BIGINT) AS x
+       |  FROM r WHERE p IS NOT NULL
+       |), mo AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         sum(x) AS sx, sum(y) AS sy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT event_type, n,
+       |       ${r4Sql("CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0" +
+                       " THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)" +
+                       " / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)" +
+                       " * 1000000.0 END")} AS lambda_e6
+       |FROM mo ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_amihud"     -> amihudQ,
+    "ts_kyle_lambda" -> kyleLambdaQ,
     "ts_corr_topk"  -> corrTopkQ,
     "ts_drawdown"   -> drawdownQ,
     "ts_cusum"      -> cusumQ,
@@ -1712,6 +1822,8 @@ object IndicatorQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_amihud"     -> amihudSql,
+    "ts_kyle_lambda" -> kyleLambdaSql,
     "ts_corr_topk"  -> corrTopkSql,
     "ts_drawdown"   -> drawdownSql,
     "ts_cusum"      -> cusumSql,

@@ -443,6 +443,44 @@ object LlmQueries {
     * clustered-id frame, then a map-side hash — nothing beyond the
     * components cost itself.
     */
+  /** [[Sampling.rendezvousShard]] — HRW shard placement of every doc
+    * across 8 shards, with the minimal-disruption property made
+    * measurable: `n_moved` counts the docs of each shard-8 bucket
+    * whose assignment CHANGES when a 9th shard joins (every mover
+    * goes to the new shard; expected total fraction 1/9). Per-shard
+    * counts pin balance, the moved column pins stability — the two
+    * numbers a resharding plan is sized by. Both columns are exact
+    * integer counts off one map stage + one 8-row aggregation.
+    */
+  private def shardAssignQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Sampling.rendezvousShard(col("doc_id"), 8).as("s8"),
+        Sampling.rendezvousShard(col("doc_id"), 9).as("s9"))
+      .groupBy(col("s8").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy(col("shard"))
+
+  private val shardAssignSql: String =
+    s"""WITH g8 AS (
+       |  SELECT doc_id, arg_max(s, w) AS s8 FROM (
+       |    SELECT doc_id, s,
+       |           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS w
+       |    FROM documents, range(8) t(s))
+       |  GROUP BY doc_id
+       |), g9 AS (
+       |  SELECT doc_id, arg_max(s, w) AS s9 FROM (
+       |    SELECT doc_id, s,
+       |           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS w
+       |    FROM documents, range(9) t(s))
+       |  GROUP BY doc_id
+       |)
+       |SELECT CAST(s8 AS INTEGER) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |FROM g8 JOIN g9 USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def splitAssign(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"))
     val universe = base.unionByName(
@@ -641,6 +679,59 @@ object LlmQueries {
         col("vec_id") === 0L, 10)
       .select(col("id"), r4(col("sim")).as("sim"))
       .orderBy(r4(col("sim")).desc, col("id"))
+
+  // ---------------------------------------------- MMR re-ranking
+  /** [[Similarity.mmrRerank]] — Maximal Marginal Relevance (λ = 0.7)
+    * over the top-20 cosine candidates of query vec 0, picking 5.
+    * The oracle unrolls the same greedy chain (the kcenterSql
+    * pattern): candidate page by rel DESC, then 5 steps of
+    * argmax(λ·rel − (1−λ)·max-sim-to-selected) with the running max
+    * folded in per step. (1−λ) is written as the SUBTRACTION on both
+    * sides — the IEEE value of 1.0−0.7 is not the literal 0.3 — and
+    * ties break (score DESC, rel DESC, id ASC) identically. Ranking
+    * happens on unrounded doubles; outputs are r4.
+    */
+  private def mmrRerankQ(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrRerank(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), col("vec_id") === 0L,
+        nCandidates = 20, k = 5, lambda = 0.7d)
+      .select(col("rank"), col("id"), r4(col("rel")).as("rel"),
+        r4(col("mmr")).as("mmr"))
+      .orderBy(col("rank"))
+
+  private val mmrRerankSql: String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val score = "0.7 * rel - (1.0 - 0.7) * msim"
+    val steps = (2 to 5).map { t =>
+      s"""m${t - 1} AS (
+         |  SELECT p.id, p.v, p.rel,
+         |         greatest(p.msim, ${cos("p.v", "s.v")}) AS msim
+         |  FROM m${t - 2} p, s${t - 1} s WHERE p.id <> s.id
+         |), s$t AS (
+         |  SELECT id, v, rel, $score AS mmr FROM m${t - 1}
+         |  ORDER BY $score DESC, rel DESC, id LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(t =>
+      s"SELECT CAST($t AS INTEGER) AS rank, id, ${r4Sql("rel")} AS rel, " +
+        s"${r4Sql("mmr")} AS mmr FROM s$t").mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |c0 AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |         ${cos("embedding::DOUBLE[]", "qv")} AS rel
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT 20
+       |),
+       |m0 AS (SELECT id, v, rel, CAST(0 AS DOUBLE) AS msim FROM c0),
+       |s1 AS (
+       |  SELECT id, v, rel, $score AS mmr FROM m0
+       |  ORDER BY $score DESC, rel DESC, id LIMIT 1
+       |),
+       |$steps
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
 
   // ------------------------------------------- binary-quantized ANN
   /** [[Similarity.signBitTopK]]: 1-bit sign signatures (two 32-bit
@@ -4376,6 +4467,8 @@ object LlmQueries {
     "llm_line_scrub"   -> lineScrub,
     "llm_profile"      -> profile,
     "llm_hash_sample"  -> hashSample,
+    "llm_shard_assign" -> shardAssignQ,
+    "llm_mmr_rerank"   -> mmrRerankQ,
     "llm_mix_sources"  -> mixSources,
     "llm_quality_filter" -> qualityFilterQ,
     "llm_span_dedup"   -> spanDedupQ,
@@ -4465,6 +4558,8 @@ object LlmQueries {
     "llm_line_scrub"   -> lineScrubSql,
     "llm_profile"      -> profileSql,
     "llm_hash_sample"  -> hashSampleSql,
+    "llm_shard_assign" -> shardAssignSql,
+    "llm_mmr_rerank"   -> mmrRerankSql,
     "llm_mix_sources"  -> mixSourcesSql,
     "llm_quality_filter" -> qualityFilterSql,
     "llm_span_dedup"   -> spanDedupSql,

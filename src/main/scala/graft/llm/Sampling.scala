@@ -339,6 +339,26 @@ object Sampling {
     * — then windows over that tiny frame. The group totals are exact
     * longs; p and the normalization are the only float steps.
     */
+  /** Rendezvous / highest-random-weight shard of `key` among `n`
+    * shards (Thaler & Ravishankar 1998): argmax over s of
+    * md5(key ":" s) — the sharding rule whose defining property is
+    * MINIMAL disruption: adding shard n+1 moves exactly the keys
+    * whose new weight wins, an expected 1/(n+1) of them, with every
+    * moved key going TO the new shard (consistent-hashing semantics
+    * without the ring). Evaluates as one codegen'd expression per
+    * row — an n-entry struct array max, no explode, no shuffle, no
+    * state — so assignment is a free map stage at any corpus size.
+    * md5 hex compares lexicographically the same everywhere, which
+    * makes placement itself engine-portable (an external system can
+    * compute byte-identical shards).
+    */
+  def rendezvousShard(key: Column, n: Int): Column = {
+    require(n >= 1, s"rendezvousShard: n must be >= 1, got $n")
+    array_max(array((0 until n).map(s =>
+      struct(md5(concat(key.cast("string"), lit(":"), lit(s.toString))).as("w"),
+        lit(s).as("s"))): _*)).getField("s")
+  }
+
   def temperatureWeights(df: DataFrame, group: Column, weight: Column,
                          tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"temperature $tau outside (0, 1]")

@@ -47,6 +47,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware final stage of a retrieval
+    * pipeline: from the `nCandidates` most query-similar items, pick
+    * `k` greedily by  score(d) = λ·rel(d) − (1−λ)·max_{s∈S} cos(d,s),
+    * where S is the already-selected set (first pick = highest
+    * relevance; ties to the lowest id). Returns (rank, id, rel, mmr).
+    *
+    * Scale shape: candidate generation is the distributed part — one
+    * broadcast-query scan and a top-`nCandidates` cut (swap in the
+    * IVF/PQ retrievers upstream at 100 TB); the greedy itself runs on
+    * the driver over the collected candidate page, which is
+    * `nCandidates`-bounded BY CONSTRUCTION (a rerank page, never the
+    * corpus — the model-sized-collect rule). The pairwise max-sim is
+    * maintained incrementally (each step computes similarities to the
+    * newest pick only), the same running-min/max discipline as
+    * [[kCenterSample]]. All driver arithmetic is the ascending-index
+    * float→double fold the engines share, so results are
+    * oracle-exact.
+    */
+  def mmrRerank(df: DataFrame, id: Column, vec: Column, queryPred: Column,
+                nCandidates: Int, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      s"mmrRerank: need nCandidates >= k >= 1, got k=$k n=$nCandidates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.filter(queryPred)
+      .select(transform(vec, x => x.cast("double")).as("qv")).limit(1)
+    val cands = df.filter(!queryPred)
+      .select(id.cast("long").as("id"),
+        transform(vec, x => x.cast("double")).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(nCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val maxSim = Array.fill(cands.length)(0.0d)
+    val taken = Array.fill(cands.length)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    var rank = 1
+    while (rank <= k && out.size < cands.length) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      cands.indices.foreach { i =>
+        if (!taken(i)) {
+          val s = lambda * cands(i)._3 - (1.0d - lambda) * maxSim(i)
+          // strict improvement keeps the earliest (lowest-rel-rank =
+          // lowest id at equal rel) candidate on ties
+          if (s > bestScore) { best = i; bestScore = s }
+        }
+      }
+      taken(best) = true
+      out += ((rank, cands(best)._1, cands(best)._3, bestScore))
+      cands.indices.foreach { i =>
+        if (!taken(i)) {
+          val c = cosD(cands(i)._2, cands(best)._2)
+          if (c > maxSim(i)) maxSim(i) = c
+        }
+      }
+      rank += 1
+    }
+    out.toSeq.toDF("rank", "id", "rel", "mmr")
+  }
+
   /** Sign-bit signature of a 64-dim vector as TWO 32-bit words
     * (bit i of word j = sign of component 32j+i) — the 1-bit
     * quantization of Charikar's hyperplane LSH with coordinate
