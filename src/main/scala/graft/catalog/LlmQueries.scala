@@ -443,6 +443,54 @@ object LlmQueries {
     * clustered-id frame, then a map-side hash — nothing beyond the
     * components cost itself.
     */
+  /** [[Sampling.neymanAlloc]] — a 1000-doc labeling budget split
+    * across sources ∝ N_h·s_h of the n_chars distribution (Neyman
+    * 1934 optimal allocation). Allocations are exact integers summing
+    * exactly to the budget (largest-remainder rounding); weights are
+    * integer micro-units floor-quantized from one per-stratum double
+    * expression, so no cross-stratum float sum exists on either
+    * engine.
+    */
+  private def neymanAllocQ(s: SparkSession, d: String): DataFrame =
+    Sampling.neymanAlloc(Tables.documents(s, d), col("source"),
+        col("n_chars"), budget = 1000L)
+      .orderBy(col("stratum"))
+
+  private val neymanAllocSql: String =
+    s"""WITH mo AS (
+       |  SELECT CAST(source AS VARCHAR) AS g, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(n_chars) AS BIGINT) AS sx,
+       |         sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+       |  FROM documents GROUP BY 1
+       |), wts AS (
+       |  SELECT g, n,
+       |         CASE WHEN n < 2 THEN 0
+       |              ELSE CAST(floor(CAST(n AS DOUBLE)
+       |                   * sqrt(CAST(CAST(n AS HUGEINT) * sxx
+       |                               - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+       |                          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+       |                   * 1000000.0) AS BIGINT) END AS wq
+       |  FROM mo
+       |), tot AS (SELECT CAST(sum(wq) AS BIGINT) AS sw FROM wts),
+       |raw AS (
+       |  SELECT g, n, wq,
+       |         CASE WHEN sw > 0
+       |              THEN CAST(1000 AS DOUBLE) * CAST(wq AS DOUBLE)
+       |                   / CAST(sw AS DOUBLE)
+       |              ELSE 0.0 END AS r
+       |  FROM wts, tot
+       |), fl AS (
+       |  SELECT g, n, wq, r, CAST(floor(r) AS BIGINT) AS b,
+       |         row_number() OVER (ORDER BY r - floor(r) DESC, g) AS rk
+       |  FROM raw
+       |), sh AS (
+       |  SELECT CASE WHEN (SELECT sw FROM tot) > 0
+       |              THEN 1000 - CAST(sum(b) AS BIGINT) ELSE 0 END AS short
+       |  FROM fl)
+       |SELECT g AS stratum, n AS n_rows, wq AS w_micro,
+       |       CAST(b + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM fl, sh ORDER BY stratum""".stripMargin
+
   /** [[Sampling.rendezvousShard]] — HRW shard placement of every doc
     * across 8 shards, with the minimal-disruption property made
     * measurable: `n_moved` counts the docs of each shard-8 bucket
@@ -4468,6 +4516,7 @@ object LlmQueries {
     "llm_profile"      -> profile,
     "llm_hash_sample"  -> hashSample,
     "llm_shard_assign" -> shardAssignQ,
+    "llm_neyman_alloc" -> neymanAllocQ,
     "llm_mmr_rerank"   -> mmrRerankQ,
     "llm_mix_sources"  -> mixSources,
     "llm_quality_filter" -> qualityFilterQ,
@@ -4559,6 +4608,7 @@ object LlmQueries {
     "llm_profile"      -> profileSql,
     "llm_hash_sample"  -> hashSampleSql,
     "llm_shard_assign" -> shardAssignSql,
+    "llm_neyman_alloc" -> neymanAllocSql,
     "llm_mmr_rerank"   -> mmrRerankSql,
     "llm_mix_sources"  -> mixSourcesSql,
     "llm_quality_filter" -> qualityFilterSql,

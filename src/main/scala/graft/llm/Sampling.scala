@@ -352,6 +352,70 @@ object Sampling {
     * makes placement itself engine-portable (an external system can
     * compute byte-identical shards).
     */
+  /** Neyman optimal allocation (Neyman 1934): split a sample budget
+    * across strata ∝ N_h·s_h (stratum size × sample standard
+    * deviation) — the eval-set/audit construction rule that minimizes
+    * the estimator variance at a fixed labeling budget. Returns one
+    * row per stratum: (strata key, n_rows, weight, alloc) with
+    * `alloc` exact integers that SUM EXACTLY to `budget`
+    * (largest-remainder rounding; fraction ties to the smaller
+    * stratum key).
+    *
+    * Exactness: the per-stratum moments are one distributed
+    * aggregation in exact integers (Σx as long, Σx² in decimal so
+    * multi-billion-char strata can't wrap); the |strata|-row moment
+    * frame is a MODEL and resolves on the driver. Each weight
+    * N_h·s_h is floor-quantized ONCE to integer micro-units (the
+    * micro-nat discipline) — one double expression per stratum, no
+    * cross-stratum float sum anywhere — so the weight total is an
+    * exact long, the raw shares are divisions of exact integers, and
+    * the largest-remainder ranking orders deterministically in both
+    * engines. Single-row strata carry zero weight (no variance
+    * evidence).
+    */
+  def neymanAlloc(df: DataFrame, stratum: Column, value: Column,
+                  budget: Long): DataFrame = {
+    require(budget >= 0, s"neymanAlloc: negative budget $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = df.groupBy(stratum.cast("string").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(value.cast("long")).as("sx"),
+        sum(value.cast("decimal(19,0)") * value.cast("decimal(19,0)"))
+          .as("sxx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+      .sortBy(_._1)
+    val w = m.map { case (g, n, sx, sxx) =>
+      val wq =
+        if (n < 2) 0L
+        else {
+          val num = new java.math.BigDecimal(n).multiply(sxx)
+            .subtract(java.math.BigDecimal.valueOf(sx)
+              .multiply(java.math.BigDecimal.valueOf(sx))).doubleValue()
+          val sd = math.sqrt(num / (n.toDouble * (n - 1).toDouble))
+          math.floor(n.toDouble * sd * 1000000.0d).toLong
+        }
+      (g, n, wq)
+    }
+    val sumW = w.map(_._3).sum
+    val raw = w.map { case (g, n, wq) =>
+      (g, n, wq,
+        if (sumW > 0L) budget.toDouble * wq.toDouble / sumW.toDouble else 0.0d)
+    }
+    val base = raw.map { case (g, n, wq, r) => (g, n, wq, r, math.floor(r).toLong) }
+    // an all-degenerate corpus (zero total weight) allocates nothing:
+    // there is no variance evidence to split by, and bumping every
+    // stratum by the remainder loop would invent an allocation
+    val short = if (sumW == 0L) 0L else budget - base.map(_._5).sum
+    val bump = base.map { case (g, _, _, r, b) => (g, r - b) }
+      .sortBy { case (g, f) => (-f, g) }
+      .take(short.toInt).map(_._1).toSet
+    base.map { case (g, n, wq, _, b) =>
+      (g, n, wq, b + (if (bump.contains(g)) 1L else 0L))
+    }.toSeq.toDF("stratum", "n_rows", "w_micro", "alloc")
+  }
+
   def rendezvousShard(key: Column, n: Int): Column = {
     require(n >= 1, s"rendezvousShard: n must be >= 1, got $n")
     array_max(array((0 until n).map(s =>

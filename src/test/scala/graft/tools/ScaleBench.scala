@@ -188,7 +188,18 @@ object ScaleBench {
     // the user axis, so the per-ts dedup input grows 10× while hourly
     // buckets stay time-bounded — the fusion's partial aggs must
     // absorb it linearly)
-    "ts_mfi")
+    "ts_mfi",
+    // r14 additions. line_scrub: the digest-keyed frequency join
+    // (exchange keys are 16-byte binaries now — the exponent watches
+    // the exploded-line double consumption staying linear).
+    // shard_assign: a pure map + 8-row aggregation — must be exactly
+    // linear with zero shuffle growth. amihud/kyle ride the events
+    // user axis like ts_mfi (hourly buckets stay time-bounded).
+    // mmr_rerank: the corpus part is one broadcast-query scan + a
+    // top-20 cut; the driver greedy is page-bounded — linear scan,
+    // constant rerank.
+    "llm_line_scrub", "llm_shard_assign", "ts_amihud", "ts_kyle_lambda",
+    "llm_mmr_rerank")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
