@@ -1715,6 +1715,146 @@ object IndicatorQueries {
        |       ${r4Sql("CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS illiq_e15
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- Hurst exponent
+  /** Rescaled-range Hurst exponent per series (Hurst 1951; Mandelbrot
+    * & Wallis 1969) — the long-memory screen: H > 0.5 trending,
+    * H < 0.5 mean-reverting, H ≈ 0.5 a random walk. Classic R/S over
+    * integer micro-nat log returns at chunk sizes n ∈ {16, 32, 64}
+    * (non-overlapping full chunks), then the OLS slope of
+    * ln(mean R/S) on ln(n) over the three sizes.
+    *
+    * Exactness: with S = Σr and P_k the within-chunk prefix sum —
+    * both exact longs — the mean-centered cumulative deviation scaled
+    * by n is dev_k = n·P_k − k·S (exact), and the n's CANCEL in the
+    * rescaled range: R/S = (max dev − min dev) / √(n·Σr² − S²), an
+    * integer numerator over the square root of an exact integer. Each
+    * chunk's R/S is floor-quantized once to micro-units, so the
+    * per-(series, n) mean is an integer sum; the 3-point regression
+    * is written term-by-term in fixed order on both engines. Chunks
+    * with zero variance are skipped (no rescale exists); series
+    * missing any size emit null H. One keyed window pass per size
+    * over the hourly frame (3 passes total, all series-local).
+    */
+  private def hurstQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    val ret = hourly(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .filter(col("__p").isNotNull && col("__p") > 0L && col("c") > 0L)
+      .withColumn("r", floor(
+        log(col("c").cast("double") / col("__p").cast("double"))
+          * lit(1000000.0d)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+    def rsOf(n: Int): DataFrame = {
+      val chunkW = Window.partitionBy(col("event_type"), col("ck"))
+      val prefW = chunkW.orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ret
+        .withColumn("ck", expr(s"(rn - 1) div $n"))
+        .withColumn("k", expr(s"(rn - 1) % $n + 1"))
+        .withColumn("cn", count(lit(1)).over(chunkW))
+        .filter(col("cn") === n.toLong)
+        .withColumn("pk", sum(col("r")).over(prefW))
+        .withColumn("sc", sum(col("r")).over(chunkW))
+        .withColumn("s2", sum(col("r").cast("decimal(19,0)")
+          * col("r").cast("decimal(19,0)")).over(chunkW))
+        .withColumn("dev", lit(n.toLong) * col("pk") - col("k") * col("sc"))
+        .groupBy(col("event_type"), col("ck"))
+        .agg(max(col("dev")).as("dmax"), min(col("dev")).as("dmin"),
+          first(col("sc")).as("sc"), first(col("s2")).as("s2"))
+        .withColumn("rad",
+          (lit(n).cast("decimal(10,0)") * col("s2")
+            - col("sc").cast("decimal(19,0)") * col("sc").cast("decimal(19,0)"))
+            .cast("double"))
+        .filter(col("rad") > 0.0d)
+        .withColumn("rsq", floor(
+          (col("dmax") - col("dmin")).cast("double") / sqrt(col("rad"))
+            * lit(1000000.0d)).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nch"), sum(col("rsq")).as("srs"))
+        .select(col("event_type"), lit(n).as("n"),
+          (col("srs").cast("double") / col("nch").cast("double")
+            / lit(1000000.0d)).as("rs"))
+    }
+    val all = rsOf(16).unionByName(rsOf(32)).unionByName(rsOf(64))
+    // 3-point OLS of ln(rs) on ln(n), terms in fixed ascending-n order
+    val byN = all.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("np"),
+        max(when(col("n") === 16, col("rs"))).as("rs16"),
+        max(when(col("n") === 32, col("rs"))).as("rs32"),
+        max(when(col("n") === 64, col("rs"))).as("rs64"))
+      .filter(col("np") === 3L)
+    def lnc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = log(c)
+    val x1 = log(lit(16.0d)); val x2 = log(lit(32.0d)); val x3 = log(lit(64.0d))
+    val sx = x1 + x2 + x3
+    val sxx = x1 * x1 + x2 * x2 + x3 * x3
+    val sy = lnc(col("rs16")) + lnc(col("rs32")) + lnc(col("rs64"))
+    val sxy = x1 * lnc(col("rs16")) + x2 * lnc(col("rs32")) + x3 * lnc(col("rs64"))
+    byN.select(col("event_type"),
+        r4(col("rs16")).as("rs16"), r4(col("rs32")).as("rs32"),
+        r4(col("rs64")).as("rs64"),
+        r4((lit(3.0d) * sxy - sx * sy) / (lit(3.0d) * sxx - sx * sx)).as("hurst"))
+      .orderBy(col("event_type"))
+  }
+
+  private val hurstSql: String = {
+    def rsCte(n: Int): String =
+      s"""ch$n AS (
+         |  SELECT event_type, (rn - 1) // $n AS ck, (rn - 1) % $n + 1 AS k, r,
+         |         count(*) OVER (PARTITION BY event_type, (rn - 1) // $n) AS cn,
+         |         sum(r) OVER (PARTITION BY event_type, (rn - 1) // $n
+         |                      ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND CURRENT ROW) AS pk,
+         |         sum(r) OVER (PARTITION BY event_type, (rn - 1) // $n) AS sc,
+         |         sum(CAST(r AS HUGEINT) * r)
+         |           OVER (PARTITION BY event_type, (rn - 1) // $n) AS s2
+         |  FROM ret
+         |), rs$n AS (
+         |  SELECT event_type, CAST($n AS INTEGER) AS n,
+         |         CAST(sum(rsq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |           / 1000000.0 AS rs
+         |  FROM (
+         |    SELECT event_type, ck,
+         |           CAST(floor(CAST(max($n * pk - k * sc) - min($n * pk - k * sc)
+         |                AS DOUBLE)
+         |                / sqrt(CAST($n * max(s2) - CAST(max(sc) AS HUGEINT) * max(sc)
+         |                       AS DOUBLE))
+         |                * 1000000.0) AS BIGINT) AS rsq
+         |    FROM ch$n WHERE cn = $n
+         |    GROUP BY 1, 2
+         |    HAVING CAST($n * max(s2) - CAST(max(sc) AS HUGEINT) * max(sc)
+         |           AS DOUBLE) > 0
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    s"""$hourlyCte, lagd AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS p
+       |  FROM hourly
+       |), ret AS (
+       |  SELECT event_type,
+       |         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(p AS DOUBLE))
+       |              * 1000000.0) AS BIGINT) AS r,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY bus) AS rn
+       |  FROM lagd WHERE p IS NOT NULL AND p > 0 AND c > 0
+       |),
+       |${Seq(16, 32, 64).map(rsCte).mkString(",\n")},
+       |wide AS (
+       |  SELECT event_type, count(*) AS np,
+       |         max(CASE WHEN n = 16 THEN rs END) AS rs16,
+       |         max(CASE WHEN n = 32 THEN rs END) AS rs32,
+       |         max(CASE WHEN n = 64 THEN rs END) AS rs64
+       |  FROM (SELECT * FROM rs16 UNION ALL SELECT * FROM rs32
+       |        UNION ALL SELECT * FROM rs64)
+       |  GROUP BY 1 HAVING count(*) = 3
+       |)
+       |SELECT event_type, ${r4Sql("rs16")} AS rs16, ${r4Sql("rs32")} AS rs32,
+       |       ${r4Sql("rs64")} AS rs64,
+       |       ${r4Sql("(3.0 * (ln(16.0) * ln(rs16) + ln(32.0) * ln(rs32) + ln(64.0) * ln(rs64))" +
+                       " - (ln(16.0) + ln(32.0) + ln(64.0)) * (ln(rs16) + ln(rs32) + ln(rs64)))" +
+                       " / (3.0 * (ln(16.0) * ln(16.0) + ln(32.0) * ln(32.0) + ln(64.0) * ln(64.0))" +
+                       " - (ln(16.0) + ln(32.0) + ln(64.0)) * (ln(16.0) + ln(32.0) + ln(64.0)))")} AS hurst
+       |FROM wide ORDER BY event_type""".stripMargin
+  }
+
   // ------------------------------------------------- Kyle's lambda
   /** Kyle (1985) lambda per series — the OLS slope of hourly price
     * change on signed hourly volume (sign of the change × quantity,
@@ -1782,6 +1922,7 @@ object IndicatorQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_amihud"     -> amihudQ,
+    "ts_hurst"      -> hurstQ,
     "ts_kyle_lambda" -> kyleLambdaQ,
     "ts_corr_topk"  -> corrTopkQ,
     "ts_drawdown"   -> drawdownQ,
@@ -1823,6 +1964,7 @@ object IndicatorQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ts_amihud"     -> amihudSql,
+    "ts_hurst"      -> hurstSql,
     "ts_kyle_lambda" -> kyleLambdaSql,
     "ts_corr_topk"  -> corrTopkSql,
     "ts_drawdown"   -> drawdownSql,

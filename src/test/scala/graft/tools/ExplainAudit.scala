@@ -33,7 +33,7 @@ object ExplainAudit {
         "llm_kcenter", "llm_heaps_law", "llm_jsonl_roundtrip",
         "ts_trimmed_mean", "ts_time_travel", "ts_change_feed", "llm_neyman_alloc",
         // r14 additions
-        "ts_amihud", "ts_kyle_lambda", "llm_shard_assign", "llm_mmr_rerank")
+        "ts_amihud", "ts_kyle_lambda", "ts_hurst", "llm_shard_assign", "llm_mmr_rerank")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       graft.SparkEntry.queries(n)(spark, d).explain("formatted")
