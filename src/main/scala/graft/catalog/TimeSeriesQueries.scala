@@ -457,6 +457,47 @@ object TimeSeriesQueries {
     * conversion rates. One row per funnel stage; all reach decisions
     * are integer-µs comparisons, so the compare is exact.
     */
+  // ------------------------------------------ event-transition matrix
+  /** First-order Markov transition matrix of the user journey: for
+    * every ordered pair of event types, how many times one directly
+    * follows the other in some user's (ts, event_id)-ordered history,
+    * and the row-normalized transition probability — the
+    * "where do users go next" view product analytics reads beside the
+    * funnel. Counts are exact integers off ONE user-keyed window pass
+    * (lead) + one |types|²-bounded aggregation; p is a single r4'd
+    * division against the row total (a window over the ≤|types|² frame).
+    */
+  private def markovQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("next", lead(col("event_type"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("event_type").as("from_event"), col("next").as("to_event"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", r4(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_event"))).cast("double")))
+      .orderBy(col("from_event"), col("to_event"))
+  }
+
+  private val markovSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus
+       |  FROM events
+       |), t AS (
+       |  SELECT event_type AS from_event,
+       |         lead(event_type) OVER (
+       |           PARTITION BY user_id ORDER BY tus, event_id) AS to_event
+       |  FROM e
+       |), c AS (
+       |  SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n
+       |  FROM t WHERE to_event IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT from_event, to_event, n,
+       |       ${r4Sql("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE)")} AS p
+       |FROM c ORDER BY 1, 2""".stripMargin
+
   private def funnelQ(s: SparkSession, dir: String): DataFrame =
     funnelQWithin(s, dir, within = None)
 
@@ -1899,6 +1940,7 @@ object TimeSeriesQueries {
     "ts_pivot"         -> pivotQ,
     "ts_asof_join"     -> asofJoinQ,
     "ts_sessionize"    -> sessionizeQ,
+    "ts_markov"        -> markovQ,
     "ts_funnel"        -> funnelQ,
     "ts_funnel_window" -> funnelWindowQ,
     "ts_retention"     -> retentionQ,
@@ -1940,6 +1982,7 @@ object TimeSeriesQueries {
     "ts_pivot"         -> pivotSql,
     "ts_asof_join"     -> asofJoinSql,
     "ts_sessionize"    -> sessionizeSql,
+    "ts_markov"        -> markovSql,
     "ts_funnel"        -> funnelSql,
     "ts_funnel_window" -> funnelWindowSql,
     "ts_retention"     -> retentionSql,

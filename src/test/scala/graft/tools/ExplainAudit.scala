@@ -27,7 +27,7 @@ object ExplainAudit {
         "ts_rsi", "ts_bollinger", "ts_ema", "ts_vwap",
         "llm_gopher_rules", "llm_margin_mine",
         "llm_margin_mine_cells", "llm_bloom_filter", "llm_containment",
-        "ts_corr_topk", "ts_funnel", "ts_retention", "ts_sliding_distinct",
+        "ts_corr_topk", "ts_funnel", "ts_retention", "ts_sliding_distinct", "ts_markov",
         // r13 additions
         "ts_cusum", "ts_seasonal", "ts_var_es", "ts_beta",
         "llm_kcenter", "llm_heaps_law", "llm_jsonl_roundtrip",
