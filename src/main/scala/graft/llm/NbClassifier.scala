@@ -54,7 +54,8 @@ object NbClassifier {
   def fit(docs: DataFrame, label: Column, words: Column): Model = {
     val counts = docs
       .select(label.as("label"),
-        explode(concat(words, array(lit(null).cast("string")))).as("w"))
+        explode(concat(coalesce(words, array().cast("array<string>")),
+          array(lit(null).cast("string")))).as("w"))
       .groupBy(col("label"), col("w"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
@@ -109,7 +110,8 @@ object NbClassifier {
     // exactly (integer micro-nats both ways).
     val toks = docs
       .select((id.as("id") +: carry.map { case (n, c) => c.as(n) }) :+
-        explode(concat(words, array(lit(null).cast("string")))).as("w"): _*)
+        explode(concat(coalesce(words, array().cast("array<string>")),
+          array(lit(null).cast("string")))).as("w"): _*)
     // |classes|-way expansion × model lookup. classStats/vocab are
     // tiny (class count) and broadcast; tokenCounts is vocab-bounded
     // — plain join, AQE picks broadcast when it fits.

@@ -43,6 +43,25 @@ class NbClassifierSpec extends SparkSpec {
     assert(m(20L) === (("en", q(2.0 / 3))))
   }
 
+  test("null text counts toward priors in fit and scores prior-only in predict") {
+    // a labeled null-text doc is evidence for its class (the SQL
+    // oracle's priors count ALL docs) — the null words array must not
+    // silently drop it from the one-pass fit's doc counts
+    val withNull = (train.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq :+
+      ((4L, "es", null.asInstanceOf[String]))).toDF("id", "label", "text")
+    val model = NbClassifier.fit(withNull, col("label"), TextOps.words(col("text")))
+    val stats = model.classStats.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(stats === Map("en" -> 2L, "es" -> 2L))
+    val scored = NbClassifier.predict(model,
+        Seq((30L, null.asInstanceOf[String])).toDF("id", "text"),
+        col("id"), TextOps.words(col("text")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // priors now tie 2/2 -> argmax tie-break to the smaller label
+    assert(scored(30L) === (("en", q(2.0 / 4))))
+  }
+
   test("fully unseen tokens still score under every class (smoothing, no drop)") {
     val m = predict(Seq((30L, "zzz qqq")))
     // en: ln(2/3) + 2·q(1/11); es: ln(1/3) + 2·q(1/8) — likelihoods
