@@ -5,11 +5,12 @@ import graft.storage.TxTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** CLI entry point for the two production jobs — the reference's
+/** CLI entry point for the three production jobs — the reference's
   * `python -m scripts.fetchers.rest <action> --exchange ... --start
-  * ... --end ...` (scripts/fetchers/rest.py:8-66) and the WS updater
-  * process (fetchers/ws/updater.py) — wired to the Spark-native
-  * pipeline:
+  * ... --end ...` (scripts/fetchers/rest.py:8-66), the WS updater
+  * process (fetchers/ws/updater.py), and the scheduled 1-minute
+  * repair task (celery_app/celery_tasks.py:73-84) — wired to the
+  * Spark-native pipeline:
   *
   * {{{
   * graft.Main backfill --exchange bitfinex --symbols BTC-USD,ETH-USD \

@@ -938,20 +938,26 @@ object Dedup {
     // the `line` equi-join silently drop them from n_kept/n_dropped —
     // an undercount with no error. A doc whose lines are ALL null
     // therefore emits no row, same as an empty-array doc.
-    // NOT checkpointed despite the double consumption (freq + join):
-    // like the bigram frame in llm_lm_score, the exploded line frame
-    // is corpus-sized and materializing it measured a wash (2.60 s vs
-    // 2.52 s at sf0.1) — the checkpoint-after-aggregation rule holds.
     // Every exchange and compare downstream keys on the line's md5
     // digest, never the line text (the llm_kmv_distinct lesson): the
     // text rides as payload into the verdict join only because the
     // reassembly needs it, while the frequency side and both shuffle
     // keys are fixed-width 16-byte binaries — boilerplate lines are
-    // routinely hundreds of bytes, and hashing them once beats
-    // sorting/comparing them at every exchange.
+    // routinely hundreds of bytes, and on a NETWORKED cluster the
+    // pair-distinct exchange pays those bytes per (line, doc) row
+    // where the digest pays 16. Recorded trade-off (LsAbProbe,
+    // round 14, sf0.1 local[32], short fixture lines): raw-line keys
+    // 0.69 s, digest 1.06 s, digest+checkpoint 0.94 s — the in-JVM
+    // shuffle never pays the text bytes the digest exists to save, so
+    // locally the md5 is pure cost; kept for the cluster shape, with
+    // the checkpoint below deduplicating the hash work (ex feeds both
+    // the frequency aggregate and the verdict join, and unlike the
+    // pre-digest form — where materializing measured a wash — the
+    // checkpoint now saves a full md5 pass over the corpus).
     val ex = docs.select(id.as("doc_id"), posexplode(linesCol).as(Seq("pos", "line")))
       .filter(col("line").isNotNull)
       .withColumn("dg", unhex(md5(col("line"))))
+      .localCheckpoint(false)
     // document frequency as an EXPLICIT two-level aggregation instead
     // of countDistinct: Spark plans a single distinct aggregate with
     // its exchange on the grouping key alone, so a boilerplate line
