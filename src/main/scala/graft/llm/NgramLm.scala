@@ -113,7 +113,13 @@ object NgramLm {
     * [[knScore]] folds it into per-document quantized log-probs.
     */
   def knModel(bg: DataFrame): DataFrame = {
+    // checkpoint-after-aggregation: the grouped bigram frame feeds
+    // FOUR consumers (byW1, byW2, T, the model join) whose subtrees
+    // differ, so ReuseExchange cannot share them all — materializing
+    // the vocab-bounded aggregate once measured 1.41 → 0.93 s on
+    // llm_kn_lm at sf0.1 (KnAbProbe, round 14)
     val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val byW1 = c.groupBy(col("w1"))
       .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1f"))
     val byW2 = c.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
