@@ -443,6 +443,47 @@ object LlmQueries {
     * clustered-id frame, then a map-side hash — nothing beyond the
     * components cost itself.
     */
+  /** [[CorpusStats.ksPairs]] — two-sample Kolmogorov–Smirnov distance
+    * between every source pair's n_chars distribution. `d_num` is the
+    * exact integer D·n_a·n_b (peer-inclusive RANGE-frame cumulative
+    * counts), so the hash gate compares exact rationals; `d` is the
+    * one r4'd division.
+    */
+  private def ksDriftQ(s: SparkSession, d: String): DataFrame =
+    CorpusStats.ksPairs(Tables.documents(s, d), col("source"), col("n_chars"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("d_num"), r4(col("d")).as("d"))
+      .orderBy(col("source_a"), col("source_b"))
+
+  private val ksDriftSql: String =
+    s"""WITH dd AS (
+       |  SELECT CAST(source AS VARCHAR) AS g, CAST(n_chars AS BIGINT) AS x
+       |  FROM documents
+       |), sizes AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n FROM dd GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.g AS sa, a.n AS na, b.g AS sb, b.n AS nb
+       |  FROM sizes a JOIN sizes b ON a.g < b.g
+       |), u AS (
+       |  SELECT p.sa, p.sb, p.na, p.nb, dd.x,
+       |         CAST(1 AS BIGINT) AS ia, CAST(0 AS BIGINT) AS ib
+       |  FROM dd JOIN pairs p ON dd.g = p.sa
+       |  UNION ALL
+       |  SELECT p.sa, p.sb, p.na, p.nb, dd.x, 0, 1
+       |  FROM dd JOIN pairs p ON dd.g = p.sb
+       |), run AS (
+       |  SELECT sa, sb, na, nb,
+       |         sum(ia) OVER w AS ca, sum(ib) OVER w AS cb
+       |  FROM u WINDOW w AS (PARTITION BY sa, sb ORDER BY x)
+       |), agg AS (
+       |  SELECT sa, sb, na, nb,
+       |         CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num
+       |  FROM run GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b, d_num,
+       |       ${r4Sql("CAST(d_num AS DOUBLE) / CAST(na * nb AS DOUBLE)")} AS d
+       |FROM agg ORDER BY 1, 2""".stripMargin
+
   /** [[Sampling.neymanAlloc]] — a 1000-doc labeling budget split
     * across sources ∝ N_h·s_h of the n_chars distribution (Neyman
     * 1934 optimal allocation). Allocations are exact integers summing
@@ -4517,6 +4558,7 @@ object LlmQueries {
     "llm_hash_sample"  -> hashSample,
     "llm_shard_assign" -> shardAssignQ,
     "llm_neyman_alloc" -> neymanAllocQ,
+    "llm_ks_drift"     -> ksDriftQ,
     "llm_mmr_rerank"   -> mmrRerankQ,
     "llm_mix_sources"  -> mixSources,
     "llm_quality_filter" -> qualityFilterQ,
@@ -4609,6 +4651,7 @@ object LlmQueries {
     "llm_hash_sample"  -> hashSampleSql,
     "llm_shard_assign" -> shardAssignSql,
     "llm_neyman_alloc" -> neymanAllocSql,
+    "llm_ks_drift"     -> ksDriftSql,
     "llm_mmr_rerank"   -> mmrRerankSql,
     "llm_mix_sources"  -> mixSourcesSql,
     "llm_quality_filter" -> qualityFilterSql,

@@ -91,6 +91,55 @@ object CorpusStats {
     * corpus the set form cut the query 13.0 s → 4.0 s and the scale
     * exponent 0.81 → 0.32 (see SCALE.md).
     */
+  /** Two-sample Kolmogorov–Smirnov distance between every pair of
+    * groups over an integer-valued column — the distribution-drift
+    * screen ("did source B's length profile shift away from A's?") a
+    * curation run reads before mixing. D is computed EXACTLY: with
+    * cumulative counts (i, j) after each distinct value of the merged
+    * sample, D·n_a·n_b = max |i·n_b − j·n_a| is an integer — the
+    * returned `d_num`/`n_a`/`n_b` carry the exact rational and `d` is
+    * its one r4'd division.
+    *
+    * Scale shape: the group-size frame is |groups|-bounded and
+    * broadcast; each pair's merged sample is materialized by two
+    * broadcast joins, so the union holds (|groups|−1)·|rows| rows —
+    * the pairwise-family bound, BY CONSTRUCTION (document it like
+    * margin mining: restrict `df` or the pair set before calling at
+    * planet scale). Cumulative counts come from one (pair)-keyed
+    * window pass under the default RANGE frame, whose peer-inclusive
+    * sums make every row carry the full ≤x counts — intra-tie
+    * ordering cannot matter.
+    */
+  def ksPairs(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(group.cast("string").as("g"), value.cast("long").as("x"))
+    val sizes = d.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val pairs = sizes.as("a").join(sizes.as("b"),
+        col("a.g") < col("b.g"))
+      .select(col("a.g").as("sa"), col("a.n").as("na"),
+        col("b.g").as("sb"), col("b.n").as("nb"))
+    def side(key: String, ia: Int, ib: Int) =
+      d.join(broadcast(pairs), col("g") === col(key))
+        .select(col("sa"), col("sb"), col("na"), col("nb"), col("x"),
+          lit(ia.toLong).as("ia"), lit(ib.toLong).as("ib"))
+    val u = side("sa", 1, 0).unionByName(side("sb", 0, 1))
+    // default RANGE frame: the running sums include every PEER of the
+    // current x (both sides' ties), so ca/cb at ANY row are the full
+    // ≤x counts — F·n exactly, with no last-of-run bookkeeping and no
+    // dependence on intra-tie order
+    val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("x"))
+    u.withColumn("ca", sum(col("ia")).over(w))
+      .withColumn("cb", sum(col("ib")).over(w))
+      .select(col("sa"), col("sb"), col("na"), col("nb"),
+        abs(col("ca") * col("nb") - col("cb") * col("na")).as("dn"))
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+      .agg(max(col("dn")).as("d_num"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("na") * col("nb")).cast("double")).as("d"))
+  }
+
   def sourceOverlap(docs: DataFrame, group: Column, text: Column, n: Int): DataFrame = {
     val sets = docs.filter(text.isNotNull)
       .select(group.as("src"),

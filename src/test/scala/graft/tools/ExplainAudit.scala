@@ -31,7 +31,7 @@ object ExplainAudit {
         // r13 additions
         "ts_cusum", "ts_seasonal", "ts_var_es", "ts_beta",
         "llm_kcenter", "llm_heaps_law", "llm_jsonl_roundtrip",
-        "ts_trimmed_mean", "ts_time_travel", "ts_change_feed", "llm_neyman_alloc",
+        "ts_trimmed_mean", "ts_time_travel", "ts_change_feed", "llm_neyman_alloc", "llm_ks_drift",
         // r14 additions
         "ts_amihud", "ts_kyle_lambda", "ts_hurst", "llm_shard_assign", "llm_mmr_rerank")
     names.foreach { n =>
