@@ -199,7 +199,11 @@ object ScaleBench {
     // top-20 cut; the driver greedy is page-bounded — linear scan,
     // constant rerank.
     "llm_line_scrub", "llm_shard_assign", "ts_amihud", "ts_kyle_lambda",
-    "llm_mmr_rerank")
+    // markov rides the events user axis (one user-keyed window —
+    // linear); ks_drift is the pairwise family: (groups−1)·rows by
+    // construction, the exponent watches that the window pass itself
+    // stays linear in that bound
+    "llm_mmr_rerank", "ts_markov", "llm_ks_drift")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
