@@ -991,6 +991,69 @@ object LlmQueries {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------ language-ID confusion matrix
+  /** [[langId]] evaluated against the table's labeled `lang` — the
+    * confusion matrix + row-normalized share (the diagonal is
+    * per-language recall), the artifact a pipeline reads before
+    * trusting the classifier for routing. Same exploded one-pass hit
+    * aggregation as `llm_langid` with the true label carried as a
+    * group key (never a second scan); counts exact, one r4'd division
+    * over the ≤|langs|² frame.
+    */
+  private def langidConfusionQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val hits = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("wrd"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("wrd").isin(TextOps.langStopwords.head._2: _*), 1L)
+          .otherwise(0L)).as(s"n_${TextOps.langStopwords.head._1}"),
+        TextOps.langStopwords.tail.map { case (l, sw) =>
+          sum(when(col("wrd").isin(sw: _*), 1L).otherwise(0L)).as(s"n_$l")
+        }: _*)
+    val scored = TextOps.langStopwords.map { case (l, _) =>
+      (l, coalesce(col(s"n_$l"), lit(0L)))
+    }
+    docs.join(hits, Seq("doc_id"), "left")
+      .select(col("lang").as("true_lang"),
+        TextOps.argMaxLabel(scored).as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", r4(col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("true_lang"))).cast("double")))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  private val langidConfusionSql: String = {
+    val hits = TextOps.langStopwords.map { case (l, sw) =>
+      val set = sw.map(w => s"'$w'").mkString(", ")
+      s"coalesce(len(list_filter(w, x -> x IN ($set))), 0) AS n_$l"
+    }.mkString(",\n       |         ")
+    val langs = TextOps.langStopwords.map(_._1)
+    val mx = s"greatest(${langs.map("n_" + _).mkString(", ")})"
+    val caseArms = langs.init
+      .map(l => s"WHEN n_$l = $mx THEN '$l'").mkString(" ")
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, ${wordsSql("text")} AS w FROM documents
+       |), h AS (
+       |  SELECT doc_id, lang,
+       |         $hits
+       |  FROM w
+       |), p AS (
+       |  SELECT lang AS true_lang,
+       |         CASE WHEN $mx = 0 THEN 'und' $caseArms
+       |              ELSE '${langs.last}' END AS pred_lang
+       |  FROM h
+       |), c AS (
+       |  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM p GROUP BY 1, 2
+       |)
+       |SELECT true_lang, pred_lang, n,
+       |       ${r4Sql("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE)")} AS share
+       |FROM c ORDER BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------- quality scoring
   private def quality(s: SparkSession, d: String): DataFrame = {
     val w = TextOps.words(col("text"))
@@ -4559,6 +4622,7 @@ object LlmQueries {
     "llm_shard_assign" -> shardAssignQ,
     "llm_neyman_alloc" -> neymanAllocQ,
     "llm_ks_drift"     -> ksDriftQ,
+    "llm_langid_confusion" -> langidConfusionQ,
     "llm_mmr_rerank"   -> mmrRerankQ,
     "llm_mix_sources"  -> mixSources,
     "llm_quality_filter" -> qualityFilterQ,
@@ -4652,6 +4716,7 @@ object LlmQueries {
     "llm_shard_assign" -> shardAssignSql,
     "llm_neyman_alloc" -> neymanAllocSql,
     "llm_ks_drift"     -> ksDriftSql,
+    "llm_langid_confusion" -> langidConfusionSql,
     "llm_mmr_rerank"   -> mmrRerankSql,
     "llm_mix_sources"  -> mixSourcesSql,
     "llm_quality_filter" -> qualityFilterSql,
