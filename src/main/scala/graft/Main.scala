@@ -72,8 +72,55 @@ object Main {
       case "backfill" => backfill(spark, flags)
       case "stream" => stream(spark, flags)
       case "repair" => repair(spark, flags)
-      case other => fail(s"unknown action '$other' (expected backfill, stream or repair)")
+      case "curate" => curate(spark, flags)
+      case other =>
+        fail(s"unknown action '$other' (expected backfill, stream, repair or curate)")
     }
+
+  // --------------------------------------------------------- curate
+
+  /** The LLM ingest pipeline as a job ([[graft.llm.CuratePipeline]]):
+    * JSONL shards landing under `--input` flow through corrupt
+    * routing → quality gate → history-aware dedup → the admitted
+    * corpus TxTable, with errors countable in their own table and an
+    * optional HLL corpus profile. `--once true` drains the directory
+    * and exits (the backfill shape); otherwise it follows the
+    * directory until `--duration-secs` (or forever).
+    *
+    * {{{
+    * graft.Main curate --input /landing --state /tbl/state \
+    *   --sink /tbl/corpus [--errors /tbl/errs] [--profile /tbl/profile] \
+    *   [--checkpoint /ckpt] [--once true] [--duration-secs N]
+    * }}}
+    */
+  private def curate(spark: SparkSession, flags: Map[String, String]): Unit = {
+    val input = req(flags, "input")
+    val sinkRoot = req(flags, "sink")
+    val state = new TxTable(spark, req(flags, "state"))
+    val sink = new TxTable(spark, sinkRoot)
+    val errors = new TxTable(spark, flags.getOrElse("errors", sinkRoot + "_errors"))
+    val profile = flags.get("profile")
+      .map(p => new TxTable(spark, p, partitionCol = "g"))
+    val checkpoint = flags.getOrElse("checkpoint",
+      java.nio.file.Files.createTempDirectory("curate_ck").toString)
+    // index table names derive from the STATE root (String.hashCode is
+    // specified, so the name is stable across JVMs): a restarted run
+    // reuses its folded indexes instead of re-backfilling them; a
+    // different state colliding here fails loudly on the pinned fold
+    // geometry/version props rather than mixing
+    val tag = java.lang.Integer.toUnsignedString(req(flags, "state").hashCode, 16)
+    val bi = new graft.llm.BandIndex(spark, s"curate_bands_$tag")
+    val di = new graft.llm.DigestIndex(spark, s"curate_digests_$tag")
+    val once = flags.get("once").exists(_.toBoolean)
+    val q = graft.llm.CuratePipeline.run(spark, input, state, sink, errors,
+      checkpoint, bands = Some(bi), digests = Some(di), profile = profile,
+      once = once)
+    if (once) q.awaitTermination()
+    else flags.get("duration-secs") match {
+      case Some(d) => q.awaitTermination(d.toLong * 1000L); q.stop()
+      case None => q.awaitTermination()
+    }
+  }
 
   // ------------------------------------------------------- backfill
 

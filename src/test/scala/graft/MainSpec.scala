@@ -167,6 +167,42 @@ class MainSpec extends SparkSpec {
       .select("open").as[Double].head() === 555.0)
   }
 
+  test("curate from main(args): JSONL landing dir -> errors/quality/dedup -> corpus table") {
+    val land = java.nio.file.Files.createTempDirectory("maincur").toString
+    val base = java.nio.file.Files.createTempDirectory("maincurtbl").toString
+    val long1 = (1 to 80).map(i => s"alpha$i").mkString(" ")
+    val long2 = (1 to 80).map(i => s"beta$i").mkString(" ")
+    def jl(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "web", "n_chars": ${text.length}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(land, "d1.jsonl"),
+      Seq(jl(1, long1), jl(2, long2), jl(3, "too short"), "garbage").mkString("\n"))
+    val args = Array("curate", "--input", land,
+      "--state", s"$base/state", "--sink", s"$base/corpus",
+      "--errors", s"$base/errs", "--profile", s"$base/profile",
+      "--once", "true",
+      "--checkpoint", java.nio.file.Files.createTempDirectory("maincurck").toString)
+    Main.main(args)
+    val sink = new graft.storage.TxTable(spark, s"$base/corpus")
+    assert(sink.read().select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(new graft.storage.TxTable(spark, s"$base/errs").read().count() === 1L)
+    // a second drop with an exact dup of 1 and one new doc: only the
+    // new doc admits (history-aware), errors untouched
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(land, "d2.jsonl"),
+      Seq(jl(4, long1), jl(5, (1 to 80).map(i => s"gamma$i").mkString(" ")))
+        .mkString("\n"))
+    Main.main(args.updated(args.indexOf("--checkpoint") + 1,
+      java.nio.file.Files.createTempDirectory("maincurck2").toString.asInstanceOf[String]))
+    assert(sink.read().select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 5L))
+    val est = graft.llm.CorpusProfile.hllView(
+        new graft.storage.TxTable(spark, s"$base/profile", partitionCol = "g"))
+      .filter($"g" === "web").select($"est").as[Double].head()
+    assert(math.abs(est - 3.0) < 0.7, s"profile estimate $est far from 3")
+    val tag = java.lang.Integer.toUnsignedString(s"$base/state".hashCode, 16)
+    spark.sql(s"DROP TABLE IF EXISTS curate_bands_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS curate_digests_$tag")
+  }
+
   test("arg parsing fails loudly: bad action, bad flag shape, bad symbol") {
     intercept[IllegalArgumentException] { Main.parse(Array.empty) }
     intercept[IllegalArgumentException] { Main.parse(Array("backfill", "oops")) }
