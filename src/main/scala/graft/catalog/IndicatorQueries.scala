@@ -1783,12 +1783,11 @@ object IndicatorQueries {
         max(when(col("n") === 32, col("rs"))).as("rs32"),
         max(when(col("n") === 64, col("rs"))).as("rs64"))
       .filter(col("np") === 3L)
-    def lnc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = log(c)
     val x1 = log(lit(16.0d)); val x2 = log(lit(32.0d)); val x3 = log(lit(64.0d))
     val sx = x1 + x2 + x3
     val sxx = x1 * x1 + x2 * x2 + x3 * x3
-    val sy = lnc(col("rs16")) + lnc(col("rs32")) + lnc(col("rs64"))
-    val sxy = x1 * lnc(col("rs16")) + x2 * lnc(col("rs32")) + x3 * lnc(col("rs64"))
+    val sy = log(col("rs16")) + log(col("rs32")) + log(col("rs64"))
+    val sxy = x1 * log(col("rs16")) + x2 * log(col("rs32")) + x3 * log(col("rs64"))
     byN.select(col("event_type"),
         r4(col("rs16")).as("rs16"), r4(col("rs32")).as("rs32"),
         r4(col("rs64")).as("rs64"),
