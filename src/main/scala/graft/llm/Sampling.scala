@@ -384,7 +384,8 @@ object Sampling {
         sum(value.cast("decimal(19,0)") * value.cast("decimal(19,0)"))
           .as("sxx"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getLong(2),
+        r.getDecimal(3)))
       .sortBy(_._1)
     val w = m.map { case (g, n, sx, sxx) =>
       val wq =
