@@ -1252,6 +1252,95 @@ object IndicatorQueries {
        |FROM qr JOIN cut USING (event_type)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- VaR backtest (Kupiec)
+  /** Out-of-sample VaR backtest per series — Kupiec's proportion-of-
+    * failures test (Kupiec 1995), the regulatory check a risk desk
+    * runs before trusting [[varEsQ]]'s number: the 95% VaR is
+    * estimated on the FIRST half of each series' hourly returns (the
+    * same exact integer-index order-statistic pick as `ts_var_es`)
+    * and breaches are counted on the SECOND half, where a regime
+    * shift shows up as a breach rate off 5% and a large likelihood
+    * ratio. Counts are exact integers (breach = integer compare
+    * q ≤ vq); the LR −2·((n−x)ln(1−p) + x·ln p − (n−x)ln(1−x/n)
+    * − x·ln(x/n)) is one fixed float expression over those integers,
+    * written term-for-term identically in both engines with the
+    * x = 0 / x = n terms zeroed by the same CASE guard.
+    */
+  private def varBacktestQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    val ret = hourly(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .filter(col("__p").isNotNull && col("__p") > 0L && col("c") > 0L)
+      .withColumn("q", floor(
+        log(col("c").cast("double") / col("__p").cast("double"))
+          * lit(1000000.0d)).cast("long"))
+      .withColumn("trn", row_number().over(w))
+      .withColumn("nall", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val train = ret.filter(col("trn") <= expr("nall div 2"))
+    val test = ret.filter(col("trn") > expr("nall div 2"))
+    val cut = train
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("q"), col("bus"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("((m - 1) * 5) div 100 + 1"))
+      .select(col("event_type"), col("q").as("vq"))
+    val agg = test.join(broadcast(cut), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("q") <= col("vq"), 1L).otherwise(0L)).as("n_breach"))
+    val x = col("n_breach").cast("double")
+    val nt = col("n_test").cast("double")
+    val t1 = when(col("n_breach") < col("n_test"),
+      (nt - x) * log(lit(1.0d) - x / nt)).otherwise(lit(0.0d))
+    val t2 = when(col("n_breach") > 0L, x * log(x / nt)).otherwise(lit(0.0d))
+    agg.select(col("event_type"), col("n_test"), col("n_breach"),
+        r4(x / nt).as("breach_rate"),
+        r4(lit(-2.0d) * ((nt - x) * log(lit(0.95d)) + x * log(lit(0.05d))
+          - t1 - t2)).as("kupiec_lr"))
+      .orderBy(col("event_type"))
+  }
+
+  private val varBacktestSql: String =
+    s"""$hourlyCte, r AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS p
+       |  FROM hourly
+       |), qr AS (
+       |  SELECT event_type, bus,
+       |         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(p AS DOUBLE))
+       |              * 1000000.0) AS BIGINT) AS q,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY bus) AS trn,
+       |         count(*) OVER (PARTITION BY event_type) AS nall
+       |  FROM r WHERE p IS NOT NULL AND p > 0 AND c > 0
+       |), cut AS (
+       |  SELECT event_type, q AS vq FROM (
+       |    SELECT event_type, q,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY q, bus) AS rn,
+       |           count(*) OVER (PARTITION BY event_type) AS m
+       |    FROM qr WHERE trn <= nall // 2)
+       |  WHERE rn = ((m - 1) * 5) // 100 + 1
+       |), agg AS (
+       |  SELECT qr.event_type, CAST(count(*) AS BIGINT) AS n_test,
+       |         CAST(sum(CASE WHEN q <= vq THEN 1 ELSE 0 END) AS BIGINT) AS n_breach
+       |  FROM qr JOIN cut USING (event_type)
+       |  WHERE trn > nall // 2
+       |  GROUP BY 1
+       |)
+       |SELECT event_type, n_test, n_breach,
+       |       ${r4Sql("CAST(n_breach AS DOUBLE) / CAST(n_test AS DOUBLE)")} AS breach_rate,
+       |       ${r4Sql(
+              "-2.0 * ((CAST(n_test AS DOUBLE) - CAST(n_breach AS DOUBLE)) * ln(0.95)" +
+              " + CAST(n_breach AS DOUBLE) * ln(0.05)" +
+              " - (CASE WHEN n_breach < n_test" +
+              " THEN (CAST(n_test AS DOUBLE) - CAST(n_breach AS DOUBLE))" +
+              " * ln(1.0 - CAST(n_breach AS DOUBLE) / CAST(n_test AS DOUBLE)) ELSE 0.0 END)" +
+              " - (CASE WHEN n_breach > 0" +
+              " THEN CAST(n_breach AS DOUBLE)" +
+              " * ln(CAST(n_breach AS DOUBLE) / CAST(n_test AS DOUBLE)) ELSE 0.0 END))")} AS kupiec_lr
+       |FROM agg ORDER BY 1""".stripMargin
+
   // ------------------------------------------- seasonal decomposition
   /** Classical-decomposition seasonal profile over the hourly closes:
     * a centered 24-hour moving average removes the trend, and the
@@ -1928,6 +2017,7 @@ object IndicatorQueries {
     "ts_cusum"      -> cusumQ,
     "ts_seasonal"   -> seasonalQ,
     "ts_var_es"     -> varEsQ,
+    "ts_var_backtest" -> varBacktestQ,
     "ts_beta"       -> betaQ,
     "ts_rolling_beta" -> rollingBetaQ,
     "ts_half_life"  -> halfLifeQ,
@@ -1970,6 +2060,7 @@ object IndicatorQueries {
     "ts_cusum"      -> cusumSql,
     "ts_seasonal"   -> seasonalSql,
     "ts_var_es"     -> varEsSql,
+    "ts_var_backtest" -> varBacktestSql,
     "ts_beta"       -> betaSql,
     "ts_rolling_beta" -> rollingBetaSql,
     "ts_half_life"  -> halfLifeSql,

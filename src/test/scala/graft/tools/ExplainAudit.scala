@@ -29,7 +29,7 @@ object ExplainAudit {
         "llm_margin_mine_cells", "llm_bloom_filter", "llm_containment",
         "ts_corr_topk", "ts_funnel", "ts_retention", "ts_sliding_distinct", "ts_markov",
         // r13 additions
-        "ts_cusum", "ts_seasonal", "ts_var_es", "ts_beta",
+        "ts_cusum", "ts_seasonal", "ts_var_es", "ts_var_backtest", "ts_beta",
         "llm_kcenter", "llm_heaps_law", "llm_jsonl_roundtrip",
         "ts_trimmed_mean", "ts_time_travel", "ts_change_feed", "llm_neyman_alloc", "llm_ks_drift",
         // r14 additions
