@@ -1943,6 +1943,57 @@ object IndicatorQueries {
        |FROM wide ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------- volume point of control
+  /** Volume profile / point of control per series: bucket each hour's
+    * close into $1 bands (100-cent integer division), sum volume per
+    * band, and report the band where the most volume traded (POC —
+    * the price the market accepted most), its volume, and the share
+    * of total volume inside POC ± 1 band (the one-band value area).
+    * All sums exact integers; ties break to the LOWER band by an
+    * integer min_by/arg_min; the only float is the final r4'd share.
+    */
+  private def vpocQ(s: SparkSession, dir: String): DataFrame = {
+    val banded = hourlyOhlcQty(s, dir)
+      .select(col("event_type"), expr("c div 100").as("band"), col("qty"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(sum(col("qty")).as("v"))
+    // scalar argmax key v·10⁹ − band: max volume first, ties to the
+    // LOWER band — a single BIGINT both engines' arg_max accept
+    // (bands are c//100 with c in cents; 10⁹ dwarfs any real band)
+    val pocKey = col("v") * lit(1000000000L) - col("band")
+    val tot = banded.groupBy(col("event_type"))
+      .agg(sum(col("v")).as("v_total"),
+        max_by(col("band"), pocKey).as("poc_band"),
+        max_by(col("v"), pocKey).as("poc_volume"))
+    banded.join(tot, "event_type")
+      .filter(col("band") >= col("poc_band") - 1L &&
+        col("band") <= col("poc_band") + 1L)
+      .groupBy(col("event_type"), col("poc_band"), col("poc_volume"),
+        col("v_total"))
+      .agg(sum(col("v")).as("__area"))
+      .select(col("event_type"), col("poc_band"), col("poc_volume"),
+        col("v_total"),
+        r4(col("__area").cast("double") / col("v_total").cast("double"))
+          .as("area_share"))
+      .orderBy(col("event_type"))
+  }
+
+  private val vpocSql: String =
+    s"""$hourlyOhlcQtyCte, banded AS (
+       |  SELECT event_type, c // 100 AS band, CAST(sum(qty) AS BIGINT) AS v
+       |  FROM hq GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT event_type, CAST(sum(v) AS BIGINT) AS v_total,
+       |         CAST(arg_max(band, v * 1000000000 - band) AS BIGINT) AS poc_band,
+       |         CAST(arg_max(v, v * 1000000000 - band) AS BIGINT) AS poc_volume
+       |  FROM banded GROUP BY 1
+       |)
+       |SELECT b.event_type, poc_band, poc_volume, v_total,
+       |       ${r4Sql("CAST(sum(v) AS DOUBLE) / CAST(v_total AS DOUBLE)")} AS area_share
+       |FROM banded b JOIN tot USING (event_type)
+       |WHERE band BETWEEN poc_band - 1 AND poc_band + 1
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- Kyle's lambda
   /** Kyle (1985) lambda per series — the OLS slope of hourly price
     * change on signed hourly volume (sign of the change × quantity,
@@ -2012,6 +2063,7 @@ object IndicatorQueries {
     "ts_amihud"     -> amihudQ,
     "ts_hurst"      -> hurstQ,
     "ts_kyle_lambda" -> kyleLambdaQ,
+    "ts_vpoc"       -> vpocQ,
     "ts_corr_topk"  -> corrTopkQ,
     "ts_drawdown"   -> drawdownQ,
     "ts_cusum"      -> cusumQ,
@@ -2055,6 +2107,7 @@ object IndicatorQueries {
     "ts_amihud"     -> amihudSql,
     "ts_hurst"      -> hurstSql,
     "ts_kyle_lambda" -> kyleLambdaSql,
+    "ts_vpoc"       -> vpocSql,
     "ts_corr_topk"  -> corrTopkSql,
     "ts_drawdown"   -> drawdownSql,
     "ts_cusum"      -> cusumSql,
