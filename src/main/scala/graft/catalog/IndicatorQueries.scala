@@ -31,14 +31,14 @@ object IndicatorQueries {
   /** Hourly close series in exact cents: one row per (event_type,
     * hour), latest-in-hour close.
     */
-  private def hourly(s: SparkSession, dir: String): DataFrame =
+  private[graft] def hourly(s: SparkSession, dir: String): DataFrame =
     Tables.eventSeriesOver(byKey(Tables.events(s, dir)))
       .withColumn("tus", unix_micros(col("ts")))
       .groupBy(col("event_type"),
         (expr("tus div 3600000000") * 3600000000L).as("bus"))
       .agg(cents(max_by(col("value"), col("tus"))).as("c"))
 
-  private val hourlyCte: String =
+  private[graft] val hourlyCte: String =
     s"""${TimeSeriesQueries.seriesCte}, hourly AS (
        |  SELECT event_type, (tus // 3600000000) * 3600000000 AS bus,
        |         ${centsSql("max_by(value, tus)")} AS c
@@ -1821,11 +1821,19 @@ object IndicatorQueries {
     * per-(series, n) mean is an integer sum; the 3-point regression
     * is written term-by-term in fixed order on both engines. Chunks
     * with zero variance are skipped (no rescale exists); series
-    * missing any size emit null H. One keyed window pass per size
-    * over the hourly frame (3 passes total, all series-local).
+    * missing any size emit null H. All three sizes run in ONE keyed
+    * window pass over the hourly frame with the size exploded as a
+    * column (series-local; 3× the hourly rows, one exchange).
     */
   private def hurstQ(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    // ret feeds every chunk size — localCheckpoint runs the
+    // events→hourly→log-return pipeline once, and the three sizes run
+    // as ONE window pass over an exploded n ∈ {16,32,64} column (3×
+    // rows through one pair of window stages) instead of three
+    // unioned pipeline legs (IndAbProbe: 2.39 s original → 1.30 s
+    // checkpointed 3-leg → 0.99 s exploded, identical rows). ret is
+    // one row per (series, hour) — the rolled-up frame, not raw events.
     val ret = hourly(s, dir)
       .withColumn("__p", lag(col("c"), 1).over(w))
       .filter(col("__p").isNotNull && col("__p") > 0L && col("c") > 0L)
@@ -1833,38 +1841,38 @@ object IndicatorQueries {
         log(col("c").cast("double") / col("__p").cast("double"))
           * lit(1000000.0d)).cast("long"))
       .withColumn("rn", row_number().over(w))
-    def rsOf(n: Int): DataFrame = {
-      val chunkW = Window.partitionBy(col("event_type"), col("ck"))
-      val prefW = chunkW.orderBy(col("rn"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ret
-        .withColumn("ck", expr(s"(rn - 1) div $n"))
-        .withColumn("k", expr(s"(rn - 1) % $n + 1"))
-        .withColumn("cn", count(lit(1)).over(chunkW))
-        .filter(col("cn") === n.toLong)
-        .withColumn("pk", sum(col("r")).over(prefW))
-        .withColumn("sc", sum(col("r")).over(chunkW))
-        .withColumn("s2", sum(col("r").cast("decimal(19,0)")
-          * col("r").cast("decimal(19,0)")).over(chunkW))
-        .withColumn("dev", lit(n.toLong) * col("pk") - col("k") * col("sc"))
-        .groupBy(col("event_type"), col("ck"))
-        .agg(max(col("dev")).as("dmax"), min(col("dev")).as("dmin"),
-          first(col("sc")).as("sc"), first(col("s2")).as("s2"))
-        .withColumn("rad",
-          (lit(n).cast("decimal(10,0)") * col("s2")
-            - col("sc").cast("decimal(19,0)") * col("sc").cast("decimal(19,0)"))
-            .cast("double"))
-        .filter(col("rad") > 0.0d)
-        .withColumn("rsq", floor(
-          (col("dmax") - col("dmin")).cast("double") / sqrt(col("rad"))
-            * lit(1000000.0d)).cast("long"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("nch"), sum(col("rsq")).as("srs"))
-        .select(col("event_type"), lit(n).as("n"),
-          (col("srs").cast("double") / col("nch").cast("double")
-            / lit(1000000.0d)).as("rs"))
-    }
-    val all = rsOf(16).unionByName(rsOf(32)).unionByName(rsOf(64))
+      .select(col("event_type"), col("r"), col("rn"))
+      .localCheckpoint(false)
+    val ex = ret.withColumn("n", explode(array(lit(16L), lit(32L), lit(64L))))
+      .withColumn("ck", expr("(rn - 1) div n"))
+      .withColumn("k", expr("(rn - 1) % n + 1"))
+    val chunkW = Window.partitionBy(col("event_type"), col("n"), col("ck"))
+    val prefW = chunkW.orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ex
+      .withColumn("cn", count(lit(1)).over(chunkW))
+      .filter(col("cn") === col("n"))
+      .withColumn("pk", sum(col("r")).over(prefW))
+      .withColumn("sc", sum(col("r")).over(chunkW))
+      .withColumn("s2", sum(col("r").cast("decimal(19,0)")
+        * col("r").cast("decimal(19,0)")).over(chunkW))
+      .withColumn("dev", col("n") * col("pk") - col("k") * col("sc"))
+      .groupBy(col("event_type"), col("n"), col("ck"))
+      .agg(max(col("dev")).as("dmax"), min(col("dev")).as("dmin"),
+        first(col("sc")).as("sc"), first(col("s2")).as("s2"))
+      .withColumn("rad",
+        (col("n").cast("decimal(10,0)") * col("s2")
+          - col("sc").cast("decimal(19,0)") * col("sc").cast("decimal(19,0)"))
+          .cast("double"))
+      .filter(col("rad") > 0.0d)
+      .withColumn("rsq", floor(
+        (col("dmax") - col("dmin")).cast("double") / sqrt(col("rad"))
+          * lit(1000000.0d)).cast("long"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("nch"), sum(col("rsq")).as("srs"))
+      .select(col("event_type"), col("n"),
+        (col("srs").cast("double") / col("nch").cast("double")
+          / lit(1000000.0d)).as("rs"))
     // 3-point OLS of ln(rs) on ln(n), terms in fixed ascending-n order
     val byN = all.groupBy(col("event_type"))
       .agg(count(lit(1)).as("np"),
@@ -1953,10 +1961,16 @@ object IndicatorQueries {
     * integer min_by/arg_min; the only float is the final r4'd share.
     */
   private def vpocQ(s: SparkSession, dir: String): DataFrame = {
+    // banded is consumed twice (the total/argmax agg AND the value-area
+    // join) — localCheckpoint stops the events→hourly pipeline running
+    // twice, and the per-key singleton tot broadcasts (IndAbProbe:
+    // 1.61 → 0.95 s median at sf0.1, identical rows). banded is
+    // series × $1-bands — model-sized at any corpus scale.
     val banded = hourlyOhlcQty(s, dir)
       .select(col("event_type"), expr("c div 100").as("band"), col("qty"))
       .groupBy(col("event_type"), col("band"))
       .agg(sum(col("qty")).as("v"))
+      .localCheckpoint(false)
     // scalar argmax key v·10⁹ − band: max volume first, ties to the
     // LOWER band — a single BIGINT both engines' arg_max accept
     // (bands are c//100 with c in cents; 10⁹ dwarfs any real band)
@@ -1965,7 +1979,7 @@ object IndicatorQueries {
       .agg(sum(col("v")).as("v_total"),
         max_by(col("band"), pocKey).as("poc_band"),
         max_by(col("v"), pocKey).as("poc_volume"))
-    banded.join(tot, "event_type")
+    banded.join(broadcast(tot), "event_type")
       .filter(col("band") >= col("poc_band") - 1L &&
         col("band") <= col("poc_band") + 1L)
       .groupBy(col("event_type"), col("poc_band"), col("poc_volume"),
