@@ -28,6 +28,7 @@ object SparkEntry {
       (OhlcvQueries.queries, OhlcvQueries.oracleSql),
       (IndicatorQueries.queries, IndicatorQueries.oracleSql),
       (CurationQueries.queries, CurationQueries.oracleSql),
+      (MicrostructureQueries.queries, MicrostructureQueries.oracleSql),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,502 @@
+package graft.catalog
+
+import graft.catalog.IndicatorQueries.{hourly, hourlyCte}
+import graft.catalog.Oracle._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Market-microstructure and econometric test statistics over the
+  * hourly close series — the screens a quant user of the reference
+  * (charts + indicators, reference web/routes/views/views.py) runs
+  * downstream of the candle read path: effective-spread and
+  * efficiency estimators (Roll 1984; Lo & MacKinlay 1988), randomness
+  * tests (Wald–Wolfowitz 1940; Ljung & Box 1978), range-based
+  * volatility (Garman & Klass 1980; Rogers & Satchell 1991), and the
+  * lead-lag cross-correlation panel.
+  *
+  * Exactness discipline (the [[Oracle]] conventions): closes are exact
+  * cents, price changes exact Longs, log returns floor-quantized once
+  * to micro-nats, and every second-moment combination n·Σxy − Σx·Σy
+  * runs in 38-digit decimal (Spark) ↔ HUGEINT (DuckDB) with ONE
+  * double division at the end, so both engines round the same exact
+  * rational to the nearest double exactly once. Per-row doubles that
+  * must be summed (the range-based day variances) are floor-quantized
+  * to integers BEFORE the sum — double addition is not associative
+  * and the two engines sum in different orders.
+  *
+  * Scale: every statistic is a per-series (or per-pair) aggregation
+  * over the rolled-up hourly frame — one keyed exchange over
+  * series×hours rows, never over raw events; the pair panel is
+  * series², a model-sized frame at any corpus scale.
+  */
+object MicrostructureQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Micro-nat log return over the hourly close series, with the row
+    * index the chunk/lag machinery keys on. Quantization matches
+    * [[graft.ops.Indicators.autocorr]]: floor(ln(c/p)·1e6 + 0.5).
+    */
+  private def returns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    hourly(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .filter(col("__p").isNotNull && col("__p") > 0L && col("c") > 0L)
+      .withColumn("r", floor(
+        log(col("c").cast("double") / col("__p").cast("double"))
+          * lit(1000000.0d) + lit(0.5d)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("event_type"), col("bus"), col("r"), col("rn"))
+  }
+
+  private val returnsCte: String =
+    s"""$hourlyCte, lagd AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS p
+       |  FROM hourly
+       |), ret AS (
+       |  SELECT event_type, bus,
+       |         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(p AS DOUBLE))
+       |              * 1000000.0 + 0.5) AS BIGINT) AS r,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY bus) AS rn
+       |  FROM lagd WHERE p IS NOT NULL AND p > 0 AND c > 0
+       |)""".stripMargin
+
+  // ---------------------------------------------------- Roll spread
+  /** Roll (1984) implicit effective spread per series: the bid-ask
+    * bounce makes successive price changes negatively autocovariant,
+    * and s = 2·√(−cov(Δp_t, Δp_{t−1})) recovers the spread from
+    * trade prices alone. Δp are exact cent Longs; the population
+    * autocovariance times n² — n·ΣΔΔ' − ΣΔ·ΣΔ' — is exact decimal ↔
+    * HUGEINT, divided to double once. Series whose autocovariance is
+    * non-negative (no bounce signature) emit a null spread, the
+    * standard convention.
+    */
+  private def rollSpreadQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    hourly(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .withColumn("__d", col("c") - col("__p"))
+      .withColumn("__x", lag(col("__d"), 1).over(w))
+      .filter(col("__d").isNotNull && col("__x").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__x"))).as("sx"), sum(dec(col("__d"))).as("sy"),
+        sum(dec(col("__x")) * dec(col("__d"))).as("sxy"))
+      .withColumn("__cov",
+        (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double")))
+      .select(col("event_type"), col("n"),
+        r4(col("__cov")).as("autocov_c2"),
+        r4(when(col("__cov") < 0.0d,
+          lit(2.0d) * sqrt(-col("__cov")))).as("spread_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val rollSpreadSql: String =
+    s"""$hourlyCte, d0 AS (
+       |  SELECT event_type, bus,
+       |         c - lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS dd
+       |  FROM hourly
+       |), d AS (
+       |  SELECT event_type, dd,
+       |         lag(dd) OVER (PARTITION BY event_type ORDER BY bus) AS dx
+       |  FROM d0
+       |), mo AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dd AS HUGEINT)) AS sy,
+       |         sum(CAST(dx AS HUGEINT) * dd) AS sxy
+       |  FROM d WHERE dd IS NOT NULL AND dx IS NOT NULL
+       |  GROUP BY 1
+       |), cv AS (
+       |  SELECT event_type, n,
+       |         CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov
+       |  FROM mo
+       |)
+       |SELECT event_type, n, ${r4Sql("cov")} AS autocov_c2,
+       |       ${r4Sql("CASE WHEN cov < 0.0 THEN 2.0 * sqrt(-cov) END")} AS spread_cents
+       |FROM cv ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- variance ratio
+  /** Lo–MacKinlay (1988) variance ratio VR(q=4) per series: under a
+    * random walk the variance of q-period returns is q times the
+    * 1-period variance, so VR ≈ 1; VR > 1 flags momentum, VR < 1 mean
+    * reversion. Overlapping 4-period sums via a trailing window;
+    * both population variances are exact-integer second moments
+    * (n·Σx² − S², decimal ↔ HUGEINT), combined with ONE double
+    * division: VR = [(nq·Σs²−Ss²)·n1²] / [q·(n1·Σr²−Sr²)·nq²].
+    */
+  private def varianceRatioQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("rn"))
+      .rowsBetween(-3, 0)
+    val base = returns(s, dir)
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("r")).over(w))
+    base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("r"))).as("s1"),
+        sum(dec(col("r")) * dec(col("r"))).as("s11"),
+        sum(when(col("__cnt") === 4L, lit(1L)).otherwise(lit(0L))).as("nq"),
+        sum(when(col("__cnt") === 4L, dec(col("__s")))
+          .otherwise(lit(null))).as("sq"),
+        sum(when(col("__cnt") === 4L, dec(col("__s")) * dec(col("__s")))
+          .otherwise(lit(null))).as("sqq"))
+      .withColumn("__v1", dec(col("n")) * col("s11") - col("s1") * col("s1"))
+      .withColumn("__vq", dec(col("nq")) * col("sqq") - col("sq") * col("sq"))
+      .filter(col("__v1") > 0 && col("nq") >= 2L)
+      .select(col("event_type"), col("n"), col("nq"),
+        r4((col("__vq") * dec(col("n")) * dec(col("n"))).cast("double")
+          / (lit(4.0d) * col("__v1").cast("double")
+            * col("nq").cast("double") * col("nq").cast("double"))).as("vr4"))
+      .orderBy(col("event_type"))
+  }
+
+  private val varianceRatioSql: String =
+    s"""$returnsCte, win AS (
+       |  SELECT event_type, r,
+       |         count(*) OVER fr AS cnt,
+       |         CAST(sum(r) OVER fr AS BIGINT) AS s
+       |  FROM ret
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY rn
+       |                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       |), mo AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(r AS HUGEINT)) AS s1,
+       |         sum(CAST(r AS HUGEINT) * r) AS s11,
+       |         CAST(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+       |         sum(CASE WHEN cnt = 4 THEN CAST(s AS HUGEINT) END) AS sq,
+       |         sum(CASE WHEN cnt = 4 THEN CAST(s AS HUGEINT) * s END) AS sqq
+       |  FROM win GROUP BY 1
+       |), v AS (
+       |  SELECT event_type, n, nq,
+       |         CAST(n AS HUGEINT) * s11 - s1 * s1 AS v1,
+       |         CAST(nq AS HUGEINT) * sqq - sq * sq AS vq
+       |  FROM mo
+       |)
+       |SELECT event_type, n, nq,
+       |       ${r4Sql("CAST(vq * n * n AS DOUBLE) / (4.0 * CAST(v1 AS DOUBLE)" +
+                       " * CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE))")} AS vr4
+       |FROM v WHERE v1 > 0 AND nq >= 2 ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------- runs test
+  /** Wald–Wolfowitz (1940) runs test on the sign sequence of hourly
+    * price changes: counts maximal runs of consecutive same-sign
+    * moves and z-scores the count against its randomness expectation
+    * μ = 1 + 2n₊n₋/n, σ² = 2n₊n₋(2n₊n₋−n) / (n²(n−1)). Zero changes
+    * are skipped (the classical two-category form); all counts are
+    * exact integers — 2n₊n₋(2n₊n₋−n) tops out near n⁴/4 ≈ 10¹⁵ for an
+    * hourly panel, inside BIGINT — and z is formed with one double
+    * division and one sqrt, identically ordered on both engines.
+    */
+  private def runsTestQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    val signed = hourly(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .filter(col("__p").isNotNull && col("c") =!= col("__p"))
+      .withColumn("sgn", when(col("c") > col("__p"), lit(1L)).otherwise(lit(-1L)))
+    val runs = signed
+      .withColumn("__prev", lag(col("sgn"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__prev").isNull || col("__prev") =!= col("sgn"), 1L)
+          .otherwise(0L)).as("runs"))
+      .withColumn("n", col("n_pos") + col("n_neg"))
+      .withColumn("__m2", lit(2L) * col("n_pos") * col("n_neg"))
+      .filter(col("n") >= 2L && col("__m2") > 0L)
+    runs.select(col("event_type"), col("n_pos"), col("n_neg"), col("runs"),
+        r4((col("runs").cast("double")
+          - (lit(1.0d) + col("__m2").cast("double") / col("n").cast("double")))
+          / sqrt((col("__m2").cast("double")
+            * (col("__m2") - col("n")).cast("double"))
+            / (col("n").cast("double") * col("n").cast("double")
+              * (col("n") - 1L).cast("double")))).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  private val runsTestSql: String =
+    s"""$hourlyCte, d AS (
+       |  SELECT event_type, bus, c,
+       |         lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS p
+       |  FROM hourly
+       |), sgn AS (
+       |  SELECT event_type, bus,
+       |         CASE WHEN c > p THEN 1 ELSE -1 END AS sgn
+       |  FROM d WHERE p IS NOT NULL AND c <> p
+       |), rr AS (
+       |  SELECT event_type, sgn,
+       |         lag(sgn) OVER (PARTITION BY event_type ORDER BY bus) AS prev
+       |  FROM sgn
+       |), agg AS (
+       |  SELECT event_type,
+       |         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |         CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS runs
+       |  FROM rr GROUP BY 1
+       |), m AS (
+       |  SELECT event_type, n_pos, n_neg, runs,
+       |         n_pos + n_neg AS n, 2 * n_pos * n_neg AS m2
+       |  FROM agg WHERE n_pos + n_neg >= 2 AND n_pos * n_neg > 0
+       |)
+       |SELECT event_type, n_pos, n_neg, runs,
+       |       ${r4Sql("(CAST(runs AS DOUBLE) - (1.0 + CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)))" +
+                       " / sqrt((CAST(m2 AS DOUBLE) * CAST(m2 - n AS DOUBLE))" +
+                       " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))")} AS z
+       |FROM m ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------ Ljung–Box
+  /** Ljung–Box (1978) portmanteau statistic over lags 1..5 of the
+    * hourly micro-nat returns: Q = n(n+2)·Σₖ ρₖ²/(n−k); large Q
+    * rejects "white noise". Each ρₖ is the lag-k Pearson correlation
+    * on exact integer moments (the [[graft.ops.Indicators.autocorr]]
+    * form, one double division per lag); all five lags are produced
+    * by ONE equi-join of the checkpointed return frame with itself on
+    * (series, rn−k = rn) with k exploded — one shuffle, not five
+    * window passes — and the five ρₖ² terms are summed in fixed
+    * ascending-k order on both engines.
+    */
+  private def ljungBoxQ(s: SparkSession, dir: String): DataFrame = {
+    val base = returns(s, dir)
+      .select(col("event_type"), col("r"), col("rn"))
+      .localCheckpoint(false)
+    val lhs = base
+      .withColumn("k", explode(array((1 to 5).map(k => lit(k.toLong)): _*)))
+      .select(col("event_type"), col("k"), col("r").as("y"),
+        (col("rn") - col("k")).as("rnm"))
+    val rhs = base.select(col("event_type"), col("rn").as("rnm"),
+      col("r").as("x"))
+    val rho = lhs.join(rhs, Seq("event_type", "rnm"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("np"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      .withColumn("__vx", dec(col("np")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__vy", dec(col("np")) * col("syy") - col("sy") * col("sy"))
+      .filter(col("np") >= 2L && col("__vx") > 0 && col("__vy") > 0)
+      .withColumn("rho",
+        (dec(col("np")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt(col("__vx").cast("double")) * sqrt(col("__vy").cast("double"))))
+    val n = returns(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    def rhoK(k: Int): Column = max(when(col("k") === k.toLong, col("rho")))
+    rho.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nk"),
+        rhoK(1).as("r1"), rhoK(2).as("r2"), rhoK(3).as("r3"),
+        rhoK(4).as("r4_"), rhoK(5).as("r5"))
+      .filter(col("nk") === 5L)
+      .join(n, "event_type")
+      .select(col("event_type"), col("n"),
+        r4(col("r1")).as("rho1"),
+        r4(col("n").cast("double") * (col("n") + 2L).cast("double") *
+          (col("r1") * col("r1") / (col("n") - 1L).cast("double")
+            + col("r2") * col("r2") / (col("n") - 2L).cast("double")
+            + col("r3") * col("r3") / (col("n") - 3L).cast("double")
+            + col("r4_") * col("r4_") / (col("n") - 4L).cast("double")
+            + col("r5") * col("r5") / (col("n") - 5L).cast("double")))
+          .as("q_lb"))
+      .orderBy(col("event_type"))
+  }
+
+  private val ljungBoxSql: String =
+    s"""$returnsCte, lhs AS (
+       |  SELECT event_type, k, r AS y, rn - k AS rnm
+       |  FROM ret CROSS JOIN (SELECT CAST(k AS BIGINT) AS k
+       |                       FROM range(1, 6) t(k))
+       |), pr AS (
+       |  SELECT l.event_type, l.k, l.y, b.r AS x
+       |  FROM lhs l JOIN ret b
+       |    ON l.event_type = b.event_type AND l.rnm = b.rn
+       |), mo AS (
+       |  SELECT event_type, k, CAST(count(*) AS BIGINT) AS np,
+       |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM pr GROUP BY 1, 2
+       |), rho AS (
+       |  SELECT event_type, k,
+       |         CAST(CAST(np AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       |           / (sqrt(CAST(CAST(np AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+       |              * sqrt(CAST(CAST(np AS HUGEINT) * syy - sy * sy AS DOUBLE))) AS rho
+       |  FROM mo
+       |  WHERE np >= 2 AND CAST(np AS HUGEINT) * sxx - sx * sx > 0
+       |    AND CAST(np AS HUGEINT) * syy - sy * sy > 0
+       |), wide AS (
+       |  SELECT event_type, count(*) AS nk,
+       |         max(CASE WHEN k = 1 THEN rho END) AS r1,
+       |         max(CASE WHEN k = 2 THEN rho END) AS r2,
+       |         max(CASE WHEN k = 3 THEN rho END) AS r3,
+       |         max(CASE WHEN k = 4 THEN rho END) AS r4_,
+       |         max(CASE WHEN k = 5 THEN rho END) AS r5
+       |  FROM rho GROUP BY 1 HAVING count(*) = 5
+       |), nn AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ret GROUP BY 1
+       |)
+       |SELECT w.event_type, n, ${r4Sql("r1")} AS rho1,
+       |       ${r4Sql("CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * (" +
+                       "r1 * r1 / CAST(n - 1 AS DOUBLE)" +
+                       " + r2 * r2 / CAST(n - 2 AS DOUBLE)" +
+                       " + r3 * r3 / CAST(n - 3 AS DOUBLE)" +
+                       " + r4_ * r4_ / CAST(n - 4 AS DOUBLE)" +
+                       " + r5 * r5 / CAST(n - 5 AS DOUBLE))")} AS q_lb
+       |FROM wide w JOIN nn USING (event_type) ORDER BY event_type""".stripMargin
+
+  // ------------------------------------- range-based volatility pair
+  /** Garman–Klass (1980) and Rogers–Satchell (1991) range-based
+    * daily-variance estimators per series, from exact-cent daily OHLC:
+    * GK = 0.5·ln(h/l)² − (2ln2−1)·ln(c/o)², RS = ln(h/c)ln(h/o) +
+    * ln(l/c)ln(l/o) (drift-robust). Each day's estimate is
+    * floor-quantized to nano-units BEFORE the per-series mean — the
+    * sum is then an exact integer in both engines — and emitted in
+    * micro-units (variance × 1e6) at 4 dp.
+    */
+  private def rangeVolQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tables
+    val daily = Tables.eventSeries(s, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy(col("event_type"),
+        (expr("tus div 86400000000") * 86400000000L).as("day"))
+      .agg(cents(min_by(col("value"), col("tus"))).as("o"),
+        cents(max(col("value"))).as("h"),
+        cents(min(col("value"))).as("l"),
+        cents(max_by(col("value"), col("tus"))).as("c"))
+      .filter(col("o") > 0L && col("l") > 0L)
+    def lg(a: Column, b: Column): Column =
+      log(a.cast("double") / b.cast("double"))
+    val u = lg(col("h"), col("l"))
+    val v = lg(col("c"), col("o"))
+    val gk = lit(0.5d) * (u * u) -
+      (lit(2.0d) * log(lit(2.0d)) - lit(1.0d)) * (v * v)
+    val rs = lg(col("h"), col("c")) * lg(col("h"), col("o")) +
+      lg(col("l"), col("c")) * lg(col("l"), col("o"))
+    daily
+      .withColumn("__gkq", floor(gk * lit(1.0e9d) + lit(0.5d)).cast("long"))
+      .withColumn("__rsq", floor(rs * lit(1.0e9d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__gkq")).as("__sgk"), sum(col("__rsq")).as("__srs"))
+      .select(col("event_type"), col("n_days"),
+        r4(col("__sgk").cast("double") / col("n_days").cast("double")
+          / lit(1000.0d)).as("gk_var_e6"),
+        r4(col("__srs").cast("double") / col("n_days").cast("double")
+          / lit(1000.0d)).as("rs_var_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val rangeVolSql: String =
+    s"""${TimeSeriesQueries.seriesCte}, daily AS (
+       |  SELECT event_type, (tus // 86400000000) * 86400000000 AS day,
+       |         ${centsSql("min_by(value, tus)")} AS o,
+       |         ${centsSql("max(value)")} AS h,
+       |         ${centsSql("min(value)")} AS l,
+       |         ${centsSql("max_by(value, tus)")} AS c
+       |  FROM series GROUP BY 1, 2
+       |), est AS (
+       |  SELECT event_type,
+       |         CAST(floor((0.5 * (ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+       |                            * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)))
+       |              - (2.0 * ln(2.0) - 1.0)
+       |                * (ln(CAST(c AS DOUBLE) / CAST(o AS DOUBLE))
+       |                   * ln(CAST(c AS DOUBLE) / CAST(o AS DOUBLE))))
+       |              * 1000000000.0 + 0.5) AS BIGINT) AS gkq,
+       |         CAST(floor((ln(CAST(h AS DOUBLE) / CAST(c AS DOUBLE))
+       |                     * ln(CAST(h AS DOUBLE) / CAST(o AS DOUBLE))
+       |              + ln(CAST(l AS DOUBLE) / CAST(c AS DOUBLE))
+       |                * ln(CAST(l AS DOUBLE) / CAST(o AS DOUBLE)))
+       |              * 1000000000.0 + 0.5) AS BIGINT) AS rsq
+       |  FROM daily WHERE o > 0 AND l > 0
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |       ${r4Sql("CAST(sum(gkq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0")} AS gk_var_e6,
+       |       ${r4Sql("CAST(sum(rsq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0")} AS rs_var_e6
+       |FROM est GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------- lead-lag cross-correlation
+  /** Lead-lag cross-correlation panel: Pearson correlation of hourly
+    * micro-nat returns for every ordered series pair (a < b) at lags
+    * L ∈ [−3, 3] hours (positive L = a leads b). The price-discovery
+    * screen: which series moves first. One equi-join on
+    * (bus + L·3600s = bus) with L exploded — the panel is
+    * series² × 7 rows, model-sized; the join shuffles the rolled-up
+    * hourly frame once. Exact integer moments, one double division.
+    */
+  private def xcorrQ(s: SparkSession, dir: String): DataFrame = {
+    val base = returns(s, dir)
+      .select(col("event_type"), col("bus"), col("r"))
+      .localCheckpoint(false)
+    val lags = array((-3 to 3).map(l => lit(l.toLong)): _*)
+    val lhs = base
+      .withColumn("lag_h", explode(lags))
+      .select(col("event_type").as("a"), col("lag_h"),
+        col("r").as("x"), (col("bus") + col("lag_h") * 3600000000L).as("jb"))
+    val rhs = base.select(col("event_type").as("b"), col("bus").as("jb"),
+      col("r").as("y"))
+    lhs.join(rhs, "jb")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("lag_h"))
+      .agg(count(lit(1)).as("np"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      .withColumn("__vx", dec(col("np")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__vy", dec(col("np")) * col("syy") - col("sy") * col("sy"))
+      .filter(col("np") >= 2L && col("__vx") > 0 && col("__vy") > 0)
+      .select(col("a"), col("b"), col("lag_h"), col("np").as("n"),
+        r4((dec(col("np")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt(col("__vx").cast("double"))
+            * sqrt(col("__vy").cast("double")))).as("xcorr"))
+      .orderBy(col("a"), col("b"), col("lag_h"))
+  }
+
+  private val xcorrSql: String =
+    s"""$returnsCte, lhs AS (
+       |  SELECT event_type AS a, lag_h, r AS x,
+       |         bus + lag_h * 3600000000 AS jb
+       |  FROM ret CROSS JOIN (SELECT CAST(l AS BIGINT) AS lag_h
+       |                       FROM range(-3, 4) t(l))
+       |), pr AS (
+       |  SELECT l.a, b.event_type AS b, l.lag_h, l.x, b.r AS y
+       |  FROM lhs l JOIN ret b ON l.jb = b.bus
+       |  WHERE l.a < b.event_type
+       |), mo AS (
+       |  SELECT a, b, lag_h, CAST(count(*) AS BIGINT) AS np,
+       |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM pr GROUP BY 1, 2, 3
+       |)
+       |SELECT a, b, lag_h, np AS n,
+       |       ${r4Sql("CAST(CAST(np AS HUGEINT) * sxy - sx * sy AS DOUBLE)" +
+                       " / (sqrt(CAST(CAST(np AS HUGEINT) * sxx - sx * sx AS DOUBLE))" +
+                       " * sqrt(CAST(CAST(np AS HUGEINT) * syy - sy * sy AS DOUBLE)))")} AS xcorr
+       |FROM mo
+       |WHERE np >= 2 AND CAST(np AS HUGEINT) * sxx - sx * sx > 0
+       |  AND CAST(np AS HUGEINT) * syy - sy * sy > 0
+       |ORDER BY a, b, lag_h""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_roll_spread" -> rollSpreadQ,
+    "ts_variance_ratio" -> varianceRatioQ,
+    "ts_runs_test" -> runsTestQ,
+    "ts_ljung_box" -> ljungBoxQ,
+    "ts_range_vol" -> rangeVolQ,
+    "ts_xcorr" -> xcorrQ,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_roll_spread" -> rollSpreadSql,
+    "ts_variance_ratio" -> varianceRatioSql,
+    "ts_runs_test" -> runsTestSql,
+    "ts_ljung_box" -> ljungBoxSql,
+    "ts_range_vol" -> rangeVolSql,
+    "ts_xcorr" -> xcorrSql,
+  )
+}

