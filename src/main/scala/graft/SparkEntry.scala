@@ -29,6 +29,7 @@ object SparkEntry {
       (IndicatorQueries.queries, IndicatorQueries.oracleSql),
       (CurationQueries.queries, CurationQueries.oracleSql),
       (MicrostructureQueries.queries, MicrostructureQueries.oracleSql),
+      (LexicalQueries.queries, LexicalQueries.oracleSql),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
