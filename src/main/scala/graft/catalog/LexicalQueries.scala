@@ -265,15 +265,221 @@ object LexicalQueries {
        |FROM agg a JOIN rel_tot USING (lang) ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------- population stability index
+  /** PSI per source against the whole-corpus document-length
+    * distribution — the drift monitor a production data pipeline
+    * alarms on (PSI > 0.25 = major shift). Bins are the global
+    * deciles of n_chars assigned by ntile(10) over the total
+    * (n_chars, doc_id) order — both engines place the remainder rows
+    * in the leading bins identically, so bin membership is exact.
+    * PSI = Σ_b (p_sb − q_b)·ln(p_sb/q_b); every share is an exact
+    * rational, each bin term is floor-quantized to pico-units before
+    * the ≤10-term sum, so the sum is an exact integer. Bins where the
+    * source has no documents are skipped and counted (the standard
+    * ε-free convention, reported rather than fudged).
+    *
+    * Scale note: exact global ntile is the ORACLE-expressible binning
+    * (one total-order pass, the W4 global-row_number precedent). At
+    * 100 TB the bin edges come from approx_percentile (or the
+    * [[graft.llm.Sketches]] KMV quantiles) computed once and joined
+    * as literals — the PSI arithmetic downstream is unchanged.
+    */
+  private def psiQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))))
+    val cells = docs.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_sb"))
+    val byBin = docs.groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val n = docs.agg(count(lit(1)).as("n_tot"))
+    cells.join(broadcast(byBin), "bin").join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("__term", floor(
+        (col("n_sb").cast("double") / col("n_s").cast("double")
+          - col("n_b").cast("double") / col("n_tot").cast("double"))
+          * log((col("n_sb") * col("n_tot")).cast("double")
+            / (col("n_s") * col("n_b")).cast("double"))
+          * lit(1.0e12d) + lit(0.5d)).cast("long"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_docs"),
+        count(lit(1)).as("n_bins_present"),
+        sum(col("__term")).as("__psi_q"))
+      .select(col("source"), col("n_docs"), col("n_bins_present"),
+        r4(col("__psi_q").cast("double") / lit(1.0e12d)).as("psi"))
+      .orderBy(col("source"))
+  }
+
+  private val psiSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, n_chars,
+       |         ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+       |  FROM documents
+       |), cells AS (
+       |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n_sb
+       |  FROM docs GROUP BY 1, 2
+       |), by_bin AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n_b FROM docs GROUP BY 1
+       |), by_src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM docs GROUP BY 1
+       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM docs),
+       |terms AS (
+       |  SELECT source, n_s,
+       |         CAST(floor(
+       |           (CAST(n_sb AS DOUBLE) / CAST(n_s AS DOUBLE)
+       |             - CAST(n_b AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       |           * ln(CAST(n_sb * n_tot AS DOUBLE) / CAST(n_s * n_b AS DOUBLE))
+       |           * 1000000000000.0 + 0.5) AS BIGINT) AS term
+       |  FROM cells JOIN by_bin USING (bin) JOIN by_src USING (source)
+       |  CROSS JOIN tot
+       |)
+       |SELECT source, any_value(n_s) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_bins_present,
+       |       ${r4Sql("CAST(sum(term) AS DOUBLE) / 1000000000000.0")} AS psi
+       |FROM terms GROUP BY 1 ORDER BY source""".stripMargin
+
+  // --------------------------------------------- clustering evaluation
+  /** External clustering quality of the k-means cells against the
+    * labeled embeddings: per-cell majority label + exact purity, and
+    * corpus NMI = I(C;L)/√(H(C)·H(L)) (Strehl & Ghosh 2002). The fit
+    * is the catalog's Lloyd convention (k = 4, 3 iterations, first-k
+    * init); the oracle unrolls the SAME fit in SQL (the
+    * `llm_kmeans_ivf` fixture-stability caveat applies). All counts
+    * are exact integers; each mutual-information / entropy term is
+    * floor-quantized to pico-units before its sum, so I, H(C), H(L)
+    * are exact integers and NMI is one double expression over them.
+    * Global purity and NMI are broadcast onto the per-cell rows.
+    */
+  private def clusterEvalQ(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kMeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 3)
+    val assigned = Similarity.kMeansAssign(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")), cents)
+      .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+    val cells = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n_cl"))
+      .localCheckpoint(false)
+    val byCell = cells.groupBy(col("cell")).agg(sum(col("n_cl")).as("n_c"),
+      max_by(col("label"), col("n_cl") * lit(1000L) - col("label")).as("maj_label"),
+      max(col("n_cl")).as("n_maj"))
+    val byLabel = cells.groupBy(col("label")).agg(sum(col("n_cl")).as("n_l"))
+    val n = cells.agg(sum(col("n_cl")).as("n_tot"))
+    val iq = cells.join(broadcast(byCell.select(col("cell"), col("n_c"))), "cell")
+      .join(broadcast(byLabel), "label").crossJoin(broadcast(n))
+      .select(floor(
+        (col("n_cl").cast("double") / col("n_tot").cast("double"))
+          * log((col("n_cl") * col("n_tot")).cast("double")
+            / (col("n_c") * col("n_l")).cast("double"))
+          * lit(1.0e12d) + lit(0.5d)).cast("long").as("t"))
+      .agg(sum(col("t")).as("i_q"))
+    def entQ(counts: DataFrame, cnt: Column): DataFrame =
+      counts.crossJoin(broadcast(n))
+        .select(floor(
+          -(cnt.cast("double") / col("n_tot").cast("double"))
+            * log(cnt.cast("double") / col("n_tot").cast("double"))
+            * lit(1.0e12d) + lit(0.5d)).cast("long").as("t"))
+        .agg(sum(col("t")).as("h_q"))
+    val hc = entQ(byCell.select(col("n_c")), col("n_c"))
+      .withColumnRenamed("h_q", "hc_q")
+    val hl = entQ(byLabel.select(col("n_l")), col("n_l"))
+      .withColumnRenamed("h_q", "hl_q")
+    val purity = byCell.agg(sum(col("n_maj")).as("p_num"))
+    byCell
+      .crossJoin(broadcast(purity)).crossJoin(broadcast(n))
+      .crossJoin(broadcast(iq)).crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+      .select(col("cell"), col("n_c"), col("maj_label"), col("n_maj"),
+        r4(col("p_num").cast("double") / col("n_tot").cast("double")).as("purity"),
+        r4(col("i_q").cast("double")
+          / sqrt(col("hc_q").cast("double") * col("hl_q").cast("double"))).as("nmi"))
+      .orderBy(col("cell"))
+  }
+
+  private val clusterEvalSql: String = {
+    val k = 4; val iters = 3; val dimPlus1 = 65
+    def centsCte(i: Int, from: String): String =
+      s"""ccomp$i AS (
+         |  SELECT cell, i, avg(v[i]) AS c
+         |  FROM $from CROSS JOIN (SELECT i FROM range(1, $dimPlus1) t(i))
+         |  GROUP BY 1, 2
+         |), ccents$i AS (SELECT cell, list(c ORDER BY i) AS centroid FROM ccomp$i GROUP BY 1)"""
+        .stripMargin
+    def d2Sql(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, $dimPlus1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT id, v, label, cell FROM (
+         |    SELECT p.id, p.v, p.label, c.cell,
+         |           row_number() OVER (PARTITION BY p.id
+         |             ORDER BY ${d2Sql("p.v", "c.centroid")}, c.cell) AS rn
+         |    FROM pts p CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      assignCte(s"cassign$i", s"ccents${i - 1}") + ",\n" +
+        centsCte(i, s"cassign$i")
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings
+       |), ccents0 AS (
+       |  SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell, v AS centroid
+       |  FROM pts QUALIFY row_number() OVER (ORDER BY id) <= $k
+       |),
+       |$iterCtes,
+       |${assignCte("final_assign", s"ccents$iters")},
+       |cells AS (
+       |  SELECT cell, label, CAST(count(*) AS BIGINT) AS n_cl
+       |  FROM final_assign GROUP BY 1, 2
+       |), by_cell AS (
+       |  SELECT cell, CAST(sum(n_cl) AS BIGINT) AS n_c,
+       |         CAST(arg_max(label, n_cl * 1000 - label) AS INTEGER) AS maj_label,
+       |         CAST(max(n_cl) AS BIGINT) AS n_maj
+       |  FROM cells GROUP BY 1
+       |), by_label AS (
+       |  SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cells GROUP BY 1
+       |), tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n_tot FROM cells),
+       |iq AS (
+       |  SELECT CAST(sum(CAST(floor(
+       |           (CAST(n_cl AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       |           * ln(CAST(n_cl * n_tot AS DOUBLE) / CAST(n_c * n_l AS DOUBLE))
+       |           * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS i_q
+       |  FROM cells JOIN by_cell USING (cell) JOIN by_label USING (label)
+       |  CROSS JOIN tot
+       |), hc AS (
+       |  SELECT CAST(sum(CAST(floor(
+       |           -(CAST(n_c AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       |           * ln(CAST(n_c AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       |           * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hc_q
+       |  FROM by_cell CROSS JOIN tot
+       |), hl AS (
+       |  SELECT CAST(sum(CAST(floor(
+       |           -(CAST(n_l AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       |           * ln(CAST(n_l AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       |           * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hl_q
+       |  FROM by_label CROSS JOIN tot
+       |), pur AS (SELECT CAST(sum(n_maj) AS BIGINT) AS p_num FROM by_cell)
+       |SELECT CAST(cell AS INTEGER) AS cell, n_c, maj_label, n_maj,
+       |       ${r4Sql("CAST(p_num AS DOUBLE) / CAST(n_tot AS DOUBLE)")} AS purity,
+       |       ${r4Sql("CAST(i_q AS DOUBLE) / sqrt(CAST(hc_q AS DOUBLE) * CAST(hl_q AS DOUBLE))")} AS nmi
+       |FROM by_cell CROSS JOIN tot CROSS JOIN iq CROSS JOIN hc CROSS JOIN hl
+       |CROSS JOIN pur
+       |ORDER BY cell""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mattr" -> mattrQ,
     "llm_stupid_backoff" -> sboQ,
     "llm_retrieval_eval" -> retrievalEvalQ,
+    "llm_psi" -> psiQ,
+    "llm_cluster_eval" -> clusterEvalQ,
   )
 
   def oracleSql: Map[String, String] = Map(
     "llm_mattr" -> mattrSql,
     "llm_stupid_backoff" -> sboSql,
     "llm_retrieval_eval" -> retrievalEvalSql,
+    "llm_psi" -> psiSql,
+    "llm_cluster_eval" -> clusterEvalSql,
   )
 }

@@ -482,6 +482,88 @@ object MicrostructureQueries {
        |  AND CAST(np AS HUGEINT) * syy - sy * sy > 0
        |ORDER BY a, b, lag_h""".stripMargin
 
+  // -------------------------------------------- pairs-trading z-score
+  /** Pairs-trading screen per ordered series pair (a < b): the OLS
+    * hedge ratio β of b's close on a's (exact integer moments, one
+    * double division), then the z-score of the LAST hedge spread
+    * s_t = c_b − β·c_a against the spread's own history. Each row's
+    * spread is floor-quantized once to milli-cents (β is one shared
+    * double, the multiply is the same IEEE op per row in both
+    * engines), so the spread moments are exact integers and
+    * z = (n·s_T − Σs)/√(n·Σs² − (Σs)²) is an exact-integer rational
+    * under one final division. |z| > 2 is the classical entry signal.
+    * The paired frame is checkpointed — β and the spread pass both
+    * read it, and it is series²×hours, model-sized at any scale.
+    */
+  private def pairsZQ(s: SparkSession, dir: String): DataFrame = {
+    val h = hourly(s, dir)
+    val a = h.select(col("event_type").as("a"), col("bus"), col("c").as("ca"))
+    val b = h.select(col("event_type").as("b"), col("bus"), col("c").as("cb"))
+    val paired = a.join(b, "bus").filter(col("a") < col("b"))
+      .localCheckpoint(false)
+    val beta = paired.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("ca"))).as("sx"), sum(dec(col("cb"))).as("sy"),
+        sum(dec(col("ca")) * dec(col("ca"))).as("sxx"),
+        sum(dec(col("ca")) * dec(col("cb"))).as("sxy"))
+      .withColumn("__den", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .filter(col("__den") > 0)
+      .select(col("a"), col("b"), col("n"),
+        ((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / col("__den").cast("double")).as("beta"))
+    paired.join(broadcast(beta), Seq("a", "b"))
+      .withColumn("__s", floor(
+        (col("cb").cast("double") - col("beta") * col("ca").cast("double"))
+          * lit(1000.0d) + lit(0.5d)).cast("long"))
+      .groupBy(col("a"), col("b"))
+      .agg(first(col("n")).as("n"), first(col("beta")).as("__beta"),
+        count(lit(1)).as("__np"),
+        sum(dec(col("__s"))).as("ss"),
+        sum(dec(col("__s")) * dec(col("__s"))).as("sss"),
+        max_by(col("__s"), col("bus")).as("s_last"))
+      .withColumn("__var", dec(col("__np")) * col("sss") - col("ss") * col("ss"))
+      .filter(col("__var") > 0)
+      .select(col("a"), col("b"), col("n"), r4(col("__beta")).as("beta"),
+        r4((dec(col("__np")) * dec(col("s_last")) - col("ss")).cast("double")
+          / sqrt(col("__var").cast("double"))).as("z_last"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val pairsZSql: String =
+    s"""$hourlyCte, pa AS (
+       |  SELECT event_type AS a, bus, c AS ca FROM hourly
+       |), pb AS (
+       |  SELECT event_type AS b, bus, c AS cb FROM hourly
+       |), paired AS (
+       |  SELECT a, b, bus, ca, cb FROM pa JOIN pb USING (bus) WHERE a < b
+       |), beta AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(CAST(count(*) AS HUGEINT) * sum(CAST(ca AS HUGEINT) * cb)
+       |              - sum(CAST(ca AS HUGEINT)) * sum(CAST(cb AS HUGEINT)) AS DOUBLE)
+       |           / CAST(CAST(count(*) AS HUGEINT) * sum(CAST(ca AS HUGEINT) * ca)
+       |              - sum(CAST(ca AS HUGEINT)) * sum(CAST(ca AS HUGEINT)) AS DOUBLE) AS beta
+       |  FROM paired GROUP BY 1, 2
+       |  HAVING CAST(count(*) AS HUGEINT) * sum(CAST(ca AS HUGEINT) * ca)
+       |         - sum(CAST(ca AS HUGEINT)) * sum(CAST(ca AS HUGEINT)) > 0
+       |), sp AS (
+       |  SELECT p.a, p.b, n, beta, p.bus,
+       |         CAST(floor((CAST(cb AS DOUBLE) - beta * CAST(ca AS DOUBLE))
+       |              * 1000.0 + 0.5) AS BIGINT) AS s
+       |  FROM paired p JOIN beta USING (a, b)
+       |), mo AS (
+       |  SELECT a, b, any_value(n) AS n, any_value(beta) AS beta,
+       |         CAST(count(*) AS BIGINT) AS np,
+       |         sum(CAST(s AS HUGEINT)) AS ss,
+       |         sum(CAST(s AS HUGEINT) * s) AS sss,
+       |         max_by(s, bus) AS s_last
+       |  FROM sp GROUP BY 1, 2
+       |)
+       |SELECT a, b, n, ${r4Sql("beta")} AS beta,
+       |       ${r4Sql("CAST(CAST(np AS HUGEINT) * s_last - ss AS DOUBLE)" +
+                       " / sqrt(CAST(CAST(np AS HUGEINT) * sss - ss * ss AS DOUBLE))")} AS z_last
+       |FROM mo WHERE CAST(np AS HUGEINT) * sss - ss * ss > 0
+       |ORDER BY a, b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_roll_spread" -> rollSpreadQ,
     "ts_variance_ratio" -> varianceRatioQ,
@@ -489,6 +571,7 @@ object MicrostructureQueries {
     "ts_ljung_box" -> ljungBoxQ,
     "ts_range_vol" -> rangeVolQ,
     "ts_xcorr" -> xcorrQ,
+    "ts_pairs_z" -> pairsZQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -498,5 +581,6 @@ object MicrostructureQueries {
     "ts_ljung_box" -> ljungBoxSql,
     "ts_range_vol" -> rangeVolSql,
     "ts_xcorr" -> xcorrSql,
+    "ts_pairs_z" -> pairsZSql,
   )
 }

@@ -78,6 +78,43 @@ class MicrostructureSpec extends SparkSpec {
     }
   }
 
+  test("pairs z-score: every ordered pair, finite beta, z sane") {
+    val rows = run("ts_pairs_z")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(!r.getAs[Double]("beta").isNaN)
+      val z = r.getAs[Double]("z_last")
+      assert(!z.isNaN && math.abs(z) < 50.0, s"implausible z: $r")
+    }
+  }
+
+  test("psi drift: non-negative by construction, doc counts partition the corpus") {
+    val rows = graft.catalog.LexicalQueries.queries("llm_psi")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every bin term (p−q)·ln(p/q) has matching signs ⇒ each ≥ 0
+    rows.foreach(r => assert(r.getAs[Double]("psi") >= 0.0, s"negative PSI: $r"))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = graft.core.Tables.documents(spark, sfDir).count()
+    assert(total === corpus)
+  }
+
+  test("cluster eval: cells partition the corpus, purity and NMI in range") {
+    val rows = graft.catalog.LexicalQueries.queries("llm_cluster_eval")(spark, sfDir).collect()
+    assert(rows.length === 4)
+    val n = graft.core.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_c")).sum === n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_maj") <= r.getAs[Long]("n_c"))
+      val p = r.getAs[Double]("purity"); val nmi = r.getAs[Double]("nmi")
+      assert(p > 0.0 && p <= 1.0)
+      assert(nmi >= -0.0001 && nmi <= 1.0001, s"NMI out of range: $nmi")
+    }
+    // global metrics are constants across the per-cell rows
+    assert(rows.map(_.getAs[Double]("purity")).distinct.length === 1)
+    assert(rows.map(_.getAs[Double]("nmi")).distinct.length === 1)
+  }
+
   test("xcorr: full (pair, lag) panel, |corr| ≤ 1, lag 0 symmetric in pair order") {
     val rows = run("ts_xcorr")
     val byKey = rows.map(r => ((r.getString(0), r.getString(1),
