@@ -97,6 +97,15 @@ def annotations_section():
          "the batch checkpoint via Futures; residual is minhash kernel "
          "CPU + commit IO). The stored side reads with zero Exchange — "
          "the 100 TB property the ratio at sf0.1 doesn't show."),
+        ("ts_mfi / ts_cmf / ts_amihud / ts_kyle_lambda (hourly-indicator family)",
+         "the events fixture at sf0.1 is 100k rows / ~1.5 MB: DuckDB "
+         "finishes in 0.05-0.08 s single-process while the Spark side "
+         "pays a fixed ~0.5 s session floor (ts_rsi, the family's "
+         "simplest member, prices it) plus the props-JSON parse for "
+         "the volume-carrying members. The plans are one keyed "
+         "exchange + streaming window (ExplainAudit); the double-"
+         "compute defects that were real (ts_vpoc, ts_hurst) were "
+         "fixed in round 14 via IndAbProbe (1.61->0.95, 2.39->0.99 s)."),
         ("llm_nb_classify / llm_log_odds",
          "5000-doc / 1.5 MB fixtures: the Spark time is ~7 sequential "
          "stage waves of fixed cost (SCALE.md round 14); 10x exponents "

@@ -1932,7 +1932,94 @@ object TimeSeriesQueries {
        |FROM ex WHERE k IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- RFM segmentation
+  /** RFM (recency-frequency-monetary) user segmentation — the
+    * standard behavioral-analytics rollup over the event stream.
+    * Per user: hours since last event at the data-derived asOf (exact
+    * integer), event count, and exact-cent value total; each
+    * dimension is scored 1–5 by ntile(5) over a deterministic total
+    * order (metric, then user_id — ntile's remainder placement is
+    * identical in both engines), with recency ordered DESC so score 5
+    * = most recent. Users roll up into the classical segments via one
+    * shared CASE; the output is the segment summary (exact counts,
+    * r4'd means over integer sums). Global ntile is the
+    * oracle-expressible scoring (the W4 precedent); at 100 TB the
+    * same scores come from approx-percentile cut points joined as
+    * literals.
+    */
+  private def rfmQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        cents(col("value")).as("vc"))
+    val asOf = ev.agg(max(col("tus")).as("as_of"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(col("tus")).as("last_tus"), count(lit(1)).as("f"),
+        sum(col("vc")).as("m"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("r_hours",
+        expr("(as_of - last_tus) div 3600000000"))
+    val scored = perUser
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("r_hours").desc, col("user_id"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("f"), col("user_id"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("m"), col("user_id"))))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          lit("champion"))
+          .when(col("f_score") >= 4, lit("loyal"))
+          .when(col("r_score") <= 2 && col("f_score") >= 3, lit("at_risk"))
+          .when(col("r_score") === 1 && col("f_score") <= 2, lit("lost"))
+          .otherwise(lit("regular")))
+    scored.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r_hours")).as("__sr"), sum(col("f")).as("__sf"),
+        sum(col("m")).as("__sm"))
+      .select(col("segment"), col("n_users"),
+        r4(col("__sr").cast("double") / col("n_users").cast("double"))
+          .as("avg_recency_h"),
+        r4(col("__sf").cast("double") / col("n_users").cast("double"))
+          .as("avg_freq"),
+        r4(col("__sm").cast("double") / col("n_users").cast("double")
+          / lit(100.0d)).as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
+  private val rfmSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+       |         ${centsSql("value")} AS vc
+       |  FROM events
+       |), as_of AS (SELECT max(tus) AS as_of FROM ev),
+       |per_user AS (
+       |  SELECT user_id, (as_of - max(tus)) // 3600000000 AS r_hours,
+       |         CAST(count(*) AS BIGINT) AS f, CAST(sum(vc) AS BIGINT) AS m
+       |  FROM ev CROSS JOIN as_of GROUP BY user_id, as_of
+       |), scored AS (
+       |  SELECT user_id, r_hours, f, m,
+       |         ntile(5) OVER (ORDER BY r_hours DESC, user_id) AS r_score,
+       |         ntile(5) OVER (ORDER BY f, user_id) AS f_score,
+       |         ntile(5) OVER (ORDER BY m, user_id) AS m_score
+       |  FROM per_user
+       |), seg AS (
+       |  SELECT user_id, r_hours, f, m,
+       |         CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+       |                THEN 'champion'
+       |              WHEN f_score >= 4 THEN 'loyal'
+       |              WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+       |              WHEN r_score = 1 AND f_score <= 2 THEN 'lost'
+       |              ELSE 'regular' END AS segment
+       |  FROM scored
+       |)
+       |SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+       |       ${r4Sql("CAST(sum(r_hours) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_recency_h,
+       |       ${r4Sql("CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_freq,
+       |       ${r4Sql("CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0")} AS avg_monetary
+       |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rfm"           -> rfmQ,
     "ts_rank_dist"     -> rankDistQ,
     "ts_json_extract"  -> jsonExtractQ,
     "ts_histogram"     -> histogramQ,
@@ -1975,6 +2062,7 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_rfm"           -> rfmSql,
     "ts_rank_dist"     -> rankDistSql,
     "ts_json_extract"  -> jsonExtractSql,
     "ts_histogram"     -> histogramSql,

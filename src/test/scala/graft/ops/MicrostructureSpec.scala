@@ -115,6 +115,21 @@ class MicrostructureSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("nmi")).distinct.length === 1)
   }
 
+  test("rfm: segments partition the user base, averages are consistent") {
+    val rows = graft.catalog.TimeSeriesQueries.queries("ts_rfm")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nUsers = rows.map(_.getAs[Long]("n_users")).sum
+    val distinctUsers = graft.core.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(nUsers === distinctUsers, "segments must partition all users")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_recency_h") >= 0.0)
+      assert(r.getAs[Double]("avg_freq") >= 1.0)
+    }
+    val segs = rows.map(_.getString(0)).toSet
+    assert(segs.subsetOf(Set("champion", "loyal", "at_risk", "lost", "regular")))
+  }
+
   test("xcorr: full (pair, lag) panel, |corr| ≤ 1, lag 0 symmetric in pair order") {
     val rows = run("ts_xcorr")
     val byKey = rows.map(r => ((r.getString(0), r.getString(1),
