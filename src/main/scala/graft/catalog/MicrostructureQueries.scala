@@ -564,7 +564,90 @@ object MicrostructureQueries {
        |FROM mo WHERE CAST(np AS HUGEINT) * sss - ss * ss > 0
        |ORDER BY a, b""".stripMargin
 
+  // ------------------------------------------------------ event study
+  /** Event-study average around large moves (MacKinlay, JEL 1997):
+    * event hours are those whose micro-nat return clears 3 population
+    * sigmas — detected with the EXACT integer inequality
+    * n²·r² > 9·(n·Σr² − S²) AND a sign carried so the panel averages
+    * signed post-event drift (events aligned by shock direction:
+    * returns at +τ are multiplied by the event's sign). Only events
+    * with the full −3..+5 offset window inside the series count, so
+    * every (series, τ) cell averages the same event set and the
+    * cumulative average return is an exact prefix sum over τ. One
+    * equi-join of the checkpointed return frame against the event
+    * list with τ exploded — events × 9 rows, never a window per
+    * offset.
+    */
+  private def eventStudyQ(s: SparkSession, dir: String): DataFrame = {
+    val base = returns(s, dir)
+      .select(col("event_type"), col("r"), col("rn"))
+      .localCheckpoint(false)
+    val mo = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("r"))).as("s1"),
+        sum(dec(col("r")) * dec(col("r"))).as("s2"))
+      .withColumn("__v", dec(col("n")) * col("s2") - col("s1") * col("s1"))
+      .filter(col("__v") > 0)
+      .select(col("event_type"), col("n"), col("__v"))
+    val ev = base.join(broadcast(mo), "event_type")
+      .filter(
+        dec(col("n")) * dec(col("n")) * dec(col("r")) * dec(col("r"))
+          > lit(9) * col("__v"))
+      .filter(col("rn") >= 4L && col("rn") <= col("n") - 5L)
+      .select(col("event_type"), col("rn").as("rn_e"),
+        when(col("r") >= 0L, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+    val panel = ev
+      .withColumn("tau", explode(array((-3 to 5).map(t => lit(t.toLong)): _*)))
+      .select(col("event_type"), col("tau"), col("sgn"),
+        (col("rn_e") + col("tau")).as("rn"))
+      .join(base, Seq("event_type", "rn"))
+      .groupBy(col("event_type"), col("tau"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("sgn") * col("r")).as("__sr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("tau"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    panel
+      .withColumn("__car_q", sum(col("__sr")).over(w))
+      .select(col("event_type"), col("tau"), col("n_events"),
+        r4(col("__sr").cast("double") / col("n_events").cast("double")
+          / lit(1000000.0d)).as("avg_r"),
+        r4(col("__car_q").cast("double") / col("n_events").cast("double")
+          / lit(1000000.0d)).as("car"))
+      .orderBy(col("event_type"), col("tau"))
+  }
+
+  private val eventStudySql: String =
+    s"""$returnsCte, mo AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(r AS HUGEINT)) AS s1,
+       |         sum(CAST(r AS HUGEINT) * r) AS s2
+       |  FROM ret GROUP BY 1
+       |), mv AS (
+       |  SELECT event_type, n,
+       |         CAST(n AS HUGEINT) * s2 - s1 * s1 AS v
+       |  FROM mo WHERE CAST(n AS HUGEINT) * s2 - s1 * s1 > 0
+       |), ev AS (
+       |  SELECT ret.event_type, rn AS rn_e,
+       |         CASE WHEN r >= 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM ret JOIN mv USING (event_type)
+       |  WHERE CAST(n AS HUGEINT) * n * r * r > 9 * v
+       |    AND rn >= 4 AND rn <= n - 5
+       |), panel AS (
+       |  SELECT e.event_type, t.tau, CAST(count(*) AS BIGINT) AS n_events,
+       |         CAST(sum(e.sgn * b.r) AS BIGINT) AS sr
+       |  FROM ev e
+       |  CROSS JOIN (SELECT CAST(tau AS BIGINT) AS tau FROM range(-3, 6) t(tau)) t
+       |  JOIN ret b ON b.event_type = e.event_type AND b.rn = e.rn_e + t.tau
+       |  GROUP BY 1, 2
+       |)
+       |SELECT event_type, tau, n_events,
+       |       ${r4Sql("CAST(sr AS DOUBLE) / CAST(n_events AS DOUBLE) / 1000000.0")} AS avg_r,
+       |       ${r4Sql("CAST(sum(sr) OVER (PARTITION BY event_type ORDER BY tau" +
+                       " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)" +
+                       " / CAST(n_events AS DOUBLE) / 1000000.0")} AS car
+       |FROM panel ORDER BY event_type, tau""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_event_study" -> eventStudyQ,
     "ts_roll_spread" -> rollSpreadQ,
     "ts_variance_ratio" -> varianceRatioQ,
     "ts_runs_test" -> runsTestQ,
@@ -575,6 +658,7 @@ object MicrostructureQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_event_study" -> eventStudySql,
     "ts_roll_spread" -> rollSpreadSql,
     "ts_variance_ratio" -> varianceRatioSql,
     "ts_runs_test" -> runsTestSql,

@@ -115,6 +115,26 @@ class MicrostructureSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("nmi")).distinct.length === 1)
   }
 
+  test("event study: full offset panel, constant event count per series, CAR prefix-consistent") {
+    val rows = run("ts_event_study")
+    assert(rows.nonEmpty)
+    val bySeries = rows.groupBy(_.getString(0))
+    bySeries.foreach { case (et, rs) =>
+      // every τ ∈ −3..5 present with the SAME event count (full-window filter)
+      assert(rs.map(_.getAs[Long]("tau")).sorted.toSeq === (-3L to 5L),
+        s"$et missing offsets")
+      assert(rs.map(_.getAs[Long]("n_events")).distinct.length === 1,
+        s"$et event count varies across τ — full-window filter broken")
+      // CAR at the first offset equals its own avg_r (prefix base case)
+      val first = rs.minBy(_.getAs[Long]("tau"))
+      assert(first.getAs[Double]("car") === first.getAs[Double]("avg_r"))
+      // signed alignment: the τ=0 shock itself must average positive
+      // (every event contributes sgn·r = |r| > 3σ ≥ 0 at τ=0)
+      val at0 = rs.find(_.getAs[Long]("tau") == 0L).get
+      assert(at0.getAs[Double]("avg_r") > 0.0, s"$et τ=0 not aligned: $at0")
+    }
+  }
+
   test("rfm: segments partition the user base, averages are consistent") {
     val rows = graft.catalog.TimeSeriesQueries.queries("ts_rfm")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -203,7 +203,30 @@ object ScaleBench {
     // linear); ks_drift is the pairwise family: (groups−1)·rows by
     // construction, the exponent watches that the window pass itself
     // stays linear in that bound
-    "llm_mmr_rerank", "ts_markov", "llm_ks_drift")
+    "llm_mmr_rerank", "ts_markov", "llm_ks_drift",
+    // r14 wave-2 additions. stupid_backoff: gram-keyed count frames +
+    // five equi-joins on gram keys — rotated replicas grow the gram
+    // vocabulary linearly like genuinely new text, so the joins must
+    // stay corpus-linear (the kn_lm class). retrieval_eval: one tf
+    // pass + broadcast query terms + per-lang top-10 windows — the
+    // eval itself must stay corpus-size-independent. mattr: a pure
+    // O(n·w) per-row array map — must be exactly linear, no shuffle.
+    // psi: one ntile pass + bin-keyed aggregation (the global-sort
+    // cost is the signal). cluster_eval: Lloyd fit/assign + |cells×
+    // labels| information frame — model-sized after one corpus pass.
+    "llm_stupid_backoff", "llm_retrieval_eval", "llm_mattr",
+    "llm_psi", "llm_cluster_eval",
+    // Microstructure family rides the events USER axis: the raw scan
+    // grows 10× but the per-(series,ts) dedup and hourly rollup keep
+    // the window/moment frames time-bounded — exponents near the scan
+    // slope certify nothing downstream grows. pairs_z/xcorr add the
+    // series²-bounded pair panel (constant here); rfm's per-user frame
+    // and global ntile DO grow with users — its exponent watches the
+    // three ranking sorts. vpoc/hurst re-measured post-r14-fix
+    // (checkpointed shared frames, exploded single window pass).
+    "ts_roll_spread", "ts_variance_ratio", "ts_runs_test",
+    "ts_ljung_box", "ts_range_vol", "ts_xcorr", "ts_pairs_z",
+    "ts_rfm", "ts_vpoc", "ts_hurst")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
