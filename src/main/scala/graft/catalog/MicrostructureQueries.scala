@@ -646,7 +646,167 @@ object MicrostructureQueries {
                        " / CAST(n_events AS DOUBLE) / 1000000.0")} AS car
        |FROM panel ORDER BY event_type, tau""".stripMargin
 
+  // --------------------------------------- Corwin–Schultz spread
+  /** Corwin & Schultz (JF 2012) high-low spread estimator per series:
+    * consecutive-day high-low ranges embed both variance (scales with
+    * time) and spread (doesn't), so β = Σ ln(h/l)² over two days vs
+    * γ = ln(H₂/L₂)² over the joined window separate them:
+    * α = (√(2β)−√β)/(3−2√2) − √(γ/(3−2√2)), s = 2(eᵅ−1)/(1+eᵅ).
+    * Daily OHLC is exact cents; each day-pair's s is one fixed float
+    * expression over exact integers (identical IEEE op order both
+    * engines), floor-quantized to nano-units BEFORE the per-series
+    * mean — negative-alpha pairs are kept as-is (the paper's "set to
+    * zero" variant is a downstream choice; reporting the raw mean
+    * keeps the estimator unbiased-comparable). One window lead over
+    * the daily frame, one keyed aggregation.
+    */
+  private def corwinSchultzQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tables
+    val daily = Tables.eventSeries(s, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy(col("event_type"),
+        expr("tus div 86400000000").as("day"))
+      .agg(cents(max(col("value"))).as("h"), cents(min(col("value"))).as("l"))
+      .filter(col("l") > 0L)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def lg(a: Column, b: Column): Column =
+      log(a.cast("double") / b.cast("double"))
+    val withNext = daily
+      .withColumn("h2", lead(col("h"), 1).over(w))
+      .withColumn("l2", lead(col("l"), 1).over(w))
+      .withColumn("d2", lead(col("day"), 1).over(w))
+      .filter(col("h2").isNotNull && col("d2") === col("day") + 1L)
+    val beta = lg(col("h"), col("l")) * lg(col("h"), col("l")) +
+      lg(col("h2"), col("l2")) * lg(col("h2"), col("l2"))
+    val gamma = lg(greatest(col("h"), col("h2")), least(col("l"), col("l2"))) *
+      lg(greatest(col("h"), col("h2")), least(col("l"), col("l2")))
+    val k = lit(3.0d) - lit(2.0d) * sqrt(lit(2.0d))
+    val alpha = (sqrt(lit(2.0d) * beta) - sqrt(beta)) / k - sqrt(gamma / k)
+    val spread = lit(2.0d) * (exp(alpha) - lit(1.0d)) / (lit(1.0d) + exp(alpha))
+    withNext
+      .withColumn("__sq", floor(spread * lit(1.0e9d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__sq")).as("__ss"))
+      .select(col("event_type"), col("n_pairs"),
+        r4(col("__ss").cast("double") / col("n_pairs").cast("double")
+          / lit(100000.0d)).as("cs_spread_e4"))
+      .orderBy(col("event_type"))
+  }
+
+  private val corwinSchultzSql: String = {
+    val lgHL = "ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
+    val lgHL2 = "ln(CAST(h2 AS DOUBLE) / CAST(l2 AS DOUBLE))"
+    val lgG = "ln(CAST(greatest(h, h2) AS DOUBLE) / CAST(least(l, l2) AS DOUBLE))"
+    val kSql = "(3.0 - 2.0 * sqrt(2.0))"
+    val betaSql = s"($lgHL * $lgHL + $lgHL2 * $lgHL2)"
+    val alphaSql = s"((sqrt(2.0 * $betaSql) - sqrt($betaSql)) / $kSql" +
+      s" - sqrt(($lgG * $lgG) / $kSql))"
+    s"""${TimeSeriesQueries.seriesCte}, daily AS (
+       |  SELECT event_type, tus // 86400000000 AS day,
+       |         ${centsSql("max(value)")} AS h, ${centsSql("min(value)")} AS l
+       |  FROM series GROUP BY 1, 2
+       |), p AS (
+       |  SELECT event_type, day, h, l,
+       |         lead(h) OVER w AS h2, lead(l) OVER w AS l2,
+       |         lead(day) OVER w AS d2
+       |  FROM daily WHERE l > 0
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |), q AS (
+       |  SELECT event_type,
+       |         CAST(floor(2.0 * (exp($alphaSql) - 1.0) / (1.0 + exp($alphaSql))
+       |              * 1000000000.0 + 0.5) AS BIGINT) AS sq
+       |  FROM p WHERE h2 IS NOT NULL AND d2 = day + 1
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       ${r4Sql("CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100000.0")} AS cs_spread_e4
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------- VPIN
+  /** VPIN — volume-synchronized probability of informed trading
+    * (Easley, López de Prado & O'Hara, RFS 2012): classify each
+    * hour's volume by the tick rule (sign of Δclose; zero-change
+    * inherits nothing and splits evenly, the paper's neutral
+    * handling), cut the flow into equal-VOLUME buckets of the
+    * series' total/50 (integer cumulative-volume division — exact,
+    * deterministic), and report VPIN = mean over buckets of
+    * |V_buy − V_sell| / V_bucket. Doubled volumes (×2) keep the even
+    * split of zero-change hours integer-exact. Toxic flow ⇒ VPIN → 1.
+    * One window pass (lag + cumulative sum), one bucket aggregation.
+    */
+  private def vpinQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    val flows = IndicatorQueries.hourlyOhlcQty(s, dir)
+      .withColumn("__p", lag(col("c"), 1).over(w))
+      .filter(col("__p").isNotNull && col("qty") > 0L)
+      .withColumn("v2", col("qty") * 2L)
+      .withColumn("buy2",
+        when(col("c") > col("__p"), col("qty") * 2L)
+          .when(col("c") < col("__p"), lit(0L))
+          .otherwise(col("qty")))
+      .withColumn("cum", sum(col("v2")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = flows.groupBy(col("event_type"))
+      .agg(sum(col("v2")).as("vt"))
+      .withColumn("bsize", greatest(expr("vt div 50"), lit(1L)))
+    flows.join(broadcast(tot), "event_type")
+      .withColumn("bucket", expr("(cum - 1) div bsize"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("buy2")).as("b"), sum(col("v2")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(floor(abs(col("b") * 2L - col("v")).cast("double")
+          / col("v").cast("double") * lit(1.0e9d) + lit(0.5d)).cast("long"))
+          .as("__sq"))
+      .select(col("event_type"), col("n_buckets"),
+        r4(col("__sq").cast("double") / col("n_buckets").cast("double")
+          / lit(1.0e9d)).as("vpin"))
+      .orderBy(col("event_type"))
+  }
+
+  private val vpinSql: String =
+    s"""${IndicatorQueries.hourlyCte}, q AS (
+       |  SELECT event_type,
+       |         ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000 AS bus,
+       |         CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS qty
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2
+       |), hq AS (
+       |  SELECT event_type, bus, c, coalesce(qty, 0) AS qty
+       |  FROM hourly LEFT JOIN q USING (event_type, bus)
+       |), fl AS (
+       |  SELECT event_type, bus, qty * 2 AS v2,
+       |         CASE WHEN c > p THEN qty * 2
+       |              WHEN c < p THEN 0 ELSE qty END AS buy2
+       |  FROM (SELECT event_type, bus, c, qty,
+       |               lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS p
+       |        FROM hq)
+       |  WHERE p IS NOT NULL AND qty > 0
+       |), cu AS (
+       |  SELECT event_type, v2, buy2,
+       |         CAST(sum(v2) OVER (PARTITION BY event_type ORDER BY bus
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT) AS cum
+       |  FROM fl
+       |), tot AS (
+       |  SELECT event_type, greatest(sum(v2) // 50, 1) AS bsize
+       |  FROM fl GROUP BY 1
+       |), bk AS (
+       |  SELECT c.event_type, (cum - 1) // bsize AS bucket,
+       |         CAST(sum(buy2) AS BIGINT) AS b, CAST(sum(v2) AS BIGINT) AS v
+       |  FROM cu c JOIN tot USING (event_type)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+       |       ${r4Sql("CAST(sum(CAST(floor(CAST(abs(b * 2 - v) AS DOUBLE)" +
+                       " / CAST(v AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+                       " / CAST(count(*) AS DOUBLE) / 1000000000.0")} AS vpin
+       |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_corwin_schultz" -> corwinSchultzQ,
+    "ts_vpin" -> vpinQ,
     "ts_event_study" -> eventStudyQ,
     "ts_roll_spread" -> rollSpreadQ,
     "ts_variance_ratio" -> varianceRatioQ,
@@ -658,6 +818,8 @@ object MicrostructureQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_corwin_schultz" -> corwinSchultzSql,
+    "ts_vpin" -> vpinSql,
     "ts_event_study" -> eventStudySql,
     "ts_roll_spread" -> rollSpreadSql,
     "ts_variance_ratio" -> varianceRatioSql,

@@ -135,6 +135,28 @@ class MicrostructureSpec extends SparkSpec {
     }
   }
 
+  test("vpin: in [0,1], bucket count near the 50-bucket design") {
+    val rows = run("ts_vpin")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("vpin")
+      assert(v >= 0.0 && v <= 1.0, s"VPIN out of range: $r")
+      val nb = r.getAs[Long]("n_buckets")
+      assert(nb >= 40L && nb <= 60L, s"bucket cut off target: $r")
+    }
+  }
+
+  test("corwin-schultz: defined for every series, magnitude sane") {
+    val rows = run("ts_corwin_schultz")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0L)
+      // e4-scaled spread: |s| < 10000 bp is the sanity bound; raw
+      // means can be negative (negative-alpha pairs kept, see scaladoc)
+      assert(math.abs(r.getAs[Double]("cs_spread_e4")) < 10000.0)
+    }
+  }
+
   test("rfm: segments partition the user base, averages are consistent") {
     val rows = graft.catalog.TimeSeriesQueries.queries("ts_rfm")(spark, sfDir).collect()
     assert(rows.nonEmpty)
