@@ -484,48 +484,50 @@ object MicrostructureQueries {
 
   // -------------------------------------------- pairs-trading z-score
   /** Pairs-trading screen per ordered series pair (a < b): the OLS
-    * hedge ratio β of b's close on a's (exact integer moments, one
-    * double division), then the z-score of the LAST hedge spread
-    * s_t = c_b − β·c_a against the spread's own history. Each row's
-    * spread is floor-quantized once to milli-cents (β is one shared
-    * double, the multiply is the same IEEE op per row in both
-    * engines), so the spread moments are exact integers and
-    * z = (n·s_T − Σs)/√(n·Σs² − (Σs)²) is an exact-integer rational
-    * under one final division. |z| > 2 is the classical entry signal.
-    * The paired frame is checkpointed — β and the spread pass both
-    * read it, and it is series²×hours, model-sized at any scale.
+    * hedge ratio β of b's close on a's, then the z-score of the LAST
+    * hedge spread s_t = c_b − β·c_a against the spread's own history.
+    * ONE aggregation over the paired frame carries every moment the
+    * spread distribution needs — Σc_a, Σc_b, Σc_a², Σc_b², Σc_a·c_b
+    * (exact decimal ↔ HUGEINT) plus the last closes by bus — because
+    * the spread moments expand algebraically: Σs = Σc_b − βΣc_a,
+    * Σs² = Σc_b² − 2βΣc_ac_b + β²Σc_a². β, the mean, the variance and
+    * z are then one fixed-order float expression over exact integers
+    * (identical IEEE ops in both engines; the round-14 two-pass
+    * quantized-spread form was measured at 1.6 s and replaced — the
+    * algebra removes the checkpoint AND the second pass). |z| > 2 is
+    * the classical entry signal. The paired frame is series²×hours —
+    * model-sized at any corpus scale.
     */
   private def pairsZQ(s: SparkSession, dir: String): DataFrame = {
     val h = hourly(s, dir)
     val a = h.select(col("event_type").as("a"), col("bus"), col("c").as("ca"))
     val b = h.select(col("event_type").as("b"), col("bus"), col("c").as("cb"))
-    val paired = a.join(b, "bus").filter(col("a") < col("b"))
-      .localCheckpoint(false)
-    val beta = paired.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("ca"))).as("sx"), sum(dec(col("cb"))).as("sy"),
-        sum(dec(col("ca")) * dec(col("ca"))).as("sxx"),
-        sum(dec(col("ca")) * dec(col("cb"))).as("sxy"))
-      .withColumn("__den", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
-      .filter(col("__den") > 0)
-      .select(col("a"), col("b"), col("n"),
-        ((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
-          / col("__den").cast("double")).as("beta"))
-    paired.join(broadcast(beta), Seq("a", "b"))
-      .withColumn("__s", floor(
-        (col("cb").cast("double") - col("beta") * col("ca").cast("double"))
-          * lit(1000.0d) + lit(0.5d)).cast("long"))
+    val mo = a.join(b, "bus").filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
-      .agg(first(col("n")).as("n"), first(col("beta")).as("__beta"),
-        count(lit(1)).as("__np"),
-        sum(dec(col("__s"))).as("ss"),
-        sum(dec(col("__s")) * dec(col("__s"))).as("sss"),
-        max_by(col("__s"), col("bus")).as("s_last"))
-      .withColumn("__var", dec(col("__np")) * col("sss") - col("ss") * col("ss"))
-      .filter(col("__var") > 0)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("ca"))).as("sxa"), sum(dec(col("cb"))).as("sxb"),
+        sum(dec(col("ca")) * dec(col("ca"))).as("saa"),
+        sum(dec(col("cb")) * dec(col("cb"))).as("sbb"),
+        sum(dec(col("ca")) * dec(col("cb"))).as("sab"),
+        max_by(col("ca"), col("bus")).as("ca_t"),
+        max_by(col("cb"), col("bus")).as("cb_t"))
+      .withColumn("__den", dec(col("n")) * col("saa") - col("sxa") * col("sxa"))
+      .filter(col("__den") > 0)
+    val nD = col("n").cast("double")
+    val beta = (dec(col("n")) * col("sab") - col("sxa") * col("sxb"))
+      .cast("double") / col("__den").cast("double")
+    val withBeta = mo.withColumn("__beta", beta)
+    val m = (col("sxb").cast("double") - col("__beta") * col("sxa").cast("double")) / nD
+    val ex2 = (col("sbb").cast("double")
+      - lit(2.0d) * col("__beta") * col("sab").cast("double")
+      + col("__beta") * col("__beta") * col("saa").cast("double")) / nD
+    val sT = col("cb_t").cast("double") - col("__beta") * col("ca_t").cast("double")
+    withBeta
+      .withColumn("__m", m)
+      .withColumn("__var", ex2 - col("__m") * col("__m"))
+      .filter(col("__var") > 0.0d)
       .select(col("a"), col("b"), col("n"), r4(col("__beta")).as("beta"),
-        r4((dec(col("__np")) * dec(col("s_last")) - col("ss")).cast("double")
-          / sqrt(col("__var").cast("double"))).as("z_last"))
+        r4((sT - col("__m")) / sqrt(col("__var"))).as("z_last"))
       .orderBy(col("a"), col("b"))
   }
 
@@ -534,34 +536,37 @@ object MicrostructureQueries {
        |  SELECT event_type AS a, bus, c AS ca FROM hourly
        |), pb AS (
        |  SELECT event_type AS b, bus, c AS cb FROM hourly
-       |), paired AS (
-       |  SELECT a, b, bus, ca, cb FROM pa JOIN pb USING (bus) WHERE a < b
-       |), beta AS (
+       |), mo AS (
        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n,
-       |         CAST(CAST(count(*) AS HUGEINT) * sum(CAST(ca AS HUGEINT) * cb)
-       |              - sum(CAST(ca AS HUGEINT)) * sum(CAST(cb AS HUGEINT)) AS DOUBLE)
-       |           / CAST(CAST(count(*) AS HUGEINT) * sum(CAST(ca AS HUGEINT) * ca)
-       |              - sum(CAST(ca AS HUGEINT)) * sum(CAST(ca AS HUGEINT)) AS DOUBLE) AS beta
-       |  FROM paired GROUP BY 1, 2
+       |         sum(CAST(ca AS HUGEINT)) AS sxa, sum(CAST(cb AS HUGEINT)) AS sxb,
+       |         sum(CAST(ca AS HUGEINT) * ca) AS saa,
+       |         sum(CAST(cb AS HUGEINT) * cb) AS sbb,
+       |         sum(CAST(ca AS HUGEINT) * cb) AS sab,
+       |         max_by(ca, bus) AS ca_t, max_by(cb, bus) AS cb_t
+       |  FROM pa JOIN pb USING (bus) WHERE a < b
+       |  GROUP BY 1, 2
        |  HAVING CAST(count(*) AS HUGEINT) * sum(CAST(ca AS HUGEINT) * ca)
        |         - sum(CAST(ca AS HUGEINT)) * sum(CAST(ca AS HUGEINT)) > 0
-       |), sp AS (
-       |  SELECT p.a, p.b, n, beta, p.bus,
-       |         CAST(floor((CAST(cb AS DOUBLE) - beta * CAST(ca AS DOUBLE))
-       |              * 1000.0 + 0.5) AS BIGINT) AS s
-       |  FROM paired p JOIN beta USING (a, b)
-       |), mo AS (
-       |  SELECT a, b, any_value(n) AS n, any_value(beta) AS beta,
-       |         CAST(count(*) AS BIGINT) AS np,
-       |         sum(CAST(s AS HUGEINT)) AS ss,
-       |         sum(CAST(s AS HUGEINT) * s) AS sss,
-       |         max_by(s, bus) AS s_last
-       |  FROM sp GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT a, b, n,
+       |         CAST(CAST(n AS HUGEINT) * sab - sxa * sxb AS DOUBLE)
+       |           / CAST(CAST(n AS HUGEINT) * saa - sxa * sxa AS DOUBLE) AS beta,
+       |         CAST(sxa AS DOUBLE) AS sxad, CAST(sxb AS DOUBLE) AS sxbd,
+       |         CAST(saa AS DOUBLE) AS saad, CAST(sbb AS DOUBLE) AS sbbd,
+       |         CAST(sab AS DOUBLE) AS sabd,
+       |         CAST(ca_t AS DOUBLE) AS cat, CAST(cb_t AS DOUBLE) AS cbt
+       |  FROM mo
+       |), z AS (
+       |  SELECT a, b, n, beta,
+       |         (sxbd - beta * sxad) / CAST(n AS DOUBLE) AS m,
+       |         (sbbd - 2.0 * beta * sabd + beta * beta * saad)
+       |           / CAST(n AS DOUBLE) AS ex2,
+       |         cbt - beta * cat AS st
+       |  FROM sc
        |)
        |SELECT a, b, n, ${r4Sql("beta")} AS beta,
-       |       ${r4Sql("CAST(CAST(np AS HUGEINT) * s_last - ss AS DOUBLE)" +
-                       " / sqrt(CAST(CAST(np AS HUGEINT) * sss - ss * ss AS DOUBLE))")} AS z_last
-       |FROM mo WHERE CAST(np AS HUGEINT) * sss - ss * ss > 0
+       |       ${r4Sql("(st - m) / sqrt(ex2 - m * m)")} AS z_last
+       |FROM z WHERE ex2 - m * m > 0.0
        |ORDER BY a, b""".stripMargin
 
   // ------------------------------------------------------ event study
@@ -746,6 +751,11 @@ object MicrostructureQueries {
           .otherwise(col("qty")))
       .withColumn("cum", sum(col("v2")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // flows feeds BOTH the per-series total (bucket sizing) and the
+      // bucket cut join — localCheckpoint stops the events→hourly→
+      // window pipeline running twice (the ts_vpoc lesson; flows is
+      // one row per (series, hour))
+      .localCheckpoint(false)
     val tot = flows.groupBy(col("event_type"))
       .agg(sum(col("v2")).as("vt"))
       .withColumn("bsize", greatest(expr("vt div 50"), lit(1L)))
