@@ -328,6 +328,58 @@ object LlmQueries {
        |SELECT label AS canon_id, count(*) AS n_members, max(id) AS max_member
        |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- near-dup graph stats
+  /** [[GraphOps.triangleStats]] over the MinHash near-dup pair graph
+    * (same ≥ 0.5-Jaccard pairs as `llm_dedup_clusters`): exact
+    * triangle count by the degree-oriented node-iterator (Schank &
+    * Wagner 2005 / Suri & Vassilvitskii WWW'11 — wedge generation
+    * bounded O(m^1.5) by orienting every edge toward the higher
+    * (degree, id) endpoint) plus the global clustering coefficient.
+    * High GCC on a duplicate graph means near-dup sets are CLIQUES
+    * (true duplicate groups); low GCC flags chain-shaped false
+    * positives from band collisions. The oracle reproduces the
+    * orientation + wedge-close joins verbatim over the shared pairs
+    * CTE.
+    */
+  private def graphStatsQ(s: SparkSession, d: String): DataFrame =
+    GraphOps.triangleStats(minhashPairs(s, d), col("id_a"), col("id_b"))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"), r4(col("gcc")).as("gcc"))
+
+  private val graphStatsSql: String =
+    s"""WITH $mhPairsCtes, pe AS (
+       |  SELECT i.id_a AS x, i.id_b AS y
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a
+       |  JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
+       |), deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT x AS id FROM pe UNION ALL SELECT y FROM pe)
+       |  GROUP BY 1
+       |), ori AS (
+       |  SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+       |              THEN e.x ELSE e.y END AS src,
+       |         CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+       |              THEN e.y ELSE e.x END AS dst
+       |  FROM pe e JOIN deg dx ON dx.id = e.x JOIN deg dy ON dy.id = e.y
+       |), wedge AS (
+       |  SELECT a.src, a.dst AS d1, b.dst AS d2
+       |  FROM ori a JOIN ori b ON a.src = b.src AND a.dst < b.dst
+       |), tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM wedge w WHERE EXISTS (
+       |    SELECT 1 FROM pe WHERE pe.x = w.d1 AND pe.y = w.d2)
+       |), nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg
+       |), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pe)
+       |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       |       ${r4Sql("CASE WHEN n_wedges > 0 THEN 3.0 * CAST(n_triangles AS DOUBLE)" +
+                       " / CAST(n_wedges AS DOUBLE) ELSE 0.0 END")} AS gcc
+       |FROM nn CROSS JOIN ne CROSS JOIN tri""".stripMargin
+
   // --------------------------------------- quality-aware survivor pick
   /** [[Dedup.keepBest]] over the MinHash near-dup clusters: each
     * cluster keeps its HIGHEST-quality member (stopword-ratio score,
@@ -4585,6 +4637,7 @@ object LlmQueries {
     "llm_weighted_sample" -> weightedSampleQ,
     "llm_ccnet_buckets" -> ccnetBuckets,
     "llm_dedup_clusters" -> dedupClusters,
+    "llm_graph_stats"  -> graphStatsQ,
     "llm_keep_best"    -> keepBestQ,
     "llm_corpus_diff"  -> corpusDiffQ,
     "llm_components_chain" -> componentsChain,
@@ -4679,6 +4732,7 @@ object LlmQueries {
     "llm_weighted_sample" -> weightedSampleSql,
     "llm_ccnet_buckets" -> ccnetBucketsSql,
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_graph_stats"  -> graphStatsSql,
     "llm_keep_best"    -> keepBestSql,
     "llm_corpus_diff"  -> corpusDiffSql,
     "llm_components_chain" -> componentsChainSql,

@@ -814,7 +814,65 @@ object MicrostructureQueries {
                        " / CAST(count(*) AS DOUBLE) / 1000000000.0")} AS vpin
        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ time underwater
+  /** Drawdown duration — the risk dimension `ts_drawdown`'s depth
+    * number misses: how LONG the series sits below its running peak.
+    * Underwater = close strictly below the running max; runs found by
+    * the gaps-and-islands identity (global row index minus underwater
+    * row index is constant within a run — exact integers, one window
+    * pass each). Reports the longest run, the total underwater share,
+    * and the count of distinct underwater spells.
+    */
+  private def underwaterQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    val uw = hourly(s, dir)
+      .withColumn("__pk", max(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("c") < col("__pk"))
+      .withColumn("__rnu", row_number().over(w))
+      .withColumn("__grp", col("__rn") - col("__rnu"))
+    uw.groupBy(col("event_type"), col("__grp"))
+      .agg(count(lit(1)).as("__len"), first(col("__n")).as("__n"))
+      .groupBy(col("event_type"))
+      .agg(first(col("__n")).as("n"),
+        sum(col("__len")).as("n_underwater"),
+        max(col("__len")).as("max_spell_h"),
+        count(lit(1)).as("n_spells"))
+      .select(col("event_type"), col("n"), col("n_underwater"),
+        col("max_spell_h"), col("n_spells"),
+        r4(col("n_underwater").cast("double") / col("n").cast("double"))
+          .as("underwater_share"))
+      .orderBy(col("event_type"))
+  }
+
+  private val underwaterSql: String =
+    s"""$hourlyCte, pk AS (
+       |  SELECT event_type, bus, c,
+       |         max(c) OVER (PARTITION BY event_type ORDER BY bus
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY bus) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM hourly
+       |), uw AS (
+       |  SELECT event_type, n, rn,
+       |         rn - row_number() OVER (PARTITION BY event_type ORDER BY bus) AS grp
+       |  FROM pk WHERE c < p
+       |), runs AS (
+       |  SELECT event_type, grp, CAST(count(*) AS BIGINT) AS len,
+       |         any_value(n) AS n
+       |  FROM uw GROUP BY 1, 2
+       |)
+       |SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+       |       CAST(sum(len) AS BIGINT) AS n_underwater,
+       |       CAST(max(len) AS BIGINT) AS max_spell_h,
+       |       CAST(count(*) AS BIGINT) AS n_spells,
+       |       ${r4Sql("CAST(sum(len) AS DOUBLE) / CAST(any_value(n) AS DOUBLE)")} AS underwater_share
+       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_underwater" -> underwaterQ,
     "ts_corwin_schultz" -> corwinSchultzQ,
     "ts_vpin" -> vpinQ,
     "ts_event_study" -> eventStudyQ,
@@ -828,6 +886,7 @@ object MicrostructureQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_underwater" -> underwaterSql,
     "ts_corwin_schultz" -> corwinSchultzSql,
     "ts_vpin" -> vpinSql,
     "ts_event_study" -> eventStudySql,

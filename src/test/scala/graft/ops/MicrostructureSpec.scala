@@ -135,6 +135,21 @@ class MicrostructureSpec extends SparkSpec {
     }
   }
 
+  test("underwater: spell arithmetic is internally consistent") {
+    val rows = run("ts_underwater")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val uw = r.getAs[Long]("n_underwater")
+      val mx = r.getAs[Long]("max_spell_h"); val sp = r.getAs[Long]("n_spells")
+      assert(uw <= n && mx <= uw && sp >= 1L && sp <= uw)
+      // spells × max ≥ total underwater only if max is the longest;
+      // the tight invariant: uw ≥ sp (each spell ≥ 1) and uw ≤ sp·mx
+      assert(uw <= sp * mx)
+      assert(math.abs(r.getAs[Double]("underwater_share") -
+        math.floor(uw.toDouble / n * 1e4 + 0.5) / 1e4) < 1e-9)
+    }
+  }
+
   test("vpin: in [0,1], bucket count near the 50-bucket design") {
     val rows = run("ts_vpin")
     assert(rows.nonEmpty)
