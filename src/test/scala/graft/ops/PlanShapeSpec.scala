@@ -255,6 +255,35 @@ class PlanShapeSpec extends SparkSpec {
       s"per-ts dedup and hourly bucket agg share the byKey exchange:\n${p.take(4000)}")
   }
 
+  test("ts_vpoc: per-key singleton joins as BroadcastHashJoin (the r14 fix)") {
+    val df = graft.catalog.IndicatorQueries.queries("ts_vpoc")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"vpoc's tot frame must broadcast:\n${p.take(4000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"vpoc must not sort-merge a 5-row frame:\n${p.take(4000)}")
+  }
+
+  test("ts_pairs_z: single aggregation — no second pass, no checkpoint scan") {
+    val df = graft.catalog.MicrostructureQueries.queries("ts_pairs_z")(spark, sfDir)
+    val p = plan(df)
+    // the moment-algebra form has exactly one HashAggregate pair over
+    // the paired frame (partial+final) — a reappearing second
+    // aggregate over (a, b) means the two-pass spread form crept back
+    val aggs = p.linesIterator.count(l => l.contains("HashAggregate") &&
+      l.contains("keys=[a"))
+    assert(aggs <= 2, s"pairs_z must aggregate the pairs once:\n${p.take(4000)}")
+  }
+
+  test("triangleStats: wedge close is a semi-join, never a full join") {
+    val edges = (for (i <- 1L to 10L; j <- (i + 1) to 10L if (i + j) % 3 != 0)
+      yield (i, j)).toDF("id_a", "id_b")
+    val out = graft.llm.GraphOps.triangleStats(edges, col("id_a"), col("id_b"))
+    val p = plan(out)
+    assert(p.contains("LeftSemi"),
+      s"triangle close must stay a semi-join:\n${p.take(4000)}")
+  }
+
   test("binary-quant ANN: both cuts plan as TakeOrderedAndProject, never a full sort") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val out = graft.llm.Similarity.signBitTopK(emb, col("vec_id"),
