@@ -30,6 +30,7 @@ object SparkEntry {
       (CurationQueries.queries, CurationQueries.oracleSql),
       (MicrostructureQueries.queries, MicrostructureQueries.oracleSql),
       (LexicalQueries.queries, LexicalQueries.oracleSql),
+      (SimGraphQueries.queries, SimGraphQueries.oracleSql),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -67,6 +67,83 @@ object GraphOps {
     deg.select(col("src").as("id"), col("deg")).join(ranks, Seq("id"))
   }
 
+  /** Fixed-iteration HITS (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment", JACM 1999) over a DIRECTED edge list:
+    * authority(v) = Σ hub(u) over in-edges u→v, hub(u) = Σ
+    * authority(v) over out-edges, alternating, each vector
+    * L1-normalized per half-step. On a near-dup graph oriented
+    * later→earlier ("copied from"), authorities are canonical source
+    * documents and hubs are prolific re-packagers — the curation
+    * signal PageRank's undirected rank blurs.
+    *
+    * Determinism (the [[pageRank]] discipline): every contribution is
+    * floor-quantized to integer pico-units before the keyed sum, and
+    * the L1 normalizer is itself the integer sum of those quanta, so
+    * each half-step's vector is one exact-integer ratio per node —
+    * bit-identical in any engine. Scale: per half-step, one
+    * edges⋈scores equi-join + one keyed integer sum; score frames
+    * (|V| rows) are localCheckpoint'd per iteration to bound lineage.
+    *
+    * Returns (id, out_deg, in_deg, hub, auth) for every node in the
+    * edge list; nodes without out-edges carry hub 0, without
+    * in-edges auth 0.
+    */
+  def hits(pairs: DataFrame, srcC: Column, dstC: Column,
+           iters: Int): DataFrame = {
+    val edges = pairs
+      .select(srcC.cast("long").as("src"), dstC.cast("long").as("dst"))
+      .distinct().localCheckpoint(false)
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("_d")).drop("_d")
+      .localCheckpoint(false)
+    var hub = nodes.withColumn("h", lit(1.0d))
+    var auth = nodes.withColumn("a", lit(1.0d))
+    for (_ <- 1 to iters) {
+      val aq = edges
+        .join(hub.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"),
+          floor(col("h") * lit(1e12d)).cast("long").as("q"))
+        .groupBy(col("dst")).agg(sum(col("q")).as("sq"))
+        .localCheckpoint(false)
+      val asum = aq.agg(sum(col("sq")).as("s"))
+      auth = nodes
+        .join(aq.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(asum))
+        .select(col("id"),
+          (coalesce(col("sq"), lit(0L)).cast("double")
+            / col("s").cast("double")).as("a"))
+        .localCheckpoint(false)
+      val hq = edges
+        .join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src"),
+          floor(col("a") * lit(1e12d)).cast("long").as("q"))
+        .groupBy(col("src")).agg(sum(col("q")).as("sq"))
+        .localCheckpoint(false)
+      val hsum = hq.agg(sum(col("sq")).as("s"))
+      hub = nodes
+        .join(hq.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(hsum))
+        .select(col("id"),
+          (coalesce(col("sq"), lit(0L)).cast("double")
+            / col("s").cast("double")).as("h"))
+        .localCheckpoint(false)
+    }
+    val outDeg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inDeg = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_deg"))
+    nodes
+      .join(outDeg, Seq("id"), "left")
+      .join(inDeg, Seq("id"), "left")
+      .join(hub, Seq("id"))
+      .join(auth, Seq("id"))
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("h"), col("a"))
+  }
+
   /** Exact triangle count + global clustering coefficient over an
     * undirected unique pair list (id_a < id_b) — the degree-oriented
     * node-iterator (Schank & Wagner 2005; the MapReduce form is Suri &

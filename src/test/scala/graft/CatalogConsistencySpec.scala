@@ -27,7 +27,8 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "IndicatorQueries" -> catalog.IndicatorQueries.queries.keySet,
       "CurationQueries" -> catalog.CurationQueries.queries.keySet,
       "MicrostructureQueries" -> catalog.MicrostructureQueries.queries.keySet,
-      "LexicalQueries" -> catalog.LexicalQueries.queries.keySet)
+      "LexicalQueries" -> catalog.LexicalQueries.queries.keySet,
+      "SimGraphQueries" -> catalog.SimGraphQueries.queries.keySet)
     for (Seq((na, a), (nb, b)) <- subs.combinations(2)) {
       val dup = a & b
       assert(dup.isEmpty, s"$na and $nb both define: ${dup.toSeq.sorted}")
