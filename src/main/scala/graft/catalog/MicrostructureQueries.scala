@@ -871,7 +871,129 @@ object MicrostructureQueries {
        |       ${r4Sql("CAST(sum(len) AS DOUBLE) / CAST(any_value(n) AS DOUBLE)")} AS underwater_share
        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ Granger lead-lag
+  /** Granger-style lag-1 lead-lag test (Granger, Econometrica 1969)
+    * for every ordered series pair (src, tgt): does src's PREVIOUS
+    * hourly price change improve the AR(1) prediction of tgt's
+    * current change? Restricted model dy_t ~ dy_{t-1}; full model
+    * adds dx_{t-1}; F = (RSS_r − RSS_f)·(n−3)/RSS_f with 1 numerator
+    * df. The directional counterpart of `ts_xcorr`'s symmetric panel.
+    *
+    * Exactness: changes are exact cent Longs; the 2×2 normal
+    * equations are solved from scaled centered moments
+    * M_ab = n·Σab − Σa·Σb held in decimal/HUGEINT, each cast to
+    * double exactly once, so β's, RSS's and F are the same fixed
+    * float expression in both engines. n·RSS scaling cancels in F.
+    */
+  private def grangerQ(s: SparkSession, dir: String): DataFrame = {
+    val wlag = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    val dd = hourly(s, dir)
+      .withColumn("d", col("c") - lag(col("c"), 1).over(wlag))
+      .withColumn("d1", lag(col("d"), 1).over(wlag))
+      .filter(col("d").isNotNull && col("d1").isNotNull)
+      .localCheckpoint(false) // consumed as target AND predictor side
+    val yf = dd.select(col("event_type").as("tgt"), col("bus"),
+      col("d").as("dy"), col("d1").as("dy1"))
+    val xf = dd.select(col("event_type").as("src"), col("bus"),
+      col("d1").as("dx1"))
+    val mo = yf.join(xf, Seq("bus")).filter(col("src") =!= col("tgt"))
+      .groupBy(col("src"), col("tgt"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("dy"))).as("sy"),
+        sum(dec(col("dy1"))).as("sy1"),
+        sum(dec(col("dx1"))).as("sx1"),
+        sum(dec(col("dy")) * dec(col("dy"))).as("syy"),
+        sum(dec(col("dy")) * dec(col("dy1"))).as("syy1"),
+        sum(dec(col("dy")) * dec(col("dx1"))).as("syx1"),
+        sum(dec(col("dy1")) * dec(col("dy1"))).as("sy1y1"),
+        sum(dec(col("dx1")) * dec(col("dx1"))).as("sx1x1"),
+        sum(dec(col("dy1")) * dec(col("dx1"))).as("sy1x1"))
+      .filter(col("n") > 3)
+    def m(sab: Column, sa: Column, sb: Column): Column =
+      (dec(col("n")) * sab - sa * sb).cast("double")
+    val withM = mo
+      .withColumn("myy",   m(col("syy"),   col("sy"),  col("sy")))
+      .withColumn("myy1",  m(col("syy1"),  col("sy"),  col("sy1")))
+      .withColumn("myx1",  m(col("syx1"),  col("sy"),  col("sx1")))
+      .withColumn("my1y1", m(col("sy1y1"), col("sy1"), col("sy1")))
+      .withColumn("mx1x1", m(col("sx1x1"), col("sx1"), col("sx1")))
+      .withColumn("my1x1", m(col("sy1x1"), col("sy1"), col("sx1")))
+      .withColumn("det",
+        col("my1y1") * col("mx1x1") - col("my1x1") * col("my1x1"))
+      .filter(col("my1y1") > 0.0d && col("det") > 0.0d)
+      .withColumn("b",
+        (col("myy1") * col("mx1x1") - col("myx1") * col("my1x1")) / col("det"))
+      .withColumn("cx",
+        (col("myx1") * col("my1y1") - col("myy1") * col("my1x1")) / col("det"))
+      .withColumn("rss_r",
+        col("myy") - col("myy1") * col("myy1") / col("my1y1"))
+      .withColumn("rss_f",
+        col("myy") - (col("b") * col("myy1") + col("cx") * col("myx1")))
+      .filter(col("rss_f") > 0.0d)
+    withM.select(col("src"), col("tgt"), col("n"),
+        r4(col("b")).as("beta_ar"), r4(col("cx")).as("beta_x"),
+        r4((col("rss_r") - col("rss_f"))
+          * (col("n").cast("double") - lit(3.0d)) / col("rss_f")).as("f_stat"))
+      .orderBy(col("src"), col("tgt"))
+  }
+
+  private val grangerSql: String =
+    s"""$hourlyCte, gd AS (
+       |  SELECT event_type, bus,
+       |         c - lag(c) OVER (PARTITION BY event_type ORDER BY bus) AS d
+       |  FROM hourly
+       |), gdd AS (
+       |  SELECT event_type, bus, d,
+       |         lag(d) OVER (PARTITION BY event_type ORDER BY bus) AS d1
+       |  FROM gd
+       |), gv AS (
+       |  SELECT event_type, bus, d, d1 FROM gdd
+       |  WHERE d IS NOT NULL AND d1 IS NOT NULL
+       |), gmo AS (
+       |  SELECT x.event_type AS src, y.event_type AS tgt,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(y.d AS HUGEINT)) AS sy,
+       |         sum(CAST(y.d1 AS HUGEINT)) AS sy1,
+       |         sum(CAST(x.d1 AS HUGEINT)) AS sx1,
+       |         sum(CAST(y.d AS HUGEINT) * y.d) AS syy,
+       |         sum(CAST(y.d AS HUGEINT) * y.d1) AS syy1,
+       |         sum(CAST(y.d AS HUGEINT) * x.d1) AS syx1,
+       |         sum(CAST(y.d1 AS HUGEINT) * y.d1) AS sy1y1,
+       |         sum(CAST(x.d1 AS HUGEINT) * x.d1) AS sx1x1,
+       |         sum(CAST(y.d1 AS HUGEINT) * x.d1) AS sy1x1
+       |  FROM gv y JOIN gv x USING (bus)
+       |  WHERE x.event_type <> y.event_type
+       |  GROUP BY 1, 2 HAVING count(*) > 3
+       |), gm AS (
+       |  SELECT src, tgt, n,
+       |         CAST(n * syy  - sy  * sy  AS DOUBLE) AS myy,
+       |         CAST(n * syy1 - sy  * sy1 AS DOUBLE) AS myy1,
+       |         CAST(n * syx1 - sy  * sx1 AS DOUBLE) AS myx1,
+       |         CAST(n * sy1y1 - sy1 * sy1 AS DOUBLE) AS my1y1,
+       |         CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE) AS mx1x1,
+       |         CAST(n * sy1x1 - sy1 * sx1 AS DOUBLE) AS my1x1
+       |  FROM gmo
+       |), gb AS (
+       |  SELECT src, tgt, n, myy, myy1, myx1, my1y1,
+       |         (myy1 * mx1x1 - myx1 * my1x1)
+       |           / (my1y1 * mx1x1 - my1x1 * my1x1) AS b,
+       |         (myx1 * my1y1 - myy1 * my1x1)
+       |           / (my1y1 * mx1x1 - my1x1 * my1x1) AS cx
+       |  FROM gm
+       |  WHERE my1y1 > 0 AND (my1y1 * mx1x1 - my1x1 * my1x1) > 0
+       |), gr AS (
+       |  SELECT src, tgt, n, b, cx,
+       |         myy - myy1 * myy1 / my1y1 AS rss_r,
+       |         myy - (b * myy1 + cx * myx1) AS rss_f
+       |  FROM gb
+       |)
+       |SELECT src, tgt, n, ${r4Sql("b")} AS beta_ar, ${r4Sql("cx")} AS beta_x,
+       |       ${r4Sql("(rss_r - rss_f) * (CAST(n AS DOUBLE) - 3.0) / rss_f")} AS f_stat
+       |FROM gr WHERE rss_f > 0
+       |ORDER BY src, tgt""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_granger" -> grangerQ,
     "ts_underwater" -> underwaterQ,
     "ts_corwin_schultz" -> corwinSchultzQ,
     "ts_vpin" -> vpinQ,
@@ -886,6 +1008,7 @@ object MicrostructureQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_granger" -> grangerSql,
     "ts_underwater" -> underwaterSql,
     "ts_corwin_schultz" -> corwinSchultzSql,
     "ts_vpin" -> vpinSql,

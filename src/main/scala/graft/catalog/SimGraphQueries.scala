@@ -157,6 +157,69 @@ object SimGraphQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------- label propagation
+  /** [[GraphOps.labelPropagate]] (2 rounds) over the thresholded
+    * MinHash near-dup graph: seeds are the `lang` labels of base
+    * documents with doc_id % 3 ≠ 0 (a third held out, and the planted
+    * +100000 copies are unlabeled by construction), so the rounds do
+    * real recovery work — a near-copy of a labeled document inherits
+    * its language without a classifier. Majority vote, (count desc,
+    * label asc) tie-break, all-integer.
+    */
+  private def labelPropQ(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("lang"))
+    GraphOps.labelPropagate(LlmQueries.minhashPairs(s, d),
+        col("id_a"), col("id_b"), seeds, col("doc_id"), col("lang"),
+        rounds = 2)
+      .select(col("id").as("doc_id"), col("label"), col("is_seed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val labelPropSql: String = {
+    val round = (1 to 2).map { k =>
+      s"""nb$k AS MATERIALIZED (
+         |  SELECT e.y AS id, l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM lsym e JOIN l${k - 1} l ON l.id = e.x GROUP BY 1, 2
+         |), md$k AS MATERIALIZED (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |           row_number() OVER (PARTITION BY id
+         |                              ORDER BY c DESC, label) AS rn
+         |    FROM nb$k) WHERE rn = 1
+         |), l$k AS MATERIALIZED (
+         |  SELECT id, label FROM l0
+         |  UNION ALL
+         |  SELECT m.id, m.label FROM md$k m
+         |  LEFT JOIN l0 s ON s.id = m.id WHERE s.id IS NULL
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${LlmQueries.mhPairsCtes}, lp AS MATERIALIZED (
+       |  SELECT i.id_a, i.id_b
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a
+       |  JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
+       |), lsym AS MATERIALIZED (
+       |  SELECT id_a AS x, id_b AS y FROM lp
+       |  UNION
+       |  SELECT id_b, id_a FROM lp
+       |), lnodes AS MATERIALIZED (
+       |  SELECT DISTINCT x AS id FROM lsym
+       |), l0 AS MATERIALIZED (
+       |  SELECT n.id, dd.lang AS label
+       |  FROM lnodes n JOIN documents dd ON dd.doc_id = n.id
+       |  WHERE dd.doc_id % 3 <> 0
+       |), $round
+       |SELECT n.id AS doc_id, l.label,
+       |       (s.id IS NOT NULL) AS is_seed
+       |FROM lnodes n
+       |LEFT JOIN l2 l ON l.id = n.id
+       |LEFT JOIN l0 s ON s.id = n.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- readability
   /** Flesch reading ease + Flesch-Kincaid grade per document (Flesch
     * 1948; Kincaid et al. 1975), with the standard deterministic
@@ -277,6 +340,7 @@ object SimGraphQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_allpairs_sim" -> allPairsQ,
     "llm_hits"         -> hitsQ,
+    "llm_label_prop"   -> labelPropQ,
     "llm_readability"  -> readabilityQ,
     "ts_gini"          -> giniQ,
   )
@@ -284,6 +348,7 @@ object SimGraphQueries {
   def oracleSql: Map[String, String] = Map(
     "llm_allpairs_sim" -> allPairsSql,
     "llm_hits"         -> hitsSql,
+    "llm_label_prop"   -> labelPropSql,
     "llm_readability"  -> readabilitySql,
     "ts_gini"          -> giniSql,
   )

@@ -144,6 +144,62 @@ object GraphOps {
         col("h"), col("a"))
   }
 
+  /** Fixed-round semi-supervised label propagation (Zhu & Ghahramani
+    * 2002, the hard-label form; community flavor is Raghavan et al.
+    * 2007) over an UNDIRECTED pair list: seed nodes keep their labels
+    * forever; every other node takes, each synchronous round, the
+    * MAJORITY label among its currently-labeled neighbors with the
+    * deterministic (count desc, label asc) tie-break. The
+    * training-data use: densify weak labels (language, source,
+    * quality tier) through duplicate clusters — a near-copy of a
+    * labeled document inherits its label without a model.
+    *
+    * Determinism: label choice is an integer count argmax with a
+    * total tie order — no floats anywhere. Scale: per round, one
+    * edges⋈labels equi-join, one (node,label) count, one per-node
+    * top-1 (WindowGroupLimit-able); label frames localCheckpoint'd
+    * per round so lineage stays bounded.
+    *
+    * Returns (id, label, is_seed) for every node in the edge list;
+    * label is null for nodes no labeled neighbor ever reached.
+    */
+  def labelPropagate(pairs: DataFrame, a: Column, b: Column,
+                     seeds: DataFrame, seedId: Column, seedLabel: Column,
+                     rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
+    val edges = e0
+      .unionByName(e0.select(col("y").as("x"), col("x").as("y")))
+      .distinct().localCheckpoint(false)
+    val nodes = edges.select(col("x").as("id")).distinct()
+      .localCheckpoint(false)
+    // seeds restricted to graph nodes: off-graph labels can't spread
+    val seedsDf = seeds
+      .select(seedId.cast("long").as("id"), seedLabel.as("label"))
+      .join(nodes, Seq("id"), "left_semi")
+      .localCheckpoint(false)
+    var labels = seedsDf
+    for (_ <- 1 to rounds) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "x"), Seq("x"))
+        .groupBy(col("y").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val top = Window.partitionBy(col("id"))
+        .orderBy(col("c").desc, col("label").asc)
+      val mode = nbr.withColumn("rn", row_number().over(top))
+        .filter(col("rn") === 1).select(col("id"), col("label"))
+      labels = seedsDf
+        .unionByName(mode.join(seedsDf, Seq("id"), "left_anti"))
+        .localCheckpoint(false)
+    }
+    nodes
+      .join(labels, Seq("id"), "left")
+      .join(seedsDf.select(col("id"), lit(true).as("is_seed")),
+        Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+  }
+
   /** Exact triangle count + global clustering coefficient over an
     * undirected unique pair list (id_a < id_b) — the degree-oriented
     * node-iterator (Schank & Wagner 2005; the MapReduce form is Suri &
