@@ -51,20 +51,28 @@ object AllPairs {
   def cosinePairs(docs: DataFrame, id: Column, words: Column, t: Double,
                   dfMin: Long, dfMax: Long): DataFrame = {
     require(t > 0d && t < 1d, s"threshold must be in (0,1), got $t")
-    val tok = docs.select(id.as("id"), explode(words).as("g"))
+    // Exchange-lean build (measured: the join-based df/norm chain was
+    // 5 serial exchanges ≈ 6 s warm at sf0.1; this is 3): one (id,g)
+    // count, one g-keyed window for df, then ONE id-keyed exchange
+    // carrying both the full-partition norm and the ordered
+    // suffix-mass scan.
+    // explode_OUTER, not explode: the plain generator makes
+    // InferFiltersFromGenerate synthesize `size(words)>0 AND
+    // isnotnull(words)` below the Generate, and predicate pushdown
+    // carries that through the union and the fanOut exchange down to
+    // the single-split SCAN — where it re-evaluates the whole
+    // shingling chain per row, interpreted, single-threaded (jstack'd:
+    // StringSplit/ArrayTransform/ArrayJoin inside a pushed Filter;
+    // 4.3 s + 2.0 s one-task stages at sf0.1, 60% of the query). The
+    // outer generator infers nothing; the cheap null filter on the
+    // generated attribute runs above the exchange.
+    val tok = docs.select(id.as("id"), explode_outer(words).as("g"))
+      .filter(col("g").isNotNull)
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
-    val dfq = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= dfMin && col("df") <= dfMax)
-    val kept = tok.join(dfq, Seq("g"))
-    val nrm = kept.groupBy(col("id"))
-      .agg(sum(col("c") * col("c")).as("n2"))
-    // Integer micro-unit weights; consumed by the prefix pass, the
-    // candidate probe side, and both verify legs — checkpoint once.
-    val w = kept.join(nrm, Seq("id"))
-      .select(col("id"), col("g"), col("df"),
-        floor(col("c").cast("double") / sqrt(col("n2").cast("double"))
-          * lit(1e6d) + lit(0.5d)).cast("long").as("wq"))
-      .localCheckpoint(false)
+    val byG = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byId = Window.partitionBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // Inclusive suffix mass in rarity order: cumulative Σwq² with the
     // COMMONEST feature first means each row sees the total mass of
     // itself plus every rarer feature — exactly ‖suffix starting
@@ -73,22 +81,51 @@ object AllPairs {
       .orderBy(col("df").desc, col("g").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tq = (t - 1e-3d) * 1e6d
-    val prefix = w
+    // Weights + prefix flag in one frame; consumed by the candidate
+    // join (both sides) and the verify vectors — checkpoint once.
+    val w = tok
+      .withColumn("df", count(lit(1)).over(byG))
+      .filter(col("df") >= dfMin && col("df") <= dfMax)
+      .withColumn("n2", sum(col("c") * col("c")).over(byId))
+      .withColumn("wq",
+        floor(col("c").cast("double") / sqrt(col("n2").cast("double"))
+          * lit(1e6d) + lit(0.5d)).cast("long"))
       .withColumn("ssq", sum(col("wq") * col("wq")).over(byCommonFirst))
-      .filter(col("ssq").cast("double") >= lit(tq * tq))
-      .select(col("id"), col("g"))
-    val cand = prefix.as("p")
+      .select(col("id"), col("g"), col("wq"),
+        (col("ssq").cast("double") >= lit(tq * tq)).as("pfx"))
+      .localCheckpoint(true)
+    val cand = w.filter(col("pfx")).select(col("id"), col("g")).as("p")
       .join(w.select(col("id"), col("g")).as("f"),
         col("p.g") === col("f.g") && col("p.id") < col("f.id"))
       .select(col("p.id").as("id_a"), col("f.id").as("id_b"))
       .distinct()
+    // Verify against per-document SORTED term vectors with the native
+    // two-pointer merge ([[graft.functions.SortedDot]]): features as
+    // 128-bit digests split into parallel ARRAY<BIGINT> columns, one
+    // compiled zero-allocation O(n+m) merge per candidate. Build side
+    // is one row per document (broadcastable at this scale; id-keyed
+    // shuffle join beyond). See SortedDot's scaladoc for the measured
+    // A/B against the exploded-join / map_zip_with / struct-merge
+    // alternatives (14 s / 16 s / 12 s → this plan).
+    val docvec = w.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(
+        xxhash64(col("g")).as("k1"),
+        xxhash64(lit("p2"), col("g")).as("k2"),
+        col("wq").as("w")))).as("v"))
+      .select(col("id"), struct(
+        expr("transform(v, x -> x.k1)").as("k1"),
+        expr("transform(v, x -> x.k2)").as("k2"),
+        expr("transform(v, x -> x.w)").as("w")).as("sv"))
+      .localCheckpoint(true)
     val thr = math.floor(t * 1e12d).toLong
     cand
-      .join(w.as("a"), col("id_a") === col("a.id"))
-      .join(w.as("b"),
-        col("id_b") === col("b.id") && col("a.g") === col("b.g"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("a.wq") * col("b.wq")).as("dotq"))
+      .join(broadcast(docvec.select(col("id").as("id_a"), col("sv").as("sa"))),
+        Seq("id_a"))
+      .join(broadcast(docvec.select(col("id").as("id_b"), col("sv").as("sb"))),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SortedDot.sortedDot(col("sa"), col("sb"))
+          .as("dotq"))
       .filter(col("dotq") >= lit(thr))
   }
 }

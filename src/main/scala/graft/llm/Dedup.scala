@@ -954,7 +954,16 @@ object Dedup {
     // the frequency aggregate and the verdict join, and unlike the
     // pre-digest form — where materializing measured a wash — the
     // checkpoint now saves a full md5 pass over the corpus).
-    val ex = docs.select(id.as("doc_id"), posexplode(linesCol).as(Seq("pos", "line")))
+    // posexplode_OUTER: the plain generator makes
+    // InferFiltersFromGenerate synthesize `size(lines)>0 AND
+    // isnotnull(lines)` below the Generate, and pushdown carries it
+    // through the fan-out exchange to the single-split scan where it
+    // re-splits every document's text once more, single-threaded
+    // (GenFilterScan, round 14c: a 688 ms one-task stage inside the
+    // 1.65 s query — the llm_allpairs_sim pathology). The outer form
+    // infers nothing; the existing isNotNull filter already discards
+    // the null row an empty array contributes.
+    val ex = docs.select(id.as("doc_id"), posexplode_outer(linesCol).as(Seq("pos", "line")))
       .filter(col("line").isNotNull)
       .withColumn("dg", unhex(md5(col("line"))))
       .localCheckpoint(false)
