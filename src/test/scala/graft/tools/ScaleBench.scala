@@ -226,7 +226,17 @@ object ScaleBench {
     // (checkpointed shared frames, exploded single window pass).
     "ts_roll_spread", "ts_variance_ratio", "ts_runs_test",
     "ts_ljung_box", "ts_range_vol", "ts_xcorr", "ts_pairs_z",
-    "ts_rfm", "ts_vpoc", "ts_hurst")
+    "ts_rfm", "ts_vpoc", "ts_hurst",
+    // round-14c additions. allpairs_sim: candidate volume is
+    // Σ prefdf·df over the shingle space — rotated replicas share no
+    // shingles, so both the prefix index and candidates grow linearly
+    // like genuinely new text. hits/label_prop: the minhash pair
+    // pipeline plus fixed-round iterations over node-keyed frames —
+    // replica graphs are disjoint, so |V|,|E| grow linearly.
+    // granger/gini ride the events axis (hourly rollup absorbs the
+    // 10× raw scan; gini's window runs over distinct amounts).
+    "llm_allpairs_sim", "llm_hits", "llm_label_prop",
+    "ts_granger", "ts_gini")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
