@@ -144,7 +144,9 @@ object CurationQueries {
     * degenerate of it.
     */
   private def marginMineCellsQ(s: SparkSession, d: String): DataFrame =
-    Similarity.cellMarginMine(Tables.embeddings(s, d), col("vec_id"),
+    // fanOut: kMeans fit/assign map passes over the single-row-group
+    // embeddings scan ran single-task (GenFilterScan round 14c)
+    Similarity.cellMarginMine(Tables.fanOut(Tables.embeddings(s, d)), col("vec_id"),
         col("embedding"), col("label") % 2 === 0,
         kCells = 4, iters = 3, k = 4, topN = 40)
       .select(col("x"), col("y"), r4(col("cos_sim")).as("cos_sim"),

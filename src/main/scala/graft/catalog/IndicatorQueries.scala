@@ -26,13 +26,25 @@ object IndicatorQueries {
     * per stage (4 → 2, ExplainAudit). Per-key locality is what the
     * window requires anyway, so this adds no constraint at scale.
     */
-  private def byKey(df: DataFrame): DataFrame = df.repartition(col("event_type"))
+  // Numbered column repartition: the bare repartition(col) form is
+  // REPARTITION_BY_COL, which AQE's size-based coalescing is allowed
+  // to fold to ONE partition on small-byte/heavy-CPU stages
+  // (GenFilterScan round 14c: 0.3-0.6 s single-task window stages in
+  // the vwap/mfi/obv family). Pinning the number keeps each
+  // event_type's series-window work on its own task.
+  private def byKey(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col("event_type"))
 
   /** Hourly close series in exact cents: one row per (event_type,
     * hour), latest-in-hour close.
     */
   private[graft] def hourly(s: SparkSession, dir: String): DataFrame =
-    Tables.eventSeriesOver(byKey(Tables.events(s, dir)))
+    // fanOut: events.parquet is one row group, so without the fan the
+    // bucket/cents map side of the first exchange runs in ONE task
+    // (GenFilterScan round 14c: 0.3-0.5 s single-task stages across
+    // the whole hourly family — ts_beta, ts_sma10, ts_vwap, ts_mfi…)
+    Tables.eventSeriesOver(byKey(Tables.fanOut(Tables.events(s, dir))))
       .withColumn("tus", unix_micros(col("ts")))
       .groupBy(col("event_type"),
         (expr("tus div 3600000000") * 3600000000L).as("bus"))
@@ -683,8 +695,15 @@ object IndicatorQueries {
     */
   private def vwapQ(s: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(StructField("k", LongType)))
-    val ev = Tables.events(s, dir)
-      .withColumn("k", from_json(col("props"), schema).getField("k"))
+    // fanOut + Generate barrier: per-row from_json over the
+    // single-row-group events scan ran in ONE task (GenFilterScan
+    // round 14c, 524 ms) — and the isNotNull filter on the computed
+    // column is PUSHED back through the repartition to the scan, so
+    // the fan alone does not help; the single-element explode blocks
+    // predicate pushdown (the editNearDups barrier idiom).
+    val ev = Tables.fanOut(Tables.events(s, dir))
+      .withColumn("k",
+        explode(array(from_json(col("props"), schema).getField("k"))))
       .filter(col("k").isNotNull)
       .withColumn("tus", unix_micros(col("ts")))
     Indicators.vwap(ev, Seq(col("event_type")),

@@ -4535,7 +4535,9 @@ object LlmQueries {
     * second operator; the oracle recomputes the identical pipeline.
     */
   private def abttTopKQ(s: SparkSession, d: String): DataFrame = {
-    val proc = Pca.abtt(Tables.embeddings(s, d), col("vec_id"),
+    // fanOut: the Gram-matrix map pass over the single-row-group
+    // embeddings scan ran in ONE task (GenFilterScan round 14c, 925 ms)
+    val proc = Pca.abtt(Tables.fanOut(Tables.embeddings(s, d)), col("vec_id"),
         col("embedding"), iters = 3)
       .localCheckpoint(false) // query row + candidate scan share it
     val q = proc.filter(col("id") === 0L).select(col("w").as("qw")).limit(1)

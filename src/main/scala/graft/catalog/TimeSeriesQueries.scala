@@ -706,7 +706,9 @@ object TimeSeriesQueries {
     */
   private def slidingDistinctQ(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.Sketches
-    val ev = Tables.events(s, dir)
+    // fanOut: the distinct's map side over the single-row-group scan
+    // ran one-task (GenFilterScan round 14c, sliding family)
+    val ev = Tables.fanOut(Tables.events(s, dir))
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
       .distinct()
     val contrib = Sketches.hllRegisters(ev, col("h"), col("user_id"))
@@ -798,7 +800,8 @@ object TimeSeriesQueries {
     */
   private def slidingHeavyQ(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.Sketches
-    val ev = Tables.events(s, dir)
+    // fanOut: see slidingDistinctQ
+    val ev = Tables.fanOut(Tables.events(s, dir))
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
     val cmHourly = Sketches.countMin(ev, col("h"), col("user_id"))
     val exact = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
@@ -914,7 +917,8 @@ object TimeSeriesQueries {
     */
   private def slidingHeavySsQ(s: SparkSession, dir: String): DataFrame = {
     val m = 64
-    val ev = Tables.events(s, dir)
+    // fanOut: see slidingDistinctQ
+    val ev = Tables.fanOut(Tables.events(s, dir))
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
     val exh = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
     // one window pass carries BOTH the rank and the per-hour user
@@ -1909,8 +1913,10 @@ object TimeSeriesQueries {
       org.apache.spark.sql.types.StructField("k",
         org.apache.spark.sql.types.LongType)))
     val k = from_json(col("props"), schema).getField("k")
-    Tables.events(s, dir)
-      .select(col("event_type"), k.as("k"))
+    // fanOut + Generate barrier: see vwapQ — the isNotNull filter on
+    // the computed column would otherwise push below the fan
+    Tables.fanOut(Tables.events(s, dir))
+      .select(col("event_type"), explode(array(k)).as("k"))
       .filter(col("k").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),

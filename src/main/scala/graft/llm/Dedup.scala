@@ -266,7 +266,8 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, id: Column, shinglesCol: Column,
                       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
     val exploded = docs
-      .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
+      .select(id.as("id"), explode_outer(array_distinct(shinglesCol)).as("s"))
+      .filter(col("s").isNotNull) // outer: see editNearDups' pushed-filter note
     val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
     val docsig = hashed.groupBy(col("id"))
       .agg(collect_list(col("__sh")).as("gs"), minHashAggs(k): _*)
@@ -296,7 +297,8 @@ object Dedup {
   def minHashEstimates(docs: DataFrame, id: Column, shinglesCol: Column,
                        k: Int, bandsOf: Int): DataFrame = {
     val exploded = docs
-      .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
+      .select(id.as("id"), explode_outer(array_distinct(shinglesCol)).as("s"))
+      .filter(col("s").isNotNull) // outer: see editNearDups' pushed-filter note
     val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
     val docsig = hashed.groupBy(col("id"))
       .agg(collect_list(col("__sh")).as("gs"), minHashAggs(k): _*)
@@ -328,7 +330,8 @@ object Dedup {
   def minHashNearDupsFactored(docs: DataFrame, id: Column, shinglesCol: Column,
                               k: Int, bandsOf: Int, threshold: Double): DataFrame = {
     val exploded = docs
-      .select(id.as("id"), explode(array_distinct(shinglesCol)).as("s"))
+      .select(id.as("id"), explode_outer(array_distinct(shinglesCol)).as("s"))
+      .filter(col("s").isNotNull) // outer: see editNearDups' pushed-filter note
     val sig = minHashSignature(exploded, col("id"), col("s"), k)
     val cand = lshCandidates(lshBands(sig, k, bandsOf))
     jaccard(cand, exploded).filter(col("jaccard") >= threshold)
@@ -424,10 +427,25 @@ object Dedup {
                    shinglesCol: Column, k: Int, bandsOf: Int,
                    tau: Double): DataFrame = {
     val base = docs.select(id.as("id"), textCol.as("t"), shinglesCol.as("sh"))
-    val exploded = base.select(col("id"), explode(array_distinct(col("sh"))).as("s"))
+    // explode_OUTER (the llm_allpairs_sim lesson, GenFilterScan round
+    // 14c: two ≥1.3 s one-task stages): the plain generator's inferred
+    // size>0 filter pushes through the fan-out exchange to the
+    // single-split scan and re-evaluates the whole shingle chain per
+    // row, single-threaded. Outer + a null filter on the generated
+    // attribute is result-identical and infers nothing.
+    val exploded = base
+      .select(col("id"), explode_outer(array_distinct(col("sh"))).as("s"))
+      .filter(col("s").isNotNull)
     val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
     val sig = hashed.groupBy(col("id")).agg(minHashAggs(k).head, minHashAggs(k).tail: _*)
+    // Pin the verify stage's parallelism: candidate pairs are few
+    // BYTES but each costs a banded DP, so AQE's size-based coalescing
+    // folds the whole Levenshtein stage into ONE task (GenFilterScan
+    // round 14c: two ~1.1 s single-task stages inside a 3.6 s query;
+    // jstack: UTF8String.levenshteinDistance). An explicit numbered
+    // repartition is exempt from coalescing and spreads the DP.
     val cand = lshCandidates(lshBands(sig, k, bandsOf))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val ta = base.select(col("id").as("id_a"), col("t").as("ta"))
     val tb = base.select(col("id").as("id_b"), col("t").as("tb"))
     cand.join(ta, "id_a").join(tb, "id_b")
@@ -1024,8 +1042,8 @@ object Dedup {
   def keepFirstUnits(docs: DataFrame, id: Column,
       unitsCol: Column): DataFrame = {
     val ex = docs
-      .select(id.as("doc_id"), posexplode(unitsCol).as(Seq("pos", "unit")))
-      .filter(col("unit").isNotNull)
+      .select(id.as("doc_id"), posexplode_outer(unitsCol).as(Seq("pos", "unit")))
+      .filter(col("unit").isNotNull) // outer: see editNearDups' pushed-filter note
       .withColumn("dg", md5(col("unit")))
     val rn = row_number().over(
       Window.partitionBy(col("dg")).orderBy(col("doc_id"), col("pos")))

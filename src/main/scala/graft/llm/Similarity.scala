@@ -1027,7 +1027,14 @@ object Similarity {
     */
   def marginMine(df: DataFrame, id: Column, vec: Column, sideA: Column,
                  k: Int, topN: Int): DataFrame = {
+    // Pin the stream side's parallelism: the broadcast cross join
+    // inherits the single-split embeddings scan's ONE partition, so
+    // the whole |A|×|B| dot-product wall runs in one task
+    // (GenFilterScan round 14c: 3 single-task stages ≥1.3 s;
+    // jstack: VecExprs.dot + the rank sort). A numbered repartition
+    // is exempt from AQE coalescing and spreads the arithmetic.
     val a = df.filter(sideA).select(id.as("x"), vec.as("va"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val b = df.filter(!sideA).select(id.as("y"), vec.as("vb"))
     marginScore(
       a.crossJoin(b).select(col("x"), col("y"),
