@@ -706,9 +706,13 @@ object TimeSeriesQueries {
     */
   private def slidingDistinctQ(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.Sketches
-    // fanOut: the distinct's map side over the single-row-group scan
-    // ran one-task (GenFilterScan round 14c, sliding family)
-    val ev = Tables.fanOut(Tables.events(s, dir))
+    // fanOut considered and REJECTED for the sliding family (round-14c
+    // A/B, bench context, 5-round medians): the single-task map stage
+    // GenFilterScan flagged overlaps other AQE stages, while the extra
+    // round-robin exchange + its shuffle files cost more than it frees
+    // (ts_sliding_heavy 2.79 s bare vs 3.92 s fanned; distinct/ss
+    // regressed ~20% in the full-bench record too).
+    val ev = Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
       .distinct()
     val contrib = Sketches.hllRegisters(ev, col("h"), col("user_id"))
@@ -800,8 +804,7 @@ object TimeSeriesQueries {
     */
   private def slidingHeavyQ(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.Sketches
-    // fanOut: see slidingDistinctQ
-    val ev = Tables.fanOut(Tables.events(s, dir))
+    val ev = Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
     val cmHourly = Sketches.countMin(ev, col("h"), col("user_id"))
     val exact = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
@@ -917,8 +920,7 @@ object TimeSeriesQueries {
     */
   private def slidingHeavySsQ(s: SparkSession, dir: String): DataFrame = {
     val m = 64
-    // fanOut: see slidingDistinctQ
-    val ev = Tables.fanOut(Tables.events(s, dir))
+    val ev = Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
     val exh = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
     // one window pass carries BOTH the rank and the per-hour user
