@@ -106,6 +106,24 @@ def annotations_section():
          "exchange + streaming window (ExplainAudit); the double-"
          "compute defects that were real (ts_vpoc, ts_hurst) were "
          "fixed in round 14 via IndAbProbe (1.61->0.95, 2.39->0.99 s)."),
+        ("llm_allpairs_sim",
+         "the prefix-filtered scale path priced against DuckDB's "
+         "in-process brute force: at sf0.1 the full token self-join is "
+         "only 4.0M pairs so the oracle wins on fixed cost, while the "
+         "Spark plan's candidate volume is Sigma pref*df = 0.69M and "
+         "grows 10x-exponent 0.341 (SCALING.json) - the shape that "
+         "survives a hot token at 100 TB where Sigma df^2 does not."),
+        ("llm_retrieval_eval / llm_stupid_backoff",
+         "kn_lm-class stage-wave floors: multi-join scoring chains over "
+         "model-sized frames (BM25 rank join waves; the trigram backoff "
+         "chain's five gram joins - broadcast/checkpoint A/Bs recorded "
+         "as washes in SCALE.md round 14). 10x exponents 0.203 / 0.286 "
+         "price the scaling; the sf0.1 ratio prices the session floor."),
+        ("ts_sliding_distinct",
+         "same fixture worst case as the heavy twins: the 24x explode "
+         "through two exchanges is the exact-audit cost; fanOut was "
+         "A/B'd and REJECTED for the family (SCALE.md round 14c), and "
+         "the countDistinct-vs-pair-distinct A/B was a wash (SdAbProbe)."),
         ("llm_nb_classify / llm_log_odds",
          "5000-doc / 1.5 MB fixtures: the Spark time is ~7 sequential "
          "stage waves of fixed cost (SCALE.md round 14); 10x exponents "

@@ -93,7 +93,7 @@ object AllPairs {
       .withColumn("ssq", sum(col("wq") * col("wq")).over(byCommonFirst))
       .select(col("id"), col("g"), col("wq"),
         (col("ssq").cast("double") >= lit(tq * tq)).as("pfx"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val cand = w.filter(col("pfx")).select(col("id"), col("g")).as("p")
       .join(w.select(col("id"), col("g")).as("f"),
         col("p.g") === col("f.g") && col("p.id") < col("f.id"))
@@ -116,7 +116,7 @@ object AllPairs {
         expr("transform(v, x -> x.k1)").as("k1"),
         expr("transform(v, x -> x.k2)").as("k2"),
         expr("transform(v, x -> x.w)").as("w")).as("sv"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val thr = math.floor(t * 1e12d).toLong
     cand
       .join(broadcast(docvec.select(col("id").as("id_a"), col("sv").as("sa"))),
