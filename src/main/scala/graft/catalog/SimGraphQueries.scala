@@ -337,7 +337,145 @@ object SimGraphQueries {
        |       ${r4Sql("CAST(num AS DOUBLE) / (CAST(n_users AS DOUBLE) * CAST(sum_cents AS DOUBLE))")} AS gini
        |FROM g ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- Benford screen
+  /** First-significant-digit distribution of event values per type vs
+    * Benford's law, with the chi-square statistic — the classic
+    * data-quality / fraud screen. Digit extraction is STRING-based on
+    * the exact cent total (first char of the decimal rendering), so
+    * no engine's log10 ulp can flip a boundary value; expected
+    * frequencies log10(1+1/d) are a fixed 9-entry literal table in
+    * both engines; missing digits contribute their full n·p term via
+    * a digit spine.
+    */
+  private val benfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1d + 1d / d))
+
+  private def benfordQ(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .filter(col("c") > 0L)
+      .select(col("event_type"),
+        substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val spine = obs.select(col("event_type")).distinct()
+      .crossJoin(s.range(1, 10).select(col("id").as("digit")))
+    val pArr = array(benfordP.map(lit): _*)
+    val full = spine.join(obs, Seq("event_type", "digit"), "left")
+      .select(col("event_type"), col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        element_at(pArr, col("digit").cast("int")).as("p"))
+    val tot = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = full.withColumn("n", sum(col("n_obs")).over(tot))
+      .withColumn("share", col("n_obs").cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        (col("share") - col("p")) * (col("share") - col("p")) / col("p"))
+    // chi2 = n·Σ terms; the per-digit terms are summed in digit order
+    // via the pico-quantized integer trick so both engines add the
+    // same exact integers
+    scored
+      .withColumn("tq", floor(col("term") * lit(1e12d)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(col("tq")).as("chiq"),
+        sum(when(col("n_obs") > 0L, 1L).otherwise(0L)).as("n_digits"))
+      .select(col("event_type"), col("n"), col("n_digits"),
+        r4(col("n").cast("double")
+          * (col("chiq").cast("double") / lit(1e12d))).as("chi2"))
+      .orderBy(col("event_type"))
+  }
+
+  private val benfordSql: String = {
+    val pList = benfordP.map(p => s"CAST($p AS DOUBLE)").mkString(", ")
+    s"""WITH bo AS (
+       |  SELECT event_type,
+       |         CAST(substr(CAST(${centsSql("value")} AS VARCHAR), 1, 1)
+       |              AS BIGINT) AS digit
+       |  FROM events WHERE ${centsSql("value")} > 0
+       |), oc AS (
+       |  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM bo GROUP BY 1, 2
+       |), sp AS (
+       |  SELECT t.event_type, d.digit
+       |  FROM (SELECT DISTINCT event_type FROM oc) t
+       |  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+       |), pv AS (SELECT [$pList] AS ps),
+       |fl AS (
+       |  SELECT sp.event_type, sp.digit,
+       |         coalesce(oc.n_obs, 0) AS n_obs,
+       |         pv.ps[CAST(sp.digit AS INTEGER)] AS p
+       |  FROM sp LEFT JOIN oc USING (event_type, digit) CROSS JOIN pv
+       |), sc AS (
+       |  SELECT event_type, digit, n_obs, p,
+       |         CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM fl
+       |), tq AS (
+       |  SELECT event_type, n, n_obs,
+       |         CAST(floor(
+       |           (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - p)
+       |           * (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - p) / p
+       |           * 1e12) AS BIGINT) AS t
+       |  FROM sc
+       |)
+       |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN n_obs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_digits,
+       |       ${r4Sql("CAST(max(n) AS DOUBLE) * (CAST(sum(t) AS DOUBLE) / 1e12)")} AS chi2
+       |FROM tq GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
+  // ------------------------------------------------ LSH recall audit
+  /** End-to-end detection recall of the MinHash-LSH near-dup pipeline
+    * against the PLANTED ground truth: every doc_id % 5 == 0 has a
+    * truncated copy at +100000 (Jaccard ≈ 0.9), so the pipeline
+    * should return each (a, a+100000) pair. The eval-harness
+    * counterpart of `llm_ann_recall` for the dedup stack: recall of
+    * planted pairs, plus how many additional (natural or band-noise)
+    * pairs came back. One row.
+    */
+  private def lshRecallQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmQueries.minhashPairs(s, d)
+      .select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 100000L).as("id_b"))
+    val found = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    val nPairs = pairs.agg(count(lit(1)).as("n_returned"))
+    nPlanted.crossJoin(found).crossJoin(nPairs)
+      .select(col("n_planted"), col("n_found"), col("n_returned"),
+        (col("n_returned") - col("n_found")).as("n_extra"),
+        r4(col("n_found").cast("double") / col("n_planted").cast("double"))
+          .as("recall"))
+  }
+
+  private val lshRecallSql: String =
+    s"""WITH ${LlmQueries.mhPairsCtes}, rp AS MATERIALIZED (
+       |  SELECT i.id_a, i.id_b
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a
+       |  JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= 0.5
+       |), pl AS (
+       |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+       |  WHERE doc_id % 5 = 0
+       |), fnd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_found
+       |  FROM pl WHERE EXISTS (
+       |    SELECT 1 FROM rp WHERE rp.id_a = pl.id_a AND rp.id_b = pl.id_b)
+       |), np AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM pl),
+       |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_returned FROM rp)
+       |SELECT n_planted, n_found, n_returned,
+       |       n_returned - n_found AS n_extra,
+       |       ${r4Sql("CAST(n_found AS DOUBLE) / CAST(n_planted AS DOUBLE)")} AS recall
+       |FROM np CROSS JOIN fnd CROSS JOIN nr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_benford"       -> benfordQ,
+    "llm_lsh_recall"   -> lshRecallQ,
     "llm_allpairs_sim" -> allPairsQ,
     "llm_hits"         -> hitsQ,
     "llm_label_prop"   -> labelPropQ,
@@ -346,6 +484,8 @@ object SimGraphQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_benford"       -> benfordSql,
+    "llm_lsh_recall"   -> lshRecallSql,
     "llm_allpairs_sim" -> allPairsSql,
     "llm_hits"         -> hitsSql,
     "llm_label_prop"   -> labelPropSql,

@@ -32,6 +32,29 @@ class SimGraphQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_benford: chi² ≥ 0, ≤9 digit cells, one row per event type") {
+    val rows = SimGraphQueries.queries("ts_benford")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 9L)
+      assert(r.getDouble(3) >= 0.0d, s"negative chi2: $r")
+    }
+  }
+
+  test("llm_lsh_recall: planted pairs are recovered; counts consistent") {
+    val r = SimGraphQueries.queries("llm_lsh_recall")(spark, sfDir)
+      .collect()(0)
+    val (planted, found, returned, extra, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(planted > 0L && found <= planted)
+    assert(extra === returned - found && extra >= 0L)
+    // truncating 3 words of ~50 leaves Jaccard ≈ 0.9 ≫ the 0.5
+    // threshold: the pipeline must recover essentially all plants
+    assert(recall >= 0.9d, s"LSH pipeline missing planted dups: $r")
+  }
+
   test("llm_allpairs_sim: every emitted pair clears the threshold and " +
        "each planted near-copy finds its source") {
     val rows = SimGraphQueries.queries("llm_allpairs_sim")(spark, sfDir)

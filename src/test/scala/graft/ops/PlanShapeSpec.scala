@@ -294,4 +294,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"),
       s"a range-partitioned global sort means the limit pushdown was lost:\n${p.take(4000)}")
   }
+  test("generator filters: plain explode pushes shingling below the " +
+       "fan-out; the outer form the operators use does not") {
+    import org.apache.spark.sql.catalyst.expressions.ArrayTransform
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, RepartitionOperation}
+    import graft.llm.TextOps
+    // a real FILE scan (pushdown needs something to push toward) + the
+    // fan-out + computed-shingle shape every text operator uses
+    def shape(outer: Boolean): DataFrame = {
+      val docs = graft.core.Tables.fanOut(
+          graft.core.Tables.documents(spark, sfDir))
+        .select(col("doc_id"),
+          TextOps.wordNgrams(TextOps.words(col("text")), 3).as("sh"))
+      val ex =
+        if (outer) docs.select(col("doc_id"), explode_outer(col("sh")).as("g"))
+          .filter(col("g").isNotNull)
+        else docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      ex.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    }
+    def pushedShingleFilters(df: DataFrame): Int = {
+      var below = 0
+      df.queryExecution.optimizedPlan.foreach {
+        case r: RepartitionOperation =>
+          r.child.foreach {
+            case f: Filter
+              if f.condition.find(_.isInstanceOf[ArrayTransform]).isDefined =>
+              below += 1
+            case _ =>
+          }
+        case _ =>
+      }
+      below
+    }
+    // ENGINE-BEHAVIOR PIN (why the operators use the outer forms):
+    // InferFiltersFromGenerate + pushdown re-evaluates the whole
+    // shingle chain below the fan-out for a PLAIN explode — the
+    // measured single-task 4.3 s stage of round 14c. If this starts
+    // failing on a Spark upgrade, the engine stopped inferring and
+    // the explode_outer workaround can be retired.
+    assert(pushedShingleFilters(shape(outer = false)) > 0,
+      "expected the plain-explode inferred filter below the exchange " +
+        "(engine behavior changed? the outer workaround may be obsolete)")
+    // THE PROPERTY THE OPERATORS RELY ON: outer + post-Generate null
+    // filter infers nothing; no shingling runs below the exchange.
+    assert(pushedShingleFilters(shape(outer = true)) === 0,
+      "shingle-evaluating filter pushed below the fan-out exchange")
+  }
+
 }
