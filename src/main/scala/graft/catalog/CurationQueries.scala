@@ -225,9 +225,14 @@ object CurationQueries {
     * makes them one-pass at 100 TB.
     */
   private def sourceGrams(s: SparkSession, d: String): DataFrame =
+    // explode_outer + null filter: the plain generator's inferred
+    // size>0 filter pushes below the fanOut exchange and re-shingles
+    // the corpus in the scan task (the round-14c pushed-filter class;
+    // PlanShapeSpec pins the behavior)
     Tables.fanOut(Tables.documents(s, d))
       .select(col("source"),
-        explode(TextOps.wordNgrams(TextOps.words(col("text")), 5)).as("g"))
+        explode_outer(TextOps.wordNgrams(TextOps.words(col("text")), 5)).as("g"))
+      .filter(col("g").isNotNull)
 
   private val sourceGramsSql: String =
     s"""WITH dd AS (
