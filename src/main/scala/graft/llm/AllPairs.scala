@@ -73,10 +73,12 @@ object AllPairs {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val byId = Window.partitionBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // Inclusive suffix mass in rarity order: cumulative Σwq² with the
-    // COMMONEST feature first means each row sees the total mass of
-    // itself plus every rarer feature — exactly ‖suffix starting
-    // here‖². A row is indexed iff that mass can still reach t.
+    // Inclusive prefix mass in commonness order: cumulative Σwq² with
+    // the COMMONEST feature first means each row sees the mass of
+    // itself plus every commoner feature — the common prefix ending
+    // here. A row is indexed once that prefix mass reaches tq, so the
+    // unindexed common prefix has L2 mass < tq and any qualifying
+    // pair must share at least one indexed token.
     val byCommonFirst = Window.partitionBy(col("id"))
       .orderBy(col("df").desc, col("g").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -43,7 +43,7 @@ object GiniStream {
     var num = BigInt(0)
     hist.foreach { case (x, m) =>
       cc += m
-      num += BigInt(x) * BigInt(m * (2L * cc - m - n))
+      num += BigInt(x) * BigInt(m) * BigInt(2L * cc - m - n)
     }
     (n, sTot, num.toDouble / (n.toDouble * sTot.toDouble))
   }

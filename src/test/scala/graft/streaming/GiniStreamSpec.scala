@@ -38,13 +38,20 @@ class GiniStreamSpec extends SparkSpec {
     try {
       val (b1, b2) = rows.splitAt(rows.length / 3)
       in.addData(b1); q.processAllAvailable()
+      // The memory sink appends batch-by-batch, so the row count at
+      // this boundary splits batch-1 snapshots from batch-2 ones —
+      // robust even if a batch's spends net to zero cents (maxBy on
+      // sum_cents would tie and could pick the stale snapshot).
+      val nBatch1 = spark.table("gini_stream").count()
       in.addData(b2); q.processAllAvailable()
 
-      val streamed = spark.table("gini_stream").as[GiniRow].collect()
-        .groupBy(_.group).map { case (g, rs) =>
-          // latest snapshot per key: totals are non-negative sums, so
-          // sum_cents grows monotonically (n_users saturates early)
-          val fin = rs.maxBy(_.sum_cents)
+      val all = spark.table("gini_stream").as[GiniRow].collect()
+      val (snap1, snap2) = all.splitAt(nBatch1.toInt)
+      // latest snapshot per key = batch-2 row if the key appeared in
+      // batch 2, else its batch-1 row
+      val streamed = (snap1.map(r => r.group -> r).toMap ++
+          snap2.map(r => r.group -> r).toMap)
+        .map { case (g, fin) =>
           g -> ((fin.n_users, fin.sum_cents, r4(fin.gini)))
         }
 

@@ -24,8 +24,13 @@ object GenFilterScan {
         if (i.numTasks <= 2 && cpuMs > 300) hot += ((cpuMs, i.numTasks))
       }
     })
-    val d = "/root/testdata/sf0.1"
-    val names = sys.env("GF_QUERIES").split(",").map(_.trim)
+    val d = sys.env.getOrElse("GF_DIR", "/root/testdata/sf0.1")
+    val names = sys.env.getOrElse("GF_QUERIES", {
+      System.err.println(
+        "usage: GF_QUERIES=q1,q2 [GF_DIR=/root/testdata/sf0.1] " +
+          "sbt 'Test/runMain graft.tools.GenFilterScan'")
+      sys.exit(2)
+    }).split(",").map(_.trim).filter(_.nonEmpty)
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
       try {
