@@ -72,6 +72,42 @@ object IncrementalDedup {
         val t = new Thread(r, "graft-index-fold"); t.setDaemon(true); t
       }))
 
+  /** The state-independent half of an admit: the batch's fingerprint
+    * kernel (digest + minhash signature + in-batch keep-lowest-id),
+    * kicked as a concurrent materialization at call time. The kernel
+    * is the admit's CPU center, and it needs nothing from the state —
+    * so a caller catching up over SEVERAL increments calls
+    * [[prepare]] for all of them up front and the later batches'
+    * kernels run UNDER the earlier increments' state-dependent joins
+    * and commits (measured: hides most of increment 1's wall behind
+    * increment 2's kernel in the two-increment catalog query).
+    */
+  def prepare(batch: DataFrame, id: Column, text: Column,
+              k: Int = 8): Prepared = {
+    val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"))
+    val fp = fingerprints(docs, k)
+    // in-batch exact dedup first: lowest id wins per digest, as a
+    // min_by aggregation rather than a row_number window — the
+    // partial aggregate combines map-side, so the digest exchange
+    // carries one row per (partition, digest) instead of every row
+    // plus a per-partition sort.
+    val batchUnique = fp
+      .groupBy(col("digest"))
+      .agg(min_by(struct(fp.columns.map(col): _*), col("doc_id")).as("__w"))
+      .select(col("__w.*"))
+    import scala.concurrent.Future
+    Prepared(docs,
+      Future(batchUnique.localCheckpoint(true))(foldEc), k)
+  }
+
+  /** A batch with its fingerprint kernel in flight — produced by
+    * [[prepare]], consumed by [[admitPrepared]].
+    */
+  final case class Prepared private[llm] (
+      docs: DataFrame,
+      private[graft] val fpF: scala.concurrent.Future[DataFrame],
+      k: Int)
+
   /** Admit `batch` against `state`, fold admissions in, and return
     * the admitted rows (original columns). `k` minhash components,
     * bands of `bandsOf`, estimate threshold `threshold`.
@@ -80,7 +116,23 @@ object IncrementalDedup {
             date: String, k: Int = 8, bandsOf: Int = 2,
             threshold: Double = 0.5,
             bands: Option[BandIndex] = None,
-            digests: Option[DigestIndex] = None): DataFrame = {
+            digests: Option[DigestIndex] = None): DataFrame =
+    admitPrepared(state, prepare(batch, id, text, k), date, bandsOf,
+      threshold, bands, digests)
+
+  /** [[admit]] with the batch kernel already in flight — the
+    * multi-increment catch-up form (see [[prepare]]).
+    * `withDigest = true` appends the admitted rows' content digest
+    * (the state table's `digest` column) to the returned frame, so a
+    * caller that wants fingerprints of the admissions reads them off
+    * the admit it already paid for instead of re-hashing the text.
+    */
+  def admitPrepared(state: TxTable, p: Prepared, date: String,
+                    bandsOf: Int = 2, threshold: Double = 0.5,
+                    bands: Option[BandIndex] = None,
+                    digests: Option[DigestIndex] = None,
+                    withDigest: Boolean = false): DataFrame = {
+    val k = p.k
     // fail-loudly hash-scheme contract: stored signatures are only
     // comparable to batch signatures computed under the SAME scheme
     // (see [[Dedup.MinHashScheme]] — a scheme change would otherwise
@@ -117,25 +169,10 @@ object IncrementalDedup {
           "index) under the current scheme, or run a matching build")
     }
     val sigCols = (0 until k).map(s => s"m$s")
-    val docs = batch.select(id.cast("long").as("doc_id"), text.as("text"))
-    val fp = fingerprints(docs, k)
-
-    // in-batch exact dedup first: lowest id wins per digest, as a
-    // min_by aggregation rather than a row_number window — the
-    // partial aggregate combines map-side, so the digest exchange
-    // carries one row per (partition, digest) instead of every row
-    // plus a per-partition sort. NOT checkpointed despite multiple
-    // downstream references: exchange reuse already shares the
-    // minhash aggregation within the single admitted-frame job — the
-    // checkpoint that pays is the admitted frame below, which crosses
-    // ACTION boundaries.
-    val batchUnique = fp
-      .groupBy(col("digest"))
-      .agg(min_by(struct(fp.columns.map(col): _*), col("doc_id")).as("__w"))
-      .select(col("__w.*"))
 
     val admittedRaw =
-      if (state.version < 0) batchUnique
+      if (state.version < 0)
+        scala.concurrent.Await.result(p.fpF, scala.concurrent.duration.Duration.Inf)
       else {
         val stored = state.read()
         // Kick BOTH index views off concurrently before either is
@@ -146,15 +183,16 @@ object IncrementalDedup {
         // path. Concurrent Spark job submission from separate threads
         // is the supported scheduler pattern; failures propagate
         // through Await.result, preserving the fail-loudly contracts.
-        import scala.concurrent.{Await, Future}
+        // The batch-side minhash kernel (the admit's CPU center) has
+        // been materializing since prepare() — the fold floors hide
+        // entirely under it instead of preceding it.
+        import scala.concurrent.Await
         import scala.concurrent.duration.Duration
-        val diViewF = digests.map(di => Future(di.view(state))(foldEc))
-        val biViewF = bands.map(bi => Future(bi.view(state, k, bandsOf))(foldEc))
-        // ... and the batch-side minhash kernel (the admit's CPU
-        // center) materializes concurrently with them, so the fold
-        // floors hide entirely under it instead of preceding it.
-        val batchUniqueCk = Await.result(
-          Future(batchUnique.localCheckpoint(true))(foldEc), Duration.Inf)
+        val diViewF = digests.map(di =>
+          scala.concurrent.Future(di.view(state))(foldEc))
+        val biViewF = bands.map(bi =>
+          scala.concurrent.Future(bi.view(state, k, bandsOf))(foldEc))
+        val batchUniqueCk = Await.result(p.fpF, Duration.Inf)
         // exact: digest seen before. With a DigestIndex the stored
         // side is the bucketed digest table — zero Exchange, only the
         // batch side shuffles, and the un-folded tail anti-joins as
@@ -172,18 +210,23 @@ object IncrementalDedup {
             stored.select(col("digest")), Seq("digest"), "left_anti")
         }
         // near: candidates from shared LSH band buckets, verified by
-        // the signature-overlap estimate
+        // the signature-overlap estimate. The NEW side's signature
+        // rides its own band rows (renamed nm0..nm{k-1}) and the
+        // stored side's rides the index rows / derived bands — so the
+        // estimate is a FILTER on the candidate join's output, never
+        // a separate join back to the signatures. Duplicate (new,old)
+        // pairs from multiple matching bands get the same verdict, so
+        // the distinct moves to the (far smaller) suppressed-id set.
         val newSig = noExact.filter(col("m0").isNotNull)
           .select((col("doc_id").as("id") +: sigCols.map(col)): _*)
-        val oldSig = stored.filter(col("m0").isNotNull)
-          .select((col("doc_id").as("id") +: sigCols.map(col)): _*)
-        val newBands = Dedup.lshBands(newSig, k, bandsOf)
-        // candidate pairs ANNOTATED with the stored side's signature
-        // (new_id, old_id, m0..m{k-1}): the index path carries it
-        // bucket-locally off the index rows themselves — verification
-        // touches no state at all; the derive path hydrates it from
-        // the state read it already makes
-        val candSig = (biViewF match {
+        val nmCols = sigCols.map("n" + _)
+        val newBands = Dedup.lshBands(newSig, k, bandsOf, carry = sigCols)
+          .select((col("id") +: col("band") +: col("bk") +:
+            sigCols.map(m => col(m).as(s"n$m"))): _*)
+        val est = sigCols.map(m =>
+          when(col(m) === col(s"n$m"), 1.0d).otherwise(0.0d))
+          .reduce(_ + _) / k.toDouble
+        val suppressed = (biViewF match {
           case Some(vf) =>
             // bucket-local path: the folded main reads with zero
             // Exchange; an un-folded tail (recent admissions below
@@ -191,46 +234,49 @@ object IncrementalDedup {
             // the union never breaks the main scan's bucketing
             val v = Await.result(vf, Duration.Inf)
             val nb = newBands
-              .select(BandIndex.bkey.as("bkey"), col("id").as("new_id"))
+              .select((BandIndex.bkey.as("bkey") +: col("id").as("new_id") +:
+                nmCols.map(col)): _*)
             def leg(stored: DataFrame) = stored.join(nb, Seq("bkey"))
-              .select((col("new_id") +: col("old_id") +: sigCols.map(col)): _*)
+              .filter(est >= threshold).select(col("new_id"))
             v.tail match {
               case Some(t) => leg(v.main).unionByName(leg(t))
               case None => leg(v.main)
             }
           case None =>
             // derive-from-state path: O(state·bands) shuffle per call
-            newBands.select(col("band"), col("bk"), col("id").as("new_id"))
-              .join(Dedup.lshBands(oldSig, k, bandsOf)
-                .select(col("band"), col("bk"), col("id").as("old_id")),
+            val oldSig = stored.filter(col("m0").isNotNull)
+              .select((col("doc_id").as("id") +: sigCols.map(col)): _*)
+            newBands.select((col("band") +: col("bk") +:
+                col("id").as("new_id") +: nmCols.map(col)): _*)
+              .join(Dedup.lshBands(oldSig, k, bandsOf, carry = sigCols)
+                .select((col("band") +: col("bk") +:
+                  col("id").as("old_id") +: sigCols.map(col)): _*),
                 Seq("band", "bk"))
-              .select(col("new_id"), col("old_id")).distinct()
-              .join(oldSig.as("o"), col("old_id") === col("o.id"))
-              .select((col("new_id") +: col("old_id") +:
-                sigCols.map(m => col(s"o.$m"))): _*)
-        }).distinct()
-        val est = sigCols.map(m =>
-          when(col(s"n.$m") === col(s"c.$m"), 1.0d).otherwise(0.0d))
-          .reduce(_ + _) / k.toDouble
-        val suppressed = candSig.as("c")
-          .join(newSig.as("n"), col("c.new_id") === col("n.id"))
-          .filter(est >= threshold)
-          .select(col("c.new_id").as("doc_id")).distinct()
+              .filter(est >= threshold).select(col("new_id"))
+        }).select(col("new_id").as("doc_id")).distinct()
         noExact.join(suppressed, Seq("doc_id"), "left_anti")
       }
     // checkpoint-after-aggregation: the admission frame (minhash +
     // band join + anti-joins) is consumed by the state fold's
-    // touched-partition collect, its anti-join, its stage write, AND
-    // the returned join — without this the whole dedup lineage
-    // re-executes per action (measured 11.9 s → 3.0 s at sf0.1)
-    val admitted = admittedRaw.localCheckpoint(false)
+    // anti-join, its stage write, AND the returned join — without
+    // this the whole dedup lineage re-executes per action (measured
+    // 11.9 s → 3.0 s at sf0.1). The empty-state path IS the prepared
+    // kernel's eager checkpoint already — no second barrier.
+    val admitted =
+      if (state.version < 0) admittedRaw else admittedRaw.localCheckpoint(false)
 
     val folded = admitted.select(
       (col("doc_id") +: col("digest") +: sigCols.map(col)) :+ lit(date).as("p_date"): _*)
     if (state.version < 0) state.append(folded)
-    else state.insertIgnore(folded, Seq("doc_id"))
-    docs.join(admitted.select(col("doc_id")), Seq("doc_id"))
-      .select(col("doc_id"), col("text"))
+    // the partition is the literal stamped two lines up — no
+    // touchedPartitions job on the commit hot path
+    else state.insertIgnore(folded, Seq("doc_id"), knownParts = Some(Set(date)))
+    if (withDigest)
+      p.docs.join(admitted.select(col("doc_id"), col("digest")), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("digest"))
+    else
+      p.docs.join(admitted.select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
   }
 
   /** [[admit]] as a streaming sink — the live form of the daily-crawl
@@ -308,28 +354,32 @@ object IncrementalDedup {
 
   /** (doc_id, digest, m0..m{k−1}) — null signature components for
     * docs too short to shingle (< 3 words).
+    *
+    * Plan shape (round 15, replacing the r12/r14 join form): digest
+    * per doc is materialized ONCE behind a localCheckpoint barrier —
+    * without the barrier CollapseProject merges the full-text md5
+    * back above the Generate and it runs once per SHINGLE row (the
+    * FpAbProbe 2.5-10.7 s pathology) — then rides the exploded rows
+    * as a first() payload through ONE doc_id-keyed aggregation. No
+    * digest-side join, no broadcast build; explode_outer keeps
+    * shingle-less docs with null signature components (min over an
+    * all-null group is null, matching the old left join), and the
+    * outer generator also means InferFiltersFromGenerate has nothing
+    * to push below the barrier (trap #1 of the r14 GenFilterScan
+    * sweep). FpAbProbe measured this form at 0.64 s vs 0.75 s for
+    * the join form; the barrier checkpoint it needs replaces the
+    * join's broadcast-build jobs.
     */
   private def fingerprints(docs: DataFrame, k: Int): DataFrame = {
-    // NOTE (measured, round 12): carrying the digest through the
-    // shingle explode as a second group key looks like it saves this
-    // join, but the 32-char md5 string then rides EVERY shingle row
-    // through the aggregation exchange and widens its hash key —
-    // measured 2.3x slower on llm_incremental_dedup. Keep the
-    // doc-sized digest join; it is the cheaper side.
-    // NOTE (measured, round 14, FpAbProbe): the first()-PAYLOAD form
-    // (digest aggregated, not grouped) fares no better: CollapseProject
-    // merges the digest projection back above the Generate, so the
-    // full-text md5 runs once per SHINGLE row — 2.5-10.7 s vs 0.8 s.
-    // A localCheckpoint barrier below the explode fixes that and wins
-    // 0.64 vs 0.75 s, but only by adding a second materialization the
-    // admit path would pay twice (batchUnique already checkpoints
-    // eagerly right after). Join kept.
-    val sh = docs.select(col("doc_id"),
-      explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("sh"))
-    val sig = Dedup.minHashSignature(sh, col("doc_id"), col("sh"), k)
-      .withColumnRenamed("id", "doc_id")
-    docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("digest"))
-      .join(sig, Seq("doc_id"), "left")
+    val d0 = docs.select(col("doc_id"), col("text"),
+      TextOps.fingerprint(col("text")).as("digest")).localCheckpoint(true)
+    val hashed = d0.select(col("doc_id"), col("digest"),
+        explode_outer(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("sh"))
+      .select(col("doc_id") +: col("digest") +: Dedup.minHashDigests(col("sh")): _*)
+    val aggs = first(col("digest")).as("digest") +: Dedup.minHashAggs(k)
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select((col("doc_id") +: col("digest") +:
+        (0 until k).map(j => col(s"m$j"))): _*)
   }
 }
 

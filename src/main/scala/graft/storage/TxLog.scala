@@ -679,10 +679,17 @@ class TxTable(val spark: SparkSession, val root: String,
     * change feed delivers exactly the rows this call actually
     * inserted (`n` files).
     */
+  /** `knownParts`: when the caller already knows the partition values
+    * the batch carries (e.g. it stamped them itself), passing them
+    * skips the `touchedPartitions` distinct+collect job on the commit
+    * hot path. The set must COVER the batch — [[stageInto]]'s
+    * containment guard fails loudly if a row lands outside it.
+    */
   def insertIgnore(batch: DataFrame, keys: Seq[String],
-                   maxAttempts: Int = 20): Long = {
+                   maxAttempts: Int = 20,
+                   knownParts: Option[Set[String]] = None): Long = {
     import org.apache.spark.sql.functions.col
-    val parts = touchedPartitions(batch)
+    val parts = knownParts.getOrElse(touchedPartitions(batch))
     withConflictRetry(maxAttempts) { () =>
       val (v, existing) = readPartitions(parts, "insertIgnore")
       val fresh = batch.join(existing.select(keys.map(col): _*), keys, "left_anti")
