@@ -1139,22 +1139,30 @@ object IndicatorQueries {
     * + one keyed window pass.
     */
   private def rollingBetaQ(s: SparkSession, dir: String): DataFrame = {
-    val h = hourly(s, dir)
-    val nSeries = h.select(countDistinct(col("event_type")).as("__k"))
+    // checkpoint-before-broadcast-fanout: four broadcast sides
+    // (nSeries, market, cMin, mMin) each re-execute their whole
+    // subtree, so without the barrier the events scan + hourly
+    // aggregation runs five times (IncDedupProbe4: 4 extra 32-task
+    // jobs, ~0.7 s CPU each; 1.9 -> 1.1 s wall)
+    val h = hourly(s, dir).localCheckpoint(true)
+    // scalar prefilters collected on the driver: the series count and
+    // the market min are ONE-row aggregation results (metadata-sized;
+    // the aggregations computing them stay distributed over the
+    // checkpoint) — as literals they cost nothing, where as broadcast
+    // subqueries each carried its own plan + build job
+    val k = h.select(countDistinct(col("event_type"))).head.getLong(0)
     val market = h.groupBy(col("bus"))
       .agg(sum(col("c")).as("m"), count(lit(1)).as("__cnt"))
-      .crossJoin(broadcast(nSeries))
-      .filter(col("__cnt") === col("__k"))
+      .filter(col("__cnt") === k)
       .select(col("bus"), col("m"))
-    val mMin = market.select(min(col("m")).as("__mmin"))
+    val mMin = market.agg(min(col("m"))).head.getLong(0)
     val cMin = h.groupBy(col("event_type")).agg(min(col("c")).as("__cmin"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
       .rowsBetween(-23, 0)
     h.join(broadcast(market), "bus")
       .join(broadcast(cMin), "event_type")
-      .crossJoin(broadcast(mMin))
       .select(col("event_type"), col("bus"),
-        (col("c") - col("__cmin")).as("dc"), (col("m") - col("__mmin")).as("dm"))
+        (col("c") - col("__cmin")).as("dc"), (col("m") - lit(mMin)).as("dm"))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__sc", sum(col("dc")).over(w))
       .withColumn("__sm", sum(col("dm")).over(w))

@@ -3250,8 +3250,10 @@ object LlmQueries {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
     val tf = TfIdf.termFreq(docs, col("doc_id"), col("ws")).localCheckpoint(false)
+    // q keeps its df column: the fixture IS a df ranking, so bm25
+    // reuses it and skips its internal document-frequency aggregation
     val q = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("w")).limit(5).select(col("w"))
+      .orderBy(col("df").desc, col("w")).limit(5).select(col("w"), col("df"))
     TfIdf.bm25(tf, q)
       .select(col("id").as("doc_id"), col("score"), col("n_terms"))
       .orderBy(col("score").desc, col("doc_id")).limit(20)
@@ -4210,8 +4212,10 @@ object LlmQueries {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
     val tf = TfIdf.termFreq(docs, col("doc_id"), col("ws")).localCheckpoint(false)
+    // q keeps its df column: the fixture IS a df ranking, so bm25
+    // reuses it and skips its internal document-frequency aggregation
     val q = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("w")).limit(5).select(col("w"))
+      .orderBy(col("df").desc, col("w")).limit(5).select(col("w"), col("df"))
     val textList = TfIdf.bm25(tf, q)
       .orderBy(col("score").desc, col("id")).limit(30)
     val vecList = Similarity.bruteForceTopK(Tables.embeddings(s, d),

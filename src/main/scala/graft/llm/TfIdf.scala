@@ -52,19 +52,30 @@ object TfIdf {
     * (no corpus rescans), the query-term stats broadcast, docs
     * aggregate on their own key.
     */
+  /** NOTE: runs one small aggregation job at CALL time — the corpus
+    * totals (N, Σdl) are a one-row aggregate, and collecting them to
+    * literals replaces a broadcast subquery whose build would
+    * re-execute the whole dl subtree. Call with a materialized
+    * (checkpointed) `tf` frame. If `queryTerms` already carries a
+    * `df` column (e.g. the term fixture came from a df ranking), it
+    * is used as-is and the internal document-frequency aggregation is
+    * skipped entirely.
+    */
   def bm25(tf: DataFrame, queryTerms: DataFrame, k1: Double = 1.2d,
            b: Double = 0.75d): DataFrame = {
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val qdf = df.join(broadcast(queryTerms.select(col("w"))), "w")
+    val qdf =
+      if (queryTerms.columns.contains("df")) queryTerms.select(col("w"), col("df"))
+      else tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .join(broadcast(queryTerms.select(col("w"))), "w")
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val idf = log(lit(1.0d) + (col("n") - col("df") + 0.5d) / (col("df") + 0.5d))
-    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val t = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    val (n, sumdl) = (t.getLong(0), t.getLong(1))
+    val idf = log(lit(1.0d) + (lit(n) - col("df") + 0.5d) / (col("df") + 0.5d))
+    val avgdl = lit(sumdl.toDouble / n.toDouble)
     val s = idf * (col("tf") * (k1 + 1.0d)) /
       (col("tf") + lit(k1) * (lit(1.0d) - b + lit(b) * col("dl") / avgdl))
     tf.join(broadcast(qdf), "w")
       .join(dl, "id")
-      .crossJoin(broadcast(totals))
       .select(col("id"), floor(s * 1000000d).as("q"))
       .groupBy(col("id"))
       .agg(sum(col("q")).as("score"), count(lit(1)).as("n_terms"))
@@ -88,18 +99,22 @@ object TfIdf {
     *
     * Returns (id, score, n_hit) — n_hit = query terms with tf > 0.
     */
+  /** NOTE: like [[bm25]], collects the one-row corpus-token total to
+    * a literal at call time (one small job over `tf`) instead of
+    * carrying it as a broadcast subquery. Call with a materialized
+    * `tf` frame.
+    */
   def dirichletQl(tf: DataFrame, queryTerms: DataFrame,
                   mu: Double = 100.0d): DataFrame = {
     val cf = tf.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
     val qcf = cf.join(broadcast(queryTerms.select(col("w"))), "w")
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    val ctot = tf.agg(sum(col("tf")).as("ctot"))
+    val ctot = tf.agg(sum(col("tf"))).head().getLong(0)
     val p = (coalesce(col("tf"), lit(0L)).cast("double")
-        + lit(mu) * col("cf").cast("double") / col("ctot").cast("double")) /
+        + lit(mu) * col("cf").cast("double") / lit(ctot).cast("double")) /
       (col("dl").cast("double") + lit(mu))
     dl.crossJoin(broadcast(qcf))
       .join(tf, Seq("id", "w"), "left")
-      .crossJoin(broadcast(ctot))
       .select(col("id"), floor(log(p) * 1000000d).as("q"),
         when(col("tf").isNotNull, 1L).otherwise(0L).as("hit"))
       .groupBy(col("id"))
@@ -112,13 +127,13 @@ object TfIdf {
     */
   def topTerms(tf: DataFrame, k: Int): DataFrame = {
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val n = tf.agg(countDistinct(col("id")).as("n"))
+    // one-row corpus size to a literal (one small job; see bm25)
+    val n = tf.agg(countDistinct(col("id"))).head().getLong(0)
     val qidf = floor(
-      log(col("n").cast("double") / col("df").cast("double")) * 1000000d)
+      log(lit(n).cast("double") / col("df").cast("double")) * 1000000d)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("w").asc)
     tf.join(df, "w")
-      .crossJoin(broadcast(n))
       .select(col("id"), col("w"), col("tf"), (col("tf") * qidf).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
