@@ -92,11 +92,24 @@ def annotations_section():
          "two-branch plan was A/B'd against chaining (2.08 vs 2.78 s) "
          "and kept."),
         ("llm_incremental_dedup",
-         "two TxTable commits + two index folds per increment = the "
-         "commit-protocol floor (IncDedupProbe2: index folds hide under "
-         "the batch checkpoint via Futures; residual is minhash kernel "
-         "CPU + commit IO). The stored side reads with zero Exchange — "
-         "the 100 TB property the ratio at sf0.1 doesn't show."),
+         "one TxTable commit + (second increment) two index folds per "
+         "increment = the commit-protocol floor (IncDedupProbe2/4: "
+         "index folds hide under the batch kernel via Futures; residual "
+         "is minhash kernel CPU + commit IO). Round 15 cut 3.5->2.65 s "
+         "(fused verify filter, payload digest, prepared kernels, "
+         "knownParts commit); the stored side reads with zero "
+         "Exchange — the 100 TB property the ratio at sf0.1 doesn't "
+         "show."),
+        ("llm_kmv_setops / llm_minhash_error",
+         "sketch-CALIBRATION audit twins: each computes the exact "
+         "answer (distinct-gram self-join intersection / exact Jaccard "
+         "over shingle sets) NEXT TO the sketch estimate, so the "
+         "measured cost and the 0.653 10x exponent belong to the exact "
+         "audit columns, not the sketch algebra. llm_kmv_sketch is the "
+         "split-out sketch-only path (round 15): same pairs, estimates "
+         "only, O(sources*k) after one corpus pass — its row is the "
+         "price a 100 TB deployment pays. llm_minhash_lsh already "
+         "prices the sketch-only near-dup path for minhash."),
         ("ts_mfi / ts_cmf / ts_amihud / ts_kyle_lambda (hourly-indicator family)",
          "the events fixture at sf0.1 is 100k rows / ~1.5 MB: DuckDB "
          "finishes in 0.05-0.08 s single-process while the Spark side "

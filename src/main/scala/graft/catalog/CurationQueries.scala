@@ -546,8 +546,65 @@ object CurationQueries {
        |WHERE u_k IS NOT NULL
        |ORDER BY 1, 2""".stripMargin
 
+  /** The sketch path of `llm_kmv_setops` ALONE — no exact-Jaccard
+    * audit columns: per source-pair union/intersection/Jaccard
+    * estimates off the merged k-minimum-values sketches, O(sources·k)
+    * after the one corpus pass. This is the query a 100 TB deployment
+    * actually runs (the exact audit twin exists to calibrate it);
+    * splitting it gives the sketch algebra its own bench price —
+    * `llm_kmv_setops`' measured cost/exponent belongs to its exact
+    * audit columns (SCALING.json note, VERDICT r14 item 4).
+    */
+  private def kmvSketchQ(s: SparkSession, d: String): DataFrame =
+    Sketches.kmvSetOps(
+        Sketches.kmvMins(sourceGrams(s, d), col("source"), col("g"), 256), 256)
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        r4(col("jac_est")).as("jac_est"),
+        r4(col("est_union")).as("est_union"),
+        r4(col("est_inter")).as("est_inter"))
+      .orderBy(col("source_a"), col("source_b"))
+
+  private val kmvSketchSql: String =
+    s"""$sourceGramsSql, du AS (
+       |  SELECT DISTINCT source,
+       |         (CAST(('0x' || substring(md5(g), 1, 13)) AS UBIGINT) + 0.5)
+       |           / 4503599627370496.0 AS u
+       |  FROM g
+       |), rk AS (
+       |  SELECT source, u,
+       |         dense_rank() OVER (PARTITION BY source ORDER BY u) AS dr
+       |  FROM du
+       |), mins AS (SELECT source, u FROM rk WHERE dr <= 256
+       |), srcs AS (SELECT DISTINCT source FROM mins
+       |), pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source
+       |), cu AS (
+       |  SELECT p.sa, p.sb, m.u,
+       |         max(CASE WHEN m.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |         max(CASE WHEN m.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM pairs p JOIN mins m ON m.source = p.sa OR m.source = p.sb
+       |  GROUP BY 1, 2, 3
+       |), agg AS (
+       |  SELECT sa, sb,
+       |         min(CASE WHEN dr = 256 THEN u END) AS u_k,
+       |         CAST(sum(CASE WHEN dr <= 256 AND ina = 1 AND inb = 1
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+       |  FROM (SELECT sa, sb, u, ina, inb,
+       |               dense_rank() OVER (PARTITION BY sa, sb ORDER BY u) AS dr
+       |        FROM cu)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT sa AS source_a, sb AS source_b,
+       |       ${r4Sql("CAST(cnt AS DOUBLE) / 256")} AS jac_est,
+       |       ${r4Sql("255.0 / u_k")} AS est_union,
+       |       ${r4Sql("(CAST(cnt AS DOUBLE) / 256) * (255.0 / u_k)")} AS est_inter
+       |FROM agg WHERE u_k IS NOT NULL
+       |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmv_setops"   -> kmvSetOpsQ,
+    "llm_kmv_sketch"   -> kmvSketchQ,
     "llm_gopher_rules" -> gopherRulesQ,
     "llm_margin_mine"  -> marginMineQ,
     "llm_margin_mine_cells" -> marginMineCellsQ,
@@ -559,6 +616,7 @@ object CurationQueries {
 
   def oracleSql: Map[String, String] = Map(
     "llm_kmv_setops"   -> kmvSetOpsSql,
+    "llm_kmv_sketch"   -> kmvSketchSql,
     "llm_gopher_rules" -> gopherRulesSql,
     "llm_margin_mine"  -> marginMineSql,
     "llm_margin_mine_cells" -> marginMineCellsSql,

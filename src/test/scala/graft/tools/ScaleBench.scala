@@ -236,7 +236,19 @@ object ScaleBench {
     // granger/gini ride the events axis (hourly rollup absorbs the
     // 10× raw scan; gini's window runs over distinct amounts).
     "llm_allpairs_sim", "llm_hits", "llm_label_prop",
-    "ts_granger", "ts_gini")
+    "ts_granger", "ts_gini",
+    // round-15 additions (the r14 verdict's unmeasured >=0.7 s
+    // newcomers). graph_stats: degree-oriented wedge counting over the
+    // dedup graph — replica graphs are disjoint, so wedges grow with
+    // the replicas, not quadratically. lsh_recall: the planted-pair
+    // audit — pairs are within-replica by construction, so recall
+    // work grows linearly. rolling_beta rides the events user axis
+    // (hourly panel stays time-bounded; the scan is the growth).
+    // kmv_sketch: the split-out sketch-only path — one corpus pass +
+    // O(sources*k) algebra; its exponent should price the PASS, with
+    // the audit twin's 0.653 staying attributed to the exact columns.
+    "llm_graph_stats", "llm_lsh_recall", "ts_rolling_beta",
+    "llm_kmv_sketch")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
