@@ -22,6 +22,7 @@ def main():
     bench = json.loads(open(bench_file).read().strip().splitlines()[-1])
     spark_t = bench["queries"]
     floor = float(bench.get("floor", 0.0))
+    canary = float(bench.get("canary", 0.0))
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.cpu_count()}")
     for t in TABLES:
@@ -66,6 +67,23 @@ def main():
         lines.append(f"| {name} | {s:.2f} | {net:.2f} | {d:.2f} | {ratio} | {nratio} |")
     lines.append(f"| **total** | **{s_tot:.2f}** | **{n_tot:.2f}** | **{d_tot:.2f}** | "
                  f"**{s_tot / d_tot:.1f}x** | **{n_tot / d_tot:.1f}x** |")
+    if canary > 0.0:
+        # CANARY_REF: the canary's value on the round-15 reference run.
+        # Same-code full-catalog totals drift ~7-13% with box load;
+        # dividing a record's total by (canary/CANARY_REF) nets the
+        # drift out, so CROSS-RECORD total comparisons should use the
+        # normalized number (within-record per-query medians need no
+        # normalization).
+        CANARY_REF = 0.35
+        k = canary / CANARY_REF
+        lines += [
+            "",
+            f"Canary (fixed 4M-md5 + 97-key aggregate, median of rounds): "
+            f"**{canary:.3f} s** (ref {CANARY_REF:.2f} s, box factor "
+            f"{k:.2f}x) · canary-normalized totals: spark "
+            f"**{s_tot / k:.2f} s**, net **{n_tot / k:.2f} s** — use these "
+            f"for round-over-round total comparisons.",
+        ]
     lines += annotations_section()
     lines += scaling_section()
     open("BENCH_COMPARE.md", "w").write("\n".join(lines) + "\n")
@@ -85,7 +103,11 @@ def annotations_section():
          "design targets skewed 100 TB streams (users >> m*24), where "
          "the bounded summaries win by construction; the exact twin "
          "exists as the audit gate, not the scale path. 10x user-axis "
-         "exponents in the scaling table below price the growth."),
+         "exponents in the scaling table below price the growth, and "
+         "the round-15 SkewSsProbe measures the design regime "
+         "directly: on a 200k-user skewed fixture (users >> m*24) the "
+         "summary pipeline wins 1.80 vs 2.77 s median (5 interleaved "
+         "rounds) with identical top-3 output."),
         ("llm_margin_mine",
          "the deliberate exact AxB form kept as the audit twin of "
          "llm_margin_mine_cells (the IVF-bounded scale path); the "

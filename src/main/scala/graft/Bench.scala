@@ -120,8 +120,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.toList)
 
+    // Fixed-workload CANARY (round-15, verdict item 7): same-code
+    // full-catalog runs drift ~7-13% with box load, making raw
+    // round-over-round totals unreadable. This fixed CPU+shuffle
+    // workload (4M md5 over 32 tasks + a 97-key aggregate) is
+    // catalog-independent; cross-record total comparisons divide by
+    // the canary ratio to net box drift out. Median-of-rounds like
+    // everything else.
+    val canary = {
+      import org.apache.spark.sql.functions.{col, concat_ws, count, lit, max, md5, min => fmin}
+      median((1 to roundsDone.get()).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 4000000L, 1, 32)
+          .select((col("id") % 97L).as("k"),
+            md5(concat_ws("|", lit("c"), col("id").cast("string"))).as("h"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), fmin(col("h")).as("m"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.toList)
+    }
+
     emit(samples, errors, roundsDone.get(), floor, sfDir,
-      partial = false, elapsedS = (System.nanoTime() - tStart) / 1e9)
+      partial = false, elapsedS = (System.nanoTime() - tStart) / 1e9, canary = canary)
     try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => }
     spark.stop()
     if (!errors.isEmpty) sys.exit(1)
@@ -145,7 +166,7 @@ object Bench {
       samples: java.util.concurrent.ConcurrentHashMap[String, List[Double]],
       errors: java.util.concurrent.ConcurrentHashMap[String, String],
       rounds: Int, floor: Double, sfDir: String,
-      partial: Boolean, elapsedS: Double): Unit = {
+      partial: Boolean, elapsedS: Double, canary: Double = 0.0): Unit = {
     if (!emitted.compareAndSet(false, true)) return
     import scala.jdk.CollectionConverters._
     // Warm-up exclusion (round-12 lesson): round 1 pays JIT/codegen/
@@ -175,8 +196,9 @@ object Bench {
         .map { case (k, v) => s""""$k":${jstr(v.take(300))}""" }
         .mkString(""","errors":{""", ",", "}")
     val partField = if (partial) s""","partial":true,"elapsed":${f3(elapsedS)}""" else ""
+    val canField = if (canary > 0.0) s""","canary":${f3(canary)}""" else ""
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds$errField$partField}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)}$canField,"sf":"$sfDir","rounds":$rounds$errField$partField}"""
     println(fullLine)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "/tmp/graft_bench_full.json")
     try java.nio.file.Files.write(
@@ -187,7 +209,7 @@ object Bench {
     }
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"floor":${f3(floor)},"sf":"$sfDir","rounds":$rounds,"nerrors":${errors.size}$partField,"slowest":$slowest,"full":"$outPath"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"floor":${f3(floor)}$canField,"sf":"$sfDir","rounds":$rounds,"nerrors":${errors.size}$partField,"slowest":$slowest,"full":"$outPath"}""")
     System.out.flush()
   }
 
