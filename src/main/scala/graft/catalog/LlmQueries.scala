@@ -2214,24 +2214,35 @@ object LlmQueries {
     repetitionOver(docsIn)
 
   private def repetitionOver(docsIn: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // one tokenization kernel, checkpointed: base/wtop/gtop each
+    // consumed the words() chain from the scan, so the kernel ran
+    // THREE times (IncDedupProbe4: 5.6 + 2.1 + 3.4 s CPU); the
+    // eager barrier makes it one pass
     val docs = docsIn
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_t"),
         TextOps.words(col("text")).as("w"))
+      .localCheckpoint(true)
     val base = docs.select(col("doc_id"), col("n_chars_t"),
       size(col("w")).cast("long").as("n_words"),
       size(array_distinct(col("w"))).cast("long").as("n_distinct"))
-    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("wrd"))
+    // rank-1-per-doc as a min_by aggregate over (-count, token), not a
+    // row_number window: the partial aggregate combines map-side and
+    // there is no per-partition sort for AQE to coalesce into a
+    // single CPU-dense task (trap #2 of the r14 sweep; the two window
+    // stages ran as 4-task/1-task jobs here)
     val wtop = docs.select(col("doc_id"), explode(col("w")).as("wrd"))
       .groupBy(col("doc_id"), col("wrd")).agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(wWin)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("wrd").as("top_word"), col("c").as("wc"))
-    val gWin = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("gram"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("wrd"), col("c")),
+        struct((-col("c")).as("nc"), col("wrd"))).as("__t"))
+      .select(col("doc_id"), col("__t.wrd").as("top_word"), col("__t.c").as("wc"))
     val gtop = docs.select(col("doc_id"),
         explode(TextOps.wordNgrams(col("w"), 2)).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(gWin)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("gram").as("top_bigram"), col("c").as("gc"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("gram"), col("c")),
+        struct((-col("c")).as("nc"), col("gram"))).as("__t"))
+      .select(col("doc_id"), col("__t.gram").as("top_bigram"), col("__t.c").as("gc"))
     base.join(wtop, Seq("doc_id"), "left").join(gtop, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         r4(lit(1.0d) - col("n_distinct") * lit(1.0d) / col("n_words")).as("dup_word_frac"),

@@ -202,16 +202,22 @@ object Dedup {
     // callers exploding array_distinct'd gram sets skip the exchange
     // (the sharedSpanPairs contract)
     val g = if (assumeDistinct) raw else raw.distinct()
-    val dfs = g.groupBy(col("d")).agg(count(lit(1)).as("__df"))
+    // df as a WINDOW over the digest, not a groupBy + join back: the
+    // join form consumed `g` twice, so the tokenize + n-gram + md5 +
+    // distinct kernel ran twice before the checkpoint (IncDedupProbe4:
+    // two concurrent 64-task jobs, 8.7 + 4.2 s CPU); the window runs
+    // it once into a single digest-keyed exchange.
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("d"))
     // Materialize the df-pruned posting frame ONCE: it is consumed
     // three times below (sizes, both pair-join sides), and unlike the
-    // marginScore counter-case its upstream (tokenize + n-gram + md5
-    // + distinct + df join) is far heavier than the narrow
-    // (digest, id, df) rows it produces. Measured (ContainProbe,
-    // sf0.1, same-session A/B): 2.75 s → 1.71 s. At cluster scale the
-    // same move is persist(DISK) or a staging table if executor-loss
-    // recomputability matters — localCheckpoint truncates lineage.
-    val informative = g.join(dfs.filter(col("__df") <= maxDf), Seq("d"))
+    // marginScore counter-case its upstream kernel is far heavier
+    // than the narrow (digest, id, df) rows it produces. Measured
+    // (ContainProbe, sf0.1, same-session A/B): 2.75 s → 1.71 s. At
+    // cluster scale the same move is persist(DISK) or a staging table
+    // if executor-loss recomputability matters — localCheckpoint
+    // truncates lineage.
+    val informative = g.withColumn("__df", count(lit(1)).over(wd))
+      .filter(col("__df") <= maxDf)
       .localCheckpoint(false)
     val nA = informative.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
     val pruned = informative.filter(col("__df") >= minDf)

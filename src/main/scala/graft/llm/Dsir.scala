@@ -62,22 +62,36 @@ object Dsir {
     val tagged = docs.filter(text.isNotNull)
       .select(id.cast("long").as("doc_id"), text.as("text"),
         targetPred.as("is_target"))
+    // checkpoint-before-model-build: the feature kernel (words +
+    // bigrams + md5 per gram) is the query's CPU center, and the
+    // model aggregation + the scoring join both consume it — without
+    // the barrier the model's broadcast build re-executes the kernel
     val feats = features(tagged, col("doc_id"), col("text"), salt)
       .join(tagged.select(col("doc_id"), col("is_target")), "doc_id")
-    // bucket models: full outer so buckets seen on only one side keep
-    // a smoothed probability on the other; ≤ B rows
-    val side = (t: Boolean) => feats.filter(col("is_target") === t)
-      .groupBy("b").agg(sum(col("n")).as(if (t) "ct" else "cr"))
-    val model = side(true).join(side(false), Seq("b"), "full_outer")
-      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
-        coalesce(col("cr"), lit(0L)).as("cr"))
-    // totals ride the same frame: one broadcastable model table with
-    // the per-bucket smoothed log-likelihood ratio
-    val tot = model.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    val llr = model.crossJoin(broadcast(tot)).select(col("b"),
-      (log((col("ct") + 1).cast("double") / (col("tt") + NumBuckets).cast("double")) -
-       log((col("cr") + 1).cast("double") / (col("tr") + NumBuckets).cast("double")))
-        .as("llr"))
+      .localCheckpoint(true)
+    // ONE fused model aggregation, collected: the model is ≤ B = 256
+    // rows by construction (model-sized, like centroids). A bucket
+    // seen on only one side keeps 0 on the other, exactly as the old
+    // full-outer two-side join produced. Totals are exact integer
+    // sums, computed on the driver.
+    val modelRows = feats.groupBy("b").agg(
+        sum(when(col("is_target"), col("n")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), col("n")).otherwise(0L)).as("cr"))
+      .collect()
+    val tt = modelRows.map(_.getLong(1)).sum
+    val tr = modelRows.map(_.getLong(2)).sum
+    // the per-bucket llr is rebuilt as a LOCAL relation evaluated by
+    // the same Catalyst log expressions as before — identical IEEE op
+    // sequence, so the hash-gated scores cannot move
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val llr = modelRows.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("b", "ct", "cr")
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / lit(tt + NumBuckets).cast("double")) -
+         log((col("cr") + 1).cast("double") / lit(tr + NumBuckets).cast("double")))
+          .as("llr"))
     feats.filter(!col("is_target"))
       .join(broadcast(llr), "b")
       .groupBy("doc_id").agg(
