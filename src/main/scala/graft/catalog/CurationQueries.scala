@@ -477,10 +477,17 @@ object CurationQueries {
     // gram text: set equality survives hashing (collisions 2^-128),
     // and the distinct + self-join shuffles shrink to digest width —
     // the llm_span_dedup lesson; the oracle hashes identically
-    val dg = grams.select(col("source"), md5(col("g")).as("h")).distinct()
+    // dg feeds three consumers (sizes + both self-join legs) — the
+    // checkpoint runs the shingle+md5+distinct kernel once; the
+    // NUMBERED repartition keeps the digest self-join's byte-small,
+    // CPU-dense exchange out of AQE's single-task coalescing
+    // (GenFilterScan r15: 396 ms/1t)
+    val dg = grams.select(col("source"), md5(col("g")).as("h"))
+      .repartition(32, col("source"), col("h")).distinct()
+      .localCheckpoint(false)
     val sizes = dg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = dg.select(col("source").as("sa"), col("h"))
-      .join(dg.select(col("source").as("sb"), col("h")), Seq("h"))
+    val inter = dg.select(col("source").as("sa"), col("h")).repartition(32, col("h"))
+      .join(dg.select(col("source").as("sb"), col("h")).repartition(32, col("h")), Seq("h"))
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("ni"))
     ops.join(inter, Seq("sa", "sb"), "left")

@@ -164,7 +164,12 @@ object Sketches {
     val cu = ua.unionByName(ub).groupBy(col("sa"), col("sb"), col("u"))
       .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
     val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("u"))
-    cu.withColumn("dr", dense_rank().over(w))
+    // NUMBERED repartition: the pair-keyed window's exchange is
+    // byte-small but CPU-dense, and AQE's size-based coalescing folds
+    // it to ONE task (GenFilterScan r15: 308 ms/1t); a numbered
+    // repartition is exempt and satisfies the window's partitioning
+    cu.repartition(32, col("sa"), col("sb"))
+      .withColumn("dr", dense_rank().over(w))
       .groupBy(col("sa"), col("sb"))
       .agg(min(when(col("dr") === k, col("u"))).as("u_k"),
         sum(when(col("dr") <= k && col("ina") === 1 && col("inb") === 1, 1L)
