@@ -1002,20 +1002,22 @@ object IndicatorQueries {
     * is data-derived the same way on both sides.
     */
   private def betaQ(s: SparkSession, dir: String): DataFrame = {
-    val h = hourly(s, dir)
-    val nSeries = h.select(countDistinct(col("event_type")).as("__k"))
+    // same plan surgery as rollingBetaQ: checkpoint hourly before the
+    // broadcast fan-out (each broadcast side re-executed the events
+    // scan + hourly aggregation) and collect the two one-row scalars
+    // to literals
+    val h = hourly(s, dir).localCheckpoint(true)
+    val k = h.select(countDistinct(col("event_type"))).head.getLong(0)
     val market = h.groupBy(col("bus"))
       .agg(sum(col("c")).as("m"), count(lit(1)).as("__cnt"))
-      .crossJoin(broadcast(nSeries))
-      .filter(col("__cnt") === col("__k"))
+      .filter(col("__cnt") === k)
       .select(col("bus"), col("m"))
-    val mMin = market.select(min(col("m")).as("__mmin"))
+    val mMin = market.agg(min(col("m"))).head.getLong(0)
     val cMin = h.groupBy(col("event_type")).agg(min(col("c")).as("__cmin"))
     h.join(broadcast(market), "bus")
       .join(broadcast(cMin), "event_type")
-      .crossJoin(broadcast(mMin))
       .select(col("event_type"),
-        (col("c") - col("__cmin")).as("dc"), (col("m") - col("__mmin")).as("dm"))
+        (col("c") - col("__cmin")).as("dc"), (col("m") - lit(mMin)).as("dm"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("dc")).as("__sc"), sum(col("dm")).as("__sm"),

@@ -148,12 +148,21 @@ object LexicalQueries {
       .select(col("doc_id"), col("lang"), TextOps.words(col("text")).as("ws"))
     val tf = TfIdf.termFreq(docs.select(col("doc_id"), col("ws")),
       col("doc_id"), col("ws")).localCheckpoint(false)
-    // global BM25 stats
+    // global BM25 stats; the one-row corpus totals collect to
+    // literals (the TfIdf.bm25 move — a broadcast subquery's build
+    // would re-execute the dl subtree)
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    // per-lang query terms: top-3 by lang-df
-    val langDf = docs.select(col("lang"), col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
+    val totR = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    val (nDocs, sumdl) = (totR.getLong(0), totR.getLong(1))
+    // per-lang query terms: top-3 by lang-df. A (lang, w) document
+    // count is exactly the tf frame (one row per doc×term) joined to
+    // the doc→lang map — deriving it from the CHECKPOINTED tf replaces
+    // a second tokenize+explode pass over the corpus with a pruned
+    // two-column scan + one aggregation.
+    val docLang = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("lang"))
+    val langDf = tf.select(col("id"), col("w")).join(docLang, "id")
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("ldf"))
     val qTerms = langDf
       .withColumn("__rk", row_number().over(
@@ -162,14 +171,14 @@ object LexicalQueries {
       .join(broadcast(df), "w")
     // exact llm_bm25 per-term score, quantized to integer micro-units
     val perTerm = tf.join(broadcast(qTerms), "w")
-      .join(dl, "id").crossJoin(broadcast(tot))
+      .join(dl, "id")
       .withColumn("__qs", floor(
-        log(lit(1.0d) + (col("n") - col("df") + lit(0.5d))
+        log(lit(1.0d) + (lit(nDocs) - col("df") + lit(0.5d))
           / (col("df") + lit(0.5d)))
           * (col("tf") * (lit(1.2d) + lit(1.0d)))
           / (col("tf") + lit(1.2d) * (lit(1.0d) - lit(0.75d)
             + lit(0.75d) * col("dl")
-            / (col("sumdl").cast("double") / col("n").cast("double"))))
+            / (lit(sumdl).cast("double") / lit(nDocs).cast("double"))))
           * lit(1000000.0d)).cast("long"))
       .groupBy(col("lang"), col("id"))
       .agg(sum(col("__qs")).as("score"))
