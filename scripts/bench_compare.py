@@ -159,6 +159,17 @@ def annotations_section():
          "through two exchanges is the exact-audit cost; fanOut was "
          "A/B'd and REJECTED for the family (SCALE.md round 14c), and "
          "the countDistinct-vs-pair-distinct A/B was a wash (SdAbProbe)."),
+        ("llm_semantic_pack / llm_margin_mine_cells",
+         "iterative k-means shapes: semanticOrder / cellMarginMine run "
+         "a fixed Lloyd fit (5 / 3 iterations = 2 jobs each: assign "
+         "aggregate + centroid collect) before the cell-local work, "
+         "and packSequences adds its two-level prefix-sum actions — "
+         "~20-30 small jobs whose per-job floor IS the sf0.1 wall "
+         "(IncDedupProbe4 r15: no job over 0.4 s, no single-task "
+         "CPU-dense stage). The iteration count is fixture-pinned by "
+         "the oracle; the per-iteration frames are model/cell-sized, "
+         "so the shape is corpus-size-independent past the one "
+         "assign pass per iteration."),
         ("llm_nb_classify / llm_log_odds",
          "5000-doc / 1.5 MB fixtures: the Spark time is ~7 sequential "
          "stage waves of fixed cost (SCALE.md round 14); 10x exponents "

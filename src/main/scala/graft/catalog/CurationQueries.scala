@@ -479,15 +479,17 @@ object CurationQueries {
     // the llm_span_dedup lesson; the oracle hashes identically
     // dg feeds three consumers (sizes + both self-join legs) — the
     // checkpoint runs the shingle+md5+distinct kernel once; the
-    // NUMBERED repartition keeps the digest self-join's byte-small,
-    // CPU-dense exchange out of AQE's single-task coalescing
-    // (GenFilterScan r15: 396 ms/1t)
+    // NUMBERED repartition keeps the distinct's byte-small, CPU-dense
+    // final stage out of AQE's single-task coalescing (GenFilterScan
+    // r15: 396-423 ms/1t). Join-leg repartitions were A/B'd and
+    // REVERTED — the two extra exchanges cost what the freed stage
+    // saved (interleaved pairs, r15; the r14c fanOut lesson again).
     val dg = grams.select(col("source"), md5(col("g")).as("h"))
       .repartition(32, col("source"), col("h")).distinct()
       .localCheckpoint(false)
     val sizes = dg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = dg.select(col("source").as("sa"), col("h")).repartition(32, col("h"))
-      .join(dg.select(col("source").as("sb"), col("h")).repartition(32, col("h")), Seq("h"))
+    val inter = dg.select(col("source").as("sa"), col("h"))
+      .join(dg.select(col("source").as("sb"), col("h")), Seq("h"))
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("ni"))
     ops.join(inter, Seq("sa", "sb"), "left")
