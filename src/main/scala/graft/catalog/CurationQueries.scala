@@ -258,15 +258,23 @@ object CurationQueries {
     * runs only on the maybe sliver.
     */
   private def bloomFilterQ(s: SparkSession, d: String): DataFrame = {
-    val grams = sourceGrams(s, d)
+    // one shingle kernel pass: the distinct (source, gram) posting
+    // frame is checkpointed and feeds all four consumers (ref-source
+    // scalar, sketch build, probes, truth set) — each previously
+    // re-ran the tokenize+5-gram kernel (RecomputeScan r15: four
+    // kernel-class jobs). Distinct-first is bit-identical for the
+    // sketch (duplicate grams set the same bits) and was already the
+    // probe/truth semantics.
+    val grams = sourceGrams(s, d).select(col("source"), col("g")).distinct()
+      .localCheckpoint(false)
     val refS = grams.groupBy().agg(min(col("source")).as("source"))
     val refGrams = grams.join(broadcast(refS), "source").select(col("g"))
     val bloom = Sketches.bloomBuild(refGrams, lit(0L), col("g"))
     val probes = grams.join(broadcast(refS), Seq("source"), "left_anti")
-      .select(col("source"), col("g")).distinct()
+      .select(col("source"), col("g"))
     val maybe = Sketches.bloomMightContain(bloom, probes, lit(0L), col("g"),
       carry = Seq(col("source")))
-    val refSet = refGrams.distinct().select(col("g"), lit(1L).as("in_ref"))
+    val refSet = refGrams.select(col("g"), lit(1L).as("in_ref"))
     maybe.select(col("source"), col("key").as("g"), col("maybe"))
       .join(refSet, Seq("g"), "left")
       .groupBy(col("source"))

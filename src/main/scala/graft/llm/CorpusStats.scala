@@ -408,10 +408,15 @@ object CorpusStats {
     * 1.62→7.34 s at 10x, exponent 0.66, the catalog's worst).
     */
   def unitNovelty(docs: DataFrame, id: Column, units: Column): DataFrame = {
+    // EAGER checkpoint: the lazy form races — AQE runs the perDoc and
+    // df aggregations' map stages concurrently, and both compute the
+    // full unit kernel because neither finds the checkpoint
+    // materialized yet (RecomputeScan r15 on llm_cdc_dedup: 14.0 s +
+    // 5.6 s CPU twin jobs for one kernel). Eager runs it exactly once.
     val dus = docs.select(id.as("id"),
         explode(array_distinct(units)).as("g"))
       .select(col("id"), unhex(md5(col("g"))).as("dg"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val perDoc = dus.groupBy(col("id")).agg(count(lit(1)).as("n_units"))
     val uniqPerDoc = dus.groupBy(col("dg"))
       .agg(count(lit(1)).as("df"), min(col("id")).as("owner"))

@@ -275,8 +275,14 @@ object Dedup {
       .select(id.as("id"), explode_outer(array_distinct(shinglesCol)).as("s"))
       .filter(col("s").isNotNull) // outer: see editNearDups' pushed-filter note
     val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
+    // docsig feeds THREE subtrees (bands + both verify sides); the
+    // bands side prunes `gs`, which splits the aggregation into two
+    // NON-reusable exchanges and runs the shingle+md5 kernel twice
+    // (RecomputeScan r15: two ~equal heavy jobs on every minhash
+    // query). The lazy checkpoint makes it one pass.
     val docsig = hashed.groupBy(col("id"))
       .agg(collect_list(col("__sh")).as("gs"), minHashAggs(k): _*)
+      .localCheckpoint(false)
     val cand = lshCandidates(lshBands(docsig, k, bandsOf))
     val a = docsig.select(col("id").as("id_a"), col("gs").as("ga"))
     val b = docsig.select(col("id").as("id_b"), col("gs").as("gb"))
@@ -306,8 +312,11 @@ object Dedup {
       .select(id.as("id"), explode_outer(array_distinct(shinglesCol)).as("s"))
       .filter(col("s").isNotNull) // outer: see editNearDups' pushed-filter note
     val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
+    // one kernel pass for bands + both verify sides — see
+    // minHashNearDups' checkpoint note
     val docsig = hashed.groupBy(col("id"))
       .agg(collect_list(col("__sh")).as("gs"), minHashAggs(k): _*)
+      .localCheckpoint(false)
     val cand = lshCandidates(lshBands(docsig, k, bandsOf))
     val a = docsig.select(col("id").as("id_a") +: col("gs").as("ga") +:
       (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
