@@ -338,10 +338,19 @@ object CurationQueries {
     * deployment would size registers against.
     */
   private def hllDistinctQ(s: SparkSession, d: String): DataFrame = {
-    val grams = sourceGrams(s, d)
-    val exact = grams.groupBy(col("source"))
-      .agg(countDistinct(col("g")).as("n_exact"))
-    Sketches.hllEstimate(grams, col("source"), col("g"))
+    // shared kernel (RecomputeScan r15: twin 7.0 + 6.4 s CPU jobs —
+    // the sketch and the exact audit each re-hashed the gram stream):
+    // hash once into a distinct (source, md5) frame; HLL registers
+    // are duplicate-insensitive so they read identically off it, and
+    // the exact distinct count is its per-source row count (the
+    // kmv_setops digest-equality convention: set identity survives
+    // md5 at 2^-128)
+    val dh = sourceGrams(s, d)
+      .select(col("source"), md5(col("g")).as("h")).distinct()
+      .localCheckpoint(false)
+    val exact = dh.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    Sketches.hllFromRegisters(
+        Sketches.hllRegistersOfHash(dh, col("source"), col("h")))
       .withColumnRenamed("g", "source")
       .join(exact, "source")
       .select(col("source"), col("n_exact"), r4(col("est")).as("est"),
@@ -395,10 +404,14 @@ object CurationQueries {
 
   /** [[Sketches.kmvKthMin]] (k = 256) vs the exact distinct count. */
   private def kmvDistinctQ(s: SparkSession, d: String): DataFrame = {
-    val grams = sourceGrams(s, d)
-    val exact = grams.groupBy(col("source"))
-      .agg(countDistinct(col("g")).as("n_exact"))
-    Sketches.kmvKthMin(grams, col("source"), col("g"), 256)
+    // same shared-kernel move as hllDistinctQ: the KMV uniform is a
+    // pure function of the md5 hex, and KmvAgg keeps DISTINCT
+    // uniforms anyway, so both paths read one hashed-distinct frame
+    val dh = sourceGrams(s, d)
+      .select(col("source"), md5(col("g")).as("h")).distinct()
+      .localCheckpoint(false)
+    val exact = dh.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    Sketches.kmvKthMinOfHash(dh, col("source"), col("h"), 256)
       .withColumnRenamed("g", "source")
       .join(exact, "source")
       .select(col("source"), col("n_exact"), r4(col("est")).as("est"),
@@ -433,13 +446,19 @@ object CurationQueries {
     * is visible row by row in the checked output.
     */
   private def countMinQ(s: SparkSession, d: String): DataFrame = {
-    val wd = Tables.fanOut(Tables.documents(s, d))
+    // shared kernel (RecomputeScan r15: twin 5.2 + 4.8 s CPU jobs):
+    // one word-keyed count frame feeds BOTH the sketch (as weighted
+    // increments — cell sums of per-word counts are identical to
+    // per-occurrence increments) and the exact top-20. The sketch's
+    // probe explode then runs over the vocabulary, not the corpus.
+    val counts = Tables.fanOut(Tables.documents(s, d))
       .select(explode(TextOps.words(col("text"))).as("w"))
-    val cm = Sketches.countMin(wd, lit(0L), col("w"))
-    // 20 rows: safe to materialize once for the two consumers below
-    val top = wd.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col("w")).limit(20)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
       .localCheckpoint(false)
+    val cm = Sketches.countMin(counts, lit(0L), col("w"),
+      weight = col("n_exact"))
+    val top = counts
+      .orderBy(col("n_exact").desc, col("w")).limit(20)
     val est = Sketches.countMinLookup(cm, top.select(col("w")), lit(0L), col("w"))
     top.join(est.select(col("key").as("w"), col("est")), Seq("w"))
       .select(col("w"), col("n_exact"), col("est").as("n_est"),
@@ -479,8 +498,6 @@ object CurationQueries {
     */
   private def kmvSetOpsQ(s: SparkSession, d: String): DataFrame = {
     val grams = sourceGrams(s, d)
-    val mins = Sketches.kmvMins(grams, col("source"), col("g"), 256)
-    val ops = Sketches.kmvSetOps(mins, 256)
     // exact calibration joins on the 16-byte md5 of the gram, not the
     // gram text: set equality survives hashing (collisions 2^-128),
     // and the distinct + self-join shuffles shrink to digest width —
@@ -495,6 +512,12 @@ object CurationQueries {
     val dg = grams.select(col("source"), md5(col("g")).as("h"))
       .repartition(32, col("source"), col("h")).distinct()
       .localCheckpoint(false)
+    // the SKETCH side reads the same hashed-distinct frame (r15
+    // shared-kernel move, see hllDistinctQ): the KMV uniform is a
+    // pure function of the md5 hex, so the sketch path no longer
+    // re-shingles the corpus
+    val ops = Sketches.kmvSetOps(
+      Sketches.kmvMinsOfHash(dg, col("source"), col("h"), 256), 256)
     val sizes = dg.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = dg.select(col("source").as("sa"), col("h"))
       .join(dg.select(col("source").as("sb"), col("h")), Seq("h"))

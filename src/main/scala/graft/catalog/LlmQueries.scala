@@ -778,8 +778,13 @@ object LlmQueries {
         explode(graft.functions.CharNgramSet.charNgramSet(col("text"), 5)).as("s"))
     val sigAggs = (0 until 24).map { k =>
       min(xxhash64(lit(k), col("s"))).cast("string").as(s"m$k") }
+    // ... but the bands side PRUNES gs, which splits the aggregation
+    // into two non-reusable exchanges (RecomputeScan r15: 6.7 + 2.8 s
+    // CPU twin jobs) — the lazy checkpoint restores the single pass
+    // the comment above promises
     val docsig = grams.groupBy(col("id"), col("lang"), col("source"))
       .agg(collect_list(col("s")).as("gs"), sigAggs: _*)
+      .localCheckpoint(false)
     // (lang, source) folded INTO the band bucket key: cross-block
     // candidates never materialize, so the block predicate needs no
     // post-join filter — at 100 TB that prunes every spurious

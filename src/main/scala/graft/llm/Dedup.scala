@@ -161,10 +161,15 @@ object Dedup {
     // only narrows half the shuffle while paying a hash per row.
     // (Contrast llm_kmv_setops, where NO text survives the join and
     // the digest key won 4.4 → 2.6 s.)
-    val keep = g.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    // df as a WINDOW over the gram, not groupBy + join back: the join
+    // form consumed `g` twice, so the explode+distinct kernel ran
+    // twice (RecomputeScan r15: 5.5 + 4.6 s CPU twin jobs; the
+    // containmentPairs fix applied here). The two pair-join legs
+    // below share the window's exchange via ReuseExchange.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val pruned = g.withColumn("__df", count(lit(1)).over(wg))
       .filter(col("__df") >= minDf && col("__df") <= maxDf)
-      .select(col("g"))
-    val pruned = g.join(keep, Seq("g"))
+      .select(col("g"), col("id"))
     pruned.select(col("g"), col("id").as("id_a"))
       .join(pruned.select(col("g"), col("id").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))

@@ -69,14 +69,22 @@ object Sketches {
     * max-merge to the whole's registers exactly, which is what
     * [[CorpusProfile]] folds into a persistent state per increment.
     */
-  def hllRegisters(df: DataFrame, group: Column, value: Column): DataFrame = {
-    val h = md5(value.cast("string"))
+  def hllRegisters(df: DataFrame, group: Column, value: Column): DataFrame =
+    hllRegistersOfHash(df, group, md5(value.cast("string")))
+
+  /** [[hllRegisters]] over a PRECOMPUTED md5 hex column — the
+    * shared-kernel form: an audit twin that also needs the hash for
+    * its exact side (distinct counts, KMV uniforms) hashes the value
+    * stream ONCE and derives every path from the hex. HLL is
+    * duplicate-insensitive, so a distinct (group, hash) frame gives
+    * identical registers.
+    */
+  def hllRegistersOfHash(df: DataFrame, group: Column, hexHash: Column): DataFrame =
     df.select(group.as("g"),
-        substring(h, 1, 2).as("bucket"),
-        hexRank(substring(h, 3, 10), 10).as("rank"))
+        substring(hexHash, 1, 2).as("bucket"),
+        hexRank(substring(hexHash, 3, 10), 10).as("rank"))
       .groupBy(col("g"), col("bucket"))
       .agg(max(col("rank")).as("m"))
-  }
 
   /** (g, est, v_zero) from a register frame (merged or single-pass). */
   def hllFromRegisters(registers: DataFrame): DataFrame = {
@@ -101,8 +109,14 @@ object Sketches {
   /** (0,1) uniform from the first 13 md5 hex chars — exact dyadic
     * arithmetic, the [[Sampling.weightedSample]] scheme.
     */
-  def hashUniform(value: Column): Column = {
-    val v = conv(substring(md5(value.cast("string")), 1, 13), 16, 10).cast("double")
+  def hashUniform(value: Column): Column =
+    hashUniformOfHex(md5(value.cast("string")))
+
+  /** [[hashUniform]] from a precomputed md5 hex — see
+    * [[hllRegistersOfHash]]'s shared-kernel rationale.
+    */
+  def hashUniformOfHex(hexHash: Column): Column = {
+    val v = conv(substring(hexHash, 1, 13), 16, 10).cast("double")
     (v + lit(0.5d)) / lit(4503599627370496.0d) // 2^52
   }
 
@@ -122,7 +136,12 @@ object Sketches {
     * Result-identical: min-k selection is order-free.
     */
   def kmvKthMin(df: DataFrame, group: Column, value: Column, k: Int): DataFrame =
-    df.select(group.as("g"), hashUniform(value).as("u"))
+    kmvKthMinOfHash(df, group, md5(value.cast("string")), k)
+
+  /** [[kmvKthMin]] over a precomputed md5 hex — shared-kernel form. */
+  def kmvKthMinOfHash(df: DataFrame, group: Column, hexHash: Column,
+                      k: Int): DataFrame =
+    df.select(group.as("g"), hashUniformOfHex(hexHash).as("u"))
       .groupBy(col("g"))
       .agg(graft.functions.KmvAgg.kmvMins(col("u"), k).as("us"))
       .filter(size(col("us")) === k)
@@ -135,7 +154,12 @@ object Sketches {
     * partial aggregate as [[kmvKthMin]], exploded back to rows.
     */
   def kmvMins(df: DataFrame, group: Column, value: Column, k: Int): DataFrame =
-    df.select(group.as("g"), hashUniform(value).as("u"))
+    kmvMinsOfHash(df, group, md5(value.cast("string")), k)
+
+  /** [[kmvMins]] over a precomputed md5 hex — shared-kernel form. */
+  def kmvMinsOfHash(df: DataFrame, group: Column, hexHash: Column,
+                    k: Int): DataFrame =
+    df.select(group.as("g"), hashUniformOfHex(hexHash).as("u"))
       .groupBy(col("g"))
       .agg(graft.functions.KmvAgg.kmvMins(col("u"), k).as("us"))
       .select(col("g"), explode(col("us")).as("u"))
