@@ -85,6 +85,25 @@ object Bench {
         partial = true, elapsedS = (System.nanoTime() - tStart) / 1e9))
     Runtime.getRuntime.addShutdownHook(hook)
 
+    // Fixed-workload CANARY (round-15, verdict item 7): same-code
+    // full-catalog runs drift ~7-13% with box load, making raw
+    // round-over-round totals unreadable. This fixed CPU+shuffle
+    // workload (4M md5 over 32 tasks + a 97-key aggregate) is
+    // catalog-independent; cross-record total comparisons divide by
+    // the canary ratio to net box drift out.
+    val canarySamples = scala.collection.mutable.Buffer[Double]()
+    def canaryOnce(s: SparkSession): Double = {
+      import org.apache.spark.sql.functions.{col, concat_ws, count, lit, md5, min => fmin}
+      val t0 = System.nanoTime()
+      s.range(0, 4000000L, 1, 32)
+        .select((col("id") % 97L).as("k"),
+          md5(concat_ws("|", lit("c"), col("id").cast("string"))).as("h"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), fmin(col("h")).as("m"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     var r = 0
     var go = true
     while (go) {
@@ -102,6 +121,12 @@ object Bench {
         samples.compute(name, (_, s) => dt :: Option(s).getOrElse(Nil))
       }
       roundsDone.set(r)
+      // one canary sample PER ROUND, interleaved with the catalog:
+      // an end-of-run canary misses intra-run box drift (observed
+      // r15: rounds at 161-222 s while the post-run canary read
+      // FASTER than reference) — the per-round median prices the box
+      // as the catalog actually experienced it
+      canarySamples += canaryOnce(spark)
       val roundS = (System.nanoTime() - r0) / 1e9
       val elapsedS = (System.nanoTime() - tStart) / 1e9
       // 1.15 headroom: rounds speed UP as the codegen cache warms, but
@@ -120,26 +145,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.toList)
 
-    // Fixed-workload CANARY (round-15, verdict item 7): same-code
-    // full-catalog runs drift ~7-13% with box load, making raw
-    // round-over-round totals unreadable. This fixed CPU+shuffle
-    // workload (4M md5 over 32 tasks + a 97-key aggregate) is
-    // catalog-independent; cross-record total comparisons divide by
-    // the canary ratio to net box drift out. Median-of-rounds like
-    // everything else.
-    val canary = {
-      import org.apache.spark.sql.functions.{col, concat_ws, count, lit, max, md5, min => fmin}
-      median((1 to roundsDone.get()).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0, 4000000L, 1, 32)
-          .select((col("id") % 97L).as("k"),
-            md5(concat_ws("|", lit("c"), col("id").cast("string"))).as("h"))
-          .groupBy(col("k"))
-          .agg(count(lit(1)).as("n"), fmin(col("h")).as("m"))
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.toList)
-    }
+    val canary = median(canarySamples.toList)
 
     emit(samples, errors, roundsDone.get(), floor, sfDir,
       partial = false, elapsedS = (System.nanoTime() - tStart) / 1e9, canary = canary)
