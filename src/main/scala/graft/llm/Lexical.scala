@@ -77,8 +77,15 @@ object Lexical {
     */
   def stupidBackoff(train: DataFrame, eval: DataFrame,
                     alpha: Double = 0.4d): DataFrame = {
+    // the total is a one-row aggregate → a literal (the TfIdf.bm25
+    // move); collecting it FIRST also anchors any lazy checkpoint
+    // under `train` before the parallel model branches race for it
+    val nTot = train.agg(count(lit(1))).head().getLong(0)
+    // c3 feeds three subtrees (both backoff marginals + the eval
+    // join) — the checkpoint keeps the trigram aggregation single-pass
     val c3 = train.groupBy(col("u"), col("v"), col("w"))
       .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(false)
     val c2uv = c3.groupBy(col("u"), col("v")).agg(sum(col("c3")).as("c2uv"))
     val c2vw = c3.groupBy(col("v"), col("w")).agg(sum(col("c3")).as("c2vw"))
     // unigram counts from token occurrences: every trigram row carries
@@ -87,14 +94,13 @@ object Lexical {
     // context total and c(w)/N use the SAME convention, which they do
     // (all from the w position).
     val c1 = train.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val nTot = train.agg(count(lit(1)).as("n_tot"))
     val a = lit(alpha)
     val s = coalesce(
       when(col("c3").isNotNull,
         col("c3").cast("double") / col("c2uv").cast("double")),
       when(col("c2vw").isNotNull,
         a * col("c2vw").cast("double") / col("c1v").cast("double")),
-      a * a * col("c1w").cast("double") / col("n_tot").cast("double"))
+      a * a * col("c1w").cast("double") / lit(nTot).cast("double"))
     eval
       .join(c3, Seq("u", "v", "w"), "left")
       .join(c2uv, Seq("u", "v"), "left")
@@ -105,7 +111,6 @@ object Lexical {
         col("v") === col("__wv"), "left")
       .join(c1.select(col("w").as("__ww"), col("c1").as("c1w")),
         col("w") === col("__ww"), "left")
-      .crossJoin(broadcast(nTot))
       .withColumn("__q",
         when(col("c1w").isNotNull,
           floor(log(s) * lit(1000000.0d)).cast("long")))
