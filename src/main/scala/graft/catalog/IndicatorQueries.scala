@@ -1012,7 +1012,8 @@ object IndicatorQueries {
       .agg(sum(col("c")).as("m"), count(lit(1)).as("__cnt"))
       .filter(col("__cnt") === k)
       .select(col("bus"), col("m"))
-    val mMin = market.agg(min(col("m"))).head.getLong(0)
+    val mMinRow = market.agg(min(col("m"))).head()
+    val mMin = if (mMinRow.isNullAt(0)) 0L else mMinRow.getLong(0)
     val cMin = h.groupBy(col("event_type")).agg(min(col("c")).as("__cmin"))
     h.join(broadcast(market), "bus")
       .join(broadcast(cMin), "event_type")
@@ -1157,7 +1158,11 @@ object IndicatorQueries {
       .agg(sum(col("c")).as("m"), count(lit(1)).as("__cnt"))
       .filter(col("__cnt") === k)
       .select(col("bus"), col("m"))
-    val mMin = market.agg(min(col("m"))).head.getLong(0)
+    // a fixture too small for any full-panel hour leaves market empty
+    // (min = null); the join below is then empty regardless, so 0 is a
+    // safe stand-in rather than a driver crash
+    val mMinRow = market.agg(min(col("m"))).head()
+    val mMin = if (mMinRow.isNullAt(0)) 0L else mMinRow.getLong(0)
     val cMin = h.groupBy(col("event_type")).agg(min(col("c")).as("__cmin"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
       .rowsBetween(-23, 0)

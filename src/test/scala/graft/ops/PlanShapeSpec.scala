@@ -341,4 +341,45 @@ class PlanShapeSpec extends SparkSpec {
       "shingle-evaluating filter pushed below the fan-out exchange")
   }
 
+  test("minHashNearDups: ONE checkpointed signature frame feeds bands " +
+       "and both verify sides (the r15 recompute pin)") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val docs = (1L to 40L)
+      .map(i => (i, (0 until 12).map(j => s"sh${(i % 7) * 13 + j}")))
+      .toDF("id", "sh")
+    val out = graft.llm.Dedup.minHashNearDups(docs, col("id"), col("sh"), 8, 2, 0.5)
+    // The pruning-split pathology planned TWO aggregations over the
+    // shingle explode (the bands side prunes the gram-set payload, so
+    // ReuseExchange cannot share). With the docsig checkpoint, every
+    // consumer reads the SAME materialized RDD and no Generate
+    // survives downstream of the barrier.
+    val plan = out.queryExecution.optimizedPlan
+    val rddLeaves = plan.collect { case l: LogicalRDD => l.rdd.id }
+    assert(rddLeaves.nonEmpty && rddLeaves.distinct.size === 1,
+      s"expected every branch to read one checkpointed docsig RDD, " +
+        s"saw rdd ids $rddLeaves\n$plan")
+    assert(rddLeaves.size >= 2,
+      s"expected bands + verify branches to share the checkpoint:\n$plan")
+    // the signature aggregation (the collect_list payload) must sit
+    // BEHIND the barrier — a visible one means a consumer is
+    // re-aggregating the shingle stream (the band explode over struct
+    // literals legitimately remains downstream)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val reagg = plan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.find(_.isInstanceOf[CollectList]).isDefined) => a
+    }
+    assert(reagg.isEmpty,
+      s"signature aggregation leaked past the checkpoint barrier:\n$plan")
+  }
+
+  test("rolling-beta class: one-row scalars are literals, never " +
+       "broadcast-nested-loop sides (the r15 subquery pin)") {
+    val out = graft.SparkEntry.queries("ts_rolling_beta")(spark, sfDir)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      s"a one-row aggregate is riding a broadcast subquery again:\n$phys")
+  }
+
 }
