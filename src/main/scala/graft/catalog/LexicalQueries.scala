@@ -154,7 +154,8 @@ object LexicalQueries {
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val totR = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
-    val (nDocs, sumdl) = (totR.getLong(0), totR.getLong(1))
+    val nDocs = totR.getLong(0)
+    val sumdl = if (totR.isNullAt(1)) 0L else totR.getLong(1)
     // per-lang query terms: top-3 by lang-df. A (lang, w) document
     // count is exactly the tf frame (one row per doc×term) joined to
     // the doc→lang map — deriving it from the CHECKPOINTED tf replaces

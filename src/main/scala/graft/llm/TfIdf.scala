@@ -69,7 +69,10 @@ object TfIdf {
         .join(broadcast(queryTerms.select(col("w"))), "w")
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val t = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
-    val (n, sumdl) = (t.getLong(0), t.getLong(1))
+    // empty corpus: n = 0, sum = null — every downstream join is then
+    // empty regardless, so safe stand-ins beat a driver crash
+    val n = t.getLong(0)
+    val sumdl = if (t.isNullAt(1)) 0L else t.getLong(1)
     val idf = log(lit(1.0d) + (lit(n) - col("df") + 0.5d) / (col("df") + 0.5d))
     val avgdl = lit(sumdl.toDouble / n.toDouble)
     val s = idf * (col("tf") * (k1 + 1.0d)) /
@@ -109,7 +112,8 @@ object TfIdf {
     val cf = tf.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
     val qcf = cf.join(broadcast(queryTerms.select(col("w"))), "w")
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    val ctot = tf.agg(sum(col("tf"))).head().getLong(0)
+    val ctotRow = tf.agg(sum(col("tf"))).head()
+    val ctot = if (ctotRow.isNullAt(0)) 0L else ctotRow.getLong(0)
     val p = (coalesce(col("tf"), lit(0L)).cast("double")
         + lit(mu) * col("cf").cast("double") / lit(ctot).cast("double")) /
       (col("dl").cast("double") + lit(mu))
