@@ -13,6 +13,11 @@ object Bench {
   // the round shipped with NO parseable bench artifact at all).
   private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  // Version tag of the fixed canary workload in canaryOnce. MUST match
+  // scripts/canary_ref.json's "workload"; bump both together with a
+  // freshly recorded reference value whenever the workload changes.
+  private val CanaryWorkload = "md5x4M-32task-agg97-v1"
+
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,6 +98,8 @@ object Bench {
     // the canary ratio to net box drift out.
     val canarySamples = scala.collection.mutable.Buffer[Double]()
     def canaryOnce(s: SparkSession): Double = {
+      // Changing ANYTHING below invalidates cross-round normalization:
+      // bump CanaryWorkload and re-record scripts/canary_ref.json.
       import org.apache.spark.sql.functions.{col, concat_ws, count, lit, md5, min => fmin}
       val t0 = System.nanoTime()
       s.range(0, 4000000L, 1, 32)
@@ -202,7 +209,14 @@ object Bench {
         .map { case (k, v) => s""""$k":${jstr(v.take(300))}""" }
         .mkString(""","errors":{""", ",", "}")
     val partField = if (partial) s""","partial":true,"elapsed":${f3(elapsedS)}""" else ""
-    val canField = if (canary > 0.0) s""","canary":${f3(canary)}""" else ""
+    // canaryWorkload tags WHICH fixed workload produced the canary
+    // number; scripts/canary_ref.json records the reference value for
+    // the same tag, and bench_compare.py refuses to normalize across a
+    // tag mismatch (a changed canary would skew totals silently).
+    val canField =
+      if (canary > 0.0)
+        s""","canary":${f3(canary)},"canaryWorkload":"$CanaryWorkload""""
+      else ""
     val fullLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"floor":${f3(floor)}$canField,"sf":"$sfDir","rounds":$rounds$errField$partField}"""
     println(fullLine)

@@ -33,7 +33,19 @@ object SparkEntry {
       (SimGraphQueries.queries, SimGraphQueries.oracleSql),
     )
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CONVENTION: building a query's DataFrame is NOT side-effect-free.
+    * Several builders run small Spark jobs at construction time —
+    * eager/anchored `localCheckpoint`s and one-row scalar collects
+    * (e.g. corpus totals resolved to literals; see `TfIdf.bm25`,
+    * `IndicatorQueries.betaQ`, `Lexical.stupidBackoff`) — because a
+    * broadcast-scalar subquery's build re-executes its whole subtree
+    * per consumer. Plan-only tooling (ExplainAudit and friends) must
+    * therefore expect real executor work and fixture errors at BUILD
+    * time, not only at the action; the bench/verify contract (build +
+    * one action per query, timed together) is unaffected.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.map(_._1).reduce(_ ++ _)
 

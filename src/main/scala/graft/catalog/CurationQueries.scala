@@ -510,7 +510,8 @@ object CurationQueries {
     // REVERTED — the two extra exchanges cost what the freed stage
     // saved (interleaved pairs, r15; the r14c fanOut lesson again).
     val dg = grams.select(col("source"), md5(col("g")).as("h"))
-      .repartition(32, col("source"), col("h")).distinct()
+      .repartition(s.sparkContext.defaultParallelism, col("source"), col("h"))
+      .distinct()
       .localCheckpoint(false)
     // the SKETCH side reads the same hashed-distinct frame (r15
     // shared-kernel move, see hllDistinctQ): the KMV uniform is a

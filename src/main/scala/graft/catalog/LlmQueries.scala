@@ -3266,11 +3266,12 @@ object LlmQueries {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
     val tf = TfIdf.termFreq(docs, col("doc_id"), col("ws")).localCheckpoint(false)
-    // q keeps its df column: the fixture IS a df ranking, so bm25
-    // reuses it and skips its internal document-frequency aggregation
+    // q's df column IS this corpus's document frequency (the fixture
+    // is a df ranking over the same tf frame), so bm25 may reuse it
+    // and skip its internal document-frequency aggregation
     val q = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(5).select(col("w"), col("df"))
-    TfIdf.bm25(tf, q)
+    TfIdf.bm25(tf, q, precomputedDf = true)
       .select(col("id").as("doc_id"), col("score"), col("n_terms"))
       .orderBy(col("score").desc, col("doc_id")).limit(20)
   }
@@ -4228,11 +4229,12 @@ object LlmQueries {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
     val tf = TfIdf.termFreq(docs, col("doc_id"), col("ws")).localCheckpoint(false)
-    // q keeps its df column: the fixture IS a df ranking, so bm25
-    // reuses it and skips its internal document-frequency aggregation
+    // q's df column IS this corpus's document frequency (the fixture
+    // is a df ranking over the same tf frame), so bm25 may reuse it
+    // and skip its internal document-frequency aggregation
     val q = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(5).select(col("w"), col("df"))
-    val textList = TfIdf.bm25(tf, q)
+    val textList = TfIdf.bm25(tf, q, precomputedDf = true)
       .orderBy(col("score").desc, col("id")).limit(30)
     val vecList = Similarity.bruteForceTopK(Tables.embeddings(s, d),
       col("vec_id"), col("embedding"), col("vec_id") === 0L, 30)

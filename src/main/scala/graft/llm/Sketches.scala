@@ -191,8 +191,11 @@ object Sketches {
     // NUMBERED repartition: the pair-keyed window's exchange is
     // byte-small but CPU-dense, and AQE's size-based coalescing folds
     // it to ONE task (GenFilterScan r15: 308 ms/1t); a numbered
-    // repartition is exempt and satisfies the window's partitioning
-    cu.repartition(32, col("sa"), col("sb"))
+    // repartition is exempt and satisfies the window's partitioning.
+    // Count derived from the cluster (the Tables.fanOut convention),
+    // not a literal: a hardcoded 32 underparallelizes larger clusters.
+    cu.repartition(mins.sparkSession.sparkContext.defaultParallelism,
+        col("sa"), col("sb"))
       .withColumn("dr", dense_rank().over(w))
       .groupBy(col("sa"), col("sb"))
       .agg(min(when(col("dr") === k, col("u"))).as("u_k"),

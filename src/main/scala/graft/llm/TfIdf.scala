@@ -56,25 +56,30 @@ object TfIdf {
     * totals (N, Σdl) are a one-row aggregate, and collecting them to
     * literals replaces a broadcast subquery whose build would
     * re-execute the whole dl subtree. Call with a materialized
-    * (checkpointed) `tf` frame. If `queryTerms` already carries a
-    * `df` column (e.g. the term fixture came from a df ranking), it
-    * is used as-is and the internal document-frequency aggregation is
-    * skipped entirely.
+    * (checkpointed) `tf` frame. Pass `precomputedDf = true` ONLY when
+    * `queryTerms` carries a `df` column holding THIS corpus's exact
+    * document frequencies (e.g. the term fixture came from a df
+    * ranking over the same `tf` frame) — the internal
+    * document-frequency aggregation is then skipped. The flag is
+    * explicit rather than schema-sniffed: a query frame carrying an
+    * unrelated `df` column (different corpus, per-language df) must
+    * not silently change the scores.
     */
   def bm25(tf: DataFrame, queryTerms: DataFrame, k1: Double = 1.2d,
-           b: Double = 0.75d): DataFrame = {
+           b: Double = 0.75d, precomputedDf: Boolean = false): DataFrame = {
     val qdf =
-      if (queryTerms.columns.contains("df")) queryTerms.select(col("w"), col("df"))
+      if (precomputedDf) queryTerms.select(col("w"), col("df"))
       else tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .join(broadcast(queryTerms.select(col("w"))), "w")
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val t = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     // empty corpus: n = 0, sum = null — every downstream join is then
-    // empty regardless, so safe stand-ins beat a driver crash
+    // empty regardless, so safe stand-ins beat a driver crash (and a
+    // 1.0 avgdl stand-in beats a NaN literal sitting in the plan)
     val n = t.getLong(0)
     val sumdl = if (t.isNullAt(1)) 0L else t.getLong(1)
     val idf = log(lit(1.0d) + (lit(n) - col("df") + 0.5d) / (col("df") + 0.5d))
-    val avgdl = lit(sumdl.toDouble / n.toDouble)
+    val avgdl = lit(if (n == 0L) 1.0d else sumdl.toDouble / n.toDouble)
     val s = idf * (col("tf") * (k1 + 1.0d)) /
       (col("tf") + lit(k1) * (lit(1.0d) - b + lit(b) * col("dl") / avgdl))
     tf.join(broadcast(qdf), "w")
