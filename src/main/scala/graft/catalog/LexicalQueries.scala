@@ -146,13 +146,16 @@ object LexicalQueries {
   private def retrievalEvalQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), TextOps.words(col("text")).as("ws"))
+    // (A dl-as-window-on-tf collapse was A/B-REJECTED here —
+    // R16AbProbe interleaved: 2.62 vs 2.41 s; the id-window's sort
+    // costs more than the separate dl aggregation + join-back saves.)
     val tf = TfIdf.termFreq(docs.select(col("doc_id"), col("ws")),
       col("doc_id"), col("ws")).localCheckpoint(false)
-    // global BM25 stats; the one-row corpus totals collect to
-    // literals (the TfIdf.bm25 move — a broadcast subquery's build
-    // would re-execute the dl subtree)
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    // one-row corpus totals collect to literals (the TfIdf.bm25 move —
+    // a broadcast subquery's build would re-execute the dl subtree);
+    // running this FIRST also anchors the lazy tf checkpoint before
+    // the scoring branches could race for it (the stupidBackoff trick)
     val totR = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     val nDocs = totR.getLong(0)
     val sumdl = if (totR.isNullAt(1)) 0L else totR.getLong(1)
@@ -160,16 +163,29 @@ object LexicalQueries {
     // count is exactly the tf frame (one row per doc×term) joined to
     // the doc→lang map — deriving it from the CHECKPOINTED tf replaces
     // a second tokenize+explode pass over the corpus with a pruned
-    // two-column scan + one aggregation.
+    // two-column scan + one aggregation. (Deriving the GLOBAL df from
+    // langDf instead — which removes the vocab shuffle but needs an
+    // eager langDf checkpoint for its two consumers — was
+    // A/B-REJECTED: R16AbProbe interleaved 2.22 vs 1.88 s; the
+    // vocab-sized materialization costs more than the shuffle.)
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val docLang = Tables.documents(s, d)
       .select(col("doc_id").as("id"), col("lang"))
     val langDf = tf.select(col("id"), col("w")).join(docLang, "id")
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("ldf"))
-    val qTerms = langDf
+    // broadcast the ≤3·|langs|-row top-3 side, never the
+    // vocabulary-sized df frame: the r15 orientation collected the
+    // whole vocab to the driver per execution — fine at sf0.1, wrong
+    // at scale (TfIdf's own rule: unbounded vocab frames carry no
+    // broadcast hint). Costs ~7% at sf0.1 (R16AbProbe interleaved,
+    // 2.14 vs 2.00 s — one nested broadcast wave inside the qTerms
+    // build); a driver-side top3 collect was ALSO rejected (0.81x —
+    // it serializes a job the broadcast futures overlap).
+    val top3 = langDf
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("ldf").desc, col("w"))))
       .filter(col("__rk") <= 3).select(col("lang"), col("w"))
-      .join(broadcast(df), "w")
+    val qTerms = df.join(broadcast(top3), "w")
     // exact llm_bm25 per-term score, quantized to integer micro-units
     val perTerm = tf.join(broadcast(qTerms), "w")
       .join(dl, "id")
@@ -187,10 +203,9 @@ object LexicalQueries {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("score").desc, col("id"))))
       .filter(col("rank") <= 10)
-      .join(Tables.documents(s, d)
-        .select(col("doc_id").as("id"), col("lang").as("__dlang")), "id")
+      .join(docLang.select(col("id"), col("lang").as("__dlang")), "id")
       .withColumn("rel", (col("__dlang") === col("lang")).cast("long"))
-    val relTotal = docs.groupBy(col("lang"))
+    val relTotal = docLang.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_rel_corpus"))
     val dArr = array(discountQ.map(lit): _*)
     val pArr = array(idcgPrefix.map(lit): _*)

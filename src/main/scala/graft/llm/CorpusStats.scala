@@ -396,35 +396,37 @@ object CorpusStats {
     * narrow-shuffle move as [[Dedup.keepFirstUnits]]. Collisions would
     * need 2⁶⁴ distinct units; no corpus gets close.
     *
-    * The narrow (id, dg) frame feeds TWO aggregations with different
-    * keys; the lazy localCheckpoint materializes the unit transform
-    * once (the [[TfIdf]] tf-frame pattern). Re-deriving it per
-    * consumer measured 4x worse at sf0.1 — CollapseProject re-inlines
-    * the unit expression at every reference. The unit table shuffles
-    * exactly once: a unit with df==1 has a unique owning document, so
-    * min(id) inside the SAME df aggregation recovers the owner and
-    * n_shared = n_units − n_unique — no verdict join of the unit
-    * table back against the frequency table (the join form measured
-    * 1.62→7.34 s at 10x, exponent 0.66, the catalog's worst).
+    * SINGLE-CONSUMER shape (round 16): df attaches to every (id, dg)
+    * row as `count(*) over (partition by dg)` and ONE per-doc
+    * aggregation reads both n_units and n_unique off those rows — a
+    * unit with df==1 appears on exactly one row, whose id IS the
+    * owner. The unit kernel therefore has exactly one consumer: no
+    * checkpoint, nothing to race, nothing to materialize. The two
+    * prior forms both lost: two aggregations over a checkpointed
+    * frame either RACED lazily (AQE ran both consumer map stages
+    * before materialization — RecomputeScan r15 on llm_cdc_dedup:
+    * 14.0 + 5.6 s CPU twin jobs for one kernel) or paid the eager
+    * materialization of the corpus-sized unit frame at 10x (cdc tN
+    * 3.91→5.51 s, SCALING r15); and the verdict join of the unit
+    * table back against a frequency table measured 1.62→7.34 s at
+    * 10x, exponent 0.66, the catalog's then-worst. The df-as-window
+    * move is the same one that fixed llm_span_dedup (r15, 10x tN
+    * 6.33→2.85). explode_outer + a generated-attribute guard keeps
+    * the synthesized size()>0 filter from being pushed below the
+    * Generate to the scan (the InferFiltersFromGenerate trap,
+    * PlanShapeSpec).
     */
   def unitNovelty(docs: DataFrame, id: Column, units: Column): DataFrame = {
-    // EAGER checkpoint: the lazy form races — AQE runs the perDoc and
-    // df aggregations' map stages concurrently, and both compute the
-    // full unit kernel because neither finds the checkpoint
-    // materialized yet (RecomputeScan r15 on llm_cdc_dedup: 14.0 s +
-    // 5.6 s CPU twin jobs for one kernel). Eager runs it exactly once.
+    import org.apache.spark.sql.expressions.Window
     val dus = docs.select(id.as("id"),
-        explode(array_distinct(units)).as("g"))
+        explode_outer(array_distinct(units)).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("id"), unhex(md5(col("g"))).as("dg"))
-      .localCheckpoint(true)
-    val perDoc = dus.groupBy(col("id")).agg(count(lit(1)).as("n_units"))
-    val uniqPerDoc = dus.groupBy(col("dg"))
-      .agg(count(lit(1)).as("df"), min(col("id")).as("owner"))
-      .filter(col("df") === 1L)
-      .groupBy(col("owner")).agg(count(lit(1)).as("n_unique"))
-    perDoc.join(uniqPerDoc, col("id") === col("owner"), "left")
-      .select(col("id"), col("n_units"),
-        (col("n_units") - coalesce(col("n_unique"), lit(0L))).as("n_shared"))
+    val byUnit = Window.partitionBy(col("dg"))
+    dus.withColumn("df", count(lit(1)).over(byUnit))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("df") === 1L, 0L).otherwise(1L)).as("n_shared"))
       .withColumn("shared_frac",
         col("n_shared").cast("double") / col("n_units").cast("double"))
   }

@@ -221,6 +221,13 @@ object Dedup {
     // cluster scale the same move is persist(DISK) or a staging table
     // if executor-loss recomputability matters — localCheckpoint
     // truncates lineage.
+    // A numbered repartition on the digest before the window was
+    // A/B-REJECTED (R16AbProbe, interleaved in-session, 5 rounds:
+    // 1.65 vs 1.23 s — 34% WORSE). Per-job cpuMs suggested AQE's
+    // 8-task coalescing of the posting stages was the bottleneck, but
+    // wall says the fewer/bigger tasks win at this size — cpuMs
+    // inflates ~10x under 32-thread contention and must not drive
+    // plan choices (the r15 lesson, reconfirmed).
     val informative = g.withColumn("__df", count(lit(1)).over(wd))
       .filter(col("__df") <= maxDf)
       .localCheckpoint(false)
