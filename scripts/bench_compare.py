@@ -166,9 +166,14 @@ def annotations_section():
          "index folds hide under the batch kernel via Futures; residual "
          "is minhash kernel CPU + commit IO). Round 15 cut 3.5->2.65 s "
          "(fused verify filter, payload digest, prepared kernels, "
-         "knownParts commit); the stored side reads with zero "
-         "Exchange — the 100 TB property the ratio at sf0.1 doesn't "
-         "show."),
+         "knownParts commit); round 16 replaced the explode+aggregate "
+         "signature kernel with the native MinHashSig expression "
+         "(value-identical md5x2-slice32; kernel A/B 1.43x, full query "
+         "1.19x interleaved) — the residual is now the serialized "
+         "TxTable commit-protocol jobs (IncDedupProbe4 r16: kernels "
+         "~1.2 s of a 3.7 s wall, then ~20 one-task protocol jobs). "
+         "The stored side reads with zero Exchange — the 100 TB "
+         "property the ratio at sf0.1 doesn't show."),
         ("llm_kmv_setops / llm_minhash_error",
          "sketch-CALIBRATION audit twins: each computes the exact "
          "answer (distinct-gram self-join intersection / exact Jaccard "

@@ -283,18 +283,34 @@ object Dedup {
     */
   def minHashNearDups(docs: DataFrame, id: Column, shinglesCol: Column,
                       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
-    val exploded = docs
-      .select(id.as("id"), explode_outer(array_distinct(shinglesCol)).as("s"))
-      .filter(col("s").isNotNull) // outer: see editNearDups' pushed-filter note
-    val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
-    // docsig feeds THREE subtrees (bands + both verify sides); the
-    // bands side prunes `gs`, which splits the aggregation into two
-    // NON-reusable exchanges and runs the shingle+md5 kernel twice
-    // (RecomputeScan r15: two ~equal heavy jobs on every minhash
-    // query). The lazy checkpoint makes it one pass.
-    val docsig = hashed.groupBy(col("id"))
-      .agg(collect_list(col("__sh")).as("gs"), minHashAggs(k): _*)
+    // Round 16: the signature kernel is scan-local — the native
+    // [[graft.functions.MinHashSig]] expression (same md5x2-slice32
+    // family, value-identical; MinHashSigSpec) replaces the
+    // explode → 2×md5 → groupBy(collect_list + 8×min) pipeline, so no
+    // per-shingle rows and no doc-keyed hash aggregate exist at all.
+    // Shape discipline: the distinct shingle set evaluates ONCE under
+    // a single-element explode_outer Generate barrier (CollapseProject
+    // would otherwise inline the tokenize chain into BOTH the gs and
+    // sig expressions — a first fused draft that did exactly that
+    // measured 3.4 vs 1.4 s, R16AbProbe), MinHashSig then hashes the
+    // generated ATTRIBUTE (distinct set — min is duplicate-
+    // insensitive, same values, fewer md5s), and the shingle-less
+    // filter sits ABOVE the checkpoint so predicate pushdown cannot
+    // clone the sig expression into a pre-barrier Filter.
+    // `__sig IS NOT NULL` reproduces the old absence of shingle-less
+    // docs (their exploded rows all filtered out, so they never
+    // formed a group). The checkpoint still guards the THREE
+    // consumers below (bands + both verify sides) from re-running
+    // the kernel; MinHashRecomputeSpec pins that at runtime.
+    val sigd = docs
+      .select(id.as("id"),
+        explode_outer(array(array_compact(array_distinct(shinglesCol)))).as("gs"))
+      .select(col("id"), col("gs"),
+        graft.functions.MinHashSig.minHashSig(col("gs"), k).as("__sig"))
       .localCheckpoint(false)
+      .filter(col("__sig").isNotNull)
+    val docsig = sigd.select((col("id") +: col("gs") +:
+      (0 until k).map(j => col("__sig").getItem(j).as(s"m$j"))): _*)
     val cand = lshCandidates(lshBands(docsig, k, bandsOf))
     val a = docsig.select(col("id").as("id_a"), col("gs").as("ga"))
     val b = docsig.select(col("id").as("id_b"), col("gs").as("gb"))
@@ -320,15 +336,18 @@ object Dedup {
     */
   def minHashEstimates(docs: DataFrame, id: Column, shinglesCol: Column,
                        k: Int, bandsOf: Int): DataFrame = {
-    val exploded = docs
-      .select(id.as("id"), explode_outer(array_distinct(shinglesCol)).as("s"))
-      .filter(col("s").isNotNull) // outer: see editNearDups' pushed-filter note
-    val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
-    // one kernel pass for bands + both verify sides — see
-    // minHashNearDups' checkpoint note
-    val docsig = hashed.groupBy(col("id"))
-      .agg(collect_list(col("__sh")).as("gs"), minHashAggs(k): _*)
+    // one native-kernel pass for bands + both verify sides — see
+    // minHashNearDups' round-16 note (Generate barrier + post-
+    // checkpoint filter, value-identical scheme)
+    val sigd = docs
+      .select(id.as("id"),
+        explode_outer(array(array_compact(array_distinct(shinglesCol)))).as("gs"))
+      .select(col("id"), col("gs"),
+        graft.functions.MinHashSig.minHashSig(col("gs"), k).as("__sig"))
       .localCheckpoint(false)
+      .filter(col("__sig").isNotNull)
+    val docsig = sigd.select((col("id") +: col("gs") +:
+      (0 until k).map(j => col("__sig").getItem(j).as(s"m$j"))): _*)
     val cand = lshCandidates(lshBands(docsig, k, bandsOf))
     val a = docsig.select(col("id").as("id_a") +: col("gs").as("ga") +:
       (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)

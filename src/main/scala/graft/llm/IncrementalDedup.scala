@@ -95,6 +95,11 @@ object IncrementalDedup {
       .groupBy(col("digest"))
       .agg(min_by(struct(fp.columns.map(col): _*), col("doc_id")).as("__w"))
       .select(col("__w.*"))
+      // m-columns extract AFTER the aggregation, off the agg-output
+      // attribute — k getItems of an attribute, never k copies of the
+      // signature kernel (see fingerprints)
+      .select((col("doc_id") +: col("digest") +:
+        (0 until k).map(j => col("__sig").getItem(j).as(s"m$j"))): _*)
     import scala.concurrent.Future
     Prepared(docs,
       Future(batchUnique.localCheckpoint(true))(foldEc), k)
@@ -352,25 +357,34 @@ object IncrementalDedup {
     else sink.insertIgnore(delivered, Seq("doc_id"))
   }
 
-  /** (doc_id, digest, m0..m{k−1}) — null signature components for
-    * docs too short to shingle (< 3 words).
+  /** (doc_id, digest, __sig) — `__sig` the k-component minhash
+    * signature array, null for docs too short to shingle (< 3 words).
     *
-    * Plan shape (round 15, replacing the r12/r14 join form): digest
-    * per doc is materialized ONCE behind a localCheckpoint barrier —
-    * without the barrier CollapseProject merges the full-text md5
-    * back above the Generate and it runs once per SHINGLE row (the
-    * FpAbProbe 2.5-10.7 s pathology) — then rides the exploded rows
-    * as a first() payload through ONE doc_id-keyed aggregation. No
-    * digest-side join, no broadcast build; explode_outer keeps
-    * shingle-less docs with null signature components (min over an
-    * all-null group is null, matching the old left join), and the
-    * outer generator also means InferFiltersFromGenerate has nothing
-    * to push below the barrier (trap #1 of the r14 GenFilterScan
-    * sweep). FpAbProbe measured this form at 0.64 s vs 0.75 s for
-    * the join form; the barrier checkpoint it needs replaces the
-    * join's broadcast-build jobs.
+    * Plan shape (round 16, replacing the r15 explode+agg form): the
+    * whole signature kernel is ONE scan-local projection — the native
+    * [[graft.functions.MinHashSig]] expression computes the k
+    * min-slices over the shingle array in a single pass (same
+    * md5x2-slice32 scheme, value-identical; MinHashSigSpec pins the
+    * equality), so the per-shingle row explosion, the doc-keyed
+    * 8×min hash aggregate, AND the d0 checkpoint the old Generate
+    * needed as a CollapseProject barrier all disappear. The caller
+    * extracts m0..m{k−1} AFTER its digest aggregation, where `__sig`
+    * is a plain attribute — item extraction there cannot duplicate
+    * the kernel (the DupExprAudit discipline).
     */
   private def fingerprints(docs: DataFrame, k: Int): DataFrame = {
+    // measurement-only escape hatch for in-session A/B probes
+    // (graft.mh.legacy=1 rebuilds the r15 explode+agg kernel)
+    if (sys.props.get("graft.mh.legacy").contains("1"))
+      return legacyFingerprints(docs, k)
+    docs.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("digest"),
+      graft.functions.MinHashSig.minHashSig(
+        TextOps.wordNgrams(TextOps.words(col("text")), 3), k).as("__sig"))
+  }
+
+  /** The r15 kernel, kept ONLY as the [[fingerprints]] A/B baseline. */
+  private def legacyFingerprints(docs: DataFrame, k: Int): DataFrame = {
     val d0 = docs.select(col("doc_id"), col("text"),
       TextOps.fingerprint(col("text")).as("digest")).localCheckpoint(true)
     val hashed = d0.select(col("doc_id"), col("digest"),
@@ -378,8 +392,8 @@ object IncrementalDedup {
       .select(col("doc_id") +: col("digest") +: Dedup.minHashDigests(col("sh")): _*)
     val aggs = first(col("digest")).as("digest") +: Dedup.minHashAggs(k)
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select((col("doc_id") +: col("digest") +:
-        (0 until k).map(j => col(s"m$j"))): _*)
+      .select(col("doc_id"), col("digest"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("__sig"))
   }
 }
 

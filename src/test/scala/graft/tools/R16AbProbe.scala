@@ -89,6 +89,96 @@ object R16AbProbe {
       ab("ct", () => ctNew(), () => ctOld())
     }
 
+    // ------------------- incremental-dedup fingerprint kernel (r16)
+    // prepare()'s kernel in isolation: (doc_id, digest, m0..m7)
+    // deduped by digest — new = native MinHashSig single projection,
+    // old = r15 d0-checkpoint + explode + 2×md5 + 8×min aggregate.
+    if (which("mh")) {
+      val k = 8
+      def docs() = Tables.fanOut(Tables.documents(spark, d))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def uniq(fp: DataFrame, cols: Seq[String]): DataFrame =
+        fp.groupBy(col("digest"))
+          .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("__w"))
+          .select(col("__w.*"))
+      def mhNew(): Unit = {
+        val fp = docs().select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("digest"),
+          graft.functions.MinHashSig.minHashSig(
+            TextOps.wordNgrams(TextOps.words(col("text")), 3), k).as("__sig"))
+        noop(uniq(fp, Seq("doc_id", "digest", "__sig"))
+          .select((col("doc_id") +: col("digest") +:
+            (0 until k).map(j => col("__sig").getItem(j).as(s"m$j"))): _*))
+      }
+      def mhOld(): Unit = {
+        val d0 = docs().select(col("doc_id"), col("text"),
+          TextOps.fingerprint(col("text")).as("digest")).localCheckpoint(true)
+        val hashed = d0.select(col("doc_id"), col("digest"),
+            explode_outer(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("sh"))
+          .select(col("doc_id") +: col("digest") +:
+            graft.llm.MinHashBridge.digests(col("sh")): _*)
+        val aggs = first(col("digest")).as("digest") +: graft.llm.MinHashBridge.aggs(k)
+        val fp = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+          .select((col("doc_id") +: col("digest") +:
+            (0 until k).map(j => col(s"m$j"))): _*)
+        noop(uniq(fp, fp.columns.toSeq))
+      }
+      ab("mh", () => mhNew(), () => mhOld())
+    }
+
+    // llm_minhash_lsh: shipped native-MinHashSig docsig vs the r15
+    // explode + collect_list + 8×min aggregate docsig, identical
+    // downstream (bands, candidate join, exact verify).
+    if (which("lshq")) {
+      def base() = {
+        val docs = Tables.fanOut(Tables.documents(spark, d))
+          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        val pert = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            slice(col("w"), lit(1), greatest(size(col("w")) - 3, lit(0))).as("w"))
+        docs.unionByName(pert)
+          .withColumn("sh", TextOps.wordNgrams(col("w"), 3))
+      }
+      def lshNew(): Unit =
+        noop(Dedup.minHashNearDups(base(), col("doc_id"), col("sh"), 8, 2, 0.5d))
+      def lshOld(): Unit = {
+        val k = 8
+        val exploded = base()
+          .select(col("doc_id").as("id"),
+            explode_outer(array_distinct(col("sh"))).as("s"))
+          .filter(col("s").isNotNull)
+        val hashed = exploded.select(
+          col("id") +: graft.llm.MinHashBridge.digests(col("s")): _*)
+        val docsig = hashed.groupBy(col("id"))
+          .agg(collect_list(col("__sh")).as("gs"),
+            graft.llm.MinHashBridge.aggs(k): _*)
+          .localCheckpoint(false)
+        val cand = Dedup.lshCandidates(Dedup.lshBands(docsig, k, 2))
+        val a = docsig.select(col("id").as("id_a"), col("gs").as("ga"))
+        val b = docsig.select(col("id").as("id_b"), col("gs").as("gb"))
+        noop(cand.join(a, "id_a").join(b, "id_b")
+          .withColumn("na", size(col("ga"))).withColumn("nb", size(col("gb")))
+          .withColumn("ninter", size(array_intersect(col("ga"), col("gb"))))
+          .select(col("id_a"), col("id_b"),
+            (col("ninter") * lit(1.0d) /
+              (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5d))
+      }
+      ab("lshq", () => lshNew(), () => lshOld())
+    }
+
+    // full llm_incremental_dedup query, kernel toggled via the
+    // measurement-only graft.mh.legacy system property
+    if (which("incq")) {
+      def run(legacy: Boolean): Unit = {
+        if (legacy) sys.props("graft.mh.legacy") = "1"
+        else sys.props.remove("graft.mh.legacy")
+        noop(graft.SparkEntry.queries("llm_incremental_dedup")(spark, d))
+      }
+      ab("incq", () => run(false), () => run(true))
+      sys.props.remove("graft.mh.legacy")
+    }
+
     // ------------------------------------------- llm_retrieval_eval
     if (which("re")) {
       def reNew(): Unit =
