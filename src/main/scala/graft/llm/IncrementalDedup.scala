@@ -372,29 +372,11 @@ object IncrementalDedup {
     * is a plain attribute — item extraction there cannot duplicate
     * the kernel (the DupExprAudit discipline).
     */
-  private def fingerprints(docs: DataFrame, k: Int): DataFrame = {
-    // measurement-only escape hatch for in-session A/B probes
-    // (graft.mh.legacy=1 rebuilds the r15 explode+agg kernel)
-    if (sys.props.get("graft.mh.legacy").contains("1"))
-      return legacyFingerprints(docs, k)
+  private def fingerprints(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
       TextOps.fingerprint(col("text")).as("digest"),
       graft.functions.MinHashSig.minHashSig(
         TextOps.wordNgrams(TextOps.words(col("text")), 3), k).as("__sig"))
-  }
-
-  /** The r15 kernel, kept ONLY as the [[fingerprints]] A/B baseline. */
-  private def legacyFingerprints(docs: DataFrame, k: Int): DataFrame = {
-    val d0 = docs.select(col("doc_id"), col("text"),
-      TextOps.fingerprint(col("text")).as("digest")).localCheckpoint(true)
-    val hashed = d0.select(col("doc_id"), col("digest"),
-        explode_outer(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("sh"))
-      .select(col("doc_id") +: col("digest") +: Dedup.minHashDigests(col("sh")): _*)
-    val aggs = first(col("digest")).as("digest") +: Dedup.minHashAggs(k)
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), col("digest"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("__sig"))
-  }
 }
 
 /** Bucketed band-key companion index for [[IncrementalDedup.admit]] —
