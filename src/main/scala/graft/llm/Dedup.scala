@@ -473,17 +473,20 @@ object Dedup {
                    shinglesCol: Column, k: Int, bandsOf: Int,
                    tau: Double): DataFrame = {
     val base = docs.select(id.as("id"), textCol.as("t"), shinglesCol.as("sh"))
-    // explode_OUTER (the llm_allpairs_sim lesson, GenFilterScan round
-    // 14c: two ≥1.3 s one-task stages): the plain generator's inferred
-    // size>0 filter pushes through the fan-out exchange to the
-    // single-split scan and re-evaluates the whole shingle chain per
-    // row, single-threaded. Outer + a null filter on the generated
-    // attribute is result-identical and infers nothing.
-    val exploded = base
-      .select(col("id"), explode_outer(array_distinct(col("sh"))).as("s"))
-      .filter(col("s").isNotNull)
-    val hashed = exploded.select(col("id") +: minHashDigests(col("s")): _*)
-    val sig = hashed.groupBy(col("id")).agg(minHashAggs(k).head, minHashAggs(k).tail: _*)
+    // Round 16: native [[graft.functions.MinHashSig]] single-pass
+    // signature (value-identical scheme — see minHashNearDups) under
+    // a single-element explode_outer Generate barrier, so the k
+    // m-column extractions reference the generated ATTRIBUTE and
+    // CollapseProject cannot clone the kernel k times; outer + the
+    // null filter on the generated attribute also infers nothing
+    // below the fan-out (the r14c GenFilterScan lesson this site
+    // already carried for its shingle explode).
+    val sig = base
+      .select(col("id"), explode_outer(array(
+        graft.functions.MinHashSig.minHashSig(col("sh"), k))).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select((col("id") +:
+        (0 until k).map(j => col("__sig").getItem(j).as(s"m$j"))): _*)
     // Pin the verify stage's parallelism: candidate pairs are few
     // BYTES but each costs a banded DP, so AQE's size-based coalescing
     // folds the whole Levenshtein stage into ONE task (GenFilterScan

@@ -167,6 +167,53 @@ object R16AbProbe {
       ab("lshq", () => lshNew(), () => lshOld())
     }
 
+    // llm_edit_neardup: shipped native-MinHashSig signature vs the
+    // r15 explode+agg signature, identical candidate + DP verify.
+    if (which("ed")) {
+      val k = 8
+      def edBase() = {
+        val docs = Tables.fanOut(Tables.documents(spark, d))
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val pert = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            col("text").substr(lit(1),
+              greatest(length(col("text")) - 25, lit(0))).as("text"))
+        docs.unionByName(pert)
+          .withColumn("sh", TextOps.wordNgrams(TextOps.words(col("text")), 3))
+      }
+      def edNew(): Unit =
+        noop(Dedup.editNearDups(edBase(), col("doc_id"), col("text"),
+          col("sh"), k, 2, 0.75d))
+      def edOld(): Unit = {
+        val base = edBase().select(col("doc_id").as("id"),
+          col("text").as("t"), col("sh"))
+        val exploded = base
+          .select(col("id"), explode_outer(array_distinct(col("sh"))).as("s"))
+          .filter(col("s").isNotNull)
+        val hashed = exploded.select(
+          col("id") +: graft.llm.MinHashBridge.digests(col("s")): _*)
+        val sig = hashed.groupBy(col("id"))
+          .agg(graft.llm.MinHashBridge.aggs(k).head,
+            graft.llm.MinHashBridge.aggs(k).tail: _*)
+        val cand = Dedup.lshCandidates(Dedup.lshBands(sig, k, 2))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val ta = base.select(col("id").as("id_a"), col("t").as("ta"))
+        val tb = base.select(col("id").as("id_b"), col("t").as("tb"))
+        noop(cand.join(ta, "id_a").join(tb, "id_b")
+          .withColumn("la", length(col("ta")))
+          .withColumn("lb", length(col("tb")))
+          .withColumn("maxlen", greatest(col("la"), col("lb")))
+          .filter((col("maxlen") - abs(col("la") - col("lb")) + 1) * lit(1.0d)
+            >= lit(0.75d) * col("maxlen"))
+          .withColumn("dist", levenshtein(col("ta"), col("tb")))
+          .withColumn("sim", lit(1.0d) - col("dist") * lit(1.0d) / col("maxlen"))
+          .filter(col("sim") >= 0.75d)
+          .select(col("id_a"), col("id_b"), col("dist"), col("sim")))
+      }
+      ab("ed", () => edNew(), () => edOld())
+    }
+
     // (A full-llm_incremental_dedup A/B ran once via a temporary
     // graft.mh.legacy kernel toggle — new 3.595 s vs old 4.288 s,
     // 1.19x, recorded in SCALE.md r16 — and the toggle was then
