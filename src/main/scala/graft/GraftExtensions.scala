@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.winnowSetDescriptor)
+    ext.injectFunction(GraftExtensions.minHashSigDescriptor)
     ext.injectFunction(GraftExtensions.cdcGearChunksDescriptor)
     ext.injectFunction(GraftExtensions.acCountDescriptor)
   }
@@ -106,6 +107,25 @@ object GraftExtensions {
         intLit(children(1), "k"), intLit(children(2), "w"))
     })
 
+  /** minhash_sig(shingles, k): the k-component md5x2-slice32 minhash
+    * signature over a shingle array in one scan-local pass (see
+    * [[graft.functions.MinHashSig]]). k must be an INT literal 1..8.
+    */
+  val minHashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      if (children.size != 2) throw new IllegalArgumentException(
+        s"minhash_sig(shingles, k) takes 2 arguments, got ${children.size}")
+      val k = children(1) match {
+        case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+          l.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig: k must be an INT literal, got ${other.sql}")
+      }
+      graft.functions.MinHashSig(children.head, k)
+    })
+
   /** cdc_gear_chunks(text, minLen, maxLen, maskBits): the gear-hash
     * content-defined chunking kernel — O(1)/byte where the oracle's
     * md5-window form pays a digest per position. Sizing args must be
@@ -153,7 +173,8 @@ object GraftExtensions {
 
   private val all = Seq(timeBucketDescriptor, inflateDescriptor,
     charNgramSetDescriptor, nfcNormalizeDescriptor, vecDotDescriptor,
-    winnowSetDescriptor, cdcGearChunksDescriptor, acCountDescriptor)
+    winnowSetDescriptor, cdcGearChunksDescriptor, acCountDescriptor,
+    minHashSigDescriptor)
 
   /** Register on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

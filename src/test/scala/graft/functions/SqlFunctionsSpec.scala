@@ -41,4 +41,15 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("INT literal") ||
       Option(e.getCause).exists(_.getMessage.contains("INT literal")))
   }
+  test("minhash_sig from SQL equals the Column-API kernel") {
+    graft.GraftExtensions.register(spark)
+    Seq(Tuple1(Seq("a b c", "b c d", "c d e")))
+      .toDF("sh").createOrReplaceTempView("mhsh")
+    val sql = spark.sql("SELECT minhash_sig(sh, 8) AS s FROM mhsh")
+      .first().getSeq[String](0)
+    val api = Seq(Tuple1(Seq("a b c", "b c d", "c d e"))).toDF("sh")
+      .select(MinHashSig.minHashSig(col("sh"), 8)).first().getSeq[String](0)
+    assert(sql === api && sql.size === 8)
+  }
+
 }
