@@ -200,6 +200,20 @@ def annotations_section():
          "Spark plan's candidate volume is Sigma pref*df = 0.69M and "
          "grows 10x-exponent 0.341 (SCALING.json) - the shape that "
          "survives a hot token at 100 TB where Sigma df^2 does not."),
+        ("llm_tfidf / llm_rrf_fusion / ts_funnel / llm_source_overlap",
+         "sub-1.1 s stage-wave floors surfaced by the r16 mechanical "
+         "weak list (membership near the 0.9 s line wobbles with "
+         "DuckDB re-timing noise). RecomputeScan r16: tfidf 12 jobs / "
+         "one heavy (the tf kernel, checkpointed once), rrf_fusion 14 "
+         "jobs / one heavy (BM25 rank waves + cosine top-k + fusion "
+         "join over model-sized frames), ts_funnel 5 jobs with NO "
+         "heavy job at all (pure scheduling floor over a 1.5 MB "
+         "events fixture - the ts_rsi story), source_overlap one "
+         "kernel + the pair matrix (its twin final-aggregation jobs "
+         "were fixed r16 with a source-set checkpoint: wall-neutral "
+         "at sf0.1 - the twins ran concurrently - but single-pass in "
+         "CPU, the property that matters on a busy cluster). DuckDB "
+         "folds each into one in-process pass over ~1 MB."),
         ("llm_retrieval_eval / llm_stupid_backoff",
          "kn_lm-class stage-wave floors: multi-join scoring chains over "
          "model-sized frames (BM25 rank join waves; the trigram backoff "

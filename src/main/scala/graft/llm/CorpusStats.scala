@@ -141,11 +141,19 @@ object CorpusStats {
   }
 
   def sourceOverlap(docs: DataFrame, group: Column, text: Column, n: Int): DataFrame = {
+    // the (gram → source-set) aggregation feeds TWO consumers (the
+    // per-source counts and the pair matrix); without the barrier
+    // ReuseExchange shares only the exchange and the collect_set
+    // final aggregation ran once per consumer (RecomputeScan r16:
+    // twin 0.96 s jobs). Lazy checkpoint = one pass; gram text is
+    // already dropped, so the materialized rows are just the
+    // source-set arrays.
     val sets = docs.filter(text.isNotNull)
       .select(group.as("src"),
         explode(array_distinct(TextOps.wordNgrams(TextOps.words(text), n))).as("g"))
       .groupBy("g").agg(sort_array(collect_set(col("src"))).as("ss"))
       .select(col("ss"))
+      .localCheckpoint(false)
     val counts = sets.select(explode(col("ss")).as("src"))
       .groupBy("src").agg(count(lit(1)).as("cnt"))
     val inter = sets.filter(size(col("ss")) >= 2)

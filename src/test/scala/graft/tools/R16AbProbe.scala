@@ -167,6 +167,42 @@ object R16AbProbe {
       ab("lshq", () => lshNew(), () => lshOld())
     }
 
+    // llm_source_overlap: shipped (checkpointed source-set frame) vs
+    // the r15 unbarriered form whose collect_set final aggregation
+    // ran once per consumer.
+    if (which("so")) {
+      def soNew(): Unit =
+        noop(graft.SparkEntry.queries("llm_source_overlap")(spark, d))
+      def soOld(): Unit = {
+        val sets = Tables.fanOut(Tables.documents(spark, d))
+          .filter(col("text").isNotNull)
+          .select(col("source").as("src"),
+            explode(array_distinct(
+              TextOps.wordNgrams(TextOps.words(col("text")), 5))).as("g"))
+          .groupBy("g").agg(sort_array(collect_set(col("src"))).as("ss"))
+          .select(col("ss"))
+        val counts = sets.select(explode(col("ss")).as("src"))
+          .groupBy("src").agg(count(lit(1)).as("cnt"))
+        val inter = sets.filter(size(col("ss")) >= 2)
+          .select(explode(flatten(transform(col("ss"), (a, i) =>
+            transform(slice(col("ss"), i + 2, size(col("ss"))),
+              b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+          .select(col("p.source_a").as("source_a"),
+            col("p.source_b").as("source_b"))
+          .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+        noop(inter
+          .join(counts.select(col("src").as("source_a"), col("cnt").as("na")), "source_a")
+          .join(counts.select(col("src").as("source_b"), col("cnt").as("nb")), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            (col("n_shared").cast("double") /
+              (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard"),
+            (col("n_shared").cast("double") /
+              least(col("na"), col("nb")).cast("double")).as("containment"))
+          .orderBy(col("source_a"), col("source_b")))
+      }
+      ab("so", () => soNew(), () => soOld())
+    }
+
     // llm_edit_neardup: shipped native-MinHashSig signature vs the
     // r15 explode+agg signature, identical candidate + DP verify.
     if (which("ed")) {
