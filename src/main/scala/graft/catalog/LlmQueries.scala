@@ -1200,6 +1200,13 @@ object LlmQueries {
       .filter(size(col("fps")) > 0)
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+      // checkpoint BEFORE the total-order sort: with no exchange
+      // between the winnow kernel and the orderBy, the range
+      // partitioner's boundary-sampling job re-ran the whole kernel
+      // before the sort ran it again (IncDedupProbe4 r16: twin
+      // 5.3 s-CPU jobs). The materialized rows are the 4-column
+      // summary — tiny next to one kernel execution.
+      .localCheckpoint(false)
       .orderBy(col("doc_id"))
   }
 

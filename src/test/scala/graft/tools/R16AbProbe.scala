@@ -167,6 +167,23 @@ object R16AbProbe {
       ab("lshq", () => lshNew(), () => lshOld())
     }
 
+    // llm_winnow: shipped (checkpoint before the total-order sort) vs
+    // the r15 form whose range-sampling job re-ran the winnow kernel.
+    if (which("wn")) {
+      def wnDocs() = Tables.fanOut(Tables.documents(spark, d))
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(array(
+            graft.functions.WinnowSet.winnowSet(col("t"), 8, 4))).as("fps"))
+        .filter(size(col("fps")) > 0)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+      def wnNew(): Unit =
+        noop(wnDocs().localCheckpoint(false).orderBy(col("doc_id")))
+      def wnOld(): Unit = noop(wnDocs().orderBy(col("doc_id")))
+      ab("wn", () => wnNew(), () => wnOld())
+    }
+
     // llm_source_overlap: shipped (checkpointed source-set frame) vs
     // the r15 unbarriered form whose collect_set final aggregation
     // ran once per consumer.
