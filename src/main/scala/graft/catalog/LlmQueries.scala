@@ -3075,8 +3075,14 @@ object LlmQueries {
       .select(col("id").as("doc_id"),
         floor(col("q_sum").cast("double") / col("n_bigrams").cast("double"))
           .cast("long").as("score_micro"))
+    // checkpoint the narrow (doc_id, lang, score_micro) frame:
+    // quantileBuckets consumes its input twice (cutoff histogram +
+    // bucket join) and each consumption otherwise re-runs the whole
+    // bigram scoring kernel (RecomputeScan r16: twin 15-18 s-CPU
+    // jobs; with the barrier the kernel is single-pass)
     val withLang = scored
       .join(docsFull.select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint(false)
     Sampling.quantileBuckets(withLang, "lang", "score_micro", 3)
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),

@@ -139,15 +139,21 @@ object Sampling {
     val cum = hist
       .withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(group))))
-    val cuts = (1 until q).map { k =>
-      cum.filter(col("__cum") * q >= col("__n") * k)
-        .groupBy(col(group)).agg(min(col(score)).as(s"__cut$k"))
+    // ALL q−1 cutoffs from ONE aggregation as conditional mins — the
+    // per-cut form built q−1 separate broadcast subqueries, each
+    // re-executing the hist+cum subtree (and, through it, the
+    // caller's whole scoring pipeline: RecomputeScan r16 on
+    // llm_ccnet_buckets showed twin 15-18 s-CPU kernel jobs). One
+    // frame, one broadcast, one join.
+    val cutAggs = (1 until q).map { k =>
+      min(when(col("__cum") * q >= col("__n") * k, col(score))).as(s"__cut$k")
     }
-    val withCuts = cuts.foldLeft(df)((acc, c) => acc.join(broadcast(c), Seq(group)))
+    val cuts = cum.groupBy(col(group)).agg(cutAggs.head, cutAggs.tail: _*)
     val bucket = (1 until q)
       .map(k => when(col(score) > col(s"__cut$k"), 1L).otherwise(0L))
       .reduce(_ + _) + lit(1L)
-    withCuts.withColumn("bucket", bucket)
+    df.join(broadcast(cuts), Seq(group))
+      .withColumn("bucket", bucket)
       .drop((1 until q).map(k => s"__cut$k"): _*)
   }
 
