@@ -214,7 +214,29 @@ def annotations_section():
          "at sf0.1 - the twins ran concurrently - but single-pass in "
          "CPU, the property that matters on a busy cluster). DuckDB "
          "folds each into one in-process pass over ~1 MB."),
-        ("llm_retrieval_eval / llm_stupid_backoff",
+        ("llm_components_chain / llm_label_prop / llm_pagerank / llm_hits",
+         "iterative graph shapes: a FIXED iteration count (4 "
+         "min-label-propagation rounds / power iterations), each "
+         "iteration a join+aggregate pair of jobs with "
+         "localCheckpoint-bounded lineage — the sf0.1 wall is "
+         "iterations x per-job floor while DuckDB runs one in-process "
+         "recursive pass over the ~500-edge fixture (components_chain "
+         "oracle 0.09 s). The per-iteration frames are edge-sized and "
+         "the round count is fixture-pinned by the oracle; SCALING "
+         "exponents 0.2-0.44 price the corpus growth."),
+        ("llm_embed_neardup / llm_dsir / llm_clean_corpus / "
+         "llm_abtt_topk / llm_embed_outliers / llm_kmv_sketch",
+         "recurring BOUNDARY members: 0.9-1.8 s net at 2.0-3.4x, "
+         "entering and leaving the mechanical list with record noise "
+         "(16 -> 9 -> 22 members across three same-day r16 records as "
+         "box factor and DuckDB warm times moved). Each is a measured "
+         "stage-wave floor, not an open defect: abtt_topk's r14 'fan "
+         "regression' was proven box drift (SPARK_GRAFT_NO_FANOUT "
+         "A/B, r15); dsir's aggregation was fused r15; kmv_sketch IS "
+         "the sketch-only scale path (exponent 0.077); clean_corpus "
+         "is one native-expression pass + the JSONL sink; the embed "
+         "pair are cell-local ANN shapes with exponents 0.05-0.33."),
+        ("llm_retrieval_eval / llm_stupid_backoff / llm_kn_lm",
          "kn_lm-class stage-wave floors: multi-join scoring chains over "
          "model-sized frames (BM25 rank join waves; the trigram backoff "
          "chain's five gram joins - broadcast/checkpoint A/Bs recorded "
