@@ -10,7 +10,7 @@ Writes BENCH_COMPARE.md. DuckDB runs each oracle twice and keeps the
 second (warm) time; Spark times come from the bench JSON (one JSON
 object line, "queries" map).
 """
-import json, os, re, sys, time
+import json, os, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -78,7 +78,10 @@ def main():
         ref = json.load(open(os.path.join(os.path.dirname(__file__),
                                           "canary_ref.json")))
         canary_ref = float(ref["canary_ref"])
-        tag_ok = bench.get("canaryWorkload", ref["workload"]) == ref["workload"]
+        # A record with NO canaryWorkload tag is a mismatch too: only
+        # explicitly tagged records may be normalized (an old or
+        # hand-edited record must not slip through the guard).
+        tag_ok = bench.get("canaryWorkload") == ref["workload"]
         k = canary / canary_ref if tag_ok else 1.0
         lines += [
             "",
@@ -97,7 +100,7 @@ def main():
                 f"forced to 1.0); re-record scripts/canary_ref.json from a "
                 f"reference run of the new workload.",
             ]
-    ann_names, ann_lines = annotations_section()
+    ann_names, ann_lines = annotations_section(set(spark_t) | set(oracle))
     lines += weak_tail_section(kept, k, ann_names)
     lines += ann_lines
     lines += scaling_section()
@@ -135,14 +138,19 @@ def weak_tail_section(kept, k, ann_names):
     return lines
 
 
-def annotations_section():
+def annotations_section(known_names):
     """Per-query context for rows whose ratio is a DESIGN property of
     the fixture or an audit twin, not a plan defect — so a >2x row
     doesn't read as an unexplained regression. Returns (names, lines):
-    `names` is the exact set of query names the annotation titles
-    cover, which the weak-tail section uses for its annotated flag."""
+    `names` is the union of each annotation's EXPLICIT covers list (the
+    second tuple element), which the weak-tail section uses for its
+    annotated flag — a regex over titles would silently miss a query
+    explained in a note body or flip on a rename. Any covered name not
+    in `known_names` (the bench/oracle query set) emits a warning line
+    so a renamed query can't leave a stale annotation looking green."""
     notes = [
         ("ts_sliding_heavy / ts_sliding_heavy_ss",
+         ["ts_sliding_heavy", "ts_sliding_heavy_ss"],
          "deliberate worst case: the events fixture is NEAR-UNIFORM "
          "(every user ~equal activity), the regime where SpaceSaving "
          "summaries (…_ss) degrade to their m*hours bound and the exact "
@@ -156,11 +164,13 @@ def annotations_section():
          "summary pipeline wins 1.80 vs 2.77 s median (5 interleaved "
          "rounds) with identical top-3 output."),
         ("llm_margin_mine",
+         ["llm_margin_mine"],
          "the deliberate exact AxB form kept as the audit twin of "
          "llm_margin_mine_cells (the IVF-bounded scale path); the "
          "two-branch plan was A/B'd against chaining (2.08 vs 2.78 s) "
          "and kept."),
         ("llm_incremental_dedup",
+         ["llm_incremental_dedup"],
          "one TxTable commit + (second increment) two index folds per "
          "increment = the commit-protocol floor (IncDedupProbe2/4: "
          "index folds hide under the batch kernel via Futures; residual "
@@ -175,6 +185,7 @@ def annotations_section():
          "The stored side reads with zero Exchange — the 100 TB "
          "property the ratio at sf0.1 doesn't show."),
         ("llm_kmv_setops / llm_minhash_error",
+         ["llm_kmv_setops", "llm_minhash_error"],
          "sketch-CALIBRATION audit twins: each computes the exact "
          "answer (distinct-gram self-join intersection / exact Jaccard "
          "over shingle sets) NEXT TO the sketch estimate, so the "
@@ -185,6 +196,7 @@ def annotations_section():
          "price a 100 TB deployment pays. llm_minhash_lsh already "
          "prices the sketch-only near-dup path for minhash."),
         ("ts_mfi / ts_cmf / ts_amihud / ts_kyle_lambda (hourly-indicator family)",
+         ["ts_mfi", "ts_cmf", "ts_amihud", "ts_kyle_lambda"],
          "the events fixture at sf0.1 is 100k rows / ~1.5 MB: DuckDB "
          "finishes in 0.05-0.08 s single-process while the Spark side "
          "pays a fixed ~0.5 s session floor (ts_rsi, the family's "
@@ -194,6 +206,7 @@ def annotations_section():
          "compute defects that were real (ts_vpoc, ts_hurst) were "
          "fixed in round 14 via IndAbProbe (1.61->0.95, 2.39->0.99 s)."),
         ("llm_allpairs_sim",
+         ["llm_allpairs_sim"],
          "the prefix-filtered scale path priced against DuckDB's "
          "in-process brute force: at sf0.1 the full token self-join is "
          "only 4.0M pairs so the oracle wins on fixed cost, while the "
@@ -201,6 +214,7 @@ def annotations_section():
          "grows 10x-exponent 0.341 (SCALING.json) - the shape that "
          "survives a hot token at 100 TB where Sigma df^2 does not."),
         ("llm_tfidf / llm_rrf_fusion / ts_funnel / llm_source_overlap",
+         ["llm_tfidf", "llm_rrf_fusion", "ts_funnel", "llm_source_overlap"],
          "sub-1.1 s stage-wave floors surfaced by the r16 mechanical "
          "weak list (membership near the 0.9 s line wobbles with "
          "DuckDB re-timing noise). RecomputeScan r16: tfidf 12 jobs / "
@@ -215,6 +229,7 @@ def annotations_section():
          "CPU, the property that matters on a busy cluster). DuckDB "
          "folds each into one in-process pass over ~1 MB."),
         ("llm_components_chain / llm_label_prop / llm_pagerank / llm_hits",
+         ["llm_components_chain", "llm_label_prop", "llm_pagerank", "llm_hits"],
          "iterative graph shapes: a FIXED iteration count (4 "
          "min-label-propagation rounds / power iterations), each "
          "iteration a join+aggregate pair of jobs with "
@@ -226,6 +241,8 @@ def annotations_section():
          "exponents 0.2-0.44 price the corpus growth."),
         ("llm_embed_neardup / llm_dsir / llm_clean_corpus / "
          "llm_abtt_topk / llm_embed_outliers / llm_kmv_sketch",
+         ["llm_embed_neardup", "llm_dsir", "llm_clean_corpus",
+          "llm_abtt_topk", "llm_embed_outliers", "llm_kmv_sketch"],
          "recurring BOUNDARY members: 0.9-1.8 s net at 2.0-3.4x, "
          "entering and leaving the mechanical list with record noise "
          "(16 -> 9 -> 22 members across three same-day r16 records as "
@@ -237,17 +254,20 @@ def annotations_section():
          "is one native-expression pass + the JSONL sink; the embed "
          "pair are cell-local ANN shapes with exponents 0.05-0.33."),
         ("llm_retrieval_eval / llm_stupid_backoff / llm_kn_lm",
+         ["llm_retrieval_eval", "llm_stupid_backoff", "llm_kn_lm"],
          "kn_lm-class stage-wave floors: multi-join scoring chains over "
          "model-sized frames (BM25 rank join waves; the trigram backoff "
          "chain's five gram joins - broadcast/checkpoint A/Bs recorded "
          "as washes in SCALE.md round 14). 10x exponents 0.203 / 0.286 "
          "price the scaling; the sf0.1 ratio prices the session floor."),
         ("ts_sliding_distinct",
+         ["ts_sliding_distinct"],
          "same fixture worst case as the heavy twins: the 24x explode "
          "through two exchanges is the exact-audit cost; fanOut was "
          "A/B'd and REJECTED for the family (SCALE.md round 14c), and "
          "the countDistinct-vs-pair-distinct A/B was a wash (SdAbProbe)."),
         ("llm_semantic_pack / llm_margin_mine_cells",
+         ["llm_semantic_pack", "llm_margin_mine_cells"],
          "iterative k-means shapes: semanticOrder / cellMarginMine run "
          "a fixed Lloyd fit (5 / 3 iterations = 2 jobs each: assign "
          "aggregate + centroid collect) before the cell-local work, "
@@ -259,6 +279,7 @@ def annotations_section():
          "so the shape is corpus-size-independent past the one "
          "assign pass per iteration."),
         ("llm_containment",
+         ["llm_containment"],
          "posting-join floor after two real fixes: r15 df-as-window "
          "killed the double kernel (1.83->1.54 interleaved), and the "
          "r16 follow-ups were A/B-REJECTED (numbered repartition on "
@@ -270,6 +291,7 @@ def annotations_section():
          "vs DuckDB's one in-process pass over a 1.5 MB corpus; 10x "
          "exponent 0.40 (SCALING.json) prices the scale path."),
         ("llm_repetition",
+         ["llm_repetition"],
          "one eager-checkpointed tokenize kernel feeding the doc "
          "stats + top-word and top-bigram min_by aggregations — "
          "IncDedupProbe4 r16: the two explode+agg consumers run "
@@ -279,6 +301,7 @@ def annotations_section():
          "The r15 fix (3x tokenize -> 1) is what brought it this "
          "close to the line."),
         ("llm_nb_classify / llm_log_odds",
+         ["llm_nb_classify", "llm_log_odds"],
          "5000-doc / 1.5 MB fixtures: the Spark time is ~7 sequential "
          "stage waves of fixed cost (SCALE.md round 14); 10x exponents "
          "0.248 / 0.299 show the shape scales while the sf0.1 ratio "
@@ -286,9 +309,15 @@ def annotations_section():
     ]
     lines = ["", "## Ratio annotations (design properties, not defects)", ""]
     names = set()
-    for name, note in notes:
-        names.update(t for t in re.findall(r"[a-z0-9]+(?:_[a-z0-9]+)+", name))
+    unknown = []
+    for name, covers, note in notes:
+        names.update(covers)
+        unknown += [c for c in covers if c not in known_names]
         lines.append(f"- **{name}** — {note}")
+    if unknown:
+        lines += ["",
+                  f"**WARNING: annotations cover unknown queries** (stale "
+                  f"after a rename/removal?): {', '.join(sorted(unknown))}"]
     return names, lines
 
 

@@ -99,7 +99,13 @@ object GraftExtensions {
         s"winnow_set(text, k, w) takes 3 arguments, got ${children.size}")
       def intLit(e: Expression, name: String): Int = e match {
         case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
-          l.eval().asInstanceOf[Int]
+          l.eval() match {
+            // a NULL int literal is foldable too; unboxing it would
+            // silently read as 0 and surface a confusing size error
+            case null => throw new IllegalArgumentException(
+              s"winnow_set: $name must be a non-null INT literal, got NULL")
+            case v => v.asInstanceOf[Int]
+          }
         case other => throw new IllegalArgumentException(
           s"winnow_set: $name must be an INT literal, got ${other.sql}")
       }
@@ -119,7 +125,11 @@ object GraftExtensions {
         s"minhash_sig(shingles, k) takes 2 arguments, got ${children.size}")
       val k = children(1) match {
         case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
-          l.eval().asInstanceOf[Int]
+          l.eval() match {
+            case null => throw new IllegalArgumentException(
+              "minhash_sig: k must be a non-null INT literal, got NULL")
+            case v => v.asInstanceOf[Int]
+          }
         case other => throw new IllegalArgumentException(
           s"minhash_sig: k must be an INT literal, got ${other.sql}")
       }
@@ -139,7 +149,11 @@ object GraftExtensions {
         s"cdc_gear_chunks(text, minLen, maxLen, maskBits) takes 4 arguments, got ${children.size}")
       def intLit(e: Expression, name: String): Int = e match {
         case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
-          l.eval().asInstanceOf[Int]
+          l.eval() match {
+            case null => throw new IllegalArgumentException(
+              s"cdc_gear_chunks: $name must be a non-null INT literal, got NULL")
+            case v => v.asInstanceOf[Int]
+          }
         case other => throw new IllegalArgumentException(
           s"cdc_gear_chunks: $name must be an INT literal, got ${other.sql}")
       }

@@ -261,6 +261,51 @@ object Dedup {
           (col("na") + col("nb") - col("ninter"))).as("jaccard"))
   }
 
+  /** THE sigd/docsig construction shared by [[minHashNearDups]] and
+    * [[minHashEstimates]] (factored round 17 so a kernel change cannot
+    * drift the twins apart): docs → (id, gs distinct-shingle set,
+    * m0..m{k−1} signature components), one kernel pass, checkpointed.
+    *
+    * Plan-shape discipline, all measured (round 16):
+    *  - the signature kernel is scan-local — the native
+    *    [[graft.functions.MinHashSig]] expression (md5x2-slice32,
+    *    value-identical to the explode→2×md5→groupBy(8×min) scheme;
+    *    MinHashSigSpec) means no per-shingle rows and no doc-keyed
+    *    hash aggregate exist at all;
+    *  - the distinct shingle set evaluates ONCE under a single-element
+    *    explode_outer Generate barrier — CollapseProject would
+    *    otherwise inline the tokenize chain into BOTH the gs and sig
+    *    expressions (a fused draft that did exactly that measured
+    *    3.4 vs 1.4 s, R16AbProbe); MinHashSig then hashes the
+    *    generated ATTRIBUTE (distinct set — min is duplicate-
+    *    insensitive: same values, fewer md5s);
+    *  - the shingle-less filter sits ABOVE the checkpoint so predicate
+    *    pushdown cannot clone the sig expression into a pre-barrier
+    *    Filter; `__sig IS NOT NULL` reproduces the old absence of
+    *    shingle-less docs (their exploded rows all filtered out, so
+    *    they never formed a group);
+    *  - the lazy checkpoint guards the THREE consumers (bands + both
+    *    verify sides) from re-running the kernel; MinHashRecomputeSpec
+    *    pins that at runtime.
+    *
+    * [[editNearDups]] and `IncrementalDedup.fingerprints` carry
+    * RELATED but deliberately different shapes (no gs payload / no
+    * checkpoint — single consumer, different carried columns), so they
+    * are not call sites of this helper.
+    */
+  private[llm] def docSigWithSet(docs: DataFrame, id: Column,
+                                 shinglesCol: Column, k: Int): DataFrame = {
+    val sigd = docs
+      .select(id.as("id"),
+        explode_outer(array(array_compact(array_distinct(shinglesCol)))).as("gs"))
+      .select(col("id"), col("gs"),
+        graft.functions.MinHashSig.minHashSig(col("gs"), k).as("__sig"))
+      .localCheckpoint(false)
+      .filter(col("__sig").isNotNull)
+    sigd.select((col("id") +: col("gs") +:
+      (0 until k).map(j => col("__sig").getItem(j).as(s"m$j"))): _*)
+  }
+
   /** Full MinHash+LSH near-dup pipeline: docs(id, shingles array) →
     * pairs with exact Jaccard ≥ threshold.
     *
@@ -283,34 +328,7 @@ object Dedup {
     */
   def minHashNearDups(docs: DataFrame, id: Column, shinglesCol: Column,
                       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
-    // Round 16: the signature kernel is scan-local — the native
-    // [[graft.functions.MinHashSig]] expression (same md5x2-slice32
-    // family, value-identical; MinHashSigSpec) replaces the
-    // explode → 2×md5 → groupBy(collect_list + 8×min) pipeline, so no
-    // per-shingle rows and no doc-keyed hash aggregate exist at all.
-    // Shape discipline: the distinct shingle set evaluates ONCE under
-    // a single-element explode_outer Generate barrier (CollapseProject
-    // would otherwise inline the tokenize chain into BOTH the gs and
-    // sig expressions — a first fused draft that did exactly that
-    // measured 3.4 vs 1.4 s, R16AbProbe), MinHashSig then hashes the
-    // generated ATTRIBUTE (distinct set — min is duplicate-
-    // insensitive, same values, fewer md5s), and the shingle-less
-    // filter sits ABOVE the checkpoint so predicate pushdown cannot
-    // clone the sig expression into a pre-barrier Filter.
-    // `__sig IS NOT NULL` reproduces the old absence of shingle-less
-    // docs (their exploded rows all filtered out, so they never
-    // formed a group). The checkpoint still guards the THREE
-    // consumers below (bands + both verify sides) from re-running
-    // the kernel; MinHashRecomputeSpec pins that at runtime.
-    val sigd = docs
-      .select(id.as("id"),
-        explode_outer(array(array_compact(array_distinct(shinglesCol)))).as("gs"))
-      .select(col("id"), col("gs"),
-        graft.functions.MinHashSig.minHashSig(col("gs"), k).as("__sig"))
-      .localCheckpoint(false)
-      .filter(col("__sig").isNotNull)
-    val docsig = sigd.select((col("id") +: col("gs") +:
-      (0 until k).map(j => col("__sig").getItem(j).as(s"m$j"))): _*)
+    val docsig = docSigWithSet(docs, id, shinglesCol, k)
     val cand = lshCandidates(lshBands(docsig, k, bandsOf))
     val a = docsig.select(col("id").as("id_a"), col("gs").as("ga"))
     val b = docsig.select(col("id").as("id_b"), col("gs").as("gb"))
@@ -336,18 +354,7 @@ object Dedup {
     */
   def minHashEstimates(docs: DataFrame, id: Column, shinglesCol: Column,
                        k: Int, bandsOf: Int): DataFrame = {
-    // one native-kernel pass for bands + both verify sides — see
-    // minHashNearDups' round-16 note (Generate barrier + post-
-    // checkpoint filter, value-identical scheme)
-    val sigd = docs
-      .select(id.as("id"),
-        explode_outer(array(array_compact(array_distinct(shinglesCol)))).as("gs"))
-      .select(col("id"), col("gs"),
-        graft.functions.MinHashSig.minHashSig(col("gs"), k).as("__sig"))
-      .localCheckpoint(false)
-      .filter(col("__sig").isNotNull)
-    val docsig = sigd.select((col("id") +: col("gs") +:
-      (0 until k).map(j => col("__sig").getItem(j).as(s"m$j"))): _*)
+    val docsig = docSigWithSet(docs, id, shinglesCol, k)
     val cand = lshCandidates(lshBands(docsig, k, bandsOf))
     val a = docsig.select(col("id").as("id_a") +: col("gs").as("ga") +:
       (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)

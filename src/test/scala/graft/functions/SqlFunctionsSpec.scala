@@ -52,4 +52,17 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql === api && sql.size === 8)
   }
 
+  test("minhash_sig rejects a NULL k literal with a clear message") {
+    // CAST(NULL AS INT) is foldable IntegerType; without the explicit
+    // null check it would unbox to k=0 and surface a confusing
+    // "got k=0" size error instead of naming the null argument
+    graft.GraftExtensions.register(spark)
+    Seq(Tuple1(Seq("a b c"))).toDF("sh").createOrReplaceTempView("mhnull")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(sh, CAST(NULL AS INT)) FROM mhnull").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("non-null INT literal"), msgs)
+  }
 }

@@ -33,9 +33,19 @@ class MinHashRecomputeSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       action
-      // listener events are posted asynchronously; the bus is
-      // private — a short settle beats reflection here
-      Thread.sleep(300)
+      // listener events are posted asynchronously and the bus is
+      // private; a fixed sleep flakes on a loaded box (a late
+      // StageCompleted can drop the kernel stage). Poll until the
+      // event stream is quiescent: no new stage for 3 consecutive
+      // 100 ms checks, bounded at 5 s.
+      var stable = 0
+      var last = -1
+      var waited = 0
+      while (stable < 3 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val n = cpus.synchronized(cpus.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
     } finally spark.sparkContext.removeSparkListener(l)
     cpus.synchronized(cpus.sortBy(-_).toList)
   }
