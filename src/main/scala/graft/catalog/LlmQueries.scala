@@ -4518,6 +4518,159 @@ object LlmQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------- unigram-LM tokenizer (Kudo '18)
+  /** [[graft.llm.Unigram.train]] — SentencePiece-style unigram
+    * vocabulary learned by 2 hard-EM rounds (seed = chars + top-120
+    * substrings ≤ 4 chars; Viterbi E-step; add-one M-step). The
+    * oracle unrolls the SAME 2 iterations, running the identical
+    * integer-encoded Viterbi DP as a `list_reduce` fold (enc =
+    * ((score + 2⁴⁰) << 4) | len — all-integer comparisons, so the
+    * segmentations are engine-exact; ln only enters through the
+    * micro-nat quantization both engines share).
+    */
+  private def unigramTrainQ(s: SparkSession, d: String): DataFrame =
+    graft.llm.Unigram.train(
+        Bpe.wordFreq(Tables.fanOut(Tables.documents(s, d)), col("text"))
+          .localCheckpoint(false),
+        maxLen = 4, seedSize = 120, iters = 2)
+      .filter(col("cnt") > 0 || length(col("piece")) === 1)
+      .select(col("piece"), col("cnt"), col("lp").as("q_lp"))
+      .orderBy(col("piece"))
+
+  /** The Viterbi-DP CTE block for one segmentation pass under vocab
+    * CTE `vocabCte`: edges (spans ∩ vocab) → per-word sorted edge
+    * list → forward DP fold → backtrack fold → (w, piece) path rows.
+    * Both folds are CAPTURE-FREE (the backtrack's accumulator carries
+    * the dp array inside itself: [pos] || dp || lens) and the fold
+    * CTEs are MATERIALIZED — DuckDB 1.0's lambda executor misbinds
+    * rows when one lambda's list output feeds another lambda through
+    * an inlined CTE (measured: whole dp rows swapped between words).
+    */
+  private def unigramDpCtes(tag: String, vocabCte: String): String =
+    s"""ue$tag AS (
+       |  SELECT s.w, CAST(s.j AS BIGINT) AS j, CAST(s.l AS BIGINT) AS len, v.lp
+       |  FROM usp s JOIN $vocabCte v USING (piece)
+       |), uel$tag AS (
+       |  SELECT w, list_prepend([CAST(1099511627776 AS BIGINT) << 4],
+       |           list([j, len, lp] ORDER BY j, len, lp)) AS es
+       |  FROM ue$tag GROUP BY w
+       |), udp$tag AS MATERIALIZED (
+       |  SELECT w, list_reduce(es, (acc, x) -> CASE
+       |    WHEN CAST(len(acc) AS BIGINT) = x[1]
+       |      THEN list_append(acc, (((acc[CAST(x[1] - x[2] + 1 AS INTEGER)] >> 4) + x[3]) << 4) | x[2])
+       |    ELSE list_concat(acc[1 : CAST(x[1] AS INTEGER)],
+       |           [greatest(acc[CAST(x[1] + 1 AS INTEGER)],
+       |                     (((acc[CAST(x[1] - x[2] + 1 AS INTEGER)] >> 4) + x[3]) << 4) | x[2])])
+       |    END) AS dp
+       |  FROM uel$tag
+       |), uwk$tag AS MATERIALIZED (
+       |  SELECT w, st[CAST(length(w) + 3 AS INTEGER):] AS ls FROM (
+       |    SELECT w, list_reduce(
+       |      list_prepend(list_prepend(CAST(length(w) AS BIGINT), dp),
+       |        list_transform(range(1, length(w) + 1), i -> [CAST(0 AS BIGINT)])),
+       |      (acc, x) -> CASE WHEN acc[1] <= 0 THEN acc
+       |        ELSE list_append(
+       |          list_concat([acc[1] - (acc[CAST(acc[1] + 2 AS INTEGER)] & 15)], acc[2:]),
+       |          acc[CAST(acc[1] + 2 AS INTEGER)] & 15) END) AS st
+       |    FROM udp$tag)
+       |), upp$tag AS (
+       |  SELECT w, substr(w, CAST(length(w) - s + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece
+       |  FROM (
+       |    SELECT w, l, SUM(l) OVER (PARTITION BY w ORDER BY i) AS s
+       |    FROM (SELECT w, unnest(ls) AS l, unnest(range(1, len(ls) + 1)) AS i FROM uwk$tag))
+       |)""".stripMargin
+
+  /** One unrolled EM iteration t: segment under uv{t−1}, count pieces
+    * with word-frequency weight, add-one smooth over the seed vocab.
+    */
+  private def unigramEmCtes(t: Int): String =
+    unigramDpCtes(t.toString, s"uv${t - 1}") +
+    s""", upc$t AS (
+       |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+       |  FROM upp$t JOIN uwf USING (w) GROUP BY 1
+       |), uvc$t AS (
+       |  SELECT v.piece, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt
+       |  FROM uv${t - 1} v LEFT JOIN upc$t c USING (piece)
+       |), uv$t AS (
+       |  SELECT piece, cnt,
+       |         CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) /
+       |           (SELECT CAST(SUM(cnt + 1) AS DOUBLE) FROM uvc$t)) * 1000000) AS BIGINT) AS lp
+       |  FROM uvc$t
+       |)""".stripMargin
+
+  /** Word-frequency table, span lattice, seed vocabulary, and the two
+    * unrolled EM iterations — shared by `llm_unigram_train` and
+    * `llm_unigram_encode`.
+    */
+  private val unigramBaseCtes: String =
+    s"""uwf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) GROUP BY 1
+       |), usp AS (
+       |  SELECT w, j, l, substr(w, CAST(j - l + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece
+       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS j FROM uwf),
+       |       (SELECT unnest(range(1, 4 + 1)) AS l)
+       |  WHERE l <= j
+       |), useed AS (
+       |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+       |  FROM usp JOIN uwf USING (w) GROUP BY 1
+       |), uv0a AS (
+       |  SELECT piece, cnt FROM useed WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM useed WHERE length(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT 120)
+       |), uv0 AS (
+       |  SELECT piece, cnt,
+       |         CAST(floor(ln(CAST(cnt AS DOUBLE) /
+       |           (SELECT CAST(SUM(cnt) AS DOUBLE) FROM uv0a)) * 1000000) AS BIGINT) AS lp
+       |  FROM uv0a
+       |), ${unigramEmCtes(1)}, ${unigramEmCtes(2)}""".stripMargin
+
+  private val unigramTrainSql: String =
+    s"""WITH $unigramBaseCtes
+       |SELECT piece, cnt, lp AS q_lp FROM uv2
+       |WHERE cnt > 0 OR length(piece) = 1 ORDER BY piece""".stripMargin
+
+  /** [[graft.llm.Unigram.viterbiSegments]] with the trained model —
+    * the corpus encoded: per-source word/piece/char totals and
+    * fertility. Tokenization happens on the VOCABULARY frame and the
+    * corpus joins usage counts against (w, |pieces|) — the
+    * `llm_bpe_encode` scale move.
+    */
+  private def unigramEncodeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val wf = Bpe.wordFreq(docs, col("text")).localCheckpoint(false)
+    val vocab = graft.llm.Unigram.train(wf, maxLen = 4, seedSize = 120, iters = 2)
+    val segn = graft.llm.Unigram.viterbiSegments(wf.select(col("w")), vocab, maxLen = 4)
+      .select(col("w"), size(col("ps")).cast("long").as("np"))
+    val usage = docs
+      .select(col("source"), explode(CorpusStats.alphaTokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    usage.join(segn, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("np")).as("n_pieces"),
+        sum(col("n") * length(col("w"))).as("n_chars"),
+        r4(sum(col("n") * col("np")).cast("double")
+          / sum(col("n")).cast("double")).as("fertility"))
+      .orderBy(col("source"))
+  }
+
+  private val unigramEncodeSql: String =
+    s"""WITH $unigramBaseCtes, ${unigramDpCtes("E", "uv2")}, su AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) GROUP BY 1, 2
+       |), segn AS (SELECT w, CAST(len(ls) AS BIGINT) AS np FROM uwkE)
+       |SELECT source, CAST(SUM(n) AS BIGINT) AS n_words,
+       |       CAST(SUM(n * np) AS BIGINT) AS n_pieces,
+       |       CAST(SUM(n * length(w)) AS BIGINT) AS n_chars,
+       |       ${r4Sql("CAST(SUM(n * np) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)")} AS fertility
+       |FROM su JOIN segn USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------- PCA top component
   /** [[Pca.topComponent]] — 3 quantized power iterations over the
     * 64×64 covariance of the embedding corpus (ABTT's component-1).
@@ -4764,6 +4917,8 @@ object LlmQueries {
     "llm_cdc_dedup"    -> cdcDedupQ,
     "llm_bpe_train"    -> bpeTrainQ,
     "llm_bpe_encode"   -> bpeEncodeQ,
+    "llm_unigram_train"  -> unigramTrainQ,
+    "llm_unigram_encode" -> unigramEncodeQ,
     "llm_pca_top"      -> pcaTopQ,
     "llm_abtt_topk"    -> abttTopKQ,
     "llm_hard_negatives" -> hardNegativesQ,
@@ -4859,6 +5014,8 @@ object LlmQueries {
     "llm_cdc_dedup"    -> cdcDedupSql,
     "llm_bpe_train"    -> bpeTrainSql,
     "llm_bpe_encode"   -> bpeEncodeSql,
+    "llm_unigram_train"  -> unigramTrainSql,
+    "llm_unigram_encode" -> unigramEncodeSql,
     "llm_pca_top"      -> pcaTopSql,
     "llm_abtt_topk"    -> abttTopKSql,
     "llm_hard_negatives" -> hardNegativesSql,
