@@ -261,21 +261,39 @@ object IncrementalDedup {
         }).select(col("new_id").as("doc_id")).distinct()
         noExact.join(suppressed, Seq("doc_id"), "left_anti")
       }
-    // checkpoint-after-aggregation: the admission frame (minhash +
-    // band join + anti-joins) is consumed by the state fold's
-    // anti-join, its stage write, AND the returned join — without
-    // this the whole dedup lineage re-executes per action (measured
-    // 11.9 s → 3.0 s at sf0.1). The empty-state path IS the prepared
-    // kernel's eager checkpoint already — no second barrier.
+    // Single-pass commit (round 17, replacing the r15 checkpoint-
+    // after-aggregation): the admission frame (minhash + band join +
+    // anti-joins) is consumed by the state fold's anti-join, its
+    // stage write, AND the returned join — the r15 fix was a
+    // localCheckpoint (measured 11.9 s → 3.0 s at sf0.1, vs per-
+    // action lineage re-execution); now the commit's own stage write
+    // is the ONLY execution of the lineage and the committed files
+    // double as the checkpoint the returned join reads
+    // (insertIgnoreReturning — one materialization instead of
+    // checkpoint-store + stage-read, and no lazy checkpoint left to
+    // race under AQE). The empty-state path IS the prepared kernel's
+    // eager checkpoint already — no second barrier. Interleaved A/B
+    // (IncDedupProbe6, 10 rounds, sf0.1): WALL-NEUTRAL (medians
+    // 2.54 vs 2.55 s, 26→25 jobs) — the checkpoint job was fully
+    // hidden under concurrent protocol work at this size; the win is
+    // one fewer pass of the admission lineage in CPU and no pinned
+    // executor copy, which is what matters on a busy cluster. (A
+    // coalesce(4) of the stage write was A/B'd alongside and was
+    // also a wash: renames are not the floor on this fs.)
     val admitted =
-      if (state.version < 0) admittedRaw else admittedRaw.localCheckpoint(false)
-
-    val folded = admitted.select(
-      (col("doc_id") +: col("digest") +: sigCols.map(col)) :+ lit(date).as("p_date"): _*)
-    if (state.version < 0) state.append(folded)
-    // the partition is the literal stamped two lines up — no
-    // touchedPartitions job on the commit hot path
-    else state.insertIgnore(folded, Seq("doc_id"), knownParts = Some(Set(date)))
+      if (state.version < 0) {
+        val folded = admittedRaw.select(
+          (col("doc_id") +: col("digest") +: sigCols.map(col)) :+ lit(date).as("p_date"): _*)
+        state.append(folded)
+        admittedRaw
+      } else {
+        val folded = admittedRaw.select(
+          (col("doc_id") +: col("digest") +: sigCols.map(col)) :+ lit(date).as("p_date"): _*)
+        // the partition is the literal stamped two lines up — no
+        // touchedPartitions job on the commit hot path
+        state.insertIgnoreReturning(folded, Seq("doc_id"),
+          knownParts = Some(Set(date)))._2
+      }
     if (withDigest)
       p.docs.join(admitted.select(col("doc_id"), col("digest")), Seq("doc_id"))
         .select(col("doc_id"), col("text"), col("digest"))

@@ -687,19 +687,43 @@ class TxTable(val spark: SparkSession, val root: String,
     */
   def insertIgnore(batch: DataFrame, keys: Seq[String],
                    maxAttempts: Int = 20,
-                   knownParts: Option[Set[String]] = None): Long = {
+                   knownParts: Option[Set[String]] = None): Long =
+    insertIgnoreReturning(batch, keys, maxAttempts, knownParts)._1
+
+  /** [[insertIgnore]] that ALSO returns the inserted rows, as a frame
+    * reading the EXACT immutable files this call staged — "the commit
+    * is the checkpoint": a caller that needs the inserted rows back
+    * (the IncrementalDedup admit path) would otherwise materialize the
+    * batch twice, once into a localCheckpoint for its own consumers
+    * and once into the stage write. Here the batch lineage executes
+    * exactly once (inside the stage job) and the committed parquet
+    * doubles as the durable checkpoint the returned frame reads.
+    * A fully-duplicate batch returns (unchanged version, empty frame).
+    * On a CAS conflict the batch lineage recomputes for the retry (the
+    * loser's staged files are never referenced) — callers on contended
+    * tables should keep the batch's expensive kernels checkpointed
+    * upstream, which the admit path's prepared kernel already does.
+    */
+  def insertIgnoreReturning(batch: DataFrame, keys: Seq[String],
+                            maxAttempts: Int = 20,
+                            knownParts: Option[Set[String]] = None): (Long, DataFrame) = {
     import org.apache.spark.sql.functions.col
     val parts = knownParts.getOrElse(touchedPartitions(batch))
-    withConflictRetry(maxAttempts) { () =>
-      val (v, existing) = readPartitions(parts, "insertIgnore")
+    var committed: Seq[TxFile] = Seq.empty
+    var schema: StructType = batch.schema
+    val v = withConflictRetry(maxAttempts) { () =>
+      val (v0, existing) = readPartitions(parts, "insertIgnore")
       val fresh = batch.join(existing.select(keys.map(col): _*), keys, "left_anti")
       val staged = stageInto(parts, fresh, "insertIgnore")
+      committed = staged
+      schema = fresh.schema
       // a fully-duplicate batch (the routine ON CONFLICT DO NOTHING
       // re-delivery) must not publish an empty delta: every no-op
       // version bump widens the vacuum/time-travel window for nothing
-      if (staged.isEmpty) v
-      else commitUpsert(v, parts, staged, fresh.schema)
+      if (staged.isEmpty) v0
+      else commitUpsert(v0, parts, staged, fresh.schema)
     }
+    (v, readSnapshot(Snapshot(v, schema, committed, Map.empty)))
   }
 
   /** [[rewritePartitions]] with the upsert split the change feed
