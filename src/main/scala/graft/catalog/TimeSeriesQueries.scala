@@ -919,10 +919,18 @@ object TimeSeriesQueries {
     * tail is short.
     */
   private def slidingHeavySsQ(s: SparkSession, dir: String): DataFrame = {
-    val m = 64
     val ev = Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
     val exh = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
+    slidingHeavySsOver(exh, m = 64)
+  }
+
+  /** The SpaceSaving-summary pipeline over an already-aggregated
+    * (h, user_id, nh) frame — shared by [[slidingHeavySsQ]] (the
+    * near-uniform events fixture, the audit worst case) and
+    * [[slidingHeavySkewQ]] (the skewed fixture the design targets).
+    */
+  private def slidingHeavySsOver(exh: DataFrame, m: Int): DataFrame = {
     // one window pass carries BOTH the rank and the per-hour user
     // count (identical partition+ordering spec → a single WindowExec
     // and one sort), so the summary, the residual bound, and the
@@ -989,14 +997,21 @@ object TimeSeriesQueries {
       .orderBy(col("hour"), col("rk"))
   }
 
-  private val slidingHeavySsSql: String =
-    s"""WITH ev AS (
+  private val slidingHeavySsSql: String = slidingHeavySsSqlOver(
+    s"""ev AS (
        |  SELECT user_id, (epoch_ns(ts) // 1000) // 3600000000 AS h FROM events
        |), hours AS (
        |  SELECT DISTINCT h AS h2 FROM ev
        |), exh AS (
        |  SELECT h, user_id, CAST(count(*) AS BIGINT) AS nh FROM ev GROUP BY 1, 2
-       |), summ AS (
+       |)""".stripMargin)
+
+  /** The SS-summary oracle body over a `prefix` that must define CTEs
+    * `exh` (h, user_id, nh) and `hours` (h2) — shared with the skewed
+    * twin exactly like the Spark side shares [[slidingHeavySsOver]].
+    */
+  private def slidingHeavySsSqlOver(prefix: String): String =
+    s"""WITH $prefix, summ AS (
        |  SELECT h, user_id, nh FROM (
        |    SELECT h, user_id, nh,
        |           row_number() OVER (PARTITION BY h ORDER BY nh DESC, user_id) AS srk
@@ -1041,6 +1056,97 @@ object TimeSeriesQueries {
        |SELECT h2 AS hour, CAST(rk AS BIGINT) AS rk, user_id, n_exact, lb, ub
        |FROM (SELECT *, row_number() OVER (PARTITION BY h2
        |        ORDER BY n_exact DESC, user_id) AS rk FROM nex)
+       |WHERE rk <= 3 ORDER BY hour, rk""".stripMargin
+
+  // --------------- sliding heavy hitters on a SKEWED fixture (r17)
+  /** Deterministic Zipfian (h, user_id, nh) frame — the regime the
+    * bounded summaries are DESIGNED for (users ≫ m·24, a STEEP heavy
+    * head), constructed from the events table so it scales with SF:
+    * 600 head users appear EVERY event hour with nh =
+    * 5000 div (u+1) + (u+h) % 7 (a 1/rank Zipf head: 5006, 2501,
+    * 1668, … 8 — so the top-3 separate and the residual bound, the
+    * 64th count ≈ 78, prunes hard); every event row mints one tail
+    * occurrence under user 1000000 + user_id + 1500·(µs % 997)
+    * (integer arithmetic only, so both engines derive the identical
+    * fixture) — ~90k distinct tail users at sf0.1 vs m·24 = 1536.
+    * A FLAT 600-user head (nh = 50 + (u+h) % 7) was tried first and
+    * REJECTED: with every head count within 7 of the 64th, pruning
+    * kept all 600 head users and the candidate recount re-ran most of
+    * the exact fold (5.4 vs 3.6 s — the summary path LOST); the flat
+    * regime is exactly what `ts_sliding_heavy_ss`'s fixture already
+    * prices. Until round 17 the steep regime was defended only by
+    * SkewSsProbe's wall-clock record; these two queries put it under
+    * the oracle hash gate.
+    */
+  private def skewExh(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      expr("unix_micros(ts) div 3600000000").as("h"),
+      (lit(1000000L) + col("user_id")
+        + lit(1500L) * (expr("unix_micros(ts)") % 997L)).as("user_id"))
+    val tail = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
+    val head = ev.select(col("h")).distinct()
+      .crossJoin(s.range(600).select(col("id").as("user_id")))
+      .select(col("h"), col("user_id"),
+        (expr("5000 div (user_id + 1)") + (col("user_id") + col("h")) % 7L).as("nh"))
+    head.unionByName(tail)
+  }
+
+  private val skewExhSql: String =
+    s"""sexh AS (
+       |  SELECT h, user_id, CAST(count(*) AS BIGINT) AS nh FROM (
+       |    SELECT (epoch_ns(ts) // 1000) // 3600000000 AS h,
+       |           1000000 + user_id + 1500 * (((epoch_ns(ts) // 1000)) % 997) AS user_id
+       |    FROM events) GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT h, r.range AS user_id,
+       |         CAST(5000 // (r.range + 1) + (r.range + h) % 7 AS BIGINT) AS nh
+       |  FROM (SELECT DISTINCT (epoch_ns(ts) // 1000) // 3600000000 AS h
+       |        FROM events)
+       |  CROSS JOIN range(600) r
+       |)""".stripMargin
+
+  /** [[slidingHeavySsOver]] on the skewed fixture — the summary path
+    * in its design regime, hash-gated (same lb/ub audit columns).
+    */
+  private def slidingHeavySkewQ(s: SparkSession, dir: String): DataFrame =
+    slidingHeavySsOver(skewExh(s, dir), m = 64)
+
+  private val slidingHeavySkewSql: String = slidingHeavySsSqlOver(
+    s"""$skewExhSql, exh AS (SELECT * FROM sexh),
+       |hours AS (SELECT DISTINCT h AS h2 FROM sexh)""".stripMargin)
+
+  /** The exact (user,hour)×24 fold on the same skewed fixture — the
+    * audit twin whose BENCH row prices what the summaries avoid: the
+    * full ~530k-row frame exploded ×24 vs m·hours summary rows.
+    */
+  private def slidingHeavySkewExactQ(s: SparkSession, dir: String): DataFrame = {
+    val exh = skewExh(s, dir)
+    val win = exh
+      .select(explode(sequence(col("h"), col("h") + 23L)).as("h2"),
+        col("user_id"), col("nh"))
+      .groupBy(col("h2"), col("user_id")).agg(sum(col("nh")).as("n_exact"))
+    val hours = exh.select(col("h").as("h2")).distinct()
+    win.join(hours, "h2")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h2"))
+          .orderBy(col("n_exact").desc, col("user_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("h2").as("hour"), col("rk").cast("long").as("rk"),
+        col("user_id"), col("n_exact"))
+      .orderBy(col("hour"), col("rk"))
+  }
+
+  private val slidingHeavySkewExactSql: String =
+    s"""WITH $skewExhSql, win AS (
+       |  SELECT h + i AS h2, user_id, CAST(sum(nh) AS BIGINT) AS n_exact
+       |  FROM sexh CROSS JOIN (SELECT unnest(range(24)) AS i)
+       |  GROUP BY 1, 2
+       |), shours AS (SELECT DISTINCT h AS h2 FROM sexh)
+       |SELECT h2 AS hour, CAST(rk AS BIGINT) AS rk, user_id, n_exact FROM (
+       |  SELECT w.h2, user_id, n_exact,
+       |         row_number() OVER (PARTITION BY w.h2
+       |                            ORDER BY n_exact DESC, user_id) AS rk
+       |  FROM win w JOIN shours ON shours.h2 = w.h2)
        |WHERE rk <= 3 ORDER BY hour, rk""".stripMargin
 
   // ------------------------------- z-ordered pruned scan (storage)
@@ -2042,6 +2148,8 @@ object TimeSeriesQueries {
     "ts_sliding_distinct" -> slidingDistinctQ,
     "ts_sliding_heavy" -> slidingHeavyQ,
     "ts_sliding_heavy_ss" -> slidingHeavySsQ,
+    "ts_sliding_heavy_skew" -> slidingHeavySkewQ,
+    "ts_sliding_heavy_skew_exact" -> slidingHeavySkewExactQ,
     "ts_zorder_pruned" -> zorderPrunedQ,
     "ts_delete_vector" -> deleteVectorQ,
     "ts_update_vector" -> updateVectorQ,
@@ -2085,6 +2193,8 @@ object TimeSeriesQueries {
     "ts_sliding_distinct" -> slidingDistinctSql,
     "ts_sliding_heavy" -> slidingHeavySql,
     "ts_sliding_heavy_ss" -> slidingHeavySsSql,
+    "ts_sliding_heavy_skew" -> slidingHeavySkewSql,
+    "ts_sliding_heavy_skew_exact" -> slidingHeavySkewExactSql,
     "ts_zorder_pruned" -> zorderPrunedSql,
     "ts_delete_vector" -> deleteVectorSql,
     "ts_update_vector" -> updateVectorSql,

@@ -36,4 +36,24 @@ class SlidingHeavySsSpec extends SparkSpec {
           s"lb=$lb n_exact=$ex ub=$ub")
     }
   }
+
+  test("skewed design regime: summary top-3 equals its exact audit twin") {
+    // the r17 skewed fixture (Zipf head, users >> m*24) — the regime
+    // the bounded summaries are designed for, equivalence pinned here
+    // and the wall advantage recorded in SCALE.md (PairBench 1.56 vs
+    // 2.30 s at sf0.1)
+    val ss = rows("ts_sliding_heavy_skew")
+      .map(r => (r.getAs[Long]("hour"), r.getAs[Long]("rk"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_exact"))).toSet
+    val exact = rows("ts_sliding_heavy_skew_exact")
+      .map(r => (r.getAs[Long]("hour"), r.getAs[Long]("rk"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_exact"))).toSet
+    assert(ss.nonEmpty)
+    assert(ss === exact)
+    rows("ts_sliding_heavy_skew").foreach { r =>
+      val lb = r.getAs[Long]("lb"); val ub = r.getAs[Long]("ub")
+      val ex = r.getAs[Long]("n_exact")
+      assert(lb <= ex && ex <= ub)
+    }
+  }
 }
