@@ -1898,6 +1898,45 @@ object LlmQueries {
        |FROM topk ORDER BY ${r4Sql("sim")} DESC, id""".stripMargin
   }
 
+  // ----------------------------------- IVF-PQ probe path (PqIndex)
+  /** Build-once / probe-many fixture cache for [[graft.llm.PqIndex]]
+    * (the TimeSeriesQueries dmlFixtures pattern): the first call per
+    * testdata dir builds and persists the index; every later call —
+    * including every bench round — pays ONLY the probe. This is the
+    * deployment lifecycle the bench row should price: `llm_ivf_pq`
+    * deliberately keeps fitting in-query (the oracle pins the fit),
+    * while this row prices the partition-pruned probe itself.
+    */
+  private val pqIdxFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[graft.llm.PqIndex.topK]] against the prebuilt index — value-
+    * identical to `llm_ivf_pq` (PqIndexSpec pins the equivalence; the
+    * oracle SQL is shared verbatim), but the measured plan is the
+    * DEPLOYED one: nprobe cell directories partition-pruned from the
+    * codes scan (PlanShapeSpec pins the PartitionFilters), ADC as
+    * literal-array folds, exact rerank joining base vectors for the
+    * 80 survivors only.
+    */
+  private def ivfPqProbe(s: SparkSession, d: String): DataFrame = {
+    val dir = pqIdxFixtures.computeIfAbsent(d, { dd =>
+      val idx = java.nio.file.Files.createTempDirectory("pq_idx_q").toString
+      graft.llm.PqIndex.build(
+        Tables.embeddings(s, dd).filter(col("vec_id") =!= 0L),
+        col("vec_id"), col("label"), col("embedding"), idx)
+      idx
+    })
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .head().getSeq[Double](0)
+    graft.llm.PqIndex.topK(s, dir, emb.filter(col("vec_id") =!= 0L),
+        col("vec_id"), col("embedding"), q, k = 10, nprobe = 3, rerank = 80)
+      .select(col("id"), col("picked_cell").cast("int").as("picked_cell"),
+        r4(col("sim")).as("sim"))
+      .orderBy(r4(col("sim")).desc, col("id"))
+  }
+
   /** IVF over deterministic k-means cells — the data-driven ANN scale
     * path (label-based IVF measured 1/5 recall on this data; k-means
     * cells actually contain the neighbors). The oracle unrolls the
@@ -4859,6 +4898,7 @@ object LlmQueries {
     "llm_ivf_topk"     -> ivfTopK,
     "llm_ivf_multiprobe" -> ivfMultiProbe,
     "llm_ivf_pq"       -> ivfPq,
+    "llm_ivf_pq_probe" -> ivfPqProbe,
     "llm_image_neardup" -> imageNearDup,
     "llm_audio_neardup" -> audioNearDup,
     "llm_frame_sample" -> frameSampleQ,
@@ -4956,6 +4996,9 @@ object LlmQueries {
     "llm_ivf_topk"     -> ivfTopKSql,
     "llm_ivf_multiprobe" -> ivfMultiProbeSql,
     "llm_ivf_pq"       -> ivfPqSql,
+    // shared verbatim: the probe path must land on the one-shot
+    // form's exact rows (PqIndexSpec pins the frame equivalence)
+    "llm_ivf_pq_probe" -> ivfPqSql,
     "llm_image_neardup" -> imageNearDupSql,
     "llm_audio_neardup" -> audioNearDupSql,
     "llm_frame_sample" -> frameSampleSql,

@@ -382,4 +382,18 @@ class PlanShapeSpec extends SparkSpec {
       s"a one-row aggregate is riding a broadcast subquery again:\n$phys")
   }
 
+  test("llm_ivf_pq_probe: the codes scan is PARTITION-PRUNED to the " +
+       "nprobe cells (the PqIndex deployment claim)") {
+    // the probe path's whole 100 TB story is that a query lists and
+    // reads only nprobe cell directories — assert the scan carries
+    // PartitionFilters on cell rather than a post-scan Filter
+    val out = graft.SparkEntry.queries("llm_ivf_pq_probe")(spark, sfDir)
+    val phys = out.queryExecution.executedPlan.toString
+    val scanLines = phys.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("codes")).toSeq
+    assert(scanLines.nonEmpty, s"no codes FileScan found:\n${phys.take(4000)}")
+    assert(scanLines.exists(l => l.contains("PartitionFilters") &&
+        l.contains("cell") && l.contains("IN (")),
+      s"codes scan must prune by cell partition:\n${scanLines.mkString("\n")}")
+  }
 }
