@@ -120,7 +120,15 @@ object AllPairs {
         expr("transform(v, x -> x.w)").as("w")).as("sv"))
       .localCheckpoint(false)
     val thr = math.floor(t * 1e12d).toLong
-    cand
+    // Numbered repartition before the verify joins: candidate rows
+    // are byte-small but each costs a SortedDot merge — the exact
+    // class where AQE's size-based coalescing under-parallelizes (the
+    // editNearDups Levenshtein lesson). Interleaved A/B r17
+    // (ApVerifyProbe, 7 rounds, sf0.1): repart median 2.16 s vs AQE
+    // 2.22 s, with the post-JIT rounds favoring repart 4/4 — a small
+    // consistent win here, unlike llm_containment where AQE's 8-task
+    // coalescing won (its posting stages are IO-shaped, not CPU/row).
+    cand.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .join(broadcast(docvec.select(col("id").as("id_a"), col("sv").as("sa"))),
         Seq("id_a"))
       .join(broadcast(docvec.select(col("id").as("id_b"), col("sv").as("sb"))),

@@ -221,6 +221,14 @@ object Dedup {
     // cluster scale the same move is persist(DISK) or a staging table
     // if executor-loss recomputability matters — localCheckpoint
     // truncates lineage.
+    // EAGER (r17): CheckpointRaceSpec caught the lazy form racing
+    // under AQE — the nA and pair-join map stages both computed the
+    // kernel before the checkpoint materialized (shipped stage CPU
+    // ~2x the kernel-once reference). ContainCkProbe interleaved A/B
+    // (7 rounds, sf0.1): lazy 1.19 s vs eager 1.25 s median — wall
+    // within noise on 32 idle cores, so the single-pass CPU wins (the
+    // r16 winnow/source_overlap rule: CPU-halved wall-neutral fixes
+    // are kept for the busy-cluster property).
     // A numbered repartition on the digest before the window was
     // A/B-REJECTED (R16AbProbe, interleaved in-session, 5 rounds:
     // 1.65 vs 1.23 s — 34% WORSE). Per-job cpuMs suggested AQE's
@@ -230,7 +238,7 @@ object Dedup {
     // plan choices (the r15 lesson, reconfirmed).
     val informative = g.withColumn("__df", count(lit(1)).over(wd))
       .filter(col("__df") <= maxDf)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nA = informative.groupBy(col("id")).agg(count(lit(1)).as("n_a"))
     val pruned = informative.filter(col("__df") >= minDf)
     pruned.select(col("d"), col("id").as("id_a"))
