@@ -30,20 +30,41 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # An INTERLEAVED record (graft.tools.InterleavedBench) embeds
+    # per-query DuckDB medians taken in the same session, alternating
+    # engines per query — use those instead of re-timing, so the
+    # per-query ratios and totals are same-box-state by construction.
+    duck_embedded = bench.get("duckdbQueries")
     rows = []
     for name in sorted(oracle):
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            con.execute(oracle[name]).fetchall()
-            best = time.time() - t0
+        if duck_embedded is not None:
+            best = duck_embedded.get(name)
+            if best is None:
+                continue
+        else:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(oracle[name]).fetchall()
+                best = time.time() - t0
         rows.append((name, spark_t.get(name), best))
+    kind_note = (
+        ["RECORD KIND: **interleaved same-session** — each round ran every",
+         "query on BOTH engines back to back (Spark noop sink, then the",
+         "DuckDB oracle through a persistent timer subprocess), medians of",
+         f"{bench.get('rounds', '?')} warm rounds. Per-query ratios and the",
+         "totals below are same-box-state by construction; the ±14%",
+         "cross-record canary-normalization error bar (SCALE.md r16) does",
+         "not apply WITHIN this record. Cross-round total comparisons",
+         "still require matched records.",
+         ""] if duck_embedded is not None else [])
     lines = [
         "# BENCH_COMPARE — Spark catalog vs DuckDB oracle (same queries, same parquet)",
         "",
         f"Scale dir: `{sf_dir}` · DuckDB threads: {os.cpu_count()} · "
         f"Spark: local[32] (from `{os.path.basename(bench_file)}`)",
         "",
+    ] + kind_note + [
         "Spark numbers include per-query session/planning overhead; `net s`",
         f"subtracts the floor the bench itself measured ({floor:.2f} s: plan +",
         "job scheduling through the same noop sink on a trivial input), so",
@@ -70,7 +91,13 @@ def main():
     lines.append(f"| **total** | **{s_tot:.2f}** | **{n_tot:.2f}** | **{d_tot:.2f}** | "
                  f"**{s_tot / d_tot:.1f}x** | **{n_tot / d_tot:.1f}x** |")
     k = 1.0
-    if canary > 0.0:
+    if duck_embedded is not None:
+        lines += [
+            "",
+            "Canary normalization skipped: interleaved records are "
+            "same-box-state within themselves (see the record-kind note).",
+        ]
+    elif canary > 0.0:
         # Reference canary value + workload tag live in a recorded
         # artifact (scripts/canary_ref.json), not a code literal, so a
         # changed canary workload or reference box cannot silently skew
