@@ -31,6 +31,7 @@ object SparkEntry {
       (MicrostructureQueries.queries, MicrostructureQueries.oracleSql),
       (LexicalQueries.queries, LexicalQueries.oracleSql),
       (SimGraphQueries.queries, SimGraphQueries.oracleSql),
+      (WebQueries.queries, WebQueries.oracleSql),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.
