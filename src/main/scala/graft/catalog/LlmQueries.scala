@@ -4697,6 +4697,53 @@ object LlmQueries {
       .orderBy(col("source"))
   }
 
+  /** Train-once / encode-many fixture cache for the unigram
+    * tokenizer (the `llm_ivf_pq_probe` / dmlFixtures lifecycle): the
+    * first call per testdata dir runs the 2-round hard-EM fit and
+    * keeps the MODEL frame (vocab driver rows — piece/cnt/lp, the
+    * Bpe merge-table discipline); every later call — including every
+    * bench round — pays only the deployed encode (word-frequency scan
+    * + broadcast-vocab Viterbi + usage join). `llm_unigram_encode`
+    * deliberately keeps fitting in-query (the oracle pins the EM);
+    * this row prices tokenizing a corpus under an already-trained
+    * model, which is what runs at 100 TB.
+    */
+  private val unigramVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]()
+
+  /** Value-identical to [[unigramEncodeQ]] (same train parameters,
+    * same corpus, shared oracle SQL verbatim; UnigramSpec pins the
+    * frame equivalence) — but the measured plan is the deployed one:
+    * the vocabulary is a pretrained LocalRelation, so the query is
+    * one word-frequency aggregation, one broadcast-joined Viterbi
+    * projection, and the per-source usage rollup.
+    */
+  private def unigramApplyQ(s: SparkSession, d: String): DataFrame = {
+    val rows = unigramVocabCache.computeIfAbsent(d, { dd =>
+      val wfFit = Bpe.wordFreq(Tables.fanOut(Tables.documents(s, dd)), col("text"))
+        .localCheckpoint(false)
+      graft.llm.Unigram.train(wfFit, maxLen = 4, seedSize = 120, iters = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    })
+    import s.implicits._
+    val vocab = rows.toDF("piece", "cnt", "lp")
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val wf = Bpe.wordFreq(docs, col("text")).localCheckpoint(false)
+    val segn = graft.llm.Unigram.viterbiSegments(wf.select(col("w")), vocab, maxLen = 4)
+      .select(col("w"), size(col("ps")).cast("long").as("np"))
+    val usage = docs
+      .select(col("source"), explode(CorpusStats.alphaTokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    usage.join(segn, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("np")).as("n_pieces"),
+        sum(col("n") * length(col("w"))).as("n_chars"),
+        r4(sum(col("n") * col("np")).cast("double")
+          / sum(col("n")).cast("double")).as("fertility"))
+      .orderBy(col("source"))
+  }
+
   private val unigramEncodeSql: String =
     s"""WITH $unigramBaseCtes, ${unigramDpCtes("E", "uv2")}, su AS (
        |  SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM (
@@ -4959,6 +5006,7 @@ object LlmQueries {
     "llm_bpe_encode"   -> bpeEncodeQ,
     "llm_unigram_train"  -> unigramTrainQ,
     "llm_unigram_encode" -> unigramEncodeQ,
+    "llm_unigram_apply"  -> unigramApplyQ,
     "llm_pca_top"      -> pcaTopQ,
     "llm_abtt_topk"    -> abttTopKQ,
     "llm_hard_negatives" -> hardNegativesQ,
@@ -5059,6 +5107,7 @@ object LlmQueries {
     "llm_bpe_encode"   -> bpeEncodeSql,
     "llm_unigram_train"  -> unigramTrainSql,
     "llm_unigram_encode" -> unigramEncodeSql,
+    "llm_unigram_apply"  -> unigramEncodeSql,
     "llm_pca_top"      -> pcaTopSql,
     "llm_abtt_topk"    -> abttTopKSql,
     "llm_hard_negatives" -> hardNegativesSql,

@@ -95,6 +95,17 @@ class UnigramSpec extends SparkSpec {
     for ((p, v) <- ref) assert(got(p) === v, s"piece $p")
   }
 
+  test("llm_unigram_apply (pretrained-vocab path) ≡ llm_unigram_encode") {
+    // the catalog rows share the oracle SQL verbatim; this pins the
+    // Spark-side equivalence of the fixture-cached deployed encode
+    // against the in-query-training form (the PqIndexSpec discipline)
+    val enc = graft.SparkEntry.queries("llm_unigram_encode")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val app = graft.SparkEntry.queries("llm_unigram_apply")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(app == enc)
+  }
+
   test("every character keeps a finite log-prob (segmentability invariant)") {
     val v = Unigram.train(wfDf, L, 10, 1)
     val chars = v.filter(length(col("piece")) === 1).count()
