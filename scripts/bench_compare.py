@@ -336,6 +336,17 @@ def annotations_section(known_names):
          "stage-wave floor over a corpus DuckDB folds in-process. "
          "The r15 fix (3x tokenize -> 1) is what brought it this "
          "close to the line."),
+        ("llm_unigram_encode / llm_unigram_apply",
+         ["llm_unigram_encode", "llm_unigram_apply"],
+         "llm_unigram_encode deliberately trains IN-QUERY (2 hard-EM "
+         "rounds, ~6 engine job waves) so the oracle pins the fit; "
+         "the deployed cost is the llm_unigram_apply row, which "
+         "encodes under a train-once cached vocabulary (the "
+         "llm_ivf_pq_probe lifecycle) against the SAME oracle SQL. "
+         "PairBench r17 (5 warm rounds, sf0.1): apply 0.81 s vs "
+         "encode 1.57 s — the fit is half the encode row's wall, and "
+         "the apply row sits ~1.5x its oracle (out of the weak "
+         "tail)."),
         ("llm_nb_classify / llm_log_odds",
          ["llm_nb_classify", "llm_log_odds"],
          "5000-doc / 1.5 MB fixtures: the Spark time is ~7 sequential "
