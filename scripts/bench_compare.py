@@ -336,6 +336,19 @@ def annotations_section(known_names):
          "stage-wave floor over a corpus DuckDB folds in-process. "
          "The r15 fix (3x tokenize -> 1) is what brought it this "
          "close to the line."),
+        ("llm_line_scrub",
+         ["llm_line_scrub"],
+         "pays a deliberate ~0.2 s local wall for deterministic "
+         "single-pass CPU: CheckpointRaceSpec r17 caught the lazy "
+         "line-digest checkpoint racing (both consumers computed the "
+         "posexplode+md5 kernel), and the eager form serializes the "
+         "materialization the race used to hide on idle cores "
+         "(alternating PairBench arms: lazy 1.42/1.27/1.24 vs eager "
+         "1.61/1.69/1.43 s). On a busy cluster the race is a full "
+         "second kernel execution of real CPU; the structural "
+         "alternatives (df-window, no checkpoint) are strictly worse "
+         "at the 10^8-doc hot-line scale the operator is shaped "
+         "for."),
         ("llm_unigram_encode / llm_unigram_apply",
          ["llm_unigram_encode", "llm_unigram_apply"],
          "llm_unigram_encode deliberately trains IN-QUERY (2 hard-EM "

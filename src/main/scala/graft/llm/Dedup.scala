@@ -1045,10 +1045,25 @@ object Dedup {
     // 1.65 s query — the llm_allpairs_sim pathology). The outer form
     // infers nothing; the existing isNotNull filter already discards
     // the null row an empty array contributes.
+    // EAGER (r17): CheckpointRaceSpec caught the lazy form racing on
+    // an idle box — the frequency-aggregate and verdict-join map
+    // stages both computed the posexplode+md5 kernel before the
+    // checkpoint materialized (shipped profile carried a second
+    // kernel-class stage at ~65% of the calibration kernel; the
+    // containmentPairs race shape). Alternating PairBench arms (3×5
+    // warm rounds each, sf0.1): lazy 1.42/1.27/1.24 s vs eager
+    // 1.61/1.69/1.43 — eager pays ~0.2 s wall locally because the
+    // raced recompute ran FREE on idle cores while eager serializes
+    // the materialization. Kept eager anyway (the containmentPairs
+    // rule): on a busy cluster the race costs a full second kernel
+    // execution of real CPU, and the structural alternatives are
+    // worse — a df-window keys the hot digest onto one reducer
+    // (HotLineProbe's 10⁸-row pathology) and dropping the checkpoint
+    // makes the 2× CPU unconditional.
     val ex = docs.select(id.as("doc_id"), posexplode_outer(linesCol).as(Seq("pos", "line")))
       .filter(col("line").isNotNull)
       .withColumn("dg", unhex(md5(col("line"))))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // document frequency as an EXPLICIT two-level aggregation instead
     // of countDistinct: Spark plans a single distinct aggregate with
     // its exchange on the grouping key alone, so a boilerplate line
@@ -1061,11 +1076,25 @@ object Dedup {
     // Measured (HotLineProbe, 2026-08-13, 20M docs all sharing one
     // line, local[32]): 10.8 s → 8.1 s; the in-memory single-JVM
     // shuffle compresses the straggler, a networked cluster does not.
-    val freq = ex.select(col("dg"), col("doc_id")).distinct()
+    // The verdict joins ex against the FREQUENT digests only (df ≥
+    // minDocs — the boilerplate set, corpus_lines/minDocs at worst),
+    // not the full per-digest df frame: the frequent frame is small
+    // enough that AQE plans a broadcast join, so ex's text payload
+    // never crosses a dg-keyed exchange — the only text shuffle left
+    // is the unavoidable doc-keyed reassembly. Locally a measured
+    // WASH (PairBench r17: ~1.07 s either way — the in-JVM shuffle
+    // compresses text bytes, the LsAbProbe lesson), kept for the
+    // cluster shape: one fewer text-payload exchange is real bytes
+    // on a network. At a scale where the frequent set outgrows
+    // broadcast, AQE falls back to the shuffled join with identical
+    // semantics.
+    val frequent = ex.select(col("dg"), col("doc_id")).distinct()
       .groupBy(col("dg"))
       .agg(count(lit(1)).as("df"))
-    val keep = col("df") < minDocs
-    ex.join(freq, Seq("dg"))
+      .filter(col("df") >= minDocs)
+      .select(col("dg"), lit(true).as("__boiler"))
+    val keep = col("__boiler").isNull
+    ex.join(frequent, Seq("dg"), "left")
       .groupBy(col("doc_id"))
       .agg(
         // collect_list drops nulls, so the `when` with no otherwise

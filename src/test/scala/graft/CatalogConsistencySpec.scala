@@ -28,7 +28,8 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "CurationQueries" -> catalog.CurationQueries.queries.keySet,
       "MicrostructureQueries" -> catalog.MicrostructureQueries.queries.keySet,
       "LexicalQueries" -> catalog.LexicalQueries.queries.keySet,
-      "SimGraphQueries" -> catalog.SimGraphQueries.queries.keySet)
+      "SimGraphQueries" -> catalog.SimGraphQueries.queries.keySet,
+      "WebQueries" -> catalog.WebQueries.queries.keySet)
     for (Seq((na, a), (nb, b)) <- subs.combinations(2)) {
       val dup = a & b
       assert(dup.isEmpty, s"$na and $nb both define: ${dup.toSeq.sorted}")
