@@ -87,10 +87,16 @@ object Main {
     * and exits (the backfill shape); otherwise it follows the
     * directory until `--duration-secs` (or forever).
     *
+    * `--format warc` switches the front end to crawl-native WARC
+    * files ([[graft.llm.CorpusIo.readWarcStream]]): record split,
+    * HTML→text extraction, canonical-URL doc ids, registered-domain
+    * source — the batch body is identical.
+    *
     * {{{
     * graft.Main curate --input /landing --state /tbl/state \
-    *   --sink /tbl/corpus [--errors /tbl/errs] [--profile /tbl/profile] \
-    *   [--checkpoint /ckpt] [--once true] [--duration-secs N]
+    *   --sink /tbl/corpus [--format jsonl|warc] [--errors /tbl/errs] \
+    *   [--profile /tbl/profile] [--checkpoint /ckpt] [--once true] \
+    *   [--duration-secs N]
     * }}}
     */
   private def curate(spark: SparkSession, flags: Map[String, String]): Unit = {
@@ -112,9 +118,13 @@ object Main {
     val bi = new graft.llm.BandIndex(spark, s"curate_bands_$tag")
     val di = new graft.llm.DigestIndex(spark, s"curate_digests_$tag")
     val once = flags.get("once").exists(_.toBoolean)
-    val q = graft.llm.CuratePipeline.run(spark, input, state, sink, errors,
-      checkpoint, bands = Some(bi), digests = Some(di), profile = profile,
-      once = once)
+    val runFn = flags.getOrElse("format", "jsonl") match {
+      case "jsonl" => graft.llm.CuratePipeline.run _
+      case "warc"  => graft.llm.CuratePipeline.runWarc _
+      case other   => fail(s"unknown --format '$other' (expected jsonl or warc)")
+    }
+    val q = runFn(spark, input, state, sink, errors,
+      checkpoint, Some(bi), Some(di), profile, once)
     if (once) q.awaitTermination()
     else flags.get("duration-secs") match {
       case Some(d) => q.awaitTermination(d.toLong * 1000L); q.stop()

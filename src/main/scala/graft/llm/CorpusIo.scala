@@ -114,4 +114,60 @@ object CorpusIo {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** Blob-of-WARC-files → the [[documentSchema]] frame + the
+    * is_corrupt/raw_line error contract of [[readJsonlStream]]:
+    * response records split ([[WebOps.warcRecords]]), the HTML
+    * payload reduced to visible text, and the curation keys derived
+    * from the record's own URI —
+    *
+    *  - `doc_id` = xxhash64 of the CANONICAL URL, so a recrawl of the
+    *    same page maps to the same id and exact dedup collapses it
+    *    without any crawler-side coordination;
+    *  - `source` = registered domain of the canonical URL (the
+    *    blocklist/quota/profile key downstream stages group on);
+    *  - `lang` = null — language ID is a downstream scorer
+    *    ([[TextOps.langId]]), not an ingest guess;
+    *  - `n_chars` over the EXTRACTED text.
+    *
+    * A record with no `WARC-Target-URI` or an empty extraction is
+    * routed as corrupt with the record head as `raw_line` (truncated:
+    * a multi-MB payload must not ride the error table).
+    */
+  private def warcToDocs(blobs: DataFrame): DataFrame = {
+    val canon = WebOps.canonicalUrl(col("uri"))
+    blobs
+      .select(explode(WebOps.warcRecords(col("value"))).as("rec"))
+      .select(col("rec"),
+        WebOps.warcHeader(col("rec"), "WARC-Target-URI").as("uri"))
+      .select(col("rec"), col("uri"),
+        WebOps.htmlText(WebOps.warcHttpBody(col("rec"))).as("text"))
+      .select(
+        xxhash64(canon).as("doc_id"),
+        col("text"),
+        lit(null).cast(StringType).as("lang"),
+        WebOps.registeredDomain(WebOps.urlHost(canon)).as("source"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        (col("uri") === "" || col("text") === "").as("is_corrupt"),
+        substring(col("rec"), 1, 4096).as("raw_line"))
+  }
+
+  /** Batch WARC ingest: every file under `path` read whole (the
+    * parallel unit is the FILE — a crawl distribution is thousands of
+    * ~1 GB WARCs, which is exactly the wide-scan shape) and reduced
+    * by [[warcToDocs]].
+    */
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    warcToDocs(spark.read.option("wholetext", "true").text(path))
+
+  /** Streaming twin of [[readWarc]] for incremental crawl drops (new
+    * .warc files landing in a directory) — same frame, same error
+    * contract; feed it to [[CuratePipeline.processBatch]] exactly
+    * like the JSONL stream. `maxFilesPerTrigger` is the caller's
+    * backpressure knob via options.
+    */
+  def readWarcStream(spark: SparkSession, path: String,
+                     options: Map[String, String] = Map.empty): DataFrame =
+    warcToDocs(
+      spark.readStream.options(options).option("wholetext", "true").text(path))
 }

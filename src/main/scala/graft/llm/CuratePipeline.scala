@@ -47,6 +47,29 @@ object CuratePipeline {
       .start()
   }
 
+  /** [[run]] with the crawl-native front end: a landing directory of
+    * .warc files instead of JSONL shards ([[CorpusIo.readWarcStream]]
+    * — record split, HTML→text extraction, canonical-URL doc ids,
+    * registered-domain `source`), then the identical batch body: the
+    * URL-keyed ids mean a recrawled page is an EXACT dup the history
+    * state collapses before near-dup even runs.
+    */
+  def runWarc(spark: SparkSession, input: String, state: TxTable,
+              sink: TxTable, errors: TxTable, checkpoint: String,
+              bands: Option[BandIndex] = None,
+              digests: Option[DigestIndex] = None,
+              profile: Option[TxTable] = None,
+              once: Boolean = false): StreamingQuery = {
+    val base = CorpusIo.readWarcStream(spark, input)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+    (if (once) base.trigger(Trigger.AvailableNow()) else base)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(state, sink, errors, batch, bands, digests, profile)
+      }
+      .start()
+  }
+
   /** One micro-batch — exposed so tests and replay jobs can drive it
     * directly (the [[IncrementalDedup.admitBatch]] pattern).
     */

@@ -203,6 +203,33 @@ class MainSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS curate_digests_$tag")
   }
 
+  test("curate --format warc from main(args): WARC landing dir -> corpus table") {
+    // the flag-routing smoke; WarcPipelineSpec pins the full contract
+    val land = java.nio.file.Files.createTempDirectory("mainwarc").toString
+    val base = java.nio.file.Files.createTempDirectory("mainwarctbl").toString
+    val long1 = (1 to 80).map(i => s"alpha$i").mkString(" ")
+    def rec(uri: String, body: String): String = {
+      val html = s"<html><body><p>$body</p></body></html>"
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${html.length}\r\n\r\n" +
+        s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html\r\n\r\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(land, "d1.warc"),
+      rec("https://www.Example.com/a?utm_source=x", long1) +
+        rec("https://www.Example.com/b", "too short"))
+    Main.main(Array("curate", "--input", land, "--format", "warc",
+      "--state", s"$base/state", "--sink", s"$base/corpus",
+      "--errors", s"$base/errs", "--once", "true",
+      "--checkpoint", java.nio.file.Files.createTempDirectory("mainwarcck").toString))
+    val rows = new graft.storage.TxTable(spark, s"$base/corpus").read()
+      .select($"p_date", $"text").as[(String, String)].collect()
+    assert(rows.length === 1 && rows.head._1 === "example.com" &&
+      rows.head._2 === long1)
+    val tag = java.lang.Integer.toUnsignedString(s"$base/state".hashCode, 16)
+    spark.sql(s"DROP TABLE IF EXISTS curate_bands_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS curate_digests_$tag")
+  }
+
   test("arg parsing fails loudly: bad action, bad flag shape, bad symbol") {
     intercept[IllegalArgumentException] { Main.parse(Array.empty) }
     intercept[IllegalArgumentException] { Main.parse(Array("backfill", "oops")) }

@@ -248,7 +248,32 @@ object ScaleBench {
     // O(sources*k) algebra; its exponent should price the PASS, with
     // the audit twin's 0.653 staying attributed to the exact columns.
     "llm_graph_stats", "llm_lsh_recall", "ts_rolling_beta",
-    "llm_kmv_sketch")
+    "llm_kmv_sketch",
+    // round-17 additions. unigram train/encode: the EM's corpus pass
+    // is the word count (distinct-word frame grows sub-linearly under
+    // rotation — the bpe_train class); encode adds the Viterbi fold
+    // over the vocabulary frame + one usage join; apply prices the
+    // same encode under a train-once cached vocab (fixture cache is
+    // per-dir, so the 10x dir fits its own model ONCE outside the
+    // medians). sliding_heavy skew pair rides the events user axis in
+    // the SpaceSaving design regime: the summary path's m-hours bound
+    // must absorb the user growth the exact twin pays linearly — the
+    // pair IS the measurement, in-regime this time. ivf_pq_probe:
+    // the partition-pruned probe must stay ~cell-sized as the code
+    // table grows 10x (index built once per dir, cached).
+    "llm_unigram_train", "llm_unigram_encode", "llm_unigram_apply",
+    "ts_sliding_heavy_skew", "ts_sliding_heavy_skew_exact",
+    "llm_ivf_pq_probe",
+    // web-ingest family: warc_parse is string_agg blobs + linear
+    // regex parsing (blob count is keyed by source here, so 10x
+    // grows blob SIZE — at deployment the unit is the ~1 GB WARC
+    // file and the count grows instead; the exponent watches the
+    // per-byte parse staying linear). html_extract / url_canon /
+    // domain_stats / link_graph are pure scan-span regex maps + one
+    // hash-aggregate on canonical/domain/edge keys — must be exactly
+    // linear with group counts bounded by the key space.
+    "llm_warc_parse", "llm_html_extract", "llm_url_canon",
+    "llm_domain_stats", "llm_link_graph")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
