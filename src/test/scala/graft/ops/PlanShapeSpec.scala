@@ -396,4 +396,40 @@ class PlanShapeSpec extends SparkSpec {
         l.contains("cell") && l.contains("IN (")),
       s"codes scan must prune by cell partition:\n${scanLines.mkString("\n")}")
   }
+
+  test("web-ingest family: pruned scans, one keyed aggregate, no extra exchange") {
+    // llm_domain_stats synthesizes its URL from doc_id — the documents
+    // scan must NOT read `text` (a 100 TB corpus is mostly text bytes;
+    // pruning it is the difference between a metadata pass and a full
+    // read)
+    val ds = graft.SparkEntry.queries("llm_domain_stats")(spark, sfDir)
+    val dsScan = plan(ds).linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(dsScan.nonEmpty && !dsScan.contains("text"),
+      s"domain_stats must prune the text column:\n$dsScan")
+    // countDistinct(lang) expands to a two-level aggregate: 2 hash
+    // exchanges are the designed shape, anything more is a regression
+    assert(shuffles(ds) <= 2, s"domain_stats gained a shuffle:\n${plan(ds)}")
+
+    // llm_url_canon: canonicalization is scan-span expression work;
+    // exactly ONE hash exchange (the canonical-key aggregate)
+    val uc = graft.SparkEntry.queries("llm_url_canon")(spark, sfDir)
+    assert(shuffles(uc) === 1, s"url_canon should shuffle once:\n${plan(uc)}")
+
+    // llm_link_graph: extraction + domain reduction ride the scan;
+    // countDistinct(doc_id) again makes 2 exchanges the designed cap
+    val lg = graft.SparkEntry.queries("llm_link_graph")(spark, sfDir)
+    assert(shuffles(lg) <= 2, s"link_graph gained a shuffle:\n${plan(lg)}")
+  }
+
+  test("readWarc: record split + extraction is a pure map — zero exchanges") {
+    val dir = java.nio.file.Files.createTempDirectory("psswarc")
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.com/x\r\nContent-Length: 10\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\n\r\n<p>hello</p>\r\n\r\n"
+    java.nio.file.Files.writeString(dir.resolve("f.warc"), rec + rec)
+    val out = graft.llm.CorpusIo.readWarc(spark, dir.toString)
+    assert(shuffles(out) === 0, s"readWarc must not shuffle:\n${plan(out)}")
+    assert(!plan(out).contains("Join"), s"readWarc must not join:\n${plan(out)}")
+  }
 }
