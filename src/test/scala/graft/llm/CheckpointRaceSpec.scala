@@ -57,52 +57,42 @@ class CheckpointRaceSpec extends SparkSpec {
         s"checkpoint raced. shipped=${prof.take(6)} ref=${ref.take(6)}")
   }
 
-  test("containmentPairs: the digest+df kernel executes in exactly one stage") {
-    // mostly-unique LONG grams: the kernel md5s ~2.4 KB per row
-    // while every downstream stage carries only 32-byte digests — the
-    // kernel's map stage must DWARF both the distinct-reduce/window
-    // stages and the shipped operator's digest joins for the 70% bar
-    // to discriminate (at 600 B the reference split 232/180 ms across
-    // map/reduce and the threshold landed between the shipped run's
-    // honest 169 ms join stage and the kernel class)
-    val pad = "x" * 2400
-    val exploded = (1L to 600L)
-      .flatMap(i => (0 until 150).map(j => (i, s"gram-$i-$j-$pad")))
+  /** For sites whose checkpoint became EAGER (containmentPairs r17a,
+    * scrubFrequentLines r17b), the complete race pin is EAGERNESS
+    * itself: `localCheckpoint(true)` computes and caches the blocks
+    * at CONSTRUCTION, before any consumer subtree exists, so no
+    * consumer stage can recompute the kernel (absent executor loss —
+    * not a single-JVM concern). Asserting "≥1 job ran while the
+    * operator merely BUILT its frame" is deterministic under any
+    * box/JIT regime, unlike the stage-CPU profile the lazy sites
+    * need — which misread honest downstream IO stages as kernel
+    * executions twice across load regimes before this split (55%→70%
+    * bar retune, then a full-suite flake at 70%).
+    */
+  private def assertEagerBuild(site: String)(build: => DataFrame): Unit = {
+    val stages = graft.StageCpus.profile(spark) { build; () }
+    assert(stages.nonEmpty,
+      s"$site: no job ran at construction — the kernel checkpoint is " +
+        "no longer eager, so the consumer-race class is structurally " +
+        "possible again (move the site back to the stage-profile pin)")
+  }
+
+  test("containmentPairs: the digest+df kernel materializes at construction") {
+    val pad = "x" * 200
+    val exploded = (1L to 200L)
+      .flatMap(i => (0 until 30).map(j => (i, s"gram-$i-$j-$pad")))
       .toDF("id", "g")
       .localCheckpoint(true)
-    def kernelOnce: DataFrame = {
-      // containmentPairs' pre-checkpoint chain INCLUDING its lazy
-      // checkpoint, single consumer — one materialization, profiled
-      val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("d"))
-      exploded.select(col("id"), md5(col("g").cast("string")).as("d")).distinct()
-        .withColumn("__df", count(lit(1)).over(wd))
-        .filter(col("__df") <= 32L)
-        .localCheckpoint(false)
-    }
-    assertNoExtraKernelStage("containmentPairs",
-      kernelOnce,
+    assertEagerBuild("containmentPairs")(
       Dedup.containmentPairs(exploded, col("id"), col("g"), 2L, 32L, 80))
   }
 
-  test("scrubFrequentLines: the line-digest kernel executes in exactly one stage") {
-    // long mostly-unique lines: kernel md5s ~500 bytes per line,
-    // downstream carries 16-byte digests
-    // 800×130 sized so the reference kernel clears the spec's 200 ms
-    // discrimination floor on an IDLE box too (500×100 read 175 ms
-    // there and tripped the too-light guard)
-    val lpad = "y" * 500
-    val docs = (1L to 800L)
-      .map(i => (i, (0 until 130).map(j => s"line-$i-$j-$lpad")))
+  test("scrubFrequentLines: the line-digest kernel materializes at construction") {
+    val docs = (1L to 200L)
+      .map(i => (i, (0 until 30).map(j => s"line-$i-$j")))
       .toDF("id", "lines")
       .localCheckpoint(true)
-    def kernelOnce: DataFrame =
-      docs.select(col("id").as("doc_id"),
-          posexplode_outer(col("lines")).as(Seq("pos", "line")))
-        .filter(col("line").isNotNull)
-        .withColumn("dg", unhex(md5(col("line"))))
-        .localCheckpoint(false)
-    assertNoExtraKernelStage("scrubFrequentLines",
-      kernelOnce,
+    assertEagerBuild("scrubFrequentLines")(
       Dedup.scrubFrequentLines(docs, col("id"), col("lines"), 3L))
   }
 

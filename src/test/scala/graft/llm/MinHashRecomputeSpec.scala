@@ -31,7 +31,10 @@ class MinHashRecomputeSpec extends SparkSpec {
     // CPU concentrated in the kernel: enough docs x shingles that
     // md5-per-shingle dwarfs every downstream stage (docs are mostly
     // unique, so the candidate/verify side stays tiny).
-    val docs = (1L to 1200L)
+    // 2000×150 clears the 200 ms discrimination floor in the hottest
+    // JIT regime too (1200 read 199 ms mid-full-suite and tripped the
+    // too-light guard by a millisecond)
+    val docs = (1L to 2000L)
       .map(i => (i, (0 until 150).map(j => s"shingle-$i-$j-padding-for-hash-cost")))
       .toDF("id", "sh")
       .localCheckpoint(true) // fixture cost must not land in either profile
