@@ -397,12 +397,90 @@ object WebQueries {
        |       (clen = length(body)) AS len_ok, md5(body) AS body_md5
        |FROM parsed ORDER BY rec_no""".stripMargin
 
+  // ---------------------------------------------------- robots filter
+  /** DuckDB twin of [[WebOps.urlPath]] over expression `e`. */
+  private def pathSqlOf(e: String): String = {
+    val raw = s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    s"""CASE WHEN regexp_replace($raw, '/+$$', '', 'g') = '' THEN '/'
+       |              ELSE regexp_replace($raw, '/+$$', '', 'g') END""".stripMargin
+  }
+
+  /** The crawl-politeness gate: per-domain (prefix, allow) rules —
+    * RFC 9309 longest-match / allow-wins-ties semantics — applied to
+    * every URL via [[WebOps.robotsMatchRank]]'s one-integer-aggregate
+    * decision. The rule table is a literal here (the parser that
+    * produces it from robots.txt bodies is [[WebOps.robotsRules]],
+    * spec-gated); at deployment it is a per-domain broadcast frame,
+    * so the probe side is one broadcast join + one max aggregate —
+    * no sort, no window, corpus-linear. The fixture exercises the
+    * three decisive shapes: a longer Disallow under a shorter Allow,
+    * an equal-length Allow/Disallow tie (Allow wins), and a
+    * block-all domain.
+    */
+  private val robotsRules: Seq[(String, String, Boolean)] = Seq(
+    ("example1.com", "/Articles", true),
+    ("example1.com", "/Articles/item1", false),
+    ("example2.com", "/Articles/item2", false),
+    ("example2.com", "/Articles/item2", true),
+    ("example3.com", "/", false),
+    ("site1.co.uk", "/Articles/item", false))
+
+  private def robotsFilterQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val url = urlOf(col("doc_id"))
+    val urls = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        WebOps.registeredDomain(WebOps.urlHost(url)).as("domain"),
+        WebOps.urlPath(url).as("path"))
+    val rules = robotsRules.toDF("domain", "prefix", "allow")
+    val ranked = urls.join(broadcast(rules), Seq("domain"), "left")
+      .groupBy(col("doc_id"), col("domain"))
+      .agg(max(WebOps.robotsMatchRank(col("path"), col("prefix"), col("allow")))
+        .as("rk"))
+    ranked
+      .select(col("domain"),
+        (col("rk").isNull || col("rk") % 2 === 1).as("ok"))
+      .groupBy(col("domain"))
+      .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_blocked"))
+      .orderBy(col("domain"))
+  }
+
+  private val robotsFilterSql: String = {
+    val host = hostSqlOf("url")
+    val rulesValues = robotsRules
+      .map { case (d, p, a) => s"('$d', '$p', $a)" }.mkString(",\n       |         ")
+    s"""WITH base AS (
+       |  SELECT doc_id, $urlOfSql AS url FROM documents
+       |), hosts AS (
+       |  SELECT doc_id, $host AS host, string_split($host, '.') AS labels,
+       |         ${pathSqlOf("url")} AS path
+       |  FROM base
+       |), dom AS (
+       |  SELECT doc_id, path, $domainCaseSql AS domain FROM hosts
+       |), rules(domain, prefix, allow) AS (
+       |  VALUES $rulesValues
+       |), ranked AS (
+       |  SELECT d.doc_id, d.domain,
+       |         max(CASE WHEN starts_with(d.path, r.prefix)
+       |             THEN CAST(length(r.prefix) * 2 +
+       |                  CASE WHEN r.allow THEN 1 ELSE 0 END AS BIGINT) END) AS rk
+       |  FROM dom d LEFT JOIN rules r ON d.domain = r.domain
+       |  GROUP BY 1, 2
+       |)
+       |SELECT domain,
+       |       CAST(sum(CASE WHEN rk IS NULL OR rk % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       |       CAST(sum(CASE WHEN rk IS NULL OR rk % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_html_extract" -> htmlExtractQ,
     "llm_url_canon"    -> urlCanonQ,
     "llm_domain_stats" -> domainStatsQ,
     "llm_link_graph"   -> linkGraphQ,
     "llm_warc_parse"   -> warcParseQ,
+    "llm_robots_filter" -> robotsFilterQ,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -411,5 +489,6 @@ object WebQueries {
     "llm_domain_stats" -> domainStatsSql,
     "llm_link_graph"   -> linkGraphSql,
     "llm_warc_parse"   -> warcParseSql,
+    "llm_robots_filter" -> robotsFilterSql,
   )
 }

@@ -170,6 +170,63 @@ object WebOps {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
+  // ------------------------------------------------ robots.txt rules
+
+  /** Parse a robots.txt body into (path_prefix, allow) rules for one
+    * user-agent (RFC 9309 field shapes, NORMAL-FORM group scope): a
+    * directive belongs to the most recent `User-agent` header run,
+    * and a run is selected when any of its agents is `agent` or `*`.
+    * The RFC's cross-group precedence (a named group anywhere
+    * suppresses every `*` group) needs a second pass over the file —
+    * a deployment that must honor adversarial robots files filters
+    * to the named group first; crawl-corpus robots files are
+    * overwhelmingly single-group. Case-insensitive field names,
+    * `#` comments stripped, blank `Disallow:` (the allow-all idiom)
+    * yields no rule per the RFC's "empty pattern matches nothing".
+    * Returns array<struct<prefix,allow>> — explode into the
+    * broadcastable per-host rule table the decision join uses.
+    */
+  def robotsRules(body: Column, agent: String): Column = {
+    val lines = split(body, "\r?\n")
+    val lcAgent = agent.toLowerCase(java.util.Locale.ROOT)
+    aggregate(
+      lines,
+      struct(lit(false).as("inRun"), lit(false).as("sel"),
+        array().cast("array<struct<prefix:string,allow:boolean>>").as("rules")),
+      (st, raw) => {
+        val line = trim(regexp_replace(raw, "#.*$", ""))
+        val low = lower(line)
+        val isAgent = low.rlike("^user-agent: *")
+        val agentOf = trim(regexp_extract(low, "^user-agent: *(.*)$", 1))
+        val hit = agentOf === lcAgent || agentOf === "*"
+        val dir = when(low.rlike("^allow: *"), lit(true))
+          .when(low.rlike("^disallow: *"), lit(false))
+        val prefix = trim(regexp_extract(line, "(?i)^(?:dis)?allow: *([^ ]*)$", 1))
+        // consecutive User-agent lines form ONE group: membership is
+        // the OR over the run; any other line ends the run
+        val sel = when(isAgent,
+            when(st.getField("inRun"), st.getField("sel") || hit).otherwise(hit))
+          .otherwise(st.getField("sel"))
+        val addRule = sel && dir.isNotNull && prefix =!= ""
+        struct(isAgent.as("inRun"), sel.as("sel"),
+          when(addRule,
+            concat(st.getField("rules"),
+              array(struct(prefix.as("prefix"), dir.as("allow")))))
+            .otherwise(st.getField("rules")).as("rules"))
+      }).getField("rules")
+  }
+
+  /** RFC 9309 §2.2.2 match rank for a URL path against one rule: the
+    * LONGEST matching prefix wins and `Allow` wins a length tie, so
+    * `max(len(prefix)*2 + allow)` over a URL's matching rules decides
+    * in ONE integer aggregate — no sort, no window; null when the
+    * rule doesn't match (max ignores it). An odd maximum ⇒ allowed;
+    * no matching rule (null max) ⇒ allowed.
+    */
+  def robotsMatchRank(path: Column, prefix: Column, allow: Column): Column =
+    when(path.startsWith(prefix),
+      (length(prefix) * 2 + when(allow, 1).otherwise(0)).cast("long"))
+
   /** Country-code second-level domains under which the registrable
     * name is three labels, not two. A deliberately small, fixed list —
     * the full public-suffix list is a broadcast-joined TABLE at

@@ -86,6 +86,46 @@ class WebOpsSpec extends SparkSpec {
       c => WebOps.warcHeader(c, "content-length")) == "12")
   }
 
+  test("robotsRules: group scope, comments, case, blank-disallow idiom") {
+    val body = Seq(
+      "# our crawler's group",
+      "User-Agent: graftbot",
+      "user-agent: otherbot",      // run-mate: shares the group
+      "Disallow: /private",
+      "Allow: /private/ok  # inline comment",
+      "",
+      "User-agent: evilbot",       // not us: rules ignored
+      "Disallow: /",
+      "",
+      "User-agent: *",             // star group also collected
+      "Disallow: /tmp",
+      "Disallow:",                 // allow-all idiom: no rule
+      "Crawl-delay: 10"            // unknown directive: ignored
+    ).mkString("\r\n")
+    val rules = Seq(body).toDF("b")
+      .select(explode(WebOps.robotsRules(col("b"), "GraftBot")).as("r"))
+      .select(col("r.prefix"), col("r.allow"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(rules === Seq(("/private", false), ("/private/ok", true),
+      ("/tmp", false)))
+  }
+
+  test("robotsMatchRank: longest match wins, Allow wins ties, no-match allows") {
+    val rules = Seq(
+      ("/Articles", true), ("/Articles/item1", false),
+      ("/x", false), ("/x", true)).toDF("prefix", "allow")
+    def decide(path: String): Boolean = {
+      val rk = rules
+        .agg(max(WebOps.robotsMatchRank(lit(path), col("prefix"), col("allow"))))
+        .head().get(0)
+      rk == null || rk.asInstanceOf[Long] % 2 == 1
+    }
+    assert(decide("/Articles/item2"))          // short Allow matches
+    assert(!decide("/Articles/item1"))         // longer Disallow wins
+    assert(decide("/x"))                       // equal length: Allow wins
+    assert(decide("/elsewhere"))               // no rule: allowed
+  }
+
   test("registeredDomain: two labels, ccSLD three labels, bare host") {
     val cases = Seq(
       "a.b.example.com" -> "example.com",
