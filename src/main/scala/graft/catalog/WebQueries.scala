@@ -170,6 +170,13 @@ object WebQueries {
     * one hash-aggregate keyed by the canonical string.
     */
   private def urlCanonQ(s: SparkSession, d: String): DataFrame = {
+    // NO Generate barrier here, deliberately (the domainStatsQ trap
+    // does not bite): canonicalUrl references the url ~8 times, but
+    // each reference is one cheap concat rebuild — linear, not the
+    // ~40x nested-chain blowup registeredDomain∘urlHost caused — and
+    // the barrier costs more than it saves (alternating PairBench
+    // r17, 7 warm rounds: barrier 1.33 s vs inline 1.08 s — the
+    // Generate blocks the variant branch's doc_id%5 scan pushdown)
     val base = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), urlOf(col("doc_id")).as("url"))
     val variant = base.filter(col("doc_id") % 5 === 0)
@@ -209,10 +216,20 @@ object WebQueries {
     * way the probe side never shuffles on it.
     */
   private def domainStatsQ(s: SparkSession, d: String): DataFrame = {
-    val url = urlOf(col("doc_id"))
+    // two Generate barriers (url, then host): registeredDomain
+    // references its host ~6 times (split x3, ccSLD isin, slices) and
+    // urlHost references the url ~6 more — without the barriers the
+    // projection inlined the full url regex chain ~40 times (found
+    // r17: 1.2-1.5 s for a 5k-row scan+agg; the plan printout alone
+    // was 40 KB) and the blocklist filter then CLONED the whole
+    // domain expression below the projection
     Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        WebOps.registeredDomain(WebOps.urlHost(url)).as("domain"))
+      .select(col("lang"), col("n_chars"),
+        explode_outer(array(urlOf(col("doc_id")))).as("url"))
+      .select(col("lang"), col("n_chars"),
+        explode_outer(array(WebOps.urlHost(col("url")))).as("host"))
+      .select(col("lang"), col("n_chars"),
+        WebOps.registeredDomain(col("host")).as("domain"))
       .filter(!col("domain").isin(blocklist: _*))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
@@ -277,13 +294,21 @@ object WebQueries {
     */
   private def linkGraphQ(s: SparkSession, d: String): DataFrame = {
     val html = htmlOf(col("doc_id"), col("text"))
-    val src = WebOps.registeredDomain(WebOps.urlHost(urlOf(col("doc_id"))))
+    // host barriers on both sides before registeredDomain (the
+    // domainStatsQ expression-duplication lesson); the link explode
+    // is itself a Generate, so `link` is already an attribute
     Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), src.as("src_domain"),
+      .select(col("doc_id"),
+        explode_outer(array(WebOps.urlHost(urlOf(col("doc_id"))))).as("src_host"),
+        col("text"))
+      .select(col("doc_id"), col("src_host"),
         explode(WebOps.extractLinks(html)).as("link"))
       .filter(WebOps.urlScheme(col("link")).isin("http", "https"))
+      .select(col("doc_id"),
+        WebOps.registeredDomain(col("src_host")).as("src_domain"),
+        explode_outer(array(WebOps.urlHost(col("link")))).as("dst_host"))
       .select(col("doc_id"), col("src_domain"),
-        WebOps.registeredDomain(WebOps.urlHost(col("link"))).as("dst_domain"))
+        WebOps.registeredDomain(col("dst_host")).as("dst_domain"))
       .groupBy(col("src_domain"), col("dst_domain"))
       .agg(count(lit(1)).as("n_links"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -427,11 +452,16 @@ object WebQueries {
 
   private def robotsFilterQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val url = urlOf(col("doc_id"))
+    // url + host barriers (the domainStatsQ expression-duplication
+    // lesson): domain and path both derive from the one url attribute
     val urls = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
-        WebOps.registeredDomain(WebOps.urlHost(url)).as("domain"),
-        WebOps.urlPath(url).as("path"))
+        explode_outer(array(urlOf(col("doc_id")))).as("url"))
+      .select(col("doc_id"), col("url"),
+        explode_outer(array(WebOps.urlHost(col("url")))).as("host"))
+      .select(col("doc_id"),
+        WebOps.registeredDomain(col("host")).as("domain"),
+        WebOps.urlPath(col("url")).as("path"))
     val rules = robotsRules.toDF("domain", "prefix", "allow")
     val ranked = urls.join(broadcast(rules), Seq("domain"), "left")
       .groupBy(col("doc_id"), col("domain"))
