@@ -273,7 +273,10 @@ object ScaleBench {
     // hash-aggregate on canonical/domain/edge keys — must be exactly
     // linear with group counts bounded by the key space.
     "llm_warc_parse", "llm_html_extract", "llm_url_canon",
-    "llm_domain_stats", "llm_link_graph")
+    "llm_domain_stats", "llm_link_graph",
+    // robots gate: broadcast rule join + one integer max per URL —
+    // must be exactly linear like wordlist_filter
+    "llm_robots_filter")
 
   /** [[graft.llm.Similarity.semanticDedup]] measured in the regime the
     * paper prescribes (SemDeDup scales clusters with data: 50k cells
