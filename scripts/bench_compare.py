@@ -336,6 +336,18 @@ def annotations_section(known_names):
          "stage-wave floor over a corpus DuckDB folds in-process. "
          "The r15 fix (3x tokenize -> 1) is what brought it this "
          "close to the line."),
+        ("llm_bm25 / ts_corr_topk / ts_sma10 / llm_unigram_train "
+         "(slow-window boundary members)",
+         ["llm_bm25", "ts_corr_topk", "ts_sma10", "llm_unigram_train"],
+         "0.9-1.05 s nets that cross the weak line only on slower box "
+         "windows: the two same-session r17 interleaved records (same "
+         "code for all four) read bm25 0.69->1.05, corr_topk "
+         "0.73->1.04, sma10 0.82->1.02, unigram_train 0.83->0.99 s as "
+         "the record total drifted 149->162 s — and their DuckDB "
+         "oracles drifted the same direction. Stage-wave floors over "
+         "~1-2 MB fixtures (the llm_repetition class), not plan "
+         "defects; membership near the 0.9 s line wobbles with box "
+         "state (the r16 lesson that made this list mechanical)."),
         ("llm_line_scrub",
          ["llm_line_scrub"],
          "pays a deliberate ~0.2 s local wall for deterministic "
