@@ -31,4 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 235-query catalog generates thousands of codegen classes per
+  // bench round; at the JDK-17 default ReservedCodeCacheSize (240 MB)
+  // the non-profiled code heap runs at ~87% with continuous
+  // UseCodeCacheFlushing evict/recompile churn (AgingProbe r17:
+  // 557 s cumulative JIT time in one bench-shaped run, warm queries
+  // 2-3x their fresh-session walls). Size the code cache to hold the
+  // catalog's steady state — same rationale as the codegen-cache
+  // sizing in Bench.scala.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )
