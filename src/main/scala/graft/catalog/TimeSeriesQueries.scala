@@ -712,6 +712,21 @@ object TimeSeriesQueries {
     // round-robin exchange + its shuffle files cost more than it frees
     // (ts_sliding_heavy 2.79 s bare vs 3.92 s fanned; distinct/ss
     // regressed ~20% in the full-bench record too).
+    //
+    // r17 optimization (guide §2.3/§2.4): after the distinct (whose
+    // map-side partial dedup must stay BEFORE the first exchange — a
+    // user-keyed repartition of the raw projection was A/B'd and
+    // REJECTED, it ships raw event rows), one cheap numbered
+    // repartition re-keys the deduped (user, h) frame by user so the
+    // exact path's ×24 explode and its (g, user) pre-distinct phase
+    // ride pinned partitions instead of one AQE-coalesced task
+    // (QProfile r17: 1.24 s single-task explode, 8.1 MB written by
+    // one task). A localCheckpoint of ev was ALSO A/B'd and REJECTED
+    // (SlidingAbProbe interleaved: 2.66 vs 1.92 s) — it would dedup
+    // the three consumers' scans but SERIALIZES them behind the
+    // materialization job, where un-checkpointed consumers overlap
+    // as concurrent AQE stages on idle cores (the r14c fanOut
+    // lesson).
     val ev = Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
       .distinct()
@@ -721,6 +736,7 @@ object TimeSeriesQueries {
       .groupBy(col("g"), col("bucket")).agg(max(col("m")).as("m"))
     val est = Sketches.hllFromRegisters(contrib)
     val exact = ev
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       .select(explode(sequence(col("h"), col("h") + 23L)).as("g"), col("user_id"))
       .groupBy(col("g")).agg(countDistinct(col("user_id")).as("n_exact"))
     val hours = ev.select(col("h").as("g")).distinct()
@@ -804,14 +820,33 @@ object TimeSeriesQueries {
     */
   private def slidingHeavyQ(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.Sketches
-    val ev = Tables.events(s, dir)
+    // r17 optimization (guide §2.3/§2.4): the hourly (h, user, nh)
+    // aggregate is computed ONCE (with its map-side partial agg — a
+    // raw user-keyed repartition before the agg was A/B'd and
+    // REJECTED: it ships raw event rows, losing the partial agg),
+    // then re-keyed by user with one cheap numbered repartition of
+    // the ~|users×hours| aggregated frame and checkpointed:
+    //  - previously the raw events projection was executed three
+    //    times (cm sketch, exact fold, hour list: three scans);
+    //  - HashPartitioning(user) satisfies the post-explode (h2, user)
+    //    aggregate, so the ×24 window fold rides the checkpoint's
+    //    pinned partitions with NO post-explode exchange — the r16
+    //    shape re-exchanged 24x the rows (QProfile r17: 1.35 s
+    //    single-AQE-coalesced-task explode writing 11.3 MB);
+    //  - the CM sketch reads the same aggregate through its weighted
+    //    form (sum(nh) per cell == count of events per cell, exact
+    //    integers, same oracle arithmetic).
+    val exh = Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
-    val cmHourly = Sketches.countMin(ev, col("h"), col("user_id"))
-    val exact = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
+      .groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+      .localCheckpoint(false)
+    val cmHourly = Sketches.countMin(exh, col("h"), col("user_id"), col("nh"))
+    val exact = exh
       .select(explode(sequence(col("h"), col("h") + 23L)).as("h2"),
         col("user_id"), col("nh"))
       .groupBy(col("h2"), col("user_id")).agg(sum(col("nh")).as("n_exact"))
-    val hours = ev.select(col("h").as("h2")).distinct()
+    val hours = exh.select(col("h").as("h2")).distinct()
     val top = exact.join(hours, "h2")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("h2"))
@@ -919,9 +954,19 @@ object TimeSeriesQueries {
     * tail is short.
     */
   private def slidingHeavySsQ(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // r17 optimization: user-keyed aggregate + checkpoint (the
+    // slidingHeavyQ move) — slidingHeavySsOver consumes exh TWICE
+    // (summary window + candidate recount), which previously ran the
+    // scan+aggregate twice (QProfile r17: two ~0.8 s single-task scan
+    // stages) and recounted candidates on one AQE-coalesced task
+    // (1.07 s, 11 MB shuffle write from one task). The user keying
+    // lets the recount's ×24 explode ride the checkpoint's partitions
+    // with no post-explode exchange.
+    val exh = Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
-    val exh = ev.groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
+      .groupBy(col("h"), col("user_id")).agg(count(lit(1)).as("nh"))
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+      .localCheckpoint(false)
     slidingHeavySsOver(exh, m = 64)
   }
 
@@ -930,7 +975,7 @@ object TimeSeriesQueries {
     * near-uniform events fixture, the audit worst case) and
     * [[slidingHeavySkewQ]] (the skewed fixture the design targets).
     */
-  private def slidingHeavySsOver(exh: DataFrame, m: Int): DataFrame = {
+  private[graft] def slidingHeavySsOver(exh: DataFrame, m: Int): DataFrame = {
     // one window pass carries BOTH the rank and the per-hour user
     // count (identical partition+ordering spec → a single WindowExec
     // and one sort), so the summary, the residual bound, and the
@@ -1078,7 +1123,7 @@ object TimeSeriesQueries {
     * SkewSsProbe's wall-clock record; these two queries put it under
     * the oracle hash gate.
     */
-  private def skewExh(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def skewExh(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
       expr("unix_micros(ts) div 3600000000").as("h"),
       (lit(1000000L) + col("user_id")
@@ -1109,6 +1154,10 @@ object TimeSeriesQueries {
     * in its design regime, hash-gated (same lb/ub audit columns).
     */
   private def slidingHeavySkewQ(s: SparkSession, dir: String): DataFrame =
+    // r17: a localCheckpoint of the fixture frame (deduping SsOver's
+    // two consumptions) was A/B'd and REJECTED (SlidingAbProbe
+    // interleaved, 5 rounds: 2.11 vs 2.01 s) — the duplicate build
+    // overlaps as concurrent AQE stages, the checkpoint serializes.
     slidingHeavySsOver(skewExh(s, dir), m = 64)
 
   private val slidingHeavySkewSql: String = slidingHeavySsSqlOver(
@@ -1120,7 +1169,17 @@ object TimeSeriesQueries {
     * full ~530k-row frame exploded ×24 vs m·hours summary rows.
     */
   private def slidingHeavySkewExactQ(s: SparkSession, dir: String): DataFrame = {
+    // r17 optimization (guide §2.3): key the fixture by user BEFORE
+    // the ×24 explode — the (h2, user) window fold then rides the one
+    // user-keyed exchange (HashPartitioning(user) satisfies it), so
+    // the shuffle carries the ~530k pre-explode rows instead of 24x
+    // that (QProfile r17: the post-explode exchange wrote 25.8 MB
+    // from a 2-task stage costing 2.6 s of the query's 4.3 s wall);
+    // the checkpoint stops the fixture being built twice (fold +
+    // hour list).
     val exh = skewExh(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+      .localCheckpoint(false)
     val win = exh
       .select(explode(sequence(col("h"), col("h") + 23L)).as("h2"),
         col("user_id"), col("nh"))
