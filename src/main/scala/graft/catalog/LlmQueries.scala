@@ -3056,7 +3056,16 @@ object LlmQueries {
     // opposite trade from llm_tfidf, whose post-aggregation tf frame
     // is small. Checkpoint AFTER aggregation, not before.
     val bg = NgramLm.bigrams(docs, col("doc_id"), col("text"))
-    val m = NgramLm.model(bg)
+    // r17: EAGER checkpoint of the vocab-bounded model aggregate —
+    // NgramLm.score broadcasts model, prefix AND vocab, and each
+    // broadcast build is its own future job whose subtree re-ran the
+    // bigram explode kernel (QProfile r17 on the ccnet twin: three
+    // concurrent kernel-class broadcast builds, 8.3+5.5+3.3 s CPU for
+    // one 8.3 s kernel). With m materialized the prefix/vocab builds
+    // are tiny aggregates over ≤|charset|² rows; eager (not lazy)
+    // because three concurrent broadcast futures racing a lazy
+    // checkpoint is exactly the docsig race class.
+    val m = NgramLm.model(bg).localCheckpoint(true)
     val p = NgramLm.prefixCounts(m)
     NgramLm.score(bg, m, p)
       .select(col("id").as("doc_id"), col("n_bigrams"), col("q_sum"),
@@ -3108,7 +3117,10 @@ object LlmQueries {
     val docsFull = Tables.fanOut(Tables.documents(s, d))
     val docs = docsFull.select(col("doc_id"), col("text"))
     val bg = NgramLm.bigrams(docs, col("doc_id"), col("text"))
-    val m = NgramLm.model(bg)
+    // r17: eager model checkpoint — see lmScore. Interleaved A/B
+    // (NgramAbProbe, 7 rounds): 4.22 -> 3.15 s here, 3.39 -> 3.23 on
+    // llm_lm_score, and one bigram kernel execution instead of three.
+    val m = NgramLm.model(bg).localCheckpoint(true)
     val p = NgramLm.prefixCounts(m)
     val scored = NgramLm.score(bg, m, p)
       .select(col("id").as("doc_id"),
