@@ -51,7 +51,7 @@ object LlmQueries {
     * `llm_minhash_lsh` (the pairs themselves) and `llm_dedup_clusters`
     * (components over them).
     */
-  private[catalog] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // fanOut: shingling is CPU-bound and otherwise runs inside the
     // single-row-group scan task (MinHashProbe A/B: fused 1.97s →
     // 1.38s with the fan; fused vs factored is a wash — the r3 bench's

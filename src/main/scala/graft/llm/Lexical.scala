@@ -77,23 +77,29 @@ object Lexical {
     */
   def stupidBackoff(train: DataFrame, eval: DataFrame,
                     alpha: Double = 0.4d): DataFrame = {
-    // the total is a one-row aggregate → a literal (the TfIdf.bm25
-    // move); collecting it FIRST also anchors any lazy checkpoint
-    // under `train` before the parallel model branches race for it
-    val nTot = train.agg(count(lit(1))).head().getLong(0)
     // c3 feeds three subtrees (both backoff marginals + the eval
     // join) — the checkpoint keeps the trigram aggregation single-pass
     val c3 = train.groupBy(col("u"), col("v"), col("w"))
       .agg(count(lit(1)).as("c3"))
       .localCheckpoint(false)
+    // r17: the total and the unigram counts both derive from the
+    // CHECKPOINTED c3 instead of re-scanning `train` (identical exact
+    // integers: Σc3 = |train rows|, Σ_{u,v} c3 = per-w occurrence
+    // count) — the old shape paid two extra full passes over the
+    // trigram frame (QProfile r17: a 5.7 s-CPU (w)-agg kernel stage
+    // for c1 alone). The one-row total is collected FIRST, which
+    // anchors the c3 checkpoint (and any lazy checkpoint under
+    // `train`) before the parallel model branches could race for it.
+    val totRow = c3.agg(sum(col("c3"))).head()
+    val nTot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     val c2uv = c3.groupBy(col("u"), col("v")).agg(sum(col("c3")).as("c2uv"))
     val c2vw = c3.groupBy(col("v"), col("w")).agg(sum(col("c3")).as("c2vw"))
-    // unigram counts from token occurrences: every trigram row carries
-    // w once; u/v of the first/last trigrams under-count doc edges by
-    // a constant 2 per doc — irrelevant as long as BOTH the c(v)
-    // context total and c(w)/N use the SAME convention, which they do
-    // (all from the w position).
-    val c1 = train.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // unigram counts from w-position token occurrences: every trigram
+    // row carries w once; u/v of the first/last trigrams under-count
+    // doc edges by a constant 2 per doc — irrelevant as long as BOTH
+    // the c(v) context total and c(w)/N use the SAME convention,
+    // which they do (all from the w position).
+    val c1 = c3.groupBy(col("w")).agg(sum(col("c3")).as("c1"))
     val a = lit(alpha)
     val s = coalesce(
       when(col("c3").isNotNull,

@@ -49,6 +49,58 @@ object NgramAbProbe {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** Pre-r17opt llm_stupid_backoff: nTot and c1 each re-scan the
+    * (checkpointed) trigram frame instead of deriving from c3.
+    */
+  private def sboOld(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.{Lexical, TextOps}
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    val tri = Lexical.trigrams(docs, col("doc_id"), col("ws"))
+      .localCheckpoint(false)
+    val train = tri.filter(col("id") % 2 === 0)
+      .select(col("u"), col("v"), col("w"))
+    val eval = tri.filter(col("id") % 2 =!= 0)
+    val nTot = train.agg(count(lit(1))).head().getLong(0)
+    val c3 = train.groupBy(col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(false)
+    val c2uv = c3.groupBy(col("u"), col("v")).agg(sum(col("c3")).as("c2uv"))
+    val c2vw = c3.groupBy(col("v"), col("w")).agg(sum(col("c3")).as("c2vw"))
+    val c1 = train.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val a = lit(0.4d)
+    val sc = coalesce(
+      when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2uv").cast("double")),
+      when(col("c2vw").isNotNull,
+        a * col("c2vw").cast("double") / col("c1v").cast("double")),
+      a * a * col("c1w").cast("double") / lit(nTot).cast("double"))
+    eval
+      .join(c3, Seq("u", "v", "w"), "left")
+      .join(c2uv, Seq("u", "v"), "left")
+      .join(c2vw.withColumnRenamed("w", "__w2")
+        .withColumnRenamed("v", "__v2"),
+        col("v") === col("__v2") && col("w") === col("__w2"), "left")
+      .join(c1.select(col("w").as("__wv"), col("c1").as("c1v")),
+        col("v") === col("__wv"), "left")
+      .join(c1.select(col("w").as("__ww"), col("c1").as("c1w")),
+        col("w") === col("__ww"), "left")
+      .withColumn("__q",
+        when(col("c1w").isNotNull,
+          floor(log(sc) * lit(1000000.0d)).cast("long")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("__q").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum(col("__q")), lit(0L)).as("q_sum"))
+      .select(col("id").as("doc_id"), col("n_tri"), col("n_oov"),
+        col("q_sum"),
+        r4(when(col("n_tri") > col("n_oov"),
+          col("q_sum").cast("double")
+            / (col("n_tri") - col("n_oov")).cast("double")
+            / lit(1000000.0d))).as("avg_logs"))
+      .orderBy(col("doc_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,10 +114,8 @@ object NgramAbProbe {
     val dir = sys.env.getOrElse("NAB_DIR", "/root/testdata/sf0.1")
     val n = sys.env.getOrElse("NAB_N", "7").toInt
     val arms: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "lm_old" -> graft.SparkEntry.queries("llm_lm_score"),
-      "lm_new" -> (lmNew _),
-      "ccnet_old" -> graft.SparkEntry.queries("llm_ccnet_buckets"),
-      "ccnet_new" -> (ccnetNew _),
+      "sbo_old" -> (sboOld _),
+      "sbo_new" -> graft.SparkEntry.queries("llm_stupid_backoff"),
     )
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
