@@ -291,25 +291,78 @@ object Sketches {
       .agg(bit_or(col("m")).as("bits"))
 
   /** Membership probe against a [[bloomBuild]] sketch: (g, carry...,
-    * key, maybe) — `maybe` true iff ALL `h` probed bits are set. The
-    * sketch is LEFT-joined from the probes with absent words counting
-    * 0 (the [[countMinLookup]] discipline: a missing word row proves
-    * its bits are 0, so the key is definitively absent). No false
-    * negatives ever; false-positive rate is the standard
-    * (1−e^{−hn/m})^h. `carry` rides extra probe-side columns into the
-    * output for the caller's aggregation.
+    * key, maybe) — `maybe` true iff ALL `h` probed bits are set, with
+    * absent words counting 0 (the [[countMinLookup]] discipline: a
+    * missing word row proves its bits are 0, so the key is
+    * definitively absent). No false negatives ever; false-positive
+    * rate is the standard (1−e^{−hn/m})^h. `carry` rides extra
+    * probe-side columns into the output for the caller's aggregation.
+    *
+    * The sketch folds to ONE row per group (a w→bits map of
+    * ≤ 2^bitsLog2/32 entries — 2 MiB ceiling at the bitsLog2=24 cap),
+    * broadcast-joined to the probes; `maybe` is then a map-side
+    * `forall` over the h probed positions. The probe frame is never
+    * exploded, shuffled, or re-aggregated — the pre-r17 shape
+    * (explode(h) → shuffle join on (g,w) → regroup by (g,key,carry))
+    * exchanged h×|keys| rows to move a sketch that broadcasts by
+    * construction (guide §2.4/§3.1); this is what makes the probe a
+    * genuine map-side prefilter at 100 TB. Emits one row per input
+    * row — identical to the old one-row-per-distinct-(g,key,carry)
+    * aggregate for the distinct-keyed callers (the catalog's probe
+    * frames are distinct by construction).
     */
   def bloomMightContain(sketch: DataFrame, keys: DataFrame,
                         group: Column, key: Column,
                         carry: Seq[Column] = Nil,
-                        h: Int = 4, bitsLog2: Int = 18): DataFrame =
+                        h: Int = 4, bitsLog2: Int = 18): DataFrame = {
+    // The sketch is a MODEL (≤ 2^bitsLog2/32 longs per group — 64 KiB
+    // dense at the default, 2 MiB at the bitsLog2=24 cap), so it is
+    // collected eagerly at build time (the PqIndex/Bpe model-frame
+    // discipline; SparkEntry documents that builders run model-sized
+    // jobs at construction) and embedded as per-group DENSE literal
+    // arrays. `maybe` is then h unrolled bit-tests — plain codegen'd
+    // element_at/bitwiseAND conjuncts riding the probe scan: no
+    // explode, no shuffle, no re-aggregate, no lambda.
+    //
+    // Two rejected lazy forms, measured by BloomAbProbe (r17, full
+    // llm_bloom_filter walls, interleaved): broadcast-join a packed
+    // w→bits MAP + forall → 8.6 s vs 1.9 s old (element_at on MapType
+    // is a linear scan per probe), and the same with a dense-array
+    // column → 7.2 s (forall is a HigherOrderFunction — not
+    // whole-stage-codegen'd, so the 64 KiB array column materializes
+    // per probe row). The literal form has no per-row payload at all.
+    val nWords = 1 << (bitsLog2 - 5)
+    val dense: Seq[(Any, Array[Long])] = sketch
+      .select(col("g"), col("w"), col("bits")).collect().toSeq
+      .groupBy(_.get(0)).map { case (gv, rs) =>
+        val arr = new Array[Long](nWords)
+        rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+        gv -> arr
+      }.toSeq
+    // per-group literal lookup: group counts are model-sized by the
+    // sketch contract, so a when-chain stays small and codegen'd
+    val bf: Column = dense match {
+      case Seq() => lit(null).cast("array<bigint>")
+      case (g0, a0) +: rest =>
+        // keyed on the caller's `group` expression (it may not exist
+        // as a column on `keys` — e.g. the catalog's lit(0L) group,
+        // where the chain constant-folds to one literal array)
+        rest.foldLeft(when(group <=> lit(g0), lit(a0))) {
+          case (acc, (gv, arr)) => acc.when(group <=> lit(gv), lit(arr))
+        }
+    }
+    // 1L<<i as a literal lookup table: shiftleft's column form isn't
+    // exposed in the Scala DSL, and element_at keeps the predicate
+    // whole-stage-codegen'd.
+    val masks = array((0 until 32).map(i => lit(1L << i)): _*)
+    val m = md5(key.cast("string"))
+    val maybe = (0 until h).map { i =>
+      val p = conv(substring(m, 1 + 6 * i, 6), 16, 10).cast("long") %
+        (1L << bitsLog2)
+      coalesce(element_at(bf, shiftright(p, 5).cast("int") + lit(1)), lit(0L))
+        .bitwiseAND(element_at(masks, (p % 32).cast("int") + lit(1))) =!= 0L
+    }.reduce(_ && _)
     keys.select((group.as("g") +: key.as("key") +: carry) :+
-        explode(bloomProbes(key, h, bitsLog2)).as("p"): _*)
-      .select((col("g") +: col("key") +: carry) :+
-        expr("p div 32").as("w") :+
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"): _*)
-      .join(sketch, Seq("g", "w"), "left")
-      .groupBy((col("g") +: col("key") +: carry): _*)
-      .agg((min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("m")) =!= 0L,
-        1L).otherwise(0L)) === 1L).as("maybe"))
+      maybe.as("maybe"): _*)
+  }
 }
