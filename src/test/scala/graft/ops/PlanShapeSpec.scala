@@ -159,6 +159,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
   }
 
+  test("bloomMightContain: probe is a pure map — no explode, no exchange, no join") {
+    // r17 rewrite: the sketch is collected at build (model-sized by
+    // the bitsLog2 cap) and embedded as dense literal arrays, so the
+    // probe side must plan as a projection riding the scan — the old
+    // explode(h) -> shuffle join(g,w) -> regroup shape exchanged
+    // h x |probe keys| rows to move a broadcastable sketch.
+    val members = (1 to 100).map(i => (0L, s"m$i")).toDF("g", "v")
+    val sketch = graft.llm.Sketches.bloomBuild(members, col("g"), col("v"))
+    val probes = ((1 to 50).map(i => s"m$i") ++ (1 to 50).map(i => s"p$i"))
+      .map((0L, _)).toDF("g", "v")
+    val out = graft.llm.Sketches.bloomMightContain(sketch, probes, col("g"), col("v"))
+    val p = plan(out)
+    assert(shuffles(out) === 0, s"probe must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"probe must not join:\n$p")
+    assert(!p.contains("Generate"), s"probe must not explode:\n$p")
+  }
+
   test("countMin: ONE map-side-combined cell aggregation, no extra exchange") {
     val df = (1L to 500L).map(i => (0L, s"tok_${i % 41}")).toDF("g", "v")
     val out = graft.llm.Sketches.countMin(df, col("g"), col("v"))
