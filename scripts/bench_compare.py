@@ -231,8 +231,10 @@ def annotations_section(known_names):
          "only, O(sources*k) after one corpus pass — its row is the "
          "price a 100 TB deployment pays. llm_minhash_lsh already "
          "prices the sketch-only near-dup path for minhash."),
-        ("ts_mfi / ts_cmf / ts_amihud / ts_kyle_lambda (hourly-indicator family)",
-         ["ts_mfi", "ts_cmf", "ts_amihud", "ts_kyle_lambda"],
+        ("ts_mfi / ts_cmf / ts_amihud / ts_kyle_lambda / ts_beta / "
+         "ts_rolling_beta (hourly-indicator family)",
+         ["ts_mfi", "ts_cmf", "ts_amihud", "ts_kyle_lambda",
+          "ts_beta", "ts_rolling_beta"],
          "the events fixture at sf0.1 is 100k rows / ~1.5 MB: DuckDB "
          "finishes in 0.05-0.08 s single-process while the Spark side "
          "pays a fixed ~0.5 s session floor (ts_rsi, the family's "
@@ -338,13 +340,21 @@ def annotations_section(known_names):
          "close to the line."),
         ("llm_bm25 / ts_corr_topk / ts_sma10 / llm_unigram_train "
          "(slow-window boundary members)",
-         ["llm_bm25", "ts_corr_topk", "ts_sma10", "llm_unigram_train"],
-         "0.9-1.05 s nets that cross the weak line only on slower box "
+         ["llm_bm25", "ts_corr_topk", "ts_sma10", "llm_unigram_train",
+          "llm_heaps_law", "llm_collocations", "llm_hll_distinct"],
+         "0.9-1.4 s nets that cross the weak line only on slower box "
          "windows: the two same-session r17 interleaved records (same "
          "code for all four) read bm25 0.69->1.05, corr_topk "
          "0.73->1.04, sma10 0.82->1.02, unigram_train 0.83->0.99 s as "
          "the record total drifted 149->162 s — and their DuckDB "
-         "oracles drifted the same direction. Stage-wave floors over "
+         "oracles drifted the same direction. The r17e end-of-round "
+         "record (floor 0.07->0.105 s, DuckDB total 227->294 s: a "
+         "~30% slower window, same plans) pushed three more of the "
+         "same class over the line (heaps_law 0.76->1.03, "
+         "collocations 0.59->0.91, hll_distinct 0.92->1.38 net) while "
+         "bm25/corr_topk/sma10 dropped back OUT — the memberships "
+         "are window artifacts, the plans did not change. "
+         "Stage-wave floors over "
          "~1-2 MB fixtures (the llm_repetition class), not plan "
          "defects; membership near the 0.9 s line wobbles with box "
          "state (the r16 lesson that made this list mechanical)."),
