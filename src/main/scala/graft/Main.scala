@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *   [--jdbc-url jdbc:postgresql://... --jdbc-table ohlcvs]  # JDBC sink twin
   *
   * graft.Main stream --checkpoint /ckpt --table /data/ohlcvs \
-  *   [--input rate | --input parquet:/dir] [--duration-secs 60]
+  *   [--input rate | --input parquet:/dir] [--duration-secs 60] \
+  *   [--trigger-secs 0]   # 0 = AvailableNow: drain input, then exit
   *
   * graft.Main repair --exchange bitfinex --symbols BTC-USD \
   *   --table /data/ohlcvs [--interval-secs 60] [--iterations N] \
@@ -254,9 +255,15 @@ object Main {
           .parquet(input.stripPrefix("parquet:"))
       else fail(s"unknown --input '$input' (rate | parquet:<dir>)")
     val table = new TxTable(spark, tableRoot)
+    // --trigger-secs 0: Trigger.AvailableNow — drain all available
+    // input (and the watermark-flush batches), then exit when the
+    // query self-terminates. Deterministic replay/test mode: done is
+    // defined by the data, not by a wall-clock --duration-secs window.
+    val triggerSecs = flags.getOrElse("trigger-secs", "10").toInt
     val q = graft.streaming.CandleStream.runPipelineTx(src, table, checkpoint,
-      triggerSecs = flags.getOrElse("trigger-secs", "10").toInt)
-    flags.get("duration-secs") match {
+      triggerSecs = triggerSecs)
+    if (triggerSecs <= 0) q.awaitTermination()
+    else flags.get("duration-secs") match {
       case Some(d) => q.awaitTermination(d.toLong * 1000L); q.stop()
       case None => q.awaitTermination()
     }

@@ -163,6 +163,15 @@ object CandleStream {
                     watermark: String = "1 hour",
                     maintainEvery: Int = 30, vacuumRetain: Int = 20)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // triggerSecs <= 0 selects Trigger.AvailableNow: process every
+    // available input batch (plus the no-data batches that flush
+    // watermark-expired windows), then self-terminate. This is the
+    // deterministic replay/test mode — completion is defined by the
+    // DATA being drained, not by a wall-clock window, so it cannot
+    // flap under host CPU steal the way a fixed-duration run can.
+    val trig =
+      if (triggerSecs <= 0) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      else org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$triggerSecs seconds")
     // Maintenance cadence: every `maintainEvery` triggers (~5 min at
     // the 10 s default) the sink compacts fat partitions and vacuums
     // past the retention horizon, so a long-lived stream's file count
@@ -176,7 +185,7 @@ object CandleStream {
     closedCandles(stream, watermark)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .trigger(trig)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions.{col, to_date}
         // ONE tiny driver action per trigger: the touched-partition set

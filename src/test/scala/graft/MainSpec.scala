@@ -105,10 +105,14 @@ class MainSpec extends SparkSpec {
         "open", "high", "low", "close", "volume")
       .write.mode("overwrite").parquet(srcDir)
     val table = java.nio.file.Files.createTempDirectory("maintbl3").toString + "/t"
+    // --trigger-secs 0 = Trigger.AvailableNow: the stream drains the
+    // fixture (incl. the watermark-flush no-data batches) and exits on
+    // its own — deterministic under arbitrary host CPU steal, unlike
+    // the fixed --duration-secs window this test used to flake on.
     Main.main(Array("stream",
       "--checkpoint", java.nio.file.Files.createTempDirectory("mainck").toString,
       "--table", table, "--input", s"parquet:$srcDir",
-      "--trigger-secs", "1", "--duration-secs", "8"))
+      "--trigger-secs", "0"))
     val t = new graft.storage.TxTable(spark, table)
     assert(t.version >= 0, "the stream must have committed")
     val closed = t.read().filter(unix_millis(col("time")) === t0)
