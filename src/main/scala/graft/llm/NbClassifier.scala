@@ -1,7 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, Row}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** Multinomial Naive Bayes document classifier — the "train a cheap
   * linear classifier on a labeled slice, score the whole corpus" step
@@ -26,18 +28,29 @@ import org.apache.spark.sql.functions._
   * size, so AQE broadcasts it when it fits and the corpus never
   * shuffles beyond its own doc-keyed aggregation. Class count is
   * assumed small (languages, quality buckets): the per-class score
-  * expansion is a |classes|-way multiply of the doc-token frame.
+  * expansion is a |classes|-way multiply of the doc-token frame, and
+  * the per-class stats (tot, prior) plus the vocabulary size are
+  * CLASS-COUNT-bounded — collected at fit time (the PqIndex/Bpe
+  * model-frame discipline) so scoring attaches them as literals
+  * instead of paying broadcast-join stage waves per consumer.
   */
 object NbClassifier {
 
-  /** Trained model frames, all bounded by |vocab|·|classes|:
+  /** Trained model. `tokenCounts` stays a frame (|vocab|·|classes| —
+    * vocabulary-sized, never collected); the class-count-bounded
+    * stats are eagerly collected driver values, with `classStats` /
+    * `vocabSize` exposed as the same local frames the lazy form
+    * produced:
     *  - `tokenCounts`: (label, w, c) exact token counts;
     *  - `classStats`: (label, tot, n_docs, q_prior) — per-class token
     *    totals, doc counts, and quantized prior ln(n_docs/n_total);
     *  - `vocabSize`: 1-row (v) distinct training vocabulary.
     */
   final case class Model(tokenCounts: DataFrame, classStats: DataFrame,
-      vocabSize: DataFrame)
+      vocabSize: DataFrame,
+      private[llm] val labelType: DataType,
+      private[llm] val classRows: Seq[(Any, Long, Long)], // (label, tot, q_prior)
+      private[llm] val v: Long)
 
   /** One-pass fit over a labeled slice: `docs` rows carry `label` and
     * a tokenized `words` array (empty-token docs still count toward
@@ -49,7 +62,13 @@ object NbClassifier {
     * per-class doc counts (the null row's count) — no second corpus
     * scan for priors, no third for the total. Everything downstream
     * (class totals, vocabulary size, priors) aggregates the
-    * |vocab|·|classes|-bounded model frame, never the corpus.
+    * |vocab|·|classes|-bounded model frame, never the corpus — as ONE
+    * rollup over it, collected: the per-label groups carry the token
+    * totals and doc counts, the grand-total group carries the global
+    * doc count (for priors) and the distinct vocabulary size, so the
+    * former class-stats aggregation + global window + separate
+    * vocabulary job collapse into a single model-frame job at fit
+    * time.
     */
   def fit(docs: DataFrame, label: Column, words: Column): Model = {
     val counts = docs
@@ -60,22 +79,49 @@ object NbClassifier {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
     val tokenCounts = counts.filter(col("w").isNotNull)
-    // class totals, doc counts AND priors off ONE aggregation of the
-    // model frame — no join, no separate n_total subtree: the global
-    // doc count is an unpartitioned window over the |classes|-row
-    // aggregate (model-sized by definition, so the single-partition
-    // window is free — this is the one place that shape is correct).
-    val classStats = counts
-      .groupBy(col("label"))
+    val labelType = counts.schema("label").dataType
+    val spark = counts.sparkSession
+    val agg = counts.rollup(col("label"))
       .agg(sum(when(col("w").isNotNull, col("c")).otherwise(0L)).as("tot"),
-        sum(when(col("w").isNull, col("c")).otherwise(0L)).as("n_docs"))
-      .withColumn("n_total", sum(col("n_docs")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("label"), col("tot"), col("n_docs"),
-        floor(log(col("n_docs").cast("double") / col("n_total").cast("double"))
-          * 1000000d).cast("long").as("q_prior"))
-    val vocabSize = tokenCounts.select(countDistinct(col("w")).as("v"))
-    Model(tokenCounts, classStats, vocabSize)
+        sum(when(col("w").isNull, col("c")).otherwise(0L)).as("n_docs"),
+        count_distinct(col("w")).as("vd"),
+        grouping(col("label")).as("g"))
+      .collect()
+    val total = agg.filter(_.getByte(4) == 1.toByte)
+    val (nTotal, vocab) = total.headOption
+      .map(r => (if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
+      .getOrElse((0L, 0L))
+    // q_prior replicates the former column expression exactly:
+    // floor(ln(n_docs / n_total) * 1e6) over double-cast longs, with
+    // StrictMath.log (Spark's Log implementation)
+    val classRows: Seq[(Any, Long, Long)] = agg.toSeq
+      .filter(_.getByte(4) == 0.toByte)
+      .map { r =>
+        val nd = r.getLong(2)
+        val qp = math.floor(
+          StrictMath.log(nd.toDouble / nTotal.toDouble) * 1000000d).toLong
+        (r.get(0), r.getLong(1), qp) // n_docs only feeds the exposed frame
+      }
+    // the exposed stats frames, rebuilt as local relations — same
+    // schema and rows as the former lazy aggregations, zero jobs
+    val csSchema = StructType(Seq(
+      StructField("label", labelType, nullable = true),
+      StructField("tot", LongType, nullable = true),
+      StructField("n_docs", LongType, nullable = true),
+      StructField("q_prior", LongType, nullable = true)))
+    val csData = new java.util.ArrayList[Row]()
+    agg.filter(_.getByte(4) == 0.toByte).foreach { r =>
+      val qp = math.floor(
+        StrictMath.log(r.getLong(2).toDouble / nTotal.toDouble) * 1000000d).toLong
+      csData.add(Row(r.get(0), r.getLong(1), r.getLong(2), qp))
+    }
+    val classStats = spark.createDataFrame(csData, csSchema)
+    val vsData = new java.util.ArrayList[Row]()
+    vsData.add(Row(vocab))
+    val vocabSize = spark.createDataFrame(vsData,
+      StructType(Seq(StructField("v", LongType, nullable = false))))
+    Model(tokenCounts, classStats, vocabSize, labelType, classRows, vocab)
   }
 
   /** Score + argmax: (id, <carry...>, pred_label, q_score) with
@@ -112,17 +158,32 @@ object NbClassifier {
       .select((id.as("id") +: carry.map { case (n, c) => c.as(n) }) :+
         explode(concat(coalesce(words, array().cast("array<string>")),
           array(lit(null).cast("string")))).as("w"): _*)
-    // |classes|-way expansion × model lookup. classStats/vocab are
-    // tiny (class count) and broadcast; tokenCounts is vocab-bounded
-    // — plain join, AQE picks broadcast when it fits.
+    // |classes|-way expansion as an inline Generate over a LITERAL
+    // class array (the stats are class-count-bounded and already on
+    // the driver) — the former crossJoin(broadcast(classStats)) +
+    // crossJoin(broadcast(vocabSize)) stage waves fold into the
+    // token scan itself. tokenCounts is vocab-bounded — plain join,
+    // AQE picks broadcast when it fits.
+    def labelLit(v: Any): Column =
+      GraftBridge.column(Literal.create(v, model.labelType))
+    val classArr = array(model.classRows.map { case (l, tot, qp) =>
+      struct(labelLit(l).as("label"), lit(tot).as("tot"), lit(qp).as("q_prior"))
+    }: _*)
     val q = floor(
       log((coalesce(col("c"), lit(0L)) + 1L).cast("double")
-          / (col("tot") + col("v")).cast("double")) * 1000000d)
+          / (col("tot") + lit(model.v)).cast("double")) * 1000000d)
       .cast("long")
-    toks
-      .crossJoin(broadcast(model.classStats))
+    val expanded =
+      if (model.classRows.isEmpty) toks.filter(lit(false))
+        .select((toks.columns.map(col) :+ labelLit(null).as("label") :+
+          lit(null).cast("long").as("tot") :+
+          lit(null).cast("long").as("q_prior")): _*)
+      else toks.select((toks.columns.map(col) :+
+        explode(classArr).as("cl")): _*)
+        .select((toks.columns.map(col) :+ col("cl.label") :+
+          col("cl.tot") :+ col("cl.q_prior")): _*)
+    expanded
       .join(model.tokenCounts, Seq("label", "w"), "left")
-      .crossJoin(broadcast(model.vocabSize))
       .groupBy(col("id") +: carryKeys :+ col("label"): _*)
       .agg((first(col("q_prior")) +
         sum(when(col("w").isNotNull, q).otherwise(lit(0L)))).as("q_sum"))
