@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, types}
 import org.apache.spark.sql.functions._
 
 /** Deterministic distinct-count sketches — the cardinality primitives
@@ -281,6 +281,12 @@ object Sketches {
     * registers; the whole sketch broadcasts (2^24 bits = 2 MiB
     * ceiling), which is what makes [[bloomMightContain]] a map-side
     * prefilter at 100 TB.
+    *
+    * Group-cardinality contract: per-group state is bounded, GROUP
+    * COUNT is not — but [[bloomMightContain]] collects the whole
+    * sketch to the driver (its broadcast-resident bound, ≈ thousands
+    * of groups at default sizing). Callers needing unbounded group
+    * counts should partition the probe by group range instead.
     */
   def bloomBuild(df: DataFrame, group: Column, value: Column,
                  h: Int = 4, bitsLog2: Int = 18): DataFrame =
@@ -291,78 +297,121 @@ object Sketches {
       .agg(bit_or(col("m")).as("bits"))
 
   /** Membership probe against a [[bloomBuild]] sketch: (g, carry...,
-    * key, maybe) — `maybe` true iff ALL `h` probed bits are set, with
-    * absent words counting 0 (the [[countMinLookup]] discipline: a
-    * missing word row proves its bits are 0, so the key is
-    * definitively absent). No false negatives ever; false-positive
+    * key, maybe) — `maybe` true iff ALL `h` probed bits are set (and
+    * never NULL: a NULL probe key reads false, the definitive-absent
+    * verdict), with absent words counting 0 (the [[countMinLookup]]
+    * discipline: a missing word row proves its bits are 0, so the key
+    * is definitively absent). No false negatives ever; false-positive
     * rate is the standard (1−e^{−hn/m})^h. `carry` rides extra
     * probe-side columns into the output for the caller's aggregation.
+    * Emits ONE ROW PER INPUT ROW (pinned by SketchesSpec) — identical
+    * to the pre-r17 one-row-per-distinct-(g,key,carry) aggregate for
+    * distinct-keyed callers (the catalog's probe frames are distinct
+    * by construction); a non-distinct caller gets one verdict per row.
     *
-    * The sketch folds to ONE row per group (a w→bits map of
-    * ≤ 2^bitsLog2/32 entries — 2 MiB ceiling at the bitsLog2=24 cap),
-    * broadcast-joined to the probes; `maybe` is then a map-side
-    * `forall` over the h probed positions. The probe frame is never
-    * exploded, shuffled, or re-aggregated — the pre-r17 shape
-    * (explode(h) → shuffle join on (g,w) → regroup by (g,key,carry))
-    * exchanged h×|keys| rows to move a sketch that broadcasts by
-    * construction (guide §2.4/§3.1); this is what makes the probe a
-    * genuine map-side prefilter at 100 TB. Emits one row per input
-    * row — identical to the old one-row-per-distinct-(g,key,carry)
-    * aggregate for the distinct-keyed callers (the catalog's probe
-    * frames are distinct by construction).
+    * The sketch is collected eagerly at call time — per-GROUP state is
+    * model-sized by the [[bloomBuild]] contract (≤ 2^bitsLog2/32 longs
+    * per group: 64 KiB dense at the default, 2 MiB at the bitsLog2=24
+    * cap), so the whole sketch must be driver-resident, i.e. GROUP
+    * CARDINALITY is bounded by driver memory (≈ thousands of groups at
+    * the default sizing), exactly the bound a broadcast carries. The
+    * probe shape then depends on the group count:
+    *  - ≤ `maxLiteralGroups`: each group's dense word array embeds as
+    *    a LITERAL in a null-safe when-chain and `maybe` is h unrolled
+    *    element_at/bitwiseAND bit-tests riding the probe scan — no
+    *    join, no explode, no shuffle, no per-row payload (a 1-group
+    *    chain constant-folds to one literal array);
+    *  - above it: the same dense arrays become a local (g, words)
+    *    relation broadcast-LEFT-joined to the probes on a null-safe
+    *    `g`, and `maybe` is the same unrolled bit-test over the joined
+    *    array column — the plan/codegen carry O(1) literals instead of
+    *    G × 64 KiB, and each probe row evaluates one hash lookup
+    *    instead of G group comparisons. Both regimes are pinned by
+    *    PlanShapeSpec.
+    *
+    * Two rejected lazy forms, measured by BloomAbProbe (r17, full
+    * llm_bloom_filter walls, interleaved): broadcast-join a packed
+    * w→bits MAP + forall → 8.6 s vs 1.9 s old (element_at on MapType
+    * is a linear scan per probe), and the same with a dense-array
+    * column + forall → 7.2 s (forall is a HigherOrderFunction — not
+    * whole-stage-codegen'd, so the array column materializes per
+    * probe row). The fallback join here keeps the UNROLLED codegen'd
+    * bit-tests; only the array's carrier changes.
     */
   def bloomMightContain(sketch: DataFrame, keys: DataFrame,
                         group: Column, key: Column,
                         carry: Seq[Column] = Nil,
-                        h: Int = 4, bitsLog2: Int = 18): DataFrame = {
-    // The sketch is a MODEL (≤ 2^bitsLog2/32 longs per group — 64 KiB
-    // dense at the default, 2 MiB at the bitsLog2=24 cap), so it is
-    // collected eagerly at build time (the PqIndex/Bpe model-frame
-    // discipline; SparkEntry documents that builders run model-sized
-    // jobs at construction) and embedded as per-group DENSE literal
-    // arrays. `maybe` is then h unrolled bit-tests — plain codegen'd
-    // element_at/bitwiseAND conjuncts riding the probe scan: no
-    // explode, no shuffle, no re-aggregate, no lambda.
-    //
-    // Two rejected lazy forms, measured by BloomAbProbe (r17, full
-    // llm_bloom_filter walls, interleaved): broadcast-join a packed
-    // w→bits MAP + forall → 8.6 s vs 1.9 s old (element_at on MapType
-    // is a linear scan per probe), and the same with a dense-array
-    // column → 7.2 s (forall is a HigherOrderFunction — not
-    // whole-stage-codegen'd, so the 64 KiB array column materializes
-    // per probe row). The literal form has no per-row payload at all.
+                        h: Int = 4, bitsLog2: Int = 18,
+                        maxLiteralGroups: Int = 16): DataFrame = {
+    require(h >= 1 && h <= 5,
+      s"bloomMightContain: h must be in [1,5], got $h")
+    require(bitsLog2 >= 6 && bitsLog2 <= 24,
+      s"bloomMightContain: bitsLog2 must be in [6,24], got $bitsLog2")
     val nWords = 1 << (bitsLog2 - 5)
-    val dense: Seq[(Any, Array[Long])] = sketch
-      .select(col("g"), col("w"), col("bits")).collect().toSeq
+    val rows = sketch.select(col("g"), col("w"), col("bits")).collect().toSeq
+    rows.foreach { r =>
+      val w = r.getLong(1)
+      require(w >= 0 && w < nWords,
+        s"bloomMightContain: sketch word index $w is outside [0, $nWords) " +
+          s"for bitsLog2=$bitsLog2 — the sketch was built with a different " +
+          "bitsLog2 than this probe")
+    }
+    val dense: Seq[(Any, Array[Long])] = rows
       .groupBy(_.get(0)).map { case (gv, rs) =>
         val arr = new Array[Long](nWords)
         rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
         gv -> arr
       }.toSeq
-    // per-group literal lookup: group counts are model-sized by the
-    // sketch contract, so a when-chain stays small and codegen'd
-    val bf: Column = dense match {
-      case Seq() => lit(null).cast("array<bigint>")
-      case (g0, a0) +: rest =>
-        // keyed on the caller's `group` expression (it may not exist
-        // as a column on `keys` — e.g. the catalog's lit(0L) group,
-        // where the chain constant-folds to one literal array)
-        rest.foldLeft(when(group <=> lit(g0), lit(a0))) {
-          case (acc, (gv, arr)) => acc.when(group <=> lit(gv), lit(arr))
-        }
-    }
     // 1L<<i as a literal lookup table: shiftleft's column form isn't
     // exposed in the Scala DSL, and element_at keeps the predicate
     // whole-stage-codegen'd.
     val masks = array((0 until 32).map(i => lit(1L << i)): _*)
-    val m = md5(key.cast("string"))
-    val maybe = (0 until h).map { i =>
-      val p = conv(substring(m, 1 + 6 * i, 6), 16, 10).cast("long") %
-        (1L << bitsLog2)
-      coalesce(element_at(bf, shiftright(p, 5).cast("int") + lit(1)), lit(0L))
-        .bitwiseAND(element_at(masks, (p % 32).cast("int") + lit(1))) =!= 0L
-    }.reduce(_ && _)
-    keys.select((group.as("g") +: key.as("key") +: carry) :+
-      maybe.as("maybe"): _*)
+    // h unrolled codegen'd bit-tests over whichever column carries the
+    // group's dense word array; coalesce pins the boolean contract
+    // (NULL key / unknown group / absent word ⇒ false, never NULL)
+    def probe(bf: Column, keyCol: Column): Column = {
+      val m = md5(keyCol.cast("string"))
+      coalesce(
+        (0 until h).map { i =>
+          val p = conv(substring(m, 1 + 6 * i, 6), 16, 10).cast("long") %
+            (1L << bitsLog2)
+          coalesce(element_at(bf, shiftright(p, 5).cast("int") + lit(1)), lit(0L))
+            .bitwiseAND(element_at(masks, (p % 32).cast("int") + lit(1))) =!= 0L
+        }.reduce(_ && _), lit(false))
+    }
+    if (dense.size <= maxLiteralGroups) {
+      // per-group literal lookup, keyed on the caller's `group`
+      // expression (it may not exist as a column on `keys` — e.g. the
+      // catalog's lit(0L) group, where the chain constant-folds to
+      // one literal array)
+      val bf: Column = dense match {
+        case Seq() => lit(null).cast("array<bigint>")
+        case (g0, a0) +: rest =>
+          rest.foldLeft(when(group <=> lit(g0), lit(a0))) {
+            case (acc, (gv, arr)) => acc.when(group <=> lit(gv), lit(arr))
+          }
+      }
+      keys.select((group.as("g") +: key.as("key") +: carry) :+
+        probe(bf, key).as("maybe"): _*)
+    } else {
+      // guarded fallback: local (g, words) relation broadcast-joined
+      // on null-safe g — graceful where a G-literal when-chain would
+      // blow up the plan
+      val spark = keys.sparkSession
+      val gType = sketch.schema("g").dataType
+      val schema = types.StructType(Seq(
+        types.StructField("__bg", gType, nullable = true),
+        types.StructField("__bf", types.ArrayType(types.LongType, containsNull = false),
+          nullable = true)))
+      val data = new java.util.ArrayList[org.apache.spark.sql.Row](dense.length)
+      dense.foreach { case (gv, arr) =>
+        data.add(org.apache.spark.sql.Row(gv, arr.toSeq))
+      }
+      val bfFrame = spark.createDataFrame(data, schema)
+      val pre = keys.select((group.as("g") +: key.as("key") +: carry): _*)
+      val preCols = pre.columns.toSeq
+      pre.join(broadcast(bfFrame), pre("g") <=> bfFrame("__bg"), "left")
+        .select(preCols.map(col) :+ probe(col("__bf"), col("key")).as("maybe"): _*)
+    }
   }
 }

@@ -144,4 +144,37 @@ class SketchesSpec extends SparkSpec {
       .select("maybe").as[Boolean].head()
     assert(!miss, "missing word rows count as zero bits")
   }
+
+  test("bloom probe contracts: row-per-input, NULL key reads false, bitsLog2 mismatch fails loudly") {
+    val members = Seq((0L, "a"), (0L, "b")).toDF("g", "v")
+    val sketch = Sketches.bloomBuild(members, col("g"), col("v"))
+    // one output row PER INPUT ROW, duplicates included (r17 contract
+    // change, pinned per r18 advice — a non-distinct caller must see
+    // one verdict per row, not per distinct key)
+    val dup = Seq((0L, "a"), (0L, "a"), (0L, "zz")).toDF("g", "v")
+    val rows = Sketches.bloomMightContain(sketch, dup, col("g"), col("v")).collect()
+    assert(rows.length === 3, "probe must emit one row per input row")
+    // NULL probe key: boolean contract says definitive-absent FALSE,
+    // never NULL (the old aggregate form's behavior)
+    val nullKey = Seq((0L, null.asInstanceOf[String])).toDF("g", "v")
+    val nk = Sketches.bloomMightContain(sketch, nullKey, col("g"), col("v"))
+      .select("maybe").collect().head
+    assert(!nk.isNullAt(0) && !nk.getBoolean(0), "NULL key must read false, not NULL")
+    // an unknown group reads false in both regimes
+    val og = Sketches.bloomMightContain(sketch,
+        Seq((9L, "a")).toDF("g", "v"), col("g"), col("v"))
+      .select("maybe").as[Boolean].head()
+    assert(!og, "unknown group must read false")
+    // build/probe bitsLog2 mismatch: a clear error, not an
+    // ArrayIndexOutOfBounds in the dense fill
+    val wide = Sketches.bloomBuild(members, col("g"), col("v"), bitsLog2 = 18)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(wide, dup, col("g"), col("v"), bitsLog2 = 8)
+    }
+    assert(e.getMessage.contains("different"), s"got: ${e.getMessage}")
+    // h / bitsLog2 domain requires are enforced at the probe too
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(sketch, dup, col("g"), col("v"), h = 6)
+    }
+  }
 }

@@ -176,6 +176,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"probe must not explode:\n$p")
   }
 
+  test("bloomMightContain above maxLiteralGroups: broadcast-join fallback, same verdicts") {
+    // r18 guard (verdict item 5 / advice): a many-group caller must
+    // not get a G x 64 KiB literal when-chain — above the threshold
+    // the dense arrays ride a broadcast-joined local relation and the
+    // probe keeps the unrolled codegen'd bit-tests. No shuffle of the
+    // probe side, no explode, and verdicts identical to the literal
+    // regime on the same data.
+    val members = (0 until 20).flatMap(g => (1 to 30).map(i => (g.toLong, s"g${g}m$i")))
+      .toDF("g", "v")
+    val sketch = graft.llm.Sketches.bloomBuild(members, col("g"), col("v"))
+    val probes = (0 until 20).flatMap(g =>
+      Seq((g.toLong, s"g${g}m7"), (g.toLong, s"g${g}miss"))).toDF("g", "v")
+    val lit = graft.llm.Sketches.bloomMightContain(sketch, probes,
+      col("g"), col("v"), maxLiteralGroups = 1000)
+    val joined = graft.llm.Sketches.bloomMightContain(sketch, probes,
+      col("g"), col("v"), maxLiteralGroups = 4)
+    val p = plan(joined)
+    assert(p.contains("Join"), s"fallback regime must broadcast-join:\n$p")
+    assert(!p.contains("Generate"), s"fallback must not explode:\n$p")
+    assert(!p.contains("forall") && !p.toLowerCase.contains("lambda"),
+      s"fallback must keep the unrolled bit-tests (no HigherOrderFunction):\n$p")
+    val a = lit.orderBy("g", "key").collect().map(_.toString).toSeq
+    val b = joined.orderBy("g", "key").collect().map(_.toString).toSeq
+    assert(a === b, "literal and join regimes must agree row-for-row")
+    // every member probe reads true (no false negatives) in BOTH regimes
+    val byKey = joined.collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    (0 until 20).foreach(g => assert(byKey(s"g${g}m7"), s"member g${g}m7 must read true"))
+  }
+
   test("countMin: ONE map-side-combined cell aggregation, no extra exchange") {
     val df = (1L to 500L).map(i => (0L, s"tok_${i % 41}")).toDF("g", "v")
     val out = graft.llm.Sketches.countMin(df, col("g"), col("v"))
