@@ -153,6 +153,15 @@ object Bench {
     }.toList)
 
     val canary = median(canarySamples.toList)
+    // Contaminated-run tripwire (round-17 verdict item 8): a stolen
+    // box made a whole driver bench unusable and only the canary
+    // field betrayed it. Compare against scripts/canary_ref.json's
+    // recorded reference (workload tags must match) and WARN on
+    // stderr — never stdout, which must stay one parseable JSON line.
+    for ((ref, tag) <- canaryRef() if tag == CanaryWorkload && canary > 2.0 * ref)
+      System.err.println(f"[bench] WARN: canary $canary%.3f s is ${canary / ref}%.1fx " +
+        f"the recorded reference $ref%.3f s - this box is heavily loaded/stolen; " +
+        "treat this record's walls as contaminated (compare via interleaved records)")
 
     emit(samples, errors, roundsDone.get(), floor, sfDir,
       partial = false, elapsedS = (System.nanoTime() - tStart) / 1e9, canary = canary)
@@ -160,6 +169,24 @@ object Bench {
     spark.stop()
     if (!errors.isEmpty) sys.exit(1)
   }
+
+  /** (canary_ref, workload) from scripts/canary_ref.json when present
+    * — absent/garbled files just disable the tripwire (the bench must
+    * run anywhere the repo isn't checked out).
+    */
+  private def canaryRef(): Option[(Double, String)] =
+    try {
+      val p = java.nio.file.Paths.get("scripts/canary_ref.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val ref = """"canary_ref"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val tag = """"workload"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        for (r <- ref; t <- tag) yield (r, t)
+      }
+    } catch { case _: Throwable => None }
 
   private def median(xs: List[Double]): Double = xs match {
     case Nil => 0.0
