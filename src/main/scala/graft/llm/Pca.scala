@@ -49,28 +49,101 @@ object Pca {
       sq: Map[Int, Option[Long]],
       gq: Map[(Int, Int), Option[Long]])
 
-  /** One exploded aggregation pass over the corpus (plus a column-
-    * pruned count job): emits the same integer aggregates the mean
-    * and Gram frames used to carry. sq_j rides the (j, 0) groups —
-    * arrays explode to contiguous positions, so a row contributes to
-    * (j, 0) exactly iff it contributes to the old per-j mean group.
+  /** Per-partition partial of the fused mean+Gram pass: row count
+    * (ALL rows, null vectors included — the former count semantics),
+    * max vector size seen (group presence: a (j, k) group exists iff
+    * some row has both positions, i.e. maxSize > max(j, k)), and the
+    * quantized integer sums with has-value flags carrying SQL
+    * NULL-sum semantics (a term is NULL iff either element is NULL;
+    * an all-NULL group sums to NULL).
+    */
+  private final case class GramPartial(
+      n: Long, maxSize: Int,
+      sq: Array[Long], sqHas: Array[Boolean],
+      gq: Array[Long], gqHas: Array[Boolean])
+
+  /** One corpus pass for count + mean sums + Gram sums: a per-
+    * partition D×D Long accumulation over the columnar rows (the
+    * guide's per-partition-Gram-block form — ~dim² work per ROW in
+    * the former posexplode² aggregation becomes dim² adds into a
+    * local array, no 4096-key hash probing, no N·dim²-row Generate),
+    * collected and merged on the driver. Integer sums commute, so the
+    * result is term-exact to the exploded aggregation for every
+    * (presence, NULL, ragged-size) case — replicated in the partial.
     */
   private[llm] def gramStats(df: DataFrame, vec: Column): GramStats = {
     val pts = df.select(transform(vec, x => x.cast("double")).as("v"))
-    val n = pts.agg(count(lit(1))).head().getLong(0)
-    val rows = pts
-      .select(col("v"), posexplode(col("v")).as(Seq("j", "x")))
-      .select(col("j"), col("x").as("xj"),
-        posexplode(col("v")).as(Seq("k", "xk")))
-      .groupBy(col("j"), col("k"))
-      .agg(sum(floor(col("xj") * col("xk") * lit(1e9d)).cast("long")).as("gq"),
-        sum(when(col("k") === 0, floor(col("xj") * lit(1e6d)).cast("long"))).as("sqj"))
-      .collect()
-    def optLong(r: Row, i: Int): Option[Long] =
-      if (r.isNullAt(i)) None else Some(r.getLong(i))
-    val gq = rows.map(r => (r.getInt(0), r.getInt(1)) -> optLong(r, 2)).toMap
-    val sq = rows.filter(_.getInt(1) == 0)
-      .map(r => r.getInt(0) -> optLong(r, 3)).toMap
+    val partials = pts.queryExecution.toRdd.mapPartitions { it =>
+      var n = 0L
+      var maxSize = 0
+      var sq: Array[Long] = Array.empty
+      var sqHas: Array[Boolean] = Array.empty
+      var gq: Array[Long] = Array.empty
+      var gqHas: Array[Boolean] = Array.empty
+      def grow(s: Int): Unit = if (s > maxSize) {
+        val nsq = java.util.Arrays.copyOf(sq, s)
+        val nsqH = java.util.Arrays.copyOf(sqHas, s)
+        val ngq = new Array[Long](s * s)
+        val ngqH = new Array[Boolean](s * s)
+        var j = 0
+        while (j < maxSize) {
+          System.arraycopy(gq, j * maxSize, ngq, j * s, maxSize)
+          System.arraycopy(gqHas, j * maxSize, ngqH, j * s, maxSize)
+          j += 1
+        }
+        sq = nsq; sqHas = nsqH; gq = ngq; gqHas = ngqH; maxSize = s
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        n += 1L
+        if (!row.isNullAt(0)) {
+          val v = row.getArray(0)
+          val s = v.numElements()
+          grow(s)
+          var j = 0
+          while (j < s) {
+            if (!v.isNullAt(j)) {
+              val xj = v.getDouble(j)
+              sq(j) += math.floor(xj * 1e6d).toLong
+              sqHas(j) = true
+              var k = 0
+              val base = j * maxSize
+              while (k < s) {
+                if (!v.isNullAt(k)) {
+                  gq(base + k) += math.floor(xj * v.getDouble(k) * 1e9d).toLong
+                  gqHas(base + k) = true
+                }
+                k += 1
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      Iterator.single(GramPartial(n, maxSize, sq, sqHas, gq, gqHas))
+    }.collect()
+    val n = partials.map(_.n).sum
+    val d = if (partials.isEmpty) 0 else partials.map(_.maxSize).max
+    def merged(idx: GramPartial => Int => (Long, Boolean), at: Int): Option[Long] = {
+      var s = 0L
+      var has = false
+      partials.foreach { p =>
+        val (v, h) = idx(p)(at)
+        if (h) { has = true; s += v }
+      }
+      if (has) Some(s) else None
+    }
+    val sq = (0 until d).collect {
+      case j if partials.exists(_.maxSize > j) =>
+        j -> merged(p => i => if (j < p.maxSize) (p.sq(i), p.sqHas(i)) else (0L, false), j)
+    }.toMap
+    val gq = (for {
+      j <- 0 until d
+      k <- 0 until d
+      if partials.exists(p => p.maxSize > j && p.maxSize > k)
+    } yield (j, k) -> merged(p => _ =>
+      if (j < p.maxSize && k < p.maxSize) (p.gq(j * p.maxSize + k), p.gqHas(j * p.maxSize + k))
+      else (0L, false), 0)).toMap
     GramStats(n, sq, gq)
   }
 
